@@ -1,0 +1,162 @@
+package graft.algorithms
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.storage.StorageLevel
+
+/** Iterative KMeans (A2/A3, reference `IterKmeans.java`: assign map
+  * `:288-407`, recenter reduce `:409-490`, ONE2ALL projector `:492-539`).
+  *
+  * The center set is the reference's "global unique value" (F25): each
+  * iteration the reducers RPC partial centroid maps to the JobTracker,
+  * which merges and re-broadcasts them (`ReduceTask.java:3291-3320`,
+  * `JobTracker.java:5604-5656`). In Spark that is: partial per-partition
+  * aggregation of (sum-vector, count) per cluster, a `collect()` of k
+  * rows to the driver, and a broadcast closure for the next assign pass —
+  * O(k·dim) driver data regardless of input size, so this scales to any
+  * number of points.
+  *
+  * Assignment is a single map-side pass (no shuffle, no k× row blow-up);
+  * recentering is one `groupBy(cluster)` over k keys with map-side
+  * partial aggregation (the reference's combiner, F19).
+  *
+  * Determinism: the reference picks random initial centers
+  * (`IterKmeans.java:249-264`); we pin initialization to the k
+  * lowest-id points so runs (and the DuckDB oracle) are reproducible.
+  */
+object KMeans {
+
+  final case class Model(centers: Array[(Int, Array[Double])], iterations: Int, shift: Double)
+
+  /** Squared Euclidean distance. */
+  private def sqDist(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+    s
+  }
+
+  /** Cosine distance 1 − cos(a,b); the reference's metric
+    * (`IterKmeans.java:288-407` uses cosine similarity). */
+  private def cosDist(a: Array[Double], b: Array[Double]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+    if (na == 0.0 || nb == 0.0) 1.0 else 1.0 - dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** Nearest center id; ties broken toward the lower center id (strict `<`
+    * keeps the earlier center — mirrored in the SQL oracle by
+    * `ORDER BY dist, cid`). */
+  private def assign(centers: Array[(Int, Array[Double])], metric: String)(
+      v: Array[Double]): Int = {
+    var best = -1; var bestD = Double.MaxValue; var i = 0
+    while (i < centers.length) {
+      val d =
+        if (metric == "cosine") cosDist(v, centers(i)._2) else sqDist(v, centers(i)._2)
+      if (d < bestD) { bestD = d; best = centers(i)._1 }
+      i += 1
+    }
+    best
+  }
+
+  /** Element-wise (Σvec, n) typed aggregator → mean vector. Partial
+    * buffers merge map-side, so the shuffle carries k·numPartitions small
+    * rows, not the points (the reference's combiner path, F19). */
+  private class VecMean(dim: Int)
+      extends Aggregator[Array[Double], (Array[Double], Long), (Array[Double], Long)] {
+    def zero: (Array[Double], Long) = (new Array[Double](dim), 0L)
+    def reduce(b: (Array[Double], Long), v: Array[Double]): (Array[Double], Long) = {
+      var i = 0; while (i < dim) { b._1(i) += v(i); i += 1 }; (b._1, b._2 + 1)
+    }
+    def merge(x: (Array[Double], Long), y: (Array[Double], Long)): (Array[Double], Long) = {
+      var i = 0; while (i < dim) { x._1(i) += y._1(i); i += 1 }; (x._1, x._2 + y._2)
+    }
+    def finish(b: (Array[Double], Long)): (Array[Double], Long) = b
+    def bufferEncoder: Encoder[(Array[Double], Long)] =
+      Encoders.tuple(ExprEnc.arrDouble, Encoders.scalaLong)
+    def outputEncoder: Encoder[(Array[Double], Long)] =
+      Encoders.tuple(ExprEnc.arrDouble, Encoders.scalaLong)
+  }
+
+  private object ExprEnc {
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    val arrDouble: Encoder[Array[Double]] = ExpressionEncoder[Array[Double]]()
+  }
+
+  /** Run KMeans over `points` with columns (id: long, vec: array<double>).
+    *
+    * @param metric    "euclidean" (squared-L2 assignment) or "cosine"
+    * @param threshold stop when Σ‖c−c′‖₂ < threshold (checked from
+    *                  iteration 2, reference semantics); negative = run
+    *                  exactly `maxIterations`
+    * @return model with centers sorted by center id
+    */
+  def run(
+      points: DataFrame,
+      k: Int,
+      metric: String = "cosine",
+      maxIterations: Int = 10,
+      threshold: Double = -1.0): Model = {
+    val spark = points.sparkSession
+    import spark.implicits._
+
+    val pts: Dataset[(Long, Array[Double])] = points
+      .select(col("id").cast("long"), col("vec").cast("array<double>"))
+      .as[(Long, Array[Double])]
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // Pinned init: k lowest-id points, center ids 0..k-1.
+    var centers: Array[(Int, Array[Double])] =
+      pts.orderBy(col("id")).limit(k).collect().zipWithIndex.map {
+        case ((_, v), i) => (i, v)
+      }
+    val dim = centers.head._2.length
+    val vecMean = new VecMean(dim)
+
+    var iter = 0
+    var shift = Double.MaxValue
+    var done = false
+    while (iter < maxIterations && !done) {
+      iter += 1
+      val cs = centers // stable closure capture
+      val assignF = assign(cs, metric) _
+      val recomputed = pts
+        .map { case (_, v) => (assignF(v), v) }
+        .groupByKey(_._1)
+        .mapValues(_._2)
+        .agg(vecMean.toColumn)
+        .collect()
+        .map { case (cid, (sums, n)) => (cid, sums.map(_ / n)) }
+        .toMap
+      // A cluster that attracted no points keeps its previous center.
+      val newCenters = centers.map { case (cid, v) =>
+        (cid, recomputed.getOrElse(cid, v))
+      }.sortBy(_._1)
+      if (threshold >= 0 && iter >= 2) {
+        val byId = newCenters.toMap
+        shift = centers.map { case (cid, v) =>
+          byId.get(cid).map(nv => math.sqrt(sqDist(v, nv))).getOrElse(0.0)
+        }.sum
+        if (shift < threshold) done = true
+      }
+      centers = newCenters
+    }
+    pts.unpersist(blocking = false)
+    Model(centers, iter, shift)
+  }
+
+  /** Final assignment of every point to the model's centers:
+    * (id, cid). */
+  def assignments(points: DataFrame, model: Model, metric: String): DataFrame = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    val cs = model.centers
+    val assignF = assign(cs, metric) _
+    points
+      .select(col("id").cast("long"), col("vec").cast("array<double>"))
+      .as[(Long, Array[Double])]
+      .map { case (id, v) => (id, assignF(v)) }
+      .toDF("id", "cid")
+  }
+}

@@ -1,0 +1,77 @@
+package graft.algorithms
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.core.{IterConfig, IterResult, IterativeJob, ProjectKind}
+
+/** Iterative PageRank, the reference's flagship workload (A1,
+  * `ExampleDriver.java:96`; map `IterPageRank.java:137-169`, reduce
+  * `:171-202`, ONE2ONE projector `:204-232`).
+  *
+  * Semantics replicated exactly: every node starts at rank 1.0; each
+  * iteration a node keeps `1-damping` (reference hard-codes damping 0.8,
+  * so each keeps 0.2) and spreads `damping·rank/outDegree` along its
+  * out-edges; nodes without in-links sit at `1-damping`; dangling mass is
+  * dropped (the reference spreads only along existing edges).
+  *
+  * Spark plan shape (scale-minded): the static side `(src, dst, deg)` is
+  * hash-partitioned by `src` once and cached; ranks are partitioned by
+  * `node`, so the static⨝ranks join shuffles nothing; the only per-
+  * iteration shuffle is the `groupBy(dst)` contribution sum — exactly the
+  * shuffle the reference pays per iteration too. The post-aggregation
+  * hash partitioning on `dst` is then reused by the node-base left join.
+  */
+object PageRank {
+
+  /** Build the co-partitioned static relation from an edge list.
+    * Reference: the "data distribution" job (F34, `IterPageRank.java:304-343`). */
+  def prepare(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long")).distinct()
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    e.join(deg, "src") // (src, dst, deg)
+  }
+
+  /** All node ids appearing as source or destination. */
+  def nodes(edges: DataFrame): DataFrame =
+    edges.select(col("src").cast("long").as("node"))
+      .union(edges.select(col("dst").cast("long").as("node")))
+      .distinct()
+
+  /** Run PageRank. Returns (node: long, rank: double).
+    *
+    * @param threshold stop when Σ|Δrank| < threshold (checked from
+    *                  iteration 2, like the reference); negative = run
+    *                  exactly `maxIterations`.
+    */
+  def run(
+      edges: DataFrame,
+      damping: Double = 0.8,
+      maxIterations: Int = 10,
+      threshold: Double = -1.0,
+      numPartitions: Int = 32): IterResult = {
+
+    val static = prepare(edges)
+    val base = nodes(edges).repartition(numPartitions, col("node"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val init = base.withColumn("rank", lit(1.0))
+
+    val step: (DataFrame, DataFrame, Int) => DataFrame = (s, dyn, _) => {
+      val contribs = s.join(dyn, s("src") === dyn("node"))
+        .select(s("dst"), (dyn("rank") / s("deg") * damping).as("c"))
+        .groupBy("dst").agg(sum("c").as("c"))
+      base.join(contribs, base("node") === contribs("dst"), "left")
+        .select(base("node"),
+          (lit(1.0 - damping) + coalesce(col("c"), lit(0.0))).as("rank"))
+    }
+
+    val job = new IterativeJob(
+      static, "src", init, "node", ProjectKind.One2One, step,
+      IterativeJob.sumAbsDiff("node", "rank"),
+      IterConfig(maxIterations, threshold, numPartitions = numPartitions))
+    val res = job.run()
+    base.unpersist(blocking = false)
+    res
+  }
+}
