@@ -1,13 +1,33 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.queries.{IterativeQueries, PipelineQueries, RelationalQueries}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Queries are assembled from three groups:
+  *  - [[graft.queries.RelationalQueries]] — the classic MR example
+  *    surface (SURVEY §2.2 A14) + framework operator recipes.
+  *  - [[graft.queries.IterativeQueries]] — the iterative/incremental
+  *    algorithms (A1-A5) with exact unrolled-SQL oracles.
+  *  - [[graft.queries.PipelineQueries]] — dedup/similarity/text/
+  *    multimodal training-data-pipeline operators.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  private val defs =
+    RelationalQueries.all ++ IterativeQueries.all ++ PipelineQueries.all
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
+    * iterative PageRank (the reference's own flagship, A1). */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    defs.find(_.name == "q_pagerank").get.fn(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    defs.map(q => q.name -> q.fn).toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] =
+    defs.collect { case q if q.oracle.isDefined => q.name -> q.oracle.get }.toMap
 }

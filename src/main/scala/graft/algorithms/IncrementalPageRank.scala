@@ -1,0 +1,77 @@
+package graft.algorithms
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.core.{IncrementalJob, PreservedState}
+
+/** Incremental PageRank (A5, reference `IncrPageRank.java:26-276`):
+  * a converged-and-preserved base run is continued over a graph delta,
+  * recomputing only the keys reachable from the change (F28-F31).
+  *
+  * Contribution expression is `(rank / deg) * damping` and reduce is
+  * `(1 − damping) + Σ` — kept in this exact operation order everywhere
+  * (base run, preserve pass, incremental re-reduce, and the DuckDB
+  * oracle) so incremental results are bit-reproducible.
+  */
+object IncrementalPageRank {
+
+  /** Run the base job and derive the preserved state: kvs holds each
+    * edge's contribution computed from the FINAL ranks (see
+    * [[graft.core.PreservedState]] for the consistency contract). */
+  def preserve(edges: DataFrame, damping: Double, iterations: Int,
+      numPartitions: Int = 32): PreservedState = {
+    val ranks = PageRank.run(edges, damping, iterations,
+      numPartitions = numPartitions).dynamic
+    val static = PageRank.prepare(edges)
+    val kvs = static.join(ranks, static("src") === ranks("node"))
+      .select(static("dst").as("node"), static("src"),
+        (ranks("rank") / static("deg") * damping).as("contrib"))
+    // out must cover every node (sinks carry no kvs rows but have ranks)
+    PreservedState(kvs, ranks)
+  }
+
+  /** Continue over the updated graph.
+    *
+    * @param updatedEdges   graph AFTER the delta (src, dst)
+    * @param changedSources sources whose out-edge set changed (single
+    *                       column `src`) — the delta's projected keys
+    * @param filterThreshold F30 pruning θ; 0 = exact propagation
+    * @return (node, rank) after `iterations` incremental rounds
+    */
+  def incremental(
+      updatedEdges: DataFrame,
+      preserved: PreservedState,
+      changedSources: DataFrame,
+      damping: Double,
+      iterations: Int,
+      filterThreshold: Double = 0.0,
+      numPartitions: Int = 32): DataFrame = {
+
+    val static = PageRank.prepare(updatedEdges) // (src, dst, deg) with new degrees
+
+    val job = new IncrementalJob(
+      updatedStatic = static,
+      skCol = "src",
+      k2Col = "node",
+      preserved = preserved,
+      initialFrontier = changedSources.select(col("src")),
+      mapContribs = (staticF, dynF) =>
+        staticF.join(dynF, staticF("src") === dynF("node"))
+          .select(staticF("dst").as("node"), staticF("src"),
+            (dynF("rank") / staticF("deg") * damping).as("contrib")),
+      reduce = (affected, kvsAffected) => {
+        val sums = kvsAffected.groupBy("node").agg(sum("contrib").as("s"))
+        affected.join(sums, Seq("node"), "left")
+          .select(col("node"),
+            (lit(1.0 - damping) + coalesce(col("s"), lit(0.0))).as("rank"))
+      },
+      outToDyn = identity,
+      distance = (o, n) => abs(o("rank") - n("rank")),
+      filterThreshold = filterThreshold,
+      maxIterations = iterations,
+      numPartitions = numPartitions)
+
+    job.run()._1
+  }
+}

@@ -28,7 +28,10 @@ import org.apache.spark.storage.StorageLevel
   */
 object KMeans {
 
-  final case class Model(centers: Array[(Int, Array[Double])], iterations: Int, shift: Double)
+  /** `sizes` = cluster cardinalities of the LAST assignment pass (the
+    * one that produced `centers`); empty clusters report 0. */
+  final case class Model(centers: Array[(Int, Array[Double])], iterations: Int,
+      shift: Double, sizes: Map[Int, Long] = Map.empty)
 
   /** Squared Euclidean distance. */
   private def sqDist(a: Array[Double], b: Array[Double]): Double = {
@@ -115,20 +118,23 @@ object KMeans {
     val vecMean = new VecMean(dim)
 
     var iter = 0
+    var lastSizes: Map[Int, Long] = Map.empty
     var shift = Double.MaxValue
     var done = false
     while (iter < maxIterations && !done) {
       iter += 1
       val cs = centers // stable closure capture
       val assignF = assign(cs, metric) _
-      val recomputed = pts
+      val partials = pts
         .map { case (_, v) => (assignF(v), v) }
         .groupByKey(_._1)
         .mapValues(_._2)
         .agg(vecMean.toColumn)
         .collect()
-        .map { case (cid, (sums, n)) => (cid, sums.map(_ / n)) }
-        .toMap
+      val recomputed = partials.map { case (cid, (sums, n)) => (cid, sums.map(_ / n)) }.toMap
+      lastSizes = centers.map { case (cid, _) =>
+        cid -> partials.collectFirst { case (`cid`, (_, n)) => n }.getOrElse(0L)
+      }.toMap
       // A cluster that attracted no points keeps its previous center.
       val newCenters = centers.map { case (cid, v) =>
         (cid, recomputed.getOrElse(cid, v))
@@ -143,7 +149,7 @@ object KMeans {
       centers = newCenters
     }
     pts.unpersist(blocking = false)
-    Model(centers, iter, shift)
+    Model(centers, iter, shift, lastSizes)
   }
 
   /** Final assignment of every point to the model's centers:

@@ -1,0 +1,151 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Preserved state of a converged iterative run (the paper's "MRBGraph";
+  * reference `IFile.PreserveFile`, `IFile.java:478-800`, written by
+  * `runPreserveReducer`, `ReduceTask.java:3155-3207`).
+  *
+  * Two Parquet-friendly tables instead of a hash-indexed random-access
+  * file (SURVEY §4: set-oriented joins replace point lookups; columnar
+  * immutable snapshots replace in-place updates — the design that holds
+  * at 100 TB where the preserve store must be bucketed, compacted
+  * columnar data, not a single random-access file):
+  *
+  *  - `kvs(k2, sk, …payload)` — per output key `k2`, the bag of
+  *    contributions with their *source* static key `sk` (the reference's
+  *    4-tuple shuffle provenance, F17).
+  *  - `out(k2, …out)` — the run's final per-key outputs.
+  *
+  * Consistency contract: `kvs` is derived from the final dynamic state,
+  * so for every source `s` its stored contribution equals what `s`
+  * would emit given its current output value. (The reference instead
+  * stores the literal last reduce inputs, which matches this only at
+  * convergence — deriving from the final state makes incremental runs
+  * exact even when the base run stopped early.)
+  */
+final case class PreservedState(kvs: DataFrame, out: DataFrame) {
+  /** Materialize both tables as Parquet "state tables" (F27). */
+  def write(path: String): Unit = {
+    kvs.write.mode("overwrite").parquet(s"$path/kvs")
+    out.write.mode("overwrite").parquet(s"$path/out")
+  }
+}
+
+object PreservedState {
+  def read(spark: org.apache.spark.sql.SparkSession, path: String): PreservedState =
+    PreservedState(
+      spark.read.parquet(s"$path/kvs"),
+      spark.read.parquet(s"$path/out"))
+}
+
+/** Incremental (delta) recomputation over a preserved run — the
+  * reference's F28-F31 (`runIncrementalMapper` `MapTask.java:1157-1287`,
+  * MRBGraph merge loop `ReduceTask.java:1021-1217`, incremental
+  * iterative drivers `ReduceTask.java:3504-3691`) as a driver loop over
+  * set-oriented DataFrame ops:
+  *
+  * per iteration, with `frontier` = the source keys whose static rows or
+  * dynamic values changed:
+  *   1. re-map only the frontier's static rows against current dynamic
+  *      values → fresh contributions (F28);
+  *   2. merge into `kvs`: drop every stored contribution of a frontier
+  *      source, insert the fresh ones (replace-on-equal + delete —
+  *      the MRBGraph merge, F29);
+  *   3. affected keys = outputs that lost or gained a contribution;
+  *      re-reduce ONLY those groups from the merged bag;
+  *   4. change-propagation filter (F30): affected keys whose output
+  *      moved ≥ `filterThreshold` become the next frontier
+  *      (`setFilterThreshold`, `JobConf.java:423-428`); θ=0 propagates
+  *      every affected key (exact mode).
+  *
+  * @param updatedStatic static relation AFTER applying the delta,
+  *                      carrying source-key column `sk`
+  * @param mapContribs   (frontierStatic, frontierDynamic) → fresh
+  *                      contribution rows (k2, sk, …payload)
+  * @param reduce        (affectedKeys(k2), kvsOfAffected) → (k2, …out);
+  *                      must emit a row for EVERY affected key (an
+  *                      affected key may have an empty bag)
+  * @param outToDyn      project an out row to the dynamic-value row the
+  *                      mapper consumes (often identity/rename)
+  * @param distance      per-key distance between old and new out rows,
+  *                      given columns (old, new) — used by the F30 filter
+  */
+final class IncrementalJob(
+    updatedStatic: DataFrame,
+    skCol: String,
+    k2Col: String,
+    preserved: PreservedState,
+    initialFrontier: DataFrame, // single column: sk
+    mapContribs: (DataFrame, DataFrame) => DataFrame,
+    reduce: (DataFrame, DataFrame) => DataFrame,
+    outToDyn: DataFrame => DataFrame,
+    distance: (Column, Column) => Column,
+    filterThreshold: Double = 0.0,
+    maxIterations: Int = 10,
+    numPartitions: Int = 32) {
+
+  /** Returns (finalOut, updatedKvs, iterationsRun). Stops early when the
+    * frontier empties (all change absorbed — the reference's
+    * non-converged-items counter hitting 0, `ReduceTask.java:3493`). */
+  def run(): (DataFrame, DataFrame, Int) = {
+    val n = numPartitions
+    val static = updatedStatic.repartition(n, col(skCol))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    var kvs = preserved.kvs.repartition(n, col(k2Col)).localCheckpoint(true)
+    var out = preserved.out.repartition(n, col(k2Col)).localCheckpoint(true)
+    var frontier = initialFrontier.select(col(skCol)).distinct()
+      .localCheckpoint(true)
+    var i = 0
+    var frontierSize = frontier.count()
+
+    while (i < maxIterations && frontierSize > 0) {
+      i += 1
+      val staticF = static.join(frontier, skCol)
+      // dynamic values of the frontier keys (k2-space == sk-space)
+      val dynF = outToDyn(out.join(
+        frontier.withColumnRenamed(skCol, k2Col), k2Col))
+      val fresh = mapContribs(staticF, dynF).localCheckpoint(true)
+
+      // affected = keys that lose an old contribution or gain a fresh one
+      val affected = kvs.join(frontier, kvs(skCol) === frontier(skCol), "left_semi")
+        .select(col(k2Col))
+        .union(fresh.select(col(k2Col)))
+        .distinct()
+        .localCheckpoint(true)
+
+      // MRBGraph merge: replace every frontier source's contributions
+      kvs = kvs.join(frontier, kvs(skCol) === frontier(skCol), "left_anti")
+        .unionByName(fresh)
+        .repartition(n, col(k2Col))
+        .localCheckpoint(true)
+
+      val kvsAffected = kvs.join(affected, k2Col, "left_semi")
+      val newOut = reduce(affected, kvsAffected).localCheckpoint(true)
+
+      // F30 change-propagation filter
+      val nextFrontier =
+        if (filterThreshold <= 0.0) affected
+        else {
+          val old = out.select(col(k2Col), struct(col("*")).as("_old"))
+          val neu = newOut.select(col(k2Col), struct(col("*")).as("_new"))
+          old.join(neu, k2Col)
+            .filter(distance(col("_old"), col("_new")) >= filterThreshold)
+            .select(col(k2Col))
+        }
+
+      out = out.join(affected, k2Col, "left_anti").unionByName(newOut)
+        .repartition(n, col(k2Col))
+        .localCheckpoint(true)
+
+      frontier = nextFrontier.withColumnRenamed(k2Col, skCol).distinct()
+        .localCheckpoint(true)
+      frontierSize = frontier.count()
+    }
+    static.unpersist(blocking = false)
+    (out, kvs, i)
+  }
+}

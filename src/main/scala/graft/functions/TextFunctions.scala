@@ -1,0 +1,117 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for the training-data pipeline surface
+  * (tokenize, deterministic hashes, minhash, simhash, fingerprints,
+  * language-ID and quality heuristics).
+  *
+  * Everything here is built from `org.apache.spark.sql.functions`
+  * higher-order array functions — codegen'd Catalyst expressions, no
+  * UDFs — and every hash is plain 64-bit modular arithmetic so the
+  * DuckDB oracle can reproduce it bit-for-bit
+  * (`list_reduce([ord(c) ...])` on the SQL side).
+  *
+  * The reference engine carries text as opaque `Text` values re-parsed
+  * per operator (e.g. `IterKmeans.java:346-357`); here tokens become a
+  * first-class array column Catalyst can prune and push down.
+  */
+object TextFunctions {
+
+  /** Modulus shared by all polynomial hashes (fits products in Long). */
+  val P: Long = 1000000007L
+
+  /** Non-empty tokens split on runs of spaces. */
+  def tokens(text: Column): Column =
+    filter(split(text, " +"), t => t =!= lit(""))
+
+  /** Polynomial rolling hash of a token's characters:
+    * fold(h → h·31 + ord(c) mod P). Matches DuckDB
+    * `list_reduce([ord(c)::BIGINT for c in string_split(t,'')], (a,b) -> (a*31+b)%P)`. */
+  def tokenCode(token: Column): Column =
+    aggregate(
+      transform(split(token, ""), c => ascii(c).cast("long")),
+      lit(0L),
+      (acc, c) => (acc * 31 + c) % P)
+
+  /** Universal-hash family over token codes: h_seed(t) = (a·code+b) mod P
+    * with a = 2·seed+1, b = seed·7919. */
+  def seededHash(code: Column, seed: Column): Column =
+    ((seed * 2 + 1) * code + seed * lit(7919L)) % P
+
+  /** Minhash signature entry for one seed: min over tokens of the seeded
+    * hash. NULL for documents with no tokens. */
+  def minhash(toks: Column, seed: Column): Column =
+    array_min(transform(toks, t => seededHash(tokenCode(t), seed)))
+
+  /** Word w-shingles as strings ("a b c"). */
+  def shingles(toks: Column, w: Int): Column = {
+    val n = size(toks)
+    when(n >= w,
+      transform(sequence(lit(0), n - w),
+        i => concat_ws(" ", slice(toks, i + 1, lit(w)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** 32-bit SimHash over token codes: bit b of the result is 1 iff
+    * Σ_tokens (±1 per bit b of g(code)) > 0, with g = seededHash(·, 1). */
+  def simhash32(toks: Column): Column = {
+    val hashes = transform(toks, t => seededHash(tokenCode(t), lit(1)))
+    // mask for bit b as a column (pow is exact for b ≤ 31)
+    def mask(b: Column): Column = pow(lit(2.0), b.cast("double")).cast("long")
+    val bitSums = transform(sequence(lit(0), lit(31)), b =>
+      aggregate(hashes, lit(0L),
+        (acc, h) => acc + when(h.bitwiseAND(mask(b)) > 0, 1L).otherwise(-1L)))
+    aggregate(
+      zip_with(bitSums, sequence(lit(0), lit(31)),
+        (s, b) => when(s > 0, mask(b)).otherwise(lit(0L))),
+      lit(0L), (acc, v) => acc + v)
+  }
+
+  /** Document fingerprint: rolling polynomial hash over token codes,
+    * fold(h → h·131 + code(t) mod P). */
+  def fingerprint(toks: Column): Column =
+    aggregate(transform(toks, tokenCode(_)), lit(0L),
+      (acc, c) => (acc * 131 + c) % P)
+
+  /** Stopword-ratio feature: fraction of tokens in `words`. */
+  def wordRatio(toks: Column, words: Seq[String]): Column = {
+    val set = array(words.map(lit): _*)
+    when(size(toks) > 0,
+      size(filter(toks, t => array_contains(set, t))).cast("double") /
+        size(toks).cast("double"))
+      .otherwise(lit(0.0))
+  }
+
+  /** Mean token length (0 for empty docs). */
+  def avgTokenLen(toks: Column): Column =
+    when(size(toks) > 0,
+      aggregate(toks, lit(0L), (a, t) => a + length(t)).cast("double") /
+        size(toks).cast("double"))
+      .otherwise(lit(0.0))
+
+  /** English-marker stopwords used by the language-ID heuristic. */
+  val EnglishMarkers: Seq[String] = Seq("the", "a", "of", "and", "to", "in")
+
+  /** N-gram-heuristic language ID: high English-stopword ratio → "en";
+    * otherwise buckets on a deterministic text statistic so the label is
+    * reproducible (real model would plug in here). */
+  def langIdHeuristic(toks: Column): Column = {
+    val r = wordRatio(toks, EnglishMarkers)
+    when(r >= 0.12, lit("en"))
+      .when(avgTokenLen(toks) >= 5.0, lit("de"))
+      .when(size(toks) % 3 === 0, lit("es"))
+      .otherwise(lit("other"))
+  }
+
+  /** Composite quality score in [0,1]:
+    * 0.4·min(1, nTokens/40) + 0.3·uniqRatio + 0.3·(1 − stopRatio). */
+  def qualityScore(toks: Column): Column = {
+    val n = size(toks).cast("double")
+    val uniq = size(array_distinct(toks)).cast("double")
+    val uniqRatio = when(n > 0, uniq / n).otherwise(lit(0.0))
+    val stop = wordRatio(toks, EnglishMarkers)
+    least(n / 40.0, lit(1.0)) * 0.4 + uniqRatio * 0.3 + (lit(1.0) - stop) * 0.3
+  }
+}

@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+
+/** Deduplication for large text corpora: exact, MinHash+LSH, SimHash,
+  * and n-gram Jaccard. Designed for the 100 TB shape: everything is
+  * hash-groupBy / bucket-join — no pairwise N² work outside LSH buckets,
+  * no driver-side state.
+  */
+object Dedup {
+
+  /** Exact dedup: group identical payloads, keep the lowest id as the
+    * representative. One shuffle on a 64-bit digest of the payload (not
+    * the payload itself) — at 100 TB the shuffle carries hashes+ids. */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"), col(textCol).as("payload"))
+      .groupBy(xxhash64(col("payload")).as("digest"))
+      .agg(min("id").as("keep_id"), count(lit(1)).as("n"))
+
+  /** Per-document minhash signature rows (doc_id, seed, mh), seeds
+    * 0..numHashes-1. Empty docs drop out (no signature). */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int): DataFrame =
+    df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"),
+        explode(sequence(lit(0), lit(numHashes - 1))).as("seed"),
+        col("toks"))
+      .select(col("doc_id"), col("seed"), minhash(col("toks"), col("seed")).as("mh"))
+
+  /** LSH banding: group the signature into `bands` bands of
+    * `numHashes/bands` rows; docs sharing any band bucket are candidate
+    * near-dup pairs. The expensive exact-Jaccard check then runs only
+    * inside buckets (shingle→minhash→band→bucket-join). */
+  def lshCandidatePairs(signatures: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val banded = signatures
+      .withColumn("band", (col("seed") / rowsPerBand).cast("int"))
+      .groupBy("doc_id", "band")
+      // band key = polynomial combination of the band's minhashes, in seed order
+      .agg(aggregate(
+        transform(array_sort(collect_list(struct(col("seed"), col("mh")))), s => s("mh")),
+        lit(0L), (acc, v) => (acc * 131 + v % P) % P).as("bucket"))
+    val a = banded.select(col("band"), col("bucket"), col("doc_id").as("a"))
+    val b = banded.select(col("band"), col("bucket"), col("doc_id").as("b"))
+    a.join(b, Seq("band", "bucket")).filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+  }
+
+  /** Exact token-set Jaccard for given pairs: |A∩B| / |A∪B| over
+    * distinct tokens. */
+  def jaccardForPairs(pairs: DataFrame, df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val sets = df.select(col(idCol).as("doc_id"),
+      array_distinct(tokens(col(textCol))).as("ts"))
+    pairs
+      .join(sets.withColumnRenamed("doc_id", "a").withColumnRenamed("ts", "ta"), "a")
+      .join(sets.withColumnRenamed("doc_id", "b").withColumnRenamed("ts", "tb"), "b")
+      .select(col("a"), col("b"),
+        (size(array_intersect(col("ta"), col("tb"))).cast("double") /
+          size(array_union(col("ta"), col("tb"))).cast("double")).as("jaccard"))
+  }
+
+  /** MinHash-LSH near-dup detection end-to-end: candidates from banding,
+    * confirmed by exact Jaccard ≥ `threshold`. */
+  def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int, bands: Int, threshold: Double): DataFrame = {
+    val sigs = minhashSignatures(df, idCol, textCol, numHashes)
+    val cands = lshCandidatePairs(sigs, numHashes, bands)
+    jaccardForPairs(cands, df, idCol, textCol)
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** SimHash digests (doc_id, simhash). Near-dups = digests within a
+    * small Hamming distance; pairing via band-of-bytes joins like LSH. */
+  def simhashDigests(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"), simhash32(col("toks")).as("simhash"))
+
+  /** n-gram (word w-shingle) Jaccard near-dup pairs within a blocking
+    * key: docs sharing a shingle are candidates (inverted-index join),
+    * then exact shingle-set Jaccard ≥ threshold confirms. */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      w: Int, threshold: Double): DataFrame = {
+    val sh = df.select(col(idCol).as("doc_id"),
+      array_distinct(shingles(tokens(col(textCol)), w)).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val inv = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+    val cands = inv.alias("x").join(inv.alias("y"), "s")
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
+    val sa = sh.select(col("doc_id").as("a"), col("sh").as("sa"))
+    val sb = sh.select(col("doc_id").as("b"), col("sh").as("sb"))
+    cands.join(sa, "a").join(sb, "b")
+      .select(col("a"), col("b"),
+        (size(array_intersect(col("sa"), col("sb"))).cast("double") /
+          size(array_union(col("sa"), col("sb"))).cast("double")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+}

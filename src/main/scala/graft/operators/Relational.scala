@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** The reference's classic MapReduce example surface (A14,
+  * `ExampleDriver.java:56-81`: wordcount, grep, sort, join,
+  * secondarysort, aggregate*), re-expressed as one-line declarative
+  * DataFrame recipes so Catalyst plans them (pushdown, partial
+  * aggregation, broadcast) instead of hand-built map/reduce chains.
+  */
+object Relational {
+
+  /** WordCount (`examples/.../WordCount.java`): tokenize + count.
+    * `explode` + hash-agg gives map-side partial counts (the reference's
+    * combiner, F19) for free. */
+  def wordCount(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(TextFunctions.tokens(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+
+  /** Grep (`examples/.../Grep.java`): regex filter + per-match count,
+    * sorted descending — the reference runs two chained MR jobs for
+    * this; here it is filter → agg → sort in one plan. */
+  def grep(df: DataFrame, textCol: String, pattern: String): DataFrame =
+    df.select(explode(TextFunctions.tokens(col(textCol))).as("token"))
+      .filter(col("token").rlike(pattern))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+
+  /** Top-k by arbitrary ordering with a dense output rank. Total-order
+    * sort (F14): Spark's range partitioner does the sampling the
+    * reference's `InputSampler`/`TotalOrderPartitioner` does by hand. */
+  def topK(df: DataFrame, k: Int, order: Seq[Column]): DataFrame =
+    df.orderBy(order: _*).limit(k)
+      .withColumn("rank", row_number().over(Window.orderBy(order: _*)))
+
+  /** Secondary sort (F18, `examples/.../SecondarySort.java`): group by
+    * key, values ordered within the group — expressed as
+    * sort_array(collect_list(struct(order, value))) so ordering happens
+    * in the agg buffer, not a per-group shuffle sort. */
+  def secondarySort(
+      df: DataFrame, keyCol: String, orderCols: Seq[String], valueCol: String): DataFrame = {
+    val packed = struct((orderCols :+ valueCol).map(col): _*)
+    df.groupBy(col(keyCol))
+      .agg(transform(sort_array(collect_list(packed)), s => s(valueCol))
+        .as("values"), count(lit(1)).as("cnt"))
+  }
+
+  /** CDC delta application (F6/F28): `delta` rows carry `change` ∈
+    * {"+","-"}; '-' deletes the matching base key, '+' inserts the new
+    * row version. The reference encodes this as IFile triples
+    * (`IFile.TrippleWriter`, `IFile.java:255-430`); here it is an
+    * anti-join + union — both sides shuffle once on the key. */
+  def applyDelta(base: DataFrame, delta: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val deletedKeys = delta.filter(col("change") === "-" || col("change") === "+")
+      .select(keyCols.map(col): _*).distinct()
+    val inserts = delta.filter(col("change") === "+").drop("change")
+    base.join(deletedKeys, keyCols, "left_anti").unionByName(inserts)
+  }
+}

@@ -1,0 +1,189 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.Row
+
+import graft.algorithms.{IncrementalPageRank, KMeans, MatrixVector, PageRank}
+
+/** The reference's iterative/incremental algorithm surface (A1-A5) as
+  * driver-checkable queries. The DuckDB oracles are the SAME algorithms
+  * unrolled into CTE chains — every arithmetic expression is kept in the
+  * exact operation order of the Spark implementation so results match to
+  * the rounded digit.
+  *
+  * Graphs/points/matrices are derived deterministically from the
+  * testdata tables (no synthesized fixtures), so the queries scale with
+  * the sf directory the driver points at.
+  */
+object IterativeQueries {
+
+  // ---- shared fragments -------------------------------------------------
+
+  /** Deterministic directed graph over the customer key space:
+    * src = ordering customer, dst = 1 + (src·7 + orderkey·3) mod |customer|. */
+  private val edgesSql =
+    """SELECT DISTINCT o_custkey AS src,
+      1 + (o_custkey * 7 + o_orderkey * 3) % (SELECT count(*) FROM customer) AS dst
+      FROM orders"""
+
+  private def sparkEdges(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val ncust = Q.t(s, dir, "customer").count()
+    Q.t(s, dir, "orders")
+      .select(col("o_custkey").as("src"),
+        (lit(1L) + (col("o_custkey") * 7 + col("o_orderkey") * 3) % lit(ncust)).as("dst"))
+      .distinct()
+  }
+
+  /** Unrolled PageRank iterations over CTEs `edges/deg/nodes`. Produces
+    * CTE `r$iters`. Expression order matches PageRank.run exactly:
+    * per-edge contribution (rank / deg) * damping, reduce (1-d) + Σ. */
+  private def pagerankCtes(iters: Int): String =
+    (1 to iters).map { i =>
+      s"""r$i AS (SELECT n.node, (1.0 - 0.8) + coalesce(c.s, 0.0) AS rank
+         FROM nodes n LEFT JOIN (
+           SELECT e.dst AS node, sum(r.rank / d.d * 0.8) AS s
+           FROM edges e JOIN r${i - 1} r ON e.src = r.node
+           JOIN deg d ON e.src = d.src
+           GROUP BY 1) c ON n.node = c.node)"""
+    }.mkString(",\n")
+
+  private def pagerankSql(iters: Int): String =
+    s"""WITH edges AS ($edgesSql),
+       deg AS (SELECT src, count(*) AS d FROM edges GROUP BY 1),
+       nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+       r0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS rank FROM nodes),
+       ${pagerankCtes(iters)}
+       SELECT node, round(rank, 6) AS rank FROM r$iters"""
+
+  private def kmeansSql(iters: Int, k: Int): String = {
+    val assign = (i: Int) =>
+      s"""a$i AS (SELECT id, x, y, cid FROM (
+         SELECT p.id, p.x, p.y, c.cid,
+           row_number() OVER (PARTITION BY p.id ORDER BY
+             (p.x - c.cx) * (p.x - c.cx) + (p.y - c.cy) * (p.y - c.cy), c.cid) AS rn
+         FROM pts p CROSS JOIN c${i - 1} c) WHERE rn = 1)"""
+    val recenter = (i: Int) =>
+      s"""c$i AS (SELECT c.cid, coalesce(m.mx, c.cx) AS cx, coalesce(m.my, c.cy) AS cy
+         FROM c${i - 1} c LEFT JOIN (
+           SELECT cid, avg(x) AS mx, avg(y) AS my FROM a$i GROUP BY 1) m
+         ON c.cid = m.cid)"""
+    s"""WITH pts AS (SELECT c_custkey AS id, c_acctbal / 1000.0 AS x,
+         CAST(c_nationkey AS DOUBLE) AS y FROM customer),
+       c0 AS (SELECT CAST(row_number() OVER (ORDER BY id) AS INT) - 1 AS cid,
+         x AS cx, y AS cy FROM (SELECT id, x, y FROM pts ORDER BY id LIMIT $k)),
+       ${(1 to iters).map(i => assign(i) + ",\n" + recenter(i)).mkString(",\n")}
+       SELECT c.cid, round(c.cx, 6) AS cx, round(c.cy, 6) AS cy,
+         coalesce(m.n, 0) AS n
+       FROM c$iters c LEFT JOIN (
+         SELECT cid, count(*) AS n FROM a$iters GROUP BY 1) m ON c.cid = m.cid"""
+  }
+
+  private def matvecSql(iters: Int): String = {
+    val steps = (1 to iters).map { i =>
+      s"""y$i AS (SELECT m.i AS j, sum(m.v * x.x) AS y
+           FROM m JOIN x${i - 1} x ON m.j = x.j GROUP BY 1),
+         x$i AS (SELECT j, y / (SELECT sum(abs(y)) FROM y$i) AS x FROM y$i)"""
+    }.mkString(",\n")
+    s"""WITH m AS (SELECT event_id % 40 AS i, user_id % 40 AS j, max(value) AS v
+         FROM events GROUP BY 1, 2),
+       x0 AS (SELECT DISTINCT j, CAST(1.0 AS DOUBLE) AS x FROM m),
+       $steps
+       SELECT j, round(x, 6) AS x FROM x$iters"""
+  }
+
+  /** Incremental PageRank oracle: `baseIters` full iterations on the base
+    * graph, then `incrIters` frontier-propagated incremental rounds on
+    * the post-delta graph — the exact MRBGraph-merge semantics of
+    * [[graft.core.IncrementalJob]] unrolled in SQL (θ=0: every affected
+    * key propagates; no float comparisons decide control flow). */
+  private def incrPagerankSql(baseIters: Int, incrIters: Int): String = {
+    val incr = (1 to incrIters).map { i =>
+      val prev = if (i == 1) s"r$baseIters" else s"p${i - 1}"
+      val affected =
+        if (i == 1)
+          """a1 AS (SELECT DISTINCT dst AS node FROM e2 JOIN chg USING (src)
+             UNION SELECT DISTINCT dst AS node FROM edges JOIN chg USING (src))"""
+        else
+          s"""a$i AS (SELECT DISTINCT e.dst AS node
+             FROM e2 e JOIN a${i - 1} f ON e.src = f.node)"""
+      s"""$affected,
+         s$i AS (SELECT a.node, (1.0 - 0.8) + coalesce(c.s, 0.0) AS rank
+           FROM a$i a LEFT JOIN (
+             SELECT e.dst AS node, sum(r.rank / d.d * 0.8) AS s
+             FROM e2 e JOIN $prev r ON e.src = r.node
+             JOIN deg2 d ON e.src = d.src
+             GROUP BY 1) c ON a.node = c.node),
+         p$i AS (SELECT r.node, r.rank FROM $prev r
+           WHERE r.node NOT IN (SELECT node FROM a$i)
+           UNION ALL SELECT node, rank FROM s$i)"""
+    }.mkString(",\n")
+    s"""WITH edges AS ($edgesSql),
+       deg AS (SELECT src, count(*) AS d FROM edges GROUP BY 1),
+       nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+       r0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS rank FROM nodes),
+       ${pagerankCtes(baseIters)},
+       chg AS (SELECT DISTINCT src FROM edges WHERE src % 10 = 3),
+       e2 AS (SELECT src, dst FROM edges WHERE src % 10 <> 3
+         UNION SELECT src, 1 + (src * 11 + 5) % (SELECT count(*) FROM customer) AS dst
+         FROM chg),
+       deg2 AS (SELECT src, count(*) AS d FROM e2 GROUP BY 1),
+       $incr
+       SELECT node, round(rank, 6) AS rank FROM p$incrIters"""
+  }
+
+  // ---- queries ----------------------------------------------------------
+
+  val all: Seq[Q] = Seq(
+
+    Q("q_pagerank",
+      (s, dir) => PageRank.run(sparkEdges(s, dir), damping = 0.8, maxIterations = 5)
+        .dynamic.select(col("node"), round(col("rank"), 6).as("rank")),
+      Some(pagerankSql(5))),
+
+    Q("q_kmeans",
+      (s, dir) => {
+        val pts = Q.t(s, dir, "customer").select(
+          col("c_custkey").as("id"),
+          array(col("c_acctbal") / 1000.0, col("c_nationkey").cast("double")).as("vec"))
+        val model = KMeans.run(pts, k = 4, metric = "euclidean", maxIterations = 3)
+        def r6(x: Double): Double = // half-away-from-zero, like SQL round()
+          BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        val rows = model.centers.map { case (cid, v) =>
+          Row(cid, r6(v(0)), r6(v(1)), model.sizes.getOrElse(cid, 0L))
+        }
+        s.createDataFrame(
+          s.sparkContext.parallelize(rows.toIndexedSeq),
+          StructType(Seq(StructField("cid", IntegerType),
+            StructField("cx", DoubleType), StructField("cy", DoubleType),
+            StructField("n", LongType))))
+      },
+      Some(kmeansSql(3, 4))),
+
+    Q("q_matvec",
+      (s, dir) => {
+        val m = Q.events(s, dir)
+          .groupBy((col("event_id") % 40).as("i"), (col("user_id") % 40).as("j"))
+          .agg(max("value").as("v"))
+        val x0 = m.select(col("j")).distinct().withColumn("x", lit(1.0))
+        MatrixVector.run(m, x0, maxIterations = 3, normalize = true)
+          .dynamic.select(col("j"), round(col("x"), 6).as("x"))
+      },
+      Some(matvecSql(3))),
+
+    Q("q_incr_pagerank",
+      (s, dir) => {
+        val edges1 = sparkEdges(s, dir)
+        val ncust = Q.t(s, dir, "customer").count()
+        val preserved = IncrementalPageRank.preserve(edges1, 0.8, iterations = 6)
+        val chg = edges1.filter(col("src") % 10 === 3).select("src").distinct()
+        val added = chg.select(col("src"),
+          (lit(1L) + (col("src") * 11 + 5) % lit(ncust)).as("dst"))
+        val edges2 = edges1.filter(col("src") % 10 =!= 3).unionByName(added)
+        IncrementalPageRank.incremental(edges2, preserved, chg, 0.8,
+          iterations = 4, filterThreshold = 0.0)
+          .select(col("node"), round(col("rank"), 6).as("rank"))
+      },
+      Some(incrPagerankSql(6, 4)))
+  )
+}

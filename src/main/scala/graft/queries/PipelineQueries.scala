@@ -1,0 +1,241 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+import graft.operators.{Dedup, Multimodal, Similarity}
+
+/** Training-data-pipeline surface: dedup (exact / MinHash-LSH / SimHash /
+  * n-gram Jaccard), similarity search, text analysis, multimodal
+  * plumbing — each with a DuckDB oracle computing the same deterministic
+  * arithmetic (the polynomial hashes fold identically on both sides).
+  */
+object PipelineQueries {
+
+  /** Shared oracle CTE: tokens per document. */
+  private val toksCte =
+    """toks AS (SELECT doc_id, list_filter(regexp_split_to_array(text, ' +'),
+       x -> x <> '') AS toks FROM documents)"""
+
+  /** Shared oracle CTE: per-token polynomial codes (requires toks). */
+  private val codesCte =
+    """codes AS (SELECT doc_id, toks,
+       [list_reduce([ord(ch)::BIGINT for ch in string_split(t, '')],
+         (a, b) -> (a * 31 + b) % 1000000007) for t in toks] AS codes
+       FROM toks)"""
+
+  private val stopList = "['the', 'a', 'of', 'and', 'to', 'in']"
+
+  private val statsCte =
+    s"""stats AS (SELECT doc_id, len(toks) AS ntok,
+       CASE WHEN len(toks) > 0 THEN
+         len(list_filter(toks, t -> list_contains($stopList, t)))::DOUBLE
+           / len(toks)::DOUBLE ELSE 0.0 END AS stop,
+       CASE WHEN len(toks) > 0 THEN
+         list_sum([length(t) for t in toks])::DOUBLE / len(toks)::DOUBLE
+         ELSE 0.0 END AS avglen,
+       CASE WHEN len(toks) > 0 THEN
+         len(list_distinct(toks))::DOUBLE / len(toks)::DOUBLE
+         ELSE 0.0 END AS uniqr
+       FROM toks)"""
+
+  /** Oracle CTE pair: embeddings as double vectors + dot/norm helpers are
+    * inlined per query (list_reduce left-fold == Spark aggregate fold). */
+  private val vecCte =
+    """v AS (SELECT vec_id AS id, label,
+       [CAST(x AS DOUBLE) for x in embedding] AS vec FROM embeddings)"""
+
+  private def dotSql(a: String, b: String) =
+    s"""list_reduce([$a[i] * $b[i] for i in generate_series(1, len($a))],
+       (x, y) -> x + y)"""
+
+  val all: Seq[Q] = Seq(
+
+    // Exact dedup: identical text → one representative (lowest id).
+    Q("q_dedup_exact",
+      (s, dir) => Dedup.exact(Q.t(s, dir, "documents"), "doc_id", "text")
+        .select("keep_id", "n"),
+      Some("""SELECT min(doc_id) AS keep_id, count(*) AS n
+              FROM documents GROUP BY text""")),
+
+    // MinHash signatures (8 seeds per doc).
+    Q("q_minhash",
+      (s, dir) => Dedup.minhashSignatures(Q.t(s, dir, "documents"),
+        "doc_id", "text", numHashes = 8)
+        .select(col("doc_id"), col("seed").cast("long").as("seed"), col("mh")),
+      Some(s"""WITH $toksCte, $codesCte
+              SELECT doc_id, seed,
+                list_min([((seed * 2 + 1) * c + seed * 7919) % 1000000007
+                  for c in codes]) AS mh
+              FROM codes, range(8) r(seed) WHERE len(toks) > 0""")),
+
+    // MinHash + LSH near-dup pairs (4 bands × 2 rows), exact-Jaccard ≥ 0.5.
+    Q("q_lsh_neardup",
+      (s, dir) => Dedup.minhashNearDups(
+        Q.t(s, dir, "documents").filter(col("doc_id") % 5 === 0),
+        "doc_id", "text", numHashes = 8, bands = 4, threshold = 0.9)
+        .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard")),
+      Some(s"""WITH toks AS (SELECT doc_id,
+                list_filter(regexp_split_to_array(text, ' +'), x -> x <> '') AS toks
+                FROM documents WHERE doc_id % 5 = 0), $codesCte,
+              sig AS (SELECT doc_id, seed,
+                list_min([((seed * 2 + 1) * c + seed * 7919) % 1000000007
+                  for c in codes]) AS mh
+                FROM codes, range(8) r(seed) WHERE len(toks) > 0),
+              banded AS (SELECT doc_id, seed // 2 AS band,
+                list_reduce(list(mh ORDER BY seed),
+                  (a, b) -> (a * 131 + b % 1000000007) % 1000000007) AS bucket
+                FROM sig GROUP BY 1, 2),
+              cands AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+                FROM banded x JOIN banded y
+                ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
+              sets AS (SELECT doc_id, list_distinct(toks) AS ts FROM toks)
+              SELECT a, b, round(jacc, 6) AS jaccard FROM (
+                SELECT c.a, c.b,
+                  len(list_filter(sa.ts, t -> list_contains(sb.ts, t)))::DOUBLE /
+                  len(list_distinct(list_concat(sa.ts, sb.ts)))::DOUBLE AS jacc
+                FROM cands c JOIN sets sa ON c.a = sa.doc_id
+                JOIN sets sb ON c.b = sb.doc_id)
+              WHERE jacc >= 0.9""")),
+
+    // SimHash digests.
+    Q("q_simhash",
+      (s, dir) => Dedup.simhashDigests(Q.t(s, dir, "documents"), "doc_id", "text"),
+      Some(s"""WITH $toksCte, $codesCte
+              SELECT doc_id,
+                list_sum([CASE WHEN
+                  list_sum([CASE WHEN (h & (1::BIGINT << b)) > 0 THEN 1 ELSE -1 END
+                    for h in hashes]) > 0
+                  THEN (1::BIGINT << b) ELSE 0::BIGINT END
+                  for b in generate_series(0, 31)]) AS simhash
+              FROM (SELECT doc_id,
+                [(3 * c + 7919) % 1000000007 for c in codes] AS hashes
+                FROM codes WHERE len(toks) > 0)""")),
+
+    // Word-trigram Jaccard near-dup pairs on a doc_id%5 slice.
+    Q("q_ngram_jaccard",
+      (s, dir) => Dedup.ngramJaccardPairs(
+        Q.t(s, dir, "documents").filter(col("doc_id") % 5 === 0),
+        "doc_id", "text", w = 3, threshold = 0.2)
+        .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard")),
+      Some("""WITH toks AS (SELECT doc_id,
+                list_filter(regexp_split_to_array(text, ' +'), x -> x <> '') AS toks
+                FROM documents WHERE doc_id % 5 = 0),
+              sh AS (SELECT doc_id, list_distinct(
+                [array_to_string(toks[i:i+2], ' ')
+                 for i in generate_series(1, len(toks) - 2)]) AS sh
+                FROM toks WHERE len(toks) >= 3),
+              inv AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+              cands AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+                FROM inv x JOIN inv y ON x.s = y.s AND x.doc_id < y.doc_id)
+              SELECT a, b, round(jacc, 6) AS jaccard FROM (
+                SELECT c.a, c.b,
+                  len(list_filter(sa.sh, t -> list_contains(sb.sh, t)))::DOUBLE /
+                  len(list_distinct(list_concat(sa.sh, sb.sh)))::DOUBLE AS jacc
+                FROM cands c JOIN sh sa ON c.a = sa.doc_id
+                JOIN sh sb ON c.b = sb.doc_id)
+              WHERE jacc >= 0.2""")),
+
+    // Language-ID heuristic.
+    Q("q_langid",
+      (s, dir) => Q.t(s, dir, "documents")
+        .select(col("doc_id"), langIdHeuristic(tokens(col("text"))).as("lang_pred")),
+      Some(s"""WITH $toksCte, $statsCte
+              SELECT doc_id, CASE WHEN stop >= 0.12 THEN 'en'
+                WHEN avglen >= 5.0 THEN 'de'
+                WHEN ntok % 3 = 0 THEN 'es'
+                ELSE 'other' END AS lang_pred
+              FROM stats""")),
+
+    // Quality scoring.
+    Q("q_quality",
+      (s, dir) => Q.t(s, dir, "documents")
+        .select(col("doc_id"),
+          round(qualityScore(tokens(col("text"))), 6).as("quality")),
+      Some(s"""WITH $toksCte, $statsCte
+              SELECT doc_id,
+                round(least(ntok / 40.0, 1.0) * 0.4 + uniqr * 0.3
+                  + (1.0 - stop) * 0.3, 6) AS quality
+              FROM stats""")),
+
+    // Token counting per source.
+    Q("q_token_count",
+      (s, dir) => Q.t(s, dir, "documents")
+        .select(col("source"), size(tokens(col("text"))).as("ntok"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("ntok")).cast("long").as("n_tokens"),
+          round(sum(col("ntok")).cast("double") / count(lit(1)).cast("double"), 6)
+            .as("avg_tokens")),
+      Some(s"""SELECT source, count(*) AS n_docs,
+              CAST(sum(len(toks)) AS BIGINT) AS n_tokens,
+              round(CAST(sum(len(toks)) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+                AS avg_tokens
+              FROM (SELECT source, list_filter(regexp_split_to_array(text, ' +'),
+                x -> x <> '') AS toks FROM documents)
+              GROUP BY 1""")),
+
+    // Rolling-hash document fingerprint.
+    Q("q_fingerprint",
+      (s, dir) => Q.t(s, dir, "documents")
+        .select(col("doc_id"),
+          fingerprint(tokens(col("text"))).as("fp"),
+          size(tokens(col("text"))).cast("long").as("n_tokens")),
+      Some(s"""WITH $toksCte, $codesCte
+              SELECT doc_id,
+                CASE WHEN len(codes) = 0 THEN 0::BIGINT
+                  ELSE list_reduce(codes, (a, b) -> (a * 131 + b) % 1000000007)
+                END AS fp,
+                len(codes) AS n_tokens
+              FROM codes""")),
+
+    // Brute-force cosine top-5 for query vectors vec_id < 5.
+    Q("q_ann_cosine",
+      (s, dir) => {
+        val vecs = Q.t(s, dir, "embeddings")
+          .select(col("vec_id").as("id"), col("embedding").as("vec"))
+        Similarity.bruteForceTopK(vecs, vecs.filter(col("id") < 5), k = 5)
+          .select(col("qid"), col("nid"), round(col("cosine"), 6).as("cosine"),
+            col("rk").cast("int").as("rk"))
+      },
+      Some(s"""WITH $vecCte,
+              q AS (SELECT id, vec FROM v WHERE id < 5),
+              scored AS (SELECT q.id AS qid, v.id AS nid,
+                ${dotSql("q.vec", "v.vec")} /
+                  (sqrt(${dotSql("q.vec", "q.vec")}) *
+                   sqrt(${dotSql("v.vec", "v.vec")})) AS cosine
+                FROM q CROSS JOIN v WHERE q.id <> v.id)
+              SELECT qid, nid, round(cosine, 6) AS cosine, CAST(rk AS INT) AS rk
+              FROM (SELECT qid, nid, cosine, row_number() OVER
+                (PARTITION BY qid ORDER BY cosine DESC, nid) AS rk FROM scored)
+              WHERE rk <= 5""")),
+
+    // Embedding-cosine near-dup pairs within label blocks.
+    Q("q_embed_neardup",
+      (s, dir) => Similarity.embeddingNearDups(
+        Q.t(s, dir, "embeddings")
+          .select(col("vec_id").as("id"), col("embedding").as("vec"), col("label")),
+        "label", threshold = 0.2)
+        .select(col("a"), col("b"), round(col("cosine"), 6).as("cosine")),
+      Some(s"""WITH $vecCte
+              SELECT a, b, round(cosine, 6) AS cosine FROM (
+                SELECT x.id AS a, y.id AS b,
+                  ${dotSql("x.vec", "y.vec")} /
+                    (sqrt(${dotSql("x.vec", "x.vec")}) *
+                     sqrt(${dotSql("y.vec", "y.vec")})) AS cosine
+                FROM v x JOIN v y ON x.label = y.label AND x.id < y.id)
+              WHERE cosine >= 0.2""")),
+
+    // Multimodal packing: binary payload + typed metadata (decode is a
+    // stub by design; see graft.operators.Multimodal).
+    Q("q_multimodal_pack",
+      (s, dir) => Multimodal.pack(Q.t(s, dir, "documents"), "doc_id", "text", "text")
+        .select(col("id"), col("meta.kind").as("kind"),
+          col("meta.n_bytes").cast("long").as("n_bytes"),
+          col("meta.head").as("head")),
+      Some("""SELECT doc_id AS id, 'text' AS kind,
+              CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+              substring(text, 1, 8) AS head
+              FROM documents"""))
+  )
+}

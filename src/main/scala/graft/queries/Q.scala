@@ -1,0 +1,29 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One driver-checkable query: a Spark implementation plus (when
+  * SQL-expressible) the DuckDB oracle producing identical columns.
+  * Column names and value rounding MUST match between the two — the
+  * driver sorts columns by name and hashes values. */
+final case class Q(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+object Q {
+  /** Load a testdata table from the given scale-factor dir. */
+  def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** Load `events`, whose `ts` column is Parquet TIMESTAMP(NANOS):
+    * Spark can't read nanos as a timestamp, so it is surfaced as a
+    * BIGINT of epoch-nanoseconds (oracle side: `epoch_ns(ts)`). */
+  def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(s, dir, "events")
+  }
+
+  /** Oracle-side expression for `events.ts` as epoch-nanos BIGINT. */
+  val tsNs = "epoch_ns(ts)"
+}
