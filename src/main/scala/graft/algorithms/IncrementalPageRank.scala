@@ -56,10 +56,14 @@ object IncrementalPageRank {
       k2Col = "node",
       preserved = preserved,
       initialFrontier = changedSources.select(col("src")),
+      // name-based column refs only: the loop rewrites expression ids
+      // (see IncrementalJob), so frame-qualified refs would dangle.
+      // Join output names are disjoint (src,dst,deg) ⨯ (node,rank).
       mapContribs = (staticF, dynF) =>
-        staticF.join(dynF, staticF("src") === dynF("node"))
-          .select(staticF("dst").as("node"), staticF("src"),
-            (dynF("rank") / staticF("deg") * damping).as("contrib")),
+        staticF.join(dynF, col("src") === col("node"))
+          .select(col("dst").as("_k2"), col("src"),
+            (col("rank") / col("deg") * damping).as("contrib"))
+          .withColumnRenamed("_k2", "node"),
       reduce = (affected, kvsAffected) => {
         val sums = kvsAffected.groupBy("node").agg(sum("contrib").as("s"))
         affected.join(sums, Seq("node"), "left")

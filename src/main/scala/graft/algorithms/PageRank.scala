@@ -74,4 +74,27 @@ object PageRank {
     base.unpersist(blocking = false)
     res
   }
+
+  /** Naive loop-of-jobs baseline (A10, `NaivePageRank.java:34-323`): the
+    * same math but each iteration re-derives static data and re-plans
+    * from scratch — no cached co-partitioned static side, no reused
+    * partitioning, lineage truncated by materializing to a fresh
+    * DataFrame via localCheckpoint only. Exists as the perf/semantics
+    * oracle for [[run]] (the reference ships `naivepagerank` for exactly
+    * this purpose). */
+  def runNaive(edges: DataFrame, damping: Double, iterations: Int): DataFrame = {
+    var ranks = nodes(edges).withColumn("rank", lit(1.0))
+    for (_ <- 1 to iterations) {
+      val static = prepare(edges) // recomputed every iteration, like re-running the MR job chain
+      val base = nodes(edges)
+      val contribs = static.join(ranks, static("src") === ranks("node"))
+        .select(static("dst"), (ranks("rank") / static("deg") * damping).as("c"))
+        .groupBy("dst").agg(sum("c").as("c"))
+      ranks = base.join(contribs, base("node") === contribs("dst"), "left")
+        .select(base("node"),
+          (lit(1.0 - damping) + coalesce(col("c"), lit(0.0))).as("rank"))
+        .localCheckpoint(true)
+    }
+    ranks
+  }
 }

@@ -92,6 +92,23 @@ final class IncrementalJob(
     * non-converged-items counter hitting 0, `ReduceTask.java:3493`). */
   def run(): (DataFrame, DataFrame, Int) = {
     val n = numPartitions
+    val spark = updatedStatic.sparkSession
+    // The loop re-joins frames derived from each other across iterations;
+    // Spark's DetectAmbiguousSelfJoin false-positives on those (all our
+    // joins use explicit per-frame column references or USING columns,
+    // so resolution is unambiguous). Disable for the loop, restore after.
+    val ambiguityKey = "spark.sql.analyzer.failAmbiguousSelfJoin"
+    val prevAmbiguity = spark.conf.getOption(ambiguityKey)
+    spark.conf.set(ambiguityKey, "false")
+    try runLoop(n) finally {
+      prevAmbiguity match {
+        case Some(v) => spark.conf.set(ambiguityKey, v)
+        case None    => spark.conf.unset(ambiguityKey)
+      }
+    }
+  }
+
+  private def runLoop(n: Int): (DataFrame, DataFrame, Int) = {
     val static = updatedStatic.repartition(n, col(skCol))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
@@ -102,48 +119,62 @@ final class IncrementalJob(
     var i = 0
     var frontierSize = frontier.count()
 
+    // NOTE on column references: the loop re-joins frames derived from
+    // one another (frontier ← affected ← kvs/out of earlier iterations),
+    // and Catalyst rewrites expression ids when deduplicating such
+    // self-joins — `df("col")` references then dangle. Every join below
+    // therefore uses DISJOINT output names ("_fk"/"_aff" for the key
+    // sets) and name-based resolution, which survives the rewrite.
     while (i < maxIterations && frontierSize > 0) {
       i += 1
-      val staticF = static.join(frontier, skCol)
+      val fk = frontier.withColumnRenamed(skCol, "_fk")
+      val staticF = static.join(fk, col(skCol) === col("_fk")).drop("_fk")
       // dynamic values of the frontier keys (k2-space == sk-space)
-      val dynF = outToDyn(out.join(
-        frontier.withColumnRenamed(skCol, k2Col), k2Col))
-      val fresh = mapContribs(staticF, dynF).localCheckpoint(true)
+      val dynF = outToDyn(out.join(fk, col(k2Col) === col("_fk")).drop("_fk"))
+      val fresh = mapContribs(staticF, dynF)
+        .persist(StorageLevel.MEMORY_AND_DISK)
 
       // affected = keys that lose an old contribution or gain a fresh one
-      val affected = kvs.join(frontier, kvs(skCol) === frontier(skCol), "left_semi")
+      val affected = kvs.join(fk, col(skCol) === col("_fk"), "left_semi")
         .select(col(k2Col))
         .union(fresh.select(col(k2Col)))
         .distinct()
-        .localCheckpoint(true)
+        .withColumnRenamed(k2Col, "_aff")
+        .persist(StorageLevel.MEMORY_AND_DISK)
 
-      // MRBGraph merge: replace every frontier source's contributions
-      kvs = kvs.join(frontier, kvs(skCol) === frontier(skCol), "left_anti")
+      // MRBGraph merge: replace every frontier source's contributions.
+      // Loop-carried state is eagerly checkpointed — one job, after which
+      // everything upstream (fresh, affected, the old kvs) is released.
+      kvs = kvs.join(fk, col(skCol) === col("_fk"), "left_anti")
         .unionByName(fresh)
         .repartition(n, col(k2Col))
         .localCheckpoint(true)
 
-      val kvsAffected = kvs.join(affected, k2Col, "left_semi")
-      val newOut = reduce(affected, kvsAffected).localCheckpoint(true)
+      val kvsAffected = kvs.join(affected, col(k2Col) === col("_aff"), "left_semi")
+      val newOut = reduce(affected.withColumnRenamed("_aff", k2Col), kvsAffected)
 
       // F30 change-propagation filter
       val nextFrontier =
-        if (filterThreshold <= 0.0) affected
+        if (filterThreshold <= 0.0) affected.withColumnRenamed("_aff", skCol)
         else {
-          val old = out.select(col(k2Col), struct(col("*")).as("_old"))
+          val old = out.select(col(k2Col).as("_ok"), struct(col("*")).as("_old"))
           val neu = newOut.select(col(k2Col), struct(col("*")).as("_new"))
-          old.join(neu, k2Col)
+          old.join(neu, col("_ok") === col(k2Col))
             .filter(distance(col("_old"), col("_new")) >= filterThreshold)
-            .select(col(k2Col))
+            .select(col(k2Col).as(skCol))
         }
 
-      out = out.join(affected, k2Col, "left_anti").unionByName(newOut)
+      out = out.join(affected, col(k2Col) === col("_aff"), "left_anti")
+        .unionByName(newOut)
         .repartition(n, col(k2Col))
         .localCheckpoint(true)
 
-      frontier = nextFrontier.withColumnRenamed(k2Col, skCol).distinct()
-        .localCheckpoint(true)
+      // frontier feeds four places next iteration — truncate its lineage
+      // too, or the plan tree doubles every round (exponential growth).
+      frontier = nextFrontier.distinct().localCheckpoint(true)
       frontierSize = frontier.count()
+      fresh.unpersist(blocking = false)
+      affected.unpersist(blocking = false)
     }
     static.unpersist(blocking = false)
     (out, kvs, i)

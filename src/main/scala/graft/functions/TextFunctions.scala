@@ -35,10 +35,16 @@ object TextFunctions {
       lit(0L),
       (acc, c) => (acc * 31 + c) % P)
 
-  /** Universal-hash family over token codes: h_seed(t) = (a·code+b) mod P
-    * with a = 2·seed+1, b = seed·7919. */
-  def seededHash(code: Column, seed: Column): Column =
-    ((seed * 2 + 1) * code + seed * lit(7919L)) % P
+  /** Universal-hash family over token codes:
+    * h_seed(t) = (a_s·code + b_s) mod P with LCG-mixed per-seed
+    * constants — small multipliers (e.g. 2s+1) would leave the seeds'
+    * minhashes correlated (they all track the minimum code) and wreck
+    * LSH recall. a_s,b_s < P so a_s·code < 10¹⁸ stays in Long/BIGINT. */
+  def seededHash(code: Column, seed: Column): Column = {
+    val a = (lit(1103515245L) * (seed + 1) + 12345L) % P
+    val b = (lit(22695477L) * (seed + 1) + 54321L) % P
+    (a * code + b) % P
+  }
 
   /** Minhash signature entry for one seed: min over tokens of the seeded
     * hash. NULL for documents with no tokens. */

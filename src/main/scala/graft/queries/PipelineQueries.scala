@@ -45,6 +45,11 @@ object PipelineQueries {
     """v AS (SELECT vec_id AS id, label,
        [CAST(x AS DOUBLE) for x in embedding] AS vec FROM embeddings)"""
 
+  /** SQL form of TextFunctions.seededHash (identical arithmetic). */
+  private def seededHashSql(code: String, seed: String): String =
+    s"""(((1103515245::BIGINT * (($seed) + 1) + 12345) % 1000000007) * ($code)
+       + ((22695477::BIGINT * (($seed) + 1) + 54321) % 1000000007)) % 1000000007"""
+
   private def dotSql(a: String, b: String) =
     s"""list_reduce([$a[i] * $b[i] for i in generate_series(1, len($a))],
        (x, y) -> x + y)"""
@@ -65,7 +70,7 @@ object PipelineQueries {
         .select(col("doc_id"), col("seed").cast("long").as("seed"), col("mh")),
       Some(s"""WITH $toksCte, $codesCte
               SELECT doc_id, seed,
-                list_min([((seed * 2 + 1) * c + seed * 7919) % 1000000007
+                list_min([${seededHashSql("c", "seed")}
                   for c in codes]) AS mh
               FROM codes, range(8) r(seed) WHERE len(toks) > 0""")),
 
@@ -79,7 +84,7 @@ object PipelineQueries {
                 list_filter(regexp_split_to_array(text, ' +'), x -> x <> '') AS toks
                 FROM documents WHERE doc_id % 5 = 0), $codesCte,
               sig AS (SELECT doc_id, seed,
-                list_min([((seed * 2 + 1) * c + seed * 7919) % 1000000007
+                list_min([${seededHashSql("c", "seed")}
                   for c in codes]) AS mh
                 FROM codes, range(8) r(seed) WHERE len(toks) > 0),
               banded AS (SELECT doc_id, seed // 2 AS band,
@@ -109,7 +114,7 @@ object PipelineQueries {
                   THEN (1::BIGINT << b) ELSE 0::BIGINT END
                   for b in generate_series(0, 31)]) AS simhash
               FROM (SELECT doc_id,
-                [(3 * c + 7919) % 1000000007 for c in codes] AS hashes
+                [${seededHashSql("c", "1")} for c in codes] AS hashes
                 FROM codes WHERE len(toks) > 0)""")),
 
     // Word-trigram Jaccard near-dup pairs on a doc_id%5 slice.

@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.operators.{Dedup, Multimodal, Relational, Similarity}
+
+class OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val docs = spark.read.parquet(s"$sf/documents.parquet")
+  lazy val embs = spark.read.parquet(s"$sf/embeddings.parquet")
+    .select(col("vec_id").as("id"), col("embedding").as("vec"), col("label"))
+
+  test("exact dedup groups only identical payloads") {
+    val d = Dedup.exact(docs, "doc_id", "text")
+    val total = d.agg(sum("n")).collect()(0).getLong(0)
+    assert(total == docs.count())
+    val distinctTexts = docs.select("text").distinct().count()
+    assert(d.count() == distinctTexts)
+  }
+
+  test("LSH candidates contain every pair with jaccard >= 0.9") {
+    val subset = docs.filter(col("doc_id") < 120)
+    // ground truth: all-pairs exact jaccard
+    val sets = subset.select(col("doc_id"),
+      array_distinct(TextFunctions.tokens(col("text"))).as("ts"))
+    val a = sets.toDF("a", "ta"); val b = sets.toDF("b", "tb")
+    val truth = a.crossJoin(b).filter(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        (size(array_intersect(col("ta"), col("tb"))).cast("double") /
+          size(array_union(col("ta"), col("tb"))).cast("double")).as("j"))
+      .filter(col("j") >= 0.9)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+
+    val found = Dedup.minhashNearDups(subset, "doc_id", "text",
+      numHashes = 8, bands = 4, threshold = 0.9)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    // LSH with 4 bands of 2 rows: P(miss | j>=0.9) = (1-j²)⁴ ≤ 0.2%/pair —
+    // and the candidate set is deterministic here, so require full recall.
+    assert(truth.subsetOf(found), s"missed ${truth -- found}")
+    // and confirmed pairs are truly >= threshold
+    assert(found.subsetOf(truth))
+  }
+
+  test("simhash of near-identical docs differ in few bits") {
+    val d = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and often"),
+      (3L, "completely unrelated text about spark catalyst optimizer internals")
+    ).toDF("doc_id", "text")
+    val hs = Dedup.simhashDigests(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(hs(1L), hs(2L)) < hamming(hs(1L), hs(3L)))
+  }
+
+  test("brute-force ANN: self-similarity excluded, ranks ordered, exact") {
+    val top = Similarity.bruteForceTopK(embs, embs.filter(col("id") < 3), k = 4)
+    val rows = top.as[(Long, Long, Double, Int)].collect()
+    assert(rows.forall { case (q, n, _, _) => q != n })
+    val byQ = rows.groupBy(_._1)
+    assert(byQ.keySet == Set(0L, 1L, 2L))
+    for ((_, rs) <- byQ) {
+      val sorted = rs.sortBy(_._4)
+      assert(sorted.map(_._3).toSeq.sliding(2).forall {
+        case Seq(x, y) => x >= y; case _ => true })
+    }
+  }
+
+  test("LSH-bucketed ANN finds most of the true top-k") {
+    val queries = embs.filter(col("id") < 10)
+    val exact = Similarity.bruteForceTopK(embs, queries, k = 3)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val approx = Similarity.lshBucketTopK(embs, queries, k = 3,
+      planes = 3, tables = 4)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.4, s"recall $recall too low")
+  }
+
+  test("secondary sort emits values in order-column order") {
+    val df = Seq((1L, 3, "c"), (1L, 1, "a"), (1L, 2, "b"), (2L, 9, "z"))
+      .toDF("k", "o", "v")
+    val got = Relational.secondarySort(df, "k", Seq("o"), "v")
+      .select(col("k"), concat_ws("", col("values")).as("s"))
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "abc", 2L -> "z"))
+  }
+
+  test("applyDelta deletes, replaces and inserts") {
+    val base = Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "v")
+    val delta = Seq((2, "b", "-"), (3, "c2", "+"), (4, "d", "+"))
+      .toDF("k", "v", "change")
+    val got = Relational.applyDelta(base, delta, Seq("k"))
+      .as[(Int, String)].collect().toMap
+    assert(got == Map(1 -> "a", 3 -> "c2", 4 -> "d"))
+  }
+
+  test("multimodal pack + stub decode keeps schema and parallel shape") {
+    val packed = Multimodal.pack(docs.limit(50), "doc_id", "text", "text")
+    assert(packed.schema("media").dataType.typeName == "binary")
+    val feats = Multimodal.stubDecodeFeatures(packed, dim = 4)
+    val rows = feats.collect()
+    assert(rows.length == 50)
+    assert(rows.forall(_.getSeq[Double](2).length == 4))
+  }
+
+  test("tokens/shingles/fingerprint handle empty and short docs") {
+    val d = Seq((1L, ""), (2L, "one"), (3L, "one two"), (4L, "a b c d"))
+      .toDF("doc_id", "text")
+    val r = d.select(col("doc_id"),
+      size(TextFunctions.tokens(col("text"))).as("n"),
+      size(TextFunctions.shingles(TextFunctions.tokens(col("text")), 3)).as("sh"),
+      TextFunctions.fingerprint(TextFunctions.tokens(col("text"))).as("fp"))
+      .as[(Long, Int, Int, Long)].collect().map(t => t._1 -> t).toMap
+    assert(r(1L)._2 == 0 && r(1L)._3 == 0 && r(1L)._4 == 0L)
+    assert(r(2L)._2 == 1 && r(2L)._3 == 0)
+    assert(r(3L)._2 == 2 && r(3L)._3 == 0)
+    assert(r(4L)._2 == 4 && r(4L)._3 == 2)
+  }
+}

@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.streaming.EventStreams
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("windowed stats over a file stream match the batch computation") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val stream = EventStreams.readEventStream(spark, sf)
+    val q = EventStreams.windowedStats(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("win_out")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val got = spark.table("win_out")
+      .agg(sum("cnt").as("n"), round(sum("sum_value"), 4).as("v")).collect()(0)
+    val batch = EventStreams.windowedStats(
+      spark.read.parquet(s"$sf/events.parquet"))
+    // append mode only emits windows whose END is at or below the final
+    // watermark (max event time − 30 min lateness).
+    val maxTs = EventStreams.withEventTime(spark.read.parquet(s"$sf/events.parquet"))
+      .agg(max("event_time")).collect()(0).getTimestamp(0)
+    val cutoff = new java.sql.Timestamp(
+      maxTs.getTime - 30 * 60 * 1000 - 60 * 60 * 1000)
+    val expect = batch.filter(col("window_start") <= cutoff)
+      .agg(sum("cnt").as("n"), round(sum("sum_value"), 4).as("v")).collect()(0)
+    assert(got.getLong(0) == expect.getLong(0))
+    assert(got.getDouble(1) == expect.getDouble(1))
+  }
+
+  test("stateful running totals accumulate across batches") {
+    import EventStreams.{UserEvent, UserRunning}
+    val events = spark.read.parquet(s"$sf/events.parquet")
+      .select(col("user_id"), col("ts"), col("value")).as[UserEvent]
+    val got = EventStreams.runningUserTotals(events)
+      .collect().map(r => r.user_id -> r).toMap
+    val expect = spark.read.parquet(s"$sf/events.parquet")
+      .groupBy("user_id").agg(count(lit(1)).as("n"), sum("value").as("t"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got.keySet == expect.keySet)
+    for ((u, (n, t)) <- expect) {
+      assert(got(u).n == n)
+      assert(math.abs(got(u).total - t) < 1e-6)
+    }
+  }
+}
