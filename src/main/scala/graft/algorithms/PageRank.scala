@@ -52,8 +52,16 @@ object PageRank {
       threshold: Double = -1.0,
       numPartitions: Int = 32): IterResult = {
 
-    val static = prepare(edges)
-    val base = nodes(edges).repartition(numPartitions, col("node"))
+    // distinct edge list computed ONCE — static, degrees, and the node
+    // base all derive from this cached frame (otherwise the upstream
+    // scan+distinct runs three times).
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    val static = e.join(deg, "src")
+    val base = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct().repartition(numPartitions, col("node"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val init = base.withColumn("rank", lit(1.0))
 
@@ -72,6 +80,7 @@ object PageRank {
       IterConfig(maxIterations, threshold, numPartitions = numPartitions))
     val res = job.run()
     base.unpersist(blocking = false)
+    e.unpersist(blocking = false)
     res
   }
 

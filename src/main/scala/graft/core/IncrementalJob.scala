@@ -108,12 +108,21 @@ final class IncrementalJob(
     }
   }
 
+  private val debugTiming = sys.env.contains("GRAFT_TIMING")
+  private def timed[T](label: String)(f: => T): T =
+    if (!debugTiming) f else {
+      val t0 = System.nanoTime(); val r = f
+      System.err.println(f"[incr] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+    }
+
   private def runLoop(n: Int): (DataFrame, DataFrame, Int) = {
     val static = updatedStatic.repartition(n, col(skCol))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    var kvs = preserved.kvs.repartition(n, col(k2Col)).localCheckpoint(true)
-    var out = preserved.out.repartition(n, col(k2Col)).localCheckpoint(true)
+    var kvs = timed("init kvs ckpt")(
+      preserved.kvs.repartition(n, col(k2Col)).localCheckpoint(true))
+    var out = timed("init out ckpt")(
+      preserved.out.repartition(n, col(k2Col)).localCheckpoint(true))
     var frontier = initialFrontier.select(col(skCol)).distinct()
       .localCheckpoint(true)
     var i = 0
@@ -127,7 +136,11 @@ final class IncrementalJob(
     // sets) and name-based resolution, which survives the rewrite.
     while (i < maxIterations && frontierSize > 0) {
       i += 1
-      val fk = frontier.withColumnRenamed(skCol, "_fk")
+      // frontier/affected key sets are small relative to the preserved
+      // state (that is the point of incremental recomputation), so they
+      // are broadcast: kvs/static/out are probed in place and never
+      // shuffle inside the loop.
+      val fk = broadcast(frontier.withColumnRenamed(skCol, "_fk"))
       val staticF = static.join(fk, col(skCol) === col("_fk")).drop("_fk")
       // dynamic values of the frontier keys (k2-space == sk-space)
       val dynF = outToDyn(out.join(fk, col(k2Col) === col("_fk")).drop("_fk"))
@@ -145,12 +158,15 @@ final class IncrementalJob(
       // MRBGraph merge: replace every frontier source's contributions.
       // Loop-carried state is eagerly checkpointed — one job, after which
       // everything upstream (fresh, affected, the old kvs) is released.
-      kvs = kvs.join(fk, col(skCol) === col("_fk"), "left_anti")
-        .unionByName(fresh)
-        .repartition(n, col(k2Col))
-        .localCheckpoint(true)
+      // no repartition: every probe of kvs below is a broadcast join,
+      // so rows never need to move — the merge is map-side only.
+      kvs = timed(s"iter $i kvs merge")(
+        kvs.join(fk, col(skCol) === col("_fk"), "left_anti")
+          .unionByName(fresh)
+          .localCheckpoint(true))
 
-      val kvsAffected = kvs.join(affected, col(k2Col) === col("_aff"), "left_semi")
+      val kvsAffected = kvs.join(broadcast(affected),
+        col(k2Col) === col("_aff"), "left_semi")
       val newOut = reduce(affected.withColumnRenamed("_aff", k2Col), kvsAffected)
 
       // F30 change-propagation filter
@@ -164,14 +180,14 @@ final class IncrementalJob(
             .select(col(k2Col).as(skCol))
         }
 
-      out = out.join(affected, col(k2Col) === col("_aff"), "left_anti")
-        .unionByName(newOut)
-        .repartition(n, col(k2Col))
-        .localCheckpoint(true)
+      out = timed(s"iter $i out update")(
+        out.join(broadcast(affected), col(k2Col) === col("_aff"), "left_anti")
+          .unionByName(newOut)
+          .localCheckpoint(true))
 
       // frontier feeds four places next iteration — truncate its lineage
       // too, or the plan tree doubles every round (exponential growth).
-      frontier = nextFrontier.distinct().localCheckpoint(true)
+      frontier = timed(s"iter $i frontier")(nextFrontier.distinct().localCheckpoint(true))
       frontierSize = frontier.count()
       fresh.unpersist(blocking = false)
       affected.unpersist(blocking = false)

@@ -174,6 +174,7 @@ object IterativeQueries {
     Q("q_incr_pagerank",
       (s, dir) => {
         val edges1 = sparkEdges(s, dir)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val ncust = Q.t(s, dir, "customer").count()
         val preserved = IncrementalPageRank.preserve(edges1, 0.8, iterations = 6)
         val chg = edges1.filter(col("src") % 10 === 3).select("src").distinct()

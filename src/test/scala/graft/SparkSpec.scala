@@ -11,6 +11,10 @@ object TestSpark {
     .appName("graft-test")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
+      // iterative driver loops emit fresh codegen classes every
+      // iteration; the default 100-entry codegen cache thrashes and
+      // recompilation dominates wall time (measured 5-8x slowdown)
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 }
