@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 
-import graft.queries.{IterativeQueries, PipelineQueries, RelationalQueries}
+import graft.queries.{ExtraQueries, IterativeQueries, PipelineQueries, RelationalQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -15,7 +15,8 @@ import graft.queries.{IterativeQueries, PipelineQueries, RelationalQueries}
   */
 object SparkEntry {
   private val defs =
-    RelationalQueries.all ++ IterativeQueries.all ++ PipelineQueries.all
+    RelationalQueries.all ++ IterativeQueries.all ++ PipelineQueries.all ++
+      ExtraQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * iterative PageRank (the reference's own flagship, A1). */

@@ -1,0 +1,171 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.Row
+
+import graft.algorithms.{KMeans, MatrixVector, PageRank}
+
+/** Second-wave coverage: the reference's remaining algorithm variants
+  * (naive baselines A10-A11, KMeans with its actual cosine metric A2,
+  * blocked GIM-V A4) plus Catalyst-free extras the Spark build gets for
+  * free (rollup, except/intersect, deterministic sampling, regex
+  * tokenization).
+  */
+object ExtraQueries {
+
+  /** Element-wise cosine-distance SQL between two vector expressions —
+    * three independent index-order left-folds, matching the Scala loop
+    * in KMeans.cosDist exactly. */
+  private def cosDistSql(a: String, b: String): String =
+    s"""(1.0 - list_reduce([$a[i] * $b[i] for i in generate_series(1, len($a))],
+          (x, y) -> x + y)
+        / (sqrt(list_reduce([$a[i] * $a[i] for i in generate_series(1, len($a))],
+            (x, y) -> x + y))
+         * sqrt(list_reduce([$b[i] * $b[i] for i in generate_series(1, len($b))],
+            (x, y) -> x + y))))"""
+
+  private def kmeansCosineSql(iters: Int, k: Int): String = {
+    val assign = (i: Int) =>
+      s"""a$i AS (SELECT id, vec, cid FROM (
+         SELECT v.id, v.vec, c.cid,
+           row_number() OVER (PARTITION BY v.id ORDER BY
+             ${cosDistSql("v.vec", "c.vec")}, c.cid) AS rn
+         FROM v CROSS JOIN c${i - 1} c) WHERE rn = 1)"""
+    val recenter = (i: Int) =>
+      s"""c$i AS (SELECT p.cid, coalesce(m.vec, p.vec) AS vec
+         FROM c${i - 1} p LEFT JOIN (
+           SELECT cid, list(m ORDER BY d) AS vec FROM (
+             SELECT cid, d, avg(x) AS m FROM (
+               SELECT cid, unnest(vec) AS x, generate_subscripts(vec, 1) AS d
+               FROM a$i) GROUP BY 1, 2) GROUP BY 1) m
+         ON p.cid = m.cid)"""
+    s"""WITH v AS (SELECT vec_id AS id,
+         [CAST(x AS DOUBLE) for x in embedding] AS vec FROM embeddings),
+       c0 AS (SELECT CAST(row_number() OVER (ORDER BY id) AS INT) - 1 AS cid, vec
+         FROM (SELECT id, vec FROM v ORDER BY id LIMIT $k)),
+       ${(1 to iters).map(i => assign(i) + ",\n" + recenter(i)).mkString(",\n")}
+       SELECT c.cid, coalesce(s.n, 0) AS n,
+         round(c.vec[1], 6) AS c0, round(c.vec[2], 6) AS c1,
+         round(sqrt(list_reduce([y * y for y in c.vec], (a, b) -> a + b)), 6) AS cnorm
+       FROM c$iters c LEFT JOIN (
+         SELECT cid, count(*) AS n FROM a$iters GROUP BY 1) s ON c.cid = s.cid"""
+  }
+
+  val all: Seq[Q] = Seq(
+
+    // A2 with the reference's actual metric: cosine KMeans over the real
+    // 64-dim embeddings (ONE2ALL global center state, F25).
+    Q("q_kmeans_cosine",
+      (s, dir) => {
+        val pts = Q.t(s, dir, "embeddings")
+          .select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("vec"))
+        val model = KMeans.run(pts, k = 8, metric = "cosine", maxIterations = 2)
+        def r6(x: Double): Double =
+          BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        val rows = model.centers.map { case (cid, v) =>
+          var ss = 0.0; var i = 0
+          while (i < v.length) { ss += v(i) * v(i); i += 1 }
+          Row(cid, model.sizes.getOrElse(cid, 0L), r6(v(0)), r6(v(1)), r6(math.sqrt(ss)))
+        }
+        s.createDataFrame(s.sparkContext.parallelize(rows.toIndexedSeq),
+          StructType(Seq(StructField("cid", IntegerType), StructField("n", LongType),
+            StructField("c0", DoubleType), StructField("c1", DoubleType),
+            StructField("cnorm", DoubleType))))
+      },
+      Some(kmeansCosineSql(2, 8))),
+
+    // A10: naive loop-of-jobs PageRank — same semantics, no cached
+    // co-partitioned static side; the SQL oracle is identical to
+    // q_pagerank's (they MUST agree — that is the baseline's point).
+    Q("q_naive_pagerank",
+      (s, dir) => {
+        val ncust = Q.t(s, dir, "customer").count()
+        val edges = Q.t(s, dir, "orders")
+          .select(col("o_custkey").as("src"),
+            (lit(1L) + (col("o_custkey") * 7 + col("o_orderkey") * 3) % lit(ncust)).as("dst"))
+          .distinct()
+        PageRank.runNaive(edges, 0.8, iterations = 5)
+          .select(col("node"), round(col("rank"), 6).as("rank"))
+      },
+      Some(s"""WITH edges AS (SELECT DISTINCT o_custkey AS src,
+              1 + (o_custkey * 7 + o_orderkey * 3) % (SELECT count(*) FROM customer) AS dst
+              FROM orders),
+            deg AS (SELECT src, count(*) AS d FROM edges GROUP BY 1),
+            nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+            r0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS rank FROM nodes),
+            ${(1 to 5).map { i =>
+              s"""r$i AS (SELECT n.node, (1.0 - 0.8) + coalesce(c.s, 0.0) AS rank
+               FROM nodes n LEFT JOIN (
+                 SELECT e.dst AS node, sum(r.rank / d.d * 0.8) AS s
+                 FROM edges e JOIN r${i - 1} r ON e.src = r.node
+                 JOIN deg d ON e.src = d.src GROUP BY 1) c ON n.node = c.node)"""
+            }.mkString(",\n")}
+            SELECT node, round(rank, 6) AS rank FROM r5""")),
+
+    // A4 blocked variant: tile-packed matrix-vector product (one step).
+    Q("q_matvec_blocked",
+      (s, dir) => {
+        val m = Q.events(s, dir)
+          .groupBy((col("event_id") % 40).as("i"), (col("user_id") % 40).as("j"))
+          .agg(max("value").as("v"))
+        val x0 = m.select(col("j")).distinct().withColumn("x", lit(1.0))
+        MatrixVector.multiplyBlocked(m, x0, b = 8)
+          .select(col("j"), round(col("x"), 6).as("x"))
+      },
+      Some("""WITH m AS (SELECT event_id % 40 AS i, user_id % 40 AS j, max(value) AS v
+              FROM events GROUP BY 1, 2),
+            x0 AS (SELECT DISTINCT j, CAST(1.0 AS DOUBLE) AS x FROM m)
+            SELECT m.i AS j, round(sum(m.v * x.x), 6) AS x
+            FROM m JOIN x0 x ON m.j = x.j GROUP BY m.i""")),
+
+    // Rollup (free from Catalyst; reference has no grouping sets at all).
+    Q("q_rollup",
+      (s, dir) => Q.t(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(sum("l_quantity").as("sum_qty"), count(lit(1)).as("cnt"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("sum_qty"), col("cnt")),
+      Some("""SELECT coalesce(l_returnflag, 'ALL') AS rf,
+              coalesce(l_linestatus, 'ALL') AS ls,
+              CAST(sum(l_quantity) AS DOUBLE) AS sum_qty, count(*) AS cnt
+              FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""")),
+
+    // Set ops: except / intersect.
+    Q("q_except",
+      (s, dir) => Q.t(s, dir, "customer").select(col("c_custkey").as("custkey"))
+        .except(Q.t(s, dir, "orders").select(col("o_custkey").as("custkey"))),
+      Some("""SELECT c_custkey AS custkey FROM customer
+              EXCEPT SELECT o_custkey AS custkey FROM orders""")),
+
+    Q("q_intersect",
+      (s, dir) => Q.t(s, dir, "supplier").select(col("s_nationkey").cast("int").as("nk"))
+        .intersect(Q.t(s, dir, "customer").select(col("c_nationkey").cast("int").as("nk"))),
+      Some("""SELECT CAST(s_nationkey AS INT) AS nk FROM supplier
+              INTERSECT SELECT CAST(c_nationkey AS INT) AS nk FROM customer""")),
+
+    // Deterministic hash-based Bernoulli sampling (reproducible across
+    // engines, unlike RNG-based TABLESAMPLE).
+    Q("q_hash_sample",
+      (s, dir) => Q.t(s, dir, "orders")
+        .filter((col("o_orderkey") * lit(2654435761L)) % 1000 < 100)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"), round(sum("o_totalprice"), 4).as("total")),
+      Some("""SELECT o_orderstatus, count(*) AS cnt,
+              round(CAST(sum(o_totalprice) AS DOUBLE), 4) AS total
+              FROM orders WHERE (o_orderkey * 2654435761) % 1000 < 100
+              GROUP BY 1""")),
+
+    // BPE-ish regex tokenization (letters runs / digit runs / single
+    // non-space symbols) — the second tokenizer the pipeline needs.
+    Q("q_bpe_tokens",
+      (s, dir) => Q.t(s, dir, "documents")
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+            .cast("long").as("n_bpe")),
+      Some("""SELECT doc_id,
+              len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe
+              FROM documents"""))
+  )
+}
