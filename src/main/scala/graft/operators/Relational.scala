@@ -48,6 +48,23 @@ object Relational {
         .as("values"), count(lit(1)).as("cnt"))
   }
 
+  /** Gap-based sessionization: a new session starts when the time since
+    * the previous event of the same key exceeds `gap` (units of the ts
+    * column — here epoch-nanos). Pure window functions, one shuffle on
+    * the key; the streaming twin is
+    * `EventStreams.runningUserTotals`-style keyed state. */
+  def sessionize(df: DataFrame, keyCol: String, tsCol: String,
+      orderTieCol: String, gap: Long): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(tsCol, orderTieCol)
+    df.withColumn("_prev", lag(col(tsCol), 1).over(w))
+      .withColumn("_new",
+        when(col("_prev").isNull || col(tsCol) - col("_prev") > gap, 1L)
+          .otherwise(0L))
+      .withColumn("session_id",
+        sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .drop("_prev", "_new")
+  }
+
   /** CDC delta application (F6/F28): `delta` rows carry `change` ∈
     * {"+","-"}; '-' deletes the matching base key, '+' inserts the new
     * row version. The reference encodes this as IFile triples

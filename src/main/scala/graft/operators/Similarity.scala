@@ -19,10 +19,13 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** dot(a,b) via zip_with + aggregate (sequential fold, position order —
-    * reproducible in SQL by an ordered unnest sum). */
+  /** dot(a,b) via the native codegen'd expression
+    * [[graft.functions.DotProduct]] (index-order fold — bit-identical to
+    * the zip_with+aggregate HOF formulation and the SQL oracle, but it
+    * stays inside whole-stage codegen instead of falling back to
+    * interpreted lambdas). Callers must register it on the session. */
   private def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    graft.functions.GraftFunctions.dot_product(a, b)
 
   private def norm(a: org.apache.spark.sql.Column) = sqrt(dot(a, a))
 
@@ -32,6 +35,7 @@ object Similarity {
     * @param queries (id, vec) query subset — must be broadcast-sized
     */
   def bruteForceTopK(vectors: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(vectors.sparkSession)
     val v = vectors.select(col("id").as("nid"), col("vec").cast("array<double>").as("nvec"))
     val q = queries.select(col("id").as("qid"), col("vec").cast("array<double>").as("qvec"))
     val scored = v.crossJoin(broadcast(q))
@@ -63,6 +67,7 @@ object Similarity {
     * few rotated bucketings to boost recall). */
   def lshBucketTopK(vectors: DataFrame, queries: DataFrame, k: Int,
       planes: Int = 8, tables: Int = 2): DataFrame = {
+    graft.functions.GraftFunctions.register(vectors.sparkSession)
     val v = vectors.select(col("id").as("nid"), col("vec").cast("array<double>").as("nvec"))
     val q = queries.select(col("id").as("qid"), col("vec").cast("array<double>").as("qvec"))
     def withBuckets(df: DataFrame, vecCol: String, out: String) =
@@ -92,6 +97,7 @@ object Similarity {
   /** Embedding-cosine near-dup pairs within a blocking column: pairs in
     * the same block with cosine ≥ threshold. */
   def embeddingNearDups(vectors: DataFrame, blockCol: String, threshold: Double): DataFrame = {
+    graft.functions.GraftFunctions.register(vectors.sparkSession)
     val a = vectors.select(col(blockCol).as("blk"), col("id").as("a"),
       col("vec").cast("array<double>").as("va"))
     val b = vectors.select(col(blockCol).as("blk"), col("id").as("b"),

@@ -157,6 +157,29 @@ object ExtraQueries {
               FROM orders WHERE (o_orderkey * 2654435761) % 1000 < 100
               GROUP BY 1""")),
 
+    // Gap-based sessionization over the event stream (30-min gap);
+    // per-session stats — all integer-ns arithmetic, exact oracle.
+    Q("q_sessionize",
+      (s, dir) => graft.operators.Relational.sessionize(
+        Q.eventsUs(s, dir), "user_id", "ts", "event_id", gap = 1800000000L)
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"),
+          min("ts").as("start_us"),
+          (max("ts") - min("ts")).as("dur_us")),
+      Some(s"""WITH e AS (SELECT user_id, event_id, ${Q.tsUs} AS tns FROM events),
+            g AS (SELECT user_id, event_id, tns,
+              CASE WHEN lag(tns) OVER (PARTITION BY user_id ORDER BY tns, event_id)
+                IS NULL OR tns - lag(tns) OVER (PARTITION BY user_id
+                  ORDER BY tns, event_id) > 1800000000 THEN 1 ELSE 0 END AS new_s
+              FROM e),
+            s AS (SELECT user_id, tns,
+              sum(new_s) OVER (PARTITION BY user_id ORDER BY tns, event_id
+                ROWS UNBOUNDED PRECEDING) AS session_id FROM g)
+            SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+              count(*) AS n_events, min(tns) AS start_us,
+              max(tns) - min(tns) AS dur_us
+            FROM s GROUP BY 1, 2""")),
+
     // BPE-ish regex tokenization (letters runs / digit runs / single
     // non-space symbols) — the second tokenizer the pipeline needs.
     Q("q_bpe_tokens",

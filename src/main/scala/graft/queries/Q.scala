@@ -26,4 +26,17 @@ object Q {
 
   /** Oracle-side expression for `events.ts` as epoch-nanos BIGINT. */
   val tsNs = "epoch_ns(ts)"
+
+  /** `events` with `ts` truncated to epoch-MICROseconds. DuckDB's
+    * timestamp type is µs-precision, so any query exposing raw ts
+    * arithmetic must work in µs on both sides (`epoch_us(ts)` in the
+    * oracle) — the ns tail exists only on the Spark side. Integer
+    * `div`, not `/`: epoch-nanos exceed 2^53 and double division
+    * corrupts the low digits. */
+  def eventsUs(s: SparkSession, dir: String): DataFrame =
+    events(s, dir).withColumn("ts",
+      org.apache.spark.sql.functions.expr("ts div 1000"))
+
+  /** Oracle-side expression for `events.ts` as epoch-micros BIGINT. */
+  val tsUs = "epoch_us(ts)"
 }

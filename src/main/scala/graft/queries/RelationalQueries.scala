@@ -92,10 +92,10 @@ object RelationalQueries {
     // F18: secondary sort — per-user event sequence ordered by time.
     Q("q_secondary_sort",
       (s, dir) => Relational.secondarySort(
-        Q.events(s, dir), "user_id", Seq("ts", "event_id"), "event_type")
+        Q.eventsUs(s, dir), "user_id", Seq("ts", "event_id"), "event_type")
         .select(col("user_id"), concat_ws(",", col("values")).as("seq"), col("cnt")),
       Some(s"""SELECT user_id,
-               string_agg(event_type, ',' ORDER BY ${Q.tsNs}, event_id) AS seq,
+               string_agg(event_type, ',' ORDER BY ${Q.tsUs}, event_id) AS seq,
                count(*) AS cnt
                FROM events GROUP BY 1""")),
 
@@ -103,13 +103,13 @@ object RelationalQueries {
     Q("q_window_running",
       (s, dir) => {
         val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-        Q.events(s, dir).filter(col("user_id") < 5)
+        Q.eventsUs(s, dir).filter(col("user_id") < 5)
           .select(col("user_id"), col("event_id"),
             round(sum("value").over(w), 6).as("running"))
       },
       Some(s"""SELECT user_id, event_id,
                round(CAST(sum(value) OVER (PARTITION BY user_id
-                 ORDER BY ${Q.tsNs}, event_id) AS DOUBLE), 6) AS running
+                 ORDER BY ${Q.tsUs}, event_id) AS DOUBLE), 6) AS running
                FROM events WHERE user_id < 5""")),
 
     // Distinct aggregation.
@@ -168,11 +168,11 @@ object RelationalQueries {
     // Tumbling 1-hour windows over the event stream (batch view of the
     // Structured Streaming pipeline in graft.streaming).
     Q("q_event_windows",
-      (s, dir) => Q.events(s, dir)
-        .groupBy((col("ts").divide(lit(3600000000000L))).cast("long").as("hour"),
+      (s, dir) => Q.eventsUs(s, dir)
+        .groupBy(expr("ts div 3600000000").as("hour"),
           col("event_type"))
         .agg(count(lit(1)).as("cnt"), round(sum("value"), 6).as("sum_value")),
-      Some(s"""SELECT ${Q.tsNs} // 3600000000000 AS hour, event_type,
+      Some(s"""SELECT ${Q.tsUs} // 3600000000 AS hour, event_type,
                count(*) AS cnt, round(CAST(sum(value) AS DOUBLE), 6) AS sum_value
                FROM events GROUP BY 1, 2""")),
 

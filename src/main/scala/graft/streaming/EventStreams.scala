@@ -24,7 +24,7 @@ object EventStreams {
     * epoch-nano `ts`. */
   def withEventTime(events: DataFrame): DataFrame =
     events.withColumn("event_time",
-      timestamp_micros((col("ts") / 1000).cast("long")))
+      timestamp_micros(expr("ts div 1000")))
 
   /** Tumbling-window counts/sums per event type with a watermark —
     * late data beyond `lateness` is dropped; state is bounded. */
