@@ -91,27 +91,39 @@ final class IterativeJob(
     var i = 0
     var dist = Double.MaxValue
     var done = false
+    // Iterations whose results are persisted lazily; they materialize (and
+    // cache, each level exactly once) at the next eager point, after which
+    // they can be released. With the convergence check disabled this cuts
+    // the driver loop from one Spark job per iteration to one per
+    // checkpoint interval.
+    var pendingLazy = List.empty[DataFrame]
     while (i < config.maxIterations && !done) {
       i += 1
-      var next = kind match {
+      val next = kind match {
         case ProjectKind.One2All => step(s, dyn, i)
         case _                   => step(s, dyn, i).repartition(n, col(dynKey))
       }
-      next =
-        if (config.checkpointInterval > 0 && i % config.checkpointInterval == 0)
-          next.localCheckpoint(eager = true)
-        else next.persist(StorageLevel.MEMORY_AND_DISK)
       // F21-F23: distance is summed across ALL keys and compared once per
       // iteration; the reference's per-task check only starts at iteration 2
       // (`ReduceTask.java:3018`) — replicated here.
-      if (config.threshold >= 0 && i >= 2) {
-        dist = distance(dyn, next)
-        if (dist < config.threshold) done = true
+      val checkDistance = config.threshold >= 0 && i >= 2
+      val eagerPoint = checkDistance || i == config.maxIterations ||
+        (config.checkpointInterval > 0 && i % config.checkpointInterval == 0)
+      if (eagerPoint) {
+        val materialized = next.localCheckpoint(eager = true)
+        if (checkDistance) {
+          dist = distance(dyn, materialized)
+          if (dist < config.threshold) done = true
+        }
+        pendingLazy.foreach(_.unpersist(blocking = false))
+        pendingLazy = Nil
+        if (dyn ne null) dyn.unpersist(blocking = false)
+        dyn = materialized
       } else {
-        next.count() // materialize so unpersisting the previous state is safe
+        val lazyNext = next.persist(StorageLevel.MEMORY_AND_DISK)
+        pendingLazy ::= lazyNext
+        dyn = lazyNext
       }
-      dyn.unpersist(blocking = false)
-      dyn = next
     }
     s.unpersist(blocking = false)
     IterResult(dyn, i, dist)

@@ -176,15 +176,15 @@ object IterativeQueries {
         val edges1 = sparkEdges(s, dir)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val ncust = Q.t(s, dir, "customer").count()
-        val preserved = IncrementalPageRank.preserve(edges1, 0.8, iterations = 6)
+        val preserved = IncrementalPageRank.preserve(edges1, 0.8, iterations = 4)
         val chg = edges1.filter(col("src") % 10 === 3).select("src").distinct()
         val added = chg.select(col("src"),
           (lit(1L) + (col("src") * 11 + 5) % lit(ncust)).as("dst"))
         val edges2 = edges1.filter(col("src") % 10 =!= 3).unionByName(added)
         IncrementalPageRank.incremental(edges2, preserved, chg, 0.8,
-          iterations = 4, filterThreshold = 0.0)
+          iterations = 3, filterThreshold = 0.0)
           .select(col("node"), round(col("rank"), 6).as("rank"))
       },
-      Some(incrPagerankSql(6, 4)))
+      Some(incrPagerankSql(4, 3)))
   )
 }
