@@ -1,0 +1,54 @@
+package graft.sources
+
+import java.util.Properties
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Input formats of the reference, re-expressed as thin readers over
+  * Spark's sources (SURVEY §2.1 F1-F7):
+  *
+  *  - F1 text lines → `spark.read.text`
+  *  - F2 KV text (`KeyValueTextInputFormat`, separator-split lines,
+  *    `key.value.separator.in.input.line`) → [[kvText]]
+  *  - F3 typed KV text (`IntTextKVInputFormat` + 8 siblings) →
+  *    [[kvText]] + cast, see [[typedKvText]]
+  *  - F4 SequenceFile → Parquet is this engine's binary format
+  *    (columnar replaces row-KV; `spark.read.parquet` everywhere)
+  *  - F5 global data files → [[graft.core.GlobalValue]]
+  *  - F6 delta triples → CDC DataFrames
+  *    ([[graft.operators.Relational.applyDelta]])
+  *  - F7 JDBC (`DBInputFormat`, `examples/.../DBCountPageView.java`) →
+  *    [[jdbc]]
+  */
+object Sources {
+
+  /** KV text lines: `key<sep>value` per line; lines without the
+    * separator yield (line, null) like the reference's
+    * `KeyValueLineRecordReader`. */
+  def kvText(spark: SparkSession, path: String, sep: String = "\t"): DataFrame =
+    spark.read.text(path).select(
+      substring_index(col("value"), sep, 1).as("key"),
+      when(col("value").contains(sep),
+        expr(s"substring(value, instr(value, '$sep') + ${sep.length})"))
+        .otherwise(lit(null)).as("value"))
+
+  /** Typed KV text: cast the key/value of [[kvText]] to the requested
+    * types ("int"/"long"/"float"/"double"/"string") — the reference's
+    * `Int{Text,Float,Double}KVInputFormat` family collapsed to one
+    * parameterized reader. */
+  def typedKvText(spark: SparkSession, path: String, keyType: String,
+      valueType: String, sep: String = "\t"): DataFrame =
+    kvText(spark, path, sep).select(
+      col("key").cast(keyType).as("key"),
+      col("value").cast(valueType).as("value"))
+
+  /** JDBC scan (F7). Pass-through to Spark's JDBC source, which pushes
+    * filters and supports `partitionColumn` ranged parallel reads. */
+  def jdbc(spark: SparkSession, url: String, table: String,
+      props: Map[String, String] = Map.empty): DataFrame = {
+    val p = new Properties()
+    props.foreach { case (k, v) => p.setProperty(k, v) }
+    spark.read.jdbc(url, table, p)
+  }
+}
