@@ -108,11 +108,11 @@ object PipelineQueries {
       (s, dir) => Dedup.simhashDigests(Q.t(s, dir, "documents"), "doc_id", "text"),
       Some(s"""WITH $toksCte, $codesCte
               SELECT doc_id,
-                list_sum([CASE WHEN
+                CAST(list_sum([CASE WHEN
                   list_sum([CASE WHEN (h & (1::BIGINT << b)) > 0 THEN 1 ELSE -1 END
                     for h in hashes]) > 0
                   THEN (1::BIGINT << b) ELSE 0::BIGINT END
-                  for b in generate_series(0, 31)]) AS simhash
+                  for b in generate_series(0, 31)]) AS BIGINT) AS simhash
               FROM (SELECT doc_id,
                 [${seededHashSql("c", "1")} for c in codes] AS hashes
                 FROM codes WHERE len(toks) > 0)""")),
