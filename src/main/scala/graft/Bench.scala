@@ -32,7 +32,11 @@ object Bench {
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      val ok = try { fn(spark, sfDir).count(); true } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: $e")
+          false
+      }
       val dt = (System.nanoTime() - t0) / 1e9
       // drop every frame the query persisted — queries are independent;
       // leftover cached state just evicts the next query's working set.
@@ -42,12 +46,17 @@ object Bench {
       // state accumulates across the whole run).
       spark.catalog.clearCache()
       System.gc()
-      name -> dt
+      (name, dt, ok)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val qs = results.map { case (k, v, ok) =>
+      "\"" + k + "\":" + (if (ok) v else -1.0)
+    }.mkString("{", ",", "}")
+    // A crashed query's time-to-failure must not pollute the total; its
+    // -1 marker plus the "failed" list make the breakage visible instead.
+    val total = results.collect { case (_, v, true) => v }.sum
+    val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -50,13 +50,18 @@ object MatrixVector {
     val init = x0.select(col("j").cast("long"), col("x").cast("double"))
 
     val step: (DataFrame, DataFrame, Int) => DataFrame = (s, dyn, _) => {
-      val y = multiply(s, dyn)
       if (normalize) {
         // Global value (F25): one scalar at the driver, like the
-        // JobTracker-aggregated global data.
+        // JobTracker-aggregated global data. The norm is an action on y,
+        // so y must be persisted first or the join+groupBy runs twice per
+        // iteration (once for the norm, once for the next round's plan).
+        val y = multiply(s, dyn).persist(StorageLevel.MEMORY_AND_DISK)
         val norm = y.agg(sum(abs(col("x")))).collect()(0).getDouble(0)
-        y.select(col("j"), (col("x") / lit(norm)).as("x"))
-      } else y
+        val out = y.select(col("j"), (col("x") / lit(norm)).as("x"))
+          .localCheckpoint(eager = true)
+        y.unpersist(blocking = false)
+        out
+      } else multiply(s, dyn)
     }
 
     new IterativeJob(

@@ -97,6 +97,11 @@ final class IterativeJob(
     // the driver loop from one Spark job per iteration to one per
     // checkpoint interval.
     var pendingLazy = List.empty[DataFrame]
+    // The last eagerly-materialized dynamic frame (init, or the latest
+    // checkpoint). Tracked separately from `dyn` so that entering a lazy
+    // stretch doesn't strand it in the cache: it is released at the next
+    // eager point, once the new checkpoint no longer needs its blocks.
+    var materializedDyn: DataFrame = dyn
     while (i < config.maxIterations && !done) {
       i += 1
       val next = kind match {
@@ -117,7 +122,8 @@ final class IterativeJob(
         }
         pendingLazy.foreach(_.unpersist(blocking = false))
         pendingLazy = Nil
-        if (dyn ne null) dyn.unpersist(blocking = false)
+        if (materializedDyn ne null) materializedDyn.unpersist(blocking = false)
+        materializedDyn = materialized
         dyn = materialized
       } else {
         val lazyNext = next.persist(StorageLevel.MEMORY_AND_DISK)

@@ -21,11 +21,16 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * Semantics: Σ a(i)·b(i) folded in index order — bit-identical to the
   * HOF formulation and to the DuckDB oracle's `list_reduce` fold, so
   * swapping implementations cannot change results. Arrays of unequal
-  * length use the shorter length (same as `zip_with` + null-skip). Null
-  * input → null.
+  * length yield null, exactly like the HOF chain (`zip_with` pads the
+  * shorter array with nulls, the multiply turns them into null elements,
+  * and the `aggregate` fold propagates null to the result). Null input →
+  * null.
   */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
+
+  // Length mismatch returns null even for non-nullable inputs.
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult = {
     def ok(t: DataType) = t match {
@@ -42,11 +47,14 @@ case class DotProduct(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
-    var s = 0.0
-    var i = 0
-    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
-    s
+    val n = x.numElements()
+    if (n != y.numElements()) null
+    else {
+      var s = 0.0
+      var i = 0
+      while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+      s
+    }
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -55,12 +63,16 @@ case class DotProduct(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $s += $a.getDouble($i) * $b.getDouble($i);
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $s += $a.getDouble($i) * $b.getDouble($i);
+         |  }
+         |  ${ev.value} = $s;
          |}
-         |${ev.value} = $s;
        """.stripMargin
     })
 

@@ -15,7 +15,8 @@ import org.apache.spark.sql.functions._
   *    never materializes. Approximate (recall < 1), tested against the
   *    brute-force oracle.
   *
-  * Cosine is computed with codegen'd `zip_with`/`aggregate` — no UDF.
+  * Cosine is computed with the native codegen'd [[graft.functions.DotProduct]]
+  * expression — no UDF, no interpreted HOF fallback on the scoring path.
   */
 object Similarity {
 

@@ -13,10 +13,10 @@ import graft.functions.DotProduct
   * {{{ aggregate(zip_with(a, b, (x, y) => x * y), 0.0, (acc, v) => acc + v) }}}
   *
   * into the native codegen'd [[graft.functions.DotProduct]]. Both
-  * evaluate an index-order left fold, so the rewrite is semantics- and
-  * bit-preserving; the HOF chain however executes as interpreted
-  * lambdas (`CodegenFallback`), while the native expression stays
-  * inside whole-stage codegen.
+  * evaluate an index-order left fold and both return null on a length
+  * mismatch, so the rewrite is semantics- and bit-preserving; the HOF
+  * chain however executes as interpreted lambdas (`CodegenFallback`),
+  * while the native expression stays inside whole-stage codegen.
   *
   * The rewrite only fires when both arrays have non-nullable double
   * elements (a null element makes the HOF fold return null, which the

@@ -21,12 +21,20 @@ class DotProductSpec extends SparkSpec {
     GraftFunctions.register(spark)
     val df = Seq(
       (Some(Seq(1.0, 2.0, 3.0)), Some(Seq(4.0, 5.0))),
-      (None, Some(Seq(1.0)))
+      (None, Some(Seq(1.0))),
+      (Some(Seq(1.0, 2.0)), Some(Seq(3.0, 4.0)))
     ).toDF("a", "b")
-    val r = df.select(GraftFunctions.dot_product(col("a"), col("b")).as("d"))
+    val r = df.select(
+      GraftFunctions.dot_product(col("a"), col("b")).as("d"),
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+        lit(0.0), (p, q) => p + q).as("hof"))
       .collect()
-    assert(r(0).getDouble(0) == 1.0 * 4.0 + 2.0 * 5.0)
-    assert(r(1).isNullAt(0))
+    // Length mismatch → null, matching the HOF chain (zip_with pads the
+    // shorter side with nulls and the fold propagates them).
+    assert(r(0).isNullAt(0) && r(0).isNullAt(1))
+    assert(r(1).isNullAt(0) && r(1).isNullAt(1))
+    assert(r(2).getDouble(0) == 1.0 * 3.0 + 2.0 * 4.0)
+    assert(r(2).getDouble(0) == r(2).getDouble(1))
   }
 
   test("usable from SQL after registration") {
