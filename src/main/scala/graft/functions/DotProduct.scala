@@ -84,18 +84,51 @@ case class DotProduct(left: Expression, right: Expression)
 /** Registration + Column-level access for the library's native
   * expressions (usable from SQL after [[GraftFunctions.register]]). */
 object GraftFunctions {
+  import org.apache.spark.sql.functions.call_function
 
   /** Column-level dot product (requires array<double> inputs; cast
     * first for float arrays). */
   def dot_product(a: Column, b: Column): Column = {
     // Column ⇄ Expression bridging goes through the session's function
     // registry so this works on both classic and connect Column APIs.
-    org.apache.spark.sql.functions.call_function("graft_dot", a, b)
+    call_function("graft_dot", a, b)
   }
+
+  /** array<string> tokens → array<long> polynomial codes. */
+  def token_codes(toks: Column): Column = call_function("graft_token_codes", toks)
+
+  /** Minhash entry from precomputed codes (null for empty docs). */
+  def min_seeded_hash(codes: Column, seed: Column): Column =
+    call_function("graft_minhash", codes, seed.cast("long"))
+
+  /** 32-bit SimHash digest from precomputed codes. */
+  def simhash32(codes: Column): Column = call_function("graft_simhash32", codes)
+
+  /** Rolling polynomial fold over codes (fingerprints: mult = 131). */
+  def poly_fold(codes: Column, mult: Long): Column =
+    call_function("graft_poly_fold", codes,
+      org.apache.spark.sql.functions.lit(mult))
 
   /** Register graft's native functions on the session (idempotent). */
   def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+    val r = spark.sessionState.functionRegistry
+    r.createOrReplaceTempFunction(
       "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+    r.createOrReplaceTempFunction(
+      "graft_token_codes", exprs => TokenCodes(exprs(0)), "built-in")
+    r.createOrReplaceTempFunction(
+      "graft_minhash", exprs => MinSeededHash(exprs(0), exprs(1)), "built-in")
+    r.createOrReplaceTempFunction(
+      "graft_simhash32", exprs => SimHash32(exprs(0)), "built-in")
+    r.createOrReplaceTempFunction(
+      "graft_poly_fold", exprs => PolyFold(exprs(0), foldableLong(exprs(1))),
+      "built-in")
+  }
+
+  private def foldableLong(e: Expression): Long = e.eval() match {
+    case l: Long    => l
+    case i: Integer => i.toLong
+    case other => throw new IllegalArgumentException(
+      s"graft_poly_fold multiplier must be an integer literal, got $other")
   }
 }

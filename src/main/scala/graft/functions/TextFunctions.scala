@@ -7,11 +7,14 @@ import org.apache.spark.sql.functions._
   * (tokenize, deterministic hashes, minhash, simhash, fingerprints,
   * language-ID and quality heuristics).
   *
-  * Everything here is built from `org.apache.spark.sql.functions`
-  * higher-order array functions — codegen'd Catalyst expressions, no
-  * UDFs — and every hash is plain 64-bit modular arithmetic so the
-  * DuckDB oracle can reproduce it bit-for-bit
-  * (`list_reduce([ord(c) ...])` on the SQL side).
+  * No UDFs anywhere: the hot hash folds (token codes, minhash, simhash,
+  * fingerprint) are native codegen'd expressions ([[TokenCodes]],
+  * [[MinSeededHash]], [[SimHash32]], [[PolyFold]]); the rest are Spark
+  * higher-order array functions (which execute via `CodegenFallback` —
+  * fine off the hot path). Every hash is plain 64-bit modular
+  * arithmetic so the DuckDB oracle can reproduce it bit-for-bit
+  * (`list_reduce([ord(c) ...])` on the SQL side); each native
+  * expression keeps its HOF twin (`*Hof`) for differential tests.
   *
   * The reference engine carries text as opaque `Text` values re-parsed
   * per operator (e.g. `IterKmeans.java:346-357`); here tokens become a
@@ -46,9 +49,21 @@ object TextFunctions {
     (a * code + b) % P
   }
 
+  /** array<string> tokens → array<long> polynomial codes via the native
+    * codegen'd [[TokenCodes]] expression (session must have
+    * [[GraftFunctions.register]] applied — `graft.queries.Q.t` does). */
+  def tokenCodes(toks: Column): Column = GraftFunctions.token_codes(toks)
+
   /** Minhash signature entry for one seed: min over tokens of the seeded
-    * hash. NULL for documents with no tokens. */
+    * hash. NULL for documents with no tokens. Native codegen'd
+    * ([[MinSeededHash]] ∘ [[TokenCodes]]); [[minhashHof]] is the
+    * interpreted HOF formulation it is differentially tested against. */
   def minhash(toks: Column, seed: Column): Column =
+    GraftFunctions.min_seeded_hash(tokenCodes(toks), seed)
+
+  /** HOF formulation of [[minhash]] (interpreted `CodegenFallback`;
+    * kept as the differential-testing twin of the native expression). */
+  def minhashHof(toks: Column, seed: Column): Column =
     array_min(transform(toks, t => seededHash(tokenCode(t), seed)))
 
   /** Word w-shingles as strings ("a b c"). */
@@ -61,8 +76,13 @@ object TextFunctions {
   }
 
   /** 32-bit SimHash over token codes: bit b of the result is 1 iff
-    * Σ_tokens (±1 per bit b of g(code)) > 0, with g = seededHash(·, 1). */
-  def simhash32(toks: Column): Column = {
+    * Σ_tokens (±1 per bit b of g(code)) > 0, with g = seededHash(·, 1).
+    * Native codegen'd ([[SimHash32]] ∘ [[TokenCodes]]). */
+  def simhash32(toks: Column): Column =
+    GraftFunctions.simhash32(tokenCodes(toks))
+
+  /** HOF formulation of [[simhash32]] (differential-testing twin). */
+  def simhash32Hof(toks: Column): Column = {
     val hashes = transform(toks, t => seededHash(tokenCode(t), lit(1)))
     // mask for bit b as a column (pow is exact for b ≤ 31)
     def mask(b: Column): Column = pow(lit(2.0), b.cast("double")).cast("long")
@@ -76,8 +96,13 @@ object TextFunctions {
   }
 
   /** Document fingerprint: rolling polynomial hash over token codes,
-    * fold(h → h·131 + code(t) mod P). */
+    * fold(h → h·131 + code(t) mod P). Native codegen'd
+    * ([[PolyFold]] ∘ [[TokenCodes]]). */
   def fingerprint(toks: Column): Column =
+    GraftFunctions.poly_fold(tokenCodes(toks), 131L)
+
+  /** HOF formulation of [[fingerprint]] (differential-testing twin). */
+  def fingerprintHof(toks: Column): Column =
     aggregate(transform(toks, tokenCode(_)), lit(0L),
       (acc, c) => (acc * 131 + c) % P)
 

@@ -21,15 +21,23 @@ object Dedup {
       .agg(min("id").as("keep_id"), count(lit(1)).as("n"))
 
   /** Per-document minhash signature rows (doc_id, seed, mh), seeds
-    * 0..numHashes-1. Empty docs drop out (no signature). */
+    * 0..numHashes-1. Empty docs drop out (no signature). Token codes are
+    * computed ONCE per document (native [[graft.functions.TokenCodes]])
+    * and reused across all seeds — the per-seed work is a codegen'd
+    * min-fold over longs, not a re-derivation of the char-level hash. */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
-      numHashes: Int): DataFrame =
-    df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
-      .filter(size(col("toks")) > 0)
+      numHashes: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    df.select(col(idCol).as("doc_id"),
+        graft.functions.TextFunctions.tokenCodes(tokens(col(textCol))).as("codes"))
+      .filter(size(col("codes")) > 0)
       .select(col("doc_id"),
         explode(sequence(lit(0), lit(numHashes - 1))).as("seed"),
-        col("toks"))
-      .select(col("doc_id"), col("seed"), minhash(col("toks"), col("seed")).as("mh"))
+        col("codes"))
+      .select(col("doc_id"), col("seed"),
+        graft.functions.GraftFunctions
+          .min_seeded_hash(col("codes"), col("seed")).as("mh"))
+  }
 
   /** LSH banding: group the signature into `bands` bands of
     * `numHashes/bands` rows; docs sharing any band bucket are candidate
@@ -76,10 +84,12 @@ object Dedup {
 
   /** SimHash digests (doc_id, simhash). Near-dups = digests within a
     * small Hamming distance; pairing via band-of-bytes joins like LSH. */
-  def simhashDigests(df: DataFrame, idCol: String, textCol: String): DataFrame =
+  def simhashDigests(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
     df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
       .filter(size(col("toks")) > 0)
       .select(col("doc_id"), simhash32(col("toks")).as("simhash"))
+  }
 
   /** n-gram (word w-shingle) Jaccard near-dup pairs within a blocking
     * key: docs sharing a shingle are candidates (inverted-index join),

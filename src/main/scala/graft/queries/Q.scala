@@ -12,9 +12,13 @@ final case class Q(
     oracle: Option[String])
 
 object Q {
-  /** Load a testdata table from the given scale-factor dir. */
-  def t(s: SparkSession, dir: String, name: String): DataFrame =
+  /** Load a testdata table from the given scale-factor dir. Also
+    * registers graft's native functions on the session (idempotent) so
+    * every query can use them without per-call ceremony. */
+  def t(s: SparkSession, dir: String, name: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     s.read.parquet(s"$dir/$name.parquet")
+  }
 
   /** Load `events`, whose `ts` column is Parquet TIMESTAMP(NANOS):
     * Spark can't read nanos as a timestamp, so it is surfaced as a
