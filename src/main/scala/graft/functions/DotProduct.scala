@@ -109,6 +109,11 @@ object GraftFunctions {
     call_function("graft_poly_fold", codes,
       org.apache.spark.sql.functions.lit(mult))
 
+  /** Distinct word w-shingles (first-occurrence order). */
+  def word_shingles(toks: Column, w: Int): Column =
+    call_function("graft_shingles", toks,
+      org.apache.spark.sql.functions.lit(w))
+
   /** Register graft's native functions on the session (idempotent). */
   def register(spark: SparkSession): Unit = {
     val r = spark.sessionState.functionRegistry
@@ -122,6 +127,9 @@ object GraftFunctions {
       "graft_simhash32", exprs => SimHash32(exprs(0)), "built-in")
     r.createOrReplaceTempFunction(
       "graft_poly_fold", exprs => PolyFold(exprs(0), foldableLong(exprs(1))),
+      "built-in")
+    r.createOrReplaceTempFunction(
+      "graft_shingles", exprs => WordShingles(exprs(0), foldableLong(exprs(1)).toInt),
       "built-in")
   }
 

@@ -86,6 +86,25 @@ object TokenHashOps {
     r
   }
 
+  private val ShingleSep = UTF8String.fromString(" ")
+
+  /** Distinct word w-shingles in first-occurrence order; < w tokens →
+    * empty. */
+  def wordShingles(toks: ArrayData, w: Int): ArrayData = {
+    val n = toks.numElements()
+    if (n < w) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    var i = 0
+    while (i <= n - w) {
+      val parts = new Array[UTF8String](w)
+      var j = 0
+      while (j < w) { parts(j) = toks.getUTF8String(i + j); j += 1 }
+      seen.add(UTF8String.concatWs(ShingleSep, parts: _*))
+      i += 1
+    }
+    new GenericArrayData(seen.toArray.asInstanceOf[Array[AnyRef]])
+  }
+
   /** fold(acc → acc·mult + code mod P) from 0; empty array → 0. */
   def polyFold(codes: ArrayData, mult: Long): Long = {
     var acc = 0L
@@ -172,6 +191,28 @@ case class SimHash32(child: Expression) extends UnaryExpression {
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.TokenHashOps.simhash32($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** array<string> tokens → DISTINCT word w-shingles ("a b c"), first
+  * occurrence order — bit-identical to
+  * `array_distinct(transform(sequence(0, n-w), i => concat_ws(" ",
+  * slice(toks, i+1, w))))` but a single static call per row instead of
+  * an interpreted HOF chain (the shingle pass dominated the n-gram
+  * dedup wall time). Fewer than w tokens → empty array. */
+case class WordShingles(child: Expression, w: Int) extends UnaryExpression {
+  require(w >= 1, "shingle width must be >= 1")
+  override def checkInputDataTypes(): TypeCheckResult =
+    TokenHashOps.requireType(child, ArrayType(StringType), "graft_shingles", "first")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(a: Any): Any =
+    TokenHashOps.wordShingles(a.asInstanceOf[ArrayData], w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TokenHashOps.wordShingles($c, $w)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

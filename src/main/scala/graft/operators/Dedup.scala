@@ -42,8 +42,18 @@ object Dedup {
   /** LSH banding: group the signature into `bands` bands of
     * `numHashes/bands` rows; docs sharing any band bucket are candidate
     * near-dup pairs. The expensive exact-Jaccard check then runs only
-    * inside buckets (shingle→minhash→band→bucket-join). */
-  def lshCandidatePairs(signatures: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    * inside buckets (shingle→minhash→band→bucket-join).
+    *
+    * `maxBucket` bounds the within-bucket pairing: a degenerate bucket
+    * of m docs (e.g. a corpus with thousands of byte-identical pages —
+    * they share every band) would otherwise emit m² candidate rows.
+    * Buckets larger than `maxBucket` instead star-link every member to
+    * the bucket's minimum doc id — O(m) pairs that still connect the
+    * whole cluster for downstream union-find dedup (the degenerate case
+    * is identical/near-identical docs, where every member passes the
+    * Jaccard confirm against the representative). */
+  def lshCandidatePairs(signatures: DataFrame, numHashes: Int, bands: Int,
+      maxBucket: Int = 4096): DataFrame = {
     val rowsPerBand = numHashes / bands
     val banded = signatures
       .withColumn("band", (col("seed") / rowsPerBand).cast("int"))
@@ -52,10 +62,23 @@ object Dedup {
       .agg(aggregate(
         transform(array_sort(collect_list(struct(col("seed"), col("mh")))), s => s("mh")),
         lit(0L), (acc, v) => (acc * 131 + v % P) % P).as("bucket"))
-    val a = banded.select(col("band"), col("bucket"), col("doc_id").as("a"))
-    val b = banded.select(col("band"), col("bucket"), col("doc_id").as("b"))
-    a.join(b, Seq("band", "bucket")).filter(col("a") < col("b"))
-      .select("a", "b").distinct()
+    // Oversized buckets are found with a partial-aggregating groupBy
+    // (cheaper than a window sort over every bucket) and are typically
+    // near-empty, so both the anti-join and the star join broadcast.
+    val big = banded.groupBy("band", "bucket")
+      .agg(count(lit(1)).as("bsz"), min("doc_id").as("bmin"))
+      .filter(col("bsz") > maxBucket)
+      .select("band", "bucket", "bmin")
+    val small = banded.join(broadcast(big.select("band", "bucket")),
+      Seq("band", "bucket"), "left_anti")
+    val a = small.select(col("band"), col("bucket"), col("doc_id").as("a"))
+    val b = small.select(col("band"), col("bucket"), col("doc_id").as("b"))
+    val allPairs = a.join(b, Seq("band", "bucket")).filter(col("a") < col("b"))
+      .select("a", "b")
+    val starPairs = banded.join(broadcast(big), Seq("band", "bucket"))
+      .filter(col("doc_id") =!= col("bmin"))
+      .select(col("bmin").as("a"), col("doc_id").as("b"))
+    allPairs.unionByName(starPairs).distinct()
   }
 
   /** Exact token-set Jaccard for given pairs: |A∩B| / |A∪B| over
@@ -93,14 +116,34 @@ object Dedup {
 
   /** n-gram (word w-shingle) Jaccard near-dup pairs within a blocking
     * key: docs sharing a shingle are candidates (inverted-index join),
-    * then exact shingle-set Jaccard ≥ threshold confirms. */
+    * then exact shingle-set Jaccard ≥ threshold confirms.
+    *
+    * `maxDf` caps the document frequency of candidate-generating
+    * shingles: a shingle shared by m docs yields m² candidate rows in
+    * the self-join, so one boilerplate phrase repeated across a corpus
+    * is quadratic — the classic 100 TB scale-killer. Shingles with
+    * df > maxDf are excluded from candidate generation (they carry no
+    * near-dup signal anyway; truly similar docs share many rare
+    * shingles). The cap is part of the operator's contract and is
+    * mirrored in the oracle SQL. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      w: Int, threshold: Double): DataFrame = {
+      w: Int, threshold: Double, maxDf: Int = 128): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    // The shingle table feeds three plan branches (inverted index + both
+    // Jaccard sides); persist it so the tokenize+shingle pass (native
+    // WordShingles expression) runs once.
     val sh = df.select(col(idCol).as("doc_id"),
-      array_distinct(shingles(tokens(col(textCol)), w)).as("sh"))
+      graft.functions.GraftFunctions
+        .word_shingles(tokens(col(textCol)), w).as("sh"))
       .filter(size(col("sh")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val inv = sh.select(col("doc_id"), explode(col("sh")).as("s"))
-    val cands = inv.alias("x").join(inv.alias("y"), "s")
+    // One shuffle on s computes df and feeds the (now bounded) self-join.
+    val rare = inv.withColumn("df",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("s")))
+      .filter(col("df") <= maxDf)
+      .select("doc_id", "s")
+    val cands = rare.alias("x").join(rare.alias("y"), "s")
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
     val sa = sh.select(col("doc_id").as("a"), col("sh").as("sa"))

@@ -117,11 +117,13 @@ object PipelineQueries {
                 [${seededHashSql("c", "1")} for c in codes] AS hashes
                 FROM codes WHERE len(toks) > 0)""")),
 
-    // Word-trigram Jaccard near-dup pairs on a doc_id%5 slice.
+    // Word-trigram Jaccard near-dup pairs on a doc_id%5 slice. The
+    // df<=128 candidate cap is part of the operator contract (kills the
+    // quadratic hot-shingle self-join) and is mirrored here.
     Q("q_ngram_jaccard",
       (s, dir) => Dedup.ngramJaccardPairs(
         Q.t(s, dir, "documents").filter(col("doc_id") % 5 === 0),
-        "doc_id", "text", w = 3, threshold = 0.2)
+        "doc_id", "text", w = 3, threshold = 0.2, maxDf = 128)
         .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard")),
       Some("""WITH toks AS (SELECT doc_id,
                 list_filter(regexp_split_to_array(text, ' +'), x -> x <> '') AS toks
@@ -131,8 +133,10 @@ object PipelineQueries {
                  for i in generate_series(1, len(toks) - 2)]) AS sh
                 FROM toks WHERE len(toks) >= 3),
               inv AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+              rare AS (SELECT doc_id, s FROM (SELECT doc_id, s,
+                count(*) OVER (PARTITION BY s) AS df FROM inv) WHERE df <= 128),
               cands AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-                FROM inv x JOIN inv y ON x.s = y.s AND x.doc_id < y.doc_id)
+                FROM rare x JOIN rare y ON x.s = y.s AND x.doc_id < y.doc_id)
               SELECT a, b, round(jacc, 6) AS jaccard FROM (
                 SELECT c.a, c.b,
                   len(list_filter(sa.sh, t -> list_contains(sb.sh, t)))::DOUBLE /

@@ -43,6 +43,34 @@ class OperatorsSpec extends SparkSpec {
     assert(found.subsetOf(truth))
   }
 
+  test("degenerate LSH bucket star-links instead of going quadratic") {
+    // 200 identical docs share every band: all-pairs would be ~19900
+    // candidates; with maxBucket=10 the bucket star-links to the min id.
+    val d = (0 until 200).map(i => (i.toLong, "same text repeated here"))
+      .toDF("doc_id", "text")
+    val sigs = Dedup.minhashSignatures(d, "doc_id", "text", numHashes = 8)
+    val pairs = Dedup.lshCandidatePairs(sigs, numHashes = 8, bands = 4,
+      maxBucket = 10).as[(Long, Long)].collect().toSet
+    assert(pairs.size == 199) // O(m) star, not O(m²)
+    assert(pairs.forall(_._1 == 0L)) // all linked to the representative
+    // and the full near-dup path still connects the whole cluster
+    val dups = Dedup.minhashNearDups(d, "doc_id", "text",
+      numHashes = 8, bands = 4, threshold = 0.9)
+    assert(dups.count() >= 199)
+  }
+
+  test("shingle df cap drops hot-shingle candidates on both sides") {
+    // 50 docs all share one boilerplate trigram; only the two real
+    // near-dups share rare shingles.
+    val boiler = "lorem ipsum dolor"
+    val d = ((0 until 48).map(i => (i.toLong, s"$boiler unique$i filler$i pad$i")) ++
+      Seq((100L, s"$boiler alpha beta gamma delta"),
+          (101L, s"$boiler alpha beta gamma epsilon"))).toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccardPairs(d, "doc_id", "text", w = 3,
+      threshold = 0.2, maxDf = 10).as[(Long, Long, Double)].collect()
+    assert(pairs.map(p => (p._1, p._2)).toSet == Set((100L, 101L)))
+  }
+
   test("simhash of near-identical docs differ in few bits") {
     val d = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again"),

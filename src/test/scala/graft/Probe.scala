@@ -1,0 +1,64 @@
+package graft
+// Parameterized scratch probe (not a test): ad-hoc plan inspection and
+// stage timing during development.
+//   sbt "Test/runMain graft.Probe explain <query> [sfdir]"   — formatted plan
+//   sbt "Test/runMain graft.Probe time <expr-label> [sfdir]" — custom blocks below
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+object Probe {
+  def main(a: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]").appName("probe")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val mode = a.headOption.getOrElse("explain")
+    val dir = a.drop(2).headOption.getOrElse("/root/testdata/sf0.1")
+
+    def timed[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"PHASE $label%-24s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      r
+    }
+
+    mode match {
+      case "explain" =>
+        val q = a(1)
+        SparkEntry.queries(q)(spark, dir).explain("formatted")
+
+      case "ngram-stages" =>
+        import graft.functions.TextFunctions._
+        val docs = spark.read.parquet(s"$dir/documents.parquet")
+          .filter(col("doc_id") % 5 === 0)
+        val sh = docs.select(col("doc_id"),
+          array_distinct(shingles(tokens(col("text")), 3)).as("sh"))
+          .filter(size(col("sh")) > 0)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        timed("shingles")(sh.count())
+        val inv = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+        val rare = inv.withColumn("df", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("s")))
+          .filter(col("df") <= 128).select("doc_id", "s")
+        timed("inverted+dfcap")(rare.count())
+        val cands = rare.alias("x").join(rare.alias("y"), "s")
+          .filter(col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        timed("cand-selfjoin")(cands.count())
+        val sa = sh.select(col("doc_id").as("a"), col("sh").as("sa"))
+        val sb = sh.select(col("doc_id").as("b"), col("sh").as("sb"))
+        val out = cands.join(sa, "a").join(sb, "b")
+          .select(col("a"), col("b"),
+            (size(array_intersect(col("sa"), col("sb"))).cast("double") /
+              size(array_union(col("sa"), col("sb"))).cast("double")).as("j"))
+          .filter(col("j") >= 0.2)
+        timed("jaccard-confirm")(out.count())
+
+      case other => println(s"unknown probe mode: $other")
+    }
+    spark.stop()
+  }
+}

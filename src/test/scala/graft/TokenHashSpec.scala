@@ -37,6 +37,16 @@ class TokenHashSpec extends SparkSpec {
     assert(df.filter(col("n") =!= col("h")).count() == 0)
   }
 
+  test("native word shingles match the HOF formulation") {
+    GraftFunctions.register(spark)
+    val toks = TextFunctions.tokens(col("text"))
+    val cmp = spark.read.parquet(s"$sf/documents.parquet")
+      .select(
+        GraftFunctions.word_shingles(toks, 3).as("n"),
+        array_distinct(TextFunctions.shingles(toks, 3)).as("h"))
+    assert(cmp.filter(not(col("n") === col("h"))).count() == 0)
+  }
+
   test("edge cases: empty token array and null input") {
     GraftFunctions.register(spark)
     import spark.implicits._
