@@ -114,6 +114,34 @@ object Dedup {
       .select(col("doc_id"), simhash32(col("toks")).as("simhash"))
   }
 
+  /** SimHash near-dup pairs: band-of-bytes join + Hamming filter. The
+    * 32-bit digest splits into 4 bytes; by pigeonhole, any pair within
+    * Hamming distance `maxHamming` ≤ 3 shares at least one byte exactly,
+    * so the byte-band equi-join finds ALL such pairs (recall 1) while
+    * only ever joining within byte buckets — never all-pairs. One
+    * shuffle on (band, byte); candidate volume is bounded by bucket
+    * sizes like LSH banding. */
+  def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4 byte-bands only guarantee recall for distance <= 3")
+    val digests = simhashDigests(df, idCol, textCol)
+    val banded = digests.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map { b =>
+        struct(lit(b).as("band"),
+          shiftright(col("simhash"), b * 8).bitwiseAND(lit(255L)).as("bv"))
+      }: _*)).as("bb"))
+      .select(col("doc_id"), col("simhash"), col("bb.band"), col("bb.bv"))
+    val x = banded.select(col("band"), col("bv"), col("doc_id").as("a"),
+      col("simhash").as("ha"))
+    val y = banded.select(col("band"), col("bv"), col("doc_id").as("b"),
+      col("simhash").as("hb"))
+    x.join(y, Seq("band", "bv")).filter(col("a") < col("b"))
+      .select("a", "b", "ha", "hb").distinct()
+      .select(col("a"), col("b"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** n-gram (word w-shingle) Jaccard near-dup pairs within a blocking
     * key: docs sharing a shingle are candidates (inverted-index join),
     * then exact shingle-set Jaccard ≥ threshold confirms.

@@ -50,6 +50,20 @@ object PipelineQueries {
     s"""(((1103515245::BIGINT * (($seed) + 1) + 12345) % 1000000007) * ($code)
        + ((22695477::BIGINT * (($seed) + 1) + 54321) % 1000000007)) % 1000000007"""
 
+  /** Shared oracle select: (doc_id, simhash) digests (requires codes).
+    * DuckDB 1.0's list_sum returns HUGEINT — the outer CAST keeps the
+    * type parity with Spark's BIGINT. */
+  private val simsSelect =
+    s"""SELECT doc_id,
+       CAST(list_sum([CASE WHEN
+         list_sum([CASE WHEN (h & (1::BIGINT << b)) > 0 THEN 1 ELSE -1 END
+           for h in hashes]) > 0
+         THEN (1::BIGINT << b) ELSE 0::BIGINT END
+         for b in generate_series(0, 31)]) AS BIGINT) AS simhash
+       FROM (SELECT doc_id,
+         [${seededHashSql("c", "1")} for c in codes] AS hashes
+         FROM codes WHERE len(toks) > 0)"""
+
   private def dotSql(a: String, b: String) =
     s"""list_reduce([$a[i] * $b[i] for i in generate_series(1, len($a))],
        (x, y) -> x + y)"""
@@ -107,15 +121,24 @@ object PipelineQueries {
     Q("q_simhash",
       (s, dir) => Dedup.simhashDigests(Q.t(s, dir, "documents"), "doc_id", "text"),
       Some(s"""WITH $toksCte, $codesCte
-              SELECT doc_id,
-                CAST(list_sum([CASE WHEN
-                  list_sum([CASE WHEN (h & (1::BIGINT << b)) > 0 THEN 1 ELSE -1 END
-                    for h in hashes]) > 0
-                  THEN (1::BIGINT << b) ELSE 0::BIGINT END
-                  for b in generate_series(0, 31)]) AS BIGINT) AS simhash
-              FROM (SELECT doc_id,
-                [${seededHashSql("c", "1")} for c in codes] AS hashes
-                FROM codes WHERE len(toks) > 0)""")),
+              SELECT doc_id, simhash FROM ($simsSelect)""")),
+
+    // SimHash near-dup pairs: byte-band join + Hamming <= 3 (pigeonhole
+    // over 4 bands => exact recall at that distance).
+    Q("q_simhash_pairs",
+      (s, dir) => Dedup.simhashNearDups(Q.t(s, dir, "documents"),
+        "doc_id", "text", maxHamming = 3),
+      Some(s"""WITH $toksCte, $codesCte,
+              sims AS ($simsSelect),
+              bands AS (SELECT doc_id, simhash, b AS band,
+                (simhash >> (b * 8)) & 255 AS bv
+                FROM sims, generate_series(0, 3) g(b)),
+              cands AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+                x.simhash AS ha, y.simhash AS hb
+                FROM bands x JOIN bands y
+                ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id)
+              SELECT a, b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+              FROM cands WHERE bit_count(xor(ha, hb)) <= 3""")),
 
     // Word-trigram Jaccard near-dup pairs on a doc_id%5 slice. The
     // df<=128 candidate cap is part of the operator contract (kills the

@@ -71,6 +71,21 @@ class OperatorsSpec extends SparkSpec {
     assert(pairs.map(p => (p._1, p._2)).toSet == Set((100L, 101L)))
   }
 
+  test("simhash pairing finds every pair within the Hamming bound") {
+    val subset = docs.filter(col("doc_id") < 200)
+    // ground truth: all-pairs Hamming over the digests
+    val d = Dedup.simhashDigests(subset, "doc_id", "text")
+    val truth = d.toDF("a", "ha").crossJoin(d.toDF("b", "hb"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).as("h"))
+      .filter(col("h") <= 3)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    val found = Dedup.simhashNearDups(subset, "doc_id", "text", maxHamming = 3)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(found == truth) // byte-band pigeonhole: exact at distance <= 3
+  }
+
   test("simhash of near-identical docs differ in few bits") {
     val d = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again"),
