@@ -152,6 +152,56 @@ object KMeans {
     Model(centers, iter, shift, lastSizes)
   }
 
+  /** Naive loop-of-jobs baseline (A11, reference
+    * `naive/NaiveKmeans.java`: each iteration is an independent MR job
+    * reading the previous round's output from disk). Re-expressed: the
+    * centers live in a (tiny) DataFrame instead of driver state,
+    * assignment is a crossJoin + window rank, recentering a
+    * posexplode-groupBy — structurally disjoint from [[run]]'s typed
+    * aggregator + collected-centers closure, which is what makes the
+    * differential agreement between the two a meaningful oracle (the
+    * reference's own test strategy, SURVEY §5). Each round's output is
+    * materialized (`localCheckpoint`) like the reference's per-job HDFS
+    * write. Fixed iteration count, no convergence check — naive.
+    *
+    * Returns (cid, cvec, n) with `n` the final assignment sizes. */
+  def runNaive(points: DataFrame, k: Int, iterations: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pts = points
+      .select(col("id").cast("long"), col("vec").cast("array<double>").as("vec"))
+    // Pinned init: k lowest-id points, center ids 0..k-1 (same as run).
+    var centers = pts.orderBy("id").limit(k)
+      .select((row_number().over(Window.orderBy("id")) - 1).as("cid"),
+        col("vec").as("cvec"))
+      .localCheckpoint(true)
+    var lastAssign: DataFrame = null
+    for (_ <- 1 to iterations) {
+      val dist = aggregate(
+        zip_with(col("vec"), col("cvec"), (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, v) => acc + v)
+      val w = Window.partitionBy("id").orderBy(col("dist"), col("cid"))
+      val assigned = pts.crossJoin(broadcast(centers))
+        .withColumn("dist", dist)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("id"), col("cid"), col("vec"))
+        .localCheckpoint(true)
+      lastAssign = assigned
+      val means = assigned.select(col("cid"), posexplode(col("vec")))
+        .groupBy("cid", "pos").agg(avg("col").as("m"))
+        .groupBy("cid")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s("m")).as("mvec"))
+      // A cluster that attracted no points keeps its previous center.
+      centers = centers.join(means, Seq("cid"), "left")
+        .select(col("cid"), coalesce(col("mvec"), col("cvec")).as("cvec"))
+        .localCheckpoint(true)
+    }
+    val counts = lastAssign.groupBy("cid").agg(count(lit(1)).as("n"))
+    centers.join(counts, Seq("cid"), "left")
+      .select(col("cid"), col("cvec"), coalesce(col("n"), lit(0L)).as("n"))
+  }
+
   /** Final assignment of every point to the model's centers:
     * (id, cid). */
   def assignments(points: DataFrame, model: Model, metric: String): DataFrame = {

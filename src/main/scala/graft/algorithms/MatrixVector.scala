@@ -71,6 +71,30 @@ object MatrixVector {
     ).run()
   }
 
+  /** Naive loop-of-jobs baseline (A11, reference
+    * `naive/NaiveMatrixVectorMultiplication.java`): each iteration is an
+    * independent job — the matrix is re-projected from scratch (no
+    * cached co-partitioned static side), the L1 norm enters the plan as
+    * a crossJoin of a 1-row aggregate instead of a driver-collected
+    * global value, and each round's vector is materialized like the
+    * reference's per-job HDFS write. Differential oracle for [[run]]. */
+  def runNaive(m: DataFrame, x0: DataFrame, iterations: Int,
+      normalize: Boolean = true): DataFrame = {
+    var x = x0.select(col("j").cast("long"), col("x").cast("double"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iterations) {
+      val mm = m.select(col("i").cast("long"), col("j").cast("long"),
+        col("v").cast("double")) // re-derived every round, like re-running the job chain
+      val y = multiply(mm, x)
+      x = (if (normalize) {
+        val norm = y.agg(sum(abs(col("x"))).as("_nrm"))
+        y.crossJoin(broadcast(norm))
+          .select(col("j"), (col("x") / col("_nrm")).as("x"))
+      } else y).localCheckpoint(true)
+    }
+    x
+  }
+
   /** Blocked y = M·x: tiles of size b (reference blocking job keys cells
     * by (rowBlk, colBlk), `MatrixVector.java:93-147`). Cells are packed
     * into per-tile arrays, the join happens per (colBlk), and partial

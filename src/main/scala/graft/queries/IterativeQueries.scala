@@ -160,6 +160,20 @@ object IterativeQueries {
       },
       Some(kmeansSql(3, 4))),
 
+    // Naive loop-of-jobs KMeans (A11) — shares q_kmeans' oracle, so the
+    // gate enforces naive == engine (the reference's own differential
+    // test strategy).
+    Q("q_naive_kmeans",
+      (s, dir) => {
+        val pts = Q.t(s, dir, "customer").select(
+          col("c_custkey").as("id"),
+          array(col("c_acctbal") / 1000.0, col("c_nationkey").cast("double")).as("vec"))
+        KMeans.runNaive(pts, k = 4, iterations = 3)
+          .select(col("cid"), round(col("cvec")(0), 6).as("cx"),
+            round(col("cvec")(1), 6).as("cy"), col("n"))
+      },
+      Some(kmeansSql(3, 4))),
+
     Q("q_matvec",
       (s, dir) => {
         val m = Q.events(s, dir)
@@ -168,6 +182,18 @@ object IterativeQueries {
         val x0 = m.select(col("j")).distinct().withColumn("x", lit(1.0))
         MatrixVector.run(m, x0, maxIterations = 3, normalize = true)
           .dynamic.select(col("j"), round(col("x"), 6).as("x"))
+      },
+      Some(matvecSql(3))),
+
+    // Naive loop-of-jobs matrix-vector (A11) — shares q_matvec's oracle.
+    Q("q_naive_matvec",
+      (s, dir) => {
+        val m = Q.events(s, dir)
+          .groupBy((col("event_id") % 40).as("i"), (col("user_id") % 40).as("j"))
+          .agg(max("value").as("v"))
+        val x0 = m.select(col("j")).distinct().withColumn("x", lit(1.0))
+        MatrixVector.runNaive(m, x0, iterations = 3, normalize = true)
+          .select(col("j"), round(col("x"), 6).as("x"))
       },
       Some(matvecSql(3))),
 

@@ -74,6 +74,37 @@ class AlgorithmsSpec extends SparkSpec {
       assert(math.sqrt(d2(g, w)) < 1e-9, s"${g.toList} vs ${w.toList}")
   }
 
+  test("distributed naive KMeans (A11) matches the engine exactly") {
+    val pts = Seq(
+      (0L, Array(0.0, 0.0)), (1L, Array(0.1, 0.2)), (2L, Array(0.2, 0.1)),
+      (3L, Array(5.0, 5.0)), (4L, Array(5.1, 4.9)), (5L, Array(4.9, 5.2)),
+      (6L, Array(0.1, 5.0)), (7L, Array(0.0, 5.1))).toDF("id", "vec")
+    val model = KMeans.run(pts, k = 3, metric = "euclidean", maxIterations = 5)
+    val naive = KMeans.runNaive(pts, k = 3, iterations = 5)
+      .select("cid", "cvec", "n").as[(Int, Array[Double], Long)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(naive.keySet == model.centers.map(_._1).toSet)
+    for ((cid, v) <- model.centers) {
+      val (nv, n) = naive(cid)
+      assert(v.zip(nv).map { case (a, b) => math.abs(a - b) }.max < 1e-9)
+      assert(n == model.sizes(cid))
+    }
+  }
+
+  test("distributed naive matvec (A11) matches the engine exactly") {
+    val cells = Seq(
+      (0L, 0L, 2.0), (0L, 1L, 1.0), (1L, 1L, 3.0), (1L, 2L, -1.0),
+      (2L, 0L, 0.5), (2L, 2L, 4.0), (3L, 1L, 2.5))
+    val m = cells.toDF("i", "j", "v")
+    val x0 = Seq((0L, 1.0), (1L, 1.0), (2L, 1.0)).toDF("j", "x")
+    val engine = MatrixVector.run(m, x0, maxIterations = 3, normalize = true)
+      .dynamic.as[(Long, Double)].collect().toMap
+    val naive = MatrixVector.runNaive(m, x0, iterations = 3, normalize = true)
+      .as[(Long, Double)].collect().toMap
+    assert(naive.keySet == engine.keySet)
+    for ((j, v) <- engine) assert(math.abs(naive(j) - v) < 1e-12)
+  }
+
   test("KMeans cosine metric separates by direction") {
     val pts = Seq(
       (0L, Array(1.0, 0.01)), (1L, Array(2.0, 0.0)), (2L, Array(9.0, 0.1)),
