@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.Row
 
-import graft.algorithms.{IncrementalPageRank, KMeans, MatrixVector, PageRank}
+import graft.algorithms.{IncrementalMatVec, IncrementalPageRank, KMeans, MatrixVector, PageRank}
 
 /** The reference's iterative/incremental algorithm surface (A1-A5) as
   * driver-checkable queries. The DuckDB oracles are the SAME algorithms
@@ -132,6 +132,52 @@ object IterativeQueries {
        SELECT node, round(rank, 6) AS rank FROM p$incrIters"""
   }
 
+  /** Incremental Jacobi matvec oracle (x ← b + M·x): `baseIters` full
+    * iterations, then `incrIters` frontier-propagated rounds over a
+    * column delta — the [[graft.algorithms.IncrementalMatVec]] semantics
+    * unrolled, same shape as [[incrPagerankSql]] (θ=0). */
+  private def incrMatvecSql(baseIters: Int, incrIters: Int): String = {
+    val base = (1 to baseIters).map { k =>
+      s"""x$k AS (SELECT n.idx, 0.2 + coalesce(c.s, 0.0) AS x
+         FROM nodes n LEFT JOIN (
+           SELECT m.i AS idx, sum(m.v * x.x) AS s
+           FROM m JOIN x${k - 1} x ON m.j = x.idx GROUP BY 1) c
+         ON n.idx = c.idx)"""
+    }.mkString(",\n")
+    val incr = (1 to incrIters).map { k =>
+      val prev = if (k == 1) s"x$baseIters" else s"p${k - 1}"
+      val affected =
+        if (k == 1)
+          """a1 AS (SELECT DISTINCT i AS idx FROM m2 JOIN chg USING (j)
+             UNION SELECT DISTINCT i AS idx FROM m JOIN chg USING (j))"""
+        else
+          s"""a$k AS (SELECT DISTINCT e.i AS idx
+             FROM m2 e JOIN a${k - 1} f ON e.j = f.idx)"""
+      s"""$affected,
+         s$k AS (SELECT a.idx, 0.2 + coalesce(c.s, 0.0) AS x
+           FROM a$k a LEFT JOIN (
+             SELECT m2.i AS idx, sum(m2.v * p.x) AS s
+             FROM m2 JOIN $prev p ON m2.j = p.idx GROUP BY 1) c
+           ON a.idx = c.idx),
+         p$k AS (SELECT r.idx, r.x FROM $prev r
+           WHERE r.idx NOT IN (SELECT idx FROM a$k)
+           UNION ALL SELECT idx, x FROM s$k)"""
+    }.mkString(",\n")
+    s"""WITH m0 AS (SELECT event_id % 40 AS i, user_id % 40 AS j,
+         max(value) AS w FROM events GROUP BY 1, 2),
+       rs AS (SELECT i, sum(abs(w)) AS rs FROM m0 GROUP BY 1),
+       m AS (SELECT m0.i, m0.j, m0.w / rs.rs * 0.8 AS v
+         FROM m0 JOIN rs ON m0.i = rs.i),
+       nodes AS (SELECT i AS idx FROM m UNION SELECT j FROM m),
+       x0 AS (SELECT idx, CAST(0.2 AS DOUBLE) AS x FROM nodes),
+       $base,
+       chg AS (SELECT DISTINCT j FROM m WHERE j % 10 = 3),
+       m2 AS (SELECT i, j, CASE WHEN j % 10 = 3 THEN v * 0.5 ELSE v END AS v
+         FROM m),
+       $incr
+       SELECT idx, round(x, 6) AS x FROM p$incrIters"""
+  }
+
   // ---- queries ----------------------------------------------------------
 
   val all: Seq[Q] = Seq(
@@ -196,6 +242,29 @@ object IterativeQueries {
           .select(col("j"), round(col("x"), 6).as("x"))
       },
       Some(matvecSql(3))),
+
+    // Second IncrementalJob instantiation (A7/F28-F31 generality):
+    // damped row-normalized Jacobi iteration over the events matrix,
+    // base-preserve-delta-continue with a column delta.
+    Q("q_incr_matvec",
+      (s, dir) => {
+        val w = Q.events(s, dir)
+          .groupBy((col("event_id") % 40).as("i"), (col("user_id") % 40).as("j"))
+          .agg(max("value").as("w"))
+        val rs = w.groupBy("i").agg(sum(abs(col("w"))).as("rs"))
+        val m1 = w.join(rs, "i")
+          .select(col("i"), col("j"), (col("w") / col("rs") * 0.8).as("v"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val b = IncrementalMatVec.universe(m1, 0.2)
+        val preserved = IncrementalMatVec.preserve(m1, b, iterations = 4)
+        val chg = m1.filter(col("j") % 10 === 3).select("j").distinct()
+        val m2 = m1.withColumn("v",
+          when(col("j") % 10 === 3, col("v") * 0.5).otherwise(col("v")))
+        IncrementalMatVec.incremental(m2, b, preserved, chg,
+          iterations = 3, filterThreshold = 0.0)
+          .select(col("idx"), round(col("x"), 6).as("x"))
+      },
+      Some(incrMatvecSql(4, 3))),
 
     Q("q_incr_pagerank",
       (s, dir) => {

@@ -40,6 +40,28 @@ object Generators {
           sin(col("id") * 37 + d * 101) // in-cluster jitter
       ).as("vec"))
 
+  /** Points delta à la `genkmupdate` (A7, reference
+    * `UpdateKmeansData.java:32-284`: rewrites a deterministic subset of
+    * points in place): every point with `id % everyNth == 0` moves to a
+    * deterministically shifted position. Returns (updatedPoints,
+    * changedIds, deltaTriples) with the same (key, value, change) triple
+    * encoding as [[graphDelta]]. */
+  def pointsDelta(points: DataFrame, everyNth: Int)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val changed = points.filter(pmod(col("id"), lit(everyNth.toLong)) === 0)
+      .select("id").distinct()
+    val moved = points.join(changed, "id")
+      .select(col("id"),
+        transform(col("vec"), (x, d) => x + sin(col("id") * 13 + d * 7) * 5.0)
+          .as("vec"))
+    val removed = points.join(changed, "id")
+      .select(col("id"), col("vec"), lit("-").as("change"))
+    val added = moved.select(col("id"), col("vec"), lit("+").as("change"))
+    val updated = points.join(changed, Seq("id"), "left_anti")
+      .unionByName(moved)
+    (updated, changed, removed.unionByName(added))
+  }
+
   /** Graph delta à la `genprupdate`: flips the out-edges of every source
     * with `src % everyNth == 0`. Returns (updatedEdges, changedSources,
     * deltaTriples) where deltaTriples carries the reference's

@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.algorithms.{IncrementalPageRank, PageRank}
+import graft.algorithms.{IncrementalMatVec, IncrementalPageRank, PageRank}
+import graft.util.Generators
 
 /** Incremental-vs-full differential tests — the reference's own oracle
   * strategy (`compseqfile`/`compagerank`, SURVEY §5): after a graph
@@ -71,6 +72,51 @@ class IncrementalSpec extends SparkSpec {
     val maxDiff = diffs.max
     assert(maxDiff < theta * 50, s"max divergence $maxDiff vs theta $theta")
     assert(diffs.sum / diffs.size < theta * 10)
+  }
+
+  test("incremental matvec (2nd IncrementalJob instantiation) converges to full") {
+    // Random sparse M scaled to row-sum norm 0.4 → Jacobi converges
+    // geometrically (0.4^25 ≈ 1e-10); b = 0.2 over the index universe.
+    val rnd = new scala.util.Random(5)
+    val cells = (1 to 300).map(_ =>
+      (rnd.nextInt(50).toLong, rnd.nextInt(50).toLong, rnd.nextDouble()))
+      .distinct.groupBy(c => (c._1, c._2)).map(_._2.head).toSeq
+    val rowSum = cells.groupBy(_._1).view.mapValues(_.map(c => math.abs(c._3)).sum)
+    val m1 = cells.map { case (i, j, v) => (i, j, v / rowSum(i) * 0.4) }
+      .toDF("i", "j", "v")
+    val b = IncrementalMatVec.universe(m1, 0.2)
+    val preserved = IncrementalMatVec.preserve(m1, b, iterations = 25)
+
+    // delta: halve every cell in columns j % 9 == 0
+    val chg = m1.filter(col("j") % 9 === 0).select("j").distinct()
+    val m2 = m1.withColumn("v",
+      when(col("j") % 9 === 0, col("v") * 0.5).otherwise(col("v")))
+
+    val incr = IncrementalMatVec.incremental(m2, b, preserved, chg,
+      iterations = 25, filterThreshold = 0.0)
+      .as[(Long, Double)].collect().toMap
+    val full = IncrementalMatVec.run(m2, b, iterations = 50)
+      .dynamic.as[(Long, Double)].collect().toMap
+
+    assert(incr.keySet == full.keySet)
+    for ((idx, x) <- full)
+      assert(math.abs(incr(idx) - x) < 1e-8, s"idx $idx incr=${incr(idx)} full=$x")
+  }
+
+  test("points delta moves exactly the selected ids") {
+    val pts = Generators.points(spark, n = 60, dim = 3, k = 4)
+    val (updated, changed, triples) = Generators.pointsDelta(pts, everyNth = 5)
+    assert(changed.count() == 12)
+    assert(updated.count() == 60)
+    assert(triples.filter(col("change") === "+").count() == 12)
+    assert(triples.filter(col("change") === "-").count() == 12)
+    // unchanged ids keep their vectors; changed ids moved
+    val before = pts.as[(Long, Array[Double])].collect().toMap
+    val after = updated.as[(Long, Array[Double])].collect().toMap
+    for ((id, v) <- after) {
+      if (id % 5 == 0) assert(!v.sameElements(before(id)))
+      else assert(v.sameElements(before(id)))
+    }
   }
 
   test("preserved state round-trips through parquet") {
