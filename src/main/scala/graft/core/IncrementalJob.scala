@@ -85,7 +85,10 @@ final class IncrementalJob(
     distance: (Column, Column) => Column,
     filterThreshold: Double = 0.0,
     maxIterations: Int = 10,
-    numPartitions: Int = 32) {
+    numPartitions: Int = 32,
+    stateBuckets: Int = 32,
+    broadcastMaxRows: Long = 4L * 1000 * 1000,
+    compactionInterval: Int = 4) {
 
   /** Returns (finalOut, updatedKvs, iterationsRun). Stops early when the
     * frontier empties (all change absorbed — the reference's
@@ -115,18 +118,59 @@ final class IncrementalJob(
       System.err.println(f"[incr] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
     }
 
+  /** Materialize `df` as a lineage-truncated leaf whose statistics are
+    * the REAL cached byte size, and return (leaf, rowCount).
+    *
+    * Plain `localCheckpoint` bakes `originStats` from the *optimized
+    * plan's* estimate; in a loop whose frames feed each other (frontier ←
+    * affected ← kvs/out ← frontier …) those estimated `sizeInBytes`
+    * products compound geometrically across iterations until the BigInt
+    * arithmetic inside Catalyst's stats visitor dominates the wall clock
+    * (digit count doubles per round). Routing the frame through the
+    * cache first makes the checkpoint see an `InMemoryRelation` whose
+    * stats are the actual materialized size — constant-sized numbers,
+    * forever. */
+  private def materialize(df: DataFrame): (DataFrame, Long) = {
+    val cached = df.persist(StorageLevel.MEMORY_AND_DISK)
+    val rows = cached.count() // fills the cache → real stats
+    val leaf = cached.localCheckpoint(eager = true)
+    cached.unpersist(blocking = false)
+    (leaf, rows)
+  }
+
   private def runLoop(n: Int): (DataFrame, DataFrame, Int) = {
     val static = updatedStatic.repartition(n, col(skCol))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    val B = stateBuckets
+    def bucketOf(c: Column): Column = pmod(xxhash64(c), lit(B.toLong)).cast("int")
 
-    var kvs = timed("init kvs ckpt")(
-      preserved.kvs.repartition(n, col(k2Col)).localCheckpoint(true))
-    var out = timed("init out ckpt")(
-      preserved.out.repartition(n, col(k2Col)).localCheckpoint(true))
-    var frontier = initialFrontier.select(col(skCol)).distinct()
-      .localCheckpoint(true)
+    // ---- segmented, bucketed state store --------------------------------
+    // The preserved state (keyed by the OUTPUT key k2) lives as a list of
+    // disjoint checkpointed SEGMENTS whose rows carry a key-hash bucket id
+    // `_b` — an LSM-flavored columnar analog of the reference's indexed
+    // preserve file (`IFile.java:478-800`, point updates without a full
+    // rewrite). Per iteration, only rows in buckets containing affected
+    // keys are copied into one new "dirty" segment (one optimized plan,
+    // one job); untouched rows stay behind as lazy filter views over the
+    // older segment leaves — never read, never copied. Rows the MRBGraph
+    // merge must DELETE (old contributions of frontier sources) have
+    // affected k2 by construction, so touching only affected buckets is
+    // complete. Segments are compacted back into one frame every
+    // `compactionInterval` iterations so view predicates and partition
+    // counts stay bounded.
+    def initStore(df: DataFrame, label: String): List[DataFrame] = timed(label)(
+      List(materialize(df.repartition(n, col(k2Col))
+        .withColumn("_b", bucketOf(col(k2Col))))._1))
+    def unionSegs(segs: List[DataFrame]): DataFrame = segs.reduce(_ unionByName _)
+    def scanAll(segs: List[DataFrame]): DataFrame = unionSegs(segs).drop("_b")
+
+    var kvsSegs = initStore(preserved.kvs, "init kvs store")
+    var outSegs = initStore(preserved.out, "init out store")
+    var sinceCompact = 0
+
+    var (frontier, frontierSize) =
+      materialize(initialFrontier.select(col(skCol)).distinct())
     var i = 0
-    var frontierSize = frontier.count()
 
     // NOTE on column references: the loop re-joins frames derived from
     // one another (frontier ← affected ← kvs/out of earlier iterations),
@@ -136,63 +180,97 @@ final class IncrementalJob(
     // sets) and name-based resolution, which survives the rewrite.
     while (i < maxIterations && frontierSize > 0) {
       i += 1
-      // frontier/affected key sets are small relative to the preserved
-      // state (that is the point of incremental recomputation), so they
-      // are broadcast: kvs/static/out are probed in place and never
-      // shuffle inside the loop.
-      val fk = broadcast(frontier.withColumnRenamed(skCol, "_fk"))
+      // frontier/affected key sets are usually small relative to the
+      // preserved state (that is the point of incremental recomputation)
+      // and are then broadcast, so state is probed in place and never
+      // shuffles inside the loop; but a large delta (or θ=0 on a
+      // well-connected graph) can blow the frontier up to most keys, so
+      // the broadcast is guarded by row count with a shuffle-join
+      // fallback instead of an executor OOM.
+      val fkRaw = frontier.withColumnRenamed(skCol, "_fk")
+      val fk = if (frontierSize <= broadcastMaxRows) broadcast(fkRaw) else fkRaw
       val staticF = static.join(fk, col(skCol) === col("_fk")).drop("_fk")
       // dynamic values of the frontier keys (k2-space == sk-space)
-      val dynF = outToDyn(out.join(fk, col(k2Col) === col("_fk")).drop("_fk"))
-      val fresh = mapContribs(staticF, dynF)
-        .persist(StorageLevel.MEMORY_AND_DISK)
+      val dynF = outToDyn(
+        scanAll(outSegs).join(fk, col(k2Col) === col("_fk")).drop("_fk"))
+      // fresh/affected/newOut feed several downstream plans — checkpoint
+      // them to leaves so those plans don't re-embed the whole lineage.
+      val fresh = timed(s"iter $i fresh")(
+        materialize(mapContribs(staticF, dynF)
+          .withColumn("_b", bucketOf(col(k2Col))))._1)
 
       // affected = keys that lose an old contribution or gain a fresh one
-      val affected = kvs.join(fk, col(skCol) === col("_fk"), "left_semi")
-        .select(col(k2Col))
-        .union(fresh.select(col(k2Col)))
-        .distinct()
-        .withColumnRenamed(k2Col, "_aff")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+      val (affected, affectedSize) = timed(s"iter $i affected")(
+        materialize(scanAll(kvsSegs)
+          .join(fk, col(skCol) === col("_fk"), "left_semi")
+          .select(col(k2Col))
+          .union(fresh.select(col(k2Col)))
+          .distinct()
+          .withColumnRenamed(k2Col, "_aff")))
+      if (affectedSize == 0) {
+        // nothing to merge or re-reduce: the change is fully absorbed
+        frontierSize = 0
+      } else {
+        val aff = if (affectedSize <= broadcastMaxRows) broadcast(affected) else affected
+        // bucket ids holding affected keys — at most B values, driver-tiny
+        val touched = affected.select(bucketOf(col("_aff")).as("_b")).distinct()
+          .collect().map(_.getInt(0))
+        val isTouched = col("_b").isin(touched.map(Integer.valueOf).toSeq: _*)
 
-      // MRBGraph merge: replace every frontier source's contributions.
-      // Loop-carried state is eagerly checkpointed — one job, after which
-      // everything upstream (fresh, affected, the old kvs) is released.
-      // no repartition: every probe of kvs below is a broadcast join,
-      // so rows never need to move — the merge is map-side only.
-      kvs = timed(s"iter $i kvs merge")(
-        kvs.join(fk, col(skCol) === col("_fk"), "left_anti")
-          .unionByName(fresh)
-          .localCheckpoint(true))
+        // MRBGraph merge: copy ONLY touched-bucket rows into a new dirty
+        // segment, dropping frontier sources' old contributions and
+        // adding the fresh ones; untouched rows stay as lazy views.
+        val dirtyKvs = timed(s"iter $i kvs merge (${touched.length}/$B buckets)")(
+          materialize(kvsSegs.map(_.filter(isTouched)).reduce(_ unionByName _)
+            .join(fk, col(skCol) === col("_fk"), "left_anti")
+            .unionByName(fresh))._1)
+        kvsSegs = kvsSegs.map(_.filter(!isTouched)) :+ dirtyKvs
 
-      val kvsAffected = kvs.join(broadcast(affected),
-        col(k2Col) === col("_aff"), "left_semi")
-      val newOut = reduce(affected.withColumnRenamed("_aff", k2Col), kvsAffected)
+        // re-reduce only affected groups; affected k2s hash to touched
+        // buckets, so the merged dirty segment holds ALL their rows.
+        val kvsAffected = dirtyKvs
+          .join(aff, col(k2Col) === col("_aff"), "left_semi").drop("_b")
+        val newOut = timed(s"iter $i reduce")(
+          materialize(reduce(affected.withColumnRenamed("_aff", k2Col), kvsAffected)
+            .withColumn("_b", bucketOf(col(k2Col))))._1)
 
-      // F30 change-propagation filter
-      val nextFrontier =
-        if (filterThreshold <= 0.0) affected.withColumnRenamed("_aff", skCol)
-        else {
-          val old = out.select(col(k2Col).as("_ok"), struct(col("*")).as("_old"))
-          val neu = newOut.select(col(k2Col), struct(col("*")).as("_new"))
-          old.join(neu, col("_ok") === col(k2Col))
-            .filter(distance(col("_old"), col("_new")) >= filterThreshold)
-            .select(col(k2Col).as(skCol))
+        // F30 change-propagation filter. θ=0 (exact mode): the next
+        // frontier IS the affected set, already a checkpointed leaf with
+        // a known count — reuse it instead of copying it again.
+        if (filterThreshold <= 0.0) {
+          frontier = affected.withColumnRenamed("_aff", skCol)
+          frontierSize = affectedSize
+        } else {
+          val old = scanAll(outSegs)
+            .select(col(k2Col).as("_ok"), struct(col("*")).as("_old"))
+          val neu = newOut.drop("_b")
+            .select(col(k2Col), struct(col("*")).as("_new"))
+          val (f2, s2) = timed(s"iter $i frontier")(
+            materialize(old.join(neu, col("_ok") === col(k2Col))
+              .filter(distance(col("_old"), col("_new")) >= filterThreshold)
+              .select(col(k2Col).as(skCol))
+              .distinct()))
+          frontier = f2
+          frontierSize = s2
         }
 
-      out = timed(s"iter $i out update")(
-        out.join(broadcast(affected), col(k2Col) === col("_aff"), "left_anti")
-          .unionByName(newOut)
-          .localCheckpoint(true))
+        val dirtyOut = timed(s"iter $i out update (${touched.length}/$B buckets)")(
+          materialize(outSegs.map(_.filter(isTouched)).reduce(_ unionByName _)
+            .join(aff, col(k2Col) === col("_aff"), "left_anti")
+            .unionByName(newOut))._1)
+        outSegs = outSegs.map(_.filter(!isTouched)) :+ dirtyOut
 
-      // frontier feeds four places next iteration — truncate its lineage
-      // too, or the plan tree doubles every round (exponential growth).
-      frontier = timed(s"iter $i frontier")(nextFrontier.distinct().localCheckpoint(true))
-      frontierSize = frontier.count()
-      fresh.unpersist(blocking = false)
-      affected.unpersist(blocking = false)
+        sinceCompact += 1
+        if (sinceCompact >= compactionInterval) {
+          kvsSegs = List(timed(s"iter $i compact kvs")(
+            materialize(unionSegs(kvsSegs).repartition(n, col(k2Col)))._1))
+          outSegs = List(timed(s"iter $i compact out")(
+            materialize(unionSegs(outSegs).repartition(n, col(k2Col)))._1))
+          sinceCompact = 0
+        }
+      }
     }
     static.unpersist(blocking = false)
-    (out, kvs, i)
+    (scanAll(outSegs), scanAll(kvsSegs), i)
   }
 }

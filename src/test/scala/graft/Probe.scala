@@ -57,6 +57,28 @@ object Probe {
           .filter(col("j") >= 0.2)
         timed("jaccard-confirm")(out.count())
 
+      case "incr-stages" =>
+        import graft.algorithms.IncrementalPageRank
+        val d2 = a.drop(1).headOption.getOrElse("/root/testdata/sf0.001")
+        val ncust = spark.read.parquet(s"$d2/customer.parquet").count()
+        val edges1 = spark.read.parquet(s"$d2/orders.parquet")
+          .select(col("o_custkey").as("src"),
+            (lit(1L) + (col("o_custkey") * 7 + col("o_orderkey") * 3) % lit(ncust)).as("dst"))
+          .distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val preserved = timed("preserve(base run)")(
+          { val p = IncrementalPageRank.preserve(edges1, 0.8, iterations = 4)
+            p.out.count(); p })
+        val chg = edges1.filter(col("src") % 10 === 3).select("src").distinct()
+        val added = chg.select(col("src"),
+          (lit(1L) + (col("src") * 11 + 5) % lit(ncust)).as("dst"))
+        val edges2 = edges1.filter(col("src") % 10 =!= 3).unionByName(added)
+        val res = timed("incremental(3 rounds)")(
+          IncrementalPageRank.incremental(edges2, preserved, chg, 0.8,
+            iterations = 3, filterThreshold = 0.0))
+        timed("result count")(res.count())
+        timed("result count again")(res.count())
+
       case other => println(s"unknown probe mode: $other")
     }
     spark.stop()
