@@ -95,15 +95,51 @@ object Similarity {
       .select("qid", "nid", "cosine", "rk")
   }
 
-  /** Embedding-cosine near-dup pairs within a blocking column: pairs in
-    * the same block with cosine ≥ threshold. */
-  def embeddingNearDups(vectors: DataFrame, blockCol: String, threshold: Double): DataFrame = {
+  /** Embedding-cosine near-dup pairs within a blocking column.
+    *
+    * Blocks of at most `maxBlock` vectors are compared all-pairs
+    * (exact). Larger blocks — the quadratic corner at corpus scale,
+    * e.g. one dominant language/label — are sub-bucketed with
+    * axis-aligned sign-LSH: table t hashes the signs of `planes`
+    * consecutive components, and only same-(block, table, signature)
+    * pairs are scored. Sign tests on stored doubles are exact integer
+    * comparisons, so the oracle reproduces the bucketing bit-for-bit
+    * (unlike trig-based hyperplanes). Candidates from either path are
+    * confirmed with exact cosine ≥ threshold. */
+  def embeddingNearDups(vectors: DataFrame, blockCol: String, threshold: Double,
+      maxBlock: Int = 48, planes: Int = 4, tables: Int = 8): DataFrame = {
     graft.functions.GraftFunctions.register(vectors.sparkSession)
-    val a = vectors.select(col(blockCol).as("blk"), col("id").as("a"),
-      col("vec").cast("array<double>").as("va"))
-    val b = vectors.select(col(blockCol).as("blk"), col("id").as("b"),
-      col("vec").cast("array<double>").as("vb"))
-    a.join(b, "blk").filter(col("a") < col("b"))
+    val v = vectors.select(col(blockCol).as("blk"), col("id").as("id"),
+      col("vec").cast("array<double>").as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val big = v.groupBy("blk").agg(count(lit(1)).as("n"))
+      .filter(col("n") > maxBlock).select("blk")
+
+    // exact all-pairs inside small blocks
+    val small = v.join(broadcast(big), Seq("blk"), "left_anti")
+    val exactPairs = small.select(col("blk"), col("id").as("a"))
+      .join(small.select(col("blk"), col("id").as("b")), "blk")
+      .filter(col("a") < col("b")).select("a", "b")
+
+    // sign-LSH sub-buckets inside big blocks: table t = sign bits of
+    // components [t·planes, (t+1)·planes)
+    def sig(t: Int) = (0 until planes).map { p =>
+      when(col("v")(t * planes + p) >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val bigV = v.join(broadcast(big), Seq("blk"))
+      .select(col("blk"), col("id"),
+        explode(array((0 until tables).map(t =>
+          struct(lit(t).as("t"), sig(t).as("sig"))): _*)).as("ts"))
+      .select(col("blk"), col("id"), col("ts.t"), col("ts.sig"))
+    val lshPairs = bigV.select(col("blk"), col("t"), col("sig"), col("id").as("a"))
+      .join(bigV.select(col("blk"), col("t"), col("sig"), col("id").as("b")),
+        Seq("blk", "t", "sig"))
+      .filter(col("a") < col("b")).select("a", "b").distinct()
+
+    val cands = exactPairs.unionByName(lshPairs)
+    cands
+      .join(v.select(col("id").as("a"), col("v").as("va")), "a")
+      .join(v.select(col("id").as("b"), col("v").as("vb")), "b")
       .select(col("a"), col("b"),
         (dot(col("va"), col("vb")) / (norm(col("va")) * norm(col("vb")))).as("cosine"))
       .filter(col("cosine") >= threshold)

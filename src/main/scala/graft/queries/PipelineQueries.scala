@@ -242,20 +242,37 @@ object PipelineQueries {
                 (PARTITION BY qid ORDER BY cosine DESC, nid) AS rk FROM scored)
               WHERE rk <= 5""")),
 
-    // Embedding-cosine near-dup pairs within label blocks.
+    // Embedding-cosine near-dup pairs within label blocks. Blocks over
+    // 48 vectors go through axis-sign LSH sub-buckets (the 100 TB path;
+    // sign tests are integer-exact on both engines) — mirrored here.
     Q("q_embed_neardup",
       (s, dir) => Similarity.embeddingNearDups(
         Q.t(s, dir, "embeddings")
           .select(col("vec_id").as("id"), col("embedding").as("vec"), col("label")),
-        "label", threshold = 0.2)
+        "label", threshold = 0.2, maxBlock = 48, planes = 4, tables = 8)
         .select(col("a"), col("b"), round(col("cosine"), 6).as("cosine")),
-      Some(s"""WITH $vecCte
+      Some(s"""WITH $vecCte,
+              big AS (SELECT label FROM v GROUP BY label HAVING count(*) > 48),
+              small_pairs AS (SELECT x.id AS a, y.id AS b
+                FROM v x JOIN v y ON x.label = y.label AND x.id < y.id
+                WHERE x.label NOT IN (SELECT label FROM big)),
+              sig AS (SELECT id, label, t,
+                list_sum([CASE WHEN vec[t * 4 + p + 1] >= 0
+                  THEN (1::BIGINT << p) ELSE 0::BIGINT END
+                  for p in generate_series(0, 3)]) AS sig
+                FROM v, generate_series(0, 7) g(t)
+                WHERE label IN (SELECT label FROM big)),
+              lsh_pairs AS (SELECT DISTINCT x.id AS a, y.id AS b
+                FROM sig x JOIN sig y ON x.label = y.label AND x.t = y.t
+                  AND x.sig = y.sig AND x.id < y.id),
+              cands AS (SELECT a, b FROM small_pairs
+                UNION ALL SELECT a, b FROM lsh_pairs)
               SELECT a, b, round(cosine, 6) AS cosine FROM (
-                SELECT x.id AS a, y.id AS b,
+                SELECT c.a, c.b,
                   ${dotSql("x.vec", "y.vec")} /
                     (sqrt(${dotSql("x.vec", "x.vec")}) *
                      sqrt(${dotSql("y.vec", "y.vec")})) AS cosine
-                FROM v x JOIN v y ON x.label = y.label AND x.id < y.id)
+                FROM cands c JOIN v x ON c.a = x.id JOIN v y ON c.b = y.id)
               WHERE cosine >= 0.2""")),
 
     // Multimodal packing: binary payload + typed metadata (decode is a

@@ -122,6 +122,24 @@ class OperatorsSpec extends SparkSpec {
     assert(recall >= 0.4, s"recall $recall too low")
   }
 
+  test("embedding near-dups: small blocks exact, big blocks a sound LSH subset") {
+    val exact = Similarity.embeddingNearDups(embs, "label", threshold = 0.2,
+      maxBlock = Int.MaxValue).as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val mixed = Similarity.embeddingNearDups(embs, "label", threshold = 0.2,
+      maxBlock = 48).as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    // every emitted pair is a true pair with the exact cosine
+    assert(mixed.nonEmpty)
+    for ((k, c) <- mixed) assert(exact.contains(k) && math.abs(exact(k) - c) < 1e-12)
+    // and strongly-similar pairs survive the sub-bucketing (sign-LSH
+    // keeps high-cosine pairs with high probability across 8 tables)
+    val strong = exact.filter(_._2 >= 0.9).keySet
+    val kept = strong.count(mixed.contains)
+    assert(strong.isEmpty || kept.toDouble / strong.size >= 0.5,
+      s"kept $kept of ${strong.size} strong pairs")
+  }
+
   test("secondary sort emits values in order-column order") {
     val df = Seq((1L, 3, "c"), (1L, 1, "a"), (1L, 2, "b"), (2L, 9, "z"))
       .toDF("k", "o", "v")
