@@ -43,6 +43,23 @@ object Sources {
       col("key").cast(keyType).as("key"),
       col("value").cast(valueType).as("value"))
 
+  /** Last.fm-style play-count triples (A3, reference
+    * `IterKmeans_Lastfm.java:182-201`): `userid<sep>artistid<sep>
+    * artistname<sep>plays` text lines → (user, artist, plays); lines
+    * with missing fields or unparsable numbers are dropped, like the
+    * reference's parse-and-skip loop. */
+  def lastfmPlays(spark: SparkSession, path: String, sep: String = "\t"): DataFrame = {
+    val parts = split(col("value"), java.util.regex.Pattern.quote(sep))
+    spark.read.text(path)
+      .select(parts.as("p"))
+      .filter(size(col("p")) >= 4)
+      .select(col("p")(0).cast("long").as("user"),
+        col("p")(1).cast("long").as("artist"),
+        col("p")(3).cast("double").as("plays"))
+      .filter(col("user").isNotNull && col("artist").isNotNull &&
+        col("plays").isNotNull)
+  }
+
   /** JDBC scan (F7). Pass-through to Spark's JDBC source, which pushes
     * filters and supports `partitionColumn` ranged parallel reads. */
   def jdbc(spark: SparkSession, url: String, table: String,

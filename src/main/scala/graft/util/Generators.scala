@@ -1,6 +1,6 @@
 package graft.util
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Deterministic fixture generators mirroring the reference's data
@@ -39,6 +39,63 @@ object Generators {
         (pmod(col("id"), lit(k.toLong)) * 10).cast("double") +
           sin(col("id") * 37 + d * 101) // in-cluster jitter
       ).as("vec"))
+
+  /** Deterministic standard-normal-ish value from a long id and salt:
+    * the mean of four uniform hashes (Irwin–Hall), rescaled. Good
+    * enough for degree-distribution realism; fully reproducible. */
+  private def zApprox(id: Column, salt: Int): Column = {
+    val us = (1 to 4).map { k =>
+      (pmod(xxhash64(id * lit(salt + k) + lit(k * 7919)), lit(1000000007L))
+        .cast("double") / 1000000007.0)
+    }
+    (us.reduce(_ + _) - 2.0) * math.sqrt(3.0)
+  }
+
+  /** Typed graph generator mirroring the reference's `gengraph` family
+    * (A12, `genGraphReduce.java:81-336`): per-node out-degree is
+    * ceil(lognormal(μ, σ)) with the reference's per-type constants —
+    *  - "pg" (PageRank): μ=-1, σ=2.3 — heavy-tailed, many degree-1
+    *    nodes, rare huge hubs; columns (src, dst).
+    *  - "sp" (shortest path): degree μ=1.5, σ=1.0, plus a lognormal
+    *    edge weight (μ=0.4, σ=1.2); columns (src, dst, weight).
+    *  - "nmf" (matrix factorization): bipartite — dst ids live in
+    *    their own `m`-sized space, lognormal degree μ=1, σ=1; columns
+    *    (src, dst, weight≈rating).
+    * Degrees are capped at n/2 like the reference's resample loop. The
+    * randomness is hash-derived, so the same (kind, n) is always the
+    * same graph (what differential tests need). */
+  def graphTyped(spark: SparkSession, n: Long, kind: String = "pg",
+      m: Long = 0L): DataFrame = {
+    val (mu, sigma) = kind match {
+      case "pg"  => (-1.0, 2.3)
+      case "sp"  => (1.5, 1.0)
+      case "nmf" => (1.0, 1.0)
+      case other => throw new IllegalArgumentException(
+        s"unknown graph kind '$other' (pg|sp|nmf)")
+    }
+    val dstSpace = if (kind == "nmf") (if (m > 0) m else n) else n
+    val nodes = spark.range(n).select(col("id").as("src"))
+    val withDeg = nodes.withColumn("deg",
+      least(ceil(exp(lit(mu) + lit(sigma) * zApprox(col("src"), 13))),
+        lit(n / 2)).cast("int"))
+      .filter(col("deg") >= 1)
+    val raw = withDeg
+      .select(col("src"), explode(sequence(lit(1), col("deg"))).as("k"))
+      .select(col("src"),
+        pmod(xxhash64(col("src") * 131 + col("k") * 1009 + 17), lit(dstSpace)).as("dst"))
+    // self-loops are meaningless except in the bipartite kind, where
+    // src and dst are different id spaces
+    val edges = (if (kind == "nmf") raw else raw.filter(col("src") =!= col("dst")))
+      .distinct()
+    kind match {
+      case "pg" => edges
+      case _ =>
+        edges.withColumn("weight",
+          exp(lit(if (kind == "sp") 0.4 else 0.0) +
+            lit(if (kind == "sp") 1.2 else 1.0) *
+              zApprox(col("src") * 100003 + col("dst"), 29)))
+    }
+  }
 
   /** Points delta à la `genkmupdate` (A7, reference
     * `UpdateKmeansData.java:32-284`: rewrites a deterministic subset of
