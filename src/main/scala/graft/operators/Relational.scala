@@ -48,6 +48,40 @@ object Relational {
         .as("values"), count(lit(1)).as("cnt"))
   }
 
+  /** TeraSort-style total-order sort (F14/F16, reference
+    * `examples/terasort/TeraSort.java`): `orderBy` plans a
+    * range-partitioning exchange whose boundary sampling is exactly the
+    * reference's `TeraInputFormat.writePartitionFile` sampler; every
+    * partition then holds a disjoint key range in partition order. */
+  def totalOrderSort(df: DataFrame, keyCol: String): DataFrame =
+    df.orderBy(col(keyCol))
+
+  /** TeraValidate (`examples/terasort/TeraValidate.java`): verify the
+    * sorted output — within-partition order plus cross-partition
+    * boundary order. Returns true iff globally sorted. Per-partition
+    * summaries are O(partitions) at the driver, never the data. */
+  def teraValidate(sorted: DataFrame, keyCol: String): Boolean = {
+    val idx = sorted.columns.indexOf(keyCol)
+    val summaries = sorted.rdd.mapPartitionsWithIndex { (pid, rows) =>
+      var first: String = null
+      var last: String = null
+      var ok = true
+      rows.foreach { r =>
+        val k = r.get(idx).toString
+        if (first == null) first = k
+        else if (k < last) ok = false
+        last = k
+      }
+      if (first == null) Iterator.empty
+      else Iterator((pid, first, last, ok))
+    }.collect().sortBy(_._1)
+    summaries.forall(_._4) &&
+      summaries.sliding(2).forall {
+        case Array((_, _, lastA, _), (_, firstB, _, _)) => lastA <= firstB
+        case _                                          => true
+      }
+  }
+
   /** Gap-based sessionization: a new session starts when the time since
     * the previous event of the same key exceeds `gap` (units of the ts
     * column — here epoch-nanos). Pure window functions, one shuffle on
