@@ -101,8 +101,14 @@ object GraftFunctions {
   def min_seeded_hash(codes: Column, seed: Column): Column =
     call_function("graft_minhash", codes, seed.cast("long"))
 
-  /** 32-bit SimHash digest from precomputed codes. */
+  /** 32-bit SimHash digest from precomputed codes (seed 1). */
   def simhash32(codes: Column): Column = call_function("graft_simhash32", codes)
+
+  /** Seeded 32-bit SimHash digest; independent seeds yield independent
+    * digests (the 64-bit pairing digest is seeds 1 and 2 concatenated). */
+  def simhash32Seeded(codes: Column, seed: Long): Column =
+    call_function("graft_simhash32", codes,
+      org.apache.spark.sql.functions.lit(seed))
 
   /** Rolling polynomial fold over codes (fingerprints: mult = 131). */
   def poly_fold(codes: Column, mult: Long): Column =
@@ -114,9 +120,13 @@ object GraftFunctions {
     call_function("graft_shingles", toks,
       org.apache.spark.sql.functions.lit(w))
 
-  /** Register graft's native functions on the session (idempotent). */
+  /** Register graft's native functions on the session (idempotent — a
+    * session that already has them is left untouched, so per-query
+    * registration calls don't spam "replaced function" log warnings). */
   def register(spark: SparkSession): Unit = {
     val r = spark.sessionState.functionRegistry
+    if (r.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("graft_shingles")))
+      return
     r.createOrReplaceTempFunction(
       "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
     r.createOrReplaceTempFunction(
@@ -124,7 +134,8 @@ object GraftFunctions {
     r.createOrReplaceTempFunction(
       "graft_minhash", exprs => MinSeededHash(exprs(0), exprs(1)), "built-in")
     r.createOrReplaceTempFunction(
-      "graft_simhash32", exprs => SimHash32(exprs(0)), "built-in")
+      "graft_simhash32", exprs => SimHash32(exprs(0),
+        if (exprs.length > 1) foldableLong(exprs(1)) else 1L), "built-in")
     r.createOrReplaceTempFunction(
       "graft_poly_fold", exprs => PolyFold(exprs(0), foldableLong(exprs(1))),
       "built-in")

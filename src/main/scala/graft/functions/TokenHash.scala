@@ -63,11 +63,13 @@ object TokenHashOps {
     m
   }
 
-  /** 32-bit SimHash over token codes with g = seededHash(·, 1):
-    * bit b set iff Σ_tokens(±1 per bit b of g(code)) > 0. */
-  def simhash32(codes: ArrayData): Long = {
-    val a = seedA(1)
-    val b = seedB(1)
+  /** 32-bit SimHash over token codes with g = seededHash(·, seed):
+    * bit b set iff Σ_tokens(±1 per bit b of g(code)) > 0. Independent
+    * seeds give independent 32-bit digests; two of them concatenate into
+    * the 64-bit digest the pairing operator bands on. */
+  def simhash32(codes: ArrayData, seed: Long = 1L): Long = {
+    val a = seedA(seed)
+    val b = seedB(seed)
     val sums = new Array[Int](32)
     var i = 0
     val n = codes.numElements()
@@ -179,18 +181,21 @@ case class MinSeededHash(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
-/** array<long> codes → 32-bit SimHash digest (empty codes → 0, matching
-  * the HOF bit-vote over an empty array). */
-case class SimHash32(child: Expression) extends UnaryExpression {
+/** array<long> codes → 32-bit SimHash digest under hash-family seed
+  * `seed` (empty codes → 0, matching the HOF bit-vote over an empty
+  * array). `seed` is a plan-time constant; seed 1 is the classic digest,
+  * seeds (1, 2) form the two halves of the pairing operator's 64-bit
+  * digest. */
+case class SimHash32(child: Expression, seed: Long = 1L) extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult =
-    TokenHashOps.requireType(child, ArrayType(LongType), "graft_simhash32", "only")
+    TokenHashOps.requireType(child, ArrayType(LongType), "graft_simhash32", "first")
   override def dataType: DataType = LongType
 
   override def nullSafeEval(a: Any): Any =
-    TokenHashOps.simhash32(a.asInstanceOf[ArrayData])
+    TokenHashOps.simhash32(a.asInstanceOf[ArrayData], seed)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.TokenHashOps.simhash32($c)")
+    defineCodeGen(ctx, ev, c => s"graft.functions.TokenHashOps.simhash32($c, ${seed}L)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

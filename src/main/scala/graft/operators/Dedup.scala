@@ -13,12 +13,27 @@ import graft.functions.TextFunctions._
 object Dedup {
 
   /** Exact dedup: group identical payloads, keep the lowest id as the
-    * representative. One shuffle on a 64-bit digest of the payload (not
-    * the payload itself) — at 100 TB the shuffle carries hashes+ids. */
-  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol).as("id"), col(textCol).as("payload"))
-      .groupBy(xxhash64(col("payload")).as("digest"))
-      .agg(min("id").as("keep_id"), count(lit(1)).as("n"))
+    * representative. One shuffle on a fixed-width content fingerprint —
+    * two independently salted 64-bit digests plus the payload length,
+    * never the payload itself. A single 64-bit digest has material
+    * birthday-collision odds at ~10⁹⁺ docs (silently merging distinct
+    * payloads); 128+ fingerprint bits push that to ~2⁻⁶⁴ per corpus.
+    * `verify = true` instead groups by the payload itself (the shuffle
+    * then carries one copy of each distinct payload per partition —
+    * map-side partial agg collapses repeats first): the belt-and-
+    * braces mode the differential spec checks the fingerprint path
+    * against. */
+  def exact(df: DataFrame, idCol: String, textCol: String,
+      verify: Boolean = false): DataFrame = {
+    val base = df.select(col(idCol).as("id"), col(textCol).as("payload"))
+    val grouped =
+      if (verify) base.groupBy(col("payload"))
+      else base.groupBy(
+        xxhash64(col("payload")).as("digest"),
+        xxhash64(lit("graft-dedup-salt"), col("payload")).as("digest2"),
+        length(col("payload")).as("plen"))
+    grouped.agg(min("id").as("keep_id"), count(lit(1)).as("n"))
+  }
 
   /** Per-document minhash signature rows (doc_id, seed, mh), seeds
     * 0..numHashes-1. Empty docs drop out (no signature). Token codes are
@@ -114,31 +129,77 @@ object Dedup {
       .select(col("doc_id"), simhash32(col("toks")).as("simhash"))
   }
 
-  /** SimHash near-dup pairs: band-of-bytes join + Hamming filter. The
-    * 32-bit digest splits into 4 bytes; by pigeonhole, any pair within
-    * Hamming distance `maxHamming` ≤ 3 shares at least one byte exactly,
-    * so the byte-band equi-join finds ALL such pairs (recall 1) while
-    * only ever joining within byte buckets — never all-pairs. One
-    * shuffle on (band, byte); candidate volume is bounded by bucket
-    * sizes like LSH banding. */
+  /** 64-bit SimHash digests as two independent 32-bit halves
+    * (doc_id, h1, h2) — seeds 1 and 2 of the same hash family, token
+    * codes computed once and shared. Two halves instead of one packed
+    * long keep every value positive BIGINT on both engines (packing
+    * h2 << 32 can overflow signed 64-bit). */
+  def simhashDigests64(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    df.select(col(idCol).as("doc_id"),
+        graft.functions.TextFunctions.tokenCodes(tokens(col(textCol))).as("codes"))
+      .filter(size(col("codes")) > 0)
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.simhash32Seeded(col("codes"), 1L).as("h1"),
+        graft.functions.GraftFunctions.simhash32Seeded(col("codes"), 2L).as("h2"))
+  }
+
+  /** SimHash near-dup pairs: 16-bit-band join over the 64-bit digest +
+    * Hamming filter. The digest splits into 4 bands of 16 bits; by
+    * pigeonhole, any pair within Hamming distance `maxHamming` ≤ 3
+    * shares at least one band exactly, so the band equi-join finds all
+    * such pairs while only joining within 4×65536 buckets — never
+    * all-pairs.
+    *
+    * Candidate volume is still quadratic in the size of a single
+    * bucket, so `maxBucket` applies the same star-link cap as
+    * [[lshCandidatePairs]]: buckets larger than `maxBucket` link every
+    * member to the bucket's minimum doc id (O(m) pairs) instead of
+    * pairing exhaustively. The degenerate case is a corpus of
+    * (near-)identical digests, where the star still connects the whole
+    * cluster for downstream union-find; star pairs that are NOT within
+    * `maxHamming` of the representative are dropped by the Hamming
+    * confirm — the cap trades recall inside pathological buckets for a
+    * hard bound on join volume, and is part of the operator contract. */
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
-    require(maxHamming <= 3, "4 byte-bands only guarantee recall for distance <= 3")
-    val digests = simhashDigests(df, idCol, textCol)
-    val banded = digests.select(col("doc_id"), col("simhash"),
+      maxHamming: Int = 3, maxBucket: Int = 4096): DataFrame = {
+    require(maxHamming <= 3, "4 16-bit bands only guarantee recall for distance <= 3")
+    val digests = simhashDigests64(df, idCol, textCol)
+    val banded = digests.select(col("doc_id"), col("h1"), col("h2"),
       explode(array((0 until 4).map { b =>
+        val half = if (b < 2) col("h1") else col("h2")
         struct(lit(b).as("band"),
-          shiftright(col("simhash"), b * 8).bitwiseAND(lit(255L)).as("bv"))
+          shiftright(half, (b % 2) * 16).bitwiseAND(lit(65535L)).as("bv"))
       }: _*)).as("bb"))
-      .select(col("doc_id"), col("simhash"), col("bb.band"), col("bb.bv"))
-    val x = banded.select(col("band"), col("bv"), col("doc_id").as("a"),
-      col("simhash").as("ha"))
-    val y = banded.select(col("band"), col("bv"), col("doc_id").as("b"),
-      col("simhash").as("hb"))
-    x.join(y, Seq("band", "bv")).filter(col("a") < col("b"))
-      .select("a", "b", "ha", "hb").distinct()
+      .select(col("doc_id"), col("h1"), col("h2"), col("bb.band"), col("bb.bv"))
+    // Oversized buckets: same shape as lshCandidatePairs — found with a
+    // partial-aggregating groupBy, typically near-empty, broadcast.
+    val big = banded.groupBy("band", "bv")
+      .agg(count(lit(1)).as("bsz"), min("doc_id").as("bmin"))
+      .filter(col("bsz") > maxBucket)
+      .select("band", "bv", "bmin")
+    val small = banded.join(broadcast(big.select("band", "bv")),
+      Seq("band", "bv"), "left_anti")
+    val x = small.select(col("band"), col("bv"), col("doc_id").as("a"),
+      col("h1").as("ha1"), col("h2").as("ha2"))
+    val y = small.select(col("band"), col("bv"), col("doc_id").as("b"),
+      col("h1").as("hb1"), col("h2").as("hb2"))
+    val allPairs = x.join(y, Seq("band", "bv")).filter(col("a") < col("b"))
+      .select("a", "b", "ha1", "ha2", "hb1", "hb2")
+    // Star pairs: bmin is the bucket minimum, so (bmin, member) is
+    // already (a < b)-ordered; bmin's digests come from one broadcast
+    // join against the (tiny) big-bucket list.
+    val bigD = big.join(digests.select(col("doc_id").as("bmin"),
+      col("h1").as("hm1"), col("h2").as("hm2")), "bmin")
+    val starPairs = banded.join(broadcast(bigD), Seq("band", "bv"))
+      .filter(col("doc_id") =!= col("bmin"))
+      .select(col("bmin").as("a"), col("doc_id").as("b"),
+        col("hm1").as("ha1"), col("hm2").as("ha2"),
+        col("h1").as("hb1"), col("h2").as("hb2"))
+    allPairs.unionByName(starPairs).distinct()
       .select(col("a"), col("b"),
-        bit_count(col("ha").bitwiseXOR(col("hb"))).as("hamming"))
+        (bit_count(col("ha1").bitwiseXOR(col("hb1"))) +
+          bit_count(col("ha2").bitwiseXOR(col("hb2")))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
 

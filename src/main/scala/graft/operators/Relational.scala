@@ -56,30 +56,116 @@ object Relational {
   def totalOrderSort(df: DataFrame, keyCol: String): DataFrame =
     df.orderBy(col(keyCol))
 
+  /** Key comparison in the column's NATIVE ordering (a string compare
+    * would call "10" < "9" for numeric keys): nulls first like Spark's
+    * default sort order, binary unsigned-lexicographic like
+    * `BinaryType`'s ordering, everything else via its own `Comparable`
+    * (covers the string/numeric/date/timestamp/decimal key types a
+    * sortable column can hold). */
+  private[graft] def keyCompare(a: Any, b: Any): Int = (a, b) match {
+    case (null, null) => 0
+    case (null, _)    => -1
+    case (_, null)    => 1
+    case (x: Array[Byte], y: Array[Byte]) =>
+      val n = math.min(x.length, y.length)
+      var i = 0
+      while (i < n) {
+        val c = java.lang.Integer.compare(x(i) & 0xff, y(i) & 0xff)
+        if (c != 0) return c
+        i += 1
+      }
+      java.lang.Integer.compare(x.length, y.length)
+    case (x: Comparable[_], _) => x.asInstanceOf[Comparable[Any]].compareTo(b)
+    case _ => throw new IllegalArgumentException(
+      s"unsupported sort-key type ${a.getClass.getName}")
+  }
+
   /** TeraValidate (`examples/terasort/TeraValidate.java`): verify the
     * sorted output — within-partition order plus cross-partition
-    * boundary order. Returns true iff globally sorted. Per-partition
-    * summaries are O(partitions) at the driver, never the data. */
+    * boundary order, compared in the key's native ordering. Returns
+    * true iff globally sorted. Per-partition summaries are
+    * O(partitions) at the driver, never the data. */
   def teraValidate(sorted: DataFrame, keyCol: String): Boolean = {
     val idx = sorted.columns.indexOf(keyCol)
     val summaries = sorted.rdd.mapPartitionsWithIndex { (pid, rows) =>
-      var first: String = null
-      var last: String = null
+      var hasAny = false
+      var first: Any = null
+      var last: Any = null
       var ok = true
       rows.foreach { r =>
-        val k = r.get(idx).toString
-        if (first == null) first = k
-        else if (k < last) ok = false
+        val k = r.get(idx)
+        if (!hasAny) { first = k; hasAny = true }
+        else if (keyCompare(k, last) < 0) ok = false
         last = k
       }
-      if (first == null) Iterator.empty
+      if (!hasAny) Iterator.empty
       else Iterator((pid, first, last, ok))
     }.collect().sortBy(_._1)
     summaries.forall(_._4) &&
       summaries.sliding(2).forall {
-        case Array((_, _, lastA, _), (_, firstB, _, _)) => lastA <= firstB
-        case _                                          => true
+        case Array((_, _, lastA, _), (_, firstB, _, _)) =>
+          keyCompare(lastA, firstB) <= 0
+        case _ => true
       }
+  }
+
+  /** One-pass TeraSort audit (sortedness + row count + order-sensitive
+    * checksum), the reference's TeraValidate output shape: per
+    * partition (first, last, ok, rows, fold of `codeCol` in row order),
+    * combined at the driver in partition order — O(partitions) driver
+    * data, a single job over the sorted frame.
+    *
+    * The checksum is fold(acc → acc·mult + code mod P) over the GLOBAL
+    * row order, stitched from per-partition folds with
+    * fold(A ++ B) = fold(A)·mult^|B| + fold(B) (mod P) — so it equals a
+    * single-threaded fold over the fully sorted data and an oracle can
+    * reproduce it with `ORDER BY` + `list_reduce`. Rows must carry a
+    * long `codeCol` in [0, P); ties in the sort key must map to equal
+    * codes for the checksum to be order-stable (e.g. code = hash of the
+    * key itself). */
+  def teraSummary(sorted: DataFrame, keyCol: String, codeCol: String,
+      mult: Long = 131L): (Boolean, Long, Long) = {
+    val P = 1000000007L
+    val kIdx = sorted.columns.indexOf(keyCol)
+    val cIdx = sorted.columns.indexOf(codeCol)
+    val parts = sorted.rdd.mapPartitionsWithIndex { (pid, rows) =>
+      var hasAny = false
+      var first: Any = null
+      var last: Any = null
+      var ok = true
+      var fold = 0L
+      var n = 0L
+      rows.foreach { r =>
+        val k = r.get(kIdx)
+        if (!hasAny) { first = k; hasAny = true }
+        else if (keyCompare(k, last) < 0) ok = false
+        last = k
+        fold = (fold * mult + ((r.getLong(cIdx) % P) + P) % P) % P
+        n += 1
+      }
+      if (!hasAny) Iterator.empty
+      else Iterator((pid, first, last, ok, fold, n))
+    }.collect().sortBy(_._1)
+    def powMod(base: Long, e: Long): Long = {
+      var b = base % P; var r = 1L; var k = e
+      while (k > 0) {
+        if ((k & 1) == 1) r = r * b % P
+        b = b * b % P
+        k >>= 1
+      }
+      r
+    }
+    val sortedOk = parts.forall(_._4) &&
+      parts.sliding(2).forall {
+        case Array((_, _, lastA, _, _, _), (_, firstB, _, _, _, _)) =>
+          keyCompare(lastA, firstB) <= 0
+        case _ => true
+      }
+    val (checksum, rows) = parts.foldLeft((0L, 0L)) {
+      case ((acc, n), (_, _, _, _, fold, pn)) =>
+        ((acc * powMod(mult, pn) + fold) % P, n + pn)
+    }
+    (sortedOk, rows, checksum)
   }
 
   /** Gap-based sessionization: a new session starts when the time since

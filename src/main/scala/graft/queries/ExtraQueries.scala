@@ -119,6 +119,33 @@ object ExtraQueries {
             SELECT m.i AS j, round(sum(m.v * x.x), 6) AS x
             FROM m JOIN x0 x ON m.j = x.j GROUP BY m.i""")),
 
+    // A14 TeraSort: total-order sort on the text key, one-pass validate
+    // + order-sensitive checksum (reference TeraSort.java +
+    // TeraValidate.java). The checksum is a polynomial fold over
+    // char-level codes in GLOBAL sorted order, so it proves the range
+    // partitioner + sort produced exactly the oracle's ORDER BY order —
+    // only O(partitions) summaries ever reach the driver.
+    Q("q_terasort",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Q.t(s, dir, "documents")
+        val keyed = docs.select(col("text"),
+          element_at(graft.functions.GraftFunctions.token_codes(array(col("text"))), 1)
+            .as("code"))
+        val sorted = graft.operators.Relational.totalOrderSort(keyed, "text")
+        val (ok, n, chk) = graft.operators.Relational.teraSummary(sorted, "text", "code")
+        Seq((ok, n, chk)).toDF("validated", "n_rows", "checksum")
+      },
+      Some("""WITH c AS (SELECT text,
+                CASE WHEN length(text) = 0 THEN 0::BIGINT
+                  ELSE list_reduce([ord(ch)::BIGINT for ch in string_split(text, '')],
+                    (a, b) -> (a * 31 + b) % 1000000007) END AS code
+                FROM documents)
+              SELECT true AS validated, count(*) AS n_rows,
+                CAST(list_reduce(list(code ORDER BY text),
+                  (a, b) -> (a * 131 + b) % 1000000007) AS BIGINT) AS checksum
+              FROM c""")),
+
     // Rollup (free from Catalyst; reference has no grouping sets at all).
     Q("q_rollup",
       (s, dir) => Q.t(s, dir, "lineitem")

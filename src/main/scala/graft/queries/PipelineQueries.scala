@@ -50,10 +50,11 @@ object PipelineQueries {
     s"""(((1103515245::BIGINT * (($seed) + 1) + 12345) % 1000000007) * ($code)
        + ((22695477::BIGINT * (($seed) + 1) + 54321) % 1000000007)) % 1000000007"""
 
-  /** Shared oracle select: (doc_id, simhash) digests (requires codes).
-    * DuckDB 1.0's list_sum returns HUGEINT — the outer CAST keeps the
-    * type parity with Spark's BIGINT. */
-  private val simsSelect =
+  /** Shared oracle select: (doc_id, simhash) digests under hash-family
+    * seed `seed` (requires codes). DuckDB 1.0's list_sum returns
+    * HUGEINT — the outer CAST keeps the type parity with Spark's
+    * BIGINT. */
+  private def simsSelect(seed: Int) =
     s"""SELECT doc_id,
        CAST(list_sum([CASE WHEN
          list_sum([CASE WHEN (h & (1::BIGINT << b)) > 0 THEN 1 ELSE -1 END
@@ -61,7 +62,7 @@ object PipelineQueries {
          THEN (1::BIGINT << b) ELSE 0::BIGINT END
          for b in generate_series(0, 31)]) AS BIGINT) AS simhash
        FROM (SELECT doc_id,
-         [${seededHashSql("c", "1")} for c in codes] AS hashes
+         [${seededHashSql("c", seed.toString)} for c in codes] AS hashes
          FROM codes WHERE len(toks) > 0)"""
 
   private def dotSql(a: String, b: String) =
@@ -121,24 +122,34 @@ object PipelineQueries {
     Q("q_simhash",
       (s, dir) => Dedup.simhashDigests(Q.t(s, dir, "documents"), "doc_id", "text"),
       Some(s"""WITH $toksCte, $codesCte
-              SELECT doc_id, simhash FROM ($simsSelect)""")),
+              SELECT doc_id, simhash FROM (${simsSelect(1)})""")),
 
-    // SimHash near-dup pairs: byte-band join + Hamming <= 3 (pigeonhole
-    // over 4 bands => exact recall at that distance).
+    // SimHash near-dup pairs: 16-bit-band join over the 64-bit digest
+    // (two seeded 32-bit halves) + Hamming <= 3 (pigeonhole over 4
+    // bands => exact recall at that distance). The maxBucket star-link
+    // cap is part of the operator contract but inert at gate scale
+    // (no 16-bit band bucket exceeds 4096 docs), so the oracle pairs
+    // exhaustively within buckets.
     Q("q_simhash_pairs",
       (s, dir) => Dedup.simhashNearDups(Q.t(s, dir, "documents"),
         "doc_id", "text", maxHamming = 3),
       Some(s"""WITH $toksCte, $codesCte,
-              sims AS ($simsSelect),
-              bands AS (SELECT doc_id, simhash, b AS band,
-                (simhash >> (b * 8)) & 255 AS bv
+              s1 AS (${simsSelect(1)}),
+              s2 AS (${simsSelect(2)}),
+              sims AS (SELECT s1.doc_id, s1.simhash AS h1, s2.simhash AS h2
+                FROM s1 JOIN s2 USING (doc_id)),
+              bands AS (SELECT doc_id, h1, h2, b AS band,
+                CASE WHEN b < 2 THEN (h1 >> (b * 16)) & 65535
+                  ELSE (h2 >> ((b - 2) * 16)) & 65535 END AS bv
                 FROM sims, generate_series(0, 3) g(b)),
               cands AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
-                x.simhash AS ha, y.simhash AS hb
+                x.h1 AS ha1, x.h2 AS ha2, y.h1 AS hb1, y.h2 AS hb2
                 FROM bands x JOIN bands y
                 ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id)
-              SELECT a, b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
-              FROM cands WHERE bit_count(xor(ha, hb)) <= 3""")),
+              SELECT a, b, CAST(bit_count(xor(ha1, hb1))
+                + bit_count(xor(ha2, hb2)) AS INT) AS hamming
+              FROM cands WHERE bit_count(xor(ha1, hb1))
+                + bit_count(xor(ha2, hb2)) <= 3""")),
 
     // Word-trigram Jaccard near-dup pairs on a doc_id%5 slice. The
     // df<=128 candidate cap is part of the operator contract (kills the

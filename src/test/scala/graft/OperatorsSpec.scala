@@ -20,6 +20,20 @@ class OperatorsSpec extends SparkSpec {
     assert(d.count() == distinctTexts)
   }
 
+  test("exact dedup fingerprint path matches the payload-grouping path") {
+    // same-length distinct payloads (the digest-only corner) plus real
+    // duplicates: the (digest, digest2, length) fingerprint must produce
+    // exactly the groups that grouping by payload itself produces.
+    val d = (docs.select(col("doc_id"), col("text")) unionByName
+      Seq((100001L, "aaaa bbbb"), (100002L, "aaab bbbb"), (100003L, "aaaa bbbb"))
+        .toDF("doc_id", "text")).toDF("doc_id", "text")
+    val fp = Dedup.exact(d, "doc_id", "text")
+      .select("keep_id", "n").as[(Long, Long)].collect().sorted.toSeq
+    val vf = Dedup.exact(d, "doc_id", "text", verify = true)
+      .select("keep_id", "n").as[(Long, Long)].collect().sorted.toSeq
+    assert(fp == vf)
+  }
+
   test("LSH candidates contain every pair with jaccard >= 0.9") {
     val subset = docs.filter(col("doc_id") < 120)
     // ground truth: all-pairs exact jaccard
@@ -73,17 +87,33 @@ class OperatorsSpec extends SparkSpec {
 
   test("simhash pairing finds every pair within the Hamming bound") {
     val subset = docs.filter(col("doc_id") < 200)
-    // ground truth: all-pairs Hamming over the digests
-    val d = Dedup.simhashDigests(subset, "doc_id", "text")
-    val truth = d.toDF("a", "ha").crossJoin(d.toDF("b", "hb"))
+    // ground truth: all-pairs Hamming over the 64-bit (two-half) digests
+    val d = Dedup.simhashDigests64(subset, "doc_id", "text")
+    val truth = d.toDF("a", "ha1", "ha2")
+      .crossJoin(d.toDF("b", "hb1", "hb2"))
       .filter(col("a") < col("b"))
       .select(col("a"), col("b"),
-        bit_count(col("ha").bitwiseXOR(col("hb"))).as("h"))
+        (bit_count(col("ha1").bitwiseXOR(col("hb1"))) +
+          bit_count(col("ha2").bitwiseXOR(col("hb2")))).as("h"))
       .filter(col("h") <= 3)
       .select("a", "b").as[(Long, Long)].collect().toSet
     val found = Dedup.simhashNearDups(subset, "doc_id", "text", maxHamming = 3)
       .select("a", "b").as[(Long, Long)].collect().toSet
-    assert(found == truth) // byte-band pigeonhole: exact at distance <= 3
+    assert(found == truth) // 16-bit-band pigeonhole: exact at distance <= 3
+  }
+
+  test("degenerate simhash bucket star-links instead of going quadratic") {
+    // 200 identical docs share every band bucket: all-pairs would be
+    // ~19900 candidates; with maxBucket=10 each bucket star-links to the
+    // min id, and the identical digests pass the Hamming confirm.
+    val d = (0 until 200).map(i => (i.toLong, "same text repeated here"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.simhashNearDups(d, "doc_id", "text",
+      maxHamming = 3, maxBucket = 10)
+      .select("a", "b", "hamming").as[(Long, Long, Int)].collect()
+    assert(pairs.length == 199) // O(m) star, not O(m²)
+    assert(pairs.forall(_._1 == 0L)) // all linked to the representative
+    assert(pairs.forall(_._3 == 0)) // identical docs: Hamming 0
   }
 
   test("simhash of near-identical docs differ in few bits") {
@@ -138,6 +168,42 @@ class OperatorsSpec extends SparkSpec {
     val kept = strong.count(mixed.contains)
     assert(strong.isEmpty || kept.toDouble / strong.size >= 0.5,
       s"kept $kept of ${strong.size} strong pairs")
+  }
+
+  test("teraValidate compares keys in native type order") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val schema = StructType(Seq(StructField("k", LongType)))
+    def df(rows: Seq[Long], parts: Int) = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(Row(_)), parts), schema)
+    // numerically sorted: [9, 10, ...] is sorted even though "10" < "9"
+    // as strings (the bug the typed comparison fixes)
+    assert(Relational.teraValidate(df(Seq(9L, 10L, 11L, 40L), 2), "k"))
+    // one swapped pair within a partition
+    assert(!Relational.teraValidate(df(Seq(9L, 40L, 11L), 1), "k"))
+    // per-partition sorted but the partition boundary is out of order
+    assert(!Relational.teraValidate(df(Seq(1L, 5L, 4L, 8L), 2), "k"))
+    // string keys still validate
+    val sdf = Seq("apple", "banana", "cherry").toDF("k").orderBy("k")
+    assert(Relational.teraValidate(sdf, "k"))
+  }
+
+  test("terasort: sort validates and checksum equals the local in-order fold") {
+    graft.functions.GraftFunctions.register(spark)
+    val keyed = docs.limit(200).select(col("text"),
+      element_at(graft.functions.GraftFunctions.token_codes(array(col("text"))), 1)
+        .as("code"))
+    val sorted = Relational.totalOrderSort(keyed, "text")
+    val (ok, n, chk) = Relational.teraSummary(sorted, "text", "code")
+    assert(ok)
+    assert(n == keyed.count())
+    val P = 1000000007L
+    val expected = keyed.as[(String, Long)].collect().sortBy(_._1)
+      .foldLeft(0L) { case (acc, (_, c)) => (acc * 131 + c) % P }
+    assert(chk == expected)
+    // an out-of-order frame fails the one-pass validation
+    val bad = Seq(("b", 2L), ("a", 1L)).toDF("text", "code").coalesce(1)
+    assert(!Relational.teraSummary(bad, "text", "code")._1)
   }
 
   test("secondary sort emits values in order-column order") {
