@@ -84,7 +84,8 @@ object IncrementalMatVec {
       changedColumns: DataFrame,
       iterations: Int,
       filterThreshold: Double = 0.0,
-      numPartitions: Int = 32): DataFrame = {
+      numPartitions: Int = 32,
+      durableStatePath: Option[String] = None): DataFrame = {
 
     val static = updatedM.select(col("i").cast("long"), col("j").cast("long"),
       col("v").cast("double"))
@@ -112,7 +113,8 @@ object IncrementalMatVec {
       distance = (o, n) => abs(o("x") - n("x")),
       filterThreshold = filterThreshold,
       maxIterations = iterations,
-      numPartitions = numPartitions)
+      numPartitions = numPartitions,
+      durableStatePath = durableStatePath)
 
     job.run()._1
   }

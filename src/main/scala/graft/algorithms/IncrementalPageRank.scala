@@ -46,7 +46,8 @@ object IncrementalPageRank {
       damping: Double,
       iterations: Int,
       filterThreshold: Double = 0.0,
-      numPartitions: Int = 32): DataFrame = {
+      numPartitions: Int = 32,
+      durableStatePath: Option[String] = None): DataFrame = {
 
     val static = PageRank.prepare(updatedEdges) // (src, dst, deg) with new degrees
 
@@ -74,7 +75,8 @@ object IncrementalPageRank {
       distance = (o, n) => abs(o("rank") - n("rank")),
       filterThreshold = filterThreshold,
       maxIterations = iterations,
-      numPartitions = numPartitions)
+      numPartitions = numPartitions,
+      durableStatePath = durableStatePath)
 
     job.run()._1
   }

@@ -95,20 +95,26 @@ object MatrixVector {
     x
   }
 
-  /** Blocked y = M·x: tiles of size b (reference blocking job keys cells
-    * by (rowBlk, colBlk), `MatrixVector.java:93-147`). Cells are packed
-    * into per-tile arrays, the join happens per (colBlk), and partial
-    * dense products are summed per rowBlk. Returns (j, x) identical to
-    * [[multiply]]. */
-  def multiplyBlocked(m: DataFrame, x: DataFrame, b: Int): DataFrame = {
-    val tiles = m
-      .withColumn("ib", (col("i") / b).cast("long"))
-      .withColumn("jb", (col("j") / b).cast("long"))
-      .groupBy("ib", "jb")
-      .agg(collect_list(struct(
-        (col("i") % b).cast("int").as("io"),
-        (col("j") % b).cast("int").as("jo"),
-        col("v"))).as("cells"))
+  /** Blocking job (reference `MatrixVector.java:93-147`): pack cells
+    * into b×b tiles keyed (rowBlk `ib`, colBlk `jb`), cell offsets
+    * relative to the tile. Run ONCE; the tiles are the static side of
+    * the iterated blocked product. */
+  def blockTiles(m: DataFrame, b: Int): DataFrame = m
+    .withColumn("ib", (col("i") / b).cast("long"))
+    .withColumn("jb", (col("j") / b).cast("long"))
+    .groupBy("ib", "jb")
+    .agg(collect_list(struct(
+      (col("i") % b).cast("int").as("io"),
+      (col("j") % b).cast("int").as("jo"),
+      col("v"))).as("cells"))
+
+  /** One blocked multiply step over pre-packed tiles: the vector is
+    * grouped into per-colBlk maps (the only per-iteration shuffle of
+    * the small side), joined per (jb) against the resident tiles, and
+    * partial dense products are summed per output row. Row/value
+    * semantics identical to [[multiply]]: a vector entry missing for a
+    * cell's column contributes nothing (map lookup → null → filtered). */
+  def multiplyTiles(tiles: DataFrame, x: DataFrame, b: Int): DataFrame = {
     val xb = x
       .withColumn("jb", (col("j") / b).cast("long"))
       .groupBy("jb")
@@ -123,5 +129,50 @@ object MatrixVector {
       .filter(col("xv").isNotNull)
       .select((col("ib") * b + col("c.io")).as("j"), (col("c.v") * col("xv")).as("p"))
     partial.groupBy("j").agg(sum("p").as("x"))
+  }
+
+  /** Blocked y = M·x in one call ([[blockTiles]] ∘ [[multiplyTiles]]). */
+  def multiplyBlocked(m: DataFrame, x: DataFrame, b: Int): DataFrame =
+    multiplyTiles(blockTiles(m, b), x, b)
+
+  /** The reference's ACTUAL A4 shape: the blocking job runs once, then
+    * the iterative job loops over the tiled matrix
+    * (`MatrixVector.java:93-147` feeding the iterative driver). Same
+    * loop/normalize/convergence contract as [[run]] — tiles are the
+    * framework-cached static side partitioned by `jb` (ONE2MUL: one
+    * vector block joins a whole tile column), and only the vector
+    * re-blocks per iteration. At 100 TB the matrix — the big side —
+    * never moves after the blocking job; per-iteration shuffle volume
+    * is O(|x|) vector entries plus the partial-sum reduce. */
+  def runBlocked(
+      m: DataFrame,
+      x0: DataFrame,
+      b: Int,
+      maxIterations: Int = 10,
+      threshold: Double = -1.0,
+      normalize: Boolean = true,
+      numPartitions: Int = 32): IterResult = {
+
+    val cells = m.select(col("i").cast("long"), col("j").cast("long"),
+      col("v").cast("double"))
+    val tiles = blockTiles(cells, b)
+    val init = x0.select(col("j").cast("long"), col("x").cast("double"))
+
+    val step: (DataFrame, DataFrame, Int) => DataFrame = (s, dyn, _) => {
+      if (normalize) {
+        val y = multiplyTiles(s, dyn, b).persist(StorageLevel.MEMORY_AND_DISK)
+        val norm = y.agg(sum(abs(col("x")))).collect()(0).getDouble(0)
+        val out = y.select(col("j"), (col("x") / lit(norm)).as("x"))
+          .localCheckpoint(eager = true)
+        y.unpersist(blocking = false)
+        out
+      } else multiplyTiles(s, dyn, b)
+    }
+
+    new IterativeJob(
+      tiles, "jb", init, "j", ProjectKind.One2Mul, step,
+      IterativeJob.sumAbsDiff("j", "x"),
+      IterConfig(maxIterations, threshold, numPartitions = numPartitions)
+    ).run()
   }
 }

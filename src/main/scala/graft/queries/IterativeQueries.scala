@@ -231,6 +231,21 @@ object IterativeQueries {
       },
       Some(matvecSql(3))),
 
+    // A4's true shape: blocking job once, THEN the iterative job loops
+    // over the tiled matrix — shares q_matvec's oracle (blocked and
+    // scalar products are the same sums, so they must agree to the
+    // rounded digit).
+    Q("q_matvec_blocked_iter",
+      (s, dir) => {
+        val m = Q.events(s, dir)
+          .groupBy((col("event_id") % 40).as("i"), (col("user_id") % 40).as("j"))
+          .agg(max("value").as("v"))
+        val x0 = m.select(col("j")).distinct().withColumn("x", lit(1.0))
+        MatrixVector.runBlocked(m, x0, b = 8, maxIterations = 3, normalize = true)
+          .dynamic.select(col("j"), round(col("x"), 6).as("x"))
+      },
+      Some(matvecSql(3))),
+
     // Naive loop-of-jobs matrix-vector (A11) — shares q_matvec's oracle.
     Q("q_naive_matvec",
       (s, dir) => {

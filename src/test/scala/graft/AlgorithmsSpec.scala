@@ -138,4 +138,24 @@ class AlgorithmsSpec extends SparkSpec {
     val xs = res.dynamic.as[(Long, Double)].collect().toMap
     assert(math.abs(xs.values.map(math.abs).sum - 1.0) < 1e-9)
   }
+
+  test("iterated blocked matvec (A4) matches the scalar engine") {
+    val cells = Seq(
+      (0L, 0L, 2.0), (0L, 1L, 1.0), (1L, 1L, 3.0), (1L, 2L, -1.0),
+      (2L, 0L, 0.5), (2L, 2L, 4.0), (3L, 1L, 2.5), (5L, 5L, 1.5))
+    val m = cells.toDF("i", "j", "v")
+    val x0 = Seq((0L, 1.0), (1L, 1.0), (2L, 1.0), (5L, 2.0)).toDF("j", "x")
+    val scalar = MatrixVector.run(m, x0, maxIterations = 3, normalize = true)
+      .dynamic.as[(Long, Double)].collect().toMap
+    val blocked = MatrixVector.runBlocked(m, x0, b = 2, maxIterations = 3,
+      normalize = true).dynamic.as[(Long, Double)].collect().toMap
+    assert(blocked.keySet == scalar.keySet)
+    for ((j, v) <- scalar) assert(math.abs(blocked(j) - v) < 1e-12)
+    // un-normalized path too
+    val s2 = MatrixVector.run(m, x0, maxIterations = 2, normalize = false)
+      .dynamic.as[(Long, Double)].collect().toMap
+    val b2 = MatrixVector.runBlocked(m, x0, b = 3, maxIterations = 2,
+      normalize = false).dynamic.as[(Long, Double)].collect().toMap
+    assert(b2 == s2)
+  }
 }

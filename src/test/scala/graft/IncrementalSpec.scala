@@ -119,6 +119,36 @@ class IncrementalSpec extends SparkSpec {
     }
   }
 
+  test("durable parquet segment store matches the in-memory loop exactly") {
+    // Same delta continuation twice: once with localCheckpoint segments,
+    // once with every dirty segment written as durable Parquet (the
+    // executor-loss-safe mode). The store is an implementation detail,
+    // not a semantics knob: same keys, values equal up to float-sum
+    // reassociation (the parquet read-back splits partitions
+    // differently, so groupBy sums can differ in the last ulp).
+    val base = randomEdges(50, 180, seed = 19)
+    val edges1 = base.toDF("src", "dst")
+    val preserved = IncrementalPageRank.preserve(edges1, 0.5, iterations = 8)
+    val changed = base.map(_._1).distinct.filter(_ % 6 == 0)
+    val edges2 = base.filterNot { case (s, _) => s % 6 == 0 }
+      .++(changed.map(s => (s, (s * 17 + 7) % 50)))
+      .filter { case (a, b) => a != b }.distinct.toDF("src", "dst")
+
+    val inMem = IncrementalPageRank.incremental(
+      edges2, preserved, changed.toDF("src"), 0.5, iterations = 6)
+      .as[(Long, Double)].collect().toMap
+    val dir = java.nio.file.Files.createTempDirectory("graft_segs").toString
+    val durable = IncrementalPageRank.incremental(
+      edges2, preserved, changed.toDF("src"), 0.5, iterations = 6,
+      durableStatePath = Some(dir))
+      .as[(Long, Double)].collect().toMap
+    assert(durable.keySet == inMem.keySet)
+    for ((nd, r) <- inMem)
+      assert(math.abs(durable(nd) - r) < 1e-9, s"node $nd durable=${durable(nd)} inMem=$r")
+    // and the segments really are on disk
+    assert(new java.io.File(dir).listFiles().exists(_.getName.startsWith("seg-")))
+  }
+
   test("preserved state round-trips through parquet") {
     val edges = randomEdges(40, 120, seed = 3).toDF("src", "dst")
     val p = IncrementalPageRank.preserve(edges, 0.8, iterations = 4)
