@@ -47,7 +47,8 @@ object IncrementalPageRank {
       iterations: Int,
       filterThreshold: Double = 0.0,
       numPartitions: Int = 32,
-      durableStatePath: Option[String] = None): DataFrame = {
+      durableStatePath: Option[String] = None,
+      broadcastMaxRows: Long = 4L * 1000 * 1000): DataFrame = {
 
     val static = PageRank.prepare(updatedEdges) // (src, dst, deg) with new degrees
 
@@ -76,7 +77,8 @@ object IncrementalPageRank {
       filterThreshold = filterThreshold,
       maxIterations = iterations,
       numPartitions = numPartitions,
-      durableStatePath = durableStatePath)
+      durableStatePath = durableStatePath,
+      broadcastMaxRows = broadcastMaxRows)
 
     job.run()._1
   }

@@ -97,6 +97,24 @@ object Generators {
     }
   }
 
+  /** Power-method sparse matrix à la the reference's "power" kind
+    * (A12, `genGraphReduce.java:336-372`): for each row i of an m×m
+    * matrix, `dim` uniform draws of a column index (duplicates
+    * collapse, so rows carry ≤ dim distinct cells) with a uniform
+    * [0,1) value per surviving cell — the fixture the reference feeds
+    * its power-iteration / matrix-vector jobs. Hash-derived
+    * randomness: the same (m, dim) is always the same matrix.
+    * Columns (i, j, v). */
+  def matrixPower(spark: SparkSession, m: Long, dim: Int): DataFrame =
+    spark.range(m).select(col("id").as("i"))
+      .select(col("i"), explode(sequence(lit(1), lit(dim))).as("k"))
+      .select(col("i"),
+        pmod(xxhash64(col("i") * 7919 + col("k") * 104729 + 23), lit(m)).as("j"))
+      .distinct()
+      .withColumn("v",
+        pmod(xxhash64(col("i") * 65537 + col("j") + 11), lit(1000000007L))
+          .cast("double") / 1000000007.0)
+
   /** Points delta à la `genkmupdate` (A7, reference
     * `UpdateKmeansData.java:32-284`: rewrites a deterministic subset of
     * points in place): every point with `id % everyNth == 0` moves to a

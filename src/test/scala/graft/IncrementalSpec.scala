@@ -103,6 +103,44 @@ class IncrementalSpec extends SparkSpec {
       assert(math.abs(incr(idx) - x) < 1e-8, s"idx $idx incr=${incr(idx)} full=$x")
   }
 
+  test("incremental loop on a hub-heavy power-law graph, hub edges changed") {
+    // lognormal(-1, 2.3) degrees: most sources degree 1, rare large
+    // hubs — the skew-realistic shape the reference's generators
+    // produce. The delta rewires the TOP hubs, so the frontier fans
+    // out through the heaviest buckets; broadcastMaxRows = 1 forces
+    // the guarded shuffle-join fallback on every iteration (the path a
+    // 100 TB frontier would take).
+    val edges1 = Generators.graphTyped(spark, n = 300, kind = "pg")
+      .persist()
+    val degs = edges1.groupBy("src").agg(count(lit(1)).as("d"))
+      .orderBy(col("d").desc).as[(Long, Long)].collect()
+    val maxD = degs.head._2
+    val medD = degs(degs.length / 2)._2
+    assert(maxD >= 10 * medD, s"graph not skewed: max=$maxD median=$medD")
+    val hubs = degs.take(3).map(_._1).toSet
+
+    val preserved = IncrementalPageRank.preserve(edges1, 0.5, iterations = 25)
+    val changed = hubs.toSeq.toDF("src")
+    val kept = edges1.filter(!col("src").isInCollection(hubs))
+    val rewired = changed.select(col("src"),
+      pmod(col("src") * 31 + 7, lit(300L)).as("dst"))
+      .filter(col("src") =!= col("dst"))
+    val edges2 = kept.unionByName(rewired).distinct().persist()
+
+    val incr = IncrementalPageRank.incremental(
+      edges2, preserved, changed, 0.5, iterations = 25,
+      filterThreshold = 0.0, broadcastMaxRows = 1L)
+      .as[(Long, Double)].collect().toMap
+    val full = PageRank.run(edges2, 0.5, maxIterations = 50)
+      .dynamic.as[(Long, Double)].collect().toMap
+    val common = incr.keySet & full.keySet
+    assert(common.nonEmpty)
+    for (nd <- common)
+      assert(math.abs(incr(nd) - full(nd)) < 1e-6,
+        s"node $nd incr=${incr(nd)} full=${full(nd)}")
+    edges1.unpersist(); edges2.unpersist()
+  }
+
   test("points delta moves exactly the selected ids") {
     val pts = Generators.points(spark, n = 60, dim = 3, k = 4)
     val (updated, changed, triples) = Generators.pointsDelta(pts, everyNth = 5)

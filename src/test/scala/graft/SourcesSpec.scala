@@ -69,4 +69,21 @@ class SourcesSpec extends SparkSpec {
     val again = Generators.graphTyped(spark, n = 500, kind = "sp")
     assert(sp.exceptAll(again).count() == 0 && again.exceptAll(sp).count() == 0)
   }
+
+  test("power matrix generator: <= dim cells per row, values in [0,1), deterministic") {
+    val m = Generators.matrixPower(spark, m = 200, dim = 5)
+    assert(m.columns.toSeq == Seq("i", "j", "v"))
+    val perRow = m.groupBy("i").agg(count(lit(1)).as("c"))
+    assert(perRow.filter(col("c") > 5).count() == 0)
+    assert(m.filter(col("v") < 0 || col("v") >= 1).count() == 0)
+    assert(m.filter(col("j") < 0 || col("j") >= 200).count() == 0)
+    // duplicate column draws collapse, so some rows sit below dim
+    assert(perRow.filter(col("c") < 5).count() > 0)
+    val again = Generators.matrixPower(spark, m = 200, dim = 5)
+    assert(m.exceptAll(again).count() == 0 && again.exceptAll(m).count() == 0)
+    // and it drives the matvec engine end-to-end
+    val x0 = m.select(col("j")).distinct().withColumn("x", lit(1.0))
+    val res = graft.algorithms.MatrixVector.run(m, x0, maxIterations = 3)
+    assert(res.dynamic.count() > 0)
+  }
 }
