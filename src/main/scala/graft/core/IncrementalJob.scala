@@ -116,7 +116,11 @@ final class IncrementalJob(
   private def timed[T](label: String)(f: => T): T =
     if (!debugTiming) f else {
       val t0 = System.nanoTime(); val r = f
-      System.err.println(f"[incr] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+      val rows = r match {
+        case (_, n: Long) => s" rows=$n"
+        case _            => ""
+      }
+      System.err.println(f"[incr] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s$rows"); r
     }
 
   /** Materialize `df` as a lineage-truncated leaf with constant-size
@@ -235,20 +239,29 @@ final class IncrementalJob(
       // dynamic values of the frontier keys (k2-space == sk-space)
       val dynF = outToDyn(
         scanAll(outSegs).join(fk, col(k2Col) === col("_fk")).drop("_fk"))
-      // fresh/affected/newOut feed several downstream plans — checkpoint
-      // them to leaves so those plans don't re-embed the whole lineage.
-      val fresh = timed(s"iter $i fresh")(
-        materialize(mapContribs(staticF, dynF)
-          .withColumn("_b", bucketOf(col(k2Col))))._1)
 
-      // affected = keys that lose an old contribution or gain a fresh one
+      // Fresh contributions and the affected-key material are ONE
+      // tagged materialization (one optimized plan, one job): fresh
+      // rows tag "f"; the k2 keys of stored contributions the merge
+      // will delete (frontier sources' old rows) tag "a" with null
+      // payloads. Affected keys = distinct k2 of the union — both
+      // sides of the old two-job fresh/affected split, with the full
+      // kvs probe paid once instead of twice.
+      val freshPlan = mapContribs(staticF, dynF)
+      val payloadCols = freshPlan.schema.fields.filter(_.name != k2Col)
+      val oldKeyRows = scanAll(kvsSegs)
+        .join(fk, col(skCol) === col("_fk"), "left_semi")
+        .select(col(k2Col) +:
+          payloadCols.map(f => lit(null).cast(f.dataType).as(f.name)): _*)
+      val fa = timed(s"iter $i fresh+affected")(
+        materialize(freshPlan.withColumn("_tag", lit("f"))
+          .unionByName(oldKeyRows.withColumn("_tag", lit("a")))
+          .withColumn("_b", bucketOf(col(k2Col))))._1)
+      val fresh = fa.filter(col("_tag") === "f").drop("_tag")
+      // affected keys as a leaf (they seed 3 joins and the next
+      // frontier), counted by the materialization itself
       val (affected, affectedSize) = timed(s"iter $i affected")(
-        materialize(scanAll(kvsSegs)
-          .join(fk, col(skCol) === col("_fk"), "left_semi")
-          .select(col(k2Col))
-          .union(fresh.select(col(k2Col)))
-          .distinct()
-          .withColumnRenamed(k2Col, "_aff")))
+        materialize(fa.select(col(k2Col).as("_aff")).distinct()))
       if (affectedSize == 0) {
         // nothing to merge or re-reduce: the change is fully absorbed
         frontierSize = 0
@@ -263,27 +276,45 @@ final class IncrementalJob(
         // segment, dropping frontier sources' old contributions and
         // adding the fresh ones; untouched rows stay as lazy views and
         // fully-superseded segments leave the manifest.
-        val dirtyKvs = timed(s"iter $i kvs merge (${touched.size}/$B buckets)")(
-          Seg(materialize(scanTouched(kvsSegs, touched, isTouched)
+        // The dirty segment is re-hashed on k2 at materialization: the
+        // union of broadcast-join outputs otherwise SUMS its inputs'
+        // partition counts, and since the store feeds itself through
+        // this plan the count doubles per iteration (measured: constant
+        // rows, task count — and wall time — ×2 every round). The
+        // exchange moves only the touched rows and leaves them
+        // co-located by key for the next iteration's probes.
+        val dirtyKvs = Seg(timed(s"iter $i kvs merge (${touched.size}/$B buckets)")(
+          materialize(scanTouched(kvsSegs, touched, isTouched)
             .join(fk, col(skCol) === col("_fk"), "left_anti")
-            .unionByName(fresh))._1, touched))
+            .unionByName(fresh)
+            .repartition(n, col(k2Col))))._1, touched)
         kvsSegs = dropTouched(kvsSegs, touched, isTouched) :+ dirtyKvs
 
-        // re-reduce only affected groups; affected k2s hash to touched
-        // buckets, so the merged dirty segment holds ALL their rows.
+        // re-reduce only affected groups (affected k2s hash to touched
+        // buckets, so the merged dirty segment holds ALL their rows)
+        // and fold the new outputs STRAIGHT into the dirty out-segment —
+        // the reduce result is never materialized on its own.
         val kvsAffected = dirtyKvs.df
           .join(aff, col(k2Col) === col("_aff"), "left_semi").drop("_b")
-        val newOut = timed(s"iter $i reduce")(
-          materialize(reduce(affected.withColumnRenamed("_aff", k2Col), kvsAffected)
-            .withColumn("_b", bucketOf(col(k2Col))))._1)
+        val newOutPlan =
+          reduce(affected.withColumnRenamed("_aff", k2Col), kvsAffected)
+            .withColumn("_b", bucketOf(col(k2Col)))
+        val dirtyOut = Seg(timed(s"iter $i reduce+out (${touched.size}/$B buckets)")(
+          materialize(scanTouched(outSegs, touched, isTouched)
+            .join(aff, col(k2Col) === col("_aff"), "left_anti")
+            .unionByName(newOutPlan)
+            .repartition(n, col(k2Col))))._1, touched)
 
-        // F30 change-propagation filter. θ=0 (exact mode): the next
-        // frontier IS the affected set, already a checkpointed leaf with
-        // a known count — reuse it instead of copying it again.
+        // F30 change-propagation filter — computed BEFORE the out store
+        // swaps, since it compares against the pre-update state. θ=0
+        // (exact mode): the next frontier IS the affected leaf.
         if (filterThreshold <= 0.0) {
           frontier = affected.withColumnRenamed("_aff", skCol)
           frontierSize = affectedSize
         } else {
+          // the reduce output as a view over the dirty segment leaf
+          val newOut = dirtyOut.df
+            .join(aff, col(k2Col) === col("_aff"), "left_semi")
           val old = scanAll(outSegs)
             .select(col(k2Col).as("_ok"), struct(col("*")).as("_old"))
           val neu = newOut.drop("_b")
@@ -296,11 +327,6 @@ final class IncrementalJob(
           frontier = f2
           frontierSize = s2
         }
-
-        val dirtyOut = timed(s"iter $i out update (${touched.size}/$B buckets)")(
-          Seg(materialize(scanTouched(outSegs, touched, isTouched)
-            .join(aff, col(k2Col) === col("_aff"), "left_anti")
-            .unionByName(newOut))._1, touched))
         outSegs = dropTouched(outSegs, touched, isTouched) :+ dirtyOut
 
         // Compaction is only worthwhile when views actually stacked up:

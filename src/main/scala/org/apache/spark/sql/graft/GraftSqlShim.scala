@@ -44,6 +44,9 @@ object GraftSqlShim {
     val rdd = qe.toRdd.map(_.copy())
     rdd.localCheckpoint()
     val rows = rdd.count()
+    if (sys.env.contains("GRAFT_TIMING"))
+      System.err.println(s"[shim] post-count lineage depth: " +
+        s"${rdd.toDebugString.linesIterator.length} checkpointed=${rdd.isCheckpointed}")
     // After the count, an adaptive plan is finalized, so its
     // partitioning is the real one (same trick as Dataset.checkpoint:
     // a PartitioningCollection collapses to its first leaf).
