@@ -70,6 +70,9 @@ object Dedup {
   def lshCandidatePairs(signatures: DataFrame, numHashes: Int, bands: Int,
       maxBucket: Int = 4096): DataFrame = {
     val rowsPerBand = numHashes / bands
+    // (doc_id, band, bucket) feeds three plan branches (big-bucket
+    // aggregate, both sides of the pair join, star join) — persist so
+    // the signature aggregation runs once.
     val banded = signatures
       .withColumn("band", (col("seed") / rowsPerBand).cast("int"))
       .groupBy("doc_id", "band")
@@ -77,6 +80,7 @@ object Dedup {
       .agg(aggregate(
         transform(array_sort(collect_list(struct(col("seed"), col("mh")))), s => s("mh")),
         lit(0L), (acc, v) => (acc * 131 + v % P) % P).as("bucket"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Oversized buckets are found with a partial-aggregating groupBy
     // (cheaper than a window sort over every bucket) and are typically
     // near-empty, so both the anti-join and the star join broadcast.
@@ -164,7 +168,12 @@ object Dedup {
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, maxBucket: Int = 4096): DataFrame = {
     require(maxHamming <= 3, "4 16-bit bands only guarantee recall for distance <= 3")
+    // The digest frame feeds four plan branches (both join sides, the
+    // big-bucket aggregate, the star join) — persist it so the
+    // scan+tokenize+digest pipeline runs once, and the branches re-read
+    // three small longs per doc instead of the corpus.
     val digests = simhashDigests64(df, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = digests.select(col("doc_id"), col("h1"), col("h2"),
       explode(array((0 until 4).map { b =>
         val half = if (b < 2) col("h1") else col("h2")
