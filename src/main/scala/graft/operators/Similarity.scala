@@ -95,6 +95,65 @@ object Similarity {
       .select("qid", "nid", "cosine", "rk")
   }
 
+  /** IVF (inverted-file) approximate top-k — the index-backed scale path.
+    *
+    * Index build: one pass over the corpus scores every vector against
+    * the broadcast `nlist` coarse centroids and keeps the argmax
+    * (cosine, ties to the lowest centroid id) via `max_by` — the argmax
+    * partial-aggregates map-side, so the only data movement is one
+    * corpus-sized shuffle producing the inverted lists keyed by
+    * centroid id. At scale the lists are built once, written bucketed
+    * by `cid`, and reused across query batches.
+    *
+    * Probe: each query scores the centroids only (`nlist` dots), keeps
+    * its `nprobe` nearest lists, and exact cosine runs over just those
+    * lists' members — ~nprobe/nlist of the corpus instead of all of it.
+    * Probes are broadcast, so scoring is a map-side join against the
+    * lists.
+    *
+    * Centroids default to the `nlist` lowest-id vectors (deterministic
+    * and oracle-reproducible, mirroring the KMeans pinned init); pass a
+    * trained centroid frame (id, vec) for better recall. With
+    * `nprobe == nlist` every list is probed and the result equals
+    * [[bruteForceTopK]] exactly (spec-covered).
+    */
+  def ivfTopK(vectors: DataFrame, queries: DataFrame, k: Int,
+      nlist: Int = 256, nprobe: Int = 8,
+      centroids: Option[DataFrame] = None): DataFrame = {
+    graft.functions.GraftFunctions.register(vectors.sparkSession)
+    val v = vectors.select(col("id").as("nid"), col("vec").cast("array<double>").as("nvec"))
+    val q = queries.select(col("id").as("qid"), col("vec").cast("array<double>").as("qvec"))
+    val cents = centroids
+      .map(_.select(col("id").as("cid"), col("vec").cast("array<double>").as("cvec")))
+      .getOrElse(v.orderBy("nid").limit(nlist)
+        .select(col("nid").as("cid"), col("nvec").as("cvec")))
+    def centCos(vecCol: org.apache.spark.sql.Column) =
+      (dot(vecCol, col("cvec")) / (norm(vecCol) * norm(col("cvec")))).as("c")
+    // inverted lists: nearest centroid per vector. max_by over
+    // (c, -cid) == row_number over (c DESC, cid ASC) picking rank 1.
+    val lists = v.crossJoin(broadcast(cents))
+      .select(col("nid"), col("nvec"), col("cid"), centCos(col("nvec")))
+      .groupBy("nid")
+      .agg(max_by(struct(col("cid"), col("nvec")), struct(col("c"), -col("cid"))).as("m"))
+      .select(col("m.cid"), col("nid"), col("m.nvec"))
+    // probe the nprobe nearest lists per query (queries are small by
+    // the same contract as bruteForceTopK — the window is cheap)
+    val pw = Window.partitionBy("qid").orderBy(col("c").desc, col("cid").asc)
+    val probes = q.crossJoin(broadcast(cents))
+      .select(col("qid"), col("qvec"), col("cid"), centCos(col("qvec")))
+      .withColumn("rk", row_number().over(pw)).filter(col("rk") <= nprobe)
+      .select(col("cid"), col("qid"), col("qvec"))
+    // each vector lives in exactly one list, so no distinct is needed
+    val scored = lists.join(broadcast(probes), "cid")
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        (dot(col("qvec"), col("nvec")) / (norm(col("qvec")) * norm(col("nvec"))))
+          .as("cosine"))
+    val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("nid").asc)
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select("qid", "nid", "cosine", "rk")
+  }
+
   /** Embedding-cosine near-dup pairs within a blocking column.
     *
     * Blocks of at most `maxBlock` vectors are compared all-pairs

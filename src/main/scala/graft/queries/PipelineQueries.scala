@@ -253,6 +253,47 @@ object PipelineQueries {
                 (PARTITION BY qid ORDER BY cosine DESC, nid) AS rk FROM scored)
               WHERE rk <= 5""")),
 
+    // IVF top-5 for the same query set: 16 coarse centroids (lowest-id
+    // vectors), 4 probed lists per query. The oracle mirrors the index
+    // build (argmax centroid per vector) and the probe, so approximate
+    // results match exactly — centroid cosines use the same index-order
+    // fold on both engines.
+    Q("q_ann_ivf",
+      (s, dir) => {
+        val vecs = Q.t(s, dir, "embeddings")
+          .select(col("vec_id").as("id"), col("embedding").as("vec"))
+        Similarity.ivfTopK(vecs, vecs.filter(col("id") < 5), k = 5,
+          nlist = 16, nprobe = 4)
+          .select(col("qid"), col("nid"), round(col("cosine"), 6).as("cosine"),
+            col("rk").cast("int").as("rk"))
+      },
+      Some(s"""WITH $vecCte,
+              cents AS (SELECT id AS cid, vec AS cvec FROM v ORDER BY id LIMIT 16),
+              assign AS (SELECT nid, nvec, cid FROM (
+                SELECT v.id AS nid, v.vec AS nvec, c.cid,
+                  row_number() OVER (PARTITION BY v.id ORDER BY
+                    ${dotSql("v.vec", "c.cvec")} /
+                      (sqrt(${dotSql("v.vec", "v.vec")}) *
+                       sqrt(${dotSql("c.cvec", "c.cvec")})) DESC, c.cid) AS rk
+                FROM v CROSS JOIN cents c) WHERE rk = 1),
+              probes AS (SELECT qid, qvec, cid FROM (
+                SELECT q.id AS qid, q.vec AS qvec, c.cid,
+                  row_number() OVER (PARTITION BY q.id ORDER BY
+                    ${dotSql("q.vec", "c.cvec")} /
+                      (sqrt(${dotSql("q.vec", "q.vec")}) *
+                       sqrt(${dotSql("c.cvec", "c.cvec")})) DESC, c.cid) AS rk
+                FROM (SELECT id, vec FROM v WHERE id < 5) q
+                CROSS JOIN cents c) WHERE rk <= 4),
+              scored AS (SELECT p.qid, a.nid,
+                ${dotSql("p.qvec", "a.nvec")} /
+                  (sqrt(${dotSql("p.qvec", "p.qvec")}) *
+                   sqrt(${dotSql("a.nvec", "a.nvec")})) AS cosine
+                FROM probes p JOIN assign a USING (cid) WHERE p.qid <> a.nid)
+              SELECT qid, nid, round(cosine, 6) AS cosine, CAST(rk AS INT) AS rk
+              FROM (SELECT qid, nid, cosine, row_number() OVER
+                (PARTITION BY qid ORDER BY cosine DESC, nid) AS rk FROM scored)
+              WHERE rk <= 5""")),
+
     // Embedding-cosine near-dup pairs within label blocks. Blocks over
     // 48 vectors go through axis-sign LSH sub-buckets (the 100 TB path;
     // sign tests are integer-exact on both engines) — mirrored here.

@@ -152,6 +152,28 @@ class OperatorsSpec extends SparkSpec {
     assert(recall >= 0.4, s"recall $recall too low")
   }
 
+  test("IVF ANN: full probe equals brute force; partial probe is a sound subset") {
+    val queries = embs.filter(col("id") < 10)
+    val exact = Similarity.bruteForceTopK(embs, queries, k = 3)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    // nprobe == nlist probes every list => identical to brute force
+    val full = Similarity.ivfTopK(embs, queries, k = 3, nlist = 8, nprobe = 8)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(full == exact)
+    // partial probe: every emitted cosine is the true cosine, each
+    // vector lands in exactly one list, and recall stays useful
+    val part = Similarity.ivfTopK(embs, queries, k = 3, nlist = 8, nprobe = 3)
+      .as[(Long, Long, Double, Int)].collect()
+    val trueCos = Similarity.bruteForceTopK(embs, queries, k = Int.MaxValue)
+      .as[(Long, Long, Double, Int)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(part.nonEmpty)
+    for ((q, n, c, _) <- part) assert(math.abs(trueCos((q, n)) - c) < 1e-12)
+    val recall = (exact.map(r => (r._1, r._2)) &
+      part.map(r => (r._1, r._2)).toSet).size.toDouble / exact.size
+    assert(recall >= 0.4, s"ivf recall $recall too low")
+  }
+
   test("embedding near-dups: small blocks exact, big blocks a sound LSH subset") {
     val exact = Similarity.embeddingNearDups(embs, "label", threshold = 0.2,
       maxBlock = Int.MaxValue).as[(Long, Long, Double)].collect()
