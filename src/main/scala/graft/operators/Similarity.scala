@@ -97,13 +97,13 @@ object Similarity {
 
   /** IVF (inverted-file) approximate top-k — the index-backed scale path.
     *
-    * Index build: one pass over the corpus scores every vector against
-    * the broadcast `nlist` coarse centroids and keeps the argmax
-    * (cosine, ties to the lowest centroid id) via `max_by` — the argmax
-    * partial-aggregates map-side, so the only data movement is one
-    * corpus-sized shuffle producing the inverted lists keyed by
-    * centroid id. At scale the lists are built once, written bucketed
-    * by `cid`, and reused across query batches.
+    * Index build: the `nlist` coarse centroids are driver-collected
+    * (O(nlist), same contract as the KMeans center cycle) and inlined
+    * as an array literal, so assigning every vector to its nearest
+    * centroid (cosine, ties to the lowest centroid id) is a single
+    * projection over one corpus scan — no corpus×nlist row blowup and
+    * no shuffle at all in the build. At scale the lists are built once,
+    * written bucketed by `cid`, and reused across query batches.
     *
     * Probe: each query scores the centroids only (`nlist` dots), keeps
     * its `nprobe` nearest lists, and exact cosine runs over just those
@@ -129,13 +129,29 @@ object Similarity {
         .select(col("nid").as("cid"), col("nvec").as("cvec")))
     def centCos(vecCol: org.apache.spark.sql.Column) =
       (dot(vecCol, col("cvec")) / (norm(vecCol) * norm(col("cvec")))).as("c")
-    // inverted lists: nearest centroid per vector. max_by over
-    // (c, -cid) == row_number over (c DESC, cid ASC) picking rank 1.
-    val lists = v.crossJoin(broadcast(cents))
-      .select(col("nid"), col("nvec"), col("cid"), centCos(col("nvec")))
-      .groupBy("nid")
-      .agg(max_by(struct(col("cid"), col("nvec")), struct(col("c"), -col("cid"))).as("m"))
-      .select(col("m.cid"), col("nid"), col("m.nvec"))
+    // Centroids are driver-collected (O(nlist), the same contract as the
+    // KMeans center cycle) and inlined as an array literal, so the
+    // nearest-centroid assignment is a single projection: a fold over
+    // nlist struct elements per row. No corpus x nlist row blowup, no
+    // per-partition sort, and the index build shuffles nothing — the
+    // corpus is scanned once and the lists are consumed in place by the
+    // map-side probe join below.
+    val centRows = cents.orderBy("cid").collect()
+    require(centRows.nonEmpty, "ivfTopK: empty centroid set")
+    val centLit = array(centRows.map { r =>
+      struct(lit(r.getLong(0)).as("cid"),
+        typedLit(r.getSeq[Double](1).toArray).as("cvec"))
+    }.toIndexedSeq: _*)
+    // Fold in ascending-cid order with strict `>` keeps the earliest max
+    // == row_number over (c DESC, cid ASC) picking rank 1.
+    def nearest(vecCol: org.apache.spark.sql.Column) = aggregate(
+      centLit,
+      struct(lit(Double.NegativeInfinity).as("c"), lit(-1L).as("cid")),
+      (acc, ce) => {
+        val c = dot(vecCol, ce("cvec")) / (norm(vecCol) * norm(ce("cvec")))
+        when(c > acc("c"), struct(c.as("c"), ce("cid").as("cid"))).otherwise(acc)
+      })
+    val lists = v.select(nearest(col("nvec"))("cid").as("cid"), col("nid"), col("nvec"))
     // probe the nprobe nearest lists per query (queries are small by
     // the same contract as bruteForceTopK — the window is cheap)
     val pw = Window.partitionBy("qid").orderBy(col("c").desc, col("cid").asc)

@@ -13,6 +13,18 @@ object DriveMain {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val names = if (a.nonEmpty) a.toSeq else Seq("q_minhash", "q_lsh_neardup",
       "q_simhash", "q_ngram_jaccard", "q_fingerprint", "q_matvec")
+    // SPARK_GRAFT_EXPLAIN=1: print each query's formatted physical plan
+    // instead of timing it (plan audits).
+    if (sys.env.get("SPARK_GRAFT_EXPLAIN").contains("1")) {
+      names.foreach { n =>
+        SparkEntry.queries.get(n) match {
+          case Some(fn) =>
+            println(s"==== $n ===="); fn(spark, dir).explain("formatted")
+          case None => println(s"$n: no such query")
+        }
+      }
+      println("DRIVE_DONE"); spark.stop(); return
+    }
     // warmup
     names.foreach { n =>
       SparkEntry.queries.get(n).foreach { fn =>
