@@ -58,6 +58,21 @@ object EventStreams {
       }
   }
 
+  /** Watermark-bounded streaming exact dedup: keeps the first row per
+    * key within the watermark horizon (at-least-once ingestion →
+    * exactly-once downstream). Per-key state is dropped once the
+    * watermark passes its event time, so state size is bounded by the
+    * lateness window and the arrival rate — never the stream history.
+    * The streaming twin of [[graft.operators.Dedup.exact]]; pair with a
+    * digest column (e.g. [[graft.operators.Dedup.simhashDigests]], pure
+    * per-row projections that run unchanged under streaming) for
+    * streaming near-dup drops. */
+  def dedupStream(events: DataFrame, keyCols: Seq[String],
+      lateness: String = "30 minutes"): DataFrame =
+    withEventTime(events)
+      .withWatermark("event_time", lateness)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+
   /** Read the events table as a file stream (driver for tests/demos).
     * The file source requires a directory, so the sf dir is used with a
     * glob filter selecting only the events table. */

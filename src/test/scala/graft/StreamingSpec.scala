@@ -34,6 +34,29 @@ class StreamingSpec extends SparkSpec {
     assert(got.getDouble(1) == expect.getDouble(1))
   }
 
+  test("streaming dedup drops cross-batch duplicates within the watermark") {
+    // the same documents file arrives twice; maxFilesPerTrigger=1 forces
+    // the two arrivals into separate micro-batches, so the dedup state
+    // must carry across batches (bounded by the watermark horizon)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val base = 1700000000L * 1000000000L // fixed epoch-nanos base
+    val withTs = docs.withColumn("ts", lit(base) + col("doc_id") * lit(1000000L))
+    val dir = java.nio.file.Files.createTempDirectory("stream_dedup").toString
+    withTs.coalesce(1).write.mode("append").parquet(dir)
+    withTs.coalesce(1).write.mode("append").parquet(dir)
+    val stream = spark.readStream.schema(withTs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val q = EventStreams.dedupStream(stream, Seq("text"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    assert(spark.table("dedup_out").count() ==
+      docs.select("text").distinct().count())
+  }
+
   test("stateful running totals accumulate across batches") {
     import EventStreams.{UserEvent, UserRunning}
     val events = spark.read.parquet(s"$sf/events.parquet")
