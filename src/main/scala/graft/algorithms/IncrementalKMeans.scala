@@ -1,0 +1,149 @@
+package graft.algorithms
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.{IncrementalJob, PreservedState, ProjectKind}
+
+/** Incremental KMeans — the THIRD instantiation of
+  * [[graft.core.IncrementalJob]], and the first ONE2ALL one (the
+  * i2MapReduce application trilogy is PageRank, KMeans, GIM-V; the
+  * reference's `genKMUpdate.java` generates exactly this workload's
+  * point deltas, A7).
+  *
+  * Key spaces: source key = point id, output key = cluster id —
+  * genuinely different spaces, unlike PageRank/matvec where both are
+  * nodes. A point's contribution (its vector, credited to its nearest
+  * center) depends on ALL centers, so the job runs with
+  * [[ProjectKind.One2All]]: the mapper receives the full center state
+  * (k rows — broadcast-sized by nature), and any center moving ≥ θ
+  * re-dirties every point. With θ > 0 and a small delta the loop
+  * typically converges after one cheap iteration that re-maps only the
+  * changed points; θ = 0 is exact mode, where each iteration equals a
+  * full Lloyd step over the updated points (because preserved
+  * contributions are derived from the final centers — the
+  * [[PreservedState]] consistency contract — the merged bag after
+  * iteration 1 is identical to assigning EVERY updated point against
+  * the current centers).
+  *
+  * Empty-cluster rule matches [[KMeans.run]] / the reference: a center
+  * whose bag empties keeps its previous position — the reduce reads the
+  * pre-update center via `includeOldOut`.
+  */
+object IncrementalKMeans {
+
+  /** Index-order Σ(a−b)² fold — bit-identical to the SQL oracle's
+    * `(px−cx)² + (py−cy)²` expansion, so assignment tie-breaks agree
+    * across engines. */
+  private def sqDistCol(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v)
+
+  /** Assign each point to its nearest center (squared-L2, ties to the
+    * lowest center id — strict-min scan == the oracle's
+    * `row_number() OVER (ORDER BY dist, cid)`). Centers are
+    * broadcast; the argmin partial-aggregates map-side, so the shuffle
+    * carries one row per point, not per (point, center).
+    * Returns (cid, id, vec). */
+  def assignAll(points: DataFrame, centers: DataFrame): DataFrame =
+    points.crossJoin(broadcast(centers.select(col("cid"), col("cvec"))))
+      .select(col("id"), col("vec"), col("cid"),
+        sqDistCol(col("vec"), col("cvec")).as("d"))
+      .groupBy("id")
+      .agg(min_by(col("cid"), struct(col("d"), col("cid"))).as("cid"),
+        first(col("vec")).as("vec"))
+      .select(col("cid"), col("id"), col("vec"))
+
+  /** Model centers as a (cid, cvec, n) frame. */
+  def centersFrame(spark: SparkSession, model: KMeans.Model): DataFrame = {
+    val rows = model.centers.map { case (cid, v) =>
+      Row(cid, v.toSeq, model.sizes.getOrElse(cid, 0L))
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toIndexedSeq, 1),
+      StructType(Seq(
+        StructField("cid", IntegerType),
+        StructField("cvec", ArrayType(DoubleType)),
+        StructField("n", LongType))))
+  }
+
+  /** Base run + preserved state. `kvs` re-derives every point's
+    * contribution under the FINAL centers (the consistency contract —
+    * stored contribution == what the point would emit given the current
+    * center state); `out` is the final centers with their last
+    * assignment counts. */
+  def preserve(points: DataFrame, k: Int, iterations: Int): PreservedState = {
+    val pts = points.select(col("id").cast("long"), col("vec").cast("array<double>"))
+    val model = KMeans.run(pts, k, metric = "euclidean", maxIterations = iterations)
+    val centers = centersFrame(points.sparkSession, model)
+    PreservedState(assignAll(pts, centers), centers)
+  }
+
+  /** Continue over the updated point set.
+    *
+    * @param updatedPoints points AFTER the delta (id, vec)
+    * @param changedIds    ids whose vectors changed (single column id)
+    */
+  def incremental(
+      updatedPoints: DataFrame,
+      preserved: PreservedState,
+      changedIds: DataFrame,
+      iterations: Int,
+      filterThreshold: Double = 0.0,
+      numPartitions: Int = 32,
+      durableStatePath: Option[String] = None): DataFrame =
+    incrementalWithStats(updatedPoints, preserved, changedIds, iterations,
+      filterThreshold, numPartitions, durableStatePath)._1
+
+  /** [[incremental]] plus the number of loop iterations actually run
+    * (spec hook: θ > 0 with a tiny delta should stop after one). */
+  def incrementalWithStats(
+      updatedPoints: DataFrame,
+      preserved: PreservedState,
+      changedIds: DataFrame,
+      iterations: Int,
+      filterThreshold: Double = 0.0,
+      numPartitions: Int = 32,
+      durableStatePath: Option[String] = None): (DataFrame, Int) = {
+
+    val pts = updatedPoints.select(col("id").cast("long"),
+      col("vec").cast("array<double>"))
+
+    val job = new IncrementalJob(
+      updatedStatic = pts,
+      skCol = "id",
+      k2Col = "cid",
+      preserved = preserved,
+      initialFrontier = changedIds.select(col("id")),
+      // frontier points against ALL current centers (One2All dyn scope)
+      mapContribs = (staticF, dynF) => assignAll(staticF, dynF),
+      // per affected center: mean of its merged bag, empty bag keeps
+      // the pre-update center (the reference's empty-cluster rule)
+      reduce = (affected, kvsAffected) => {
+        val counts = kvsAffected.groupBy("cid").agg(count(lit(1)).as("_n"))
+        val means = kvsAffected
+          .select(col("cid"), posexplode(col("vec")).as(Seq("pos", "comp")))
+          .groupBy("cid", "pos").agg(avg("comp").as("m"))
+          .groupBy("cid")
+          .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+            s => s("m")).as("_mvec"))
+        affected
+          .join(means, Seq("cid"), "left")
+          .join(counts, Seq("cid"), "left")
+          .select(col("cid"),
+            coalesce(col("_mvec"), col("_old_cvec")).as("cvec"),
+            coalesce(col("_n"), lit(0L)).as("n"))
+      },
+      outToDyn = identity,
+      distance = (o, nw) => sqrt(sqDistCol(o("cvec"), nw("cvec"))),
+      projectKind = ProjectKind.One2All,
+      includeOldOut = true,
+      filterThreshold = filterThreshold,
+      maxIterations = iterations,
+      numPartitions = numPartitions,
+      durableStatePath = durableStatePath)
+
+    val (out, _, iters) = job.run()
+    (out, iters)
+  }
+}

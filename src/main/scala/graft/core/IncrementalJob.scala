@@ -72,6 +72,22 @@ object PreservedState {
   *                      mapper consumes (often identity/rename)
   * @param distance      per-key distance between old and new out rows,
   *                      given columns (old, new) — used by the F30 filter
+  * @param projectKind   how changed outputs project back to source keys
+  *                      (the reference's map-side projector, F11/F13,
+  *                      `MapTask.java:783-799`): One2One — sk-space ==
+  *                      k2-space, the mapper sees the frontier keys' own
+  *                      dynamic values and affected keys ARE the next
+  *                      frontier (PageRank, matvec). One2All — every
+  *                      source depends on ALL dynamic values (KMeans
+  *                      centers): the mapper receives the full out
+  *                      state, and any output moving ≥ θ re-dirties
+  *                      every source key.
+  * @param includeOldOut when true, the affected frame passed to `reduce`
+  *                      also carries the PRE-update out columns renamed
+  *                      `_old_<name>` (null for brand-new keys) — for
+  *                      reduces whose empty-bag rule is "keep the old
+  *                      value" (KMeans' empty-cluster rule) rather than
+  *                      an identity element
   */
 final class IncrementalJob(
     updatedStatic: DataFrame,
@@ -83,6 +99,8 @@ final class IncrementalJob(
     reduce: (DataFrame, DataFrame) => DataFrame,
     outToDyn: DataFrame => DataFrame,
     distance: (Column, Column) => Column,
+    projectKind: ProjectKind = ProjectKind.One2One,
+    includeOldOut: Boolean = false,
     filterThreshold: Double = 0.0,
     maxIterations: Int = 10,
     numPartitions: Int = 32,
@@ -218,6 +236,12 @@ final class IncrementalJob(
       materialize(initialFrontier.select(col(skCol)).distinct())
     var i = 0
 
+    // One2All frontier projection target: every source key. Computed at
+    // most once (first use) and reused — the static side is fixed for
+    // the whole run.
+    lazy val allSources: (DataFrame, Long) = timed("all-sources leaf")(
+      materialize(static.select(col(skCol)).distinct()))
+
     // NOTE on column references: the loop re-joins frames derived from
     // one another (frontier ← affected ← kvs/out of earlier iterations),
     // and Catalyst rewrites expression ids when deduplicating such
@@ -236,9 +260,15 @@ final class IncrementalJob(
       val fkRaw = frontier.withColumnRenamed(skCol, "_fk")
       val fk = if (frontierSize <= broadcastMaxRows) broadcast(fkRaw) else fkRaw
       val staticF = static.join(fk, col(skCol) === col("_fk")).drop("_fk")
-      // dynamic values of the frontier keys (k2-space == sk-space)
-      val dynF = outToDyn(
-        scanAll(outSegs).join(fk, col(k2Col) === col("_fk")).drop("_fk"))
+      // dynamic values the mapper consumes: the frontier keys' own
+      // values (One2One, k2-space == sk-space) or the whole out state
+      // (One2All — e.g. every point needs every center; the out state
+      // is k rows there, broadcast-sized by nature)
+      val dynF = projectKind match {
+        case ProjectKind.One2All => outToDyn(scanAll(outSegs))
+        case _ => outToDyn(
+          scanAll(outSegs).join(fk, col(k2Col) === col("_fk")).drop("_fk"))
+      }
 
       // Fresh contributions and the affected-key material are ONE
       // tagged materialization (one optimized plan, one job): fresh
@@ -296,8 +326,19 @@ final class IncrementalJob(
         // the reduce result is never materialized on its own.
         val kvsAffected = dirtyKvs.df
           .join(aff, col(k2Col) === col("_aff"), "left_semi").drop("_b")
+        val affectedKeys = affected.withColumnRenamed("_aff", k2Col)
+        val affectedForReduce = if (!includeOldOut) affectedKeys else {
+          // pre-update out values, renamed so the reduce can fall back
+          // to them (left join: a key first seen this iteration gets
+          // nulls)
+          val oldOut = scanAll(outSegs)
+          val renamed = oldOut.columns.foldLeft(oldOut)(
+            (d, c) => d.withColumnRenamed(c, s"_old_$c"))
+          affectedKeys.join(renamed,
+            col(k2Col) === col(s"_old_$k2Col"), "left").drop(s"_old_$k2Col")
+        }
         val newOutPlan =
-          reduce(affected.withColumnRenamed("_aff", k2Col), kvsAffected)
+          reduce(affectedForReduce, kvsAffected)
             .withColumn("_b", bucketOf(col(k2Col)))
         val dirtyOut = Seg(timed(s"iter $i reduce+out (${touched.size}/$B buckets)")(
           materialize(scanTouched(outSegs, touched, isTouched)
@@ -307,10 +348,19 @@ final class IncrementalJob(
 
         // F30 change-propagation filter — computed BEFORE the out store
         // swaps, since it compares against the pre-update state. θ=0
-        // (exact mode): the next frontier IS the affected leaf.
+        // (exact mode): every affected key propagates. The moved keys
+        // then project back to source-key space per `projectKind`:
+        // One2One renames in place; One2All dirties every source as
+        // soon as ANY output moved (each source reads all outputs).
         if (filterThreshold <= 0.0) {
-          frontier = affected.withColumnRenamed("_aff", skCol)
-          frontierSize = affectedSize
+          projectKind match {
+            case ProjectKind.One2All =>
+              frontier = allSources._1
+              frontierSize = allSources._2
+            case _ =>
+              frontier = affected.withColumnRenamed("_aff", skCol)
+              frontierSize = affectedSize
+          }
         } else {
           // the reduce output as a view over the dirty segment leaf
           val newOut = dirtyOut.df
@@ -324,8 +374,17 @@ final class IncrementalJob(
               .filter(distance(col("_old"), col("_new")) >= filterThreshold)
               .select(col(k2Col).as(skCol))
               .distinct()))
-          frontier = f2
-          frontierSize = s2
+          projectKind match {
+            case ProjectKind.One2All if s2 > 0 =>
+              frontier = allSources._1
+              frontierSize = allSources._2
+            case ProjectKind.One2All =>
+              frontier = f2
+              frontierSize = 0
+            case _ =>
+              frontier = f2
+              frontierSize = s2
+          }
         }
         outSegs = dropTouched(outSegs, touched, isTouched) :+ dirtyOut
 

@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.Row
 
-import graft.algorithms.{IncrementalMatVec, IncrementalPageRank, KMeans, MatrixVector, PageRank}
+import graft.algorithms.{IncrementalKMeans, IncrementalMatVec, IncrementalPageRank, KMeans, MatrixVector, PageRank}
 
 /** The reference's iterative/incremental algorithm surface (A1-A5) as
   * driver-checkable queries. The DuckDB oracles are the SAME algorithms
@@ -178,6 +178,69 @@ object IterativeQueries {
        SELECT idx, round(x, 6) AS x FROM p$incrIters"""
   }
 
+  /** Incremental KMeans oracle (the One2All [[IncrementalJob]]
+    * instantiation): `baseIters` Lloyd rounds on the base points, then
+    * `incrIters` incremental rounds over a point delta (θ=0).
+    *
+    * Round B+1 is special: the base run is NOT a fixpoint, so only the
+    * centers touched by the delta (a changed point's old or new
+    * assignment) are recentered — untouched centers keep their
+    * preserved positions (exactly the MRB merge: unchanged points'
+    * preserved contributions are derived from the final base centers,
+    * so the merged bag equals a full re-assignment, but the reduce runs
+    * only over affected keys). From round B+2 every point is dirty
+    * (One2All: some center moved), making the rounds plain Lloyd
+    * steps over the updated points. */
+  private def incrKmeansSql(baseIters: Int, incrIters: Int, k: Int): String = {
+    def assign(i: Int, ptsCte: String) =
+      s"""a$i AS (SELECT id, x, y, cid FROM (
+         SELECT p.id, p.x, p.y, c.cid,
+           row_number() OVER (PARTITION BY p.id ORDER BY
+             (p.x - c.cx) * (p.x - c.cx) + (p.y - c.cy) * (p.y - c.cy), c.cid) AS rn
+         FROM $ptsCte p CROSS JOIN c${i - 1} c) WHERE rn = 1)"""
+    def recenter(i: Int) =
+      s"""c$i AS (SELECT c.cid, coalesce(m.mx, c.cx) AS cx, coalesce(m.my, c.cy) AS cy
+         FROM c${i - 1} c LEFT JOIN (
+           SELECT cid, avg(x) AS mx, avg(y) AS my FROM a$i GROUP BY 1) m
+         ON c.cid = m.cid)"""
+    val base = (1 to baseIters)
+      .map(i => assign(i, "pts") + ",\n" + recenter(i)).mkString(",\n")
+    val b1 = baseIters + 1
+    val iter1 =
+      s"""pa AS (SELECT id, cid FROM (
+           SELECT p.id, c.cid,
+             row_number() OVER (PARTITION BY p.id ORDER BY
+               (p.x - c.cx) * (p.x - c.cx) + (p.y - c.cy) * (p.y - c.cy), c.cid) AS rn
+           FROM pts p CROSS JOIN c$baseIters c) WHERE rn = 1),
+         ${assign(b1, "pts2")},
+         aff1 AS (SELECT DISTINCT cid FROM a$b1 WHERE id % 10 = 3
+           UNION SELECT DISTINCT cid FROM pa WHERE id % 10 = 3),
+         c$b1 AS (SELECT c.cid,
+           CASE WHEN c.cid IN (SELECT cid FROM aff1)
+             THEN coalesce(m.mx, c.cx) ELSE c.cx END AS cx,
+           CASE WHEN c.cid IN (SELECT cid FROM aff1)
+             THEN coalesce(m.my, c.cy) ELSE c.cy END AS cy
+           FROM c$baseIters c LEFT JOIN (
+             SELECT cid, avg(x) AS mx, avg(y) AS my FROM a$b1 GROUP BY 1) m
+           ON c.cid = m.cid)"""
+    val rest = (baseIters + 2 to baseIters + incrIters)
+      .map(i => assign(i, "pts2") + ",\n" + recenter(i)).mkString(",\n")
+    val last = baseIters + incrIters
+    s"""WITH pts AS (SELECT c_custkey AS id, c_acctbal / 1000.0 AS x,
+         CAST(c_nationkey AS DOUBLE) AS y FROM customer),
+       c0 AS (SELECT CAST(row_number() OVER (ORDER BY id) AS INT) - 1 AS cid,
+         x AS cx, y AS cy FROM (SELECT id, x, y FROM pts ORDER BY id LIMIT $k)),
+       $base,
+       pts2 AS (SELECT id, CASE WHEN id % 10 = 3 THEN x * 0.5 ELSE x END AS x,
+         CASE WHEN id % 10 = 3 THEN y * 0.5 ELSE y END AS y FROM pts),
+       $iter1,
+       $rest
+       SELECT c.cid, round(c.cx, 6) AS cx, round(c.cy, 6) AS cy,
+         coalesce(m.n, 0) AS n
+       FROM c$last c LEFT JOIN (
+         SELECT cid, count(*) AS n FROM a$last GROUP BY 1) m ON c.cid = m.cid"""
+  }
+
   // ---- queries ----------------------------------------------------------
 
   val all: Seq[Q] = Seq(
@@ -280,6 +343,28 @@ object IterativeQueries {
           .select(col("idx"), round(col("x"), 6).as("x"))
       },
       Some(incrMatvecSql(4, 3))),
+
+    // Third IncrementalJob instantiation — and the One2All one (A2+A7:
+    // the i2MapReduce app trilogy PageRank/KMeans/GIM-V all run
+    // incrementally on the same machinery). Point delta: ids % 10 == 3
+    // shrink toward the origin.
+    Q("q_incr_kmeans",
+      (s, dir) => {
+        val pts = Q.t(s, dir, "customer").select(
+          col("c_custkey").as("id"),
+          array(col("c_acctbal") / 1000.0, col("c_nationkey").cast("double")).as("vec"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val preserved = IncrementalKMeans.preserve(pts, k = 4, iterations = 3)
+        val chg = pts.filter(col("id") % 10 === 3).select("id")
+        val pts2 = pts.withColumn("vec",
+          when(col("id") % 10 === 3, transform(col("vec"), x => x * 0.5))
+            .otherwise(col("vec")))
+        IncrementalKMeans.incremental(pts2, preserved, chg,
+          iterations = 3, filterThreshold = 0.0)
+          .select(col("cid"), round(col("cvec")(0), 6).as("cx"),
+            round(col("cvec")(1), 6).as("cy"), col("n"))
+      },
+      Some(incrKmeansSql(3, 3, 4))),
 
     Q("q_incr_pagerank",
       (s, dir) => {

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.algorithms.{IncrementalMatVec, IncrementalPageRank, PageRank}
+import graft.algorithms.{IncrementalKMeans, IncrementalMatVec, IncrementalPageRank, KMeans, PageRank}
 import graft.util.Generators
 
 /** Incremental-vs-full differential tests — the reference's own oracle
@@ -139,6 +139,80 @@ class IncrementalSpec extends SparkSpec {
       assert(math.abs(incr(nd) - full(nd)) < 1e-6,
         s"node $nd incr=${incr(nd)} full=${full(nd)}")
     edges1.unpersist(); edges2.unpersist()
+  }
+
+  test("incremental kmeans (One2All, 3rd instantiation): theta=0 matches MRB semantics") {
+    val pts0 = Generators.points(spark, n = 200, dim = 3, k = 5)
+      .persist()
+    val preserved = IncrementalKMeans.preserve(pts0, k = 5, iterations = 4)
+    val (pts2, changed, _) = Generators.pointsDelta(pts0, everyNth = 10)
+
+    val incr = IncrementalKMeans.incremental(pts2, preserved, changed,
+      iterations = 3, filterThreshold = 0.0)
+      .collect().map(r => r.getInt(0) ->
+        (r.getSeq[Double](1).toArray, r.getLong(2))).toMap
+
+    // independent expected path: driver-side MRB rounds using the typed
+    // closure assignment (KMeans.assignments) and driver means.
+    // Iteration 1 recenters ONLY centers touched by the delta (the
+    // base run is not a fixpoint, so untouched centers keep their
+    // preserved positions); iterations >= 2 are full Lloyd steps.
+    val p2 = pts2.as[(Long, Array[Double])].collect().toMap
+    val pOld = pts0.as[(Long, Array[Double])].collect().toMap
+    val chgIds = changed.as[Long].collect().toSet
+    var centers = preserved.out.collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).sortBy(_._1)
+    var sizes = preserved.out.collect()
+      .map(r => r.getInt(0) -> r.getLong(2)).toMap
+    def assignWith(cs: Array[(Int, Array[Double])], pts: Map[Long, Array[Double]]) = {
+      val model = KMeans.Model(cs, 0, 0.0, Map.empty)
+      val df = pts.toSeq.toDF("id", "vec")
+      KMeans.assignments(df, model, "euclidean")
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    }
+    for (it <- 1 to 3) {
+      val asg = assignWith(centers, p2)
+      val affected: Set[Int] =
+        if (it > 1) asg.values.toSet ++ sizes.filter(_._2 > 0).keySet
+        else {
+          val oldAsg = assignWith(centers, pOld) // preserved rows' cids
+          chgIds.map(asg) ++ chgIds.map(oldAsg)
+        }
+      val byC = asg.groupBy(_._2).view.mapValues(_.keys.toSeq).toMap
+      centers = centers.map { case (cid, v) =>
+        if (!affected(cid)) (cid, v)
+        else byC.get(cid) match {
+          case Some(ids) =>
+            val dim = v.length
+            val mean = (0 until dim).map(d =>
+              ids.map(p2(_)(d)).sum / ids.size).toArray
+            (cid, mean)
+          case None => (cid, v)
+        }
+      }
+      sizes = centers.map { case (cid, _) =>
+        cid -> byC.get(cid).map(_.size.toLong)
+          .getOrElse(if (affected(cid)) 0L else sizes(cid))
+      }.toMap
+    }
+    assert(incr.keySet == centers.map(_._1).toSet)
+    for ((cid, v) <- centers) {
+      val (got, n) = incr(cid)
+      assert(n == sizes(cid), s"cid $cid n=$n expected ${sizes(cid)}")
+      for (d <- v.indices)
+        assert(math.abs(got(d) - v(d)) < 1e-9,
+          s"cid $cid dim $d got ${got(d)} expected ${v(d)}")
+    }
+    pts0.unpersist()
+  }
+
+  test("incremental kmeans with large theta stops after one cheap round") {
+    val pts0 = Generators.points(spark, n = 200, dim = 3, k = 5)
+    val preserved = IncrementalKMeans.preserve(pts0, k = 5, iterations = 4)
+    val (pts2, changed, _) = Generators.pointsDelta(pts0, everyNth = 10)
+    val (_, iters) = IncrementalKMeans.incrementalWithStats(pts2, preserved,
+      changed, iterations = 10, filterThreshold = 1e9)
+    assert(iters == 1, s"expected the huge theta to absorb round 1, ran $iters")
   }
 
   test("points delta moves exactly the selected ids") {
