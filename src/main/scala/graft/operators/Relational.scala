@@ -36,6 +36,28 @@ object Relational {
     df.orderBy(order: _*).limit(k)
       .withColumn("rank", row_number().over(Window.orderBy(order: _*)))
 
+  /** Skew-safe equi-join (100 TB posture): a single hot key floods one
+    * shuffle partition in a plain sort-merge join, and AQE's skew split
+    * only helps when the skew is visible at runtime stats granularity.
+    * Salting fixes it structurally: each `big` row gets a deterministic
+    * salt in [0, salt) from a stable row hash, the `small` side is
+    * replicated once per salt value, and the join key becomes
+    * (key, salt) — a hot key's rows spread over `salt` partitions while
+    * every row still meets exactly one replica of its match, so the
+    * result is bit-identical to the plain inner join (gate-enforced:
+    * `q_salted_join` shares the plain join's oracle).
+    * Shuffle cost: |big| unchanged, |small| × salt — size `salt` to the
+    * skew factor, keep `small` the dimension side. */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+      salt: Int = 8): DataFrame = {
+    require(salt > 0, "salt must be positive")
+    val bigS = big.withColumn("_salt",
+      pmod(xxhash64(struct(big.columns.map(col): _*)), lit(salt.toLong)).cast("int"))
+    val smallS = small.withColumn("_salt",
+      explode(array((0 until salt).map(lit): _*)))
+    bigS.join(smallS, Seq(key, "_salt")).drop("_salt")
+  }
+
   /** Secondary sort (F18, `examples/.../SecondarySort.java`): group by
     * key, values ordered within the group — expressed as
     * sort_array(collect_list(struct(order, value))) so ordering happens

@@ -159,6 +159,21 @@ object ExtraQueries {
               CAST(sum(l_quantity) AS DOUBLE) AS sum_qty, count(*) AS cnt
               FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""")),
 
+    // Cube + grouping sets (also free from Catalyst): all four
+    // aggregation levels of (status, priority) in one pass.
+    Q("q_cube",
+      (s, dir) => Q.t(s, dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("cnt"),
+          round(sum("o_totalprice"), 4).as("total"))
+        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("st"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("prio"),
+          col("cnt"), col("total")),
+      Some("""SELECT coalesce(o_orderstatus, 'ALL') AS st,
+              coalesce(o_orderpriority, 'ALL') AS prio,
+              count(*) AS cnt, round(sum(o_totalprice), 4) AS total
+              FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""")),
+
     // Set ops: except / intersect.
     Q("q_except",
       (s, dir) => Q.t(s, dir, "customer").select(col("c_custkey").as("custkey"))

@@ -67,6 +67,24 @@ object RelationalQueries {
       Some("""SELECT p_brand, CAST(sum(l_quantity) AS DOUBLE) AS sum_qty, count(*) AS cnt
               FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1""")),
 
+    // Salted skew-safe join — MUST equal the plain join (shared
+    // oracle): salting is a physical rewrite, not a semantic one.
+    Q("q_salted_join",
+      (s, dir) => {
+        val o = Q.t(s, dir, "orders")
+          .select(col("o_custkey").as("custkey"), col("o_totalprice"))
+        val c = Q.t(s, dir, "customer")
+          .select(col("c_custkey").as("custkey"), col("c_nationkey"))
+        graft.operators.Relational.saltedJoin(o, c, "custkey", salt = 8)
+          .groupBy("c_nationkey")
+          .agg(count(lit(1)).as("cnt"),
+            round(sum("o_totalprice"), 4).as("total"))
+      },
+      Some("""SELECT c_nationkey, count(*) AS cnt,
+              round(sum(o_totalprice), 4) AS total
+              FROM orders JOIN customer ON o_custkey = c_custkey
+              GROUP BY 1""")),
+
     // Semi-join shape: customers with/without orders per segment.
     Q("q_semi_anti",
       (s, dir) => {

@@ -128,6 +128,24 @@ class OperatorsSpec extends SparkSpec {
     assert(hamming(hs(1L), hs(2L)) < hamming(hs(1L), hs(3L)))
   }
 
+  test("salted join equals plain join and spreads a hot key across salts") {
+    // 5000 rows on ONE key + a long tail: the classic skew shape
+    val big = ((1 to 5000).map(i => (1L, i.toLong)) ++
+      (2L to 200L).map(k => (k, k * 10))).toDF("k", "payload")
+    val small = (1L to 200L).map(k => (k, s"dim$k")).toDF("k", "name")
+    val salted = Relational.saltedJoin(big, small, "k", salt = 8)
+    val plain = big.join(small, "k")
+    assert(salted.count() == plain.count())
+    assert(salted.exceptAll(plain).count() == 0)
+    assert(plain.exceptAll(salted).count() == 0)
+    // the hot key's rows actually land on several distinct salts
+    val saltsUsed = big.filter(col("k") === 1L)
+      .withColumn("_salt",
+        pmod(xxhash64(struct(col("k"), col("payload"))), lit(8L)).cast("int"))
+      .select("_salt").distinct().count()
+    assert(saltsUsed >= 6, s"hot key used only $saltsUsed of 8 salts")
+  }
+
   test("brute-force ANN: self-similarity excluded, ranks ordered, exact") {
     val top = Similarity.bruteForceTopK(embs, embs.filter(col("id") < 3), k = 4)
     val rows = top.as[(Long, Long, Double, Int)].collect()
