@@ -174,6 +174,23 @@ object ExtraQueries {
               count(*) AS cnt, round(sum(o_totalprice), 4) AS total
               FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""")),
 
+    // Pivot: one row per priority, one count column per order status
+    // (fixed value list keeps the schema static and the oracle exact).
+    Q("q_pivot",
+      (s, dir) => Q.t(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("O", "F", "P"))
+        .agg(count(lit(1)))
+        .select(col("o_orderpriority"),
+          coalesce(col("O"), lit(0L)).as("o_cnt"),
+          coalesce(col("F"), lit(0L)).as("f_cnt"),
+          coalesce(col("P"), lit(0L)).as("p_cnt")),
+      Some("""SELECT o_orderpriority,
+              count(*) FILTER (o_orderstatus = 'O') AS o_cnt,
+              count(*) FILTER (o_orderstatus = 'F') AS f_cnt,
+              count(*) FILTER (o_orderstatus = 'P') AS p_cnt
+              FROM orders GROUP BY 1""")),
+
     // Set ops: except / intersect.
     Q("q_except",
       (s, dir) => Q.t(s, dir, "customer").select(col("c_custkey").as("custkey"))
