@@ -68,4 +68,19 @@ object Sources {
     props.foreach { case (k, v) => p.setProperty(k, v) }
     spark.read.jdbc(url, table, p)
   }
+
+  /** Bucketed, bucket-sorted table write — the 100 TB co-location
+    * primitive (the Spark-native analog of the reference's sticky
+    * scheduling + partitioned preserve files, SURVEY §2 F33: state and
+    * static split co-located across runs). Tables bucketed the same way
+    * on the same key join with NO exchange and NO sort: the scan's
+    * output partitioning/ordering already satisfies the join
+    * (spec-verified plan shape). The pre-write repartition uses the
+    * same hash as the bucket spec, so each task owns exactly one
+    * bucket → one file per bucket, which is what lets the scan report
+    * its sort order. */
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+    df.repartition(buckets, col(key))
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, key).sortBy(key).saveAsTable(table)
 }

@@ -50,6 +50,22 @@ class SourcesSpec extends SparkSpec {
     assert(back == Set((1L, "a", 1.5), (2L, "b", -2.0), (3L, "c", 0.25)))
   }
 
+  test("co-bucketed tables join with no exchange and no sort (F33 co-location)") {
+    val c = spark.read.parquet(s"$sf/customer.parquet")
+      .select(col("c_custkey").as("k"), col("c_name"))
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+      .select(col("o_custkey").as("k"), col("o_totalprice"))
+    Sources.writeBucketed(c, "b_cust", "k", 4)
+    Sources.writeBucketed(o, "b_ord", "k", 4)
+    val j = spark.table("b_ord").join(spark.table("b_cust"), "k")
+    val plan = j.queryExecution.sparkPlan.toString
+    assert(!plan.contains("Exchange"), s"bucketed join still shuffles:\n$plan")
+    assert(!plan.contains("Sort "), s"bucketed join still sorts:\n$plan")
+    // and the co-located plan returns the same rows as the plain join
+    assert(j.count() == o.join(c, "k").count())
+    spark.sql("DROP TABLE b_cust"); spark.sql("DROP TABLE b_ord")
+  }
+
   test("typed generators: heavy-tailed degrees, weights, bipartite dst (A12)") {
     val pg = Generators.graphTyped(spark, n = 2000, kind = "pg")
     val degs = pg.groupBy("src").agg(count(lit(1)).as("d"))
