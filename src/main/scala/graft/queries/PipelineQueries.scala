@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions._
-import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.operators.{Dedup, Multimodal, Pipeline, Similarity}
 
 /** Training-data-pipeline surface: dedup (exact / MinHash-LSH / SimHash /
   * n-gram Jaccard), similarity search, text analysis, multimodal
@@ -178,6 +178,44 @@ object PipelineQueries {
                 FROM cands c JOIN sh sa ON c.a = sa.doc_id
                 JOIN sh sb ON c.b = sb.doc_id)
               WHERE jacc >= 0.2""")),
+
+    // End-to-end cleaning pipeline: quality floor -> language filter ->
+    // exact dedup -> SimHash near-dup drop, every step mirrored in the
+    // oracle (the composition a real training-data pipeline runs).
+    Q("q_pipeline_clean",
+      (s, dir) => Pipeline.cleanCorpus(Q.t(s, dir, "documents"),
+        "doc_id", "text", minQuality = 0.3, lang = "en")
+        .select(col("doc_id"), col("source"),
+          size(tokens(col("text"))).as("ntok")),
+      Some(s"""WITH $toksCte, $statsCte,
+              q AS (SELECT doc_id FROM stats
+                WHERE least(ntok / 40.0, 1.0) * 0.4 + uniqr * 0.3
+                    + (1.0 - stop) * 0.3 >= 0.3
+                  AND (CASE WHEN stop >= 0.12 THEN 'en'
+                    WHEN avglen >= 5.0 THEN 'de'
+                    WHEN ntok % 3 = 0 THEN 'es'
+                    ELSE 'other' END) = 'en'),
+              d AS (SELECT doc_id FROM (
+                SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS mn
+                FROM documents JOIN q USING (doc_id)) WHERE doc_id = mn),
+              toksS AS (SELECT t.doc_id, t.toks FROM toks t JOIN d USING (doc_id)),
+              ${codesCte.replace("FROM toks)", "FROM toksS)")},
+              s1 AS (${simsSelect(1)}),
+              s2 AS (${simsSelect(2)}),
+              sims AS (SELECT s1.doc_id, s1.simhash AS h1, s2.simhash AS h2
+                FROM s1 JOIN s2 USING (doc_id)),
+              bands AS (SELECT doc_id, h1, h2, b AS band,
+                CASE WHEN b < 2 THEN (h1 >> (b * 16)) & 65535
+                  ELSE (h2 >> ((b - 2) * 16)) & 65535 END AS bv
+                FROM sims, generate_series(0, 3) g(b)),
+              drop AS (SELECT DISTINCT y.doc_id FROM bands x JOIN bands y
+                ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id
+                WHERE bit_count(xor(x.h1, y.h1))
+                  + bit_count(xor(x.h2, y.h2)) <= 3)
+              SELECT d.doc_id, doc.source, CAST(len(t.toks) AS INT) AS ntok
+              FROM d JOIN documents doc USING (doc_id)
+              JOIN toks t USING (doc_id)
+              WHERE d.doc_id NOT IN (SELECT doc_id FROM drop)""")),
 
     // Language-ID heuristic.
     Q("q_langid",
