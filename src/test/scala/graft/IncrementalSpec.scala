@@ -206,6 +206,27 @@ class IncrementalSpec extends SparkSpec {
     pts0.unpersist()
   }
 
+  test("kmeans filter threshold bounds center drift vs exact mode") {
+    val pts0 = Generators.points(spark, n = 200, dim = 3, k = 5)
+    val preserved = IncrementalKMeans.preserve(pts0, k = 5, iterations = 4)
+    val (pts2, changed, _) = Generators.pointsDelta(pts0, everyNth = 10)
+    def centersOf(theta: Double) =
+      IncrementalKMeans.incremental(pts2, preserved, changed,
+        iterations = 3, filterThreshold = theta)
+        .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+    val exact = centersOf(0.0)
+    val theta = 0.05
+    val approx = centersOf(theta)
+    // each unpropagated round leaves centers that moved < theta in
+    // place; over `iters` rounds the per-center drift stays O(iters * theta)
+    // (loose linear bound, same contract as the PageRank theta spec)
+    for ((cid, v) <- exact) {
+      val w = approx(cid)
+      val d = math.sqrt(v.zip(w).map { case (a, b) => (a - b) * (a - b) }.sum)
+      assert(d <= 3 * theta + 1e-12, s"cid $cid drifted $d > ${3 * theta}")
+    }
+  }
+
   test("incremental kmeans with large theta stops after one cheap round") {
     val pts0 = Generators.points(spark, n = 200, dim = 3, k = 5)
     val preserved = IncrementalKMeans.preserve(pts0, k = 5, iterations = 4)
