@@ -21,9 +21,14 @@ object IncrementalPageRank {
     * [[graft.core.PreservedState]] for the consistency contract). */
   def preserve(edges: DataFrame, damping: Double, iterations: Int,
       numPartitions: Int = 32): PreservedState = {
-    val ranks = PageRank.run(edges, damping, iterations,
-      numPartitions = numPartitions).dynamic
-    val static = PageRank.prepare(edges)
+    // reuse the run's cached static (src, dst, deg) for the kvs join —
+    // re-preparing from the raw edges would repeat the
+    // scan+distinct+degree chain (two shuffles) just to derive kvs.
+    // The edge cache stays alive until the caller materializes kvs
+    // (Verify/Bench clear per-query caches afterwards).
+    val (res, static, _) = PageRank.runKeepStatic(edges, damping, iterations,
+      numPartitions = numPartitions)
+    val ranks = res.dynamic
     val kvs = static.join(ranks, static("src") === ranks("node"))
       .select(static("dst").as("node"), static("src"),
         (ranks("rank") / static("deg") * damping).as("contrib"))

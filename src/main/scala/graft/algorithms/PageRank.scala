@@ -51,6 +51,26 @@ object PageRank {
       maxIterations: Int = 10,
       threshold: Double = -1.0,
       numPartitions: Int = 32): IterResult = {
+    val (res, _, release) = runKeepStatic(edges, damping, maxIterations,
+      threshold, numPartitions)
+    release()
+    res
+  }
+
+  /** [[run]] plus the co-partitioned static relation (src, dst, deg) it
+    * used — backed by the run's cached distinct-edge frame — and a
+    * release callback for that cache. For callers deriving more state
+    * from the same graph (the preserve pass joins edges against the
+    * final ranks): reusing the cached frame skips a second
+    * scan+distinct+degree chain. Call `release()` (or let the session's
+    * per-query cache clear handle it) once derived state is
+    * materialized. */
+  def runKeepStatic(
+      edges: DataFrame,
+      damping: Double = 0.8,
+      maxIterations: Int = 10,
+      threshold: Double = -1.0,
+      numPartitions: Int = 32): (IterResult, DataFrame, () => Unit) = {
 
     // distinct edge list computed ONCE — static, degrees, and the node
     // base all derive from this cached frame (otherwise the upstream
@@ -80,8 +100,7 @@ object PageRank {
       IterConfig(maxIterations, threshold, numPartitions = numPartitions))
     val res = job.run()
     base.unpersist(blocking = false)
-    e.unpersist(blocking = false)
-    res
+    (res, static, () => e.unpersist(blocking = false))
   }
 
   /** Naive loop-of-jobs baseline (A10, `NaivePageRank.java:34-323`): the
