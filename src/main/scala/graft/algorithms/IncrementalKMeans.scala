@@ -39,16 +39,33 @@ object IncrementalKMeans {
   private def sqDistCol(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v)
 
-  /** Assign each point to its nearest center (squared-L2, ties to the
-    * lowest center id — strict-min scan == the oracle's
+  /** Column mirror of [[KMeans]]'s distance functions: "euclidean" =
+    * squared L2; "cosine" = 1 − dot/(‖a‖·‖b‖), zero vectors at
+    * distance 1.0 — identical arithmetic to `KMeans.cosDist`. */
+  private def distCol(metric: String)(
+      a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    metric match {
+      case "cosine" =>
+        def dot2(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+          aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+        val na = dot2(a, a)
+        val nb = dot2(b, b)
+        when(na === 0.0 || nb === 0.0, lit(1.0))
+          .otherwise(lit(1.0) - dot2(a, b) / (sqrt(na) * sqrt(nb)))
+      case _ => sqDistCol(a, b)
+    }
+
+  /** Assign each point to its nearest center (ties to the lowest
+    * center id — strict-min scan == the oracle's
     * `row_number() OVER (ORDER BY dist, cid)`). Centers are
     * broadcast; the argmin partial-aggregates map-side, so the shuffle
     * carries one row per point, not per (point, center).
     * Returns (cid, id, vec). */
-  def assignAll(points: DataFrame, centers: DataFrame): DataFrame =
+  def assignAll(points: DataFrame, centers: DataFrame,
+      metric: String = "euclidean"): DataFrame =
     points.crossJoin(broadcast(centers.select(col("cid"), col("cvec"))))
       .select(col("id"), col("vec"), col("cid"),
-        sqDistCol(col("vec"), col("cvec")).as("d"))
+        distCol(metric)(col("vec"), col("cvec")).as("d"))
       .groupBy("id")
       .agg(min_by(col("cid"), struct(col("d"), col("cid"))).as("cid"),
         first(col("vec")).as("vec"))
@@ -72,11 +89,12 @@ object IncrementalKMeans {
     * stored contribution == what the point would emit given the current
     * center state); `out` is the final centers with their last
     * assignment counts. */
-  def preserve(points: DataFrame, k: Int, iterations: Int): PreservedState = {
+  def preserve(points: DataFrame, k: Int, iterations: Int,
+      metric: String = "euclidean"): PreservedState = {
     val pts = points.select(col("id").cast("long"), col("vec").cast("array<double>"))
-    val model = KMeans.run(pts, k, metric = "euclidean", maxIterations = iterations)
+    val model = KMeans.run(pts, k, metric = metric, maxIterations = iterations)
     val centers = centersFrame(points.sparkSession, model)
-    PreservedState(assignAll(pts, centers), centers)
+    PreservedState(assignAll(pts, centers, metric), centers)
   }
 
   /** Continue over the updated point set.
@@ -91,9 +109,10 @@ object IncrementalKMeans {
       iterations: Int,
       filterThreshold: Double = 0.0,
       numPartitions: Int = 32,
-      durableStatePath: Option[String] = None): DataFrame =
+      durableStatePath: Option[String] = None,
+      metric: String = "euclidean"): DataFrame =
     incrementalWithStats(updatedPoints, preserved, changedIds, iterations,
-      filterThreshold, numPartitions, durableStatePath)._1
+      filterThreshold, numPartitions, durableStatePath, metric)._1
 
   /** [[incremental]] plus the number of loop iterations actually run
     * (spec hook: θ > 0 with a tiny delta should stop after one). */
@@ -104,7 +123,8 @@ object IncrementalKMeans {
       iterations: Int,
       filterThreshold: Double = 0.0,
       numPartitions: Int = 32,
-      durableStatePath: Option[String] = None): (DataFrame, Int) = {
+      durableStatePath: Option[String] = None,
+      metric: String = "euclidean"): (DataFrame, Int) = {
 
     val pts = updatedPoints.select(col("id").cast("long"),
       col("vec").cast("array<double>"))
@@ -116,7 +136,7 @@ object IncrementalKMeans {
       preserved = preserved,
       initialFrontier = changedIds.select(col("id")),
       // frontier points against ALL current centers (One2All dyn scope)
-      mapContribs = (staticF, dynF) => assignAll(staticF, dynF),
+      mapContribs = (staticF, dynF) => assignAll(staticF, dynF, metric),
       // per affected center: mean of its merged bag, empty bag keeps
       // the pre-update center (the reference's empty-cluster rule)
       reduce = (affected, kvsAffected) => {

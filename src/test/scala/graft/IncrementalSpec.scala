@@ -142,13 +142,22 @@ class IncrementalSpec extends SparkSpec {
   }
 
   test("incremental kmeans (One2All, 3rd instantiation): theta=0 matches MRB semantics") {
+    checkIncrKMeans("euclidean")
+  }
+
+  test("incremental kmeans under the cosine metric (A2 parity)") {
+    checkIncrKMeans("cosine")
+  }
+
+  private def checkIncrKMeans(metric: String): Unit = {
     val pts0 = Generators.points(spark, n = 200, dim = 3, k = 5)
       .persist()
-    val preserved = IncrementalKMeans.preserve(pts0, k = 5, iterations = 4)
+    val preserved = IncrementalKMeans.preserve(pts0, k = 5, iterations = 4,
+      metric = metric)
     val (pts2, changed, _) = Generators.pointsDelta(pts0, everyNth = 10)
 
     val incr = IncrementalKMeans.incremental(pts2, preserved, changed,
-      iterations = 3, filterThreshold = 0.0)
+      iterations = 3, filterThreshold = 0.0, metric = metric)
       .collect().map(r => r.getInt(0) ->
         (r.getSeq[Double](1).toArray, r.getLong(2))).toMap
 
@@ -167,7 +176,7 @@ class IncrementalSpec extends SparkSpec {
     def assignWith(cs: Array[(Int, Array[Double])], pts: Map[Long, Array[Double]]) = {
       val model = KMeans.Model(cs, 0, 0.0, Map.empty)
       val df = pts.toSeq.toDF("id", "vec")
-      KMeans.assignments(df, model, "euclidean")
+      KMeans.assignments(df, model, metric)
         .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     }
     for (it <- 1 to 3) {
