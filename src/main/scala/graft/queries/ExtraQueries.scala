@@ -25,6 +25,17 @@ object ExtraQueries {
          * sqrt(list_reduce([$b[i] * $b[i] for i in generate_series(1, len($b))],
             (x, y) -> x + y))))"""
 
+  /** Halton radical inverse of `i` in `base` over `k` digit positions:
+    * Σ_j ((i ÷ baseʲ) mod base) · base^-(j+1), ascending j — the same
+    * term order as the Spark fold, so the double sums are
+    * bit-identical. */
+  private def radInvSql(base: Int, k: Int): String =
+    (0 until k).map { j =>
+      val p = BigInt(base).pow(j)
+      val q = BigInt(base).pow(j + 1)
+      s"CAST((i // $p) % $base AS DOUBLE) * (1.0 / $q.0)"
+    }.mkString(" + ")
+
   private def kmeansCosineSql(iters: Int, k: Int): String = {
     val assign = (i: Int) =>
       s"""a$i AS (SELECT id, vec, cid FROM (
@@ -173,6 +184,39 @@ object ExtraQueries {
               coalesce(o_orderpriority, 'ALL') AS prio,
               count(*) AS cnt, round(sum(o_totalprice), 4) AS total
               FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""")),
+
+    // PiEstimator (stock example, `examples/PiEstimator.java`): Monte
+    // Carlo quarter-circle counting over the DETERMINISTIC Halton
+    // sequence (bases 2 and 3, like the reference's HaltonSequence) —
+    // radical inverses are integer digit folds summed in identical
+    // term order on both engines, so the estimate matches exactly.
+    // n = |lineitem| keeps the workload sf-scaled.
+    Q("q_pi",
+      (s, dir) => {
+        val n = Q.t(s, dir, "lineitem").count()
+        def radInv(base: Int, k: Int) = (0 until k).map { j =>
+          val p = BigInt(base).pow(j)
+          val q = BigInt(base).pow(j + 1).toDouble
+          (expr(s"id div $p") % base).cast("double") * (lit(1.0) / lit(q))
+        }.reduce(_ + _)
+        s.range(n)
+          .select(radInv(2, 24).as("x"), radInv(3, 16).as("y"))
+          .agg(count(lit(1)).as("n"),
+            sum(when((col("x") - 0.5) * (col("x") - 0.5)
+              + (col("y") - 0.5) * (col("y") - 0.5) <= 0.25, 1L)
+              .otherwise(0L)).as("inside"))
+          .select(col("n"), col("inside"),
+            round(lit(4.0) * col("inside") / col("n"), 6).as("pi_est"))
+      },
+      Some(s"""WITH idx AS (SELECT row_number() OVER () - 1 AS i FROM lineitem),
+              pts AS (SELECT ${radInvSql(2, 24)} AS x,
+                ${radInvSql(3, 16)} AS y FROM idx),
+              agg AS (SELECT count(*) AS n,
+                CAST(sum(CASE WHEN (x - 0.5) * (x - 0.5)
+                  + (y - 0.5) * (y - 0.5) <= 0.25 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS inside FROM pts)
+              SELECT n, inside, round(4.0 * inside / n, 6) AS pi_est
+              FROM agg""")),
 
     // Pivot: one row per priority, one count column per order status
     // (fixed value list keeps the schema static and the oracle exact).

@@ -160,6 +160,20 @@ object RelationalQueries {
                 x -> x <> '')) AS token FROM documents)
               GROUP BY 1""")),
 
+    // A14 histogram aggregation (AggregateWordHistogram family):
+    // frequency-of-frequency over the word counts — two cascaded
+    // aggregations, both map-side combining.
+    Q("q_word_histogram",
+      (s, dir) => Relational.wordCount(Q.t(s, dir, "documents"), "text")
+        .groupBy(col("cnt").as("freq"))
+        .agg(count(lit(1)).as("n_words"))
+        .select(col("freq"), col("n_words")),
+      Some("""SELECT cnt AS freq, count(*) AS n_words FROM (
+              SELECT token, count(*) AS cnt FROM (
+                SELECT unnest(list_filter(regexp_split_to_array(text, ' +'),
+                  x -> x <> '')) AS token FROM documents)
+              GROUP BY 1) GROUP BY 1""")),
+
     // A14 grep: regex filter + per-match count.
     Q("q_grep",
       (s, dir) => Relational.grep(Q.t(s, dir, "documents"), "text", "^s"),
