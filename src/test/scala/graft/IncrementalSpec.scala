@@ -236,6 +236,32 @@ class IncrementalSpec extends SparkSpec {
     }
   }
 
+  test("incremental kmeans with durable segments matches the in-memory loop") {
+    val pts0 = Generators.points(spark, n = 200, dim = 3, k = 5)
+    val preserved = IncrementalKMeans.preserve(pts0, k = 5, iterations = 4)
+    val (pts2, changed, _) = Generators.pointsDelta(pts0, everyNth = 10)
+    def run(durable: Option[String]) =
+      IncrementalKMeans.incremental(pts2, preserved, changed,
+        iterations = 3, filterThreshold = 0.0, durableStatePath = durable)
+        .collect().map(r => r.getInt(0) ->
+          (r.getSeq[Double](1).toArray, r.getLong(2))).toMap
+    val dir = java.nio.file.Files.createTempDirectory("kmeans_segs").toString
+    val d = run(Some(dir))
+    val m = run(None)
+    // the parquet round-trip reorders rows within each cluster's bag and
+    // avg sums in row order, so centers agree to last-ulp, not bitwise
+    // (unlike the One2One durable spec, whose per-key sums see the same
+    // order either way)
+    assert(d.keySet == m.keySet)
+    for ((cid, (dv, dn)) <- d) {
+      val (mv, mn) = m(cid)
+      assert(dn == mn)
+      for (i <- dv.indices)
+        assert(math.abs(dv(i) - mv(i)) <= 1e-9 * math.max(1.0, math.abs(mv(i))),
+          s"cid $cid dim $i: ${dv(i)} vs ${mv(i)}")
+    }
+  }
+
   test("incremental kmeans with large theta stops after one cheap round") {
     val pts0 = Generators.points(spark, n = 200, dim = 3, k = 5)
     val preserved = IncrementalKMeans.preserve(pts0, k = 5, iterations = 4)
