@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions.{langIdHeuristic, qualityScore, tokens}
@@ -30,9 +29,15 @@ object Pipeline {
     val toksC = tokens(col(textCol))
     val kept = df.filter(qualityScore(toksC) >= minQuality &&
       langIdHeuristic(toksC) === lang)
+    // exact dedup as groupBy-min + id semi-join, NOT a window over the
+    // text: the groupBy partial-aggregates map-side, so a pathological
+    // hot text (millions of identical docs) never floods one partition
+    // the way a text-partitioned window would; the semi-join keys on
+    // the unique id — skew-free by construction.
+    val firstIds = kept.groupBy(col(textCol)).agg(min(col(idCol)).as("_keep"))
+      .select(col("_keep"))
     val deduped = kept
-      .withColumn("_mn", min(col(idCol)).over(Window.partitionBy(col(textCol))))
-      .filter(col(idCol) === col("_mn")).drop("_mn")
+      .join(firstIds, col(idCol) === col("_keep"), "left_semi")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val drop = Dedup.simhashNearDups(deduped, idCol, textCol, maxHamming)
       .select(col("b").as(idCol)).distinct()
