@@ -130,6 +130,33 @@ object RelationalQueries {
                  ORDER BY ${Q.tsUs}, event_id) AS DOUBLE), 6) AS running
                FROM events WHERE user_id < 5""")),
 
+    // Window navigation: per-user inter-event gaps via lag/lead.
+    Q("q_lag_lead",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        Q.eventsUs(s, dir).filter(col("user_id") < 5)
+          .select(col("user_id"), col("event_id"),
+            (col("ts") - lag("ts", 1).over(w)).as("gap_prev"),
+            (lead("ts", 1).over(w) - col("ts")).as("gap_next"))
+      },
+      Some(s"""SELECT user_id, event_id,
+               ${Q.tsUs} - lag(${Q.tsUs}, 1) OVER w AS gap_prev,
+               lead(${Q.tsUs}, 1) OVER w - ${Q.tsUs} AS gap_next
+               FROM events WHERE user_id < 5
+               WINDOW w AS (PARTITION BY user_id ORDER BY ${Q.tsUs}, event_id)""")),
+
+    // Exact percentiles (sort-based linear interpolation on both
+    // engines: pos = p·(n−1), lower + frac·(upper−lower)).
+    Q("q_percentile",
+      (s, dir) => Q.t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95")),
+      Some("""SELECT l_returnflag,
+              round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+              round(quantile_cont(l_extendedprice, 0.95), 4) AS p95
+              FROM lineitem GROUP BY 1""")),
+
     // Distinct aggregation.
     Q("q_distinct_agg",
       (s, dir) => Q.t(s, dir, "lineitem")
