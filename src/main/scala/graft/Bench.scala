@@ -4,6 +4,10 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // per-phase loop timing on stderr for every run (the incremental
+    // trio dominates the total; without phase timing a slow run can't
+    // be attributed to merge vs reduce vs frontier vs environment)
+    System.setProperty("graft.timing", "1")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -15,6 +19,29 @@ object Bench {
       .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.util.LogQuiet()
+
+    // ---- per-query diagnostics ------------------------------------------
+    // gc_ms: collection-time delta across the query — a query that is
+    //   cheap in CPU but expensive in GC points at cache pressure, not
+    //   plan shape.
+    // codegen: Janino compilation-count delta — distinguishes "plan got
+    //   slower" from "we recompiled the world".
+    // resid_blocks / resid_mb: persistent-RDD blocks/bytes STILL alive
+    //   after the post-query clearCache+GC — nonzero growth across the
+    //   run is exactly the unfreeable-raw-RDD leak class that made
+    //   rounds 2-4 swing up to 4.4x on identical code.
+    import java.lang.management.ManagementFactory
+    import scala.jdk.CollectionConverters._
+    def gcMs: Long =
+      ManagementFactory.getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
+    def codegenCount: Long =
+      try org.apache.spark.metrics.source.CodegenMetrics.METRIC_COMPILATION_TIME.getCount
+      catch { case _: Throwable => -1L }
+    def residual: (Int, Long) = {
+      val infos = spark.sparkContext.getRDDStorageInfo
+      (infos.map(_.numCachedPartitions).sum, infos.map(i => i.memSize + i.diskSize).sum)
+    }
 
     // Untimed warmup at the smallest scale factor: the first heavy query
     // otherwise absorbs all JIT + whole-stage-codegen compilation (tens
@@ -31,6 +58,8 @@ object Bench {
     }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val gc0 = gcMs
+      val cg0 = codegenCount
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true } catch {
         case e: Throwable =>
@@ -46,17 +75,30 @@ object Bench {
       // state accumulates across the whole run).
       spark.catalog.clearCache()
       System.gc()
-      (name, dt, ok)
+      val (residBlocks, residBytes) = residual
+      val diag = Map(
+        "gc_ms" -> (gcMs - gc0),
+        "codegen" -> (codegenCount - cg0),
+        "resid_blocks" -> residBlocks.toLong,
+        "resid_mb" -> residBytes / (1024 * 1024))
+      System.err.println(s"[bench] $name ${f"$dt%.2f"}s gc=${diag("gc_ms")}ms " +
+        s"codegen=${diag("codegen")} resid=${diag("resid_blocks")}blk/" +
+        s"${diag("resid_mb")}MB")
+      (name, dt, ok, diag)
     }
-    val qs = results.map { case (k, v, ok) =>
+    val qs = results.map { case (k, v, ok, _) =>
       "\"" + k + "\":" + (if (ok) v else -1.0)
+    }.mkString("{", ",", "}")
+    val diags = results.map { case (k, _, _, d) =>
+      "\"" + k + "\":{" +
+        d.map { case (dk, dv) => "\"" + dk + "\":" + dv }.mkString(",") + "}"
     }.mkString("{", ",", "}")
     // A crashed query's time-to-failure must not pollute the total; its
     // -1 marker plus the "failed" list make the breakage visible instead.
-    val total = results.collect { case (_, v, true) => v }.sum
-    val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
+    val total = results.collect { case (_, v, true, _) => v }.sum
+    val failed = results.collect { case (k, _, false, _) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"diag":$diags,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

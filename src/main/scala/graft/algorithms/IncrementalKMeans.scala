@@ -94,7 +94,12 @@ object IncrementalKMeans {
     val pts = points.select(col("id").cast("long"), col("vec").cast("array<double>"))
     val model = KMeans.run(pts, k, metric = metric, maxIterations = iterations)
     val centers = centersFrame(points.sparkSession, model)
-    PreservedState(assignAll(pts, centers, metric), centers)
+    // materialize kvs so the state doesn't hold a lazy dependency on the
+    // caller's point frame; release() frees the cache
+    val kvs = assignAll(pts, centers, metric)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    kvs.count()
+    PreservedState(kvs, centers, () => { kvs.unpersist(blocking = false); () })
   }
 
   /** Continue over the updated point set.
@@ -163,7 +168,7 @@ object IncrementalKMeans {
       numPartitions = numPartitions,
       durableStatePath = durableStatePath)
 
-    val (out, _, iters) = job.run()
-    (out, iters)
+    val r = job.run()
+    (IncrementalJob.finish(r), r.iterations)
   }
 }

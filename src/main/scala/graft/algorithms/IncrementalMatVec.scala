@@ -62,13 +62,18 @@ object IncrementalMatVec {
 
   /** Base run + preserved state: kvs holds each cell's contribution
     * computed from the FINAL x (see [[PreservedState]]'s consistency
-    * contract), out the final per-index values. */
+    * contract), out the final per-index values. kvs is materialized
+    * here; the returned state's `release()` frees kvs and the final x. */
   def preserve(m: DataFrame, b: DataFrame, iterations: Int,
       numPartitions: Int = 32): PreservedState = {
-    val x = run(m, b, iterations, numPartitions = numPartitions).dynamic
+    val res = run(m, b, iterations, numPartitions = numPartitions)
+    val x = res.dynamic
     val kvs = m.join(x, m("j") === x("idx"))
       .select(m("i").as("idx"), m("j"), (col("v") * col("x")).as("contrib"))
-    PreservedState(kvs, x)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    kvs.count()
+    PreservedState(kvs, x,
+      () => { kvs.unpersist(blocking = false); res.release() })
   }
 
   /** Continue over the updated matrix.
@@ -116,6 +121,129 @@ object IncrementalMatVec {
       numPartitions = numPartitions,
       durableStatePath = durableStatePath)
 
-    job.run()._1
+    IncrementalJob.finish(job.run())
+  }
+
+  // ---- blocked (One2Mul) incremental variant ----------------------------
+
+  /** Tile id packing: `tid = ib·1000 + jb` (block indices are bounded by
+    * dimension/blockSize — the packing only needs to be injective for
+    * the matrices a single job handles; 1000 column blocks of size b
+    * covers rows into the billions at production block sizes). */
+  def tileId(i: org.apache.spark.sql.Column, j: org.apache.spark.sql.Column,
+      b: Int): org.apache.spark.sql.Column = tidCol(i, j, b)
+
+  private def tidCol(i: org.apache.spark.sql.Column, j: org.apache.spark.sql.Column,
+      b: Int): org.apache.spark.sql.Column =
+    (i / b).cast("long") * 1000L + (j / b).cast("long")
+
+  /** Pack cells into b×b tiles keyed by `tid` (the GIM-V blocking job,
+    * reference `MatrixVector.java:93-147`): (tid, jb, cells[(i, j, v)]).
+    * Cells keep absolute coordinates — the incremental kvs is keyed by
+    * the absolute row index. */
+  def tiles(m: DataFrame, b: Int): DataFrame =
+    m.select(col("i").cast("long"), col("j").cast("long"), col("v").cast("double"))
+      .groupBy(tidCol(col("i"), col("j"), b).as("tid"),
+        (col("j") / b).cast("long").as("jb"))
+      .agg(collect_list(struct(col("i"), col("j"), col("v"))).as("cells"))
+
+  /** Base run + preserved state for the BLOCKED continuation: same final
+    * x as [[preserve]], but kvs provenance is the TILE (sk = tid), so
+    * the incremental merge replaces whole tiles' contribution bags —
+    * the reference's ONE2MUL preserve layout
+    * (`MatrixVector.java:315-340`). */
+  def preserveBlocked(m: DataFrame, b: DataFrame, blockSize: Int,
+      iterations: Int, numPartitions: Int = 32): PreservedState = {
+    val res = run(m, b, iterations, numPartitions = numPartitions)
+    val x = res.dynamic
+    val kvs = m.join(x, m("j") === x("idx"))
+      .select(m("i").as("idx"), tidCol(m("i"), m("j"), blockSize).as("tid"),
+        (col("v") * col("x")).as("contrib"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    kvs.count()
+    PreservedState(kvs, x,
+      () => { kvs.unpersist(blocking = false); res.release() })
+  }
+
+  /** Incremental blocked continuation — the ONE2MUL instantiation of
+    * [[graft.core.IncrementalJob]], completing the projector-cardinality
+    * matrix (One2One: PageRank/matvec; One2All: KMeans; One2Mul: this —
+    * reference grouped merge-join `MapTask.java:800-815` + incremental
+    * driver `ReduceTask.java:3504-3691`).
+    *
+    * Delta granularity is the TILE: `changedTiles` lists tile ids whose
+    * cells changed; each loop iteration re-maps ONLY frontier tiles
+    * (joining them against the per-column-block vector slices), and the
+    * change-propagation filter routes moved output indices back to
+    * source space through BLOCK sparsity — a moved x[idx] re-dirties
+    * exactly the tiles whose column block contains idx (`backProject`),
+    * not every tile.
+    *
+    * @param updatedM     cells AFTER the delta (i, j, v)
+    * @param changedTiles tile ids whose cells changed (single column tid)
+    */
+  def incrementalBlocked(
+      updatedM: DataFrame,
+      b: DataFrame,
+      preserved: PreservedState,
+      changedTiles: DataFrame,
+      blockSize: Int,
+      iterations: Int,
+      filterThreshold: Double = 0.0,
+      numPartitions: Int = 32,
+      durableStatePath: Option[String] = None): DataFrame = {
+
+    val static = tiles(updatedM, blockSize)
+    val bKeyed = b.select(col("idx").cast("long"), col("bv").cast("double"))
+    // (jb → tid) dependency relation for backProject: one tiny leaf,
+    // computed once, released after the run (re-deriving it from the
+    // cell table would pay the blocking groupBy every iteration).
+    val (tileIdx, _, releaseIdx) = org.apache.spark.sql.graft.GraftSqlShim
+      .checkpointedLeafWithHandle(static.select(col("jb").as("_tjb"), col("tid")))
+
+    val job = new IncrementalJob(
+      updatedStatic = static,
+      skCol = "tid",
+      k2Col = "idx",
+      preserved = preserved,
+      initialFrontier = changedTiles.select(col("tid")),
+      // One2Mul dyn scope is the full out state; the tile⨝block join
+      // selects the slices each frontier tile actually reads. Same
+      // shape as MatrixVector.multiplyTiles: the vector is grouped
+      // into per-column-block maps, ONE row per (tile, block) flows
+      // through the join, and the per-cell product is a codegen'd map
+      // lookup.
+      mapContribs = (staticF, dynF) => {
+        val xb = dynF
+          .groupBy((col("idx") / blockSize).cast("long").as("_xjb"))
+          .agg(map_from_entries(collect_list(struct(col("idx"), col("x"))))
+            .as("_xmap"))
+        staticF.join(xb, col("jb") === col("_xjb"))
+          .select(col("tid"), explode(col("cells")).as("_c"), col("_xmap"))
+          .select(col("_c.i").as("idx"), col("tid"),
+            (col("_c.v") * col("_xmap")(col("_c.j"))).as("contrib"))
+          .filter(col("contrib").isNotNull)
+      },
+      reduce = (affected, kvsAffected) => {
+        val sums = kvsAffected.groupBy("idx").agg(sum("contrib").as("s"))
+        affected.join(sums, Seq("idx"), "left")
+          .join(bKeyed, Seq("idx"))
+          .select(col("idx"), (col("bv") + coalesce(col("s"), lit(0.0))).as("x"))
+      },
+      outToDyn = identity,
+      distance = (o, n) => abs(o("x") - n("x")),
+      projectKind = ProjectKind.One2Mul,
+      backProject = Some(moved => moved
+        .select((col("idx") / blockSize).cast("long").as("_mjb")).distinct()
+        .join(tileIdx, col("_mjb") === col("_tjb"))
+        .select(col("tid"))),
+      filterThreshold = filterThreshold,
+      maxIterations = iterations,
+      numPartitions = numPartitions,
+      durableStatePath = durableStatePath)
+
+    val out = IncrementalJob.finish(job.run())
+    releaseIdx()
+    out
   }
 }

@@ -18,22 +18,30 @@ object IncrementalPageRank {
 
   /** Run the base job and derive the preserved state: kvs holds each
     * edge's contribution computed from the FINAL ranks (see
-    * [[graft.core.PreservedState]] for the consistency contract). */
+    * [[graft.core.PreservedState]] for the consistency contract).
+    *
+    * Cache lifecycle: kvs is materialized HERE (catalog-visible cache),
+    * after which the base run's edge cache is released on the spot —
+    * nothing derived from it stays lazy. The returned state's
+    * `release()` frees kvs and the final ranks; call it once every
+    * continuation using this state has finished. */
   def preserve(edges: DataFrame, damping: Double, iterations: Int,
       numPartitions: Int = 32): PreservedState = {
     // reuse the run's cached static (src, dst, deg) for the kvs join —
     // re-preparing from the raw edges would repeat the
     // scan+distinct+degree chain (two shuffles) just to derive kvs.
-    // The edge cache stays alive until the caller materializes kvs
-    // (Verify/Bench clear per-query caches afterwards).
-    val (res, static, _) = PageRank.runKeepStatic(edges, damping, iterations,
-      numPartitions = numPartitions)
+    val (res, static, releaseEdges) = PageRank.runKeepStatic(edges, damping,
+      iterations, numPartitions = numPartitions)
     val ranks = res.dynamic
     val kvs = static.join(ranks, static("src") === ranks("node"))
       .select(static("dst").as("node"), static("src"),
         (ranks("rank") / static("deg") * damping).as("contrib"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    kvs.count()
+    releaseEdges()
     // out must cover every node (sinks carry no kvs rows but have ranks)
-    PreservedState(kvs, ranks)
+    PreservedState(kvs, ranks,
+      () => { kvs.unpersist(blocking = false); res.release() })
   }
 
   /** Continue over the updated graph.
@@ -85,6 +93,6 @@ object IncrementalPageRank {
       durableStatePath = durableStatePath,
       broadcastMaxRows = broadcastMaxRows)
 
-    job.run()._1
+    IncrementalJob.finish(job.run())
   }
 }

@@ -167,25 +167,42 @@ object KMeans {
     * Returns (cid, cvec, n) with `n` the final assignment sizes. */
   def runNaive(points: DataFrame, k: Int, iterations: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val shim = org.apache.spark.sql.graft.GraftSqlShim
+    val releases = scala.collection.mutable.ListBuffer.empty[() => Unit]
+    def mat(df: DataFrame): DataFrame = {
+      val (leaf, _, rel) = shim.checkpointedLeafWithHandle(df)
+      releases += rel; leaf
+    }
     val pts = points
       .select(col("id").cast("long"), col("vec").cast("array<double>").as("vec"))
     // Pinned init: k lowest-id points, center ids 0..k-1 (same as run).
-    var centers = pts.orderBy("id").limit(k)
-      .select((row_number().over(Window.orderBy("id")) - 1).as("cid"),
-        col("vec").as("cvec"))
-      .localCheckpoint(true)
+    // cid comes from zipWithIndex over the single sorted ≤k-row
+    // partition `orderBy.limit` produces — an unpartitioned rank window
+    // here would spray WindowExec's single-partition warning (and Spark
+    // 4's EliminateWindowPartitions folds away constant partition specs).
+    var centers = mat {
+      val initRows = pts.orderBy("id").limit(k)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("cid",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("cvec",
+          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType))))
+      val rows = initRows.rdd.zipWithIndex().map { case (r, i) =>
+        org.apache.spark.sql.Row(i.toInt, r.getSeq[Double](1))
+      }
+      pts.sparkSession.createDataFrame(rows, schema)
+    }
     var lastAssign: DataFrame = null
     for (_ <- 1 to iterations) {
       val dist = aggregate(
         zip_with(col("vec"), col("cvec"), (a, b) => (a - b) * (a - b)),
         lit(0.0), (acc, v) => acc + v)
       val w = Window.partitionBy("id").orderBy(col("dist"), col("cid"))
-      val assigned = pts.crossJoin(broadcast(centers))
+      val assigned = mat(pts.crossJoin(broadcast(centers))
         .withColumn("dist", dist)
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
-        .select(col("id"), col("cid"), col("vec"))
-        .localCheckpoint(true)
+        .select(col("id"), col("cid"), col("vec")))
       lastAssign = assigned
       val means = assigned.select(col("cid"), posexplode(col("vec")))
         .groupBy("cid", "pos").agg(avg("col").as("m"))
@@ -193,13 +210,18 @@ object KMeans {
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
           s => s("m")).as("mvec"))
       // A cluster that attracted no points keeps its previous center.
-      centers = centers.join(means, Seq("cid"), "left")
-        .select(col("cid"), coalesce(col("mvec"), col("cvec")).as("cvec"))
-        .localCheckpoint(true)
+      centers = mat(centers.join(means, Seq("cid"), "left")
+        .select(col("cid"), coalesce(col("mvec"), col("cvec")).as("cvec")))
     }
     val counts = lastAssign.groupBy("cid").agg(count(lit(1)).as("n"))
-    centers.join(counts, Seq("cid"), "left")
+    // final result into a catalog-visible cache, then free the
+    // per-iteration checkpoint leaves clearCache can't see
+    val out = centers.join(counts, Seq("cid"), "left")
       .select(col("cid"), col("cvec"), coalesce(col("n"), lit(0L)).as("n"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    releases.foreach(_.apply())
+    out
   }
 
   /** Final assignment of every point to the model's centers:

@@ -49,6 +49,11 @@ object MatrixVector {
       col("v").cast("double"))
     val init = x0.select(col("j").cast("long"), col("x").cast("double"))
 
+    // Per-iteration y caches: catalog-visible persists, held until the
+    // run's final state is materialized, then dropped in one sweep (an
+    // eager per-iteration checkpoint here would double-materialize —
+    // IterativeJob checkpoints on its own cadence).
+    val stepCaches = scala.collection.mutable.ListBuffer.empty[DataFrame]
     val step: (DataFrame, DataFrame, Int) => DataFrame = (s, dyn, _) => {
       if (normalize) {
         // Global value (F25): one scalar at the driver, like the
@@ -57,18 +62,18 @@ object MatrixVector {
         // iteration (once for the norm, once for the next round's plan).
         val y = multiply(s, dyn).persist(StorageLevel.MEMORY_AND_DISK)
         val norm = y.agg(sum(abs(col("x")))).collect()(0).getDouble(0)
-        val out = y.select(col("j"), (col("x") / lit(norm)).as("x"))
-          .localCheckpoint(eager = true)
-        y.unpersist(blocking = false)
-        out
+        stepCaches += y
+        y.select(col("j"), (col("x") / lit(norm)).as("x"))
       } else multiply(s, dyn)
     }
 
-    new IterativeJob(
+    val res = new IterativeJob(
       static, "j", init, "j", ProjectKind.One2Mul, step,
       IterativeJob.sumAbsDiff("j", "x"),
       IterConfig(maxIterations, threshold, numPartitions = numPartitions)
     ).run()
+    stepCaches.foreach(_.unpersist(blocking = false))
+    res
   }
 
   /** Naive loop-of-jobs baseline (A11, reference
@@ -80,19 +85,29 @@ object MatrixVector {
     * reference's per-job HDFS write. Differential oracle for [[run]]. */
   def runNaive(m: DataFrame, x0: DataFrame, iterations: Int,
       normalize: Boolean = true): DataFrame = {
-    var x = x0.select(col("j").cast("long"), col("x").cast("double"))
-      .localCheckpoint(true)
+    val shim = org.apache.spark.sql.graft.GraftSqlShim
+    val releases = scala.collection.mutable.ListBuffer.empty[() => Unit]
+    def mat(df: DataFrame): DataFrame = {
+      val (leaf, _, rel) = shim.checkpointedLeafWithHandle(df)
+      releases += rel; leaf
+    }
+    var x = mat(x0.select(col("j").cast("long"), col("x").cast("double")))
     for (_ <- 1 to iterations) {
       val mm = m.select(col("i").cast("long"), col("j").cast("long"),
         col("v").cast("double")) // re-derived every round, like re-running the job chain
       val y = multiply(mm, x)
-      x = (if (normalize) {
+      x = mat(if (normalize) {
         val norm = y.agg(sum(abs(col("x"))).as("_nrm"))
         y.crossJoin(broadcast(norm))
           .select(col("j"), (col("x") / col("_nrm")).as("x"))
-      } else y).localCheckpoint(true)
+      } else y)
     }
-    x
+    // copy the final vector into a catalog-visible cache, then free the
+    // per-iteration leaves (raw checkpoint blocks clearCache can't see)
+    val out = x.persist(StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    releases.foreach(_.apply())
+    out
   }
 
   /** Blocking job (reference `MatrixVector.java:93-147`): pack cells
@@ -158,21 +173,24 @@ object MatrixVector {
     val tiles = blockTiles(cells, b)
     val init = x0.select(col("j").cast("long"), col("x").cast("double"))
 
+    // same lifecycle as [[run]]: y caches held until the final state
+    // materializes, then swept
+    val stepCaches = scala.collection.mutable.ListBuffer.empty[DataFrame]
     val step: (DataFrame, DataFrame, Int) => DataFrame = (s, dyn, _) => {
       if (normalize) {
         val y = multiplyTiles(s, dyn, b).persist(StorageLevel.MEMORY_AND_DISK)
         val norm = y.agg(sum(abs(col("x")))).collect()(0).getDouble(0)
-        val out = y.select(col("j"), (col("x") / lit(norm)).as("x"))
-          .localCheckpoint(eager = true)
-        y.unpersist(blocking = false)
-        out
+        stepCaches += y
+        y.select(col("j"), (col("x") / lit(norm)).as("x"))
       } else multiplyTiles(s, dyn, b)
     }
 
-    new IterativeJob(
+    val res = new IterativeJob(
       tiles, "jb", init, "j", ProjectKind.One2Mul, step,
       IterativeJob.sumAbsDiff("j", "x"),
       IterConfig(maxIterations, threshold, numPartitions = numPartitions)
     ).run()
+    stepCaches.foreach(_.unpersist(blocking = false))
+    res
   }
 }

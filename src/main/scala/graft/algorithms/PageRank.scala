@@ -111,6 +111,8 @@ object PageRank {
     * oracle for [[run]] (the reference ships `naivepagerank` for exactly
     * this purpose). */
   def runNaive(edges: DataFrame, damping: Double, iterations: Int): DataFrame = {
+    val shim = org.apache.spark.sql.graft.GraftSqlShim
+    val releases = scala.collection.mutable.ListBuffer.empty[() => Unit]
     var ranks = nodes(edges).withColumn("rank", lit(1.0))
     for (_ <- 1 to iterations) {
       val static = prepare(edges) // recomputed every iteration, like re-running the MR job chain
@@ -118,11 +120,18 @@ object PageRank {
       val contribs = static.join(ranks, static("src") === ranks("node"))
         .select(static("dst"), (ranks("rank") / static("deg") * damping).as("c"))
         .groupBy("dst").agg(sum("c").as("c"))
-      ranks = base.join(contribs, base("node") === contribs("dst"), "left")
-        .select(base("node"),
-          (lit(1.0 - damping) + coalesce(col("c"), lit(0.0))).as("rank"))
-        .localCheckpoint(true)
+      val (leaf, _, rel) = shim.checkpointedLeafWithHandle(
+        base.join(contribs, base("node") === contribs("dst"), "left")
+          .select(base("node"),
+            (lit(1.0 - damping) + coalesce(col("c"), lit(0.0))).as("rank")))
+      releases += rel
+      ranks = leaf
     }
-    ranks
+    // final ranks into a catalog-visible cache; per-iteration checkpoint
+    // leaves (invisible to clearCache) are then freed on the spot
+    val out = ranks.persist(StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    releases.foreach(_.apply())
+    out
   }
 }

@@ -25,8 +25,15 @@ import org.apache.spark.storage.StorageLevel
   * stores the literal last reduce inputs, which matches this only at
   * convergence — deriving from the final state makes incremental runs
   * exact even when the base run stopped early.)
+  *
+  * `release` frees whatever caches back the two frames (set by the
+  * `preserve()` builders — the library cache-release contract). Call it
+  * once every incremental continuation that uses this state has
+  * finished; the default is a no-op (e.g. parquet-backed state has
+  * nothing to free).
   */
-final case class PreservedState(kvs: DataFrame, out: DataFrame) {
+final case class PreservedState(kvs: DataFrame, out: DataFrame,
+    release: () => Unit = () => ()) {
   /** Materialize both tables as Parquet "state tables" (F27). */
   def write(path: String): Unit = {
     kvs.write.mode("overwrite").parquet(s"$path/kvs")
@@ -40,6 +47,18 @@ object PreservedState {
       spark.read.parquet(s"$path/kvs"),
       spark.read.parquet(s"$path/out"))
 }
+
+/** Result of an incremental run: the final per-key outputs, the merged
+  * contribution store, the number of loop iterations executed, and a
+  * `release` thunk freeing the loop's remaining segment leaves. The
+  * `out`/`kvs` frames are lazy views over those leaves — consume (or
+  * copy) them BEFORE calling `release`; [[IncrementalJob.finish]] does
+  * the standard copy-then-release dance for callers that only need
+  * `out`. In durable mode release keeps the final segment Parquet dirs
+  * on disk (they ARE the preserved artifact) and frees only block-cache
+  * leaves. */
+final case class IncrResult(out: DataFrame, kvs: DataFrame, iterations: Int,
+    release: () => Unit)
 
 /** Incremental (delta) recomputation over a preserved run — the
   * reference's F28-F31 (`runIncrementalMapper` `MapTask.java:1157-1287`,
@@ -74,14 +93,26 @@ object PreservedState {
   *                      given columns (old, new) — used by the F30 filter
   * @param projectKind   how changed outputs project back to source keys
   *                      (the reference's map-side projector, F11/F13,
-  *                      `MapTask.java:783-799`): One2One — sk-space ==
+  *                      `MapTask.java:783-815`): One2One — sk-space ==
   *                      k2-space, the mapper sees the frontier keys' own
   *                      dynamic values and affected keys ARE the next
   *                      frontier (PageRank, matvec). One2All — every
   *                      source depends on ALL dynamic values (KMeans
   *                      centers): the mapper receives the full out
   *                      state, and any output moving ≥ θ re-dirties
-  *                      every source key.
+  *                      every source key. One2Mul — each dynamic key
+  *                      feeds MANY static keys through an explicit
+  *                      dependency relation (blocked GIM-V: an output
+  *                      row-block is read by every tile in that block
+  *                      column): supply [[backProject]].
+  * @param backProject   One2Mul only: maps a frame of moved output keys
+  *                      (single column `k2`) to the source keys that
+  *                      consume them (single column `sk`) — the inverse
+  *                      of the reference's projector
+  *                      (`MatrixVector.java:315-340` ONE2MUL). The
+  *                      mapper's dynamic scope under One2Mul is the full
+  *                      out state (the mapContribs join selects what a
+  *                      frontier source actually reads).
   * @param includeOldOut when true, the affected frame passed to `reduce`
   *                      also carries the PRE-update out columns renamed
   *                      `_old_<name>` (null for brand-new keys) — for
@@ -100,6 +131,7 @@ final class IncrementalJob(
     outToDyn: DataFrame => DataFrame,
     distance: (Column, Column) => Column,
     projectKind: ProjectKind = ProjectKind.One2One,
+    backProject: Option[DataFrame => DataFrame] = None,
     includeOldOut: Boolean = false,
     filterThreshold: Double = 0.0,
     maxIterations: Int = 10,
@@ -109,10 +141,15 @@ final class IncrementalJob(
     compactionInterval: Int = 4,
     durableStatePath: Option[String] = None) {
 
-  /** Returns (finalOut, updatedKvs, iterationsRun). Stops early when the
-    * frontier empties (all change absorbed — the reference's
-    * non-converged-items counter hitting 0, `ReduceTask.java:3493`). */
-  def run(): (DataFrame, DataFrame, Int) = {
+  require(projectKind != ProjectKind.One2Mul || backProject.isDefined,
+    "One2Mul needs backProject: moved k2 keys -> dependent sk keys")
+
+  /** Run the loop. Stops early when the frontier empties (all change
+    * absorbed — the reference's non-converged-items counter hitting 0,
+    * `ReduceTask.java:3493`). The result's frames are lazy views over
+    * the loop's final segment leaves; see [[IncrResult]] for the
+    * release contract. */
+  def run(): IncrResult = {
     val n = numPartitions
     val spark = updatedStatic.sparkSession
     // The loop re-joins frames derived from each other across iterations;
@@ -130,54 +167,67 @@ final class IncrementalJob(
     }
   }
 
-  private val debugTiming = sys.env.contains("GRAFT_TIMING")
+  private val debugTiming = IncrementalJob.timingEnabled
   private def timed[T](label: String)(f: => T): T =
     if (!debugTiming) f else {
       val t0 = System.nanoTime(); val r = f
       val rows = r match {
         case (_, n: Long) => s" rows=$n"
+        case (_, n: Long, _) => s" rows=$n"
         case _            => ""
       }
       System.err.println(f"[incr] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s$rows"); r
     }
 
-  /** Materialize `df` as a lineage-truncated leaf with constant-size
-    * statistics, and return (leaf, rowCount).
+  /** Materialize `df` as a lineage-truncated leaf with real (cached-
+    * block-derived) statistics; returns (leaf, rowCount, release).
     *
     * Plain `localCheckpoint` bakes `originStats` from the *optimized
     * plan's* estimate; in a loop whose frames feed each other (frontier ←
     * affected ← kvs/out ← frontier …) those estimated `sizeInBytes`
     * products compound geometrically across iterations until the BigInt
     * arithmetic inside Catalyst's stats visitor dominates the wall clock
-    * (digit count doubles per round). Round 2 worked around that by
-    * routing every checkpoint through the block cache first (persist +
-    * count + localCheckpoint) — real stats, but every byte of state
-    * written twice and two jobs per materialization. Now
-    * [[org.apache.spark.sql.graft.GraftSqlShim.checkpointedLeaf]]
+    * (digit count doubles per round).
+    * [[org.apache.spark.sql.graft.GraftSqlShim.checkpointedLeafWithHandle]]
     * checkpoints the plan's own InternalRow RDD and attaches explicit
-    * row-count statistics: one cached copy, one job, same constant-size
-    * stats guarantee.
+    * statistics from the cached block sizes: one cached copy, one job,
+    * constant-size stats. The release thunk unpersists the raw-RDD
+    * blocks — which `spark.catalog.clearCache()` CANNOT see — so the
+    * loop frees superseded state deterministically instead of leaving
+    * dead blocks to the ContextCleaner's GC mercy (measured as
+    * multi-× run-to-run bench variance before round 5).
     *
-    * With [[durableStatePath]] set, dirty segments are written as
-    * Parquet instead (the reference's preserve files are durable HDFS
-    * copies — `ReduceTask.java:3352-3372`): an executor loss mid-loop
-    * can then recompute from files, where `localCheckpoint` blocks are
-    * non-replicated and die with their executor. The read-back leaf has
-    * real file statistics and no lineage; the row count comes from
-    * Parquet footers (metadata-only, no second scan of the data). */
+    * With [[durableStatePath]] set, STATE segments (`durable = true`:
+    * the kvs/out stores — the reference's preserve files,
+    * `ReduceTask.java:3352-3372`) are written as Parquet instead: an
+    * executor loss mid-loop can then recompute from files, where
+    * `localCheckpoint` blocks are non-replicated and die with their
+    * executor. Scratch frames (frontier/affected/fresh — recomputable
+    * from the stores) never hit the durable path. A durable segment's
+    * release DELETES its directory, so retiring/compacting segments
+    * cleans dead dirs; the final manifest's dirs are kept by
+    * [[IncrResult.release]] (they are the durable artifact). */
   private var segCounter = 0L
-  private def materialize(df: DataFrame): (DataFrame, Long) = durableStatePath match {
-    case Some(dir) =>
-      val path = s"$dir/seg-$segCounter"
-      segCounter += 1
-      df.write.mode("overwrite").parquet(path)
-      val back = df.sparkSession.read.parquet(path)
-      (back, back.count())
-    case None =>
-      org.apache.spark.sql.graft.GraftSqlShim.checkpointedLeaf(df)
-  }
+  private def materialize(df: DataFrame,
+      durable: Boolean = false): (DataFrame, Long, () => Unit) =
+    durableStatePath match {
+      case Some(dir) if durable =>
+        val path = s"$dir/seg-$segCounter"
+        segCounter += 1
+        df.write.mode("overwrite").parquet(path)
+        val spark = df.sparkSession
+        val back = spark.read.parquet(path)
+        val release = () => {
+          val p = new org.apache.hadoop.fs.Path(path)
+          p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+          ()
+        }
+        (back, back.count(), release)
+      case _ =>
+        org.apache.spark.sql.graft.GraftSqlShim.checkpointedLeafWithHandle(df)
+    }
 
-  private def runLoop(n: Int): (DataFrame, DataFrame, Int) = {
+  private def runLoop(n: Int): IncrResult = {
     val static = updatedStatic.repartition(n, col(skCol))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val B = stateBuckets
@@ -199,48 +249,72 @@ final class IncrementalJob(
     // counts stay bounded.
     //
     // Each segment carries its bucket set as DRIVER-side metadata (≤ B
-    // ints — the store's manifest, like an LSM level list): a rewrite
-    // that touches all of a segment's buckets DROPS the segment instead
-    // of stacking an everything-is-filtered view over it, and a filter
-    // that would keep everything is skipped. Without this, a delta that
-    // reaches most keys (touched = B every iteration) still re-reads
-    // every superseded segment per iteration — measured as the
-    // "affected" phase growing ~0.5 s/iteration at sf0.1.
-    case class Seg(df: DataFrame, buckets: Set[Int])
-    def initStore(df: DataFrame, label: String): List[Seg] = timed(label)(
-      List(Seg(materialize(df.repartition(n, col(k2Col))
-        .withColumn("_b", bucketOf(col(k2Col))))._1, (0 until B).toSet)))
+    // ints — the store's manifest, like an LSM level list) and the leaf's
+    // release thunk. A rewrite that touches all of a segment's buckets
+    // DROPS the segment — and RELEASES its blocks (or deletes its durable
+    // dir) on the spot: the dirty segment that supersedes it was already
+    // materialized, so nothing can reference the old leaf again. Without
+    // the manifest, a delta that reaches most keys still re-reads every
+    // superseded segment per iteration; without the release, every
+    // superseded segment's blocks linger for the whole run (the round-4
+    // bench variance source).
+    case class Seg(df: DataFrame, buckets: Set[Int], release: () => Unit)
+    def initStore(df: DataFrame, label: String): List[Seg] = timed(label) {
+      val (leaf, _, rel) = materialize(df.repartition(n, col(k2Col))
+        .withColumn("_b", bucketOf(col(k2Col))), durable = true)
+      List(Seg(leaf, (0 until B).toSet, rel))
+    }
     def unionSegs(segs: List[Seg]): DataFrame = segs.map(_.df).reduce(_ unionByName _)
     def scanAll(segs: List[Seg]): DataFrame = unionSegs(segs).drop("_b")
     /** Rows of `segs` in `touched` buckets — segments with no touched
       * bucket are skipped, fully-touched segments scan unfiltered. */
     def scanTouched(segs: List[Seg], touched: Set[Int], isTouched: Column): DataFrame =
       segs.collect {
-        case Seg(df, bs) if bs.subsetOf(touched) => df
-        case Seg(df, bs) if (bs & touched).nonEmpty => df.filter(isTouched)
+        case Seg(df, bs, _) if bs.subsetOf(touched) => df
+        case Seg(df, bs, _) if (bs & touched).nonEmpty => df.filter(isTouched)
       }.reduce(_ unionByName _)
-    /** `segs` minus `touched` buckets: dead segments dropped, untouched
-      * segments pass through unfiltered. */
+    /** `segs` minus `touched` buckets: dead segments are dropped AND
+      * their leaves released (the superseding dirty segment is already
+      * materialized when this runs); untouched segments pass through
+      * unfiltered; partially-touched ones become filter views that keep
+      * their parent leaf's release thunk. */
     def dropTouched(segs: List[Seg], touched: Set[Int], isTouched: Column): List[Seg] =
       segs.flatMap {
-        case Seg(_, bs) if bs.subsetOf(touched) => None
-        case s @ Seg(_, bs) if (bs & touched).isEmpty => Some(s)
-        case Seg(df, bs) => Some(Seg(df.filter(!isTouched), bs -- touched))
+        case Seg(_, bs, rel) if bs.subsetOf(touched) => rel(); None
+        case s @ Seg(_, bs, _) if (bs & touched).isEmpty => Some(s)
+        case Seg(df, bs, rel) => Some(Seg(df.filter(!isTouched), bs -- touched, rel))
       }
 
     var kvsSegs = initStore(preserved.kvs, "init kvs store")
     var outSegs = initStore(preserved.out, "init out store")
     var sinceCompact = 0
 
+    // ---- scratch-leaf lifecycle ----------------------------------------
+    // Frontier/affected/fresh leaves are dead one iteration after they
+    // were created (iteration i's frontier — created in iteration i-1 —
+    // is last read by iteration i's merge joins). Tracking them in two
+    // rotating generations gives deterministic release with no
+    // reference counting: at the end of iteration i, generation i-1 is
+    // released wholesale.
+    var scratchPrev = List.empty[() => Unit]
+    var scratchCur = List.empty[() => Unit]
+    def scratchLeaf(m: (DataFrame, Long, () => Unit)): (DataFrame, Long) = {
+      scratchCur ::= m._3; (m._1, m._2)
+    }
+
     var (frontier, frontierSize) =
-      materialize(initialFrontier.select(col(skCol)).distinct())
+      scratchLeaf(materialize(initialFrontier.select(col(skCol)).distinct()))
     var i = 0
 
-    // One2All frontier projection target: every source key. Computed at
-    // most once (first use) and reused — the static side is fixed for
-    // the whole run.
-    lazy val allSources: (DataFrame, Long) = timed("all-sources leaf")(
-      materialize(static.select(col(skCol)).distinct()))
+    // One2All/One2Mul frontier projection target: every source key.
+    // Computed at most once (first use), reused, and released at loop
+    // end — the static side is fixed for the whole run.
+    var allSourcesRelease: () => Unit = () => ()
+    lazy val allSources: (DataFrame, Long) = timed("all-sources leaf") {
+      val (df, rows, rel) = materialize(static.select(col(skCol)).distinct())
+      allSourcesRelease = rel
+      (df, rows)
+    }
 
     // NOTE on column references: the loop re-joins frames derived from
     // one another (frontier ← affected ← kvs/out of earlier iterations),
@@ -262,12 +336,13 @@ final class IncrementalJob(
       val staticF = static.join(fk, col(skCol) === col("_fk")).drop("_fk")
       // dynamic values the mapper consumes: the frontier keys' own
       // values (One2One, k2-space == sk-space) or the whole out state
-      // (One2All — e.g. every point needs every center; the out state
-      // is k rows there, broadcast-sized by nature)
+      // (One2All — e.g. every point needs every center, k broadcast-
+      // sized rows; One2Mul — a source reads a SET of outputs and the
+      // mapContribs join selects exactly the ones it needs)
       val dynF = projectKind match {
-        case ProjectKind.One2All => outToDyn(scanAll(outSegs))
-        case _ => outToDyn(
+        case ProjectKind.One2One => outToDyn(
           scanAll(outSegs).join(fk, col(k2Col) === col("_fk")).drop("_fk"))
+        case _ => outToDyn(scanAll(outSegs))
       }
 
       // Fresh contributions and the affected-key material are ONE
@@ -284,14 +359,14 @@ final class IncrementalJob(
         .select(col(k2Col) +:
           payloadCols.map(f => lit(null).cast(f.dataType).as(f.name)): _*)
       val fa = timed(s"iter $i fresh+affected")(
-        materialize(freshPlan.withColumn("_tag", lit("f"))
+        scratchLeaf(materialize(freshPlan.withColumn("_tag", lit("f"))
           .unionByName(oldKeyRows.withColumn("_tag", lit("a")))
-          .withColumn("_b", bucketOf(col(k2Col))))._1)
+          .withColumn("_b", bucketOf(col(k2Col)))))._1)
       val fresh = fa.filter(col("_tag") === "f").drop("_tag")
       // affected keys as a leaf (they seed 3 joins and the next
       // frontier), counted by the materialization itself
       val (affected, affectedSize) = timed(s"iter $i affected")(
-        materialize(fa.select(col(k2Col).as("_aff")).distinct()))
+        scratchLeaf(materialize(fa.select(col(k2Col).as("_aff")).distinct())))
       if (affectedSize == 0) {
         // nothing to merge or re-reduce: the change is fully absorbed
         frontierSize = 0
@@ -305,19 +380,22 @@ final class IncrementalJob(
         // MRBGraph merge: copy ONLY touched-bucket rows into a new dirty
         // segment, dropping frontier sources' old contributions and
         // adding the fresh ones; untouched rows stay as lazy views and
-        // fully-superseded segments leave the manifest.
-        // The dirty segment is re-hashed on k2 at materialization: the
-        // union of broadcast-join outputs otherwise SUMS its inputs'
-        // partition counts, and since the store feeds itself through
-        // this plan the count doubles per iteration (measured: constant
-        // rows, task count — and wall time — ×2 every round). The
-        // exchange moves only the touched rows and leaves them
-        // co-located by key for the next iteration's probes.
-        val dirtyKvs = Seg(timed(s"iter $i kvs merge (${touched.size}/$B buckets)")(
-          materialize(scanTouched(kvsSegs, touched, isTouched)
-            .join(fk, col(skCol) === col("_fk"), "left_anti")
-            .unionByName(fresh)
-            .repartition(n, col(k2Col))))._1, touched)
+        // fully-superseded segments leave the manifest (and free their
+        // blocks). The dirty segment is re-hashed on k2 at
+        // materialization: the union of broadcast-join outputs otherwise
+        // SUMS its inputs' partition counts, and since the store feeds
+        // itself through this plan the count doubles per iteration
+        // (measured: constant rows, task count — and wall time — ×2
+        // every round). The exchange moves only the touched rows and
+        // leaves them co-located by key for the next iteration's probes.
+        val dirtyKvs = {
+          val (leaf, _, rel) = timed(s"iter $i kvs merge (${touched.size}/$B buckets)")(
+            materialize(scanTouched(kvsSegs, touched, isTouched)
+              .join(fk, col(skCol) === col("_fk"), "left_anti")
+              .unionByName(fresh)
+              .repartition(n, col(k2Col)), durable = true))
+          Seg(leaf, touched, rel)
+        }
         kvsSegs = dropTouched(kvsSegs, touched, isTouched) :+ dirtyKvs
 
         // re-reduce only affected groups (affected k2s hash to touched
@@ -340,27 +418,44 @@ final class IncrementalJob(
         val newOutPlan =
           reduce(affectedForReduce, kvsAffected)
             .withColumn("_b", bucketOf(col(k2Col)))
-        val dirtyOut = Seg(timed(s"iter $i reduce+out (${touched.size}/$B buckets)")(
-          materialize(scanTouched(outSegs, touched, isTouched)
-            .join(aff, col(k2Col) === col("_aff"), "left_anti")
-            .unionByName(newOutPlan)
-            .repartition(n, col(k2Col))))._1, touched)
+        val dirtyOut = {
+          val (leaf, _, rel) = timed(s"iter $i reduce+out (${touched.size}/$B buckets)")(
+            materialize(scanTouched(outSegs, touched, isTouched)
+              .join(aff, col(k2Col) === col("_aff"), "left_anti")
+              .unionByName(newOutPlan)
+              .repartition(n, col(k2Col)), durable = true))
+          Seg(leaf, touched, rel)
+        }
 
         // F30 change-propagation filter — computed BEFORE the out store
         // swaps, since it compares against the pre-update state. θ=0
         // (exact mode): every affected key propagates. The moved keys
         // then project back to source-key space per `projectKind`:
         // One2One renames in place; One2All dirties every source as
-        // soon as ANY output moved (each source reads all outputs).
-        if (filterThreshold <= 0.0) {
+        // soon as ANY output moved (each source reads all outputs);
+        // One2Mul routes the moved keys through `backProject`'s
+        // dependency relation.
+        // `movedK2` carries the moved output keys under the k2Col name;
+        // each projector maps them to source-key space its own way.
+        def projectFrontier(movedK2: DataFrame, movedCount: Long): Unit =
           projectKind match {
-            case ProjectKind.One2All =>
+            case ProjectKind.One2All if movedCount > 0 =>
               frontier = allSources._1
               frontierSize = allSources._2
+            case ProjectKind.One2Mul if movedCount > 0 =>
+              val (f3, s3) = timed(s"iter $i backproject")(
+                scratchLeaf(materialize(
+                  backProject.get(movedK2).select(col(skCol)).distinct())))
+              frontier = f3
+              frontierSize = s3
+            case ProjectKind.One2All | ProjectKind.One2Mul =>
+              frontierSize = 0 // nothing moved; frontier content unused
             case _ =>
-              frontier = affected.withColumnRenamed("_aff", skCol)
-              frontierSize = affectedSize
+              frontier = movedK2.withColumnRenamed(k2Col, skCol)
+              frontierSize = movedCount
           }
+        if (filterThreshold <= 0.0) {
+          projectFrontier(affected.withColumnRenamed("_aff", k2Col), affectedSize)
         } else {
           // the reduce output as a view over the dirty segment leaf
           val newOut = dirtyOut.df
@@ -370,40 +465,77 @@ final class IncrementalJob(
           val neu = newOut.drop("_b")
             .select(col(k2Col), struct(col("*")).as("_new"))
           val (f2, s2) = timed(s"iter $i frontier")(
-            materialize(old.join(neu, col("_ok") === col(k2Col))
+            scratchLeaf(materialize(old.join(neu, col("_ok") === col(k2Col))
               .filter(distance(col("_old"), col("_new")) >= filterThreshold)
-              .select(col(k2Col).as(skCol))
-              .distinct()))
-          projectKind match {
-            case ProjectKind.One2All if s2 > 0 =>
-              frontier = allSources._1
-              frontierSize = allSources._2
-            case ProjectKind.One2All =>
-              frontier = f2
-              frontierSize = 0
-            case _ =>
-              frontier = f2
-              frontierSize = s2
-          }
+              .select(col(k2Col))
+              .distinct())))
+          projectFrontier(f2, s2)
         }
         outSegs = dropTouched(outSegs, touched, isTouched) :+ dirtyOut
 
         // Compaction is only worthwhile when views actually stacked up:
-        // a single-segment store is already compact.
+        // a single-segment store is already compact. The pre-compaction
+        // leaves are released right after the compacted segment
+        // materializes from them.
         sinceCompact += 1
         if (sinceCompact >= compactionInterval &&
             (kvsSegs.length > 1 || outSegs.length > 1)) {
-          kvsSegs = List(Seg(timed(s"iter $i compact kvs")(
-            materialize(unionSegs(kvsSegs).repartition(n, col(k2Col)))._1),
-            (0 until B).toSet))
-          outSegs = List(Seg(timed(s"iter $i compact out")(
-            materialize(unionSegs(outSegs).repartition(n, col(k2Col)))._1),
-            (0 until B).toSet))
+          def compact(segs: List[Seg], label: String): List[Seg] = {
+            val (leaf, _, rel) = timed(label)(
+              materialize(unionSegs(segs).repartition(n, col(k2Col)),
+                durable = true))
+            segs.foreach(_.release())
+            List(Seg(leaf, (0 until B).toSet, rel))
+          }
+          kvsSegs = compact(kvsSegs, s"iter $i compact kvs")
+          outSegs = compact(outSegs, s"iter $i compact out")
           sinceCompact = 0
         }
       }
+      // generation rotate: iteration i-1's scratch leaves saw their last
+      // read in this iteration's joins — free them now.
+      scratchPrev.foreach(_.apply())
+      scratchPrev = scratchCur
+      scratchCur = Nil
     }
     static.unpersist(blocking = false)
-    (scanAll(outSegs), scanAll(kvsSegs), i)
+    // Remaining scratch (last two generations + the One2All/One2Mul
+    // all-sources leaf) is not referenced by the returned frames — only
+    // segment leaves are. Free it on the spot.
+    scratchPrev.foreach(_.apply())
+    scratchCur.foreach(_.apply())
+    allSourcesRelease()
+    val finalKvs = kvsSegs
+    val finalOut = outSegs
+    // In-memory mode this unpersists every remaining segment leaf; in
+    // durable mode the final segment dirs are KEPT (they are the
+    // preserved artifact) — their release thunks delete files, so they
+    // are intentionally not invoked here.
+    val release: () => Unit = () =>
+      if (durableStatePath.isEmpty) (finalKvs ++ finalOut).foreach(_.release())
+    IncrResult(scanAll(finalOut), scanAll(finalKvs), i, release)
+  }
+}
+
+object IncrementalJob {
+  /** Timing/diagnostic switch: the `GRAFT_TIMING` env var (dev shells)
+    * or the `graft.timing` system property (set programmatically by
+    * `Bench` so gate runs always carry per-phase timing on stderr). */
+  private[graft] def timingEnabled: Boolean =
+    sys.env.contains("GRAFT_TIMING") ||
+      sys.props.get("graft.timing").exists(_ != "0")
+
+  /** Standard consume-then-release: copy the result's `out` into a
+    * catalog-visible cache (`Dataset.persist` — freed by the session's
+    * per-query `clearCache`, unlike raw checkpoint blocks), materialize
+    * it, free every loop leaf, and hand back the cached frame. The one
+    * extra pass reads already-cached segment blocks, and the state it
+    * copies is the loop's OUTPUT (bounded by the key space, not the
+    * data) — O(result), not O(input), at any scale. */
+  def finish(r: IncrResult): DataFrame = {
+    val out = r.out.persist(StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    r.release()
+    out
   }
 }

@@ -27,8 +27,13 @@ final case class IterConfig(
 
 /** Result of an iterative run: the final dynamic relation, the number of
   * iterations actually executed, and the last measured distance
-  * (`Double.MaxValue` if the distance check never fired). */
-final case class IterResult(dynamic: DataFrame, iterations: Int, lastDistance: Double)
+  * (`Double.MaxValue` if the distance check never fired).
+  *
+  * `dynamic` is a catalog-visible cached frame (`Dataset.persist`), so
+  * a session-level `clearCache` reclaims it; `release` unpersists it
+  * eagerly for library callers that manage caches themselves. */
+final case class IterResult(dynamic: DataFrame, iterations: Int, lastDistance: Double,
+    release: () => Unit = () => ())
 
 /** Framework-managed iteration, Spark-first.
   *
@@ -97,11 +102,16 @@ final class IterativeJob(
     // the driver loop from one Spark job per iteration to one per
     // checkpoint interval.
     var pendingLazy = List.empty[DataFrame]
-    // The last eagerly-materialized dynamic frame (init, or the latest
-    // checkpoint). Tracked separately from `dyn` so that entering a lazy
-    // stretch doesn't strand it in the cache: it is released at the next
-    // eager point, once the new checkpoint no longer needs its blocks.
-    var materializedDyn: DataFrame = dyn
+    // The iteration-0 cache is superseded by the first checkpoint; drop
+    // it there (it would otherwise sit in the cache for the whole run).
+    var initCache: DataFrame = dyn
+    // Release thunk of the last eagerly-materialized checkpoint leaf.
+    // Checkpoint leaves are raw-RDD caches that `Dataset.unpersist` /
+    // `clearCache` cannot see (they go through the CacheManager, the
+    // leaf doesn't) — each checkpoint frees its predecessor's blocks
+    // explicitly once the new leaf is materialized and no live frame
+    // can reference the old one.
+    var materializedRelease: () => Unit = () => ()
     while (i < config.maxIterations && !done) {
       i += 1
       val next = kind match {
@@ -115,15 +125,17 @@ final class IterativeJob(
       val eagerPoint = checkDistance || i == config.maxIterations ||
         (config.checkpointInterval > 0 && i % config.checkpointInterval == 0)
       if (eagerPoint) {
-        val materialized = next.localCheckpoint(eager = true)
+        val (materialized, _, release) =
+          org.apache.spark.sql.graft.GraftSqlShim.checkpointedLeafWithHandle(next)
         if (checkDistance) {
           dist = distance(dyn, materialized)
           if (dist < config.threshold) done = true
         }
         pendingLazy.foreach(_.unpersist(blocking = false))
         pendingLazy = Nil
-        if (materializedDyn ne null) materializedDyn.unpersist(blocking = false)
-        materializedDyn = materialized
+        if (initCache ne null) { initCache.unpersist(blocking = false); initCache = null }
+        materializedRelease()
+        materializedRelease = release
         dyn = materialized
       } else {
         val lazyNext = next.persist(StorageLevel.MEMORY_AND_DISK)
@@ -132,7 +144,17 @@ final class IterativeJob(
       }
     }
     s.unpersist(blocking = false)
-    IterResult(dyn, i, dist)
+    // The loop always exits right after an eager point (the last
+    // iteration and every distance check are eager), so `dyn` is a
+    // checkpoint leaf here. Copy it into a catalog-visible cache and
+    // free the leaf: the returned frame is then fully reclaimable by
+    // `clearCache`/`release` — no raw checkpoint blocks outlive the run.
+    // The copy is one pass over the already-cached final state —
+    // O(result), not O(input).
+    val result = dyn.persist(StorageLevel.MEMORY_AND_DISK)
+    result.count()
+    materializedRelease()
+    IterResult(result, i, dist, () => { result.unpersist(blocking = false); () })
   }
 }
 

@@ -236,10 +236,20 @@ object Dedup {
       .filter(size(col("sh")) > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val inv = sh.select(col("doc_id"), explode(col("sh")).as("s"))
-    // One shuffle on s computes df and feeds the (now bounded) self-join.
-    val rare = inv.withColumn("df",
-      count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("s")))
-      .filter(col("df") <= maxDf)
+    // Document frequency via groupBy, NOT count(*) OVER (PARTITION BY s):
+    // the window shape shuffles EVERY occurrence of a shingle to one
+    // partition before the df filter drops it, so a single boilerplate
+    // phrase repeated 10⁸ times stalls one task — the classic hot-key
+    // scale-killer. The groupBy partial-aggregates map-side (a hot
+    // shingle collapses to one row per input partition before the
+    // shuffle), and the handful of shingles OVER the cap is broadcast
+    // for an anti-join — the posting list itself never re-shuffles on
+    // the hot key at all. (Same restructuring as Pipeline.cleanCorpus's
+    // dedup, commit 8c730a5.)
+    val hot = inv.groupBy("s").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf)
+      .select("s")
+    val rare = inv.join(broadcast(hot), Seq("s"), "left_anti")
       .select("doc_id", "s")
     val cands = rare.alias("x").join(rare.alias("y"), "s")
       .filter(col("x.doc_id") < col("y.doc_id"))

@@ -31,10 +31,25 @@ object Relational {
 
   /** Top-k by arbitrary ordering with a dense output rank. Total-order
     * sort (F14): Spark's range partitioner does the sampling the
-    * reference's `InputSampler`/`TotalOrderPartitioner` does by hand. */
-  def topK(df: DataFrame, k: Int, order: Seq[Column]): DataFrame =
-    df.orderBy(order: _*).limit(k)
-      .withColumn("rank", row_number().over(Window.orderBy(order: _*)))
+    * reference's `InputSampler`/`TotalOrderPartitioner` does by hand.
+    *
+    * The rank is NOT a window function: an unpartitioned rank window
+    * sprays WindowExec's "moving all data to a single partition"
+    * warning (and Spark 4's `EliminateWindowPartitions` folds away any
+    * constant partition spec that would silence it). `orderBy.limit`
+    * already yields ONE partition in sorted order — `TakeOrderedAndProject`
+    * /`GlobalLimit` contract — so the rank is just the row position:
+    * zipWithIndex over ≤ k rows, no extra job on a single partition. */
+  def topK(df: DataFrame, k: Int, order: Seq[Column]): DataFrame = {
+    val limited = df.orderBy(order: _*).limit(k)
+    val schema = org.apache.spark.sql.types.StructType(limited.schema.fields :+
+      org.apache.spark.sql.types.StructField("rank",
+        org.apache.spark.sql.types.IntegerType, nullable = false))
+    val ranked = limited.rdd.zipWithIndex().map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1).toInt)
+    }
+    limited.sparkSession.createDataFrame(ranked, schema)
+  }
 
   /** Skew-safe equi-join (100 TB posture): a single hot key floods one
     * shuffle partition in a plain sort-merge join, and AQE's skew split
@@ -80,23 +95,36 @@ object Relational {
 
   /** Key comparison in the column's NATIVE ordering (a string compare
     * would call "10" < "9" for numeric keys): nulls first like Spark's
-    * default sort order, binary unsigned-lexicographic like
-    * `BinaryType`'s ordering, everything else via its own `Comparable`
-    * (covers the string/numeric/date/timestamp/decimal key types a
-    * sortable column can hold). */
+    * default sort order; strings and binary in unsigned-byte UTF-8 /
+    * `BinaryType` order; everything else via its own `Comparable`
+    * (covers the numeric/date/timestamp/decimal key types a sortable
+    * column can hold).
+    *
+    * Strings deliberately do NOT use `String.compareTo`: Java compares
+    * UTF-16 code units, which orders supplementary-plane characters
+    * (surrogate pairs, 0xD800-0xDFFF units) BELOW [U+E000, U+FFFF] —
+    * whereas Spark's `UTF8String` and DuckDB both compare UTF-8 bytes
+    * (== code-point order). A validator in UTF-16 order would call a
+    * correctly-Spark-sorted frame with an emoji key "unsorted". */
+  private def compareBytes(x: Array[Byte], y: Array[Byte]): Int = {
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val c = java.lang.Integer.compare(x(i) & 0xff, y(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    java.lang.Integer.compare(x.length, y.length)
+  }
+
   private[graft] def keyCompare(a: Any, b: Any): Int = (a, b) match {
     case (null, null) => 0
     case (null, _)    => -1
     case (_, null)    => 1
-    case (x: Array[Byte], y: Array[Byte]) =>
-      val n = math.min(x.length, y.length)
-      var i = 0
-      while (i < n) {
-        val c = java.lang.Integer.compare(x(i) & 0xff, y(i) & 0xff)
-        if (c != 0) return c
-        i += 1
-      }
-      java.lang.Integer.compare(x.length, y.length)
+    case (x: Array[Byte], y: Array[Byte]) => compareBytes(x, y)
+    case (x: String, y: String) =>
+      compareBytes(x.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        y.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     case (x: Comparable[_], _) => x.asInstanceOf[Comparable[Any]].compareTo(b)
     case _ => throw new IllegalArgumentException(
       s"unsupported sort-key type ${a.getClass.getName}")

@@ -30,6 +30,15 @@ object Similarity {
 
   private def norm(a: org.apache.spark.sql.Column) = sqrt(dot(a, a))
 
+  /** Cosine that tolerates zero-norm vectors: `try_divide` yields NULL
+    * where plain `/` would raise DIVIDE_BY_ZERO under ANSI mode (Spark
+    * 4's default) — one degenerate embedding must not kill a corpus-wide
+    * job. NULL cosines sort LAST under the descending rank windows
+    * (Spark's desc = nulls last), so zero vectors never displace real
+    * neighbors. */
+  private def cosine(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    try_divide(dot(a, b), norm(a) * norm(b))
+
   /** Exact top-k cosine neighbors of each query vector.
     *
     * @param vectors (id, vec) all vectors
@@ -42,8 +51,7 @@ object Similarity {
     val scored = v.crossJoin(broadcast(q))
       .filter(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"),
-        (dot(col("qvec"), col("nvec")) / (norm(col("qvec")) * norm(col("nvec"))))
-          .as("cosine"))
+        cosine(col("qvec"), col("nvec")).as("cosine"))
     val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("nid").asc)
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
       .select("qid", "nid", "cosine", "rk")
@@ -87,8 +95,7 @@ object Similarity {
     val scored = vb.join(broadcast(qb), "bucket")
       .filter(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"),
-        (dot(col("qvec"), col("nvec")) / (norm(col("qvec")) * norm(col("nvec"))))
-          .as("cosine"))
+        cosine(col("qvec"), col("nvec")).as("cosine"))
       .distinct()
     val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("nid").asc)
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
@@ -119,7 +126,8 @@ object Similarity {
     */
   def ivfTopK(vectors: DataFrame, queries: DataFrame, k: Int,
       nlist: Int = 256, nprobe: Int = 8,
-      centroids: Option[DataFrame] = None): DataFrame = {
+      centroids: Option[DataFrame] = None,
+      centroidFoldLimit: Int = 64): DataFrame = {
     graft.functions.GraftFunctions.register(vectors.sparkSession)
     val v = vectors.select(col("id").as("nid"), col("vec").cast("array<double>").as("nvec"))
     val q = queries.select(col("id").as("qid"), col("vec").cast("array<double>").as("qvec"))
@@ -128,30 +136,54 @@ object Similarity {
       .getOrElse(v.orderBy("nid").limit(nlist)
         .select(col("nid").as("cid"), col("nvec").as("cvec")))
     def centCos(vecCol: org.apache.spark.sql.Column) =
-      (dot(vecCol, col("cvec")) / (norm(vecCol) * norm(col("cvec")))).as("c")
+      cosine(vecCol, col("cvec")).as("c")
+    // Zero-norm guard: cosine with a zero vector is 0/0 — ANSI mode
+    // (Spark 4 default) raises DIVIDE_BY_ZERO and non-ANSI yields NaN,
+    // whose comparisons are all false: either way an unguarded
+    // strict-max fold drops the vector from the index (cid −1),
+    // breaking the nprobe==nlist ≡ brute-force equivalence. try_divide
+    // + coalesce pins the score to −2 (below any real cosine), so a
+    // zero-norm vector deterministically lands in the lowest-cid list
+    // and a zero-norm CENTROID never attracts a nonzero vector.
+    def cosOrFloor(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      coalesce(cosine(a, b), lit(-2.0))
     // Centroids are driver-collected (O(nlist), the same contract as the
-    // KMeans center cycle) and inlined as an array literal, so the
-    // nearest-centroid assignment is a single projection: a fold over
-    // nlist struct elements per row. No corpus x nlist row blowup, no
-    // per-partition sort, and the index build shuffles nothing — the
-    // corpus is scanned once and the lists are consumed in place by the
-    // map-side probe join below.
+    // KMeans center cycle). Up to `centroidFoldLimit` they are inlined
+    // as an array literal, so the nearest-centroid assignment is a
+    // single projection: a fold over nlist struct elements per row — no
+    // corpus x nlist row blowup, no shuffle at all in the build. The
+    // literal fold's expression tree is O(nlist·dim), which blows the
+    // 64KB codegen method limit at trained-index sizes (nlist ≥ ~1k),
+    // so above the limit assignment switches to a broadcast nested-loop
+    // join + max_by argmax: corpus × nlist pairs stream through
+    // codegen, the map-side partial max_by collapses them to ONE row
+    // per vector before the (only) shuffle. Tie-breaking matches the
+    // fold exactly: max over (c, −cid) == earliest max in ascending-cid
+    // order == lowest cid.
     val centRows = cents.orderBy("cid").collect()
     require(centRows.nonEmpty, "ivfTopK: empty centroid set")
-    val centLit = array(centRows.map { r =>
-      struct(lit(r.getLong(0)).as("cid"),
-        typedLit(r.getSeq[Double](1).toArray).as("cvec"))
-    }.toIndexedSeq: _*)
-    // Fold in ascending-cid order with strict `>` keeps the earliest max
-    // == row_number over (c DESC, cid ASC) picking rank 1.
-    def nearest(vecCol: org.apache.spark.sql.Column) = aggregate(
-      centLit,
-      struct(lit(Double.NegativeInfinity).as("c"), lit(-1L).as("cid")),
-      (acc, ce) => {
-        val c = dot(vecCol, ce("cvec")) / (norm(vecCol) * norm(ce("cvec")))
-        when(c > acc("c"), struct(c.as("c"), ce("cid").as("cid"))).otherwise(acc)
-      })
-    val lists = v.select(nearest(col("nvec"))("cid").as("cid"), col("nid"), col("nvec"))
+    val lists =
+      if (centRows.length <= centroidFoldLimit) {
+        val centLit = array(centRows.map { r =>
+          struct(lit(r.getLong(0)).as("cid"),
+            typedLit(r.getSeq[Double](1).toArray).as("cvec"))
+        }.toIndexedSeq: _*)
+        def nearest(vecCol: org.apache.spark.sql.Column) = aggregate(
+          centLit,
+          struct(lit(-3.0).as("c"), lit(-1L).as("cid")),
+          (acc, ce) => {
+            val c = cosOrFloor(vecCol, ce("cvec"))
+            when(c > acc("c"), struct(c.as("c"), ce("cid").as("cid"))).otherwise(acc)
+          })
+        v.select(nearest(col("nvec"))("cid").as("cid"), col("nid"), col("nvec"))
+      } else
+        v.crossJoin(broadcast(cents))
+          .select(col("nid"), col("nvec"), col("cid"),
+            cosOrFloor(col("nvec"), col("cvec")).as("c"))
+          .groupBy("nid")
+          .agg(max_by(col("cid"), struct(col("c"), (-col("cid")).as("nc"))).as("cid"),
+            first(col("nvec")).as("nvec"))
+          .select(col("cid"), col("nid"), col("nvec"))
     // probe the nprobe nearest lists per query (queries are small by
     // the same contract as bruteForceTopK — the window is cheap)
     val pw = Window.partitionBy("qid").orderBy(col("c").desc, col("cid").asc)
@@ -163,8 +195,7 @@ object Similarity {
     val scored = lists.join(broadcast(probes), "cid")
       .filter(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"),
-        (dot(col("qvec"), col("nvec")) / (norm(col("qvec")) * norm(col("nvec"))))
-          .as("cosine"))
+        cosine(col("qvec"), col("nvec")).as("cosine"))
     val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("nid").asc)
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
       .select("qid", "nid", "cosine", "rk")
@@ -216,7 +247,9 @@ object Similarity {
       .join(v.select(col("id").as("a"), col("v").as("va")), "a")
       .join(v.select(col("id").as("b"), col("v").as("vb")), "b")
       .select(col("a"), col("b"),
-        (dot(col("va"), col("vb")) / (norm(col("va")) * norm(col("vb")))).as("cosine"))
+        // try_divide: a zero-norm member of a block yields NULL cosine
+        // (never ≥ threshold) instead of an ANSI DIVIDE_BY_ZERO abort
+        cosine(col("va"), col("vb")).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
 }

@@ -178,6 +178,59 @@ object IterativeQueries {
        SELECT idx, round(x, 6) AS x FROM p$incrIters"""
   }
 
+  /** Incremental BLOCKED matvec oracle — the One2Mul continuation
+    * ([[graft.algorithms.IncrementalMatVec.incrementalBlocked]])
+    * unrolled. Identical arithmetic to [[incrMatvecSql]]; what changes
+    * is the GRANULARITY of change propagation: the delta dirties TILES
+    * (b×b blocks), each round's affected indices are the row indices of
+    * the frontier tiles' cells, and moved indices project back through
+    * BLOCK sparsity (tiles whose column block contains a moved index).
+    * The merged-bag invariant (a tile is refreshed whenever any index
+    * in its column block moved) makes `s_k = b + Σ m2.v · p_{k-1}.x[j]`
+    * exact for the affected set, just as in the scalar oracle. */
+  private def incrMatvecBlockedSql(baseIters: Int, incrIters: Int, b: Int): String = {
+    val baseCtes = (1 to baseIters).map { k =>
+      s"""x$k AS (SELECT n.idx, 0.2 + coalesce(c.s, 0.0) AS x
+         FROM nodes n LEFT JOIN (
+           SELECT m.i AS idx, sum(m.v * x.x) AS s
+           FROM m JOIN x${k - 1} x ON m.j = x.idx GROUP BY 1) c
+         ON n.idx = c.idx)"""
+    }.mkString(",\n")
+    val incr = (1 to incrIters).map { k =>
+      val prev = if (k == 1) s"x$baseIters" else s"p${k - 1}"
+      val affected =
+        if (k == 1)
+          s"""a1 AS (SELECT DISTINCT m2.i AS idx FROM m2
+             JOIN chg ON m2.i // $b = chg.ib AND m2.j // $b = chg.jb)"""
+        else
+          s"""a$k AS (SELECT DISTINCT i AS idx FROM m2
+             WHERE j // $b IN (SELECT DISTINCT idx // $b FROM a${k - 1}))"""
+      s"""$affected,
+         s$k AS (SELECT a.idx, 0.2 + coalesce(c.s, 0.0) AS x
+           FROM a$k a LEFT JOIN (
+             SELECT m2.i AS idx, sum(m2.v * p.x) AS s
+             FROM m2 JOIN $prev p ON m2.j = p.idx GROUP BY 1) c
+           ON a.idx = c.idx),
+         p$k AS (SELECT r.idx, r.x FROM $prev r
+           WHERE r.idx NOT IN (SELECT idx FROM a$k)
+           UNION ALL SELECT idx, x FROM s$k)"""
+    }.mkString(",\n")
+    s"""WITH m0 AS (SELECT event_id % 40 AS i, user_id % 40 AS j,
+         max(value) AS w FROM events GROUP BY 1, 2),
+       rs AS (SELECT i, sum(abs(w)) AS rs FROM m0 GROUP BY 1),
+       m AS (SELECT m0.i, m0.j, m0.w / rs.rs * 0.8 AS v
+         FROM m0 JOIN rs ON m0.i = rs.i),
+       nodes AS (SELECT i AS idx FROM m UNION SELECT j FROM m),
+       x0 AS (SELECT idx, CAST(0.2 AS DOUBLE) AS x FROM nodes),
+       $baseCtes,
+       chg AS (SELECT DISTINCT i // $b AS ib, j // $b AS jb FROM m
+         WHERE j % 10 = 3),
+       m2 AS (SELECT i, j, CASE WHEN j % 10 = 3 THEN v * 0.5 ELSE v END AS v
+         FROM m),
+       $incr
+       SELECT idx, round(x, 6) AS x FROM p$incrIters"""
+  }
+
   /** Incremental KMeans oracle (the One2All [[IncrementalJob]]
     * instantiation): `baseIters` Lloyd rounds on the base points, then
     * `incrIters` incremental rounds over a point delta (θ=0).
@@ -343,6 +396,33 @@ object IterativeQueries {
           .select(col("idx"), round(col("x"), 6).as("x"))
       },
       Some(incrMatvecSql(4, 3))),
+
+    // Fourth IncrementalJob instantiation — One2Mul over GIM-V tiles
+    // (the blocked A4 shape continued incrementally): the delta dirties
+    // TILES, the frontier propagates through block sparsity, completing
+    // the projector-cardinality matrix One2One/One2All/One2Mul.
+    Q("q_incr_matvec_blocked",
+      (s, dir) => {
+        val w = Q.events(s, dir)
+          .groupBy((col("event_id") % 40).as("i"), (col("user_id") % 40).as("j"))
+          .agg(max("value").as("w"))
+        val rs = w.groupBy("i").agg(sum(abs(col("w"))).as("rs"))
+        val m1 = w.join(rs, "i")
+          .select(col("i"), col("j"), (col("w") / col("rs") * 0.8).as("v"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val b = IncrementalMatVec.universe(m1, 0.2)
+        val preserved = IncrementalMatVec.preserveBlocked(m1, b, blockSize = 8,
+          iterations = 4)
+        val chg = m1.filter(col("j") % 10 === 3)
+          .select(IncrementalMatVec.tileId(col("i"), col("j"), 8).as("tid"))
+          .distinct()
+        val m2 = m1.withColumn("v",
+          when(col("j") % 10 === 3, col("v") * 0.5).otherwise(col("v")))
+        IncrementalMatVec.incrementalBlocked(m2, b, preserved, chg, blockSize = 8,
+          iterations = 3, filterThreshold = 0.0)
+          .select(col("idx"), round(col("x"), 6).as("x"))
+      },
+      Some(incrMatvecBlockedSql(4, 3, 8))),
 
     // Third IncrementalJob instantiation — and the One2All one (A2+A7:
     // the i2MapReduce app trilogy PageRank/KMeans/GIM-V all run

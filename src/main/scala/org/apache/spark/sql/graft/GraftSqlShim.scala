@@ -1,8 +1,6 @@
 package org.apache.spark.sql.graft
 
-import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, Row}
-import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.plans.logical.Statistics
 import org.apache.spark.sql.catalyst.plans.physical.{Partitioning, PartitioningCollection}
 import org.apache.spark.sql.classic
@@ -25,18 +23,45 @@ import org.apache.spark.sql.execution.LogicalRDD
   * [[checkpointedLeaf]] does the single-write version: take the plan's
   * InternalRow RDD, local-checkpoint THAT (one cached copy, lineage
   * truncated), and wrap it in a [[LogicalRDD]] carrying EXPLICIT
-  * statistics derived from the counted rows — constant-size numbers,
-  * immune to estimate compounding, and still honest enough for the
-  * planner's broadcast decisions. The physical plan's partitioning and
+  * statistics — constant-size numbers, immune to estimate compounding.
+  * `sizeInBytes` is read from the block manager's storage info for the
+  * just-cached RDD (the REAL cached bytes), falling back to a row-count
+  * × schema estimate only if the blocks aren't visible yet. The
+  * schema-only estimate understates variable-width data badly —
+  * `ArrayType.defaultSize` assumes one element, so a 64-dim-vector
+  * state would look 64× smaller than it is and could be auto-broadcast
+  * at sizes that OOM an executor; real block sizes make the planner's
+  * broadcast decisions honest. The physical plan's partitioning and
   * ordering are preserved exactly like `Dataset.localCheckpoint`
   * preserves them, so co-partitioned loop joins stay shuffle-free.
+  *
+  * Freeing the blocks: `Dataset.unpersist`/`spark.catalog.clearCache()`
+  * go through the `CacheManager` and CANNOT see a raw RDD cached by
+  * `localCheckpoint` — the blocks would otherwise live until the
+  * ContextCleaner happens to GC the RDD reference. Callers that
+  * materialize a bounded-lifetime frame must therefore use
+  * [[checkpointedLeafWithHandle]] and invoke the returned release thunk
+  * when the frame is superseded (see `IncrementalJob`'s segment
+  * lifecycle). After release the leaf CANNOT be recomputed (lineage was
+  * truncated) — release only when nothing references the frame.
   */
 object GraftSqlShim {
 
   /** Materialize `df` as a local-checkpointed, lineage-free leaf with
     * explicit statistics. Returns (leaf, rowCount). One job, one cached
-    * copy of the data. */
+    * copy of the data. The cached blocks are NOT visible to
+    * `spark.catalog.clearCache()` — use [[checkpointedLeafWithHandle]]
+    * when the caller must free them deterministically. */
   def checkpointedLeaf(df: DataFrame): (DataFrame, Long) = {
+    val (leaf, rows, _) = checkpointedLeafWithHandle(df)
+    (leaf, rows)
+  }
+
+  /** [[checkpointedLeaf]] plus a release thunk that unpersists the
+    * checkpointed RDD's blocks (non-blocking). Call it exactly once,
+    * after every frame derived from the leaf is itself materialized —
+    * the leaf has no lineage, so a released leaf cannot be re-read. */
+  def checkpointedLeafWithHandle(df: DataFrame): (DataFrame, Long, () => Unit) = {
     val cds = df.asInstanceOf[classic.Dataset[Row]]
     val spark = cds.sparkSession
     val qe = cds.queryExecution
@@ -56,9 +81,17 @@ object GraftSqlShim {
     }
     val part = firstLeaf(qe.executedPlan.outputPartitioning)
     val ord = qe.executedPlan.outputOrdering
-    val sizeInBytes = math.max(rows * math.max(qe.analyzed.schema.defaultSize, 1), 16L)
+    // Real cached bytes from the block manager (the count above forced
+    // every block in, so the storage info is complete). Fallback: schema
+    // estimate — only used if the storage listing is racing.
+    val realBytes = spark.sparkContext.getRDDStorageInfo
+      .find(_.id == rdd.id)
+      .map(i => i.memSize + i.diskSize)
+      .filter(_ > 0L)
+    val estBytes = rows * math.max(qe.analyzed.schema.defaultSize, 1)
+    val sizeInBytes = math.max(realBytes.getOrElse(estBytes), 16L)
     val plan = LogicalRDD(qe.analyzed.output, rdd, part, ord, isStreaming = false)(
       spark, Some(Statistics(BigInt(sizeInBytes), Some(BigInt(rows)))), None)
-    (classic.Dataset.ofRows(spark, plan), rows)
+    (classic.Dataset.ofRows(spark, plan), rows, () => { rdd.unpersist(blocking = false); () })
   }
 }

@@ -103,6 +103,50 @@ class IncrementalSpec extends SparkSpec {
       assert(math.abs(incr(idx) - x) < 1e-8, s"idx $idx incr=${incr(idx)} full=$x")
   }
 
+  test("incremental BLOCKED matvec (One2Mul instantiation) converges to full") {
+    // Same Jacobi fixture as the scalar test; the delta dirties whole
+    // tiles and the frontier propagates through BLOCK sparsity (a
+    // superset of scalar column reachability — extra affected indices
+    // recompute to their unchanged values, so the trajectory matches
+    // the scalar loop and the full recomputation).
+    val rnd = new scala.util.Random(5)
+    val cells = (1 to 300).map(_ =>
+      (rnd.nextInt(50).toLong, rnd.nextInt(50).toLong, rnd.nextDouble()))
+      .distinct.groupBy(c => (c._1, c._2)).map(_._2.head).toSeq
+    val rowSum = cells.groupBy(_._1).view.mapValues(_.map(c => math.abs(c._3)).sum)
+    val m1 = cells.map { case (i, j, v) => (i, j, v / rowSum(i) * 0.4) }
+      .toDF("i", "j", "v")
+    val b = IncrementalMatVec.universe(m1, 0.2)
+    val blockSize = 8
+    val preserved = IncrementalMatVec.preserveBlocked(m1, b, blockSize,
+      iterations = 25)
+
+    val chg = m1.filter(col("j") % 9 === 0)
+      .select(IncrementalMatVec.tileId(col("i"), col("j"), blockSize).as("tid"))
+      .distinct()
+    val m2 = m1.withColumn("v",
+      when(col("j") % 9 === 0, col("v") * 0.5).otherwise(col("v")))
+
+    val incr = IncrementalMatVec.incrementalBlocked(m2, b, preserved, chg,
+      blockSize, iterations = 25, filterThreshold = 0.0)
+      .as[(Long, Double)].collect().toMap
+    val full = IncrementalMatVec.run(m2, b, iterations = 50)
+      .dynamic.as[(Long, Double)].collect().toMap
+
+    assert(incr.keySet == full.keySet)
+    for ((idx, x) <- full)
+      assert(math.abs(incr(idx) - x) < 1e-8, s"idx $idx incr=${incr(idx)} full=$x")
+
+    // scalar and blocked continuations are the same math at θ=0
+    val scalarPreserved = IncrementalMatVec.preserve(m1, b, iterations = 25)
+    val scalarChg = m1.filter(col("j") % 9 === 0).select("j").distinct()
+    val scalar = IncrementalMatVec.incremental(m2, b, scalarPreserved, scalarChg,
+      iterations = 25, filterThreshold = 0.0)
+      .as[(Long, Double)].collect().toMap
+    for ((idx, x) <- scalar)
+      assert(math.abs(incr(idx) - x) < 1e-9, s"idx $idx blocked=${incr(idx)} scalar=$x")
+  }
+
   test("incremental loop on a hub-heavy power-law graph, hub edges changed") {
     // lognormal(-1, 2.3) degrees: most sources degree 1, rare large
     // hubs — the skew-realistic shape the reference's generators

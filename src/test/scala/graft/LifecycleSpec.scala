@@ -1,0 +1,211 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.algorithms.{IncrementalPageRank, PageRank}
+import graft.operators.{Dedup, Relational, Similarity}
+
+/** Round-5 scale/lifecycle contracts:
+  *  - raw checkpoint blocks (invisible to `clearCache`) are freed
+  *    deterministically by the loop/release machinery — the round-2..4
+  *    bench-variance source;
+  *  - `checkpointedLeaf` statistics come from real cached bytes, so
+  *    wide array state can't be auto-broadcast off a schema guess;
+  *  - durable mode writes ONLY state segments and deletes retired dirs;
+  *  - the n-gram df path has no hot-key window;
+  *  - IVF indexes every vector (zero-norm included) and survives
+  *    trained-index centroid counts via the broadcast fallback;
+  *  - the terasort validator compares strings in UTF-8 (Spark/DuckDB)
+  *    order, not Java's UTF-16 order.
+  */
+class LifecycleSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def randomEdges(n: Int, e: Int, seed: Long) = {
+    val rnd = new scala.util.Random(seed)
+    (1 to e).map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter { case (a, b) => a != b }.distinct
+  }
+
+  test("preserve + incremental + release leaves no cached RDDs behind") {
+    // Baseline AFTER a cache clear: earlier suites may legitimately hold
+    // session-lifetime caches; this spec owns everything it creates.
+    spark.catalog.clearCache()
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+
+    val base = randomEdges(60, 220, seed = 21)
+    val edges1 = base.toDF("src", "dst")
+    val preserved = IncrementalPageRank.preserve(edges1, 0.5, iterations = 8)
+    val changed = base.map(_._1).distinct.filter(_ < 10)
+    val edges2 = base.filterNot { case (s, _) => s < 10 }
+      .++(changed.map(s => (s, (s * 13 + 3) % 60)))
+      .filter { case (a, b) => a != b }.distinct.toDF("src", "dst")
+    val result = IncrementalPageRank.incremental(
+      edges2, preserved, changed.toDF("src"), 0.5,
+      iterations = 6, filterThreshold = 0.0)
+    assert(result.count() > 0)
+
+    // library release contract: result cache + preserved-state caches
+    result.unpersist(blocking = true)
+    preserved.release()
+    val after = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(after.isEmpty,
+      s"lingering persistent RDDs after release: ${after.mkString(", ")}")
+  }
+
+  test("naive baselines leave no raw checkpoint blocks after consumption") {
+    spark.catalog.clearCache()
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val edges = randomEdges(50, 150, seed = 5).toDF("src", "dst")
+    val naive = PageRank.runNaive(edges, 0.5, iterations = 5)
+    assert(naive.count() > 0)
+    naive.unpersist(blocking = true)
+    val after = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(after.isEmpty,
+      s"lingering persistent RDDs after naive run: ${after.mkString(", ")}")
+  }
+
+  test("checkpointedLeaf stats reflect real cached bytes for array state") {
+    // 30k rows x 64 doubles ≈ 15 MB cached — but rows × schema.defaultSize
+    // (ArrayType assumes ONE element) would claim ~0.7 MB and let the
+    // planner broadcast multi-hundred-MB state at production scale.
+    val wide = spark.range(30000).select(col("id"),
+      array((0 until 64).map(i => (col("id") * i).cast("double")): _*).as("vec"))
+    val (leaf, rows, release) =
+      org.apache.spark.sql.graft.GraftSqlShim.checkpointedLeafWithHandle(wide)
+    try {
+      assert(rows == 30000)
+      val stats = leaf.queryExecution.optimizedPlan.stats
+      val tenMb = 10L * 1024 * 1024
+      assert(stats.sizeInBytes > tenMb,
+        s"sizeInBytes ${stats.sizeInBytes} understates ~15 MB of array state")
+      // default autoBroadcastJoinThreshold is 10 MB: a self-join must
+      // therefore NOT hash-broadcast this state
+      val plan = leaf.as("a").join(leaf.as("b"), "id")
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastHashJoin"),
+        s"array state was auto-broadcast:\n$plan")
+    } finally release()
+  }
+
+  test("releasing a checkpointed leaf frees its storage blocks") {
+    val df = spark.range(10000).select(col("id"), (col("id") * 2).as("v"))
+    val (leaf, _, release) =
+      org.apache.spark.sql.graft.GraftSqlShim.checkpointedLeafWithHandle(df)
+    assert(leaf.count() == 10000)
+    val cachedBefore = spark.sparkContext.getRDDStorageInfo.map(_.id).toSet
+    release()
+    // unpersist is async (blocking=false); poll briefly
+    val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+    def gone(): Boolean = {
+      val now = spark.sparkContext.getRDDStorageInfo.map(_.id).toSet
+      (cachedBefore -- now).nonEmpty || now.isEmpty
+    }
+    while (!gone() && System.nanoTime() < deadline) Thread.sleep(100)
+    assert(gone(), "checkpointed leaf blocks still cached after release()")
+  }
+
+  test("durable mode writes only state segments and prunes retired dirs") {
+    val base = randomEdges(50, 180, seed = 33)
+    val edges1 = base.toDF("src", "dst")
+    val preserved = IncrementalPageRank.preserve(edges1, 0.5, iterations = 6)
+    val changed = base.map(_._1).distinct.filter(_ % 5 == 0)
+    val edges2 = base.filterNot { case (s, _) => s % 5 == 0 }
+      .++(changed.map(s => (s, (s * 17 + 7) % 50)))
+      .filter { case (a, b) => a != b }.distinct.toDF("src", "dst")
+    val dir = java.nio.file.Files.createTempDirectory("graft_hygiene").toString
+    val out = IncrementalPageRank.incremental(
+      edges2, preserved, changed.toDF("src"), 0.5, iterations = 6,
+      filterThreshold = 0.0, durableStatePath = Some(dir))
+    assert(out.count() > 0)
+    val segDirs = new java.io.File(dir).listFiles().filter(_.getName.startsWith("seg-"))
+    // 6 θ=0 iterations create 2 init + 12 dirty + up-to-4 compacted state
+    // segments and ~19 scratch frames (frontier/fresh/affected). If
+    // scratch hit the durable path, or retired segments were never
+    // deleted, ≥ 18 dirs survive. The live manifest after the final
+    // compaction cycle is bounded by 2 stores × (1 compacted + 2 dirty).
+    assert(segDirs.nonEmpty, "no durable state segments on disk")
+    assert(segDirs.length <= 8,
+      s"${segDirs.length} seg dirs left — scratch written durably or retired dirs not pruned: " +
+        segDirs.map(_.getName).mkString(", "))
+  }
+
+  test("ngram jaccard df path: no window, hot shingle bounded") {
+    // one boilerplate shingle shared by 100k docs: with the old
+    // count-over-window df every occurrence shuffled to ONE partition;
+    // the groupBy+broadcast-anti shape never moves the posting list on
+    // the hot key. maxDf excludes it from candidates entirely.
+    val docs = spark.range(100000).select(col("id"),
+      concat(lit("common boiler plate tail"), col("id").cast("string")).as("text"))
+    val pairs = Dedup.ngramJaccardPairs(docs, "id", "text", w = 3,
+      threshold = 0.5, maxDf = 128)
+    val logicalWindows = pairs.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(logicalWindows.isEmpty,
+      "df path still plans a Window — hot-shingle shuffle hazard")
+    assert(pairs.count() == 0) // no rare shingle is shared
+  }
+
+  test("ivf indexes zero-norm vectors: nprobe==nlist equals brute force") {
+    val vecs = spark.range(1, 41).select(col("id"),
+      when(col("id") === 7, array(lit(0.0), lit(0.0), lit(0.0)))
+        .otherwise(array(sin(col("id") * 1.0), cos(col("id") * 2.0),
+          sin(col("id") * 3.0))).as("vec"))
+    val queries = vecs.filter(col("id").isin(3, 7, 20))
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "nid", "rk").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val brute = key(Similarity.bruteForceTopK(vecs, queries, k = 5))
+    val ivf = key(Similarity.ivfTopK(vecs, queries, k = 5, nlist = 8, nprobe = 8))
+    assert(ivf == brute,
+      s"ivf(nprobe==nlist) != brute force;\nonly-ivf=${ivf -- brute}\nonly-bf=${brute -- ivf}")
+    // and the zero vector itself is a query with full neighbor coverage
+    assert(ivf.count(_._1 == 7L) == 5)
+  }
+
+  test("ivf broadcast fallback at large nlist matches the literal fold") {
+    val vecs = spark.range(1, 301).select(col("id"),
+      array(sin(col("id") * 1.0), cos(col("id") * 2.0),
+        sin(col("id") * 3.0), cos(col("id") * 5.0)).as("vec"))
+    val queries = vecs.filter(col("id") <= 5)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "nid", "rk").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // same nlist, forced down each path: identical assignment semantics
+    val fold = key(Similarity.ivfTopK(vecs, queries, k = 5, nlist = 50,
+      nprobe = 6, centroidFoldLimit = 1000))
+    val bcast = key(Similarity.ivfTopK(vecs, queries, k = 5, nlist = 50,
+      nprobe = 6, centroidFoldLimit = 1))
+    assert(fold == bcast)
+    // trained-index scale: nlist beyond any codegen'd literal fold runs
+    // on the broadcast path and still equals brute force at full probe
+    val big = key(Similarity.ivfTopK(vecs, queries, k = 5, nlist = 1024,
+      nprobe = 1024))
+    val brute = key(Similarity.bruteForceTopK(vecs, queries, k = 5))
+    assert(big == brute)
+  }
+
+  test("teraValidate compares strings in UTF-8 order (supplementary plane)") {
+    // U+E000 (3-byte UTF-8) sorts BELOW U+1F600 (4-byte, surrogate pair
+    // in UTF-16) under Spark/DuckDB binary order; Java's UTF-16
+    // compareTo claims the opposite, which would flag Spark's own sort
+    // as broken.
+    val df = Seq("b", "x", "😀x", "a").toDF("k")
+    val sorted = Relational.totalOrderSort(df, "k")
+    assert(Relational.teraValidate(sorted, "k"),
+      "validator disagrees with Spark's UTF8String sort order")
+  }
+
+  test("topK ranks without any window (no single-partition warning)") {
+    val df = spark.range(100).select(col("id"), (col("id") % 7).as("x"))
+    val top = Relational.topK(df, 5, Seq(col("x").desc, col("id").asc))
+    val windows = top.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.isEmpty, "topK still plans a Window")
+    // ranks are the positions in the (x desc, id asc) total order
+    val got = top.collect().map(r => (r.getLong(0), r.getInt(2))).toMap
+    assert(got == Map(6L -> 1, 13L -> 2, 20L -> 3, 27L -> 4, 34L -> 5), s"got $got")
+  }
+}

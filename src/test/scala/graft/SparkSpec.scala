@@ -23,6 +23,7 @@ abstract class SparkSpec extends AnyFunSuite {
   lazy val spark: SparkSession = {
     val s = TestSpark.spark
     s.sparkContext.setLogLevel("WARN")
+    graft.util.LogQuiet()
     s
   }
   val sf = "/root/testdata/sf0.001"
