@@ -48,7 +48,11 @@ object Bench {
     // of seconds that say nothing about data-proportional throughput).
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory) {
-      Seq("q1_agg", "q_pagerank", "q_incr_pagerank", "q_minhash").foreach { n =>
+      // every incremental loop warms up: their driver loops emit the
+      // largest generated-code surface, and a first compile inside the
+      // timed window reads as multi-second phantom "regressions"
+      Seq("q1_agg", "q_pagerank", "q_incr_pagerank", "q_incr_kmeans",
+        "q_incr_matvec", "q_incr_matvec_blocked", "q_minhash").foreach { n =>
         SparkEntry.queries.get(n).foreach { fn =>
           try fn(spark, warmDir).count() catch { case _: Throwable => () }
         }

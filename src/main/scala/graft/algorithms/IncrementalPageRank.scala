@@ -30,8 +30,10 @@ object IncrementalPageRank {
     // reuse the run's cached static (src, dst, deg) for the kvs join —
     // re-preparing from the raw edges would repeat the
     // scan+distinct+degree chain (two shuffles) just to derive kvs.
+    val t0 = System.nanoTime()
     val (res, static, releaseEdges) = PageRank.runKeepStatic(edges, damping,
       iterations, numPartitions = numPartitions)
+    val t1 = System.nanoTime()
     val ranks = res.dynamic
     val kvs = static.join(ranks, static("src") === ranks("node"))
       .select(static("dst").as("node"), static("src"),
@@ -39,6 +41,9 @@ object IncrementalPageRank {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     kvs.count()
     releaseEdges()
+    if (graft.core.IncrementalJob.timingEnabled)
+      System.err.println(f"[preserve] base run: ${(t1 - t0) / 1e9}%.2f s, " +
+        f"kvs: ${(System.nanoTime() - t1) / 1e9}%.2f s")
     // out must cover every node (sinks carry no kvs rows but have ranks)
     PreservedState(kvs, ranks,
       () => { kvs.unpersist(blocking = false); res.release() })

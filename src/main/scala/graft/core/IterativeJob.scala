@@ -125,8 +125,12 @@ final class IterativeJob(
       val eagerPoint = checkDistance || i == config.maxIterations ||
         (config.checkpointInterval > 0 && i % config.checkpointInterval == 0)
       if (eagerPoint) {
+        val t0 = System.nanoTime()
         val (materialized, _, release) =
           org.apache.spark.sql.graft.GraftSqlShim.checkpointedLeafWithHandle(next)
+        if (IncrementalJob.timingEnabled)
+          System.err.println(
+            f"[iter] checkpoint i=$i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
         if (checkDistance) {
           dist = distance(dyn, materialized)
           if (dist < config.threshold) done = true
@@ -151,9 +155,13 @@ final class IterativeJob(
     // `clearCache`/`release` — no raw checkpoint blocks outlive the run.
     // The copy is one pass over the already-cached final state —
     // O(result), not O(input).
+    val tf = System.nanoTime()
     val result = dyn.persist(StorageLevel.MEMORY_AND_DISK)
     result.count()
     materializedRelease()
+    if (IncrementalJob.timingEnabled)
+      System.err.println(
+        f"[iter] final persist: ${(System.nanoTime() - tf) / 1e9}%.2f s after $i iters")
     IterResult(result, i, dist, () => { result.unpersist(blocking = false); () })
   }
 }
