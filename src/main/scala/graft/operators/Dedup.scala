@@ -212,6 +212,66 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Connected components over an undirected near-dup pair list — the
+    * step that turns PAIRS (from [[lshCandidatePairs]]/[[simhashNearDups]]/
+    * [[ngramJaccardPairs]]) into dedup CLUSTERS: every doc in a
+    * component maps to the component's minimum doc id, which downstream
+    * dedup keeps as the canonical representative.
+    *
+    * Min-label propagation: labels start as self-ids; each round every
+    * node takes the min of its own and its neighbors' labels; stop when
+    * no label moved (the label sum — non-increasing, exact in
+    * decimal(38) — stops decreasing) or at `maxIterations`. Rounds
+    * needed = component diameter, which for near-dup clusters is small
+    * (a cluster is near-clique-shaped: members are mutually similar).
+    * Scale shape: labels hash-partitioned by id; per round one
+    * edge⨝label shuffle + a map-side-combining min — no driver-side
+    * graph, no N² work. Each round's label leaf frees its predecessor
+    * ([[org.apache.spark.sql.graft.GraftSqlShim.checkpointedLeafWithHandle]]);
+    * the returned frame is a catalog-visible cache.
+    *
+    * @param pairs (a, b) undirected edges
+    * @return (id, comp) for every id appearing in `pairs`; `comp` is
+    *         the minimum id of the node's component
+    */
+  def connectedComponents(pairs: DataFrame, maxIterations: Int = 25,
+      numPartitions: Int = 32): DataFrame = {
+    val shim = org.apache.spark.sql.graft.GraftSqlShim
+    val e = pairs.select(col("a").cast("long").as("u"), col("b").cast("long").as("v"))
+    val und = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+      .distinct()
+      .repartition(numPartitions, col("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var (labels, nodeCount, release) = shim.checkpointedLeafWithHandle(
+      und.select(col("u").as("id")).distinct()
+        .withColumn("comp", col("id"))
+        .repartition(numPartitions, col("id")))
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("comp").cast("decimal(38,0)"))).collect()(0)
+        .getDecimal(0)
+    var prevSum = if (nodeCount == 0) null else labelSum(labels)
+    var i = 0
+    var done = nodeCount == 0
+    while (i < maxIterations && !done) {
+      i += 1
+      val viaNbr = und.join(labels, und("v") === labels("id"))
+        .select(und("u").as("id"), col("comp"))
+      val (leaf, _, rel) = shim.checkpointedLeafWithHandle(
+        labels.unionByName(viaNbr)
+          .groupBy("id").agg(min("comp").as("comp")))
+      val s = labelSum(leaf)
+      release()
+      release = rel
+      labels = leaf
+      if (s.compareTo(prevSum) == 0) done = true else prevSum = s
+    }
+    val out = labels.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    release()
+    und.unpersist(blocking = false)
+    out
+  }
+
   /** n-gram (word w-shingle) Jaccard near-dup pairs within a blocking
     * key: docs sharing a shingle are candidates (inverted-index join),
     * then exact shingle-set Jaccard ≥ threshold confirms.

@@ -43,4 +43,31 @@ object Pipeline {
       .select(col("b").as(idCol)).distinct()
     deduped.join(drop, Seq(idCol), "left_anti")
   }
+
+  /** Corpus TF-IDF: per (doc, token) rows with term frequency, document
+    * frequency, and `tf · ln(N / df)` — the standard relevance/keyword
+    * weight a curation pipeline uses for corpus statistics and
+    * lexical-similarity search.
+    *
+    * Scale shape: one explode + groupBy(doc, token) for tf (map-side
+    * partial counts — a token repeated within a doc never leaves its
+    * partition uncombined), one groupBy(token) for df (one row per
+    * distinct token AFTER partial aggregation, so a stopword's df costs
+    * one row per input partition, not one per occurrence), and a
+    * token-keyed join to combine — the df side is one row per vocab
+    * entry, orders of magnitude smaller than the corpus. N (total docs)
+    * is a broadcast scalar via crossJoin of a 1-row aggregate, not a
+    * driver round-trip, so the whole operator is one lazy plan.
+    */
+  def tfidf(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toksE = df.select(col(idCol).as("doc_id"),
+      explode(tokens(col(textCol))).as("token"))
+    val tf = toksE.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val n = df.agg(count(lit(1)).as("_n"))
+    tf.join(dfreq, "token")
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("token"), col("tf"), col("df"),
+        (col("tf") * log(col("_n").cast("double") / col("df"))).as("tfidf"))
+  }
 }

@@ -69,6 +69,25 @@ object PipelineQueries {
     s"""list_reduce([$a[i] * $b[i] for i in generate_series(1, len($a))],
        (x, y) -> x + y)"""
 
+  /** Shared oracle CTE chain ending in `cands` = banded SimHash
+    * candidate pairs with both docs' digest halves (mirrors
+    * [[graft.operators.Dedup.simhashNearDups]] up to the Hamming
+    * confirm). */
+  private def simhashPairCtes =
+    s"""$toksCte, $codesCte,
+       s1 AS (${simsSelect(1)}),
+       s2 AS (${simsSelect(2)}),
+       sims AS (SELECT s1.doc_id, s1.simhash AS h1, s2.simhash AS h2
+         FROM s1 JOIN s2 USING (doc_id)),
+       bands AS (SELECT doc_id, h1, h2, b AS band,
+         CASE WHEN b < 2 THEN (h1 >> (b * 16)) & 65535
+           ELSE (h2 >> ((b - 2) * 16)) & 65535 END AS bv
+         FROM sims, generate_series(0, 3) g(b)),
+       cands AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+         x.h1 AS ha1, x.h2 AS ha2, y.h1 AS hb1, y.h2 AS hb2
+         FROM bands x JOIN bands y
+         ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id)"""
+
   val all: Seq[Q] = Seq(
 
     // Exact dedup: identical text → one representative (lowest id).
@@ -133,23 +152,45 @@ object PipelineQueries {
     Q("q_simhash_pairs",
       (s, dir) => Dedup.simhashNearDups(Q.t(s, dir, "documents"),
         "doc_id", "text", maxHamming = 3),
-      Some(s"""WITH $toksCte, $codesCte,
-              s1 AS (${simsSelect(1)}),
-              s2 AS (${simsSelect(2)}),
-              sims AS (SELECT s1.doc_id, s1.simhash AS h1, s2.simhash AS h2
-                FROM s1 JOIN s2 USING (doc_id)),
-              bands AS (SELECT doc_id, h1, h2, b AS band,
-                CASE WHEN b < 2 THEN (h1 >> (b * 16)) & 65535
-                  ELSE (h2 >> ((b - 2) * 16)) & 65535 END AS bv
-                FROM sims, generate_series(0, 3) g(b)),
-              cands AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
-                x.h1 AS ha1, x.h2 AS ha2, y.h1 AS hb1, y.h2 AS hb2
-                FROM bands x JOIN bands y
-                ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id)
+      Some(s"""WITH $simhashPairCtes
               SELECT a, b, CAST(bit_count(xor(ha1, hb1))
                 + bit_count(xor(ha2, hb2)) AS INT) AS hamming
               FROM cands WHERE bit_count(xor(ha1, hb1))
                 + bit_count(xor(ha2, hb2)) <= 3""")),
+
+    // Pairs → dedup CLUSTERS: connected components over the SimHash
+    // near-dup pairs; every member maps to its component's minimum doc
+    // id (the canonical representative downstream dedup keeps). Oracle:
+    // recursive transitive closure + min — exact, engine-independent.
+    Q("q_dedup_clusters",
+      (s, dir) => Dedup.connectedComponents(
+        Dedup.simhashNearDups(Q.t(s, dir, "documents"), "doc_id", "text",
+          maxHamming = 3))
+        .select(col("id"), col("comp")),
+      Some(s"""WITH RECURSIVE $simhashPairCtes,
+              prs AS (SELECT a, b FROM cands
+                WHERE bit_count(xor(ha1, hb1)) + bit_count(xor(ha2, hb2)) <= 3),
+              edges AS (SELECT a AS u, b AS v FROM prs
+                UNION SELECT b, a FROM prs),
+              reach AS (SELECT u, u AS v FROM (SELECT DISTINCT u FROM edges) t
+                UNION SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u)
+              SELECT u AS id, min(v) AS comp FROM reach GROUP BY 1""")),
+
+    // Corpus TF-IDF rows (doc, token, tf, df, tf·ln(N/df)).
+    Q("q_tfidf",
+      (s, dir) => graft.operators.Pipeline.tfidf(
+        Q.t(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id"), col("token"), col("tf"), col("df"),
+          round(col("tfidf"), 6).as("tfidf")),
+      Some(s"""WITH $toksCte,
+              tf AS (SELECT doc_id, t AS token, count(*) AS tf
+                FROM (SELECT doc_id, unnest(toks) AS t FROM toks)
+                GROUP BY 1, 2),
+              dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+              n AS (SELECT count(*) AS n FROM documents)
+              SELECT tf.doc_id, tf.token, tf.tf, dfq.df,
+                round(tf.tf * ln(n.n::DOUBLE / dfq.df), 6) AS tfidf
+              FROM tf JOIN dfq USING (token) CROSS JOIN n""")),
 
     // Word-trigram Jaccard near-dup pairs on a doc_id%5 slice. The
     // df<=128 candidate cap is part of the operator contract (kills the

@@ -186,6 +186,61 @@ class LifecycleSpec extends SparkSpec {
     assert(big == brute)
   }
 
+  test("connectedComponents: min-label fixpoint matches driver-side BFS") {
+    // chain 1-2-3-4, clique 10-11-12, bridge 12-20, singleton-pair 30-31
+    val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+      (10L, 12L), (12L, 20L), (31L, 30L)).toDF("a", "b")
+    val got = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 10L, 30L -> 30L, 31L -> 30L)
+    assert(got == want, s"got $got")
+
+    // random graph vs BFS oracle
+    val rnd = new scala.util.Random(13)
+    val rndPairs = (1 to 120).map(_ => (rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
+      .filter { case (a, b) => a != b }.distinct
+    val adj = rndPairs.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def bfsMin(start: Long): Long = {
+      var seen = Set(start); var frontier = Set(start)
+      while (frontier.nonEmpty) {
+        frontier = frontier.flatMap(adj.getOrElse(_, Set.empty)) -- seen
+        seen ++= frontier
+      }
+      seen.min
+    }
+    val got2 = Dedup.connectedComponents(rndPairs.toDF("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (n <- adj.keys) assert(got2(n) == bfsMin(n), s"node $n")
+    // and nothing cached leaks out of the operator beyond its result
+    val out = Dedup.connectedComponents(pairs)
+    out.unpersist(blocking = true)
+  }
+
+  test("tfidf matches a driver-side computation") {
+    val docs = Seq(
+      (1L, "apple banana apple"),
+      (2L, "banana cherry"),
+      (3L, "apple date date date")).toDF("doc_id", "text")
+    val got = graft.operators.Pipeline.tfidf(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    def idf(df: Int) = math.log(3.0 / df)
+    // Spark's log() is StrictMath-backed — equal to math.log only to
+    // the last ulp; the gate oracle rounds to 6 digits for the same
+    // reason
+    def check(k: (Long, String), tf: Long, df: Long, w: Double): Unit = {
+      val (gtf, gdf, gw) = got(k)
+      assert(gtf == tf && gdf == df && math.abs(gw - w) < 1e-12, s"$k: ${got(k)}")
+    }
+    check((1L, "apple"), 2L, 2L, 2 * idf(2))
+    check((3L, "apple"), 1L, 2L, 1 * idf(2))
+    check((2L, "cherry"), 1L, 1L, 1 * idf(1))
+    check((3L, "date"), 3L, 1L, 3 * idf(1))
+    assert(got.size == 6)
+  }
+
   test("teraValidate compares strings in UTF-8 order (supplementary plane)") {
     // U+E000 (3-byte UTF-8) sorts BELOW U+1F600 (4-byte, surrogate pair
     // in UTF-16) under Spark/DuckDB binary order; Java's UTF-16
