@@ -280,6 +280,37 @@ object PipelineQueries {
                   + (1.0 - stop) * 0.3, 6) AS quality
               FROM stats""")),
 
+    // Per-language curation cut: the top-5 highest-quality docs of each
+    // predicted language — the "keep the best N per stratum" selection
+    // a training-data pipeline runs. The rank window partitions by
+    // language (scale-correct: one partition per stratum, never a
+    // global single-partition window); ordering uses the ROUNDED score
+    // on both engines so last-ulp double noise can't flip ranks, with
+    // doc_id as the total tiebreak.
+    Q("q_top_per_lang",
+      (s, dir) => {
+        val base = Q.t(s, dir, "documents").select(col("doc_id"),
+          langIdHeuristic(tokens(col("text"))).as("lang"),
+          round(qualityScore(tokens(col("text"))), 6).as("quality"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("lang").orderBy(col("quality").desc, col("doc_id").asc)
+        base.withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
+      },
+      Some(s"""WITH $toksCte, $statsCte,
+              scored AS (SELECT doc_id,
+                CASE WHEN stop >= 0.12 THEN 'en'
+                  WHEN avglen >= 5.0 THEN 'de'
+                  WHEN ntok % 3 = 0 THEN 'es'
+                  ELSE 'other' END AS lang,
+                round(least(ntok / 40.0, 1.0) * 0.4 + uniqr * 0.3
+                  + (1.0 - stop) * 0.3, 6) AS quality
+                FROM stats)
+              SELECT doc_id, lang, quality, CAST(rk AS INT) AS rk FROM (
+                SELECT doc_id, lang, quality, row_number() OVER (
+                  PARTITION BY lang ORDER BY quality DESC, doc_id) AS rk
+                FROM scored)
+              WHERE rk <= 5""")),
+
     // Token counting per source.
     Q("q_token_count",
       (s, dir) => Q.t(s, dir, "documents")
