@@ -59,6 +59,24 @@ object Pipeline {
     * is a broadcast scalar via crossJoin of a 1-row aggregate, not a
     * driver round-trip, so the whole operator is one lazy plan.
     */
+  /** Stratified deterministic sampling: keep a row iff its Knuth-hash
+    * bucket (id·2654435761 mod 1000) falls under its stratum's permille
+    * rate — the "downsample boilerplate strata, keep rare strata whole"
+    * rebalancing step of corpus curation. Pure map-side filter (no
+    * shuffle, no RNG state): reproducible across engines and across
+    * runs, and co-sampling different tables on the same id keeps rows
+    * aligned. Strata not in `permille` fall back to `defaultPermille`.
+    */
+  def sampleByStrata(df: DataFrame, idCol: String, strataCol: String,
+      permille: Map[String, Int], defaultPermille: Int = 0): DataFrame = {
+    require(permille.values.forall(v => v >= 0 && v <= 1000) &&
+      defaultPermille >= 0 && defaultPermille <= 1000, "rates are permille")
+    val rate = permille.foldLeft(lit(defaultPermille)) {
+      case (acc, (k, v)) => when(col(strataCol) === k, lit(v)).otherwise(acc)
+    }
+    df.filter((col(idCol) * lit(2654435761L)) % 1000 < rate)
+  }
+
   def tfidf(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toksE = df.select(col(idCol).as("doc_id"),
       explode(tokens(col(textCol))).as("token"))

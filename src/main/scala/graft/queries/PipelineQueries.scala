@@ -311,6 +311,30 @@ object PipelineQueries {
                 FROM scored)
               WHERE rk <= 5""")),
 
+    // Stratified sampling: per-language permille rates over the Knuth
+    // hash (deterministic, map-side, engine-reproducible) — the corpus
+    // rebalancing cut. Gate checks the per-stratum survivor counts.
+    Q("q_strata_sample",
+      (s, dir) => {
+        val docs = Q.t(s, dir, "documents").select(col("doc_id"),
+          langIdHeuristic(tokens(col("text"))).as("lang"))
+        graft.operators.Pipeline.sampleByStrata(docs, "doc_id", "lang",
+          Map("en" -> 500, "de" -> 200, "es" -> 100), defaultPermille = 50)
+          .groupBy("lang").agg(count(lit(1)).as("cnt"))
+      },
+      Some(s"""WITH $toksCte, $statsCte,
+              langs AS (SELECT doc_id,
+                CASE WHEN stop >= 0.12 THEN 'en'
+                  WHEN avglen >= 5.0 THEN 'de'
+                  WHEN ntok % 3 = 0 THEN 'es'
+                  ELSE 'other' END AS lang
+                FROM stats)
+              SELECT lang, count(*) AS cnt FROM langs
+              WHERE (doc_id * 2654435761) % 1000 <
+                (CASE lang WHEN 'en' THEN 500 WHEN 'de' THEN 200
+                  WHEN 'es' THEN 100 ELSE 50 END)
+              GROUP BY 1""")),
+
     // Token counting per source.
     Q("q_token_count",
       (s, dir) => Q.t(s, dir, "documents")

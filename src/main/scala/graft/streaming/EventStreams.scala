@@ -73,6 +73,65 @@ object EventStreams {
       .withWatermark("event_time", lateness)
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
 
+  final case class SessionEvent(user_id: Long, ts: Long)
+  final case class SessionState(start: Long, last: Long, n: Long)
+  final case class SessionOut(user_id: Long, session_start: Long,
+      session_end: Long, n_events: Long)
+
+  /** Gap-based sessionization with custom keyed state — the streaming
+    * twin of [[graft.operators.Relational.sessionize]] (same gap rule:
+    * a new session starts when the time since the key's previous event
+    * exceeds `gapNanos`; `ts` is epoch-nanos like the events table).
+    *
+    * A session is EMITTED when it closes: a later event arrives beyond
+    * the gap (any mode), or — under `EventTimeTimeout`, the streaming
+    * default — the watermark passes `last + gap`, which also drops the
+    * key's state, so state size is bounded by the number of concurrently
+    * open sessions, never the stream history. Callers must put a
+    * watermark on `event_time` upstream for the timeout to fire; batch
+    * execution (specs, backfills) passes `NoTimeout` and gets every
+    * CLOSED session (each key's final open session stays unemitted,
+    * exactly as a stream would hold it pending more data).
+    */
+  def sessionizeStream(events: Dataset[SessionEvent], gapNanos: Long,
+      timeout: GroupStateTimeout = GroupStateTimeout.EventTimeTimeout())
+      : Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val eventTimeTimeout = timeout == GroupStateTimeout.EventTimeTimeout()
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), timeout) {
+        case (uid, rows, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            // watermark passed last+gap: close and forget the session
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionOut(uid, s.start, s.last, s.n))
+          } else {
+            // within a micro-batch (or in batch execution) the iterator
+            // is unordered — sort by event time before walking gaps
+            val sorted = rows.toArray.sortBy(_.ts)
+            var closed = List.empty[SessionOut]
+            var cur = state.getOption
+            for (e <- sorted) cur match {
+              case Some(s) if e.ts - s.last <= gapNanos =>
+                cur = Some(SessionState(s.start, e.ts, s.n + 1))
+              case Some(s) =>
+                closed ::= SessionOut(uid, s.start, s.last, s.n)
+                cur = Some(SessionState(e.ts, e.ts, 1))
+              case None =>
+                cur = Some(SessionState(e.ts, e.ts, 1))
+            }
+            cur.foreach { s =>
+              state.update(s)
+              if (eventTimeTimeout)
+                state.setTimeoutTimestamp(s.last / 1000000L + gapNanos / 1000000L)
+            }
+            closed.reverse.iterator
+          }
+      }
+  }
+
   /** Read the events table as a file stream (driver for tests/demos).
     * The file source requires a directory, so the sf dir is used with a
     * glob filter selecting only the events table. */

@@ -57,6 +57,38 @@ class StreamingSpec extends SparkSpec {
       docs.select("text").distinct().count())
   }
 
+  test("gap sessionization with keyed state matches the batch operator") {
+    import EventStreams.{SessionEvent, SessionOut}
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val gap = 30L * 60 * 1000000000L // 30 min in ns
+    val events = spark.read.parquet(s"$sf/events.parquet")
+      .select(col("user_id"), col("ts")).as[SessionEvent]
+    // batch execution with NoTimeout emits every CLOSED session; each
+    // key's final session stays open (a stream would hold it for more
+    // data), so the expectation is the batch operator's sessions minus
+    // the last session of every user
+    val got = EventStreams.sessionizeStream(events, gap,
+        GroupStateTimeout.NoTimeout())
+      .collect().map(s => (s.user_id, s.session_start, s.session_end, s.n_events))
+      .toSet
+    val batchSessions = graft.operators.Relational.sessionize(
+      spark.read.parquet(s"$sf/events.parquet")
+        .select(col("user_id"), col("ts"), col("event_id")),
+      "user_id", "ts", "event_id", gap)
+      .groupBy("user_id", "session_id")
+      .agg(min("ts").as("s"), max("ts").as("e"), count(lit(1)).as("n"))
+    val lastPerUser = batchSessions.groupBy("user_id")
+      .agg(max("session_id").as("session_id"))
+    val expect = batchSessions.join(lastPerUser,
+        Seq("user_id", "session_id"), "left_anti")
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(got == expect,
+      s"closed-session mismatch: only-stream=${(got -- expect).take(3)} " +
+        s"only-batch=${(expect -- got).take(3)}")
+  }
+
   test("stateful running totals accumulate across batches") {
     import EventStreams.{UserEvent, UserRunning}
     val events = spark.read.parquet(s"$sf/events.parquet")
