@@ -130,69 +130,126 @@ object Similarity {
       centroidFoldLimit: Int = 64): DataFrame = {
     graft.functions.GraftFunctions.register(vectors.sparkSession)
     val v = vectors.select(col("id").as("nid"), col("vec").cast("array<double>").as("nvec"))
-    val q = queries.select(col("id").as("qid"), col("vec").cast("array<double>").as("qvec"))
-    val cents = centroids
-      .map(_.select(col("id").as("cid"), col("vec").cast("array<double>").as("cvec")))
-      .getOrElse(v.orderBy("nid").limit(nlist)
-        .select(col("nid").as("cid"), col("nvec").as("cvec")))
-    def centCos(vecCol: org.apache.spark.sql.Column) =
-      cosine(vecCol, col("cvec")).as("c")
-    // Zero-norm guard: cosine with a zero vector is 0/0 — ANSI mode
-    // (Spark 4 default) raises DIVIDE_BY_ZERO and non-ANSI yields NaN,
-    // whose comparisons are all false: either way an unguarded
-    // strict-max fold drops the vector from the index (cid −1),
-    // breaking the nprobe==nlist ≡ brute-force equivalence. try_divide
-    // + coalesce pins the score to −2 (below any real cosine), so a
-    // zero-norm vector deterministically lands in the lowest-cid list
-    // and a zero-norm CENTROID never attracts a nonzero vector.
-    def cosOrFloor(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-      coalesce(cosine(a, b), lit(-2.0))
-    // Centroids are driver-collected (O(nlist), the same contract as the
-    // KMeans center cycle). Up to `centroidFoldLimit` they are inlined
-    // as an array literal, so the nearest-centroid assignment is a
-    // single projection: a fold over nlist struct elements per row — no
-    // corpus x nlist row blowup, no shuffle at all in the build. The
-    // literal fold's expression tree is O(nlist·dim), which blows the
-    // 64KB codegen method limit at trained-index sizes (nlist ≥ ~1k),
-    // so above the limit assignment switches to a broadcast nested-loop
-    // join + max_by argmax: corpus × nlist pairs stream through
-    // codegen, the map-side partial max_by collapses them to ONE row
-    // per vector before the (only) shuffle. Tie-breaking matches the
-    // fold exactly: max over (c, −cid) == earliest max in ascending-cid
-    // order == lowest cid.
+    val cents = normalizedCentroids(v, centroids, nlist)
+    probeLists(assignToLists(v, cents, centroidFoldLimit), cents,
+      queries, k, nprobe, pruneScan = false)
+  }
+
+  /** Build the IVF index ON DISK: inverted lists as Parquet partitioned
+    * by `cid` (one directory per list) plus the centroid table — the
+    * "lists built once, reused across query batches" shape. Because the
+    * lists are PARTITIONED by cid, a probe's list filter becomes
+    * partition pruning: a query batch physically reads only the
+    * ~nprobe/nlist of the corpus it probes, which is the entire point
+    * of an inverted-file index at 100 TB. */
+  def buildIvfIndex(vectors: DataFrame, path: String, nlist: Int = 256,
+      centroids: Option[DataFrame] = None, centroidFoldLimit: Int = 64): Unit = {
+    graft.functions.GraftFunctions.register(vectors.sparkSession)
+    val v = vectors.select(col("id").as("nid"), col("vec").cast("array<double>").as("nvec"))
+    val cents = normalizedCentroids(v, centroids, nlist)
+    cents.write.mode("overwrite").parquet(s"$path/centroids")
+    assignToLists(v, cents, centroidFoldLimit)
+      .write.mode("overwrite").partitionBy("cid").parquet(s"$path/lists")
+  }
+
+  /** Probe a [[buildIvfIndex]] index: same results contract as
+    * [[ivfTopK]] with the same centroids/nprobe, but the list scan
+    * carries a literal `cid IN (probed)` predicate, so Parquet
+    * partition pruning skips every unprobed list's files (the probed
+    * cid set is driver-collected — O(queries·nprobe), and queries are
+    * broadcast-sized by the ANN contract). */
+  def probeIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, k: Int, nprobe: Int = 8): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val cents = spark.read.parquet(s"$path/centroids")
+    // partition-column type inference may narrow cid to int — widen it
+    // back (the IN-filter still prunes: Spark unwraps safe casts over
+    // partition columns, asserted in the spec)
+    val lists = spark.read.parquet(s"$path/lists")
+      .withColumn("cid", col("cid").cast("long"))
+    probeLists(lists, cents, queries, k, nprobe, pruneScan = true)
+  }
+
+  private def normalizedCentroids(v: DataFrame, centroids: Option[DataFrame],
+      nlist: Int): DataFrame = centroids
+    .map(_.select(col("id").as("cid"), col("vec").cast("array<double>").as("cvec")))
+    .getOrElse(v.orderBy("nid").limit(nlist)
+      .select(col("nid").as("cid"), col("nvec").as("cvec")))
+
+  /** Zero-norm guard: cosine with a zero vector is 0/0 — ANSI mode
+    * (Spark 4 default) raises DIVIDE_BY_ZERO and non-ANSI yields NaN,
+    * whose comparisons are all false: either way an unguarded
+    * strict-max fold drops the vector from the index (cid −1),
+    * breaking the nprobe==nlist ≡ brute-force equivalence. try_divide
+    * + coalesce pins the score to −2 (below any real cosine), so a
+    * zero-norm vector deterministically lands in the lowest-cid list
+    * and a zero-norm CENTROID never attracts a nonzero vector. */
+  private def cosOrFloor(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    coalesce(cosine(a, b), lit(-2.0))
+
+  /** Nearest-centroid assignment → (cid, nid, nvec).
+    *
+    * Centroids are driver-collected (O(nlist), the same contract as the
+    * KMeans center cycle). Up to `centroidFoldLimit` they are inlined
+    * as an array literal, so the assignment is a single projection: a
+    * fold over nlist struct elements per row — no corpus x nlist row
+    * blowup, no shuffle at all in the build. The literal fold's
+    * expression tree is O(nlist·dim), which blows the 64KB codegen
+    * method limit at trained-index sizes (nlist ≥ ~1k), so above the
+    * limit assignment switches to a broadcast nested-loop join +
+    * max_by argmax: corpus × nlist pairs stream through codegen, the
+    * map-side partial max_by collapses them to ONE row per vector
+    * before the (only) shuffle. Tie-breaking matches the fold exactly:
+    * max over (c, −cid) == earliest max in ascending-cid order ==
+    * lowest cid. */
+  private def assignToLists(v: DataFrame, cents: DataFrame,
+      centroidFoldLimit: Int): DataFrame = {
     val centRows = cents.orderBy("cid").collect()
-    require(centRows.nonEmpty, "ivfTopK: empty centroid set")
-    val lists =
-      if (centRows.length <= centroidFoldLimit) {
-        val centLit = array(centRows.map { r =>
-          struct(lit(r.getLong(0)).as("cid"),
-            typedLit(r.getSeq[Double](1).toArray).as("cvec"))
-        }.toIndexedSeq: _*)
-        def nearest(vecCol: org.apache.spark.sql.Column) = aggregate(
-          centLit,
-          struct(lit(-3.0).as("c"), lit(-1L).as("cid")),
-          (acc, ce) => {
-            val c = cosOrFloor(vecCol, ce("cvec"))
-            when(c > acc("c"), struct(c.as("c"), ce("cid").as("cid"))).otherwise(acc)
-          })
-        v.select(nearest(col("nvec"))("cid").as("cid"), col("nid"), col("nvec"))
-      } else
-        v.crossJoin(broadcast(cents))
-          .select(col("nid"), col("nvec"), col("cid"),
-            cosOrFloor(col("nvec"), col("cvec")).as("c"))
-          .groupBy("nid")
-          .agg(max_by(col("cid"), struct(col("c"), (-col("cid")).as("nc"))).as("cid"),
-            first(col("nvec")).as("nvec"))
-          .select(col("cid"), col("nid"), col("nvec"))
-    // probe the nprobe nearest lists per query (queries are small by
-    // the same contract as bruteForceTopK — the window is cheap)
+    require(centRows.nonEmpty, "ivf: empty centroid set")
+    if (centRows.length <= centroidFoldLimit) {
+      val centLit = array(centRows.map { r =>
+        struct(lit(r.getLong(0)).as("cid"),
+          typedLit(r.getSeq[Double](1).toArray).as("cvec"))
+      }.toIndexedSeq: _*)
+      def nearest(vecCol: org.apache.spark.sql.Column) = aggregate(
+        centLit,
+        struct(lit(-3.0).as("c"), lit(-1L).as("cid")),
+        (acc, ce) => {
+          val c = cosOrFloor(vecCol, ce("cvec"))
+          when(c > acc("c"), struct(c.as("c"), ce("cid").as("cid"))).otherwise(acc)
+        })
+      v.select(nearest(col("nvec"))("cid").as("cid"), col("nid"), col("nvec"))
+    } else
+      v.crossJoin(broadcast(cents))
+        .select(col("nid"), col("nvec"), col("cid"),
+          cosOrFloor(col("nvec"), col("cvec")).as("c"))
+        .groupBy("nid")
+        .agg(max_by(col("cid"), struct(col("c"), (-col("cid")).as("nc"))).as("cid"),
+          first(col("nvec")).as("nvec"))
+        .select(col("cid"), col("nid"), col("nvec"))
+  }
+
+  /** Probe the nprobe nearest lists per query and exact-score their
+    * members (queries are small by the same contract as
+    * [[bruteForceTopK]] — the probe window is cheap). With `pruneScan`,
+    * the probed cid set is collected and applied as a literal IN filter
+    * so a partitioned on-disk list scan prunes unprobed lists. */
+  private def probeLists(lists: DataFrame, cents: DataFrame, queries: DataFrame,
+      k: Int, nprobe: Int, pruneScan: Boolean): DataFrame = {
+    val q = queries.select(col("id").as("qid"), col("vec").cast("array<double>").as("qvec"))
     val pw = Window.partitionBy("qid").orderBy(col("c").desc, col("cid").asc)
     val probes = q.crossJoin(broadcast(cents))
-      .select(col("qid"), col("qvec"), col("cid"), centCos(col("qvec")))
+      .select(col("qid"), col("qvec"), col("cid"), cosine(col("qvec"), col("cvec")).as("c"))
       .withColumn("rk", row_number().over(pw)).filter(col("rk") <= nprobe)
       .select(col("cid"), col("qid"), col("qvec"))
+    val listSide =
+      if (!pruneScan) lists
+      else {
+        val probedCids = probes.select("cid").distinct().collect().map(_.getLong(0))
+        lists.filter(col("cid").isin(probedCids.map(java.lang.Long.valueOf): _*))
+      }
     // each vector lives in exactly one list, so no distinct is needed
-    val scored = lists.join(broadcast(probes), "cid")
+    val scored = listSide.join(broadcast(probes), "cid")
       .filter(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"),
         cosine(col("qvec"), col("nvec")).as("cosine"))

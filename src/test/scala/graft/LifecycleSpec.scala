@@ -241,6 +241,30 @@ class LifecycleSpec extends SparkSpec {
     assert(got.size == 6)
   }
 
+  test("on-disk IVF index: probe equals inline ivfTopK and prunes unprobed lists") {
+    val vecs = spark.range(1, 201).select(col("id"),
+      array(sin(col("id") * 1.0), cos(col("id") * 2.0),
+        sin(col("id") * 3.0), cos(col("id") * 5.0)).as("vec"))
+    val queries = vecs.filter(col("id").isin(3, 50, 120))
+    val dir = java.nio.file.Files.createTempDirectory("ivf_index").toString
+    Similarity.buildIvfIndex(vecs, dir, nlist = 16)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "nid", "rk").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val probed = Similarity.probeIvfIndex(spark, dir, queries, k = 5, nprobe = 4)
+    val inline = Similarity.ivfTopK(vecs, queries, k = 5, nlist = 16, nprobe = 4)
+    assert(key(probed) == key(inline))
+    // the list scan must carry a partition filter on cid (pruning —
+    // only probed lists' files are read)
+    val plan = probed.queryExecution.executedPlan.toString
+    val pf = plan.linesIterator.filter(_.contains("PartitionFilters:")).toList
+    assert(pf.nonEmpty && pf.exists(l => !l.contains("PartitionFilters: []")),
+      s"no partition filter on the list scan:\n${pf.mkString("\n")}")
+    // repeated probes reuse the same on-disk index
+    assert(key(Similarity.probeIvfIndex(spark, dir, queries, k = 5, nprobe = 4)) ==
+      key(probed))
+  }
+
   test("teraValidate compares strings in UTF-8 order (supplementary plane)") {
     // U+E000 (3-byte UTF-8) sorts BELOW U+1F600 (4-byte, surrogate pair
     // in UTF-16) under Spark/DuckDB binary order; Java's UTF-16
