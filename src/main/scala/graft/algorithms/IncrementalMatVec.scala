@@ -212,10 +212,17 @@ object IncrementalMatVec {
       // shape as MatrixVector.multiplyTiles: the vector is grouped
       // into per-column-block maps, ONE row per (tile, block) flows
       // through the join, and the per-cell product is a codegen'd map
-      // lookup.
+      // lookup. The semi-join prefilter drops x entries outside the
+      // frontier's column blocks BEFORE the block-grouping shuffle
+      // (the needed-block set is ≤ #column-blocks — broadcast-tiny by
+      // construction), so a small frontier shuffles a small slice of
+      // the state, not all of it.
       mapContribs = (staticF, dynF) => {
+        val needed = broadcast(staticF.select(col("jb").as("_njb")).distinct())
         val xb = dynF
-          .groupBy((col("idx") / blockSize).cast("long").as("_xjb"))
+          .withColumn("_ijb", (col("idx") / blockSize).cast("long"))
+          .join(needed, col("_ijb") === col("_njb"), "left_semi")
+          .groupBy(col("_ijb").as("_xjb"))
           .agg(map_from_entries(collect_list(struct(col("idx"), col("x"))))
             .as("_xmap"))
         staticF.join(xb, col("jb") === col("_xjb"))

@@ -147,6 +147,35 @@ class IncrementalSpec extends SparkSpec {
       assert(math.abs(incr(idx) - x) < 1e-9, s"idx $idx blocked=${incr(idx)} scalar=$x")
   }
 
+  test("blocked matvec theta>0 bounds drift; block-granular frontier still converges") {
+    val rnd = new scala.util.Random(23)
+    val cells = (1 to 260).map(_ =>
+      (rnd.nextInt(48).toLong, rnd.nextInt(48).toLong, rnd.nextDouble()))
+      .distinct.groupBy(c => (c._1, c._2)).map(_._2.head).toSeq
+    val rowSum = cells.groupBy(_._1).view.mapValues(_.map(c => math.abs(c._3)).sum)
+    val m1 = cells.map { case (i, j, v) => (i, j, v / rowSum(i) * 0.4) }
+      .toDF("i", "j", "v")
+    val b = IncrementalMatVec.universe(m1, 0.2)
+    val preserved = IncrementalMatVec.preserveBlocked(m1, b, blockSize = 8,
+      iterations = 20)
+    val chg = m1.filter(col("j") % 7 === 2)
+      .select(IncrementalMatVec.tileId(col("i"), col("j"), 8).as("tid")).distinct()
+    val m2 = m1.withColumn("v",
+      when(col("j") % 7 === 2, col("v") * 0.5).otherwise(col("v")))
+    def run(theta: Double) = IncrementalMatVec.incrementalBlocked(
+      m2, b, preserved, chg, blockSize = 8, iterations = 20,
+      filterThreshold = theta)
+      .as[(Long, Double)].collect().toMap
+    val exact = run(0.0)
+    val theta = 1e-3
+    val approx = run(theta)
+    // F30 over One2Mul: an unpropagated key sits at most a geometric
+    // tail above theta away from the exact continuation
+    assert(approx.keySet == exact.keySet)
+    val maxDiff = exact.map { case (k, x) => math.abs(approx(k) - x) }.max
+    assert(maxDiff < theta * 50, s"theta drift $maxDiff")
+  }
+
   test("incremental loop on a hub-heavy power-law graph, hub edges changed") {
     // lognormal(-1, 2.3) degrees: most sources degree 1, rare large
     // hubs — the skew-realistic shape the reference's generators
