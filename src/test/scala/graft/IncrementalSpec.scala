@@ -390,6 +390,17 @@ class IncrementalSpec extends SparkSpec {
     assert(new java.io.File(dir).listFiles().exists(_.getName.startsWith("seg-")))
   }
 
+  test("empty delta: incremental continuation returns the preserved outputs") {
+    val base = randomEdges(40, 140, seed = 41)
+    val edges = base.toDF("src", "dst")
+    val preserved = IncrementalPageRank.preserve(edges, 0.5, iterations = 6)
+    val want = preserved.out.as[(Long, Double)].collect().toMap
+    val incr = IncrementalPageRank.incremental(
+      edges, preserved, Seq.empty[Long].toDF("src"), 0.5, iterations = 5)
+      .as[(Long, Double)].collect().toMap
+    assert(incr == want, "zero-change continuation must be the identity")
+  }
+
   test("preserved state round-trips through parquet") {
     val edges = randomEdges(40, 120, seed = 3).toDF("src", "dst")
     val p = IncrementalPageRank.preserve(edges, 0.8, iterations = 4)
