@@ -40,6 +40,41 @@ object Multimodal {
       transform(sequence(lit(0), lit(dim - 1)),
         d => (crc32(col("media")) % (d * 97 + 101)).cast("double")).as("features"))
 
+  /** The stub decoder as a plain JVM function over the raw bytes —
+    * byte-for-byte the same arithmetic as [[stubDecodeFeatures]]'s
+    * columnar expression (CRC32 of the blob, folded per dimension), so
+    * the two decode paths are mutually checkable. */
+  def stubBytesToFeatures(dim: Int)(media: Array[Byte]): Array[Double] = {
+    val crc = new java.util.zip.CRC32()
+    crc.update(media)
+    val v = crc.getValue
+    Array.tabulate(dim)(d => (v % (d * 97 + 101)).toDouble)
+  }
+
+  /** Partition-batched decode harness — the JVM analog of the
+    * `mapInPandas` batch shape: the decoder function sees one partition
+    * as an ITERATOR of (id, blob) rows and yields feature rows, so a
+    * real implementation initializes its codec context (JNI handles,
+    * model weights, thread pools) ONCE per partition and streams blobs
+    * through it — never one init per row, never anything at the driver.
+    * Output schema matches [[stubDecodeFeatures]]; the default decoder
+    * is the deterministic stub (equivalence is spec-enforced), and a
+    * cluster deployment swaps only `decode`. */
+  def decodePartitioned(packed: DataFrame, dim: Int = 4,
+      decode: Array[Byte] => Array[Double] = null): Dataset[(Long, Long, Array[Double])] = {
+    val spark = packed.sparkSession
+    import spark.implicits._
+    val fn = Option(decode).getOrElse(stubBytesToFeatures(dim) _)
+    packed.select(col("id").cast("long"), col("media"),
+        col("meta.n_bytes").cast("long"))
+      .as[(Long, Array[Byte], Long)]
+      .mapPartitions { rows =>
+        // per-partition decoder/codec init belongs HERE (runs once per
+        // task); the stub needs none
+        rows.map { case (id, media, n) => (id, n, fn(media)) }
+      }
+  }
+
   /** Frame/sample selector shape: take every `stride`-th byte of the
     * blob as a "sample" (stand-in for video frame-sampling; shows the
     * slice-without-full-decode pattern). */

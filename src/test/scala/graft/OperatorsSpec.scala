@@ -273,6 +273,16 @@ class OperatorsSpec extends SparkSpec {
     assert(rows.forall(_.getSeq[Double](2).length == 4))
   }
 
+  test("partition-batched decode matches the columnar stub path") {
+    val packed = Multimodal.pack(docs.limit(50), "doc_id", "text", "text")
+    val columnar = Multimodal.stubDecodeFeatures(packed, dim = 4)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1).toLong, r.getSeq[Double](2).toList)).toMap
+    val batched = Multimodal.decodePartitioned(packed, dim = 4)
+      .collect().map { case (id, n, f) => id -> (n, f.toList) }.toMap
+    assert(batched == columnar)
+  }
+
   test("tokens/shingles/fingerprint handle empty and short docs") {
     val d = Seq((1L, ""), (2L, "one"), (3L, "one two"), (4L, "a b c d"))
       .toDF("doc_id", "text")
