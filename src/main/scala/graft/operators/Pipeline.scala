@@ -59,6 +59,33 @@ object Pipeline {
     * is a broadcast scalar via crossJoin of a 1-row aggregate, not a
     * driver round-trip, so the whole operator is one lazy plan.
     */
+  /** [[cleanCorpus]] with COMPONENT-based near-dup dropping: the
+    * SimHash pairs are clustered with
+    * [[Dedup.connectedComponents]] and exactly ONE doc per cluster
+    * survives (the minimum id). Near-duplication is treated as
+    * transitive — pairs (1,3) and (2,3) collapse {1,2,3} to doc 1 —
+    * where [[cleanCorpus]]'s greedy pair-drop would keep both 1 and 2
+    * (it only drops the higher id of each pair). The transitive policy
+    * is what fuzzy dedup at corpus scale wants: a boilerplate family is
+    * one cluster, not a web of pairwise survivors. */
+  def cleanCorpusByComponents(df: DataFrame, idCol: String, textCol: String,
+      minQuality: Double, lang: String, maxHamming: Int = 3): DataFrame = {
+    val toksC = tokens(col(textCol))
+    val kept = df.filter(qualityScore(toksC) >= minQuality &&
+      langIdHeuristic(toksC) === lang)
+    val firstIds = kept.groupBy(col(textCol)).agg(min(col(idCol)).as("_keep"))
+      .select(col("_keep"))
+    val deduped = kept
+      .join(firstIds, col(idCol) === col("_keep"), "left_semi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = Dedup.simhashNearDups(deduped, idCol, textCol, maxHamming)
+      .select("a", "b")
+    val comps = Dedup.connectedComponents(pairs)
+    val drop = comps.filter(col("id") =!= col("comp"))
+      .select(col("id").as(idCol))
+    deduped.join(drop, Seq(idCol), "left_anti")
+  }
+
   /** Stratified deterministic sampling: keep a row iff its Knuth-hash
     * bucket (id·2654435761 mod 1000) falls under its stratum's permille
     * rate — the "downsample boilerplate strata, keep rare strata whole"

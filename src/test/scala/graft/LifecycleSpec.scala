@@ -218,6 +218,39 @@ class LifecycleSpec extends SparkSpec {
     out.unpersist(blocking = true)
   }
 
+  test("component-based cleaning keeps exactly the cluster minima") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val cleaned = graft.operators.Pipeline.cleanCorpusByComponents(
+      docs, "doc_id", "text", minQuality = 0.3, lang = "en")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // reconstruct the expected survivor set from the same stages
+    val toks = graft.functions.TextFunctions.tokens(col("text"))
+    val kept = docs.filter(
+      graft.functions.TextFunctions.qualityScore(toks) >= 0.3 &&
+        graft.functions.TextFunctions.langIdHeuristic(toks) === "en")
+    val firstIds = kept.groupBy(col("text")).agg(min(col("doc_id")).as("_keep"))
+    val deduped = kept.join(firstIds.select(col("_keep")),
+      col("doc_id") === col("_keep"), "left_semi")
+    val dedupedIds = deduped.select("doc_id").collect().map(_.getLong(0)).toSet
+    val pairs = Dedup.simhashNearDups(deduped, "doc_id", "text", 3)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = pairs.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def compMin(start: Long): Long = {
+      var seen = Set(start); var frontier = Set(start)
+      while (frontier.nonEmpty) {
+        frontier = frontier.flatMap(adj.getOrElse(_, Set.empty)) -- seen
+        seen ++= frontier
+      }
+      seen.min
+    }
+    val expect = dedupedIds.filter(id => !adj.contains(id) || compMin(id) == id)
+    assert(cleaned == expect,
+      s"only-cleaned=${(cleaned -- expect).take(5)} only-expect=${(expect -- cleaned).take(5)}")
+    // transitive policy: never keeps two members of one component
+    assert(cleaned.forall(id => !adj.contains(id) || compMin(id) == id))
+  }
+
   test("tfidf matches a driver-side computation") {
     val docs = Seq(
       (1L, "apple banana apple"),
