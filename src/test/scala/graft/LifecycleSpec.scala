@@ -251,6 +251,31 @@ class LifecycleSpec extends SparkSpec {
     assert(cleaned.forall(id => !adj.contains(id) || compMin(id) == id))
   }
 
+  test("new-operator edge cases: empty pairs, self-pairs, rate extremes, empty docs") {
+    // connectedComponents: empty pair list → empty result, no job storm
+    assert(Dedup.connectedComponents(
+      Seq.empty[(Long, Long)].toDF("a", "b")).count() == 0)
+    // self-pairs are harmless (a node alone in a self-loop is its own comp)
+    val selfy = Dedup.connectedComponents(
+      Seq((5L, 5L), (5L, 6L)).toDF("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(selfy == Map(5L -> 5L, 6L -> 5L))
+    // sampleByStrata rate extremes: 1000 keeps everything, 0 keeps nothing
+    val rows = spark.range(1, 101).select(col("id"),
+      when(col("id") % 2 === 0, "even").otherwise("odd").as("s"))
+    val all = graft.operators.Pipeline.sampleByStrata(
+      rows, "id", "s", Map("even" -> 1000), defaultPermille = 0)
+    assert(all.count() == 50)
+    assert(all.select("s").distinct().collect().map(_.getString(0)).toSeq == Seq("even"))
+    // tfidf: a doc with no tokens contributes no rows but still counts in N
+    val docs = Seq((1L, "x y"), (2L, "   "), (3L, "x")).toDF("doc_id", "text")
+    val w = graft.operators.Pipeline.tfidf(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getDouble(4)).toMap
+    assert(!w.keySet.exists(_._1 == 2L))
+    // df(x)=2 over N=3 docs → idf = ln(1.5), not ln(1.0)
+    assert(math.abs(w((3L, "x")) - math.log(3.0 / 2)) < 1e-12)
+  }
+
   test("tfidf matches a driver-side computation") {
     val docs = Seq(
       (1L, "apple banana apple"),
