@@ -166,7 +166,17 @@ object Dedup {
     * confirm — the cap trades recall inside pathological buckets for a
     * hard bound on join volume, and is part of the operator contract. */
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3, maxBucket: Int = 4096): DataFrame = {
+      maxHamming: Int = 3, maxBucket: Int = 4096): DataFrame =
+    simhashNearDupsWithRelease(df, idCol, textCol, maxHamming, maxBucket)._1
+
+  /** [[simhashNearDups]] plus a release thunk freeing the internal
+    * digest cache (the one persist the pair plan is built over) — the
+    * library cache-release contract for composing callers
+    * ([[Pipeline.cleanCorpus]]): call it once the returned pair frame
+    * has been fully consumed. The plain overload leaves the
+    * catalog-visible cache to the session (`clearCache`), unchanged. */
+  def simhashNearDupsWithRelease(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3, maxBucket: Int = 4096): (DataFrame, () => Unit) = {
     require(maxHamming <= 3, "4 16-bit bands only guarantee recall for distance <= 3")
     // The digest frame feeds four plan branches (both join sides, the
     // big-bucket aggregate, the star join) — persist it so the
@@ -205,11 +215,12 @@ object Dedup {
       .select(col("bmin").as("a"), col("doc_id").as("b"),
         col("hm1").as("ha1"), col("hm2").as("ha2"),
         col("h1").as("hb1"), col("h2").as("hb2"))
-    allPairs.unionByName(starPairs).distinct()
+    val pairs = allPairs.unionByName(starPairs).distinct()
       .select(col("a"), col("b"),
         (bit_count(col("ha1").bitwiseXOR(col("hb1"))) +
           bit_count(col("ha2").bitwiseXOR(col("hb2")))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
+    (pairs, () => digests.unpersist(blocking = false))
   }
 
   /** Connected components over an undirected near-dup pair list — the

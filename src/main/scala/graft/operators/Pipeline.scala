@@ -19,8 +19,15 @@ import graft.functions.TextFunctions.{langIdHeuristic, qualityScore, tokens}
   *      over the survivors ([[Dedup.simhashNearDups]] — banded,
   *      bucket-capped), greedily dropping the higher id of each pair.
   *
-  * Returns the surviving rows of `df` unchanged. Deterministic end to
-  * end, so the `q_pipeline_clean` gate mirrors every step in SQL.
+  * Returns the surviving rows of `df` unchanged, as an EAGERLY
+  * materialized catalog-visible cache: every intermediate cache the
+  * composition creates (the dedup survivors, the SimHash digests, the
+  * component labels) is released before returning, so the returned
+  * frame's own `unpersist()` is the ONLY handle a library caller needs
+  * — composing many cleans accumulates nothing (the cache-release
+  * contract, same as `PreservedState.release`/`IncrResult.release`).
+  * Deterministic end to end, so the `q_pipeline_clean` gate mirrors
+  * every step in SQL.
   */
 object Pipeline {
 
@@ -39,26 +46,17 @@ object Pipeline {
     val deduped = kept
       .join(firstIds, col(idCol) === col("_keep"), "left_semi")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val drop = Dedup.simhashNearDups(deduped, idCol, textCol, maxHamming)
-      .select(col("b").as(idCol)).distinct()
-    deduped.join(drop, Seq(idCol), "left_anti")
+    val (pairs, releasePairs) =
+      Dedup.simhashNearDupsWithRelease(deduped, idCol, textCol, maxHamming)
+    val drop = pairs.select(col("b").as(idCol)).distinct()
+    val out = deduped.join(drop, Seq(idCol), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    releasePairs()
+    deduped.unpersist(blocking = false)
+    out
   }
 
-  /** Corpus TF-IDF: per (doc, token) rows with term frequency, document
-    * frequency, and `tf · ln(N / df)` — the standard relevance/keyword
-    * weight a curation pipeline uses for corpus statistics and
-    * lexical-similarity search.
-    *
-    * Scale shape: one explode + groupBy(doc, token) for tf (map-side
-    * partial counts — a token repeated within a doc never leaves its
-    * partition uncombined), one groupBy(token) for df (one row per
-    * distinct token AFTER partial aggregation, so a stopword's df costs
-    * one row per input partition, not one per occurrence), and a
-    * token-keyed join to combine — the df side is one row per vocab
-    * entry, orders of magnitude smaller than the corpus. N (total docs)
-    * is a broadcast scalar via crossJoin of a 1-row aggregate, not a
-    * driver round-trip, so the whole operator is one lazy plan.
-    */
   /** [[cleanCorpus]] with COMPONENT-based near-dup dropping: the
     * SimHash pairs are clustered with
     * [[Dedup.connectedComponents]] and exactly ONE doc per cluster
@@ -78,12 +76,19 @@ object Pipeline {
     val deduped = kept
       .join(firstIds, col(idCol) === col("_keep"), "left_semi")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val pairs = Dedup.simhashNearDups(deduped, idCol, textCol, maxHamming)
-      .select("a", "b")
+    val (rawPairs, releasePairs) =
+      Dedup.simhashNearDupsWithRelease(deduped, idCol, textCol, maxHamming)
+    val pairs = rawPairs.select("a", "b")
     val comps = Dedup.connectedComponents(pairs)
     val drop = comps.filter(col("id") =!= col("comp"))
       .select(col("id").as(idCol))
-    deduped.join(drop, Seq(idCol), "left_anti")
+    val out = deduped.join(drop, Seq(idCol), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    releasePairs()
+    comps.unpersist(blocking = false)
+    deduped.unpersist(blocking = false)
+    out
   }
 
   /** Stratified deterministic sampling: keep a row iff its Knuth-hash
@@ -93,6 +98,17 @@ object Pipeline {
     * shuffle, no RNG state): reproducible across engines and across
     * runs, and co-sampling different tables on the same id keeps rows
     * aligned. Strata not in `permille` fall back to `defaultPermille`.
+    *
+    * The bucket is computed modulo 1000 from the start:
+    * (id·2654435761) mod 1000 ≡ ((id mod 1000)·761) mod 1000, so the
+    * sample is IDENTICAL to the full-width multiply for every
+    * non-negative id while the arithmetic never leaves ±10⁶ — the
+    * naive `id * 2654435761L` overflows signed 64-bit at
+    * id ≥ ~3.47·10⁹ (a plausible doc count at the 100 TB posture),
+    * which ANSI mode (Spark 4's default) turns into a job-killing
+    * ARITHMETIC_OVERFLOW. `pmod` keeps negative ids in [0, 1000) too,
+    * where a signed `%` would yield a negative remainder that compares
+    * below every rate (row always kept, silently skewing the rates).
     */
   def sampleByStrata(df: DataFrame, idCol: String, strataCol: String,
       permille: Map[String, Int], defaultPermille: Int = 0): DataFrame = {
@@ -101,9 +117,26 @@ object Pipeline {
     val rate = permille.foldLeft(lit(defaultPermille)) {
       case (acc, (k, v)) => when(col(strataCol) === k, lit(v)).otherwise(acc)
     }
-    df.filter((col(idCol) * lit(2654435761L)) % 1000 < rate)
+    val bucket = pmod(pmod(col(idCol), lit(1000L)) * lit(2654435761L % 1000L),
+      lit(1000L))
+    df.filter(bucket < rate)
   }
 
+  /** Corpus TF-IDF: per (doc, token) rows with term frequency, document
+    * frequency, and `tf · ln(N / df)` — the standard relevance/keyword
+    * weight a curation pipeline uses for corpus statistics and
+    * lexical-similarity search.
+    *
+    * Scale shape: one explode + groupBy(doc, token) for tf (map-side
+    * partial counts — a token repeated within a doc never leaves its
+    * partition uncombined), one groupBy(token) for df (one row per
+    * distinct token AFTER partial aggregation, so a stopword's df costs
+    * one row per input partition, not one per occurrence), and a
+    * token-keyed join to combine — the df side is one row per vocab
+    * entry, orders of magnitude smaller than the corpus. N (total docs)
+    * is a broadcast scalar via crossJoin of a 1-row aggregate, not a
+    * driver round-trip, so the whole operator is one lazy plan.
+    */
   def tfidf(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toksE = df.select(col(idCol).as("doc_id"),
       explode(tokens(col(textCol))).as("token"))

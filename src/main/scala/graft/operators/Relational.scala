@@ -41,7 +41,14 @@ object Relational {
     * /`GlobalLimit` contract — so the rank is just the row position:
     * zipWithIndex over ≤ k rows, no extra job on a single partition. */
   def topK(df: DataFrame, k: Int, order: Seq[Column]): DataFrame = {
+    // coalesce(1) + local sort over the ≤k limited rows: TakeOrderedAndProject
+    // yields one sorted partition already (both no-ops then), but the
+    // Sort+GlobalLimit fallback (spark.sql.execution.topKSortFallbackThreshold
+    // below k) does not contractually keep the rows sorted through the
+    // single-partition exchange — without the re-sort the ranks would be
+    // silently wrong, and on ≤k rows the guard costs nothing.
     val limited = df.orderBy(order: _*).limit(k)
+      .coalesce(1).sortWithinPartitions(order: _*)
     val schema = org.apache.spark.sql.types.StructType(limited.schema.fields :+
       org.apache.spark.sql.types.StructField("rank",
         org.apache.spark.sql.types.IntegerType, nullable = false))
@@ -66,12 +73,25 @@ object Relational {
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
       salt: Int = 8): DataFrame = {
     require(salt > 0, "salt must be positive")
-    val bigS = big.withColumn("_salt",
-      pmod(xxhash64(struct(big.columns.map(col): _*)), lit(salt.toLong)).cast("int"))
+    // Salt from the row's POSITION (monotonically_increasing_id =
+    // partitionId·2³³ + row index — consecutive rows cycle through all
+    // `salt` values), never from row content: a content hash gives every
+    // byte-identical duplicate of a hot row the SAME salt, so a key
+    // whose skew comes from duplicate rows still floods one partition.
+    // Any salt assignment is correct (each big row meets exactly one
+    // replica of its match — gate-enforced against the plain join), so
+    // the round-robin costs nothing and spreads true duplicates evenly.
+    val bigS = big.withColumn("_salt", saltColumn(salt))
     val smallS = small.withColumn("_salt",
       explode(array((0 until salt).map(lit): _*)))
     bigS.join(smallS, Seq(key, "_salt")).drop("_salt")
   }
+
+  /** The salt assignment [[saltedJoin]] applies to the big side —
+    * package-visible so specs can assert the duplicate-row spreading
+    * contract directly. */
+  private[graft] def saltColumn(salt: Int): Column =
+    pmod(monotonically_increasing_id(), lit(salt.toLong)).cast("int")
 
   /** Secondary sort (F18, `examples/.../SecondarySort.java`): group by
     * key, values ordered within the group — expressed as

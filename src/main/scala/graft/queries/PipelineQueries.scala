@@ -88,6 +88,38 @@ object PipelineQueries {
          FROM bands x JOIN bands y
          ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id)"""
 
+  /** Shared IVF oracle (build + probe unrolled): 16 lowest-id coarse
+    * centroids, argmax assignment, 4 probed lists, exact cosine top-5 —
+    * used by both the inline (`q_ann_ivf`) and on-disk
+    * (`q_ann_ivf_disk`) paths, which must agree result-for-result. */
+  private lazy val ivfOracleSql =
+    s"""WITH $vecCte,
+        cents AS (SELECT id AS cid, vec AS cvec FROM v ORDER BY id LIMIT 16),
+        assign AS (SELECT nid, nvec, cid FROM (
+          SELECT v.id AS nid, v.vec AS nvec, c.cid,
+            row_number() OVER (PARTITION BY v.id ORDER BY
+              ${dotSql("v.vec", "c.cvec")} /
+                (sqrt(${dotSql("v.vec", "v.vec")}) *
+                 sqrt(${dotSql("c.cvec", "c.cvec")})) DESC, c.cid) AS rk
+          FROM v CROSS JOIN cents c) WHERE rk = 1),
+        probes AS (SELECT qid, qvec, cid FROM (
+          SELECT q.id AS qid, q.vec AS qvec, c.cid,
+            row_number() OVER (PARTITION BY q.id ORDER BY
+              ${dotSql("q.vec", "c.cvec")} /
+                (sqrt(${dotSql("q.vec", "q.vec")}) *
+                 sqrt(${dotSql("c.cvec", "c.cvec")})) DESC, c.cid) AS rk
+          FROM (SELECT id, vec FROM v WHERE id < 5) q
+          CROSS JOIN cents c) WHERE rk <= 4),
+        scored AS (SELECT p.qid, a.nid,
+          ${dotSql("p.qvec", "a.nvec")} /
+            (sqrt(${dotSql("p.qvec", "p.qvec")}) *
+             sqrt(${dotSql("a.nvec", "a.nvec")})) AS cosine
+          FROM probes p JOIN assign a USING (cid) WHERE p.qid <> a.nid)
+        SELECT qid, nid, round(cosine, 6) AS cosine, CAST(rk AS INT) AS rk
+        FROM (SELECT qid, nid, cosine, row_number() OVER
+          (PARTITION BY qid ORDER BY cosine DESC, nid) AS rk FROM scored)
+        WHERE rk <= 5"""
+
   val all: Seq[Q] = Seq(
 
     // Exact dedup: identical text → one representative (lowest id).
@@ -314,6 +346,10 @@ object PipelineQueries {
     // Stratified sampling: per-language permille rates over the Knuth
     // hash (deterministic, map-side, engine-reproducible) — the corpus
     // rebalancing cut. Gate checks the per-stratum survivor counts.
+    // The oracle mirrors sampleByStrata's overflow-free mod-1000 form
+    // ((id%1000)·761 pmod 1000 — identical to (id·2654435761)%1000 for
+    // non-negative ids; DuckDB's % is sign-of-dividend, so pmod is
+    // spelled out).
     Q("q_strata_sample",
       (s, dir) => {
         val docs = Q.t(s, dir, "documents").select(col("doc_id"),
@@ -330,7 +366,7 @@ object PipelineQueries {
                   ELSE 'other' END AS lang
                 FROM stats)
               SELECT lang, count(*) AS cnt FROM langs
-              WHERE (doc_id * 2654435761) % 1000 <
+              WHERE ((doc_id % 1000) * 761 % 1000 + 1000) % 1000 <
                 (CASE lang WHEN 'en' THEN 500 WHEN 'de' THEN 200
                   WHEN 'es' THEN 100 ELSE 50 END)
               GROUP BY 1""")),
@@ -401,32 +437,29 @@ object PipelineQueries {
           .select(col("qid"), col("nid"), round(col("cosine"), 6).as("cosine"),
             col("rk").cast("int").as("rk"))
       },
-      Some(s"""WITH $vecCte,
-              cents AS (SELECT id AS cid, vec AS cvec FROM v ORDER BY id LIMIT 16),
-              assign AS (SELECT nid, nvec, cid FROM (
-                SELECT v.id AS nid, v.vec AS nvec, c.cid,
-                  row_number() OVER (PARTITION BY v.id ORDER BY
-                    ${dotSql("v.vec", "c.cvec")} /
-                      (sqrt(${dotSql("v.vec", "v.vec")}) *
-                       sqrt(${dotSql("c.cvec", "c.cvec")})) DESC, c.cid) AS rk
-                FROM v CROSS JOIN cents c) WHERE rk = 1),
-              probes AS (SELECT qid, qvec, cid FROM (
-                SELECT q.id AS qid, q.vec AS qvec, c.cid,
-                  row_number() OVER (PARTITION BY q.id ORDER BY
-                    ${dotSql("q.vec", "c.cvec")} /
-                      (sqrt(${dotSql("q.vec", "q.vec")}) *
-                       sqrt(${dotSql("c.cvec", "c.cvec")})) DESC, c.cid) AS rk
-                FROM (SELECT id, vec FROM v WHERE id < 5) q
-                CROSS JOIN cents c) WHERE rk <= 4),
-              scored AS (SELECT p.qid, a.nid,
-                ${dotSql("p.qvec", "a.nvec")} /
-                  (sqrt(${dotSql("p.qvec", "p.qvec")}) *
-                   sqrt(${dotSql("a.nvec", "a.nvec")})) AS cosine
-                FROM probes p JOIN assign a USING (cid) WHERE p.qid <> a.nid)
-              SELECT qid, nid, round(cosine, 6) AS cosine, CAST(rk AS INT) AS rk
-              FROM (SELECT qid, nid, cosine, row_number() OVER
-                (PARTITION BY qid ORDER BY cosine DESC, nid) AS rk FROM scored)
-              WHERE rk <= 5""")),
+      Some(ivfOracleSql)),
+
+    // The ON-DISK IVF path, same oracle as q_ann_ivf: the index is
+    // built as cid-partitioned parquet (one dir per inverted list) into
+    // a scratch dir, then probed — the probe's literal cid IN filter
+    // becomes parquet partition pruning, so a query batch physically
+    // reads ~nprobe/nlist of the corpus (the point of the index at
+    // 100 TB; plan-asserted in LifecycleSpec). Scratch lives in the JVM
+    // temp dir: the returned frame is lazy over the index files, so the
+    // dir must outlive the query's consumption.
+    Q("q_ann_ivf_disk",
+      (s, dir) => {
+        val vecs = Q.t(s, dir, "embeddings")
+          .select(col("vec_id").as("id"), col("embedding").as("vec"))
+        val idx = java.nio.file.Files
+          .createTempDirectory("graft_ivf_gate").toString
+        Similarity.buildIvfIndex(vecs, idx, nlist = 16)
+        Similarity.probeIvfIndex(s, idx, vecs.filter(col("id") < 5),
+          k = 5, nprobe = 4)
+          .select(col("qid"), col("nid"), round(col("cosine"), 6).as("cosine"),
+            col("rk").cast("int").as("rk"))
+      },
+      Some(ivfOracleSql)),
 
     // Embedding-cosine near-dup pairs within label blocks. Blocks over
     // 48 vectors go through axis-sign LSH sub-buckets (the 100 TB path;

@@ -124,8 +124,13 @@ object EventStreams {
             }
             cur.foreach { s =>
               state.update(s)
+              // ceiling of (last+gap) in ms: truncating each term
+              // separately can fire the timeout up to ~2 ms EARLY, so a
+              // boundary event at exactly ts = last+gap (which the
+              // inline path merges) could find the session already
+              // closed — diverging from the batch sessionize twin
               if (eventTimeTimeout)
-                state.setTimeoutTimestamp(s.last / 1000000L + gapNanos / 1000000L)
+                state.setTimeoutTimestamp((s.last + gapNanos + 999999L) / 1000000L)
             }
             closed.reverse.iterator
           }

@@ -267,6 +267,23 @@ class LifecycleSpec extends SparkSpec {
       rows, "id", "s", Map("even" -> 1000), defaultPermille = 0)
     assert(all.count() == 50)
     assert(all.select("s").distinct().collect().map(_.getString(0)).toSeq == Seq("even"))
+    // overflow/negative-id edges: the naive (id·2654435761)%1000 form
+    // overflows signed 64-bit at id ≥ ~3.47e9 (ANSI abort) and keeps
+    // every negative id (negative remainder < any rate). The mod-1000
+    // form must (a) run under ANSI, (b) agree with exact BigInt
+    // arithmetic for huge ids, (c) give negative ids a bucket in
+    // [0, 1000) — sampled by rate like any other id.
+    val edgeIds = Seq(Long.MaxValue, (1L << 32) * 10 + 7, 3_500_000_000L,
+      -1L, -999L, -4_000_000_000L, 0L, 123L)
+    val edgy = edgeIds.map(i => (i, "s")).toDF("id", "s")
+    val kept = graft.operators.Pipeline.sampleByStrata(
+      edgy, "id", "s", Map("s" -> 500)).collect().map(_.getLong(0)).toSet
+    def bigBucket(id: Long): Long = {
+      val m = (BigInt(id) * BigInt(2654435761L)).mod(BigInt(1000))
+      m.toLong
+    }
+    val want = edgeIds.filter(id => bigBucket(id) < 500).toSet
+    assert(kept == want, s"kept=$kept want=$want")
     // tfidf: a doc with no tokens contributes no rows but still counts in N
     val docs = Seq((1L, "x y"), (2L, "   "), (3L, "x")).toDF("doc_id", "text")
     val w = graft.operators.Pipeline.tfidf(docs, "doc_id", "text")
@@ -274,6 +291,28 @@ class LifecycleSpec extends SparkSpec {
     assert(!w.keySet.exists(_._1 == 2L))
     // df(x)=2 over N=3 docs → idf = ln(1.5), not ln(1.0)
     assert(math.abs(w((3L, "x")) - math.log(3.0 / 2)) < 1e-12)
+  }
+
+  test("composed cleans release every internal cache — no session clearCache needed") {
+    // The library cache contract for Pipeline cleans: the returned
+    // frame is the ONLY cache left behind (its own unpersist frees
+    // everything) — a caller composing many cleans accumulates nothing.
+    spark.catalog.clearCache()
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val c1 = graft.operators.Pipeline.cleanCorpus(
+      docs, "doc_id", "text", minQuality = 0.3, lang = "en")
+    val c2 = graft.operators.Pipeline.cleanCorpusByComponents(
+      docs, "doc_id", "text", minQuality = 0.3, lang = "en")
+    assert(c1.count() > 0 && c2.count() > 0)
+    c1.unpersist(blocking = true)
+    c2.unpersist(blocking = true)
+    val after = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(after.isEmpty,
+      s"lingering caches after composed cleans: ${after.mkString(", ")}")
+    // raw checkpoint blocks (invisible to clearCache) must be gone too
+    assert(spark.sparkContext.getRDDStorageInfo.isEmpty,
+      "storage blocks still cached after clean release")
   }
 
   test("tfidf matches a driver-side computation") {

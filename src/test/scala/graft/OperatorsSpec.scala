@@ -140,10 +140,26 @@ class OperatorsSpec extends SparkSpec {
     assert(plain.exceptAll(salted).count() == 0)
     // the hot key's rows actually land on several distinct salts
     val saltsUsed = big.filter(col("k") === 1L)
-      .withColumn("_salt",
-        pmod(xxhash64(struct(col("k"), col("payload"))), lit(8L)).cast("int"))
+      .withColumn("_salt", Relational.saltColumn(8))
       .select("_salt").distinct().count()
     assert(saltsUsed >= 6, s"hot key used only $saltsUsed of 8 salts")
+  }
+
+  test("salted join spreads BYTE-IDENTICAL duplicate rows of a hot key") {
+    // 10⁵ byte-identical rows: a content-hash salt gives them all ONE
+    // salt (the duplicate-row skew corner — the hot key still floods a
+    // single partition); the position-based round-robin must use at
+    // least salt/2 distinct salt values, i.e. ≥ salt/2 distinct
+    // (key, salt) join partitions.
+    val dup = spark.range(100000).select(lit(1L).as("k"), lit(42L).as("payload"))
+    val saltsUsed = dup.withColumn("_salt", Relational.saltColumn(8))
+      .select("_salt").distinct().count()
+    assert(saltsUsed >= 4, s"identical duplicates used only $saltsUsed of 8 salts")
+    // and the join result is still exactly the plain join
+    val small = Seq((1L, "dim1")).toDF("k", "name")
+    val salted = Relational.saltedJoin(dup, small, "k", salt = 8)
+    assert(salted.count() == 100000)
+    assert(salted.exceptAll(dup.join(small, "k")).count() == 0)
   }
 
   test("brute-force ANN: self-similarity excluded, ranks ordered, exact") {
