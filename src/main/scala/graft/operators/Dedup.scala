@@ -184,13 +184,32 @@ object Dedup {
     // three small longs per doc instead of the corpus.
     val digests = simhashDigests64(df, idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val banded = digests.select(col("doc_id"), col("h1"), col("h2"),
+    val pairs = pairsFromBands(explodeBands(digests), maxHamming, maxBucket)
+    (pairs, () => digests.unpersist(blocking = false))
+  }
+
+  /** (doc_id, h1, h2) digests → the 4-band table (doc_id, h1, h2, band,
+    * bv): band b's value is 16 consecutive digest bits. The band table
+    * IS the bucket-membership relation — the unit of preserved state for
+    * [[IncrementalDedup]] (which buckets a doc occupies decides which
+    * pairs it can form). */
+  private[operators] def explodeBands(digests: DataFrame): DataFrame =
+    digests.select(col("doc_id"), col("h1"), col("h2"),
       explode(array((0 until 4).map { b =>
         val half = if (b < 2) col("h1") else col("h2")
         struct(lit(b).as("band"),
           shiftright(half, (b % 2) * 16).bitwiseAND(lit(65535L)).as("bv"))
       }: _*)).as("bb"))
       .select(col("doc_id"), col("h1"), col("h2"), col("bb.band"), col("bb.bv"))
+
+  /** Band table → confirmed near-dup pairs (a, b, hamming ≤ maxHamming).
+    * Pure function of bucket membership: the SAME band rows always give
+    * the SAME pairs, which is what lets [[IncrementalDedup]] re-run it
+    * over just the affected buckets' (full) membership and splice the
+    * result into preserved components. Big-bucket star-linking and the
+    * Hamming confirm as documented on [[simhashNearDups]]. */
+  private[operators] def pairsFromBands(banded: DataFrame, maxHamming: Int,
+      maxBucket: Int): DataFrame = {
     // Oversized buckets: same shape as lshCandidatePairs — found with a
     // partial-aggregating groupBy, typically near-empty, broadcast.
     val big = banded.groupBy("band", "bv")
@@ -206,21 +225,22 @@ object Dedup {
     val allPairs = x.join(y, Seq("band", "bv")).filter(col("a") < col("b"))
       .select("a", "b", "ha1", "ha2", "hb1", "hb2")
     // Star pairs: bmin is the bucket minimum, so (bmin, member) is
-    // already (a < b)-ordered; bmin's digests come from one broadcast
-    // join against the (tiny) big-bucket list.
-    val bigD = big.join(digests.select(col("doc_id").as("bmin"),
-      col("h1").as("hm1"), col("h2").as("hm2")), "bmin")
+    // already (a < b)-ordered; bmin's digests come from its own band
+    // row in that very bucket (one broadcast join against the tiny
+    // big-bucket list — no digest-table lookup needed).
+    val bigD = banded.select(col("band"), col("bv"), col("doc_id").as("bmin"),
+      col("h1").as("hm1"), col("h2").as("hm2"))
+      .join(broadcast(big), Seq("band", "bv", "bmin"))
     val starPairs = banded.join(broadcast(bigD), Seq("band", "bv"))
       .filter(col("doc_id") =!= col("bmin"))
       .select(col("bmin").as("a"), col("doc_id").as("b"),
         col("hm1").as("ha1"), col("hm2").as("ha2"),
         col("h1").as("hb1"), col("h2").as("hb2"))
-    val pairs = allPairs.unionByName(starPairs).distinct()
+    allPairs.unionByName(starPairs).distinct()
       .select(col("a"), col("b"),
         (bit_count(col("ha1").bitwiseXOR(col("hb1"))) +
           bit_count(col("ha2").bitwiseXOR(col("hb2")))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
-    (pairs, () => digests.unpersist(blocking = false))
   }
 
   /** Connected components over an undirected near-dup pair list — the

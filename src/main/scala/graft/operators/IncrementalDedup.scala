@@ -1,0 +1,203 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Preserved dedup-cluster state: the SimHash band table (the
+  * bucket-membership relation every near-dup pair is born from) plus the
+  * converged component labels.
+  *
+  *  - `bands(doc_id, h1, h2, band, bv)` — the kvs-analog: per source
+  *    doc, its contribution to each of the 4 LSH buckets it occupies
+  *    (reference provenance: the preserve store keyed by source,
+  *    `incr-hadoop-0.1/src/mapred/org/apache/hadoop/mapred/IFile.java:478-800`).
+  *  - `comps(id, comp)` — the out-analog: each paired doc's component
+  *    label (= component minimum id), the final outputs of the base run
+  *    (`ReduceTask.java:3155-3207` writes the same out-state shape).
+  *
+  * `release()` frees both caches once every continuation using this
+  * state has finished — the library cache-release contract
+  * ([[graft.core.PreservedState]] sets the pattern).
+  */
+final case class DedupClusterState(bands: DataFrame, comps: DataFrame,
+    release: () => Unit = () => ()) {
+  /** Materialize both tables as Parquet state tables (F27). */
+  def write(path: String): Unit = {
+    bands.write.mode("overwrite").parquet(s"$path/bands")
+    comps.write.mode("overwrite").parquet(s"$path/comps")
+  }
+}
+
+object DedupClusterState {
+  def read(spark: org.apache.spark.sql.SparkSession, path: String): DedupClusterState =
+    DedupClusterState(
+      spark.read.parquet(s"$path/bands"),
+      spark.read.parquet(s"$path/comps"))
+}
+
+/** Incremental maintenance of dedup clusters over a document delta — the
+  * reference's incremental-recomputation thesis (F28-F31, the
+  * algorithm-generic incremental drivers at
+  * `incr-hadoop-0.1/src/mapred/org/apache/hadoop/mapred/ReduceTask.java:3504-3691`)
+  * instantiated on the engine's newest surface: instead of re-running
+  * shingle→digest→band→pair→components over the whole corpus after
+  * adding/removing documents, recompute ONLY the components reachable
+  * from the buckets the delta touched.
+  *
+  * Why this is component-granular where PageRank/KMeans/matvec run
+  * key-granular through [[graft.core.IncrementalJob]]: those algorithms'
+  * reduces recompute each affected key EXACTLY from its merged
+  * contribution bag, so continuing the fixpoint iteration from preserved
+  * outputs is sound for insertions and deletions alike. Connected
+  * components' fixpoint (min-label propagation) is monotone DOWNWARD
+  * only — a removed edge can require labels to RISE (a component
+  * splitting back apart), which no amount of min-propagation from the
+  * preserved labels can produce. The correct incremental unit is
+  * therefore the component: reset the affected components' labels to
+  * self-ids and re-converge just that subgraph, splicing the result into
+  * the untouched labels. The change-propagation filter (F30) becomes
+  * set-valued — delta docs → touched buckets → candidate docs → affected
+  * components — instead of a per-key distance threshold.
+  *
+  * Soundness of the affected set (what makes "only reachable components"
+  * exact, not approximate): pairs are a pure function of bucket
+  * membership ([[Dedup.pairsFromBands]]), and a bucket's membership
+  * changes only if the delta added or removed one of its rows. So
+  *  (1) every pair gained or lost involves a doc sharing a bucket with a
+  *      delta doc — a "candidate"; components not containing a candidate
+  *      keep exactly their old pair set and labels;
+  *  (2) recomputing candidates' components needs their old pairs too, so
+  *      the subgraph spans every member of every affected component;
+  *  (3) pair regeneration runs over the affected buckets' FULL post-delta
+  *      membership (never membership restricted to affected docs), so
+  *      big-bucket cap decisions and star representatives come out
+  *      exactly as a full recompute would — a delta pushing a bucket
+  *      across `maxBucket` flips that bucket's pair shape for ALL its
+  *      members, and all its members are candidates by (1);
+  *  (4) a regenerated pair between two NON-affected docs (possible when
+  *      an unchanged bucket holds both affected and unaffected docs) is
+  *      discarded — it existed before, inside some untouched component —
+  *      by keeping only pairs with both endpoints in the affected set.
+  *
+  * Scale shape: the delta's bucket/candidate/component frontier is a few
+  * semi-joins on (band, bv) and id — each O(|delta| + |affected|), never
+  * a corpus scan except the one semi-join selecting affected-bucket rows
+  * out of the (columnar, persisted) band table; the label loop then runs
+  * on the affected subgraph only. Driver-side data: nothing (all
+  * set-oriented joins; the component loop's O(1) label-sum convergence
+  * scalar is inside [[Dedup.connectedComponents]]).
+  */
+object IncrementalDedup {
+
+  /** Run the base job and preserve its state: band table + component
+    * labels, both persisted (catalog-visible caches; `release` frees
+    * them). Same pair/cluster semantics as
+    * `connectedComponents(simhashNearDups(df))` — gate-enforced. */
+  def preserveClusters(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3, maxBucket: Int = 4096): DedupClusterState = {
+    val bands = Dedup.explodeBands(
+      Dedup.simhashDigests64(df, idCol, textCol))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    bands.count()
+    val comps = Dedup.connectedComponents(
+      Dedup.pairsFromBands(bands, maxHamming, maxBucket))
+    DedupClusterState(bands, comps, () => {
+      bands.unpersist(blocking = false)
+      comps.unpersist(blocking = false)
+    })
+  }
+
+  /** Continue preserved cluster state over a document delta.
+    *
+    * @param state      preserved base state ([[preserveClusters]] or
+    *                   [[DedupClusterState.read]])
+    * @param addedDocs  new documents (idCol, textCol, …) — ids must be
+    *                   fresh (not present in the base corpus)
+    * @param removedIds single-column frame of base doc ids to remove
+    * @return (id, comp) for every id in the POST-delta pair graph —
+    *         identical to a full recompute over the updated corpus
+    *         (spec- and gate-enforced)
+    */
+  def incrementalClusters(state: DedupClusterState, addedDocs: DataFrame,
+      removedIds: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3, maxBucket: Int = 4096): DataFrame = {
+    val removed = removedIds.select(col(removedIds.columns.head).as("_rid"))
+    // F28-analog: re-map ONLY the delta — fresh band rows for added docs.
+    // Persisted: they seed the changed-bucket frontier AND the post-delta
+    // band table (two plan branches over a delta-sized frame).
+    val newBands = Dedup.explodeBands(
+      Dedup.simhashDigests64(addedDocs, idCol, textCol))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    newBands.count()
+
+    // Post-delta band table (the merged kvs, F29): old rows minus the
+    // removed docs' rows, plus the added docs' rows.
+    val postBands = state.bands
+      .join(removed, col("doc_id") === col("_rid"), "left_anti")
+      .unionByName(newBands)
+
+    // F30 set-valued change propagation, stage 1: buckets whose
+    // membership changed = buckets of added docs + buckets of removed
+    // docs (their OLD band rows — that is what the preserved band table
+    // is for).
+    val changedBuckets = newBands.select("band", "bv")
+      .unionByName(state.bands
+        .join(removed, col("doc_id") === col("_rid"), "left_semi")
+        .select("band", "bv"))
+      .distinct()
+
+    // Stage 2: candidate docs = post-delta docs sharing a changed bucket
+    // (added docs included by construction — their buckets are changed).
+    val candidates = postBands
+      .join(changedBuckets, Seq("band", "bv"), "left_semi")
+      .select(col("doc_id").as("_cand")).distinct()
+
+    // Stage 3: affected components = old components containing a
+    // candidate OR a removed doc; the affected doc set A = those
+    // components' surviving members + all candidates (covers candidates
+    // with no old component). Removed docs are NOT candidates (they have
+    // no post-delta band rows), and a component whose every member is
+    // removed leaves no surviving bucket-mate to mark it — without the
+    // explicit union its stale labels would pass through the splice.
+    val touchers = candidates
+      .unionByName(removed.select(col("_rid").as("_cand")))
+    val affectedComps = state.comps
+      .join(touchers, col("id") === col("_cand"), "left_semi")
+      .select(col("comp").as("_acomp")).distinct()
+    val members = state.comps
+      .join(affectedComps, col("comp") === col("_acomp"), "left_semi")
+      .join(removed, col("id") === col("_rid"), "left_anti")
+      .select(col("id").as("_aid"))
+    val affected = members
+      .unionByName(candidates.select(col("_cand").as("_aid")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // Stage 4: regenerate pairs over the affected buckets' FULL
+    // post-delta membership (soundness note (3) above), then keep only
+    // pairs inside A (note (4)).
+    val bucketsOfA = postBands
+      .join(affected, col("doc_id") === col("_aid"), "left_semi")
+      .select("band", "bv").distinct()
+    val subBands = postBands.join(bucketsOfA, Seq("band", "bv"), "left_semi")
+    val pairs = Dedup.pairsFromBands(subBands, maxHamming, maxBucket)
+      .join(affected, col("a") === col("_aid"), "left_semi")
+      .join(affected, col("b") === col("_aid"), "left_semi")
+
+    // Stage 5: re-converge the affected subgraph from reset labels and
+    // splice: untouched components pass through label-for-label (removed
+    // docs' old entries sit in affected components by construction, so
+    // the anti-join drops them).
+    val newComps = Dedup.connectedComponents(pairs)
+    val out = state.comps
+      .join(affectedComps, col("comp") === col("_acomp"), "left_anti")
+      .unionByName(newComps)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    newComps.unpersist(blocking = false)
+    affected.unpersist(blocking = false)
+    newBands.unpersist(blocking = false)
+    out
+  }
+}

@@ -72,9 +72,11 @@ object PipelineQueries {
   /** Shared oracle CTE chain ending in `cands` = banded SimHash
     * candidate pairs with both docs' digest halves (mirrors
     * [[graft.operators.Dedup.simhashNearDups]] up to the Hamming
-    * confirm). */
-  private def simhashPairCtes =
-    s"""$toksCte, $codesCte,
+    * confirm). `where` filters the corpus (e.g. a post-delta slice for
+    * the incremental twin). */
+  private def simhashPairCtesWhere(where: String) =
+    s"""toks AS (SELECT doc_id, list_filter(regexp_split_to_array(text, ' +'),
+       x -> x <> '') AS toks FROM documents$where), $codesCte,
        s1 AS (${simsSelect(1)}),
        s2 AS (${simsSelect(2)}),
        sims AS (SELECT s1.doc_id, s1.simhash AS h1, s2.simhash AS h2
@@ -87,6 +89,8 @@ object PipelineQueries {
          x.h1 AS ha1, x.h2 AS ha2, y.h1 AS hb1, y.h2 AS hb2
          FROM bands x JOIN bands y
          ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id)"""
+
+  private def simhashPairCtes = simhashPairCtesWhere("")
 
   /** Shared IVF oracle (build + probe unrolled): 16 lowest-id coarse
     * centroids, argmax assignment, 4 probed lists, exact cosine top-5 —
@@ -200,6 +204,36 @@ object PipelineQueries {
           maxHamming = 3))
         .select(col("id"), col("comp")),
       Some(s"""WITH RECURSIVE $simhashPairCtes,
+              prs AS (SELECT a, b FROM cands
+                WHERE bit_count(xor(ha1, hb1)) + bit_count(xor(ha2, hb2)) <= 3),
+              edges AS (SELECT a AS u, b AS v FROM prs
+                UNION SELECT b, a FROM prs),
+              reach AS (SELECT u, u AS v FROM (SELECT DISTINCT u FROM edges) t
+                UNION SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u)
+              SELECT u AS id, min(v) AS comp FROM reach GROUP BY 1""")),
+
+    // INCREMENTAL dedup clusters (the reference's incremental thesis on
+    // the engine's newest surface): base corpus = doc_id % 10 != 3,
+    // preserved band table + components, then a delta ADDING the %10==3
+    // docs and REMOVING the %10==7 docs — only components reachable
+    // from the changed buckets are recomputed. The oracle is a FULL
+    // recursive-closure recompute over the post-delta corpus
+    // (doc_id % 10 != 7): incremental must equal it row-for-row.
+    Q("q_incr_dedup_clusters",
+      (s, dir) => {
+        val docs = Q.t(s, dir, "documents")
+        val base = docs.filter(col("doc_id") % 10 =!= 3)
+        val state = graft.operators.IncrementalDedup.preserveClusters(
+          base, "doc_id", "text", maxHamming = 3)
+        val added = docs.filter(col("doc_id") % 10 === 3)
+        val removed = base.filter(col("doc_id") % 10 === 7).select("doc_id")
+        val out = graft.operators.IncrementalDedup.incrementalClusters(
+          state, added, removed, "doc_id", "text", maxHamming = 3)
+          .select(col("id"), col("comp"))
+        state.release() // out is eagerly materialized; state is done
+        out
+      },
+      Some(s"""WITH RECURSIVE ${simhashPairCtesWhere(" WHERE doc_id % 10 <> 7")},
               prs AS (SELECT a, b FROM cands
                 WHERE bit_count(xor(ha1, hb1)) + bit_count(xor(ha2, hb2)) <= 3),
               edges AS (SELECT a AS u, b AS v FROM prs

@@ -1,51 +1,34 @@
 package graft
-// Scratch end-to-end driver for manual verification (not a test).
-import org.apache.spark.sql.SparkSession
 
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scratch driver for manual verification runs (see .claude/skills/verify). */
 object DriveMain {
-  def main(a: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[32]").appName("drive")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.codegen.cache.maxEntries", "5000")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false").getOrCreate()
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val names = if (a.nonEmpty) a.toSeq else Seq("q_minhash", "q_lsh_neardup",
-      "q_simhash", "q_ngram_jaccard", "q_fingerprint", "q_matvec")
-    // SPARK_GRAFT_EXPLAIN=1: print each query's formatted physical plan
-    // instead of timing it (plan audits).
-    if (sys.env.get("SPARK_GRAFT_EXPLAIN").contains("1")) {
-      names.foreach { n =>
-        SparkEntry.queries.get(n) match {
-          case Some(fn) =>
-            println(s"==== $n ===="); fn(spark, dir).explain("formatted")
-          case None => println(s"$n: no such query")
-        }
-      }
-      println("DRIVE_DONE"); spark.stop(); return
-    }
-    // warmup
-    names.foreach { n =>
-      SparkEntry.queries.get(n).foreach { fn =>
-        try fn(spark, "/root/testdata/sf0.001").count()
-        catch { case e: Throwable => println(s"WARMUP $n FAILED: $e") }
-      }
-    }
-    spark.catalog.clearCache(); System.gc()
-    names.foreach { n =>
-      SparkEntry.queries.get(n) match {
-        case Some(fn) =>
-          val t0 = System.nanoTime()
-          val rows = try fn(spark, dir).count() catch {
-            case e: Throwable => println(s"$n FAILED: $e"); -1L
-          }
-          println(f"TIMING $n%-18s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$rows")
-          spark.catalog.clearCache(); System.gc()
-        case None => println(s"$n: no such query")
-      }
-    }
-    println("DRIVE_DONE")
+    val dir = "/root/testdata/sf0.01"
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val base = docs.filter(col("doc_id") % 10 =!= 3)
+    val state = graft.operators.IncrementalDedup.preserveClusters(
+      base, "doc_id", "text")
+    val added = docs.filter(col("doc_id") % 10 === 3)
+    val removed = base.filter(col("doc_id") % 10 === 7).select("doc_id")
+    val incr = graft.operators.IncrementalDedup.incrementalClusters(
+      state, added, removed, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    state.release()
+    val full = graft.operators.Dedup.connectedComponents(
+      graft.operators.Dedup.simhashNearDups(
+        docs.filter(col("doc_id") % 10 =!= 7), "doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    println(s"incr=${incr.size} full=${full.size}")
+    println(s"only-incr: ${(incr.toSet -- full.toSet).toSeq.sorted.mkString(", ")}")
+    println(s"only-full: ${(full.toSet -- incr.toSet).toSeq.sorted.mkString(", ")}")
     spark.stop()
   }
 }

@@ -410,4 +410,110 @@ class IncrementalSpec extends SparkSpec {
     assert(p2.kvs.count() == p.kvs.count())
     assert(p2.out.count() == p.out.count())
   }
+
+  // ---- incremental dedup clusters ---------------------------------------
+
+  private def fullClusters(docs: org.apache.spark.sql.DataFrame,
+      maxBucket: Int = 4096): Map[Long, Long] =
+    graft.operators.Dedup.connectedComponents(
+      graft.operators.Dedup.simhashNearDups(docs, "doc_id", "text",
+        maxHamming = 3, maxBucket = maxBucket))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("incremental dedup clusters equal a full recompute on real documents") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val base = docs.filter(col("doc_id") % 10 =!= 3)
+    val state = graft.operators.IncrementalDedup.preserveClusters(
+      base, "doc_id", "text")
+    val added = docs.filter(col("doc_id") % 10 === 3)
+    val removed = base.filter(col("doc_id") % 10 === 7).select("doc_id")
+    val incr = graft.operators.IncrementalDedup.incrementalClusters(
+      state, added, removed, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    state.release()
+    val full = fullClusters(docs.filter(col("doc_id") % 10 =!= 7))
+    assert(incr == full,
+      s"only-incr=${(incr.toSet -- full.toSet).take(5)} " +
+        s"only-full=${(full.toSet -- incr.toSet).take(5)}")
+    assert(incr.nonEmpty, "differential test needs a non-empty pair graph")
+  }
+
+  test("incremental dedup clusters: merge, split and passthrough corners") {
+    // component {1,2,3} (identical texts), {10,11}, untouched {30,31}
+    def doc(id: Long, text: String) = (id, text)
+    val t1 = "alpha bravo charlie delta echo"
+    val t2 = "foxtrot golf hotel india juliet"
+    val t3 = "kilo lima mike november oscar"
+    val t4 = "uniform victor whiskey xray yankee"
+    val base = Seq(doc(1, t1), doc(2, t1), doc(3, t1),
+      doc(10, t2), doc(11, t2), doc(30, t3), doc(31, t3),
+      doc(50, t4), doc(51, t4))
+      .toDF("doc_id", "text")
+    val state = graft.operators.IncrementalDedup.preserveClusters(
+      base, "doc_id", "text")
+    assert(state.comps.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L,
+        30L -> 30L, 31L -> 30L, 50L -> 50L, 51L -> 50L))
+    // delta: remove the {1,2,3} minimum (labels must RISE — the case
+    // monotone min-propagation from preserved labels cannot produce);
+    // remove 11 so 10 loses its only pair (drops out of the output
+    // entirely); remove BOTH of {50,51} — a fully-removed component
+    // leaves no surviving bucket-mate to mark it affected, so its stale
+    // labels must be dropped explicitly; add 20 (joins {2,3}) and 40/41
+    // (a brand-new component)
+    val added = Seq(doc(20, t1), doc(40, "papa quebec romeo sierra tango"),
+      doc(41, "papa quebec romeo sierra tango")).toDF("doc_id", "text")
+    val removed = Seq(1L, 11L, 50L, 51L).toDF("doc_id")
+    val incr = graft.operators.IncrementalDedup.incrementalClusters(
+      state, added, removed, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    state.release()
+    assert(incr == Map(2L -> 2L, 3L -> 2L, 20L -> 2L,
+      30L -> 30L, 31L -> 30L, 40L -> 40L, 41L -> 40L), s"got $incr")
+  }
+
+  test("incremental dedup clusters reproduce a cap flip (bucket crossing maxBucket)") {
+    // 9 identical docs pair exhaustively under maxBucket=10; ADDING 3
+    // more pushes every shared bucket to 12 > 10, flipping the whole
+    // bucket to star-linking — the incremental path must regenerate
+    // pairs from the FULL post-delta bucket membership to reproduce
+    // exactly what a full recompute does (soundness note (3)).
+    val t = "same text repeated here word"
+    val base = (1L to 9L).map(i => (i, t)).toDF("doc_id", "text")
+    val state = graft.operators.IncrementalDedup.preserveClusters(
+      base, "doc_id", "text", maxBucket = 10)
+    val added = (20L to 22L).map(i => (i, t)).toDF("doc_id", "text")
+    val incr = graft.operators.IncrementalDedup.incrementalClusters(
+      state, added, Seq.empty[Long].toDF("doc_id"), "doc_id", "text",
+      maxBucket = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    state.release()
+    val full = fullClusters(
+      ((1L to 9L) ++ (20L to 22L)).map(i => (i, t)).toDF("doc_id", "text"),
+      maxBucket = 10)
+    assert(incr == full, s"incr=$incr full=$full")
+    assert(incr.values.toSet == Set(1L), "one star-linked component expected")
+  }
+
+  test("incremental dedup clusters: empty delta is the identity; state round-trips") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("doc_id") < 300)
+    val state = graft.operators.IncrementalDedup.preserveClusters(
+      docs, "doc_id", "text")
+    val want = state.comps.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      docs.select("doc_id", "text").schema)
+    val incr = graft.operators.IncrementalDedup.incrementalClusters(
+      state, empty, Seq.empty[Long].toDF("doc_id"), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(incr == want, "zero-change continuation must be the identity")
+    // parquet round-trip (the durable form of the preserved state)
+    val dir = java.nio.file.Files.createTempDirectory("graft_dedup_state").toString
+    state.write(dir)
+    val back = graft.operators.DedupClusterState.read(spark, dir)
+    assert(back.bands.count() == state.bands.count())
+    assert(back.comps.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap == want)
+    state.release()
+  }
 }
