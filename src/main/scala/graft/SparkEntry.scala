@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 
-import graft.queries.{ExtraQueries, IterativeQueries, PipelineQueries, RelationalQueries}
+import graft.queries.{ExtraQueries, IterativeQueries, PipelineQueries, RelationalQueries, SourceQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -16,7 +16,7 @@ import graft.queries.{ExtraQueries, IterativeQueries, PipelineQueries, Relationa
 object SparkEntry {
   private val defs =
     RelationalQueries.all ++ IterativeQueries.all ++ PipelineQueries.all ++
-      ExtraQueries.all
+      ExtraQueries.all ++ SourceQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * iterative PageRank (the reference's own flagship, A1). */

@@ -249,15 +249,20 @@ object ExtraQueries {
               INTERSECT SELECT CAST(c_nationkey AS INT) AS nk FROM customer""")),
 
     // Deterministic hash-based Bernoulli sampling (reproducible across
-    // engines, unlike RNG-based TABLESAMPLE).
+    // engines, unlike RNG-based TABLESAMPLE). Bucket computed mod 1000
+    // from the start — (key%1000)·761 mod 1000 ≡ (key·2654435761)%1000
+    // for non-negative keys without the 64-bit overflow the full-width
+    // multiply hits at key ≥ ~3.47e9 (same fix as
+    // Pipeline.sampleByStrata).
     Q("q_hash_sample",
       (s, dir) => Q.t(s, dir, "orders")
-        .filter((col("o_orderkey") * lit(2654435761L)) % 1000 < 100)
+        .filter(pmod(pmod(col("o_orderkey"), lit(1000L)) * lit(761L),
+          lit(1000L)) < 100)
         .groupBy("o_orderstatus")
         .agg(count(lit(1)).as("cnt"), round(sum("o_totalprice"), 4).as("total")),
       Some("""SELECT o_orderstatus, count(*) AS cnt,
               round(CAST(sum(o_totalprice) AS DOUBLE), 4) AS total
-              FROM orders WHERE (o_orderkey * 2654435761) % 1000 < 100
+              FROM orders WHERE ((o_orderkey % 1000) * 761 % 1000 + 1000) % 1000 < 100
               GROUP BY 1""")),
 
     // Gap-based sessionization over the event stream (30-min gap);

@@ -28,7 +28,11 @@ object Q {
     t(s, dir, "events")
   }
 
-  /** Oracle-side expression for `events.ts` as epoch-nanos BIGINT. */
+  /** Oracle-side expression for `events.ts` as epoch-nanos BIGINT.
+    * CAUTION: DuckDB reads the parquet TIMESTAMP(NANOS) column at µs
+    * precision, so the low three digits come back ZERO — any oracle
+    * needing real sub-µs values must work in µs ([[tsUs]]) instead.
+    * Kept only for row-identity uses where truncation cancels out. */
   val tsNs = "epoch_ns(ts)"
 
   /** `events` with `ts` truncated to epoch-MICROseconds. DuckDB's

