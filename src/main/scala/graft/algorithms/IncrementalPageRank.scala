@@ -20,11 +20,16 @@ object IncrementalPageRank {
     * edge's contribution computed from the FINAL ranks (see
     * [[graft.core.PreservedState]] for the consistency contract).
     *
-    * Cache lifecycle: kvs is materialized HERE (catalog-visible cache),
-    * after which the base run's edge cache is released on the spot —
-    * nothing derived from it stays lazy. The returned state's
-    * `release()` frees kvs and the final ranks; call it once every
-    * continuation using this state has finished. */
+    * Cache lifecycle: kvs stays a LAZY plan over the run's cached
+    * static (src, dst, deg) and final ranks — its one and only
+    * materialization is the consumer's (the incremental loop's
+    * `initStore` bucketizes + checkpoints it anyway, and a parquet
+    * `write()` streams it; an eager persist here would pay the whole
+    * pass twice, measured ~0.5 s of the preserve phase at sf0.1). The
+    * returned state's `release()` frees the edge cache and the final
+    * ranks; call it once every continuation using this state has
+    * finished (consuming kvs before `release()` is the standard
+    * [[graft.core.IncrResult]] discipline). */
   def preserve(edges: DataFrame, damping: Double, iterations: Int,
       numPartitions: Int = 32): PreservedState = {
     // reuse the run's cached static (src, dst, deg) for the kvs join —
@@ -33,20 +38,16 @@ object IncrementalPageRank {
     val t0 = System.nanoTime()
     val (res, static, releaseEdges) = PageRank.runKeepStatic(edges, damping,
       iterations, numPartitions = numPartitions)
-    val t1 = System.nanoTime()
     val ranks = res.dynamic
     val kvs = static.join(ranks, static("src") === ranks("node"))
       .select(static("dst").as("node"), static("src"),
         (ranks("rank") / static("deg") * damping).as("contrib"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    kvs.count()
-    releaseEdges()
     if (graft.core.IncrementalJob.timingEnabled)
-      System.err.println(f"[preserve] base run: ${(t1 - t0) / 1e9}%.2f s, " +
-        f"kvs: ${(System.nanoTime() - t1) / 1e9}%.2f s")
+      System.err.println(
+        f"[preserve] base run: ${(System.nanoTime() - t0) / 1e9}%.2f s (kvs lazy)")
     // out must cover every node (sinks carry no kvs rows but have ranks)
     PreservedState(kvs, ranks,
-      () => { kvs.unpersist(blocking = false); res.release() })
+      () => { releaseEdges(); res.release() })
   }
 
   /** Continue over the updated graph.

@@ -271,22 +271,47 @@ object Dedup {
   def connectedComponents(pairs: DataFrame, maxIterations: Int = 25,
       numPartitions: Int = 32): DataFrame = {
     val shim = org.apache.spark.sql.graft.GraftSqlShim
+    val tPre = System.nanoTime()
     val e = pairs.select(col("a").cast("long").as("u"), col("b").cast("long").as("v"))
-    val und = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
-      .distinct()
-      .repartition(numPartitions, col("v"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // The edge table is a checkpointed LEAF, not a persist: every round's
+    // plan references it, and a persist keeps the caller's full lineage
+    // in the plan — each round (and each cache lookup) then re-analyzes
+    // and re-canonicalizes that whole tree, which for a deep caller DAG
+    // (the incremental path: band-table semi-join chains) costs seconds
+    // of DRIVER time per round while the actual data is a few thousand
+    // rows. The leaf truncates lineage to an RDD scan once.
+    val (undAll, edgeCount, releaseUndAll) = shim.checkpointedLeafWithHandle(
+      e.unionByName(e.select(col("v").as("u"), col("u").as("v"))).distinct())
+    val tEdges = System.nanoTime()
+    // Size the loop's partitioning to the pair graph, bounded above by
+    // numPartitions: the label loop pays its per-round cost in TASKS
+    // (O(rounds · partitions) scheduling, not data), and the pair graph
+    // is usually orders of magnitude smaller than the corpus it came
+    // from (only near-dup docs appear). ~64k edges per partition keeps
+    // tasks meaningful; a corpus-scale pair graph still gets the full
+    // numPartitions.
+    val nParts = math.max(1L, math.min(numPartitions.toLong,
+      edgeCount / 65536 + 1)).toInt
+    val (und, _, releaseUnd) = shim.checkpointedLeafWithHandle(
+      undAll.repartition(nParts, col("v")))
+    releaseUndAll()
     var (labels, nodeCount, release) = shim.checkpointedLeafWithHandle(
       und.select(col("u").as("id")).distinct()
         .withColumn("comp", col("id"))
-        .repartition(numPartitions, col("id")))
+        .repartition(nParts, col("id")))
+    if (graft.core.IncrementalJob.timingEnabled)
+      System.err.println(f"[cc] edges: ${(tEdges - tPre) / 1e9}%.2f s, " +
+        f"init labels: ${(System.nanoTime() - tEdges) / 1e9}%.2f s " +
+        f"(edges=$edgeCount parts=$nParts)")
     def labelSum(df: DataFrame): java.math.BigDecimal =
       df.agg(sum(col("comp").cast("decimal(38,0)"))).collect()(0)
         .getDecimal(0)
     var prevSum = if (nodeCount == 0) null else labelSum(labels)
     var i = 0
     var done = nodeCount == 0
+    val debugTiming = graft.core.IncrementalJob.timingEnabled
     while (i < maxIterations && !done) {
+      val tRound = System.nanoTime()
       i += 1
       val viaNbr = und.join(labels, und("v") === labels("id"))
         .select(und("u").as("id"), col("comp"))
@@ -304,11 +329,14 @@ object Dedup {
       release = rel
       labels = leaf
       if (s.compareTo(prevSum) == 0) done = true else prevSum = s
+      if (debugTiming)
+        System.err.println(
+          f"[cc] round $i: ${(System.nanoTime() - tRound) / 1e9}%.2f s done=$done")
     }
     val out = labels.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     out.count()
     release()
-    und.unpersist(blocking = false)
+    releaseUnd()
     out
   }
 

@@ -122,17 +122,38 @@ object IncrementalDedup {
   def incrementalClusters(state: DedupClusterState, addedDocs: DataFrame,
       removedIds: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, maxBucket: Int = 4096): DataFrame = {
+    // Every frontier frame below is MATERIALIZED as a lineage-free leaf
+    // before fan-out, for two reasons measured at sf0.1: (1)
+    // pairsFromBands scans its input from five plan branches and
+    // connectedComponents two more — a lazy semi-join chain would
+    // re-execute against the full band table once per branch (3× the
+    // whole query's budget); (2) plain persists keep the full caller
+    // lineage in every downstream plan, and re-analyzing/canonicalizing
+    // that deep tree per reference costs DRIVER seconds even with every
+    // byte cached (the round-5 stats-compounding lesson, same cure:
+    // GraftSqlShim leaves). The leaves are delta/affected-sized — never
+    // the corpus — and are released before returning.
+    def timed[T](label: String)(f: => T): T =
+      if (!graft.core.IncrementalJob.timingEnabled) f else {
+        val t0 = System.nanoTime(); val r = f
+        System.err.println(
+          f"[incr-dedup] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+      }
+    val releases = scala.collection.mutable.ListBuffer.empty[() => Unit]
+    def mat(df: DataFrame): DataFrame = {
+      val (leaf, _, rel) =
+        org.apache.spark.sql.graft.GraftSqlShim.checkpointedLeafWithHandle(df)
+      releases += rel
+      leaf
+    }
     val removed = removedIds.select(col(removedIds.columns.head).as("_rid"))
     // F28-analog: re-map ONLY the delta — fresh band rows for added docs.
-    // Persisted: they seed the changed-bucket frontier AND the post-delta
-    // band table (two plan branches over a delta-sized frame).
-    val newBands = Dedup.explodeBands(
-      Dedup.simhashDigests64(addedDocs, idCol, textCol))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    newBands.count()
+    val newBands = timed("new bands")(mat(Dedup.explodeBands(
+      Dedup.simhashDigests64(addedDocs, idCol, textCol))))
 
     // Post-delta band table (the merged kvs, F29): old rows minus the
-    // removed docs' rows, plus the added docs' rows.
+    // removed docs' rows, plus the added docs' rows — a lazy view over
+    // the two caches (scanned by the stages below, cheap per scan).
     val postBands = state.bands
       .join(removed, col("doc_id") === col("_rid"), "left_anti")
       .unionByName(newBands)
@@ -149,9 +170,9 @@ object IncrementalDedup {
 
     // Stage 2: candidate docs = post-delta docs sharing a changed bucket
     // (added docs included by construction — their buckets are changed).
-    val candidates = postBands
+    val candidates = timed("candidates")(mat(postBands
       .join(changedBuckets, Seq("band", "bv"), "left_semi")
-      .select(col("doc_id").as("_cand")).distinct()
+      .select(col("doc_id").as("_cand")).distinct()))
 
     // Stage 3: affected components = old components containing a
     // candidate OR a removed doc; the affected doc set A = those
@@ -162,42 +183,47 @@ object IncrementalDedup {
     // explicit union its stale labels would pass through the splice.
     val touchers = candidates
       .unionByName(removed.select(col("_rid").as("_cand")))
-    val affectedComps = state.comps
+    val affectedComps = timed("affected comps")(mat(state.comps
       .join(touchers, col("id") === col("_cand"), "left_semi")
-      .select(col("comp").as("_acomp")).distinct()
+      .select(col("comp").as("_acomp")).distinct()))
     val members = state.comps
       .join(affectedComps, col("comp") === col("_acomp"), "left_semi")
       .join(removed, col("id") === col("_rid"), "left_anti")
       .select(col("id").as("_aid"))
-    val affected = members
+    val affected = timed("affected docs")(mat(members
       .unionByName(candidates.select(col("_cand").as("_aid")))
-      .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .distinct()))
 
     // Stage 4: regenerate pairs over the affected buckets' FULL
     // post-delta membership (soundness note (3) above), then keep only
-    // pairs inside A (note (4)).
+    // pairs inside A (note (4)). subBands is the cached base the five
+    // pairsFromBands branches scan — the incremental analog of the
+    // batch path's persisted digest frame.
     val bucketsOfA = postBands
       .join(affected, col("doc_id") === col("_aid"), "left_semi")
       .select("band", "bv").distinct()
-    val subBands = postBands.join(bucketsOfA, Seq("band", "bv"), "left_semi")
-    val pairs = Dedup.pairsFromBands(subBands, maxHamming, maxBucket)
-      .join(affected, col("a") === col("_aid"), "left_semi")
-      .join(affected, col("b") === col("_aid"), "left_semi")
+    val subBands = timed("sub bands")(mat(
+      postBands.join(bucketsOfA, Seq("band", "bv"), "left_semi")))
+    val pairs = timed("pairs")(mat(
+      Dedup.pairsFromBands(subBands, maxHamming, maxBucket)
+        .join(affected, col("a") === col("_aid"), "left_semi")
+        .join(affected, col("b") === col("_aid"), "left_semi")))
 
     // Stage 5: re-converge the affected subgraph from reset labels and
     // splice: untouched components pass through label-for-label (removed
     // docs' old entries sit in affected components by construction, so
     // the anti-join drops them).
-    val newComps = Dedup.connectedComponents(pairs)
+    val newComps = timed("components")(Dedup.connectedComponents(pairs))
+    // The result is a catalog-visible cache (session clearCache /
+    // caller unpersist both reclaim it); every internal leaf is freed
+    // here, after the splice materializes from them.
     val out = state.comps
       .join(affectedComps, col("comp") === col("_acomp"), "left_anti")
       .unionByName(newComps)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    out.count()
+    timed("splice")(out.count())
     newComps.unpersist(blocking = false)
-    affected.unpersist(blocking = false)
-    newBands.unpersist(blocking = false)
+    releases.foreach(_.apply())
     out
   }
 }
