@@ -121,7 +121,35 @@ object IncrementalDedup {
     */
   def incrementalClusters(state: DedupClusterState, addedDocs: DataFrame,
       removedIds: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3, maxBucket: Int = 4096): DataFrame = {
+      maxHamming: Int = 3, maxBucket: Int = 4096): DataFrame =
+    incrImpl(state, addedDocs, removedIds, idCol, textCol,
+      maxHamming, maxBucket, keepBands = false)._1
+
+  /** [[incrementalClusters]] that ALSO rolls the state forward: returns
+    * the post-delta [[DedupClusterState]] (band table and components
+    * both updated and materialized), so a long-lived pipeline can chain
+    * delta after delta without ever re-preserving — the reference's
+    * repeated-continuation mode (`ReduceTask.java:3504-3691` re-enters
+    * with the previous pass's preserve files). `comps` of the returned
+    * state IS the continuation's output. Costs one extra corpus-width
+    * pass over the (cached) band table vs [[incrementalClusters]]; for
+    * durable chaining write()/read() the returned state. */
+  def continueClusters(state: DedupClusterState, addedDocs: DataFrame,
+      removedIds: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3, maxBucket: Int = 4096): DedupClusterState = {
+    val (out, bandsNext) = incrImpl(state, addedDocs, removedIds, idCol,
+      textCol, maxHamming, maxBucket, keepBands = true)
+    val b = bandsNext.get
+    DedupClusterState(b, out, () => {
+      b.unpersist(blocking = false)
+      out.unpersist(blocking = false)
+    })
+  }
+
+  private def incrImpl(state: DedupClusterState, addedDocs: DataFrame,
+      removedIds: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int, maxBucket: Int,
+      keepBands: Boolean): (DataFrame, Option[DataFrame]) = {
     // Every frontier frame below is MATERIALIZED as a lineage-free leaf
     // before fan-out, for two reasons measured at sf0.1: (1)
     // pairsFromBands scans its input from five plan branches and
@@ -154,9 +182,18 @@ object IncrementalDedup {
     // Post-delta band table (the merged kvs, F29): old rows minus the
     // removed docs' rows, plus the added docs' rows — a lazy view over
     // the two caches (scanned by the stages below, cheap per scan).
-    val postBands = state.bands
+    // With keepBands (state continuation) it is instead materialized as
+    // the NEXT state's catalog-visible band table, and the stages scan
+    // that cache.
+    val postBandsView = state.bands
       .join(removed, col("doc_id") === col("_rid"), "left_anti")
       .unionByName(newBands)
+    val postBands =
+      if (!keepBands) postBandsView
+      else timed("next bands") {
+        val p = postBandsView.persist(StorageLevel.MEMORY_AND_DISK)
+        p.count(); p
+      }
 
     // F30 set-valued change propagation, stage 1: buckets whose
     // membership changed = buckets of added docs + buckets of removed
@@ -224,6 +261,6 @@ object IncrementalDedup {
     timed("splice")(out.count())
     newComps.unpersist(blocking = false)
     releases.foreach(_.apply())
-    out
+    (out, if (keepBands) Some(postBands) else None)
   }
 }

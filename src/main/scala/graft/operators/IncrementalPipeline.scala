@@ -1,0 +1,179 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.functions.TextFunctions.{langIdHeuristic, qualityScore, tokens}
+
+/** Preserved state of a composed corpus clean
+  * ([[Pipeline.cleanCorpusByComponents]] semantics: quality floor →
+  * language filter → exact dedup (lowest id per identical text) →
+  * component-transitive near-dup drop):
+  *
+  *  - `groups(g1, g2, glen, id)` — the exact-dedup contribution bag:
+  *    one row per KEPT doc, keyed by the dual-salted content
+  *    fingerprint (+ length) the scale-safe exact dedup groups by
+  *    ([[Dedup.exact]]'s fingerprint, 128+ bits — birthday-safe at
+  *    10⁹⁺ docs). The MRBGraph kvs of the dedup layer: re-reducing a
+  *    group is `min(id)` over its bag.
+  *  - `survivors(id)` — current exact-dedup representatives (the
+  *    dedup layer's out table).
+  *  - `dedup` — the near-dup layer's [[DedupClusterState]] (band table
+  *    + component labels) over the SURVIVOR docs.
+  *
+  * `release()` frees all backing caches (three catalog-visible persists
+  * plus the nested state's).
+  */
+final case class CleanState(groups: DataFrame, survivors: DataFrame,
+    dedup: DedupClusterState, release: () => Unit = () => ())
+
+/** Incremental maintenance of a CLEANED corpus over a ±document delta —
+  * the reference's chained-incremental mode: stage N's preserved state
+  * continues over the delta, and the CHANGE IN ITS OUTPUT becomes stage
+  * N+1's input delta (the reference chains incremental jobs the same
+  * way its batch pipelines chain full jobs, `ReduceTask.java:3504-3691`
+  * re-entered per pass).
+  *
+  * Stages and their deltas:
+  *   1. quality/language filter — per-row, applies to the delta alone;
+  *   2. exact dedup — re-reduce ONLY the fingerprint groups touched by
+  *      the delta (F29-style merge: drop removed rows, add kept-added
+  *      rows, `min(id)` per affected group). The diff between old and
+  *      new representatives — promotions after a removed winner,
+  *      displacements by a smaller added id, brand-new groups — is the
+  *      SURVIVOR delta;
+  *   3. near-dup components — [[IncrementalDedup.continueClusters]]
+  *      over the survivor delta (recomputes only components reachable
+  *      from changed buckets);
+  *   4. output — post-delta survivors minus non-minimum component
+  *      members, same as the batch composition.
+  *
+  * Scale shape: stages 2-3 touch O(|delta| + |affected groups| +
+  * |affected components|) rows; the only corpus-width work is cached
+  * columnar scans of the two state tables. Gate-enforced against a
+  * FULL recompute of the composed clean on the post-delta corpus
+  * (`q_incr_pipeline_clean`), chained-delta equivalence spec-enforced.
+  */
+object IncrementalPipeline {
+
+  private def fingerprinted(df: DataFrame, idCol: String, textCol: String) =
+    df.select(xxhash64(col(textCol)).as("g1"),
+      xxhash64(lit("graft-dedup-salt"), col(textCol)).as("g2"),
+      length(col(textCol)).as("glen"),
+      col(idCol).as("id"))
+
+  private def keptOnly(df: DataFrame, textCol: String, minQuality: Double,
+      lang: String) = {
+    val toksC = tokens(col(textCol))
+    df.filter(qualityScore(toksC) >= minQuality && langIdHeuristic(toksC) === lang)
+  }
+
+  /** Run the composed clean once and preserve every stage's state.
+    * The cleaned output itself is `cleanedDocs(state, corpus)`. */
+  def preserveClean(df: DataFrame, idCol: String, textCol: String,
+      minQuality: Double, lang: String, maxHamming: Int = 3,
+      maxBucket: Int = 4096): CleanState = {
+    val kept = keptOnly(df, textCol, minQuality, lang)
+    val groups = fingerprinted(kept, idCol, textCol)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    groups.count()
+    val survivors = groups.groupBy("g1", "g2", "glen")
+      .agg(min("id").as("id")).select("id")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    survivors.count()
+    val survivorDocs = df
+      .join(survivors, df(idCol) === survivors("id"), "left_semi")
+    val dedup = IncrementalDedup.preserveClusters(survivorDocs, idCol, textCol,
+      maxHamming, maxBucket)
+    CleanState(groups, survivors, dedup, () => {
+      groups.unpersist(blocking = false)
+      survivors.unpersist(blocking = false)
+      dedup.release()
+    })
+  }
+
+  /** The cleaned corpus a state represents: survivors minus non-minimum
+    * component members, with `corpus` supplying the row payloads. */
+  def cleanedDocs(state: CleanState, corpus: DataFrame, idCol: String): DataFrame = {
+    val drop = state.dedup.comps.filter(col("id") =!= col("comp"))
+      .select(col("id").as("_did"))
+    corpus
+      .join(state.survivors.select(col("id").as("_sid")),
+        corpus(idCol) === col("_sid"), "left_semi")
+      .join(drop, corpus(idCol) === col("_did"), "left_anti")
+  }
+
+  /** Continue the clean over a document delta; returns the NEXT state
+    * (chainable — apply the following delta to it directly).
+    *
+    * @param corpusAfter the post-delta corpus (base − removed + added):
+    *                    supplies the text of PROMOTED representatives
+    *                    (old docs that become survivors only now — their
+    *                    payloads are not in the delta)
+    * @param addedDocs   new documents (fresh ids)
+    * @param removedIds  single-column frame of ids to remove
+    */
+  def continueClean(state: CleanState, corpusAfter: DataFrame,
+      addedDocs: DataFrame, removedIds: DataFrame, idCol: String,
+      textCol: String, minQuality: Double, lang: String,
+      maxHamming: Int = 3, maxBucket: Int = 4096): CleanState = {
+    def mat(df: DataFrame): DataFrame = {
+      val p = df.persist(StorageLevel.MEMORY_AND_DISK); p.count(); p
+    }
+    val removed = removedIds
+      .select(col(removedIds.columns.head).as("_rid"))
+
+    // Stage 1+2a: fingerprint the KEPT part of the delta; merge the
+    // group bag (drop removed rows, add the fresh ones).
+    val newRows = mat(fingerprinted(
+      keptOnly(addedDocs, textCol, minQuality, lang), idCol, textCol))
+    val groupsNext = mat(state.groups
+      .join(removed, col("id") === col("_rid"), "left_anti")
+      .unionByName(newRows))
+
+    // Stage 2b: re-reduce ONLY groups touched by the delta. Removed
+    // docs' group keys come from the preserved bag (the whole point of
+    // keeping it); added docs' from their fresh rows.
+    val affectedKeys = mat(newRows.select("g1", "g2", "glen")
+      .unionByName(state.groups
+        .join(removed, col("id") === col("_rid"), "left_semi")
+        .select("g1", "g2", "glen"))
+      .distinct())
+    val newReps = groupsNext
+      .join(affectedKeys, Seq("g1", "g2", "glen"), "left_semi")
+      .groupBy("g1", "g2", "glen").agg(min("id").as("id")).select("id")
+    // old representatives of the affected groups = survivors lying in
+    // an affected group's OLD bag (removed winners included)
+    val oldReps = state.groups
+      .join(affectedKeys, Seq("g1", "g2", "glen"), "left_semi")
+      .join(state.survivors.select(col("id").as("_sid")),
+        col("id") === col("_sid"), "left_semi")
+      .select("id")
+    // survivor delta: promotions/displacements/new groups vs demotions/
+    // removals — stage 3's input delta
+    val survAdd = mat(newReps.join(oldReps.select(col("id").as("_oid")),
+      col("id") === col("_oid"), "left_anti"))
+    val survDel = mat(oldReps.join(newReps.select(col("id").as("_nid")),
+      col("id") === col("_nid"), "left_anti"))
+    val survivorsNext = mat(state.survivors
+      .join(survDel.select(col("id").as("_did")),
+        col("id") === col("_did"), "left_anti")
+      .unionByName(survAdd))
+
+    // Stage 3: continue the near-dup cluster state over the survivor
+    // delta. Promoted docs' payloads come from the post-delta corpus.
+    val survAddDocs = corpusAfter.join(survAdd.select(col("id").as("_aid")),
+      corpusAfter(idCol) === col("_aid"), "left_semi")
+    val dedupNext = IncrementalDedup.continueClusters(state.dedup,
+      survAddDocs, survDel, idCol, textCol, maxHamming, maxBucket)
+
+    Seq(newRows, affectedKeys, survAdd, survDel)
+      .foreach(_.unpersist(blocking = false))
+    CleanState(groupsNext, survivorsNext, dedupNext, () => {
+      groupsNext.unpersist(blocking = false)
+      survivorsNext.unpersist(blocking = false)
+      dedupNext.release()
+    })
+  }
+}

@@ -324,6 +324,75 @@ object PipelineQueries {
               JOIN toks t USING (doc_id)
               WHERE d.doc_id NOT IN (SELECT doc_id FROM drop)""")),
 
+    // INCREMENTAL composed clean (the chained-incremental thesis): the
+    // preserved pipeline state (exact-dedup group bag + survivors +
+    // near-dup band/component state) continues over the same ±delta as
+    // q_incr_dedup_clusters; the exact-dedup layer's output diff
+    // (promotions/displacements) becomes the cluster layer's input
+    // delta. Component-transitive near-dup policy (one survivor per
+    // cluster — cleanCorpusByComponents semantics, which this also
+    // gates for the first time). Oracle: FULL composed clean on the
+    // post-delta corpus, components by recursive closure.
+    Q("q_incr_pipeline_clean",
+      (s, dir) => {
+        val docs = Q.t(s, dir, "documents")
+        val base = docs.filter(col("doc_id") % 10 =!= 3)
+        val state = graft.operators.IncrementalPipeline.preserveClean(
+          base, "doc_id", "text", minQuality = 0.3, lang = "en")
+        val added = docs.filter(col("doc_id") % 10 === 3)
+        val removed = base.filter(col("doc_id") % 10 === 7).select("doc_id")
+        val corpusAfter = docs.filter(col("doc_id") % 10 =!= 7)
+        val next = graft.operators.IncrementalPipeline.continueClean(
+          state, corpusAfter, added, removed, "doc_id", "text",
+          minQuality = 0.3, lang = "en")
+        val out = graft.operators.IncrementalPipeline
+          .cleanedDocs(next, corpusAfter, "doc_id")
+          .select(col("doc_id"), col("source"),
+            size(tokens(col("text"))).as("ntok"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        out.count()
+        state.release()
+        next.release()
+        out
+      },
+      Some(s"""WITH RECURSIVE toks AS (SELECT doc_id,
+                list_filter(regexp_split_to_array(text, ' +'), x -> x <> '') AS toks
+                FROM documents WHERE doc_id % 10 <> 7), $statsCte,
+              q AS (SELECT doc_id FROM stats
+                WHERE least(ntok / 40.0, 1.0) * 0.4 + uniqr * 0.3
+                    + (1.0 - stop) * 0.3 >= 0.3
+                  AND (CASE WHEN stop >= 0.12 THEN 'en'
+                    WHEN avglen >= 5.0 THEN 'de'
+                    WHEN ntok % 3 = 0 THEN 'es'
+                    ELSE 'other' END) = 'en'),
+              d AS (SELECT doc_id FROM (
+                SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS mn
+                FROM documents JOIN q USING (doc_id)) WHERE doc_id = mn),
+              toksS AS (SELECT t.doc_id, t.toks FROM toks t JOIN d USING (doc_id)),
+              ${codesCte.replace("FROM toks)", "FROM toksS)")},
+              s1 AS (${simsSelect(1)}),
+              s2 AS (${simsSelect(2)}),
+              sims AS (SELECT s1.doc_id, s1.simhash AS h1, s2.simhash AS h2
+                FROM s1 JOIN s2 USING (doc_id)),
+              bands AS (SELECT doc_id, h1, h2, b AS band,
+                CASE WHEN b < 2 THEN (h1 >> (b * 16)) & 65535
+                  ELSE (h2 >> ((b - 2) * 16)) & 65535 END AS bv
+                FROM sims, generate_series(0, 3) g(b)),
+              prs AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+                FROM bands x JOIN bands y
+                ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id
+                WHERE bit_count(xor(x.h1, y.h1))
+                  + bit_count(xor(x.h2, y.h2)) <= 3),
+              edges AS (SELECT a AS u, b AS v FROM prs
+                UNION SELECT b, a FROM prs),
+              reach AS (SELECT u, u AS v FROM (SELECT DISTINCT u FROM edges) t
+                UNION SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u),
+              comps AS (SELECT u AS id, min(v) AS comp FROM reach GROUP BY 1)
+              SELECT d.doc_id, doc.source, CAST(len(t.toks) AS INT) AS ntok
+              FROM d JOIN documents doc USING (doc_id)
+              JOIN toks t USING (doc_id)
+              WHERE d.doc_id NOT IN (SELECT id FROM comps WHERE id <> comp)""")),
+
     // Language-ID heuristic.
     Q("q_langid",
       (s, dir) => Q.t(s, dir, "documents")

@@ -495,6 +495,71 @@ class IncrementalSpec extends SparkSpec {
     assert(incr.values.toSet == Set(1L), "one star-linked component expected")
   }
 
+  test("incremental composed clean equals full recompute, chained across two deltas") {
+    import graft.operators.{IncrementalPipeline, Pipeline}
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val base = docs.filter(col("doc_id") % 10 =!= 3)
+    val st0 = IncrementalPipeline.preserveClean(
+      base, "doc_id", "text", minQuality = 0.3, lang = "en")
+    // delta 1: add %10==3, remove %10==7
+    val corpus1 = docs.filter(col("doc_id") % 10 =!= 7)
+    val st1 = IncrementalPipeline.continueClean(st0, corpus1,
+      docs.filter(col("doc_id") % 10 === 3),
+      base.filter(col("doc_id") % 10 === 7).select("doc_id"),
+      "doc_id", "text", minQuality = 0.3, lang = "en")
+    val incr1 = ids(IncrementalPipeline.cleanedDocs(st1, corpus1, "doc_id"))
+    val full1 = ids(Pipeline.cleanCorpusByComponents(
+      corpus1, "doc_id", "text", minQuality = 0.3, lang = "en"))
+    assert(incr1 == full1,
+      s"delta1 only-incr=${(incr1 -- full1).take(5)} only-full=${(full1 -- incr1).take(5)}")
+    // delta 2 CHAINED on st1 (no re-preserve): remove %10==1, add clones
+    // of the %10==5 docs under fresh ids (identical texts — they hit
+    // the exact-dedup layer as losing duplicates, never reaching the
+    // cluster layer)
+    val removed2 = corpus1.filter(col("doc_id") % 10 === 1).select("doc_id")
+    val added2 = corpus1.filter(col("doc_id") % 10 === 5)
+      .withColumn("doc_id", col("doc_id") + 1000000L)
+    val corpus2 = corpus1.filter(col("doc_id") % 10 =!= 1).unionByName(added2)
+    val st2 = IncrementalPipeline.continueClean(st1, corpus2, added2, removed2,
+      "doc_id", "text", minQuality = 0.3, lang = "en")
+    val incr2 = ids(IncrementalPipeline.cleanedDocs(st2, corpus2, "doc_id"))
+    val full2 = ids(Pipeline.cleanCorpusByComponents(
+      corpus2, "doc_id", "text", minQuality = 0.3, lang = "en"))
+    assert(incr2 == full2,
+      s"delta2 only-incr=${(incr2 -- full2).take(5)} only-full=${(full2 -- incr2).take(5)}")
+    st0.release(); st1.release(); st2.release()
+  }
+
+  test("incremental clean: displacement, promotion and vanished groups") {
+    import graft.operators.{IncrementalPipeline, Pipeline}
+    val base = Seq(
+      (10L, "the x y"), (11L, "the x y"),       // group A: survivor 10
+      (20L, "the p q"), (22L, "the p q"),       // group B: survivor 20
+      (30L, "the solo one")                     // group C: survivor 30
+    ).toDF("doc_id", "text")
+    val st = IncrementalPipeline.preserveClean(
+      base, "doc_id", "text", minQuality = 0.0, lang = "en")
+    // add 5 (same text as A — DISPLACES 10); remove 20 (PROMOTES 22);
+    // remove 30 (group C vanishes entirely)
+    val added = Seq((5L, "the x y")).toDF("doc_id", "text")
+    val removed = Seq(20L, 30L).toDF("doc_id")
+    val corpusAfter = base.filter(!col("doc_id").isin(20L, 30L))
+      .unionByName(added)
+    val next = IncrementalPipeline.continueClean(st, corpusAfter, added,
+      removed, "doc_id", "text", minQuality = 0.0, lang = "en")
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    val incr = ids(IncrementalPipeline.cleanedDocs(next, corpusAfter, "doc_id"))
+    val full = ids(Pipeline.cleanCorpusByComponents(
+      corpusAfter, "doc_id", "text", minQuality = 0.0, lang = "en"))
+    assert(incr == full, s"incr=$incr full=$full")
+    assert(incr.contains(5L) && !incr.contains(10L), "displacement missed")
+    assert(!incr.contains(30L), "vanished group leaked")
+    st.release(); next.release()
+  }
+
   test("incremental dedup clusters: empty delta is the identity; state round-trips") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .filter(col("doc_id") < 300)
