@@ -28,6 +28,112 @@ import graft.functions.TextFunctions.{langIdHeuristic, qualityScore, tokens}
 final case class CleanState(groups: DataFrame, survivors: DataFrame,
     dedup: DedupClusterState, release: () => Unit = () => ())
 
+/** Preserved corpus TF-IDF state ([[IncrementalTfidf]]):
+  * `tf(doc_id, token, tf)` — the per-doc contribution bag (corpus-sized,
+  * columnar); `dfreq(token, df)` — vocabulary-sized document
+  * frequencies; `n` — total corpus document count (empty docs included,
+  * matching [[Pipeline.tfidf]]'s N). */
+final case class TfidfState(tf: DataFrame, dfreq: DataFrame, n: Long,
+    release: () => Unit = () => ()) {
+  def write(path: String): Unit = {
+    tf.write.mode("overwrite").parquet(s"$path/tf")
+    dfreq.write.mode("overwrite").parquet(s"$path/dfreq")
+    tf.sparkSession.createDataFrame(Seq(Tuple1(n))).toDF("n")
+      .write.mode("overwrite").parquet(s"$path/n")
+  }
+}
+
+object TfidfState {
+  def read(spark: org.apache.spark.sql.SparkSession, path: String): TfidfState =
+    TfidfState(
+      spark.read.parquet(s"$path/tf"),
+      spark.read.parquet(s"$path/dfreq"),
+      spark.read.parquet(s"$path/n").collect()(0).getLong(0))
+}
+
+/** Incremental corpus TF-IDF maintenance — corpus statistics continued
+  * over a ±document delta instead of recomputed (the F28-F31 shape on
+  * the statistics surface): the tf bag merges like kvs (drop removed
+  * docs' rows, add fresh ones), document frequencies are re-reduced
+  * ONLY for tokens the delta touched (vocabulary-keyed merge of ±
+  * counts), and N adjusts by the delta's cardinality. The output weight
+  * `tf · ln(N/df)` is recomputed lazily from the merged state, so it is
+  * bit-identical to a full [[Pipeline.tfidf]] over the post-delta
+  * corpus (gate- and spec-enforced).
+  *
+  * Scale shape: the only corpus-width object is the tf state table
+  * (cached/persisted columnar rows, merged by anti-join + union — rows
+  * move only for the delta); df merging touches O(|delta vocabulary|)
+  * rows; nothing is driver-side except N.
+  */
+object IncrementalTfidf {
+
+  private def tfOf(df: DataFrame, idCol: String, textCol: String) =
+    df.select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+
+  def preserveTfidf(df: DataFrame, idCol: String, textCol: String): TfidfState = {
+    val tf = tfOf(df, idCol, textCol).persist(StorageLevel.MEMORY_AND_DISK)
+    tf.count()
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    dfreq.count()
+    TfidfState(tf, dfreq, df.count(), () => {
+      tf.unpersist(blocking = false)
+      dfreq.unpersist(blocking = false)
+    })
+  }
+
+  /** Continue over a delta; returns the chainable next state.
+    * `removedIds` must be ids present in the current corpus; added ids
+    * must be fresh. */
+  def continueTfidf(state: TfidfState, addedDocs: DataFrame,
+      removedIds: DataFrame, idCol: String, textCol: String): TfidfState = {
+    def mat(df: DataFrame): DataFrame = {
+      val p = df.persist(StorageLevel.MEMORY_AND_DISK); p.count(); p
+    }
+    val removed = removedIds.select(col(removedIds.columns.head).as("_rid"))
+    val tfAdded = mat(tfOf(addedDocs, idCol, textCol))
+    val tfRemoved = state.tf
+      .join(removed, col("doc_id") === col("_rid"), "left_semi")
+    val tfNext = mat(state.tf
+      .join(removed, col("doc_id") === col("_rid"), "left_anti")
+      .unionByName(tfAdded))
+
+    // df merge for touched tokens only: +1 per added doc containing the
+    // token, −1 per removed doc that did; untouched vocabulary rows
+    // pass through, tokens whose df hits 0 leave the table.
+    val dfAdd = tfAdded.groupBy("token").agg(count(lit(1)).as("_plus"))
+    val dfSub = tfRemoved.groupBy("token").agg(count(lit(1)).as("_minus"))
+    val touched = dfAdd.select("token").unionByName(dfSub.select("token")).distinct()
+    val mergedTouched = touched
+      .join(state.dfreq, Seq("token"), "left")
+      .join(dfAdd, Seq("token"), "left")
+      .join(dfSub, Seq("token"), "left")
+      .select(col("token"),
+        (coalesce(col("df"), lit(0L)) + coalesce(col("_plus"), lit(0L))
+          - coalesce(col("_minus"), lit(0L))).as("df"))
+      .filter(col("df") > 0)
+    val dfNext = mat(state.dfreq
+      .join(touched, Seq("token"), "left_anti")
+      .unionByName(mergedTouched))
+
+    val nNext = state.n + addedDocs.count() - removedIds.count()
+    tfAdded.unpersist(blocking = false)
+    TfidfState(tfNext, dfNext, nNext, () => {
+      tfNext.unpersist(blocking = false)
+      dfNext.unpersist(blocking = false)
+    })
+  }
+
+  /** The TF-IDF rows the state represents — same columns and arithmetic
+    * as [[Pipeline.tfidf]] over the corpus the state tracks. */
+  def tfidfOf(state: TfidfState): DataFrame =
+    state.tf.join(state.dfreq, "token")
+      .select(col("doc_id"), col("token"), col("tf"), col("df"),
+        (col("tf") * log(lit(state.n.toDouble) / col("df"))).as("tfidf"))
+}
+
 /** Incremental maintenance of a CLEANED corpus over a ±document delta —
   * the reference's chained-incremental mode: stage N's preserved state
   * continues over the delta, and the CHANGE IN ITS OUTPUT becomes stage

@@ -258,6 +258,42 @@ object PipelineQueries {
                 round(tf.tf * ln(n.n::DOUBLE / dfq.df), 6) AS tfidf
               FROM tf JOIN dfq USING (token) CROSS JOIN n""")),
 
+    // INCREMENTAL TF-IDF: corpus statistics continued over the same
+    // ±delta (tf bag merge, touched-token df re-reduce, N adjustment)
+    // instead of recomputed; the weight is derived from the merged
+    // state, so it matches a full recompute bit-for-bit. Oracle: full
+    // TF-IDF over the post-delta corpus.
+    Q("q_incr_tfidf",
+      (s, dir) => {
+        val docs = Q.t(s, dir, "documents")
+        val base = docs.filter(col("doc_id") % 10 =!= 3)
+        val state = graft.operators.IncrementalTfidf.preserveTfidf(
+          base, "doc_id", "text")
+        val next = graft.operators.IncrementalTfidf.continueTfidf(state,
+          docs.filter(col("doc_id") % 10 === 3),
+          base.filter(col("doc_id") % 10 === 7).select("doc_id"),
+          "doc_id", "text")
+        val out = graft.operators.IncrementalTfidf.tfidfOf(next)
+          .select(col("doc_id"), col("token"), col("tf"), col("df"),
+            round(col("tfidf"), 6).as("tfidf"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        out.count()
+        state.release()
+        next.release()
+        out
+      },
+      Some(s"""WITH toks AS (SELECT doc_id,
+                list_filter(regexp_split_to_array(text, ' +'), x -> x <> '') AS toks
+                FROM documents WHERE doc_id % 10 <> 7),
+              tf AS (SELECT doc_id, t AS token, count(*) AS tf
+                FROM (SELECT doc_id, unnest(toks) AS t FROM toks)
+                GROUP BY 1, 2),
+              dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+              n AS (SELECT count(*) AS n FROM documents WHERE doc_id % 10 <> 7)
+              SELECT tf.doc_id, tf.token, tf.tf, dfq.df,
+                round(tf.tf * ln(n.n::DOUBLE / dfq.df), 6) AS tfidf
+              FROM tf JOIN dfq USING (token) CROSS JOIN n""")),
+
     // Word-trigram Jaccard near-dup pairs on a doc_id%5 slice. The
     // df<=128 candidate cap is part of the operator contract (kills the
     // quadratic hot-shingle self-join) and is mirrored here.

@@ -560,6 +560,55 @@ class IncrementalSpec extends SparkSpec {
     st.release(); next.release()
   }
 
+  test("incremental tfidf equals full recompute, chained, with empty docs in N") {
+    import graft.operators.{IncrementalTfidf, Pipeline}
+    def collect(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    def sameAs(incr: Map[(Long, String), (Long, Long, Double)],
+        full: Map[(Long, String), (Long, Long, Double)], tag: String): Unit = {
+      assert(incr.keySet == full.keySet,
+        s"$tag keys: only-incr=${(incr.keySet -- full.keySet).take(3)} " +
+          s"only-full=${(full.keySet -- incr.keySet).take(3)}")
+      for ((k, (tf, df, w)) <- incr) {
+        val (ftf, fdf, fw) = full(k)
+        assert(tf == ftf && df == fdf && math.abs(w - fw) < 1e-12, s"$tag $k")
+      }
+    }
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val base = docs.filter(col("doc_id") % 10 =!= 3)
+    val st0 = IncrementalTfidf.preserveTfidf(base, "doc_id", "text")
+    // delta 1: add %10==3 (plus one EMPTY doc — counts in N, no tf
+    // rows), remove %10==7
+    val emptyDoc = Seq((9999991L, "   ")).toDF("doc_id", "text")
+    val added1 = docs.filter(col("doc_id") % 10 === 3)
+      .select("doc_id", "text").unionByName(emptyDoc)
+    val removed1 = base.filter(col("doc_id") % 10 === 7).select("doc_id")
+    val st1 = IncrementalTfidf.continueTfidf(st0, added1, removed1,
+      "doc_id", "text")
+    val corpus1 = docs.filter(col("doc_id") % 10 =!= 7)
+      .select("doc_id", "text").unionByName(emptyDoc)
+    sameAs(collect(IncrementalTfidf.tfidfOf(st1)),
+      collect(Pipeline.tfidf(corpus1, "doc_id", "text")), "delta1")
+    // delta 2 chained: remove the empty doc and %10==1; add clones of
+    // %10==5 texts under fresh ids (df of their tokens rises)
+    val added2 = corpus1.filter(col("doc_id") % 10 === 5)
+      .withColumn("doc_id", col("doc_id") + 1000000L)
+    val removed2 = corpus1
+      .filter(col("doc_id") % 10 === 1 || col("doc_id") === 9999991L)
+      .select("doc_id")
+    val st2 = IncrementalTfidf.continueTfidf(st1, added2, removed2,
+      "doc_id", "text")
+    val corpus2 = corpus1
+      .filter(col("doc_id") % 10 =!= 1 && col("doc_id") =!= 9999991L)
+      .unionByName(added2)
+    sameAs(collect(IncrementalTfidf.tfidfOf(st2)),
+      collect(Pipeline.tfidf(corpus2, "doc_id", "text")), "delta2")
+    // a token removed from every doc must leave the vocabulary
+    assert(st2.dfreq.filter(col("df") <= 0).count() == 0)
+    st0.release(); st1.release(); st2.release()
+  }
+
   test("incremental dedup clusters: empty delta is the identity; state round-trips") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .filter(col("doc_id") < 300)

@@ -359,6 +359,47 @@ class LifecycleSpec extends SparkSpec {
       "storage blocks still cached after clean release")
   }
 
+  test("continuation states release every cache — clusters, clean, tfidf") {
+    spark.catalog.clearCache()
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val base = docs.filter(col("doc_id") % 10 =!= 3)
+    val added = docs.filter(col("doc_id") % 10 === 3)
+    val removed = base.filter(col("doc_id") % 10 === 7).select("doc_id")
+    val after7 = docs.filter(col("doc_id") % 10 =!= 7)
+    // dedup clusters
+    val ds = graft.operators.IncrementalDedup.preserveClusters(
+      base, "doc_id", "text")
+    val ds2 = graft.operators.IncrementalDedup.continueClusters(
+      ds, added, removed, "doc_id", "text")
+    assert(ds2.comps.count() > 0)
+    ds.release(); ds2.release()
+    // composed clean
+    val cs = graft.operators.IncrementalPipeline.preserveClean(
+      base, "doc_id", "text", minQuality = 0.3, lang = "en")
+    val cs2 = graft.operators.IncrementalPipeline.continueClean(
+      cs, after7, added, removed, "doc_id", "text",
+      minQuality = 0.3, lang = "en")
+    assert(cs2.survivors.count() > 0)
+    cs.release(); cs2.release()
+    // tfidf
+    val ts = graft.operators.IncrementalTfidf.preserveTfidf(
+      base, "doc_id", "text")
+    val ts2 = graft.operators.IncrementalTfidf.continueTfidf(
+      ts, added, removed, "doc_id", "text")
+    assert(ts2.dfreq.count() > 0)
+    ts.release(); ts2.release()
+    val lingering = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(lingering.isEmpty,
+      s"lingering caches after continuation releases: ${lingering.mkString(", ")}")
+    // raw checkpoint leaves (invisible to clearCache) must be gone too
+    val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+    while (spark.sparkContext.getRDDStorageInfo.nonEmpty &&
+        System.nanoTime() < deadline) Thread.sleep(100)
+    assert(spark.sparkContext.getRDDStorageInfo.isEmpty,
+      "storage blocks still cached after continuation releases")
+  }
+
   test("tfidf matches a driver-side computation") {
     val docs = Seq(
       (1L, "apple banana apple"),
