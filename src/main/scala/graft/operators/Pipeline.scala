@@ -122,6 +122,36 @@ object Pipeline {
     df.filter(bucket < rate)
   }
 
+  /** Benchmark decontamination: drop every corpus document sharing at
+    * least one word `w`-shingle with the evaluation set — the standard
+    * containment rule for keeping test benchmarks out of training data
+    * (exact n-gram overlap, threshold-free: one hit disqualifies, unlike
+    * [[Dedup.ngramJaccardPairs]]' similarity confirm).
+    *
+    * Scale shape: the eval side collapses to its DISTINCT shingle set
+    * (eval suites are tiny next to a 100 TB corpus — the semi-join's
+    * build side, broadcast by the planner when it fits); the corpus side
+    * is one scan + explode with map-side early-out via the semi-join —
+    * a contaminated doc id is emitted once per matching shingle and
+    * collapsed by the distinct before the final anti-join on the unique
+    * doc id (skew-free by construction). Documents shorter than `w`
+    * tokens produce no shingles and are never flagged.
+    */
+  def decontaminate(corpus: DataFrame, idCol: String, textCol: String,
+      evalSet: DataFrame, evalTextCol: String, w: Int = 3): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    def shingled(df: DataFrame, tc: String, out: String) =
+      df.select(explode(graft.functions.GraftFunctions
+        .word_shingles(tokens(col(tc)), w)).as(out)).distinct()
+    val evalShingles = shingled(evalSet, evalTextCol, "_es")
+    val contaminated = corpus
+      .select(col(idCol), explode(graft.functions.GraftFunctions
+        .word_shingles(tokens(col(textCol)), w)).as("_cs"))
+      .join(evalShingles, col("_cs") === col("_es"), "left_semi")
+      .select(col(idCol)).distinct()
+    corpus.join(contaminated, Seq(idCol), "left_anti")
+  }
+
   /** Corpus TF-IDF: per (doc, token) rows with term frequency, document
     * frequency, and `tf · ln(N / df)` — the standard relevance/keyword
     * weight a curation pipeline uses for corpus statistics and

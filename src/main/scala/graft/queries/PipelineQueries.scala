@@ -429,6 +429,34 @@ object PipelineQueries {
               JOIN toks t USING (doc_id)
               WHERE d.doc_id NOT IN (SELECT id FROM comps WHERE id <> comp)""")),
 
+    // Benchmark decontamination: eval set = doc_id % 97 == 0, corpus =
+    // the rest; any shared word trigram disqualifies the corpus doc
+    // (exact containment, threshold-free — the keep-benchmarks-out-of-
+    // training rule). Gate returns the surviving docs.
+    Q("q_decontaminate",
+      (s, dir) => {
+        val docs = Q.t(s, dir, "documents")
+        Pipeline.decontaminate(
+          docs.filter(col("doc_id") % 97 =!= 0), "doc_id", "text",
+          docs.filter(col("doc_id") % 97 === 0), "text", w = 3)
+          .select(col("doc_id"), col("source"),
+            size(tokens(col("text"))).as("ntok"))
+      },
+      Some(s"""WITH $toksCte,
+              sh AS (SELECT doc_id, list_distinct(
+                [array_to_string(toks[i:i+2], ' ')
+                 for i in generate_series(1, len(toks) - 2)]) AS sh
+                FROM toks WHERE len(toks) >= 3),
+              ev AS (SELECT DISTINCT unnest(sh) AS s FROM sh
+                WHERE doc_id % 97 = 0),
+              bad AS (SELECT DISTINCT doc_id FROM
+                (SELECT doc_id, unnest(sh) AS s FROM sh
+                 WHERE doc_id % 97 <> 0) x JOIN ev USING (s))
+              SELECT d.doc_id, d.source, CAST(len(t.toks) AS INT) AS ntok
+              FROM documents d JOIN toks t USING (doc_id)
+              WHERE d.doc_id % 97 <> 0
+                AND d.doc_id NOT IN (SELECT doc_id FROM bad)""")),
+
     // Language-ID heuristic.
     Q("q_langid",
       (s, dir) => Q.t(s, dir, "documents")

@@ -6,22 +6,19 @@ import org.apache.spark.sql.functions._
 /** Scratch driver for manual verification runs (see .claude/skills/verify). */
 object DriveMain {
   def main(args: Array[String]): Unit = {
-    System.setProperty("graft.timing", "1")
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false")
-      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    // warmup
-    SparkEntry.queries("q_incr_dedup_clusters")(spark, "/root/testdata/sf0.001").count()
-    spark.catalog.clearCache(); System.gc()
-    for (round <- 1 to 2) {
-      val t0 = System.nanoTime()
-      val n = SparkEntry.queries("q_incr_dedup_clusters")(spark, "/root/testdata/sf0.1").count()
-      println(f"round $round: q_incr_dedup_clusters ${(System.nanoTime()-t0)/1e9}%.2f s rows=$n")
-      spark.catalog.clearCache(); System.gc()
-    }
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val out = graft.operators.Pipeline.decontaminate(
+      docs.filter(col("doc_id") % 97 =!= 0), "doc_id", "text",
+      docs.filter(col("doc_id") % 97 === 0), "text", w = 3)
+    out.count()
+    println(out.queryExecution.executedPlan.toString.linesIterator
+      .filter(l => l.contains("Join") || l.contains("Exchange") || l.contains("Broadcast"))
+      .mkString("\n"))
     spark.stop()
   }
 }

@@ -299,6 +299,20 @@ class OperatorsSpec extends SparkSpec {
     assert(batched == columnar)
   }
 
+  test("decontaminate drops exactly the docs sharing an eval shingle") {
+    val eval = Seq((900L, "the quick brown fox leaps")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "something about the quick brown fox here"), // contains eval 3-gram
+      (2L, "quick brown elsewhere entirely clean"),     // shares 2-grams only
+      (3L, "the quick"),                                // < w tokens: never flagged
+      (4L, "fully unrelated text body")
+    ).toDF("doc_id", "text")
+    val kept = graft.operators.Pipeline.decontaminate(
+      corpus, "doc_id", "text", eval, "text", w = 3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 3L, 4L), s"got $kept")
+  }
+
   test("tokens/shingles/fingerprint handle empty and short docs") {
     val d = Seq((1L, ""), (2L, "one"), (3L, "one two"), (4L, "a b c d"))
       .toDF("doc_id", "text")
