@@ -6,35 +6,32 @@ import org.apache.spark.sql.functions._
 /** Scratch driver for manual verification runs (see .claude/skills/verify). */
 object DriveMain {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
+    System.setProperty("graft.timing", "1")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    import spark.implicits._
-    // replicate one loop iteration's plan shape exactly as IterativeJob builds it
-    val edges = (1 to 500).map(i => (i.toLong % 50, (i * 7).toLong % 50)).distinct.toDF("src", "dst")
-    val e = edges.distinct()
-    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
-    val s = e.join(deg, "src").repartition(4, col("src"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val base = e.select(col("src").as("node")).union(e.select(col("dst").as("node")))
-      .distinct().repartition(4, col("node"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    base.count(); s.count()
-    val (dyn, _, _) = org.apache.spark.sql.graft.GraftSqlShim
-      .checkpointedLeafWithHandle(base.withColumn("rank", lit(1.0)).repartition(4, col("node")))
-    val contribs = s.join(dyn, s("src") === dyn("node"))
-      .select(s("dst"), (dyn("rank") / s("deg") * 0.8).as("c"))
-      .groupBy("dst").agg(sum("c").as("c"))
-    val next = base.join(contribs, base("node") === contribs("dst"), "left")
-      .select(base("node"), (lit(0.2) + coalesce(col("c"), lit(0.0))).as("rank"))
-      .repartition(4, col("node"))
-    next.count()
-    val plan = next.queryExecution.executedPlan.toString
-    println("exchanges: " + plan.linesIterator.count(_.contains("Exchange")))
-    println(plan.linesIterator.filter(l => l.contains("Exchange") || l.contains("Join") || l.contains("Scan"))
-      .mkString("\n"))
+    SparkEntry.queries("q_incr_pipeline_clean")(spark, "/root/testdata/sf0.001").count()
+    spark.catalog.clearCache(); System.gc()
+    for (round <- 1 to 2) {
+      val t0 = System.nanoTime()
+      val docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+      val base = docs.filter(col("doc_id") % 10 =!= 3)
+      val st = graft.operators.IncrementalPipeline.preserveClean(base, "doc_id", "text", 0.3, "en")
+      val t1 = System.nanoTime()
+      val corpusAfter = docs.filter(col("doc_id") % 10 =!= 7)
+      val next = graft.operators.IncrementalPipeline.continueClean(st, corpusAfter,
+        docs.filter(col("doc_id") % 10 === 3),
+        base.filter(col("doc_id") % 10 === 7).select("doc_id"),
+        "doc_id", "text", 0.3, "en")
+      val t2 = System.nanoTime()
+      val n = graft.operators.IncrementalPipeline.cleanedDocs(next, corpusAfter, "doc_id").count()
+      val t3 = System.nanoTime()
+      println(f"round $round: preserve=${(t1-t0)/1e9}%.2f continue=${(t2-t1)/1e9}%.2f cleaned=${(t3-t2)/1e9}%.2f rows=$n")
+      st.release(); next.release(); spark.catalog.clearCache(); System.gc()
+    }
     spark.stop()
   }
 }
