@@ -52,7 +52,9 @@ object Bench {
       // largest generated-code surface, and a first compile inside the
       // timed window reads as multi-second phantom "regressions"
       Seq("q1_agg", "q_pagerank", "q_incr_pagerank", "q_incr_kmeans",
-        "q_incr_matvec", "q_incr_matvec_blocked", "q_minhash").foreach { n =>
+        "q_incr_matvec", "q_incr_matvec_blocked", "q_minhash",
+        "q_dedup_clusters", "q_incr_dedup_clusters", "q_incr_pipeline_clean",
+        "q_incr_tfidf").foreach { n =>
         SparkEntry.queries.get(n).foreach { fn =>
           try fn(spark, warmDir).count() catch { case _: Throwable => () }
         }
