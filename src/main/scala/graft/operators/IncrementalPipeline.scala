@@ -118,7 +118,9 @@ object IncrementalTfidf {
       .join(touched, Seq("token"), "left_anti")
       .unionByName(mergedTouched))
 
-    val nNext = state.n + addedDocs.count() - removedIds.count()
+    // distinct: a duplicated id in removedIds must not decrement N twice
+    // (the semi/anti joins above are duplicate-immune; the count is not)
+    val nNext = state.n + addedDocs.count() - removed.distinct().count()
     tfAdded.unpersist(blocking = false)
     TfidfState(tfNext, dfNext, nNext, () => {
       tfNext.unpersist(blocking = false)

@@ -583,7 +583,10 @@ class IncrementalSpec extends SparkSpec {
     val emptyDoc = Seq((9999991L, "   ")).toDF("doc_id", "text")
     val added1 = docs.filter(col("doc_id") % 10 === 3)
       .select("doc_id", "text").unionByName(emptyDoc)
-    val removed1 = base.filter(col("doc_id") % 10 === 7).select("doc_id")
+    // one removed id duplicated: joins are duplicate-immune and N must
+    // not be decremented twice
+    val removed1base = base.filter(col("doc_id") % 10 === 7).select("doc_id")
+    val removed1 = removed1base.unionByName(removed1base.limit(1))
     val st1 = IncrementalTfidf.continueTfidf(st0, added1, removed1,
       "doc_id", "text")
     val corpus1 = docs.filter(col("doc_id") % 10 =!= 7)
