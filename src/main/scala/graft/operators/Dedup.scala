@@ -28,12 +28,21 @@ object Dedup {
     val base = df.select(col(idCol).as("id"), col(textCol).as("payload"))
     val grouped =
       if (verify) base.groupBy(col("payload"))
-      else base.groupBy(
-        xxhash64(col("payload")).as("digest"),
-        xxhash64(lit("graft-dedup-salt"), col("payload")).as("digest2"),
-        length(col("payload")).as("plen"))
+      else base.groupBy(fingerprintCols(col("payload")): _*)
     grouped.agg(min("id").as("keep_id"), count(lit(1)).as("n"))
   }
+
+  /** THE content fingerprint exact dedup groups by — two independently
+    * salted 64-bit digests plus the payload length (named digest /
+    * digest2 / plen). One definition shared by [[exact]] and the
+    * incremental pipeline's group bag ([[IncrementalPipeline]]): a
+    * fingerprint-scheme change that touched only one copy would make a
+    * preserved group bag silently disagree with fresh delta rows. */
+  private[operators] def fingerprintCols(
+      payload: org.apache.spark.sql.Column): Seq[org.apache.spark.sql.Column] =
+    Seq(xxhash64(payload).as("digest"),
+      xxhash64(lit("graft-dedup-salt"), payload).as("digest2"),
+      length(payload).as("plen"))
 
   /** Per-document minhash signature rows (doc_id, seed, mh), seeds
     * 0..numHashes-1. Empty docs drop out (no signature). Token codes are

@@ -16,24 +16,37 @@ import org.apache.spark.storage.StorageLevel
   *    label (= component minimum id), the final outputs of the base run
   *    (`ReduceTask.java:3155-3207` writes the same out-state shape).
   *
+  * The pairing parameters (`maxHamming`, `maxBucket`) are PART OF the
+  * state: the preserved labels are only valid under the pair semantics
+  * they were computed with, so every continuation runs under the
+  * preserve-time parameters (they survive `write`/`read`) — a caller
+  * cannot silently splice labels computed under one cap into pairs
+  * regenerated under another.
+  *
   * `release()` frees both caches once every continuation using this
   * state has finished — the library cache-release contract
   * ([[graft.core.PreservedState]] sets the pattern).
   */
 final case class DedupClusterState(bands: DataFrame, comps: DataFrame,
-    release: () => Unit = () => ()) {
-  /** Materialize both tables as Parquet state tables (F27). */
+    maxHamming: Int, maxBucket: Int, release: () => Unit = () => ()) {
+  /** Materialize the state as Parquet tables (F27), parameters included. */
   def write(path: String): Unit = {
     bands.write.mode("overwrite").parquet(s"$path/bands")
     comps.write.mode("overwrite").parquet(s"$path/comps")
+    bands.sparkSession.createDataFrame(Seq((maxHamming, maxBucket)))
+      .toDF("maxHamming", "maxBucket")
+      .write.mode("overwrite").parquet(s"$path/params")
   }
 }
 
 object DedupClusterState {
-  def read(spark: org.apache.spark.sql.SparkSession, path: String): DedupClusterState =
+  def read(spark: org.apache.spark.sql.SparkSession, path: String): DedupClusterState = {
+    val p = spark.read.parquet(s"$path/params").collect()(0)
     DedupClusterState(
       spark.read.parquet(s"$path/bands"),
-      spark.read.parquet(s"$path/comps"))
+      spark.read.parquet(s"$path/comps"),
+      p.getInt(0), p.getInt(1))
+  }
 }
 
 /** Incremental maintenance of dedup clusters over a document delta — the
@@ -102,13 +115,14 @@ object IncrementalDedup {
     bands.count()
     val comps = Dedup.connectedComponents(
       Dedup.pairsFromBands(bands, maxHamming, maxBucket))
-    DedupClusterState(bands, comps, () => {
+    DedupClusterState(bands, comps, maxHamming, maxBucket, () => {
       bands.unpersist(blocking = false)
       comps.unpersist(blocking = false)
     })
   }
 
-  /** Continue preserved cluster state over a document delta.
+  /** Continue preserved cluster state over a document delta, under the
+    * state's own pairing parameters (see [[DedupClusterState]]).
     *
     * @param state      preserved base state ([[preserveClusters]] or
     *                   [[DedupClusterState.read]])
@@ -120,10 +134,9 @@ object IncrementalDedup {
     *         (spec- and gate-enforced)
     */
   def incrementalClusters(state: DedupClusterState, addedDocs: DataFrame,
-      removedIds: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3, maxBucket: Int = 4096): DataFrame =
+      removedIds: DataFrame, idCol: String, textCol: String): DataFrame =
     incrImpl(state, addedDocs, removedIds, idCol, textCol,
-      maxHamming, maxBucket, keepBands = false)._1
+      keepBands = false)._1
 
   /** [[incrementalClusters]] that ALSO rolls the state forward: returns
     * the post-delta [[DedupClusterState]] (band table and components
@@ -135,12 +148,11 @@ object IncrementalDedup {
     * pass over the (cached) band table vs [[incrementalClusters]]; for
     * durable chaining write()/read() the returned state. */
   def continueClusters(state: DedupClusterState, addedDocs: DataFrame,
-      removedIds: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3, maxBucket: Int = 4096): DedupClusterState = {
+      removedIds: DataFrame, idCol: String, textCol: String): DedupClusterState = {
     val (out, bandsNext) = incrImpl(state, addedDocs, removedIds, idCol,
-      textCol, maxHamming, maxBucket, keepBands = true)
+      textCol, keepBands = true)
     val b = bandsNext.get
-    DedupClusterState(b, out, () => {
+    DedupClusterState(b, out, state.maxHamming, state.maxBucket, () => {
       b.unpersist(blocking = false)
       out.unpersist(blocking = false)
     })
@@ -148,8 +160,9 @@ object IncrementalDedup {
 
   private def incrImpl(state: DedupClusterState, addedDocs: DataFrame,
       removedIds: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int, maxBucket: Int,
       keepBands: Boolean): (DataFrame, Option[DataFrame]) = {
+    val maxHamming = state.maxHamming
+    val maxBucket = state.maxBucket
     // Every frontier frame below is MATERIALIZED as a lineage-free leaf
     // before fan-out, for two reasons measured at sf0.1: (1)
     // pairsFromBands scans its input from five plan branches and

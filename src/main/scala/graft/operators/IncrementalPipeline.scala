@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
-import graft.functions.TextFunctions.{langIdHeuristic, qualityScore, tokens}
+import graft.functions.TextFunctions.tokens
 
 /** Preserved state of a composed corpus clean
   * ([[Pipeline.cleanCorpusByComponents]] semantics: quality floor →
@@ -22,11 +22,40 @@ import graft.functions.TextFunctions.{langIdHeuristic, qualityScore, tokens}
   *  - `dedup` — the near-dup layer's [[DedupClusterState]] (band table
   *    + component labels) over the SURVIVOR docs.
   *
+  * The cleaning parameters (`minQuality`, `lang`; the pairing params
+  * live in the nested dedup state) are PART OF the state: preserved
+  * survivors are only valid under the filter they were computed with,
+  * so continuations run under the preserve-time parameters and they
+  * survive `write`/`read`.
+  *
   * `release()` frees all backing caches (three catalog-visible persists
   * plus the nested state's).
   */
 final case class CleanState(groups: DataFrame, survivors: DataFrame,
-    dedup: DedupClusterState, release: () => Unit = () => ())
+    dedup: DedupClusterState, minQuality: Double, lang: String,
+    release: () => Unit = () => ()) {
+  /** Materialize the full pipeline state as Parquet (F27 durable
+    * chaining), nested dedup state and parameters included. */
+  def write(path: String): Unit = {
+    groups.write.mode("overwrite").parquet(s"$path/groups")
+    survivors.write.mode("overwrite").parquet(s"$path/survivors")
+    dedup.write(s"$path/dedup")
+    groups.sparkSession.createDataFrame(Seq((minQuality, lang)))
+      .toDF("minQuality", "lang")
+      .write.mode("overwrite").parquet(s"$path/params")
+  }
+}
+
+object CleanState {
+  def read(spark: org.apache.spark.sql.SparkSession, path: String): CleanState = {
+    val p = spark.read.parquet(s"$path/params").collect()(0)
+    CleanState(
+      spark.read.parquet(s"$path/groups"),
+      spark.read.parquet(s"$path/survivors"),
+      DedupClusterState.read(spark, s"$path/dedup"),
+      p.getDouble(0), p.getString(1))
+  }
+}
 
 /** Preserved corpus TF-IDF state ([[IncrementalTfidf]]):
   * `tf(doc_id, token, tf)` — the per-doc contribution bag (corpus-sized,
@@ -102,10 +131,14 @@ object IncrementalTfidf {
 
     // df merge for touched tokens only: +1 per added doc containing the
     // token, −1 per removed doc that did; untouched vocabulary rows
-    // pass through, tokens whose df hits 0 leave the table.
+    // pass through, tokens whose df hits 0 leave the table. dfSub and
+    // touched are materialized (delta-vocabulary-sized): each feeds two
+    // downstream subplans, and dfSub's corpus-width tf-state semi-join
+    // must run once, not per reference.
     val dfAdd = tfAdded.groupBy("token").agg(count(lit(1)).as("_plus"))
-    val dfSub = tfRemoved.groupBy("token").agg(count(lit(1)).as("_minus"))
-    val touched = dfAdd.select("token").unionByName(dfSub.select("token")).distinct()
+    val dfSub = mat(tfRemoved.groupBy("token").agg(count(lit(1)).as("_minus")))
+    val touched = mat(
+      dfAdd.select("token").unionByName(dfSub.select("token")).distinct())
     val mergedTouched = touched
       .join(state.dfreq, Seq("token"), "left")
       .join(dfAdd, Seq("token"), "left")
@@ -121,7 +154,7 @@ object IncrementalTfidf {
     // distinct: a duplicated id in removedIds must not decrement N twice
     // (the semi/anti joins above are duplicate-immune; the count is not)
     val nNext = state.n + addedDocs.count() - removed.distinct().count()
-    tfAdded.unpersist(blocking = false)
+    Seq(tfAdded, dfSub, touched).foreach(_.unpersist(blocking = false))
     TfidfState(tfNext, dfNext, nNext, () => {
       tfNext.unpersist(blocking = false)
       dfNext.unpersist(blocking = false)
@@ -165,16 +198,12 @@ object IncrementalTfidf {
   */
 object IncrementalPipeline {
 
-  private def fingerprinted(df: DataFrame, idCol: String, textCol: String) =
-    df.select(xxhash64(col(textCol)).as("g1"),
-      xxhash64(lit("graft-dedup-salt"), col(textCol)).as("g2"),
-      length(col(textCol)).as("glen"),
-      col(idCol).as("id"))
-
-  private def keptOnly(df: DataFrame, textCol: String, minQuality: Double,
-      lang: String) = {
-    val toksC = tokens(col(textCol))
-    df.filter(qualityScore(toksC) >= minQuality && langIdHeuristic(toksC) === lang)
+  /** The group bag's key columns are [[Dedup.fingerprintCols]] — ONE
+    * fingerprint definition shared with [[Dedup.exact]], renamed to the
+    * bag's (g1, g2, glen) schema. */
+  private def fingerprinted(df: DataFrame, idCol: String, textCol: String) = {
+    val Seq(d1, d2, dl) = Dedup.fingerprintCols(col(textCol))
+    df.select(d1.as("g1"), d2.as("g2"), dl.as("glen"), col(idCol).as("id"))
   }
 
   /** Run the composed clean once and preserve every stage's state.
@@ -182,7 +211,7 @@ object IncrementalPipeline {
   def preserveClean(df: DataFrame, idCol: String, textCol: String,
       minQuality: Double, lang: String, maxHamming: Int = 3,
       maxBucket: Int = 4096): CleanState = {
-    val kept = keptOnly(df, textCol, minQuality, lang)
+    val kept = Pipeline.keptOnly(df, textCol, minQuality, lang)
     val groups = fingerprinted(kept, idCol, textCol)
       .persist(StorageLevel.MEMORY_AND_DISK)
     groups.count()
@@ -194,7 +223,7 @@ object IncrementalPipeline {
       .join(survivors, df(idCol) === survivors("id"), "left_semi")
     val dedup = IncrementalDedup.preserveClusters(survivorDocs, idCol, textCol,
       maxHamming, maxBucket)
-    CleanState(groups, survivors, dedup, () => {
+    CleanState(groups, survivors, dedup, minQuality, lang, () => {
       groups.unpersist(blocking = false)
       survivors.unpersist(blocking = false)
       dedup.release()
@@ -224,18 +253,19 @@ object IncrementalPipeline {
     */
   def continueClean(state: CleanState, corpusAfter: DataFrame,
       addedDocs: DataFrame, removedIds: DataFrame, idCol: String,
-      textCol: String, minQuality: Double, lang: String,
-      maxHamming: Int = 3, maxBucket: Int = 4096): CleanState = {
+      textCol: String): CleanState = {
     def mat(df: DataFrame): DataFrame = {
       val p = df.persist(StorageLevel.MEMORY_AND_DISK); p.count(); p
     }
     val removed = removedIds
       .select(col(removedIds.columns.head).as("_rid"))
 
-    // Stage 1+2a: fingerprint the KEPT part of the delta; merge the
-    // group bag (drop removed rows, add the fresh ones).
+    // Stage 1+2a: fingerprint the KEPT part of the delta (under the
+    // STATE's preserve-time filter); merge the group bag (drop removed
+    // rows, add the fresh ones).
     val newRows = mat(fingerprinted(
-      keptOnly(addedDocs, textCol, minQuality, lang), idCol, textCol))
+      Pipeline.keptOnly(addedDocs, textCol, state.minQuality, state.lang),
+      idCol, textCol))
     val groupsNext = mat(state.groups
       .join(removed, col("id") === col("_rid"), "left_anti")
       .unionByName(newRows))
@@ -248,16 +278,19 @@ object IncrementalPipeline {
         .join(removed, col("id") === col("_rid"), "left_semi")
         .select("g1", "g2", "glen"))
       .distinct())
-    val newReps = groupsNext
+    // Both representative sets feed TWO anti-joins each (survAdd and
+    // survDel) — materialized once (affected-group-sized) so the
+    // corpus-width bag scans behind them run once, not twice.
+    val newReps = mat(groupsNext
       .join(affectedKeys, Seq("g1", "g2", "glen"), "left_semi")
-      .groupBy("g1", "g2", "glen").agg(min("id").as("id")).select("id")
+      .groupBy("g1", "g2", "glen").agg(min("id").as("id")).select("id"))
     // old representatives of the affected groups = survivors lying in
     // an affected group's OLD bag (removed winners included)
-    val oldReps = state.groups
+    val oldReps = mat(state.groups
       .join(affectedKeys, Seq("g1", "g2", "glen"), "left_semi")
       .join(state.survivors.select(col("id").as("_sid")),
         col("id") === col("_sid"), "left_semi")
-      .select("id")
+      .select("id"))
     // survivor delta: promotions/displacements/new groups vs demotions/
     // removals — stage 3's input delta
     val survAdd = mat(newReps.join(oldReps.select(col("id").as("_oid")),
@@ -274,14 +307,15 @@ object IncrementalPipeline {
     val survAddDocs = corpusAfter.join(survAdd.select(col("id").as("_aid")),
       corpusAfter(idCol) === col("_aid"), "left_semi")
     val dedupNext = IncrementalDedup.continueClusters(state.dedup,
-      survAddDocs, survDel, idCol, textCol, maxHamming, maxBucket)
+      survAddDocs, survDel, idCol, textCol)
 
-    Seq(newRows, affectedKeys, survAdd, survDel)
+    Seq(newRows, affectedKeys, newReps, oldReps, survAdd, survDel)
       .foreach(_.unpersist(blocking = false))
-    CleanState(groupsNext, survivorsNext, dedupNext, () => {
-      groupsNext.unpersist(blocking = false)
-      survivorsNext.unpersist(blocking = false)
-      dedupNext.release()
-    })
+    CleanState(groupsNext, survivorsNext, dedupNext,
+      state.minQuality, state.lang, () => {
+        groupsNext.unpersist(blocking = false)
+        survivorsNext.unpersist(blocking = false)
+        dedupNext.release()
+      })
   }
 }

@@ -31,11 +31,20 @@ import graft.functions.TextFunctions.{langIdHeuristic, qualityScore, tokens}
   */
 object Pipeline {
 
+  /** Stage-1 quality/language predicate — ONE definition shared by both
+    * batch cleans and the incremental continuation
+    * ([[IncrementalPipeline.continueClean]]), whose gate-enforced
+    * equivalence depends on the filter staying in lockstep. */
+  private[operators] def keptOnly(df: DataFrame, textCol: String,
+      minQuality: Double, lang: String): DataFrame = {
+    val toksC = tokens(col(textCol))
+    df.filter(qualityScore(toksC) >= minQuality &&
+      langIdHeuristic(toksC) === lang)
+  }
+
   def cleanCorpus(df: DataFrame, idCol: String, textCol: String,
       minQuality: Double, lang: String, maxHamming: Int = 3): DataFrame = {
-    val toksC = tokens(col(textCol))
-    val kept = df.filter(qualityScore(toksC) >= minQuality &&
-      langIdHeuristic(toksC) === lang)
+    val kept = keptOnly(df, textCol, minQuality, lang)
     // exact dedup as groupBy-min + id semi-join, NOT a window over the
     // text: the groupBy partial-aggregates map-side, so a pathological
     // hot text (millions of identical docs) never floods one partition
@@ -68,9 +77,7 @@ object Pipeline {
     * one cluster, not a web of pairwise survivors. */
   def cleanCorpusByComponents(df: DataFrame, idCol: String, textCol: String,
       minQuality: Double, lang: String, maxHamming: Int = 3): DataFrame = {
-    val toksC = tokens(col(textCol))
-    val kept = df.filter(qualityScore(toksC) >= minQuality &&
-      langIdHeuristic(toksC) === lang)
+    val kept = keptOnly(df, textCol, minQuality, lang)
     val firstIds = kept.groupBy(col(textCol)).agg(min(col(idCol)).as("_keep"))
       .select(col("_keep"))
     val deduped = kept

@@ -228,7 +228,7 @@ object PipelineQueries {
         val added = docs.filter(col("doc_id") % 10 === 3)
         val removed = base.filter(col("doc_id") % 10 === 7).select("doc_id")
         val out = graft.operators.IncrementalDedup.incrementalClusters(
-          state, added, removed, "doc_id", "text", maxHamming = 3)
+          state, added, removed, "doc_id", "text")
           .select(col("id"), col("comp"))
         state.release() // out is eagerly materialized; state is done
         out
@@ -379,8 +379,7 @@ object PipelineQueries {
         val removed = base.filter(col("doc_id") % 10 === 7).select("doc_id")
         val corpusAfter = docs.filter(col("doc_id") % 10 =!= 7)
         val next = graft.operators.IncrementalPipeline.continueClean(
-          state, corpusAfter, added, removed, "doc_id", "text",
-          minQuality = 0.3, lang = "en")
+          state, corpusAfter, added, removed, "doc_id", "text")
         val out = graft.operators.IncrementalPipeline
           .cleanedDocs(next, corpusAfter, "doc_id")
           .select(col("doc_id"), col("source"),

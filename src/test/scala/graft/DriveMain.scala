@@ -25,7 +25,7 @@ object DriveMain {
       val next = graft.operators.IncrementalPipeline.continueClean(st, corpusAfter,
         docs.filter(col("doc_id") % 10 === 3),
         base.filter(col("doc_id") % 10 === 7).select("doc_id"),
-        "doc_id", "text", 0.3, "en")
+        "doc_id", "text")
       val t2 = System.nanoTime()
       val n = graft.operators.IncrementalPipeline.cleanedDocs(next, corpusAfter, "doc_id").count()
       val t3 = System.nanoTime()

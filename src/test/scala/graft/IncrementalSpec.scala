@@ -484,8 +484,7 @@ class IncrementalSpec extends SparkSpec {
       base, "doc_id", "text", maxBucket = 10)
     val added = (20L to 22L).map(i => (i, t)).toDF("doc_id", "text")
     val incr = graft.operators.IncrementalDedup.incrementalClusters(
-      state, added, Seq.empty[Long].toDF("doc_id"), "doc_id", "text",
-      maxBucket = 10)
+      state, added, Seq.empty[Long].toDF("doc_id"), "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     state.release()
     val full = fullClusters(
@@ -508,7 +507,7 @@ class IncrementalSpec extends SparkSpec {
     val st1 = IncrementalPipeline.continueClean(st0, corpus1,
       docs.filter(col("doc_id") % 10 === 3),
       base.filter(col("doc_id") % 10 === 7).select("doc_id"),
-      "doc_id", "text", minQuality = 0.3, lang = "en")
+      "doc_id", "text")
     val incr1 = ids(IncrementalPipeline.cleanedDocs(st1, corpus1, "doc_id"))
     val full1 = ids(Pipeline.cleanCorpusByComponents(
       corpus1, "doc_id", "text", minQuality = 0.3, lang = "en"))
@@ -523,7 +522,7 @@ class IncrementalSpec extends SparkSpec {
       .withColumn("doc_id", col("doc_id") + 1000000L)
     val corpus2 = corpus1.filter(col("doc_id") % 10 =!= 1).unionByName(added2)
     val st2 = IncrementalPipeline.continueClean(st1, corpus2, added2, removed2,
-      "doc_id", "text", minQuality = 0.3, lang = "en")
+      "doc_id", "text")
     val incr2 = ids(IncrementalPipeline.cleanedDocs(st2, corpus2, "doc_id"))
     val full2 = ids(Pipeline.cleanCorpusByComponents(
       corpus2, "doc_id", "text", minQuality = 0.3, lang = "en"))
@@ -548,7 +547,7 @@ class IncrementalSpec extends SparkSpec {
     val corpusAfter = base.filter(!col("doc_id").isin(20L, 30L))
       .unionByName(added)
     val next = IncrementalPipeline.continueClean(st, corpusAfter, added,
-      removed, "doc_id", "text", minQuality = 0.0, lang = "en")
+      removed, "doc_id", "text")
     def ids(df: org.apache.spark.sql.DataFrame) =
       df.select("doc_id").collect().map(_.getLong(0)).toSet
     val incr = ids(IncrementalPipeline.cleanedDocs(next, corpusAfter, "doc_id"))
@@ -557,6 +556,14 @@ class IncrementalSpec extends SparkSpec {
     assert(incr == full, s"incr=$incr full=$full")
     assert(incr.contains(5L) && !incr.contains(10L), "displacement missed")
     assert(!incr.contains(30L), "vanished group leaked")
+    // the full pipeline state round-trips through parquet (durable
+    // chaining), filter params included
+    val dir = java.nio.file.Files.createTempDirectory("graft_clean_state").toString
+    next.write(dir)
+    val back = graft.operators.CleanState.read(spark, dir)
+    assert(back.minQuality == next.minQuality && back.lang == next.lang)
+    assert(back.dedup.maxHamming == next.dedup.maxHamming)
+    assert(ids(IncrementalPipeline.cleanedDocs(back, corpusAfter, "doc_id")) == incr)
     st.release(); next.release()
   }
 
@@ -629,6 +636,9 @@ class IncrementalSpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("graft_dedup_state").toString
     state.write(dir)
     val back = graft.operators.DedupClusterState.read(spark, dir)
+    // pairing params are part of the state and survive the round-trip —
+    // a continuation must run under the preserve-time semantics
+    assert(back.maxHamming == state.maxHamming && back.maxBucket == state.maxBucket)
     assert(back.bands.count() == state.bands.count())
     assert(back.comps.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap == want)
     state.release()

@@ -378,8 +378,7 @@ class LifecycleSpec extends SparkSpec {
     val cs = graft.operators.IncrementalPipeline.preserveClean(
       base, "doc_id", "text", minQuality = 0.3, lang = "en")
     val cs2 = graft.operators.IncrementalPipeline.continueClean(
-      cs, after7, added, removed, "doc_id", "text",
-      minQuality = 0.3, lang = "en")
+      cs, after7, added, removed, "doc_id", "text")
     assert(cs2.survivors.count() > 0)
     cs.release(); cs2.release()
     // tfidf
