@@ -170,6 +170,75 @@ object Similarity {
     probeLists(lists, cents, queries, k, nprobe, pruneScan = true)
   }
 
+  /** Incrementally maintain an on-disk [[buildIvfIndex]] index over a
+    * vector delta — the incremental thesis (F27–F31,
+    * `incr-hadoop-0.1/src/mapred/.../ReduceTask.java:3504-3691`'s
+    * preserve-then-continue claim) applied to the similarity surface.
+    *
+    * The coarse quantizer is FROZEN: the centroid table is part of the
+    * index identity (re-training the quantizer is a rebuild, not an
+    * update), so added vectors are assigned under the STORED centroids
+    * and the updated index equals a full [[buildIvfIndex]] over the
+    * post-delta corpus with the same centroids (spec-enforced). A
+    * removed id that seeded a centroid leaves the quantizer intact —
+    * only its list row goes.
+    *
+    * Only TOUCHED lists are rewritten, and nothing else is even read:
+    *  - locating removals scans the (cid, nid) columns only — parquet
+    *    column pruning never materializes the vectors (the heavy
+    *    column) for the corpus-wide membership probe;
+    *  - the rewrite reads just the touched cid partitions (partition
+    *    pruning over the literal touched set, delta-bounded);
+    *  - new list content is staged to a scratch dir and swapped in with
+    *    per-partition renames, so untouched list files keep their exact
+    *    bytes and mtimes, and a list emptied by the delta has its
+    *    directory deleted — the retired-dir hygiene of
+    *    [[graft.core.IncrementalJob]]'s segment compaction.
+    *
+    * An added id already present in the index REPLACES its old row (its
+    * old list counts as touched via the same locate scan as a removal).
+    */
+  def updateIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      addedVecs: DataFrame, removedIds: DataFrame,
+      centroidFoldLimit: Int = 64): Unit = {
+    graft.functions.GraftFunctions.register(spark)
+    val cents = spark.read.parquet(s"$path/centroids")
+    val added = addedVecs.select(col("id").as("nid"),
+      col("vec").cast("array<double>").as("nvec"))
+    val assigned = assignToLists(added, cents, centroidFoldLimit)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val lists = spark.read.parquet(s"$path/lists")
+      .withColumn("cid", col("cid").cast("long"))
+    // replace semantics: an incoming id evicts its existing row
+    val gone = removedIds.select(col(removedIds.columns.head).as("_rid"))
+      .unionByName(added.select(col("nid").as("_rid")))
+    val locatedCids = lists.select("cid", "nid")
+      .join(gone, col("nid") === col("_rid"), "left_semi")
+      .select("cid").distinct()
+    // O(touched lists) driver rows — bounded by the delta, not the corpus
+    val touched = locatedCids.unionByName(assigned.select("cid")).distinct()
+      .collect().map(_.getLong(0))
+    if (touched.nonEmpty) {
+      val touchedLit = touched.map(java.lang.Long.valueOf).toIndexedSeq
+      val next = lists.filter(col("cid").isin(touchedLit: _*))
+        .join(gone, col("nid") === col("_rid"), "left_anti")
+        .unionByName(assigned)
+      val staging = s"$path/lists_staging"
+      next.write.mode("overwrite").partitionBy("cid").parquet(staging)
+      val conf = spark.sparkContext.hadoopConfiguration
+      val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+      touched.foreach { c =>
+        val live = new org.apache.hadoop.fs.Path(s"$path/lists/cid=$c")
+        val staged = new org.apache.hadoop.fs.Path(s"$staging/cid=$c")
+        fs.delete(live, true)
+        // a staged dir is absent exactly when the delta emptied the list
+        if (fs.exists(staged)) fs.rename(staged, live)
+      }
+      fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+    }
+    assigned.unpersist(blocking = false)
+  }
+
   private def normalizedCentroids(v: DataFrame, centroids: Option[DataFrame],
       nlist: Int): DataFrame = centroids
     .map(_.select(col("id").as("cid"), col("vec").cast("array<double>").as("cvec")))

@@ -94,25 +94,30 @@ object PipelineQueries {
 
   /** Shared IVF oracle (build + probe unrolled): 16 lowest-id coarse
     * centroids, argmax assignment, 4 probed lists, exact cosine top-5 —
-    * used by both the inline (`q_ann_ivf`) and on-disk
-    * (`q_ann_ivf_disk`) paths, which must agree result-for-result. */
-  private lazy val ivfOracleSql =
+    * used by the inline (`q_ann_ivf`) and on-disk (`q_ann_ivf_disk`)
+    * paths, which must agree result-for-result, and (parameterized) by
+    * the incremental path (`q_incr_ann_ivf`): there the centroids come
+    * from the BASE corpus (the quantizer is frozen across updates) while
+    * assignment runs over the post-delta corpus. */
+  private def ivfOracleSqlFor(corpusWhere: String, centsWhere: String): String =
     s"""WITH $vecCte,
-        cents AS (SELECT id AS cid, vec AS cvec FROM v ORDER BY id LIMIT 16),
+        cents AS (SELECT id AS cid, vec AS cvec FROM v
+          WHERE $centsWhere ORDER BY id LIMIT 16),
+        corpus AS (SELECT id, vec FROM v WHERE $corpusWhere),
         assign AS (SELECT nid, nvec, cid FROM (
           SELECT v.id AS nid, v.vec AS nvec, c.cid,
             row_number() OVER (PARTITION BY v.id ORDER BY
               ${dotSql("v.vec", "c.cvec")} /
                 (sqrt(${dotSql("v.vec", "v.vec")}) *
                  sqrt(${dotSql("c.cvec", "c.cvec")})) DESC, c.cid) AS rk
-          FROM v CROSS JOIN cents c) WHERE rk = 1),
+          FROM corpus v CROSS JOIN cents c) WHERE rk = 1),
         probes AS (SELECT qid, qvec, cid FROM (
           SELECT q.id AS qid, q.vec AS qvec, c.cid,
             row_number() OVER (PARTITION BY q.id ORDER BY
               ${dotSql("q.vec", "c.cvec")} /
                 (sqrt(${dotSql("q.vec", "q.vec")}) *
                  sqrt(${dotSql("c.cvec", "c.cvec")})) DESC, c.cid) AS rk
-          FROM (SELECT id, vec FROM v WHERE id < 5) q
+          FROM (SELECT id, vec FROM corpus WHERE id < 5) q
           CROSS JOIN cents c) WHERE rk <= 4),
         scored AS (SELECT p.qid, a.nid,
           ${dotSql("p.qvec", "a.nvec")} /
@@ -123,6 +128,15 @@ object PipelineQueries {
         FROM (SELECT qid, nid, cosine, row_number() OVER
           (PARTITION BY qid ORDER BY cosine DESC, nid) AS rk FROM scored)
         WHERE rk <= 5"""
+
+  private lazy val ivfOracleSql = ivfOracleSqlFor("TRUE", "TRUE")
+
+  /** `q_incr_ann_ivf`: base = ids ≢3 (mod 10), delta adds the ≡3 ids and
+    * removes the ≡7 ones, so the post-delta corpus is ids ≢7 — but the
+    * quantizer stays the BASE corpus's 16 lowest ids (some of which are
+    * themselves removed members: a frozen centroid outlives its vector). */
+  private lazy val ivfIncrOracleSql =
+    ivfOracleSqlFor("id % 10 <> 7", "id % 10 <> 3")
 
   val all: Seq[Q] = Seq(
 
@@ -626,6 +640,30 @@ object PipelineQueries {
             col("rk").cast("int").as("rk"))
       },
       Some(ivfOracleSql)),
+
+    // INCREMENTAL index maintenance: build on the base corpus (ids ≢3
+    // mod 10), then updateIvfIndex applies the delta (+≡3 ids, −≡7 ids)
+    // by rewriting ONLY the touched cid partitions under the FROZEN
+    // base quantizer. The oracle rebuilds from scratch over the
+    // post-delta corpus with the base centroids — equivalence is the
+    // incremental thesis on the similarity surface.
+    Q("q_incr_ann_ivf",
+      (s, dir) => {
+        val all = Q.t(s, dir, "embeddings")
+          .select(col("vec_id").as("id"), col("embedding").as("vec"))
+        val base = all.filter(col("id") % 10 =!= 3)
+        val idx = java.nio.file.Files
+          .createTempDirectory("graft_ivf_incr_gate").toString
+        Similarity.buildIvfIndex(base, idx, nlist = 16)
+        Similarity.updateIvfIndex(s, idx,
+          all.filter(col("id") % 10 === 3),
+          base.filter(col("id") % 10 === 7).select("id"))
+        Similarity.probeIvfIndex(s, idx, all.filter(col("id") < 5),
+          k = 5, nprobe = 4)
+          .select(col("qid"), col("nid"), round(col("cosine"), 6).as("cosine"),
+            col("rk").cast("int").as("rk"))
+      },
+      Some(ivfIncrOracleSql)),
 
     // Embedding-cosine near-dup pairs within label blocks. Blocks over
     // 48 vectors go through axis-sign LSH sub-buckets (the 100 TB path;

@@ -446,6 +446,66 @@ class LifecycleSpec extends SparkSpec {
       key(probed))
   }
 
+  test("incremental IVF update: equals frozen-quantizer rebuild, touches only affected lists") {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    // two well-separated lists: ids 1/2 seed the quantizer, members
+    // cluster around (1,0) (→ cid 1) or (0,1) (→ cid 2)
+    val mk = (rows: Seq[(Long, Seq[Double])]) =>
+      rows.toDF("id", "vec")
+    val base = mk(Seq(1L -> Seq(1.0, 0.0), 2L -> Seq(0.0, 1.0),
+      10L -> Seq(0.9, 0.1), 11L -> Seq(0.8, 0.2),
+      20L -> Seq(0.1, 0.9), 21L -> Seq(0.2, 0.8)))
+    val dir = java.nio.file.Files.createTempDirectory("ivf_incr").toString
+    Similarity.buildIvfIndex(base, dir, nlist = 2)
+    val baseCents = spark.read.parquet(s"$dir/centroids")
+      .select(col("cid").as("id"), col("cvec").as("vec")).collect()
+    def centsDf = mk(baseCents.map(r =>
+      r.getLong(0) -> r.getSeq[Double](1).toSeq).toSeq)
+    def snapshot(cid: Long): Map[String, Long] =
+      Files.walk(Paths.get(s"$dir/lists/cid=$cid")).iterator().asScala
+        .filter(Files.isRegularFile(_))
+        .map(p => p.toString -> Files.getLastModifiedTime(p).toMillis).toMap
+    def probeKey(queries: org.apache.spark.sql.DataFrame) =
+      Similarity.probeIvfIndex(spark, dir, queries, k = 3, nprobe = 2)
+        .select("qid", "nid", "rk").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    def rebuildKey(corpus: org.apache.spark.sql.DataFrame,
+        queries: org.apache.spark.sql.DataFrame) = {
+      val d2 = java.nio.file.Files.createTempDirectory("ivf_incr_ref").toString
+      Similarity.buildIvfIndex(corpus, d2, nlist = 2, centroids = Some(centsDf))
+      Similarity.probeIvfIndex(spark, d2, queries, k = 3, nprobe = 2)
+        .select("qid", "nid", "rk").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    }
+    val q = mk(Seq(100L -> Seq(0.7, 0.3), 200L -> Seq(0.3, 0.7)))
+
+    // add into cid 2 only: cid 1's files must keep their exact paths+mtimes
+    val before = snapshot(1L)
+    val add1 = mk(Seq(30L -> Seq(0.15, 0.85)))
+    Similarity.updateIvfIndex(spark, dir, add1, Seq.empty[Long].toDF("id"))
+    assert(snapshot(1L) == before, "untouched list was rewritten")
+    val corpus1 = base.unionByName(add1)
+    assert(probeKey(q) == rebuildKey(corpus1, q))
+
+    // replace semantics: re-adding id 10 with a new vector leaves one row
+    val add2 = mk(Seq(10L -> Seq(0.85, 0.15)))
+    Similarity.updateIvfIndex(spark, dir, add2, Seq.empty[Long].toDF("id"))
+    val lists2 = spark.read.parquet(s"$dir/lists")
+    assert(lists2.filter(col("nid") === 10L).count() == 1)
+    val corpus2 = corpus1.filter(col("id") =!= 10L).unionByName(add2)
+    assert(probeKey(q) == rebuildKey(corpus2, q))
+
+    // empty cid 2 entirely: its directory must be deleted, and the
+    // frozen quantizer (including the removed seed id 2) still probes
+    Similarity.updateIvfIndex(spark, dir, mk(Seq.empty),
+      Seq(2L, 20L, 21L, 30L).toDF("id"))
+    assert(!Files.exists(Paths.get(s"$dir/lists/cid=2")), "emptied list dir not deleted")
+    val corpus3 = corpus2.filter(!col("id").isin(2L, 20L, 21L, 30L))
+    assert(probeKey(q) == rebuildKey(corpus3, q))
+    assert(probeKey(q).nonEmpty)
+  }
+
   test("teraValidate compares strings in UTF-8 order (supplementary plane)") {
     // U+E000 (3-byte UTF-8) sorts BELOW U+1F600 (4-byte, surrogate pair
     // in UTF-16) under Spark/DuckDB binary order; Java's UTF-16
