@@ -319,3 +319,115 @@ object IncrementalPipeline {
       })
   }
 }
+
+/** Preserved benchmark-decontamination state ([[IncrementalDecontam]]):
+  * the corpus and eval-set w-shingle tables.
+  *
+  *  - `shingles(id, sh)` — one row per (corpus doc, distinct w-shingle).
+  *    The expensive part of [[Pipeline.decontaminate]] is exactly this
+  *    table's derivation (tokenize + shingle-explode over every
+  *    document's text); preserving it means a delta re-shingles ONLY
+  *    the delta's text.
+  *  - `evalSh(eid, sh)` — the same per benchmark ITEM. Keeping per-item
+  *    rows (not a folded distinct-shingle set) makes eval-side removals
+  *    exact: dropping an item cannot take out a shingle another item
+  *    still contributes (the contamination probe is a semi-join, so the
+  *    duplicates are free).
+  *
+  * The shingle width `w` is part of the state (two tables shingled at
+  * different w are not comparable) and survives `write`/`read`.
+  */
+final case class DecontamState(shingles: DataFrame, evalSh: DataFrame,
+    w: Int, release: () => Unit = () => ()) {
+  /** Materialize the state as Parquet tables (F27), width included. */
+  def write(path: String): Unit = {
+    shingles.write.mode("overwrite").parquet(s"$path/shingles")
+    evalSh.write.mode("overwrite").parquet(s"$path/eval")
+    shingles.sparkSession.createDataFrame(Seq(Tuple1(w))).toDF("w")
+      .write.mode("overwrite").parquet(s"$path/params")
+  }
+}
+
+object DecontamState {
+  def read(spark: org.apache.spark.sql.SparkSession, path: String): DecontamState =
+    DecontamState(
+      spark.read.parquet(s"$path/shingles"),
+      spark.read.parquet(s"$path/eval"),
+      spark.read.parquet(s"$path/params").collect()(0).getInt(0))
+}
+
+/** Incremental benchmark decontamination — [[Pipeline.decontaminate]]
+  * (exact w-shingle containment) continued over a delta on EITHER side:
+  * corpus documents (+/−) or benchmark items (+/−). Benchmarks accrete
+  * over a model's life while the training corpus is rebuilt constantly;
+  * re-deriving contamination from scratch re-tokenizes and re-shingles
+  * 100 TB of unchanged text. With the shingle tables preserved, a
+  * continuation shingles only the delta and the contamination probe is
+  * a single semi-join of the (compact) corpus shingle table against the
+  * (small, broadcastable) eval shingle table — no text is touched.
+  *
+  * The continuation is EXACT, not approximate: [[decontaminated]] over
+  * the rolled-forward state equals the batch operator over the
+  * post-delta inputs (spec- and gate-enforced, `q_incr_decontaminate`).
+  */
+object IncrementalDecontam {
+
+  private def shingled(df: DataFrame, idCol: String, textCol: String,
+      w: Int, outId: String): DataFrame =
+    df.select(col(idCol).as(outId),
+      explode(graft.functions.GraftFunctions
+        .word_shingles(tokens(col(textCol)), w)).as("sh"))
+
+  private def mat(df: DataFrame): DataFrame = {
+    val p = df.persist(StorageLevel.MEMORY_AND_DISK); p.count(); p
+  }
+
+  /** Shingle both sides once and preserve the tables. */
+  def preserve(corpus: DataFrame, idCol: String, textCol: String,
+      evalSet: DataFrame, evalIdCol: String, evalTextCol: String,
+      w: Int = 3): DecontamState = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val sh = mat(shingled(corpus, idCol, textCol, w, "id"))
+    val ev = mat(shingled(evalSet, evalIdCol, evalTextCol, w, "eid"))
+    DecontamState(sh, ev, w, () => {
+      sh.unpersist(blocking = false)
+      ev.unpersist(blocking = false)
+    })
+  }
+
+  /** Roll the state forward over a two-sided delta. Only the delta's
+    * text is shingled; untouched rows pass through. Release the old
+    * state once its continuations are done (library cache contract). */
+  def continueDecontam(state: DecontamState,
+      addedDocs: DataFrame, removedDocIds: DataFrame,
+      addedEval: DataFrame, removedEvalIds: DataFrame,
+      idCol: String, textCol: String,
+      evalIdCol: String, evalTextCol: String): DecontamState = {
+    graft.functions.GraftFunctions.register(addedDocs.sparkSession)
+    val remD = removedDocIds.select(col(removedDocIds.columns.head).as("_rid"))
+    val remE = removedEvalIds.select(col(removedEvalIds.columns.head).as("_reid"))
+    val shNext = mat(state.shingles
+      .join(remD, col("id") === col("_rid"), "left_anti")
+      .unionByName(shingled(addedDocs, idCol, textCol, state.w, "id")))
+    val evNext = mat(state.evalSh
+      .join(remE, col("eid") === col("_reid"), "left_anti")
+      .unionByName(shingled(addedEval, evalIdCol, evalTextCol, state.w, "eid")))
+    DecontamState(shNext, evNext, state.w, () => {
+      shNext.unpersist(blocking = false)
+      evNext.unpersist(blocking = false)
+    })
+  }
+
+  /** Corpus ids sharing at least one w-shingle with any eval item. */
+  def contaminatedIds(state: DecontamState): DataFrame =
+    state.shingles
+      .join(state.evalSh.select("sh"), Seq("sh"), "left_semi")
+      .select("id").distinct()
+
+  /** The surviving corpus: `corpus` anti-joined with the contaminated
+    * set — the incremental twin of [[Pipeline.decontaminate]]. */
+  def decontaminated(state: DecontamState, corpus: DataFrame,
+      idCol: String): DataFrame =
+    corpus.join(contaminatedIds(state).select(col("id").as("_cid")),
+      corpus(idCol) === col("_cid"), "left_anti")
+}

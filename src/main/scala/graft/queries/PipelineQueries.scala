@@ -470,6 +470,55 @@ object PipelineQueries {
               WHERE d.doc_id % 97 <> 0
                 AND d.doc_id NOT IN (SELECT doc_id FROM bad)""")),
 
+    // INCREMENTAL decontamination: preserve the shingle tables over a
+    // base corpus (ids ≢3 mod 10) and HALF the benchmark (even eval
+    // ids), then continue over a two-sided delta — corpus +≡3/−≡7 ids,
+    // eval +odd ids — and emit the surviving post-delta corpus. The
+    // oracle runs the batch containment rule from scratch on the
+    // post-delta inputs: equivalence is the incremental thesis on the
+    // decontamination surface.
+    Q("q_incr_decontaminate",
+      (s, dir) => {
+        val docs = Q.t(s, dir, "documents")
+        val corp = docs.filter(col("doc_id") % 97 =!= 0)
+        val evals = docs.filter(col("doc_id") % 97 === 0)
+        val base = corp.filter(col("doc_id") % 10 =!= 3)
+        val st = graft.operators.IncrementalDecontam.preserve(
+          base, "doc_id", "text",
+          evals.filter(col("doc_id") % 2 === 0), "doc_id", "text", w = 3)
+        val next = graft.operators.IncrementalDecontam.continueDecontam(st,
+          corp.filter(col("doc_id") % 10 === 3),
+          base.filter(col("doc_id") % 10 === 7).select("doc_id"),
+          evals.filter(col("doc_id") % 2 === 1),
+          s.range(0).select(col("id").as("doc_id")),
+          "doc_id", "text", "doc_id", "text")
+        val corpusAfter = corp.filter(col("doc_id") % 10 =!= 7)
+        val out = graft.operators.IncrementalDecontam
+          .decontaminated(next, corpusAfter, "doc_id")
+          .select(col("doc_id"), col("source"),
+            size(tokens(col("text"))).as("ntok"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        out.count()
+        st.release()
+        next.release()
+        out
+      },
+      Some(s"""WITH $toksCte,
+              sh AS (SELECT doc_id, list_distinct(
+                [array_to_string(toks[i:i+2], ' ')
+                 for i in generate_series(1, len(toks) - 2)]) AS sh
+                FROM toks WHERE len(toks) >= 3),
+              ev AS (SELECT DISTINCT unnest(sh) AS s FROM sh
+                WHERE doc_id % 97 = 0),
+              bad AS (SELECT DISTINCT doc_id FROM
+                (SELECT doc_id, unnest(sh) AS s FROM sh
+                 WHERE doc_id % 97 <> 0 AND doc_id % 10 <> 7) x
+                 JOIN ev USING (s))
+              SELECT d.doc_id, d.source, CAST(len(t.toks) AS INT) AS ntok
+              FROM documents d JOIN toks t USING (doc_id)
+              WHERE d.doc_id % 97 <> 0 AND d.doc_id % 10 <> 7
+                AND d.doc_id NOT IN (SELECT doc_id FROM bad)""")),
+
     // Language-ID heuristic.
     Q("q_langid",
       (s, dir) => Q.t(s, dir, "documents")

@@ -531,6 +531,59 @@ class IncrementalSpec extends SparkSpec {
     st0.release(); st1.release(); st2.release()
   }
 
+  test("incremental decontamination equals batch on two-sided deltas") {
+    import graft.operators.{IncrementalDecontam, Pipeline}
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    val corpus0 = Seq(
+      (1L, "aa bb cc dd"),     // shares trigram "aa bb cc" with eval 100
+      (2L, "xx yy zz ww"),     // clean
+      (3L, "pp qq rr ss"),     // contaminated only by eval 102 (added later)
+      (4L, "mm nn")            // under w tokens: never contaminated
+    ).toDF("doc_id", "text")
+    val eval0 = Seq(
+      (100L, "aa bb cc"),
+      (101L, "aa bb cc extra") // OVERLAPS 100 — removal must not free the shingle
+    ).toDF("doc_id", "text")
+    val st0 = IncrementalDecontam.preserve(
+      corpus0, "doc_id", "text", eval0, "doc_id", "text", w = 3)
+    def batch(c: org.apache.spark.sql.DataFrame, e: org.apache.spark.sql.DataFrame) =
+      ids(Pipeline.decontaminate(c, "doc_id", "text", e, "text", w = 3))
+    assert(ids(IncrementalDecontam.decontaminated(st0, corpus0, "doc_id")) ==
+      batch(corpus0, eval0))
+
+    // delta 1: +doc 5 (clean), −doc 2; +eval 102 (hits doc 3), −eval 101
+    // (its "aa bb cc" shingle is STILL contributed by eval 100)
+    val corpus1 = corpus0.filter(col("doc_id") =!= 2L)
+      .unionByName(Seq((5L, "uu vv tt hh")).toDF("doc_id", "text"))
+    val eval1 = eval0.filter(col("doc_id") =!= 101L)
+      .unionByName(Seq((102L, "pp qq rr")).toDF("doc_id", "text"))
+    val st1 = IncrementalDecontam.continueDecontam(st0,
+      Seq((5L, "uu vv tt hh")).toDF("doc_id", "text"), Seq(2L).toDF("doc_id"),
+      Seq((102L, "pp qq rr")).toDF("doc_id", "text"), Seq(101L).toDF("doc_id"),
+      "doc_id", "text", "doc_id", "text")
+    val incr1 = ids(IncrementalDecontam.decontaminated(st1, corpus1, "doc_id"))
+    assert(incr1 == batch(corpus1, eval1), s"incr=$incr1")
+    assert(!incr1.contains(1L), "overlapping-shingle eval removal freed doc 1")
+    assert(!incr1.contains(3L), "added eval item missed doc 3")
+    assert(incr1.contains(5L) && incr1.contains(4L))
+
+    // zero-change delta is the identity
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val noIds = Seq.empty[Long].toDF("doc_id")
+    val st1b = IncrementalDecontam.continueDecontam(st1,
+      empty, noIds, empty, noIds, "doc_id", "text", "doc_id", "text")
+    assert(ids(IncrementalDecontam.decontaminated(st1b, corpus1, "doc_id")) == incr1)
+
+    // durable chaining: the state (width included) round-trips
+    val dir = java.nio.file.Files.createTempDirectory("graft_decontam").toString
+    st1.write(dir)
+    val back = graft.operators.DecontamState.read(spark, dir)
+    assert(back.w == 3)
+    assert(ids(IncrementalDecontam.decontaminated(back, corpus1, "doc_id")) == incr1)
+    st0.release(); st1.release(); st1b.release()
+  }
+
   test("incremental clean: displacement, promotion and vanished groups") {
     import graft.operators.{IncrementalPipeline, Pipeline}
     val base = Seq(

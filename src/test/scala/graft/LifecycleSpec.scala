@@ -359,7 +359,7 @@ class LifecycleSpec extends SparkSpec {
       "storage blocks still cached after clean release")
   }
 
-  test("continuation states release every cache — clusters, clean, tfidf") {
+  test("continuation states release every cache — clusters, clean, tfidf, decontam") {
     spark.catalog.clearCache()
     val before = spark.sparkContext.getPersistentRDDs.keySet
     val docs = spark.read.parquet(s"$sf/documents.parquet")
@@ -388,6 +388,15 @@ class LifecycleSpec extends SparkSpec {
       ts, added, removed, "doc_id", "text")
     assert(ts2.dfreq.count() > 0)
     ts.release(); ts2.release()
+    // decontamination
+    val es = graft.operators.IncrementalDecontam.preserve(
+      base, "doc_id", "text",
+      docs.filter(col("doc_id") % 97 === 0), "doc_id", "text")
+    val es2 = graft.operators.IncrementalDecontam.continueDecontam(
+      es, added, removed, spark.range(0).selectExpr("id AS doc_id", "'' AS text"),
+      spark.range(0).selectExpr("id AS doc_id"), "doc_id", "text", "doc_id", "text")
+    assert(es2.shingles.count() > 0)
+    es.release(); es2.release()
     val lingering = spark.sparkContext.getPersistentRDDs.keySet -- before
     assert(lingering.isEmpty,
       s"lingering caches after continuation releases: ${lingering.mkString(", ")}")
