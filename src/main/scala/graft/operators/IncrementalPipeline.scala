@@ -6,6 +6,17 @@ import org.apache.spark.storage.StorageLevel
 
 import graft.functions.TextFunctions.tokens
 
+/** Materialize a multiply-referenced delta frame: persist + count so
+  * every downstream subplan reads the cache instead of re-running the
+  * (often corpus-width) derivation. ONE definition for every
+  * continuation operator in this file — the materialization policy
+  * (storage level, eager count) must not drift between siblings. */
+private[operators] object IncrMat {
+  def mat(df: DataFrame): DataFrame = {
+    val p = df.persist(StorageLevel.MEMORY_AND_DISK); p.count(); p
+  }
+}
+
 /** Preserved state of a composed corpus clean
   * ([[Pipeline.cleanCorpusByComponents]] semantics: quality floor →
   * language filter → exact dedup (lowest id per identical text) →
@@ -118,9 +129,7 @@ object IncrementalTfidf {
     * must be fresh. */
   def continueTfidf(state: TfidfState, addedDocs: DataFrame,
       removedIds: DataFrame, idCol: String, textCol: String): TfidfState = {
-    def mat(df: DataFrame): DataFrame = {
-      val p = df.persist(StorageLevel.MEMORY_AND_DISK); p.count(); p
-    }
+    import IncrMat.mat
     val removed = removedIds.select(col(removedIds.columns.head).as("_rid"))
     val tfAdded = mat(tfOf(addedDocs, idCol, textCol))
     val tfRemoved = state.tf
@@ -254,9 +263,7 @@ object IncrementalPipeline {
   def continueClean(state: CleanState, corpusAfter: DataFrame,
       addedDocs: DataFrame, removedIds: DataFrame, idCol: String,
       textCol: String): CleanState = {
-    def mat(df: DataFrame): DataFrame = {
-      val p = df.persist(StorageLevel.MEMORY_AND_DISK); p.count(); p
-    }
+    import IncrMat.mat
     val removed = removedIds
       .select(col(removedIds.columns.head).as("_rid"))
 
@@ -378,9 +385,7 @@ object IncrementalDecontam {
       explode(graft.functions.GraftFunctions
         .word_shingles(tokens(col(textCol)), w)).as("sh"))
 
-  private def mat(df: DataFrame): DataFrame = {
-    val p = df.persist(StorageLevel.MEMORY_AND_DISK); p.count(); p
-  }
+  import IncrMat.mat
 
   /** Shingle both sides once and preserve the tables. */
   def preserve(corpus: DataFrame, idCol: String, textCol: String,
@@ -396,16 +401,22 @@ object IncrementalDecontam {
   }
 
   /** Roll the state forward over a two-sided delta. Only the delta's
-    * text is shingled; untouched rows pass through. Release the old
-    * state once its continuations are done (library cache contract). */
+    * text is shingled; untouched rows pass through. An added id already
+    * present REPLACES its old rows on either side (same upsert contract
+    * as [[Similarity.updateIvfIndex]] — stale shingles of a re-added
+    * document must not keep contaminating it). Release the old state
+    * once its continuations are done (library cache contract). */
   def continueDecontam(state: DecontamState,
       addedDocs: DataFrame, removedDocIds: DataFrame,
       addedEval: DataFrame, removedEvalIds: DataFrame,
       idCol: String, textCol: String,
       evalIdCol: String, evalTextCol: String): DecontamState = {
     graft.functions.GraftFunctions.register(addedDocs.sparkSession)
+    // replace semantics: an incoming id evicts its existing rows
     val remD = removedDocIds.select(col(removedDocIds.columns.head).as("_rid"))
+      .unionByName(addedDocs.select(col(idCol).as("_rid")))
     val remE = removedEvalIds.select(col(removedEvalIds.columns.head).as("_reid"))
+      .unionByName(addedEval.select(col(evalIdCol).as("_reid")))
     val shNext = mat(state.shingles
       .join(remD, col("id") === col("_rid"), "left_anti")
       .unionByName(shingled(addedDocs, idCol, textCol, state.w, "id")))

@@ -161,12 +161,14 @@ object Similarity {
   def probeIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
       queries: DataFrame, k: Int, nprobe: Int = 8): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
+    // finish any interrupted updateIvfIndex swap before trusting the dirs
+    recoverIvfSwap(new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration), path)
     val cents = spark.read.parquet(s"$path/centroids")
-    // partition-column type inference may narrow cid to int — widen it
-    // back (the IN-filter still prunes: Spark unwraps safe casts over
-    // partition columns, asserted in the spec)
-    val lists = spark.read.parquet(s"$path/lists")
-      .withColumn("cid", col("cid").cast("long"))
+    // explicit schema pins the partition column to BIGINT (inference
+    // would narrow it to int — the IN-filter still prunes either way,
+    // asserted in the spec) and keeps a fully-drained index readable
+    val lists = spark.read.schema(listsSchema).parquet(s"$path/lists")
     probeLists(lists, cents, queries, k, nprobe, pruneScan = true)
   }
 
@@ -197,18 +199,31 @@ object Similarity {
     *
     * An added id already present in the index REPLACES its old row (its
     * old list counts as touched via the same locate scan as a removal).
+    *
+    * The swap is CRASH-SAFE (single concurrent writer): staged content
+    * is written first, then a journal records the touched lists and
+    * whether each has staged content, and only then are live dirs
+    * retired and staged dirs renamed into place. A crash in any window
+    * never destroys the only copy of a list — [[recoverIvfSwap]] (run
+    * automatically on the next update or probe) rolls an unjournaled
+    * crash back (live index untouched) and a journaled one forward
+    * (finishing the installs the journal promised).
     */
   def updateIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
       addedVecs: DataFrame, removedIds: DataFrame,
       centroidFoldLimit: Int = 64): Unit = {
     graft.functions.GraftFunctions.register(spark)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverIvfSwap(fs, path)
     val cents = spark.read.parquet(s"$path/centroids")
     val added = addedVecs.select(col("id").as("nid"),
       col("vec").cast("array<double>").as("nvec"))
     val assigned = assignToLists(added, cents, centroidFoldLimit)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val lists = spark.read.parquet(s"$path/lists")
-      .withColumn("cid", col("cid").cast("long"))
+    // explicit schema: a fully-drained index (no cid= dirs) must still
+    // read as an empty frame, not die in schema inference
+    val lists = spark.read.schema(listsSchema).parquet(s"$path/lists")
     // replace semantics: an incoming id evicts its existing row
     val gone = removedIds.select(col(removedIds.columns.head).as("_rid"))
       .unionByName(added.select(col("nid").as("_rid")))
@@ -223,20 +238,73 @@ object Similarity {
       val next = lists.filter(col("cid").isin(touchedLit: _*))
         .join(gone, col("nid") === col("_rid"), "left_anti")
         .unionByName(assigned)
-      val staging = s"$path/lists_staging"
-      next.write.mode("overwrite").partitionBy("cid").parquet(staging)
-      val conf = spark.sparkContext.hadoopConfiguration
-      val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
-      touched.foreach { c =>
-        val live = new org.apache.hadoop.fs.Path(s"$path/lists/cid=$c")
-        val staged = new org.apache.hadoop.fs.Path(s"$staging/cid=$c")
-        fs.delete(live, true)
-        // a staged dir is absent exactly when the delta emptied the list
-        if (fs.exists(staged)) fs.rename(staged, live)
+      next.write.mode("overwrite").partitionBy("cid")
+        .parquet(s"$path/$IvfStaging")
+      // journal AFTER staging succeeds: its existence promises every
+      // staged dir is complete. "cid staged|empty" per touched list —
+      // an emptied list has no staged dir and rolls forward to a delete.
+      val lines = touched.map { c =>
+        val staged = fs.exists(new org.apache.hadoop.fs.Path(
+          s"$path/$IvfStaging/cid=$c"))
+        s"$c ${if (staged) "staged" else "empty"}"
       }
-      fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+      val out = fs.create(new org.apache.hadoop.fs.Path(s"$path/$IvfJournal"),
+        true)
+      try out.write(lines.mkString("\n").getBytes("UTF-8")) finally out.close()
+      recoverIvfSwap(fs, path) // the journaled roll-forward IS the swap
     }
     assigned.unpersist(blocking = false)
+  }
+
+  private val listsSchema = org.apache.spark.sql.types.StructType.fromDDL(
+    "nid BIGINT, nvec ARRAY<DOUBLE>, cid BIGINT")
+  private val IvfStaging = "lists_staging"
+  private val IvfRetired = "lists_retired"
+  private val IvfJournal = "lists_swap_journal"
+
+  /** Finish or undo an interrupted [[updateIvfIndex]] swap.
+    *
+    * With a journal present, roll FORWARD: for each journaled list,
+    * retire the live dir and install the staged one ("staged"), or
+    * delete the live dir ("empty"); every step is idempotent, so a
+    * crash DURING recovery just recovers again. Without a journal, any
+    * staging/retired leftovers predate the commit point: roll BACK by
+    * deleting them (the live index was never touched). No-op on a
+    * clean index — two existence checks. */
+  private def recoverIvfSwap(fs: org.apache.hadoop.fs.FileSystem,
+      path: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val journal = new Path(s"$path/$IvfJournal")
+    if (fs.exists(journal)) {
+      val in = fs.open(journal)
+      val body = try {
+        val bs = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, bs, 65536, false)
+        bs.toString("UTF-8")
+      } finally in.close()
+      fs.mkdirs(new Path(s"$path/$IvfRetired"))
+      body.linesIterator.filter(_.nonEmpty).foreach { line =>
+        val Array(c, kind) = line.split(' ')
+        val live = new Path(s"$path/lists/cid=$c")
+        val staged = new Path(s"$path/$IvfStaging/cid=$c")
+        val retired = new Path(s"$path/$IvfRetired/cid=$c")
+        if (kind == "staged") {
+          // staged absent ⇒ this list's install already completed
+          if (fs.exists(staged)) {
+            if (fs.exists(live)) fs.rename(live, retired)
+            fs.rename(staged, live)
+          }
+        } else fs.delete(live, true)
+      }
+      fs.delete(new Path(s"$path/$IvfRetired"), true)
+      fs.delete(new Path(s"$path/$IvfStaging"), true)
+      fs.delete(journal, false)
+    } else {
+      val staging = new Path(s"$path/$IvfStaging")
+      val retired = new Path(s"$path/$IvfRetired")
+      if (fs.exists(staging)) fs.delete(staging, true)
+      if (fs.exists(retired)) fs.delete(retired, true)
+    }
   }
 
   private def normalizedCentroids(v: DataFrame, centroids: Option[DataFrame],

@@ -581,7 +581,21 @@ class IncrementalSpec extends SparkSpec {
     val back = graft.operators.DecontamState.read(spark, dir)
     assert(back.w == 3)
     assert(ids(IncrementalDecontam.decontaminated(back, corpus1, "doc_id")) == incr1)
-    st0.release(); st1.release(); st1b.release()
+
+    // replace semantics on BOTH sides: re-adding doc 1 with clean text
+    // must evict its stale (contaminated) shingles; re-adding eval 100
+    // with new text must evict its old shingles and contaminate doc 5
+    val doc1v2 = Seq((1L, "qq ww ee rr")).toDF("doc_id", "text")
+    val eval100v2 = Seq((100L, "uu vv tt")).toDF("doc_id", "text")
+    val corpus2 = corpus1.filter(col("doc_id") =!= 1L).unionByName(doc1v2)
+    val eval2 = eval1.filter(col("doc_id") =!= 100L).unionByName(eval100v2)
+    val st2 = IncrementalDecontam.continueDecontam(st1b,
+      doc1v2, noIds, eval100v2, noIds, "doc_id", "text", "doc_id", "text")
+    val incr2 = ids(IncrementalDecontam.decontaminated(st2, corpus2, "doc_id"))
+    assert(incr2 == batch(corpus2, eval2), s"incr=$incr2")
+    assert(incr2.contains(1L), "re-added doc kept its stale contamination")
+    assert(!incr2.contains(5L), "re-added eval item's new shingles missed doc 5")
+    st0.release(); st1.release(); st1b.release(); st2.release()
   }
 
   test("incremental clean: displacement, promotion and vanished groups") {

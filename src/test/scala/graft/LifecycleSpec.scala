@@ -513,6 +513,62 @@ class LifecycleSpec extends SparkSpec {
     val corpus3 = corpus2.filter(!col("id").isin(2L, 20L, 21L, 30L))
     assert(probeKey(q) == rebuildKey(corpus3, q))
     assert(probeKey(q).nonEmpty)
+
+    // drain the index COMPLETELY, then refill add-only: the explicit
+    // list schema must keep a zero-list index readable end-to-end
+    Similarity.updateIvfIndex(spark, dir, mk(Seq.empty),
+      Seq(1L, 10L, 11L).toDF("id"))
+    assert(probeKey(q).isEmpty)
+    val refill = Seq(40L -> Seq(0.95, 0.05), 41L -> Seq(0.05, 0.95))
+    Similarity.updateIvfIndex(spark, dir, mk(refill), Seq.empty[Long].toDF("id"))
+    assert(probeKey(q) == rebuildKey(mk(refill), q))
+    assert(probeKey(q).nonEmpty)
+  }
+
+  test("interrupted IVF swap: unjournaled leftovers roll back, a journal rolls forward") {
+    import java.nio.file.{Files, Paths}
+    val mk = (rows: Seq[(Long, Seq[Double])]) => rows.toDF("id", "vec")
+    val base = mk(Seq(1L -> Seq(1.0, 0.0), 2L -> Seq(0.0, 1.0),
+      10L -> Seq(0.9, 0.1), 20L -> Seq(0.1, 0.9)))
+    val dir = java.nio.file.Files.createTempDirectory("ivf_crash").toString
+    Similarity.buildIvfIndex(base, dir, nlist = 2)
+    val q = mk(Seq(100L -> Seq(0.7, 0.3), 200L -> Seq(0.3, 0.7)))
+    def probeKey() =
+      Similarity.probeIvfIndex(spark, dir, q, k = 3, nprobe = 2)
+        .select("qid", "nid", "rk").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val intact = probeKey()
+
+    // crash BEFORE the journal (mid-staging-write): leftovers must roll
+    // back — the live index is untouched and the junk is cleared
+    Files.createDirectories(Paths.get(s"$dir/lists_staging/cid=1"))
+    Files.write(Paths.get(s"$dir/lists_staging/cid=1/part-junk.parquet"),
+      Array[Byte](1, 2, 3))
+    assert(probeKey() == intact)
+    assert(!Files.exists(Paths.get(s"$dir/lists_staging")), "rollback left staging")
+
+    // crash AFTER the journal, before any install: staged content for
+    // cid 1 (vector 10 replaced by 30) + an "empty" entry draining
+    // cid 2. The next probe must finish the swap exactly as the update
+    // would have.
+    mk(Seq(1L -> Seq(1.0, 0.0), 30L -> Seq(0.85, 0.15)))
+      .select(col("id").as("nid"), col("vec").cast("array<double>").as("nvec"),
+        lit(1L).as("cid"))
+      .write.mode("overwrite").partitionBy("cid").parquet(s"$dir/lists_staging")
+    Files.write(Paths.get(s"$dir/lists_swap_journal"),
+      "1 staged\n2 empty".getBytes("UTF-8"))
+    val recovered = probeKey()
+    assert(!Files.exists(Paths.get(s"$dir/lists_swap_journal")), "journal not consumed")
+    assert(!Files.exists(Paths.get(s"$dir/lists/cid=2")), "journaled drain not applied")
+    val d2 = java.nio.file.Files.createTempDirectory("ivf_crash_ref").toString
+    val cents = spark.read.parquet(s"$dir/centroids")
+      .select(col("cid").as("id"), col("cvec").as("vec"))
+    Similarity.buildIvfIndex(mk(Seq(1L -> Seq(1.0, 0.0), 30L -> Seq(0.85, 0.15))),
+      d2, nlist = 2, centroids = Some(cents))
+    val want = Similarity.probeIvfIndex(spark, d2, q, k = 3, nprobe = 2)
+      .select("qid", "nid", "rk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(recovered == want, s"recovered=$recovered want=$want")
   }
 
   test("teraValidate compares strings in UTF-8 order (supplementary plane)") {
