@@ -185,4 +185,60 @@ object Pipeline {
       .select(col("doc_id"), col("token"), col("tf"), col("df"),
         (col("tf") * log(col("_n").cast("double") / col("df"))).as("tfidf"))
   }
+
+  /** Sequence packing: assign documents to fixed-token-budget packs —
+    * the "fill 4k-token training sequences from variable-length docs"
+    * step of a pretraining pipeline. Documents are packed in stable
+    * (strata, shard, id) order; a document whose running prefix sum
+    * crosses a `budget` boundary starts the next pack (boundary-
+    * crossing rule: pack = floor(prefix_sum_before_doc / budget) —
+    * deterministic, order-stable, and windowable, unlike true first-fit
+    * bin packing whose greedy reset is inherently sequential). A doc
+    * longer than `budget` gets a pack of its own plus the overflow
+    * (callers chunk oversized docs upstream).
+    *
+    * Scale shape: the only shuffle is the window's hash partition on
+    * (strata, shard) — `shards` bounds the longest ordered scan to
+    * ~|stratum|/shards regardless of corpus size, so no single task
+    * ever sorts a whole stratum; packing is then a running sum per
+    * partition. Returns `df` + (`n_tokens`, `shard`, `pack`).
+    */
+  def packSequences(df: DataFrame, idCol: String, textCol: String,
+      strataCol: String, budget: Long, shards: Int = 64): DataFrame = {
+    require(budget > 0 && shards > 0, "budget and shards must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol), col("shard")).orderBy(col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    df.withColumn("n_tokens", size(tokens(col(textCol))).cast("long"))
+      .withColumn("shard", pmod(col(idCol), lit(shards.toLong)))
+      .withColumn("_cum", sum(col("n_tokens")).over(w))
+      .withColumn("pack", expr(s"(_cum - n_tokens) div ${budget}L"))
+      .drop("_cum")
+  }
+
+  /** PII scrubbing: replace e-mail addresses, phone numbers, and long
+    * digit runs with typed placeholder tags, returning the scrubbed
+    * text plus per-class match counts (the audit trail a compliance
+    * pass keeps). Pure per-row projection — no shuffle, fused into the
+    * scan, linear in corpus bytes at any scale. Patterns are anchored
+    * to the portable regex subset (character classes + bounded
+    * repetition) that Java's engine and RE2-family engines (the DuckDB
+    * oracle) interpret identically. Replacement order matters and is
+    * fixed: e-mails first (they contain digits), then phones, then
+    * bare digit runs.
+    */
+  def scrubPii(df: DataFrame, textCol: String,
+      outCol: String = "scrubbed"): DataFrame = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phone = "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+    val num = "[0-9]{4,}"
+    df.withColumn("n_email", regexp_count(col(textCol), lit(email)))
+      .withColumn("_s1", regexp_replace(col(textCol), email, "<EMAIL>"))
+      .withColumn("n_phone", regexp_count(col("_s1"), lit(phone)))
+      .withColumn("_s2", regexp_replace(col("_s1"), phone, "<PHONE>"))
+      .withColumn("n_num", regexp_count(col("_s2"), lit(num)))
+      .withColumn(outCol, regexp_replace(col("_s2"), num, "<NUM>"))
+      .drop("_s1", "_s2")
+  }
 }

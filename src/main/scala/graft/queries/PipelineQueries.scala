@@ -757,6 +757,65 @@ object PipelineQueries {
       Some("""SELECT doc_id AS id, 'text' AS kind,
               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
               substring(text, 1, 8) AS head
-              FROM documents"""))
+              FROM documents""")),
+
+    // Sequence packing: fixed-token-budget packs in (lang, shard, id)
+    // order — boundary-crossing rule over a sharded running sum.
+    Q("q_seq_pack",
+      (s, dir) => Pipeline.packSequences(Q.t(s, dir, "documents"),
+          "doc_id", "text", "lang", budget = 256L, shards = 4)
+        .groupBy(col("lang"), col("shard"), col("pack"))
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_toks"),
+          min("doc_id").as("first_doc"), max("doc_id").as("last_doc")),
+      Some(s"""WITH $toksCte,
+              t AS (SELECT d.doc_id, d.lang,
+                  CAST(len(k.toks) AS BIGINT) AS ntok, d.doc_id % 4 AS shard
+                FROM documents d JOIN toks k ON d.doc_id = k.doc_id),
+              c AS (SELECT *, sum(ntok) OVER (PARTITION BY lang, shard
+                  ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM t)
+              SELECT lang, shard, CAST((cum - ntok) // 256 AS BIGINT) AS pack,
+                count(*) AS n_docs, CAST(sum(ntok) AS BIGINT) AS n_toks,
+                min(doc_id) AS first_doc, max(doc_id) AS last_doc
+              FROM c GROUP BY 1, 2, 3""")),
+
+    // PII scrub: typed placeholder replacement + per-class audit counts
+    // over deterministically augmented text (the corpus itself carries
+    // no PII, so each doc gets a synthetic address + phone first —
+    // identical construction on both sides).
+    Q("q_pii_scrub",
+      (s, dir) => {
+        val aug = Q.t(s, dir, "documents").select(col("doc_id"),
+          concat(col("text"), lit(" reach me at user"),
+            col("doc_id").cast("string"), lit("@mail.example.com or +1-555-"),
+            lpad(col("doc_id").cast("string"), 4, "0")).as("text"))
+        Pipeline.scrubPii(aug, "text").select(col("doc_id"), col("scrubbed"),
+          col("n_email").cast("long").as("n_email"),
+          col("n_phone").cast("long").as("n_phone"),
+          col("n_num").cast("long").as("n_num"))
+      },
+      Some("""WITH aug AS (SELECT doc_id,
+                text || ' reach me at user' || CAST(doc_id AS VARCHAR)
+                  || '@mail.example.com or +1-555-'
+                  || lpad(CAST(doc_id AS VARCHAR), 4, '0') AS text
+                FROM documents),
+              s1 AS (SELECT doc_id,
+                len(regexp_extract_all(text,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+                regexp_replace(text,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                  '<EMAIL>', 'g') AS t1 FROM aug),
+              s2 AS (SELECT doc_id, n_email,
+                len(regexp_extract_all(t1,
+                  '\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}')) AS n_phone,
+                regexp_replace(t1, '\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}',
+                  '<PHONE>', 'g') AS t2 FROM s1),
+              s3 AS (SELECT doc_id, n_email, n_phone,
+                len(regexp_extract_all(t2, '[0-9]{4,}')) AS n_num,
+                regexp_replace(t2, '[0-9]{4,}', '<NUM>', 'g') AS scrubbed
+                FROM s2)
+              SELECT doc_id, scrubbed, CAST(n_email AS BIGINT) AS n_email,
+                CAST(n_phone AS BIGINT) AS n_phone,
+                CAST(n_num AS BIGINT) AS n_num
+              FROM s3"""))
   )
 }

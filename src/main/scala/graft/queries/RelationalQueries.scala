@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.Relational
+import graft.operators.{Relational, TimeJoins}
 
 /** The relational parity surface (SURVEY §2 A14 + framework operators
   * F10-F20, F37-F38) as driver-checkable queries over the testdata
@@ -234,6 +234,67 @@ object RelationalQueries {
       Some(s"""SELECT ${Q.tsUs} // 3600000000 AS hour, event_type,
                count(*) AS cnt, round(CAST(sum(value) AS DOUBLE), 6) AS sum_value
                FROM events GROUP BY 1, 2""")),
+
+    // As-of join (union + running-window merge — no inequality join):
+    // each purchase picks the user's latest click at-or-before it.
+    Q("q_asof_join",
+      (s, dir) => {
+        val e = Q.eventsUs(s, dir)
+        val purchases = e.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("evt_id"), col("user_id"), col("ts"))
+        val clicks = e.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"), col("event_id"))
+        TimeJoins.asofJoin(purchases, clicks, "user_id", "ts",
+          Seq("event_id"), "prior_")
+      },
+      Some(s"""WITH e AS (SELECT user_id, ${Q.tsUs} AS ts, event_id,
+                event_type FROM events),
+              p AS (SELECT event_id AS evt_id, user_id, ts FROM e
+                WHERE event_type = 'purchase'),
+              c AS (SELECT user_id, ts, event_id FROM e
+                WHERE event_type = 'click'),
+              j AS (SELECT p.evt_id, p.user_id, p.ts, c.ts AS prior_ts,
+                  c.event_id AS prior_event_id,
+                  row_number() OVER (PARTITION BY p.evt_id
+                    ORDER BY c.ts DESC, c.event_id DESC) AS rn
+                FROM p LEFT JOIN c
+                  ON p.user_id = c.user_id AND c.ts <= p.ts)
+              SELECT evt_id, user_id, ts, prior_ts, prior_event_id
+              FROM j WHERE rn = 1""")),
+
+    // Banded range join (equi-join on (key, time-band) + residual —
+    // never a nested-loop theta join): clicks in the 24h before each
+    // purchase, with empty windows kept as zero rows.
+    Q("q_range_join",
+      (s, dir) => {
+        val e = Q.eventsUs(s, dir)
+        val purchases = e.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("evt_id"), col("user_id"), col("ts"))
+        val clicks = e.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"), col("value"))
+        val dayUs = 86400000000L
+        val agg = TimeJoins
+          .bandedRangePairs(purchases, clicks, "user_id", "ts", dayUs)
+          .groupBy("evt_id")
+          .agg(count(lit(1)).as("n_win"), sum("b_value").as("_sv"))
+        purchases.join(agg, Seq("evt_id"), "left").select(
+          col("evt_id"), col("user_id"), col("ts"),
+          coalesce(col("n_win"), lit(0L)).as("n_win"),
+          round(coalesce(col("_sv"), lit(0.0)), 6).as("sum_val"))
+      },
+      Some(s"""WITH e AS (SELECT user_id, ${Q.tsUs} AS ts, event_id,
+                event_type, value FROM events),
+              p AS (SELECT event_id AS evt_id, user_id, ts FROM e
+                WHERE event_type = 'purchase'),
+              c AS (SELECT user_id, ts, value FROM e
+                WHERE event_type = 'click')
+              SELECT p.evt_id, p.user_id, p.ts,
+                count(c.value) AS n_win,
+                round(CAST(coalesce(sum(c.value), 0) AS DOUBLE), 6) AS sum_val
+              FROM p LEFT JOIN c
+                ON p.user_id = c.user_id
+                AND c.ts > p.ts - 86400000000 AND c.ts <= p.ts
+              GROUP BY 1, 2, 3""")),
 
     // F6/F28: CDC delta application (deletes + upserts), then aggregate.
     Q("q_delta_apply",
