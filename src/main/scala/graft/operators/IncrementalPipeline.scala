@@ -6,14 +6,38 @@ import org.apache.spark.storage.StorageLevel
 
 import graft.functions.TextFunctions.tokens
 
-/** Materialize a multiply-referenced delta frame: persist + count so
-  * every downstream subplan reads the cache instead of re-running the
-  * (often corpus-width) derivation. ONE definition for every
-  * continuation operator in this file — the materialization policy
-  * (storage level, eager count) must not drift between siblings. */
+/** Materialize a multiply-referenced delta frame as a LINEAGE-FREE leaf
+  * ([[org.apache.spark.sql.graft.GraftSqlShim.checkpointedLeafWithHandle]])
+  * so every downstream subplan reads the cached blocks instead of
+  * re-running the (often corpus-width) derivation — and, unlike a plain
+  * persist, downstream plans carry a one-node leaf instead of the full
+  * caller lineage (deep persisted lineage costs DRIVER seconds per
+  * reference on chained continuations — the round-6 dedup
+  * canonicalization lesson; [[IncrementalDedup.incrImpl]] is the
+  * sibling this policy matches). ONE definition for every continuation
+  * operator in this file — the materialization policy must not drift
+  * between siblings.
+  *
+  * A released leaf CANNOT be recomputed (lineage is truncated), so
+  * intermediates are released only after everything derived from them
+  * is itself materialized, and state-table leaves are released by the
+  * owning state's `release()`. */
 private[operators] object IncrMat {
-  def mat(df: DataFrame): DataFrame = {
-    val p = df.persist(StorageLevel.MEMORY_AND_DISK); p.count(); p
+  /** (leaf, release) — caller owns the release thunk. */
+  def matWithHandle(df: DataFrame): (DataFrame, () => Unit) = {
+    val (leaf, _, rel) =
+      org.apache.spark.sql.graft.GraftSqlShim.checkpointedLeafWithHandle(df)
+    (leaf, rel)
+  }
+
+  /** Tracks intermediate leaves for a single continuation call;
+    * `releaseAll()` once every derived frame is materialized. */
+  final class Tracker {
+    private val rels = scala.collection.mutable.ListBuffer.empty[() => Unit]
+    def mat(df: DataFrame): DataFrame = {
+      val (leaf, rel) = matWithHandle(df); rels += rel; leaf
+    }
+    def releaseAll(): Unit = { rels.foreach(_.apply()); rels.clear() }
   }
 }
 
@@ -129,12 +153,12 @@ object IncrementalTfidf {
     * must be fresh. */
   def continueTfidf(state: TfidfState, addedDocs: DataFrame,
       removedIds: DataFrame, idCol: String, textCol: String): TfidfState = {
-    import IncrMat.mat
+    val intern = new IncrMat.Tracker
     val removed = removedIds.select(col(removedIds.columns.head).as("_rid"))
-    val tfAdded = mat(tfOf(addedDocs, idCol, textCol))
+    val tfAdded = intern.mat(tfOf(addedDocs, idCol, textCol))
     val tfRemoved = state.tf
       .join(removed, col("doc_id") === col("_rid"), "left_semi")
-    val tfNext = mat(state.tf
+    val (tfNext, relTf) = IncrMat.matWithHandle(state.tf
       .join(removed, col("doc_id") === col("_rid"), "left_anti")
       .unionByName(tfAdded))
 
@@ -145,8 +169,8 @@ object IncrementalTfidf {
     // downstream subplans, and dfSub's corpus-width tf-state semi-join
     // must run once, not per reference.
     val dfAdd = tfAdded.groupBy("token").agg(count(lit(1)).as("_plus"))
-    val dfSub = mat(tfRemoved.groupBy("token").agg(count(lit(1)).as("_minus")))
-    val touched = mat(
+    val dfSub = intern.mat(tfRemoved.groupBy("token").agg(count(lit(1)).as("_minus")))
+    val touched = intern.mat(
       dfAdd.select("token").unionByName(dfSub.select("token")).distinct())
     val mergedTouched = touched
       .join(state.dfreq, Seq("token"), "left")
@@ -156,18 +180,15 @@ object IncrementalTfidf {
         (coalesce(col("df"), lit(0L)) + coalesce(col("_plus"), lit(0L))
           - coalesce(col("_minus"), lit(0L))).as("df"))
       .filter(col("df") > 0)
-    val dfNext = mat(state.dfreq
+    val (dfNext, relDf) = IncrMat.matWithHandle(state.dfreq
       .join(touched, Seq("token"), "left_anti")
       .unionByName(mergedTouched))
 
     // distinct: a duplicated id in removedIds must not decrement N twice
     // (the semi/anti joins above are duplicate-immune; the count is not)
     val nNext = state.n + addedDocs.count() - removed.distinct().count()
-    Seq(tfAdded, dfSub, touched).foreach(_.unpersist(blocking = false))
-    TfidfState(tfNext, dfNext, nNext, () => {
-      tfNext.unpersist(blocking = false)
-      dfNext.unpersist(blocking = false)
-    })
+    intern.releaseAll()
+    TfidfState(tfNext, dfNext, nNext, () => { relTf(); relDf() })
   }
 
   /** The TF-IDF rows the state represents — same columns and arithmetic
@@ -263,7 +284,8 @@ object IncrementalPipeline {
   def continueClean(state: CleanState, corpusAfter: DataFrame,
       addedDocs: DataFrame, removedIds: DataFrame, idCol: String,
       textCol: String): CleanState = {
-    import IncrMat.mat
+    val intern = new IncrMat.Tracker
+    def mat(df: DataFrame) = intern.mat(df)
     val removed = removedIds
       .select(col(removedIds.columns.head).as("_rid"))
 
@@ -273,7 +295,7 @@ object IncrementalPipeline {
     val newRows = mat(fingerprinted(
       Pipeline.keptOnly(addedDocs, textCol, state.minQuality, state.lang),
       idCol, textCol))
-    val groupsNext = mat(state.groups
+    val (groupsNext, relGroups) = IncrMat.matWithHandle(state.groups
       .join(removed, col("id") === col("_rid"), "left_anti")
       .unionByName(newRows))
 
@@ -304,7 +326,7 @@ object IncrementalPipeline {
       col("id") === col("_oid"), "left_anti"))
     val survDel = mat(oldReps.join(newReps.select(col("id").as("_nid")),
       col("id") === col("_nid"), "left_anti"))
-    val survivorsNext = mat(state.survivors
+    val (survivorsNext, relSurvivors) = IncrMat.matWithHandle(state.survivors
       .join(survDel.select(col("id").as("_did")),
         col("id") === col("_did"), "left_anti")
       .unionByName(survAdd))
@@ -316,13 +338,10 @@ object IncrementalPipeline {
     val dedupNext = IncrementalDedup.continueClusters(state.dedup,
       survAddDocs, survDel, idCol, textCol)
 
-    Seq(newRows, affectedKeys, newReps, oldReps, survAdd, survDel)
-      .foreach(_.unpersist(blocking = false))
+    intern.releaseAll()
     CleanState(groupsNext, survivorsNext, dedupNext,
       state.minQuality, state.lang, () => {
-        groupsNext.unpersist(blocking = false)
-        survivorsNext.unpersist(blocking = false)
-        dedupNext.release()
+        relGroups(); relSurvivors(); dedupNext.release()
       })
   }
 }
@@ -385,19 +404,14 @@ object IncrementalDecontam {
       explode(graft.functions.GraftFunctions
         .word_shingles(tokens(col(textCol)), w)).as("sh"))
 
-  import IncrMat.mat
-
   /** Shingle both sides once and preserve the tables. */
   def preserve(corpus: DataFrame, idCol: String, textCol: String,
       evalSet: DataFrame, evalIdCol: String, evalTextCol: String,
       w: Int = 3): DecontamState = {
     graft.functions.GraftFunctions.register(corpus.sparkSession)
-    val sh = mat(shingled(corpus, idCol, textCol, w, "id"))
-    val ev = mat(shingled(evalSet, evalIdCol, evalTextCol, w, "eid"))
-    DecontamState(sh, ev, w, () => {
-      sh.unpersist(blocking = false)
-      ev.unpersist(blocking = false)
-    })
+    val (sh, relSh) = IncrMat.matWithHandle(shingled(corpus, idCol, textCol, w, "id"))
+    val (ev, relEv) = IncrMat.matWithHandle(shingled(evalSet, evalIdCol, evalTextCol, w, "eid"))
+    DecontamState(sh, ev, w, () => { relSh(); relEv() })
   }
 
   /** Roll the state forward over a two-sided delta. Only the delta's
@@ -417,16 +431,13 @@ object IncrementalDecontam {
       .unionByName(addedDocs.select(col(idCol).as("_rid")))
     val remE = removedEvalIds.select(col(removedEvalIds.columns.head).as("_reid"))
       .unionByName(addedEval.select(col(evalIdCol).as("_reid")))
-    val shNext = mat(state.shingles
+    val (shNext, relSh) = IncrMat.matWithHandle(state.shingles
       .join(remD, col("id") === col("_rid"), "left_anti")
       .unionByName(shingled(addedDocs, idCol, textCol, state.w, "id")))
-    val evNext = mat(state.evalSh
+    val (evNext, relEv) = IncrMat.matWithHandle(state.evalSh
       .join(remE, col("eid") === col("_reid"), "left_anti")
       .unionByName(shingled(addedEval, evalIdCol, evalTextCol, state.w, "eid")))
-    DecontamState(shNext, evNext, state.w, () => {
-      shNext.unpersist(blocking = false)
-      evNext.unpersist(blocking = false)
-    })
+    DecontamState(shNext, evNext, state.w, () => { relSh(); relEv() })
   }
 
   /** Corpus ids sharing at least one w-shingle with any eval item. */

@@ -161,9 +161,16 @@ object Similarity {
   def probeIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
       queries: DataFrame, k: Int, nprobe: Int = 8): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    // finish any interrupted updateIvfIndex swap before trusting the dirs
+    // Finish any interrupted updateIvfIndex swap before trusting the dirs.
+    // READ-side recovery only rolls a journaled swap forward — it must NOT
+    // clean up an unjournaled staging dir, because a probe running
+    // concurrently with an in-flight update (reader + single writer, which
+    // the contract permits) would otherwise delete the update's freshly
+    // staged lists before its journal lands, and the update would then
+    // journal them as "empty" and roll forward to deleting the live dirs.
     recoverIvfSwap(new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration), path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration), path,
+      cleanupOrphans = false)
     val cents = spark.read.parquet(s"$path/centroids")
     // explicit schema pins the partition column to BIGINT (inference
     // would narrow it to int — the IN-filter still prunes either way,
@@ -248,9 +255,15 @@ object Similarity {
           s"$path/$IvfStaging/cid=$c"))
         s"$c ${if (staged) "staged" else "empty"}"
       }
-      val out = fs.create(new org.apache.hadoop.fs.Path(s"$path/$IvfJournal"),
-        true)
+      // The journal is the commit point, so its appearance must be atomic:
+      // write to a temp path, then rename into place. A crash mid-write
+      // leaves only the temp file (an unjournaled crash → clean rollback);
+      // a torn line can never masquerade as a committed journal.
+      val jTmp = new org.apache.hadoop.fs.Path(s"$path/$IvfJournal.tmp")
+      val jDst = new org.apache.hadoop.fs.Path(s"$path/$IvfJournal")
+      val out = fs.create(jTmp, true)
       try out.write(lines.mkString("\n").getBytes("UTF-8")) finally out.close()
+      require(fs.rename(jTmp, jDst), s"ivf: could not commit swap journal $jDst")
       recoverIvfSwap(fs, path) // the journaled roll-forward IS the swap
     }
     assigned.unpersist(blocking = false)
@@ -262,17 +275,26 @@ object Similarity {
   private val IvfRetired = "lists_retired"
   private val IvfJournal = "lists_swap_journal"
 
+  private val IvfJournalLine = """^(\d+) (staged|empty)$""".r
+
   /** Finish or undo an interrupted [[updateIvfIndex]] swap.
     *
     * With a journal present, roll FORWARD: for each journaled list,
     * retire the live dir and install the staged one ("staged"), or
     * delete the live dir ("empty"); every step is idempotent, so a
-    * crash DURING recovery just recovers again. Without a journal, any
+    * crash DURING recovery just recovers again. The WHOLE journal is
+    * parsed strictly before the first destructive step — any
+    * unrecognized line aborts with the index untouched, so a corrupt
+    * journal can never route a list into the delete branch (the
+    * journal itself is committed by atomic rename, so this is
+    * defense in depth, not an expected path). Without a journal, any
     * staging/retired leftovers predate the commit point: roll BACK by
-    * deleting them (the live index was never touched). No-op on a
-    * clean index — two existence checks. */
+    * deleting them (the live index was never touched) — but ONLY when
+    * the caller is the single writer (`cleanupOrphans`); readers skip
+    * the cleanup so they can never race an in-flight update's staging.
+    * No-op on a clean index — two existence checks. */
   private def recoverIvfSwap(fs: org.apache.hadoop.fs.FileSystem,
-      path: String): Unit = {
+      path: String, cleanupOrphans: Boolean = true): Unit = {
     import org.apache.hadoop.fs.Path
     val journal = new Path(s"$path/$IvfJournal")
     if (fs.exists(journal)) {
@@ -282,9 +304,14 @@ object Similarity {
         org.apache.hadoop.io.IOUtils.copyBytes(in, bs, 65536, false)
         bs.toString("UTF-8")
       } finally in.close()
+      val entries = body.linesIterator.filter(_.nonEmpty).map {
+        case IvfJournalLine(c, kind) => (c, kind)
+        case bad => throw new IllegalStateException(
+          s"ivf: unrecognized journal line '$bad' in $journal — " +
+            "refusing to recover (nothing deleted); inspect the index manually")
+      }.toVector
       fs.mkdirs(new Path(s"$path/$IvfRetired"))
-      body.linesIterator.filter(_.nonEmpty).foreach { line =>
-        val Array(c, kind) = line.split(' ')
+      entries.foreach { case (c, kind) =>
         val live = new Path(s"$path/lists/cid=$c")
         val staged = new Path(s"$path/$IvfStaging/cid=$c")
         val retired = new Path(s"$path/$IvfRetired/cid=$c")
@@ -299,11 +326,13 @@ object Similarity {
       fs.delete(new Path(s"$path/$IvfRetired"), true)
       fs.delete(new Path(s"$path/$IvfStaging"), true)
       fs.delete(journal, false)
-    } else {
+    } else if (cleanupOrphans) {
       val staging = new Path(s"$path/$IvfStaging")
       val retired = new Path(s"$path/$IvfRetired")
       if (fs.exists(staging)) fs.delete(staging, true)
       if (fs.exists(retired)) fs.delete(retired, true)
+      val jTmp = new Path(s"$path/$IvfJournal.tmp")
+      if (fs.exists(jTmp)) fs.delete(jTmp, false)
     }
   }
 
@@ -405,7 +434,13 @@ object Similarity {
     * pairs are scored. Sign tests on stored doubles are exact integer
     * comparisons, so the oracle reproduces the bucketing bit-for-bit
     * (unlike trig-based hyperplanes). Candidates from either path are
-    * confirmed with exact cosine ≥ threshold. */
+    * confirmed with exact cosine ≥ threshold.
+    *
+    * Returns an EAGERLY materialized catalog-visible cache; the vector
+    * cache the computation needs internally is released before
+    * returning, so `unpersist()` on the returned frame is the only
+    * handle a caller needs (the library cache-release contract —
+    * [[Pipeline.cleanCorpus]], `PreservedState.release`). */
   def embeddingNearDups(vectors: DataFrame, blockCol: String, threshold: Double,
       maxBlock: Int = 48, planes: Int = 4, tables: Int = 8): DataFrame = {
     graft.functions.GraftFunctions.register(vectors.sparkSession)
@@ -437,7 +472,7 @@ object Similarity {
       .filter(col("a") < col("b")).select("a", "b").distinct()
 
     val cands = exactPairs.unionByName(lshPairs)
-    cands
+    val out = cands
       .join(v.select(col("id").as("a"), col("v").as("va")), "a")
       .join(v.select(col("id").as("b"), col("v").as("vb")), "b")
       .select(col("a"), col("b"),
@@ -445,5 +480,9 @@ object Similarity {
         // (never ≥ threshold) instead of an ANSI DIVIDE_BY_ZERO abort
         cosine(col("va"), col("vb")).as("cosine"))
       .filter(col("cosine") >= threshold)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    v.unpersist(blocking = false)
+    out
   }
 }

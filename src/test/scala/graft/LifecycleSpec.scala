@@ -349,6 +349,15 @@ class LifecycleSpec extends SparkSpec {
     val c2 = graft.operators.Pipeline.cleanCorpusByComponents(
       docs, "doc_id", "text", minQuality = 0.3, lang = "en")
     assert(c1.count() > 0 && c2.count() > 0)
+    // embeddingNearDups joined the same contract in round 7: eager
+    // result cache, internal vector cache released before returning
+    val embs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"),
+        (col("vec_id") % 3).as("blk"))
+    val nd = Similarity.embeddingNearDups(embs, "blk", threshold = 0.5,
+      maxBlock = 16)
+    assert(nd.count() >= 0)
+    nd.unpersist(blocking = true)
     c1.unpersist(blocking = true)
     c2.unpersist(blocking = true)
     val after = spark.sparkContext.getPersistentRDDs.keySet -- before
@@ -539,13 +548,21 @@ class LifecycleSpec extends SparkSpec {
         .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     val intact = probeKey()
 
-    // crash BEFORE the journal (mid-staging-write): leftovers must roll
-    // back — the live index is untouched and the junk is cleared
+    // crash BEFORE the journal (mid-staging-write): a PROBE must leave
+    // the leftovers alone (a reader that cleaned staging could destroy a
+    // concurrent update's freshly staged lists before its journal lands)
+    // while still answering from the untouched live index; the next
+    // UPDATE — the single writer — rolls the junk back.
     Files.createDirectories(Paths.get(s"$dir/lists_staging/cid=1"))
     Files.write(Paths.get(s"$dir/lists_staging/cid=1/part-junk.parquet"),
       Array[Byte](1, 2, 3))
     assert(probeKey() == intact)
+    assert(Files.exists(Paths.get(s"$dir/lists_staging")),
+      "probe-side recovery deleted a writer's staging dir")
+    Similarity.updateIvfIndex(spark, dir, mk(Seq.empty),
+      spark.range(0).select(col("id")))
     assert(!Files.exists(Paths.get(s"$dir/lists_staging")), "rollback left staging")
+    assert(probeKey() == intact)
 
     // crash AFTER the journal, before any install: staged content for
     // cid 1 (vector 10 replaced by 30) + an "empty" entry draining
@@ -569,6 +586,46 @@ class LifecycleSpec extends SparkSpec {
       .select("qid", "nid", "rk").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     assert(recovered == want, s"recovered=$recovered want=$want")
+  }
+
+  test("corrupt IVF journal: recovery refuses and destroys nothing") {
+    import java.nio.file.{Files, Paths}
+    val mk = (rows: Seq[(Long, Seq[Double])]) => rows.toDF("id", "vec")
+    val base = mk(Seq(1L -> Seq(1.0, 0.0), 2L -> Seq(0.0, 1.0),
+      10L -> Seq(0.9, 0.1), 20L -> Seq(0.1, 0.9)))
+    val dir = java.nio.file.Files.createTempDirectory("ivf_torn").toString
+    Similarity.buildIvfIndex(base, dir, nlist = 2)
+    val q = mk(Seq(100L -> Seq(0.7, 0.3)))
+    // a torn token ("stag") must NOT be read as "empty" and delete the
+    // live list — the journal itself commits by atomic rename, so this
+    // can only arise from corruption, and corruption must abort loudly
+    for (bad <- Seq("1 stag", "1", "1 staged extra", "x empty")) {
+      Files.write(Paths.get(s"$dir/lists_swap_journal"), bad.getBytes("UTF-8"))
+      val e = intercept[IllegalStateException] {
+        Similarity.probeIvfIndex(spark, dir, q, k = 3, nprobe = 2)
+      }
+      assert(e.getMessage.contains("refusing to recover"), e.getMessage)
+      assert(Files.exists(Paths.get(s"$dir/lists/cid=1")) &&
+        Files.exists(Paths.get(s"$dir/lists/cid=2")),
+        s"corrupt journal '$bad' destroyed a live list")
+      assert(Files.exists(Paths.get(s"$dir/lists_swap_journal")),
+        "corrupt journal consumed despite abort")
+    }
+    // operator repair: removing the corrupt journal restores service
+    Files.delete(Paths.get(s"$dir/lists_swap_journal"))
+    assert(Similarity.probeIvfIndex(spark, dir, q, k = 3, nprobe = 2)
+      .count() > 0)
+    // an interrupted journal WRITE leaves only the .tmp file — readers
+    // and writers both treat the swap as uncommitted (clean rollback),
+    // and the writer clears the orphan
+    Files.write(Paths.get(s"$dir/lists_swap_journal.tmp"),
+      "1 stag".getBytes("UTF-8"))
+    assert(Similarity.probeIvfIndex(spark, dir, q, k = 3, nprobe = 2)
+      .count() > 0)
+    Similarity.updateIvfIndex(spark, dir, mk(Seq.empty),
+      spark.range(0).select(col("id")))
+    assert(!Files.exists(Paths.get(s"$dir/lists_swap_journal.tmp")),
+      "writer-side recovery left the orphaned journal temp file")
   }
 
   test("teraValidate compares strings in UTF-8 order (supplementary plane)") {
