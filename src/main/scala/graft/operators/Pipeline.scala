@@ -223,15 +223,32 @@ object Pipeline {
     * pass keeps). Pure per-row projection — no shuffle, fused into the
     * scan, linear in corpus bytes at any scale. Patterns are anchored
     * to the portable regex subset (character classes + bounded
-    * repetition) that Java's engine and RE2-family engines (the DuckDB
-    * oracle) interpret identically. Replacement order matters and is
-    * fixed: e-mails first (they contain digits), then phones, then
-    * bare digit runs.
+    * repetition + alternation — no backreferences or lookaround) that
+    * Java's engine and RE2-family engines (the DuckDB oracle)
+    * interpret identically. Replacement order matters and is fixed:
+    * e-mails first (they contain digits), then phones, then bare
+    * digit runs.
+    *
+    * Phone shapes covered (n_phone counts ALL of them):
+    * 10-digit with `-`/`.`/space separators (`555-123-4567`,
+    * `555.123.4567`), parenthesized area code (`(555) 123-4567`),
+    * either with a `+CC` country prefix (`+1 555 123 4567`), and the
+    * bare `+CC-NNN-NNNN` short form. Anything else digit-shaped
+    * (7-digit locals, unseparated runs) still masks as <NUM> — the
+    * audit counts are per THESE classes, not a phone-ness oracle.
+    *
+    * Alternation-order note: Java picks the first matching
+    * alternative, RE2 the longest — the branches are arranged so the
+    * first (optional-CC + 10-digit) is strictly longer than the
+    * second (+CC-NNN-NNNN) whenever both match at a position, making
+    * the two engines' choices coincide.
     */
   def scrubPii(df: DataFrame, textCol: String,
       outCol: String = "scrubbed"): DataFrame = {
     val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-    val phone = "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+    val phone = "(\\+[0-9]{1,2}[- ])?(\\([0-9]{3}\\) ?|[0-9]{3}[-. ])" +
+      "[0-9]{3}[-. ][0-9]{4}" +
+      "|\\+[0-9]{1,2}[- ][0-9]{3}[- ][0-9]{4}"
     val num = "[0-9]{4,}"
     df.withColumn("n_email", regexp_count(col(textCol), lit(email)))
       .withColumn("_s1", regexp_replace(col(textCol), email, "<EMAIL>"))

@@ -32,20 +32,26 @@ object TimeJoins {
     * inequality join, no per-probe re-scan of the build side. At equal
     * timestamps the build row sorts BEFORE the probe (tag 0 < 1), so
     * "at-or-before" is inclusive; duplicate build (key, ts) pairs
-    * resolve deterministically to the payload-struct maximum (the
-    * payload is the window order's final tie-breaker).
+    * resolve deterministically to the payload-struct maximum. NOTE:
+    * the payload struct is the window order's final tie-breaker, so
+    * which duplicate wins depends on the ORDER `payloadCols` is listed
+    * in (struct comparison is field-by-field, left to right) — and
+    * every payload column must therefore be of an orderable type
+    * (validated up front; a map-typed payload is rejected instead of
+    * failing analysis mid-plan). Input frames must not already use the
+    * `_k/_t/_tag/_p/_row/_bkt` working names (validated too).
     *
     * 100 TB posture: cost is one exchange of |probe|+|build| rows on
     * the key plus a per-key linear merge — the same asymptotics as a
     * sort-merge join. A single key's history must fit one task's
-    * window buffer (spilled by `WindowExec` when large); a hotter key
-    * than that calls for pre-bucketing time coarsely and seeding each
-    * bucket with its predecessor's closing row.
+    * window buffer (spilled by `WindowExec` when large); for a hotter
+    * key than that, [[asofJoinBucketed]] bounds the buffer by a coarse
+    * time bucket instead of the whole history.
     */
   def asofJoin(probe: DataFrame, build: DataFrame, keyCol: String,
       tsCol: String, payloadCols: Seq[String],
       prefix: String = "asof_"): DataFrame = {
-    require(payloadCols.nonEmpty, "asofJoin needs at least one payload column")
+    validateAsof(probe, build, tsCol, payloadCols, prefix)
     val payload = struct((tsCol +: payloadCols).map(c => build(c).as(c)): _*)
     val bTagged = build.select(col(keyCol).as("_k"), col(tsCol).as("_t"),
       lit(0).as("_tag"), payload.as("_p"))
@@ -58,6 +64,108 @@ object TimeJoins {
         lit(null).cast(pTagged.schema("_row").dataType))
       .unionByName(pTagged)
     val w = Window.partitionBy("_k").orderBy(col("_t"), col("_tag"), col("_p"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val merged = unioned
+      .withColumn("_asof", last("_p", ignoreNulls = true).over(w))
+      .filter(col("_tag") === 1)
+    val outCols = probeCols.map(c => col(s"_row.$c").as(c)) ++
+      (tsCol +: payloadCols).map(c => col(s"_asof.$c").as(s"$prefix$c"))
+    merged.select(outCols: _*)
+  }
+
+  private val AsofReserved = Seq("_k", "_t", "_tag", "_p", "_row", "_bkt")
+
+  /** Fail-fast input validation shared by both as-of paths: reserved
+    * working names, orderable payload types (the payload struct is a
+    * window sort key — a map-typed payload would fail analysis deep in
+    * the plan), and output-prefix collisions with probe columns. */
+  private def validateAsof(probe: DataFrame, build: DataFrame,
+      tsCol: String, payloadCols: Seq[String], prefix: String): Unit = {
+    require(payloadCols.nonEmpty, "asofJoin needs at least one payload column")
+    val collide =
+      (probe.columns ++ build.columns).filter(AsofReserved.contains).distinct
+    require(collide.isEmpty, "asofJoin: input uses reserved working " +
+      s"column name(s) ${collide.mkString(", ")} — rename before joining")
+    val unorderable = (tsCol +: payloadCols).filterNot(c =>
+      org.apache.spark.sql.catalyst.expressions.RowOrdering
+        .isOrderable(build.schema(c).dataType))
+    require(unorderable.isEmpty, "asofJoin: payload column(s) " +
+      s"${unorderable.mkString(", ")} have unorderable types (the payload " +
+      "struct is the merge window's deterministic tie-breaker)")
+    val dups = (tsCol +: payloadCols).map(prefix + _)
+      .filter(probe.columns.contains)
+    require(dups.isEmpty, "asofJoin: output column name(s) " +
+      s"${dups.mkString(", ")} collide with probe columns — use another prefix")
+  }
+
+  /** [[asofJoin]] for HOT keys: same results contract, bit-for-bit,
+    * but the merge window is partitioned by (key, coarse time bucket)
+    * instead of key alone, so one task's window buffer holds at most a
+    * bucket's rows — a single key with more history than a task buffer
+    * (the one documented caveat of the plain path) stops being a
+    * straggler/spill hazard. The price is one extra bucket-granular
+    * window pass (rows = distinct (key, bucket) pairs, ~|build|/width)
+    * computing each bucket's SEED: the closing build row of the latest
+    * earlier non-empty bucket, unioned into the bucket's merge so
+    * probes that precede every in-bucket build row still see their
+    * predecessor. Seed selection uses the same (ts, payload) maximum
+    * as the merge order, so duplicate-(key, ts) resolution is
+    * IDENTICAL to the plain path (spec-pinned on a single-key
+    * million-row history).
+    *
+    * Pick `bucketWidth` so a key's densest bucket fits a task buffer
+    * (e.g. an hour/day of a symbol's ticks); at 100 TB the bucket also
+    * spreads one key's merge across `history/width` tasks instead of
+    * one.
+    */
+  def asofJoinBucketed(probe: DataFrame, build: DataFrame, keyCol: String,
+      tsCol: String, payloadCols: Seq[String], bucketWidth: Long,
+      prefix: String = "asof_"): DataFrame = {
+    validateAsof(probe, build, tsCol, payloadCols, prefix)
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val payload = struct((tsCol +: payloadCols).map(c => build(c).as(c)): _*)
+    val bTagged = withBand(build.select(col(keyCol).as("_k"),
+      col(tsCol).as("_t"), lit(0).as("_tag"), payload.as("_p")),
+      "_t", bucketWidth, "_bkt")
+    val pPayloadType = bTagged.schema("_p").dataType
+    val probeCols = probe.columns.toSeq
+    val pTagged = withBand(probe.select(col(keyCol).as("_k"),
+      col(tsCol).as("_t"), lit(1).as("_tag"),
+      lit(null).cast(pPayloadType).as("_p"),
+      struct(probeCols.map(col): _*).as("_row")), "_t", bucketWidth, "_bkt")
+
+    // Each (key, bucket)'s closing build row: the lexicographic
+    // (ts, payload) maximum — exactly the row the plain path's running
+    // window would carry out of the bucket.
+    val closings = bTagged.groupBy("_k", "_bkt")
+      .agg(max(struct(col("_t"), col("_p"))).as("_close"))
+    val probeBuckets = pTagged.select("_k", "_bkt").distinct()
+    // Seed of probe bucket b = last closing among build buckets < b.
+    // Markers (tag 0) sort before the same bucket's closing (tag 1), so
+    // the running frame at a marker holds earlier buckets' closings only.
+    // This window is bucket-granular: ~|history|/bucketWidth rows per
+    // key, not |history|.
+    val sw = Window.partitionBy("_sk").orderBy(col("_sb"), col("_stag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val seeds = closings.select(col("_k").as("_sk"), col("_bkt").as("_sb"),
+        lit(1).as("_stag"), col("_close"))
+      .unionByName(probeBuckets.select(col("_k").as("_sk"),
+        col("_bkt").as("_sb"), lit(0).as("_stag"),
+        lit(null).cast(closings.schema("_close").dataType).as("_close")))
+      .withColumn("_seed", last("_close", ignoreNulls = true).over(sw))
+      .filter(col("_stag") === 0 && col("_seed").isNotNull)
+    // A seed's ts lies in an earlier bucket, so it sorts before every
+    // in-bucket row — the merge below needs no special casing.
+    val seedRows = seeds.select(col("_sk").as("_k"),
+      col("_seed._t").as("_t"), lit(0).as("_tag"),
+      col("_seed._p").as("_p"),
+      lit(null).cast(pTagged.schema("_row").dataType).as("_row"),
+      col("_sb").as("_bkt"))
+    val unioned = bTagged
+      .withColumn("_row", lit(null).cast(pTagged.schema("_row").dataType))
+      .unionByName(pTagged).unionByName(seedRows)
+    val w = Window.partitionBy("_k", "_bkt")
+      .orderBy(col("_t"), col("_tag"), col("_p"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val merged = unioned
       .withColumn("_asof", last("_p", ignoreNulls = true).over(w))
@@ -90,6 +198,14 @@ object TimeJoins {
   def bandedRangePairs(probe: DataFrame, build: DataFrame, keyCol: String,
       tsCol: String, window: Long, buildPrefix: String = "b_"): DataFrame = {
     require(window > 0, "window must be positive")
+    val reserved = Seq("_k", "_band", "_band0", "_graft_band_r")
+    val collide =
+      (probe.columns ++ build.columns).filter(reserved.contains).distinct
+    require(collide.isEmpty, "bandedRangePairs: input uses reserved working " +
+      s"column name(s) ${collide.mkString(", ")} — rename before joining")
+    val dups = build.columns.map(buildPrefix + _).filter(probe.columns.contains)
+    require(dups.isEmpty, "bandedRangePairs: prefixed build column(s) " +
+      s"${dups.mkString(", ")} collide with probe columns — use another prefix")
     val build2 = withBand(build.select(
         build.columns.map(c => col(c).as(s"$buildPrefix$c")).toSeq: _*),
       s"$buildPrefix$tsCol", window, "_band")

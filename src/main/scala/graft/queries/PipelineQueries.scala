@@ -131,6 +131,58 @@ object PipelineQueries {
 
   private lazy val ivfOracleSql = ivfOracleSqlFor("TRUE", "TRUE")
 
+  /** `q_ann_ivf_trained`: the coarse quantizer is TRAINED — one Lloyd
+    * round of cosine KMeans from the pinned lowest-id init (mirrored
+    * below: assign by min cosine distance with ties to the lower cid,
+    * recenter by per-dimension mean, an empty cluster keeps its seed) —
+    * then both engines round the centers to 6 digits before building
+    * the index, so downstream assignment can't amplify the engines'
+    * sub-ulp summation-order differences into a boundary flip. Probe:
+    * nprobe 3 of nlist 8, exact top-5 over the probed lists. */
+  private lazy val ivfTrainedOracleSql = {
+    def cosDist(a: String, b: String) =
+      s"""1 - ${dotSql(a, b)} /
+         (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"""
+    s"""WITH $vecCte,
+        c0 AS (SELECT CAST(row_number() OVER (ORDER BY id) AS BIGINT) - 1 AS cid,
+          vec AS cvec FROM (SELECT id, vec FROM v ORDER BY id LIMIT 8)),
+        a1 AS (SELECT id, vec, cid FROM (
+          SELECT p.id, p.vec, c.cid,
+            row_number() OVER (PARTITION BY p.id ORDER BY
+              ${cosDist("p.vec", "c.cvec")}, c.cid) AS rn
+          FROM v p CROSS JOIN c0 c) WHERE rn = 1),
+        m1 AS (SELECT cid, i, round(avg(vec[i]), 6) AS m
+          FROM a1, range(1, 65) t(i) GROUP BY 1, 2),
+        cents AS (SELECT c0.cid,
+          coalesce(mv.mvec, [round(x, 6) for x in c0.cvec]) AS cvec
+          FROM c0 LEFT JOIN (SELECT cid, list(m ORDER BY i) AS mvec
+            FROM m1 GROUP BY 1) mv USING (cid)),
+        assign AS (SELECT nid, nvec, cid FROM (
+          SELECT v.id AS nid, v.vec AS nvec, c.cid,
+            row_number() OVER (PARTITION BY v.id ORDER BY
+              ${dotSql("v.vec", "c.cvec")} /
+                (sqrt(${dotSql("v.vec", "v.vec")}) *
+                 sqrt(${dotSql("c.cvec", "c.cvec")})) DESC, c.cid) AS rk
+          FROM v CROSS JOIN cents c) WHERE rk = 1),
+        probes AS (SELECT qid, qvec, cid FROM (
+          SELECT q.id AS qid, q.vec AS qvec, c.cid,
+            row_number() OVER (PARTITION BY q.id ORDER BY
+              ${dotSql("q.vec", "c.cvec")} /
+                (sqrt(${dotSql("q.vec", "q.vec")}) *
+                 sqrt(${dotSql("c.cvec", "c.cvec")})) DESC, c.cid) AS rk
+          FROM (SELECT id, vec FROM v WHERE id < 5) q
+          CROSS JOIN cents c) WHERE rk <= 3),
+        scored AS (SELECT p.qid, a.nid,
+          ${dotSql("p.qvec", "a.nvec")} /
+            (sqrt(${dotSql("p.qvec", "p.qvec")}) *
+             sqrt(${dotSql("a.nvec", "a.nvec")})) AS cosine
+          FROM probes p JOIN assign a USING (cid) WHERE p.qid <> a.nid)
+        SELECT qid, nid, round(cosine, 6) AS cosine, CAST(rk AS INT) AS rk
+        FROM (SELECT qid, nid, cosine, row_number() OVER
+          (PARTITION BY qid ORDER BY cosine DESC, nid) AS rk FROM scored)
+        WHERE rk <= 5"""
+  }
+
   /** `q_incr_ann_ivf`: base = ids ≢3 (mod 10), delta adds the ≡3 ids and
     * removes the ≡7 ones, so the post-delta corpus is ids ≢7 — but the
     * quantizer stays the BASE corpus's 16 lowest ids (some of which are
@@ -248,6 +300,49 @@ object PipelineQueries {
         out
       },
       Some(s"""WITH RECURSIVE ${simhashPairCtesWhere(" WHERE doc_id % 10 <> 7")},
+              prs AS (SELECT a, b FROM cands
+                WHERE bit_count(xor(ha1, hb1)) + bit_count(xor(ha2, hb2)) <= 3),
+              edges AS (SELECT a AS u, b AS v FROM prs
+                UNION SELECT b, a FROM prs),
+              reach AS (SELECT u, u AS v FROM (SELECT DISTINCT u FROM edges) t
+                UNION SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u)
+              SELECT u AS id, min(v) AS comp FROM reach GROUP BY 1""")),
+
+    // REPEATED multi-delta continuation — the reference's operational
+    // mode (`IncrPageRank.java:267` re-enters on the previous run's
+    // preserve files): two deltas chained through continueClusters with
+    // a DURABLE write/read between the hops, so the gate proves state
+    // roll-forward through parquet, not just in-session chaining.
+    // Delta 1 adds the %10==3 docs and removes the %10==7; delta 2 adds
+    // the %10==6 (held out of the base) and removes the %10==1. Oracle:
+    // full recursive-closure recompute on the FINAL corpus (%10 ∉ {7,1}).
+    Q("q_incr_dedup_chain",
+      (s, dir) => {
+        val docs = Q.t(s, dir, "documents")
+        val base = docs.filter(col("doc_id") % 10 =!= 3 &&
+          col("doc_id") % 10 =!= 6)
+        val st0 = graft.operators.IncrementalDedup.preserveClusters(
+          base, "doc_id", "text", maxHamming = 3)
+        val st1 = graft.operators.IncrementalDedup.continueClusters(st0,
+          docs.filter(col("doc_id") % 10 === 3),
+          base.filter(col("doc_id") % 10 === 7).select("doc_id"),
+          "doc_id", "text")
+        st0.release()
+        val hop = java.nio.file.Files
+          .createTempDirectory("graft_dedup_chain").toString
+        st1.write(hop) // durable hop: delta 2 continues from disk
+        st1.release()
+        val st1r = graft.operators.DedupClusterState.read(s, hop)
+        val st2 = graft.operators.IncrementalDedup.continueClusters(st1r,
+          docs.filter(col("doc_id") % 10 === 6),
+          docs.filter(col("doc_id") % 10 === 1).select("doc_id"),
+          "doc_id", "text")
+        // st2.comps IS the result (an eager catalog-visible cache);
+        // clearCache/unpersist reclaim it after consumption
+        st2.comps.select(col("id"), col("comp"))
+      },
+      Some(s"""WITH RECURSIVE ${simhashPairCtesWhere(
+                " WHERE doc_id % 10 NOT IN (7, 1)")},
               prs AS (SELECT a, b FROM cands
                 WHERE bit_count(xor(ha1, hb1)) + bit_count(xor(ha2, hb2)) <= 3),
               edges AS (SELECT a AS u, b AS v FROM prs
@@ -690,6 +785,41 @@ object PipelineQueries {
       },
       Some(ivfOracleSql)),
 
+    // TRAINED coarse quantizer: one Lloyd round of cosine KMeans from
+    // the pinned lowest-id init, centers rounded to 6 digits on BOTH
+    // sides (sub-ulp mean-summation-order differences between engines
+    // must not flip an assignment boundary), then the index is built
+    // with centroidFoldLimit < nlist, forcing the broadcast + max_by
+    // assignment path (the trained-index-scale path, spec-covered since
+    // round 6, now under the oracle). Reference analog: trained global
+    // centers as the ONE2ALL global value (`IterKmeans.java:492-539`).
+    Q("q_ann_ivf_trained",
+      (s, dir) => {
+        val vecs = Q.t(s, dir, "embeddings")
+          .select(col("vec_id").as("id"), col("embedding").as("vec"))
+        val model = graft.algorithms.KMeans.run(vecs, k = 8,
+          metric = "cosine", maxIterations = 1)
+        def r6(x: Double): Double = // half-away-from-zero, like SQL round()
+          BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        val centRows = model.centers.map { case (cid, v) =>
+          org.apache.spark.sql.Row(cid.toLong, v.map(r6).toSeq)
+        }
+        val cents = s.createDataFrame(
+          s.sparkContext.parallelize(centRows.toIndexedSeq),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("id",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("vec",
+              org.apache.spark.sql.types.ArrayType(
+                org.apache.spark.sql.types.DoubleType)))))
+        Similarity.ivfTopK(vecs, vecs.filter(col("id") < 5), k = 5,
+          nlist = 8, nprobe = 3, centroids = Some(cents),
+          centroidFoldLimit = 4)
+          .select(col("qid"), col("nid"), round(col("cosine"), 6).as("cosine"),
+            col("rk").cast("int").as("rk"))
+      },
+      Some(ivfTrainedOracleSql)),
+
     // INCREMENTAL index maintenance: build on the base corpus (ids ≢3
     // mod 10), then updateIvfIndex applies the delta (+≡3 ids, −≡7 ids)
     // by rewriting ONLY the touched cid partitions under the FROZEN
@@ -784,10 +914,16 @@ object PipelineQueries {
     // identical construction on both sides).
     Q("q_pii_scrub",
       (s, dir) => {
+        // one of each phone class the scrubber claims: bare +CC short
+        // form, parenthesized area, dotted 10-digit, spaced with CC
+        val id3 = lpad((col("doc_id") % 1000).cast("string"), 3, "0")
+        val id4 = lpad((col("doc_id") % 10000).cast("string"), 4, "0")
         val aug = Q.t(s, dir, "documents").select(col("doc_id"),
           concat(col("text"), lit(" reach me at user"),
             col("doc_id").cast("string"), lit("@mail.example.com or +1-555-"),
-            lpad(col("doc_id").cast("string"), 4, "0")).as("text"))
+            id4, lit(" or (555) "), id3, lit("-"), id4,
+            lit(" or 415."), id3, lit("."), id4,
+            lit(" or +1 555 "), id3, lit(" "), id4).as("text"))
         Pipeline.scrubPii(aug, "text").select(col("doc_id"), col("scrubbed"),
           col("n_email").cast("long").as("n_email"),
           col("n_phone").cast("long").as("n_phone"),
@@ -796,7 +932,13 @@ object PipelineQueries {
       Some("""WITH aug AS (SELECT doc_id,
                 text || ' reach me at user' || CAST(doc_id AS VARCHAR)
                   || '@mail.example.com or +1-555-'
-                  || lpad(CAST(doc_id AS VARCHAR), 4, '0') AS text
+                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                  || ' or (555) ' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                  || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                  || ' or 415.' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                  || '.' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                  || ' or +1 555 ' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                  || ' ' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
                 FROM documents),
               s1 AS (SELECT doc_id,
                 len(regexp_extract_all(text,
@@ -806,8 +948,9 @@ object PipelineQueries {
                   '<EMAIL>', 'g') AS t1 FROM aug),
               s2 AS (SELECT doc_id, n_email,
                 len(regexp_extract_all(t1,
-                  '\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}')) AS n_phone,
-                regexp_replace(t1, '\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}',
+                  '(\+[0-9]{1,2}[- ])?(\([0-9]{3}\) ?|[0-9]{3}[-. ])[0-9]{3}[-. ][0-9]{4}|\+[0-9]{1,2}[- ][0-9]{3}[- ][0-9]{4}')) AS n_phone,
+                regexp_replace(t1,
+                  '(\+[0-9]{1,2}[- ])?(\([0-9]{3}\) ?|[0-9]{3}[-. ])[0-9]{3}[-. ][0-9]{4}|\+[0-9]{1,2}[- ][0-9]{3}[- ][0-9]{4}',
                   '<PHONE>', 'g') AS t2 FROM s1),
               s3 AS (SELECT doc_id, n_email, n_phone,
                 len(regexp_extract_all(t2, '[0-9]{4,}')) AS n_num,

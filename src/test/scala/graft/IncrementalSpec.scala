@@ -494,6 +494,53 @@ class IncrementalSpec extends SparkSpec {
     assert(incr.values.toSet == Set(1L), "one star-linked component expected")
   }
 
+  test("continueClusters chains two durable deltas; state equals a fresh preserve per hop") {
+    // the reference's operational mode: delta after delta, re-entering
+    // on the previous run's preserve FILES — after each hop both state
+    // tables (band table and component labels) must equal a from-scratch
+    // preserve over the equivalent corpus, or errors would compound
+    // silently across the chain
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    def bandSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "h1", "h2", "band", "bv").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getInt(3), r.getLong(4))).toSet
+    def compMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val base = docs.filter(col("doc_id") % 10 =!= 3 && col("doc_id") % 10 =!= 6)
+    val st0 = graft.operators.IncrementalDedup.preserveClusters(
+      base, "doc_id", "text")
+    // hop 1: +%10==3, −%10==7 → corpus %10 ∉ {6,7}
+    val st1 = graft.operators.IncrementalDedup.continueClusters(st0,
+      docs.filter(col("doc_id") % 10 === 3),
+      base.filter(col("doc_id") % 10 === 7).select("doc_id"),
+      "doc_id", "text")
+    st0.release()
+    val fresh1 = graft.operators.IncrementalDedup.preserveClusters(
+      docs.filter(col("doc_id") % 10 =!= 6 && col("doc_id") % 10 =!= 7),
+      "doc_id", "text")
+    assert(bandSet(st1.bands) == bandSet(fresh1.bands), "hop-1 band table drift")
+    assert(compMap(st1.comps) == compMap(fresh1.comps), "hop-1 component drift")
+    fresh1.release()
+    // durable hop: delta 2 continues from parquet, not the live caches
+    val dir = java.nio.file.Files.createTempDirectory("graft_chain_state").toString
+    st1.write(dir)
+    st1.release()
+    val st1r = graft.operators.DedupClusterState.read(spark, dir)
+    // hop 2: +%10==6, −%10==1 → corpus %10 ∉ {7,1}
+    val st2 = graft.operators.IncrementalDedup.continueClusters(st1r,
+      docs.filter(col("doc_id") % 10 === 6),
+      docs.filter(col("doc_id") % 10 === 1).select("doc_id"),
+      "doc_id", "text")
+    val fresh2 = graft.operators.IncrementalDedup.preserveClusters(
+      docs.filter(col("doc_id") % 10 =!= 7 && col("doc_id") % 10 =!= 1),
+      "doc_id", "text")
+    assert(bandSet(st2.bands) == bandSet(fresh2.bands), "hop-2 band table drift")
+    assert(compMap(st2.comps) == compMap(fresh2.comps), "hop-2 component drift")
+    assert(st2.comps.count() > 0, "differential test needs a non-empty pair graph")
+    fresh2.release(); st2.release()
+  }
+
   test("incremental composed clean equals full recompute, chained across two deltas") {
     import graft.operators.{IncrementalPipeline, Pipeline}
     def ids(df: org.apache.spark.sql.DataFrame) =

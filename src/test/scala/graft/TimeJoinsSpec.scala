@@ -48,6 +48,81 @@ class TimeJoinsSpec extends SparkSpec {
     assert(exchanges == 1, s"want exactly 1 exchange, got $exchanges")
   }
 
+  test("asofJoinBucketed equals the plain path on gaps, dup ts, and missing history") {
+    // bucket width 7 (doesn't divide anything evenly); probe in a bucket
+    // with no build rows (seed must carry across several empty buckets);
+    // duplicate build ts with distinct payloads (tie-break must match);
+    // key with no history at all (nulls)
+    val probe = Seq((1L, 3L, "early"), (1L, 29L, "gap"), (1L, 40L, "dup"),
+      (2L, 5L, "none")).toDF("k", "ts", "tag")
+    val build = Seq((1L, 2L, 20L), (1L, 8L, 80L), (1L, 40L, 7L),
+      (1L, 40L, 9L), (3L, 1L, 999L)).toDF("k", "ts", "v")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("k", "ts").collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getString(2), Option(r.get(3)), Option(r.get(4)))).toSeq
+    val plain = rows(TimeJoins.asofJoin(probe, build, "k", "ts", Seq("v")))
+    val bucketed = rows(TimeJoins.asofJoinBucketed(probe, build, "k", "ts",
+      Seq("v"), bucketWidth = 7L))
+    assert(bucketed == plain, s"bucketed=$bucketed plain=$plain")
+    // sanity on content, not just agreement
+    assert(plain == Seq(
+      (1L, 3L, "early", Some(2L), Some(20L)),
+      (1L, 29L, "gap", Some(8L), Some(80L)),
+      (1L, 40L, "dup", Some(40L), Some(9L)),
+      (2L, 5L, "none", None, None)))
+  }
+
+  test("asofJoinBucketed: single-key million-row history matches plain bit-for-bit") {
+    // THE hot-key scenario the bucketed path exists for: one key whose
+    // entire history would land in one task's window buffer on the
+    // plain path. 10^6 build rows, 10^5 probes, duplicate timestamps
+    // with distinct payloads sprinkled in (id*3 mod p wraps).
+    val p = 999983L
+    val build = spark.range(1000000).select(lit(1L).as("k"),
+      (col("id") * 3L % p).as("ts"), (col("id") % 1000L).as("v"))
+    val probe = spark.range(100000).select(lit(1L).as("k"),
+      (col("id") * 17L % p).as("ts"))
+    def sig(df: org.apache.spark.sql.DataFrame) = {
+      val h = hash(struct(df.columns.map(col): _*))
+      df.agg(count(lit(1)), sum(h.cast("long"))).collect()(0)
+    }
+    val plain = sig(TimeJoins.asofJoin(probe, build, "k", "ts", Seq("v")))
+    val bucketed = sig(TimeJoins.asofJoinBucketed(probe, build, "k", "ts",
+      Seq("v"), bucketWidth = 4096L))
+    assert(bucketed == plain, s"bucketed=$bucketed plain=$plain")
+    assert(plain.getLong(0) == 100000L)
+  }
+
+  test("asof validation: unorderable payload, reserved names, prefix collisions") {
+    val probe = Seq((1L, 5L)).toDF("k", "ts")
+    val mapBuild = Seq((1L, 3L, Map("a" -> 1))).toDF("k", "ts", "m")
+    val e1 = intercept[IllegalArgumentException] {
+      TimeJoins.asofJoin(probe, mapBuild, "k", "ts", Seq("m"))
+    }
+    assert(e1.getMessage.contains("unorderable"))
+    val build = Seq((1L, 3L, 30L)).toDF("k", "ts", "v")
+    val e2 = intercept[IllegalArgumentException] {
+      TimeJoins.asofJoin(probe.withColumn("_tag", lit(1)), build,
+        "k", "ts", Seq("v"))
+    }
+    assert(e2.getMessage.contains("reserved"))
+    val e3 = intercept[IllegalArgumentException] {
+      TimeJoins.asofJoin(probe.withColumn("asof_v", lit(1)), build,
+        "k", "ts", Seq("v"))
+    }
+    assert(e3.getMessage.contains("collide"))
+    val e4 = intercept[IllegalArgumentException] {
+      TimeJoins.bandedRangePairs(probe.withColumn("_band", lit(1)), build,
+        "k", "ts", 10L)
+    }
+    assert(e4.getMessage.contains("reserved"))
+    val e5 = intercept[IllegalArgumentException] {
+      TimeJoins.bandedRangePairs(probe.withColumn("b_ts", lit(1L)), build,
+        "k", "ts", 10L)
+    }
+    assert(e5.getMessage.contains("collide"))
+  }
+
   test("bandedRangePairs returns each in-window pair exactly once") {
     val w = 10L
     val probe = Seq((1L, 20L, "a"), (1L, 21L, "b"), (2L, 15L, "c"))
@@ -115,5 +190,33 @@ class TimeJoinsSpec extends SparkSpec {
     assert(out(1).getString(1) == "digits 123 stay short but <NUM> is a run")
     assert((out(1).getInt(2), out(1).getInt(3), out(1).getInt(4)) == (0, 0, 1))
     assert(out(2).getString(1) == "clean text only")
+  }
+
+  test("scrubPii phone classes: dashed/dotted/spaced 10-digit, parens, +CC forms") {
+    val cases = Seq(
+      // (id, text, expected scrubbed, expected n_phone)
+      (1L, "call 555-123-4567 now", "call <PHONE> now", 1),
+      (2L, "call 555.123.4567 now", "call <PHONE> now", 1),
+      (3L, "call 555 123 4567 now", "call <PHONE> now", 1),
+      (4L, "call (555) 123-4567 now", "call <PHONE> now", 1),
+      (5L, "call (555)123-4567 now", "call <PHONE> now", 1),
+      (6L, "call +1 555 123 4567 now", "call <PHONE> now", 1),
+      (7L, "call +44-555-123-4567 now", "call <PHONE> now", 1),
+      (8L, "call +1-555-1234 now", "call <PHONE> now", 1),
+      // NOT phones: 7-digit local (no area), year ranges, bare runs —
+      // these stay in the <NUM> class so audits don't overcount
+      (9L, "call 123-4567 now", "call 123-<NUM> now", 0),
+      (10L, "range 100-2000 here", "range 100-<NUM> here", 0),
+      (11L, "date 2023-12-31 here", "date <NUM>-12-31 here", 0)
+    ).toDF("id", "text", "want", "wantPhones")
+    val got = Pipeline.scrubPii(cases, "text")
+      .select($"id", $"scrubbed", $"want", $"n_phone", $"wantPhones")
+      .collect().sortBy(_.getLong(0))
+    for (r <- got) {
+      assert(r.getString(1) == r.getString(2),
+        s"id ${r.getLong(0)}: got '${r.getString(1)}' want '${r.getString(2)}'")
+      assert(r.getInt(3) == r.getInt(4),
+        s"id ${r.getLong(0)}: n_phone ${r.getInt(3)} want ${r.getInt(4)}")
+    }
   }
 }
