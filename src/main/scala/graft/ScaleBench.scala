@@ -1,0 +1,297 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Empirical scale validation: run the heaviest operator surfaces at 1x
+  * and Nx row counts from the SAME deterministic generator and report
+  * per-phase seconds, so every "would survive 100x" design claim in
+  * PLANS.md gets a measured scaling exponent instead of a plan audit.
+  *
+  * The probes mirror the gate queries' structure (same operators, same
+  * delta shapes — `q_incr_pagerank`, `q_incr_dedup_clusters`,
+  * `q_incr_pipeline_clean`, `q_incr_matvec*`, `q_dedup_clusters`,
+  * `q_tfidf`, `q_ann_ivf_disk`) but parameterize the input SIZE: the
+  * gates pin mod-constants (a 40x40 events matrix) that would hide
+  * super-linear behavior behind fixed state. Inputs are written to
+  * parquet first so scans are realistic and generation is untimed.
+  *
+  * Pass criterion (PERF_NOTES): at 10x rows, per-probe time grows
+  * <= ~linearly (allowing log factors and fixed driver overhead);
+  * residual cached blocks return to 0 after every probe — a
+  * super-linear jump is a scale hazard to hunt down, the way round 6's
+  * driver re-canonicalization (33 s of pure driver time) was.
+  *
+  * Usage: runMain graft.ScaleBench <scratchDir> <mult1> [mult2 ...]
+  */
+object ScaleBench {
+
+  /** ~30-word vocab like the driver's documents table. */
+  private val Vocab = Seq("spark", "line", "column", "order", "small",
+    "sort", "fast", "value", "scan", "hash", "slow", "group", "batch",
+    "query", "agg", "table", "key", "stream", "window", "join", "part",
+    "filter", "merge", "big", "the", "a", "data", "customer", "vector",
+    "grid")
+
+  /** Documents with the sf tables' shape (avg ~40 tokens) and explicit
+    * dedup structure: every id%10==9 doc is a NEAR-dup of id-1 (first
+    * token differs), every id%100==50 doc is an EXACT dup of id-7.
+    * Deterministic: hash-derived words, no RNG state. */
+  def genDocs(spark: SparkSession, n: Long): DataFrame = {
+    val vocab = array(Vocab.map(lit): _*)
+    val V = Vocab.size
+    val gid = when(pmod(col("id"), lit(10L)) === 9, col("id") - 1)
+      .when(pmod(col("id"), lit(100L)) === 50, col("id") - 7)
+      .otherwise(col("id"))
+    val ntok = (pmod(xxhash64(gid * 31 + 7), lit(72L)) + 8).cast("int")
+    val mutant = pmod(col("id"), lit(10L)) === 9
+    spark.range(n).select(col("id").as("doc_id"),
+      array_join(transform(sequence(lit(0), ntok - 1), j =>
+        element_at(vocab, (pmod(xxhash64(
+          when(j === 0 && mutant, col("id") * 77 + 13)
+            .otherwise(gid * 1009 + j.cast("long") * 9176 + 5)),
+          lit(V.toLong)) + 1).cast("int"))), " ").as("text"))
+  }
+
+  /** 64-dim float vectors in 16 hash-centered clusters (the embeddings
+    * table's shape). */
+  def genVecs(spark: SparkSession, n: Long): DataFrame = {
+    val lbl = pmod(col("id"), lit(16L))
+    spark.range(n).select(col("id"),
+      transform(sequence(lit(0), lit(63)), d => {
+        val dl = d.cast("long")
+        val center = pmod(xxhash64(lbl * 64 + dl + 99), lit(997L))
+          .cast("double") / 997.0 - 0.5
+        val noise = pmod(xxhash64(col("id") * 64 + dl), lit(1000003L))
+          .cast("double") / 1000003.0 - 0.5
+        center + noise * 0.2
+      }).cast("array<float>").as("vec"))
+  }
+
+  private def deleteRec(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles).toSeq.flatten.foreach(deleteRec)
+    f.delete(); ()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val scratch = args.headOption.getOrElse("/tmp/graft_scale")
+    val mults = args.drop(1).map(_.toInt) match {
+      case Array() => Array(1, 10); case ms => ms
+    }
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    System.setProperty("graft.timing", "1")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.util.LogQuiet()
+    graft.functions.GraftFunctions.register(spark)
+
+    def consume(df: DataFrame): Long = {
+      // force every column of every row (count alone lets Parquet prune);
+      // mod before summing — raw xxhash64 sums overflow long under ANSI
+      val h = pmod(xxhash64(to_json(struct(df.columns.map(col): _*))),
+        lit(1000000007L))
+      df.agg(count(lit(1)), sum(h)).collect()(0).getLong(0)
+    }
+    def timed[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+    def resid(): Int =
+      spark.sparkContext.getRDDStorageInfo.map(_.numCachedPartitions).sum
+
+    // ---- deterministic inputs, written to parquet per multiplier ----
+    def prep(m: Int): String = {
+      val dir = s"$scratch/x$m"
+      if (!new java.io.File(s"$dir/_DONE").exists) {
+        genDocs(spark, 5000L * m).write.mode("overwrite")
+          .parquet(s"$dir/documents.parquet")
+        genVecs(spark, 2000L * m).write.mode("overwrite")
+          .parquet(s"$dir/embeddings.parquet")
+        graft.util.Generators.graphTyped(spark, 15000L * m, "pg")
+          .write.mode("overwrite").parquet(s"$dir/edges.parquet")
+        // ~150k*m cells over a (4000*m)^2 space — the gate's structure
+        // (row-normalized damped Jacobi) at a dimension that scales
+        graft.util.Generators.matrixPower(spark, 4000L * m, 38)
+          .write.mode("overwrite").parquet(s"$dir/matrix.parquet")
+        new java.io.File(s"$dir/_DONE").createNewFile()
+      }
+      dir
+    }
+
+    // Each probe returns (phase -> seconds) plus input rows.
+    def probes(dir: String, m: Int): Seq[(String, Seq[(String, Double)], Long)] = {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+      val edges0 = spark.read.parquet(s"$dir/edges.parquet")
+      val mat0 = spark.read.parquet(s"$dir/matrix.parquet")
+      val out = scala.collection.mutable.ArrayBuffer
+        .empty[(String, Seq[(String, Double)], Long)]
+      def run(name: String, rows: Long)(phases: => Seq[(String, Double)]): Unit = {
+        out += ((name, phases, rows))
+        spark.catalog.clearCache(); System.gc()
+        val r = resid()
+        if (r != 0) System.err.println(s"[scale] RESIDUAL after $name: $r blocks")
+      }
+
+      run("dedup_clusters", 5000L * m) {
+        val (_, t) = timed(consume(operators.Dedup.connectedComponents(
+          operators.Dedup.simhashNearDups(docs, "doc_id", "text",
+            maxHamming = 3))))
+        Seq("total" -> t)
+      }
+
+      run("incr_dedup_clusters", 5000L * m) {
+        val base = docs.filter(col("doc_id") % 10 =!= 3)
+        val (state, tp) = timed(operators.IncrementalDedup.preserveClusters(
+          base, "doc_id", "text", maxHamming = 3))
+        val (_, ti) = timed {
+          val outDf = operators.IncrementalDedup.incrementalClusters(state,
+            docs.filter(col("doc_id") % 10 === 3),
+            base.filter(col("doc_id") % 10 === 7).select("doc_id"),
+            "doc_id", "text")
+          val n = consume(outDf); state.release(); n
+        }
+        Seq("preserve" -> tp, "incremental" -> ti)
+      }
+
+      run("incr_pipeline_clean", 5000L * m) {
+        val base = docs.filter(col("doc_id") % 10 =!= 3)
+        val (state, tp) = timed(operators.IncrementalPipeline.preserveClean(
+          base, "doc_id", "text", minQuality = 0.3, lang = "en"))
+        val (_, ti) = timed {
+          val corpusAfter = docs.filter(col("doc_id") % 10 =!= 7)
+          val next = operators.IncrementalPipeline.continueClean(state,
+            corpusAfter,
+            docs.filter(col("doc_id") % 10 === 3),
+            base.filter(col("doc_id") % 10 === 7).select("doc_id"),
+            "doc_id", "text")
+          val n = consume(operators.IncrementalPipeline
+            .cleanedDocs(next, corpusAfter, "doc_id"))
+          state.release(); next.release(); n
+        }
+        Seq("preserve" -> tp, "incremental" -> ti)
+      }
+
+      run("tfidf", 5000L * m) {
+        val (_, t) = timed(consume(
+          operators.Pipeline.tfidf(docs, "doc_id", "text")))
+        Seq("total" -> t)
+      }
+
+      run("ann_ivf_disk", 2000L * m) {
+        val v = vecs.select(col("id"), col("vec"))
+        val idx = s"$dir/ivf_idx"
+        deleteRec(new java.io.File(idx))
+        val (_, tb) = timed(operators.Similarity.buildIvfIndex(v, idx,
+          nlist = 16))
+        val (_, tq) = timed(consume(operators.Similarity.probeIvfIndex(
+          spark, idx, v.filter(col("id") < 5), k = 5, nprobe = 4)))
+        Seq("build" -> tb, "probe" -> tq)
+      }
+
+      run("incr_pagerank", 15000L * m) {
+        val edges1 = edges0
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val (preserved, tp) = timed(algorithms.IncrementalPageRank.preserve(
+          edges1, 0.8, iterations = 4))
+        val (_, ti) = timed {
+          val (edges2, chg, _) =
+            graft.util.Generators.graphDelta(edges1, 10, 15000L * m)
+          consume(algorithms.IncrementalPageRank.incremental(
+            edges2, preserved, chg.select(col("src")), 0.8,
+            iterations = 3, filterThreshold = 0.0))
+        }
+        edges1.unpersist()
+        Seq("preserve" -> tp, "incremental" -> ti)
+      }
+
+      def normMat(): DataFrame = {
+        val rs = mat0.groupBy("i").agg(sum(abs(col("v"))).as("rs"))
+        mat0.join(rs, "i")
+          .select(col("i"), col("j"), (col("v") / col("rs") * 0.8).as("v"))
+      }
+
+      run("incr_matvec", 150000L * m) {
+        val m1 = normMat().persist(StorageLevel.MEMORY_AND_DISK)
+        val b = algorithms.IncrementalMatVec.universe(m1, 0.2)
+        val (preserved, tp) = timed(algorithms.IncrementalMatVec.preserve(
+          m1, b, iterations = 4))
+        val (_, ti) = timed {
+          val chg = m1.filter(col("j") % 10 === 3).select("j").distinct()
+          val m2 = m1.withColumn("v",
+            when(col("j") % 10 === 3, col("v") * 0.5).otherwise(col("v")))
+          consume(algorithms.IncrementalMatVec.incremental(m2, b, preserved,
+            chg, iterations = 3, filterThreshold = 0.0))
+        }
+        m1.unpersist()
+        Seq("preserve" -> tp, "incremental" -> ti)
+      }
+
+      run("incr_matvec_blocked", 150000L * m) {
+        val m1 = normMat().persist(StorageLevel.MEMORY_AND_DISK)
+        val b = algorithms.IncrementalMatVec.universe(m1, 0.2)
+        val blockSize = 64
+        val (preserved, tp) = timed(algorithms.IncrementalMatVec
+          .preserveBlocked(m1, b, blockSize, iterations = 4))
+        val (_, ti) = timed {
+          val chg = m1.filter(col("j") % 10 === 3)
+            .select(algorithms.IncrementalMatVec
+              .tileId(col("i"), col("j"), blockSize).as("tid")).distinct()
+          val m2 = m1.withColumn("v",
+            when(col("j") % 10 === 3, col("v") * 0.5).otherwise(col("v")))
+          consume(algorithms.IncrementalMatVec.incrementalBlocked(m2, b,
+            preserved, chg, blockSize, iterations = 3, filterThreshold = 0.0))
+        }
+        m1.unpersist()
+        Seq("preserve" -> tp, "incremental" -> ti)
+      }
+
+      out.toSeq
+    }
+
+    // Untimed warmup at the SMALLEST multiplier: all probes run in one
+    // JVM, so without this the first (1x) pass absorbs every JIT +
+    // whole-stage-codegen compile and the larger scales run warm —
+    // inflating the 1x denominators and flattering every exponent.
+    locally {
+      val dir = prep(mults.min)
+      probes(dir, mults.min)
+      spark.catalog.clearCache(); System.gc()
+    }
+
+    val results = mults.map { m =>
+      val dir = prep(m)
+      spark.catalog.clearCache(); System.gc()
+      m -> probes(dir, m)
+    }
+    // one JSON line per (mult, probe, phase) for easy diffing
+    results.foreach { case (m, rs) =>
+      rs.foreach { case (name, phases, rows) =>
+        val ph = phases.map { case (p, s) => s""""$p":${f"$s%.2f"}""" }
+          .mkString(",")
+        println(s"""{"scale":$m,"probe":"$name","rows":$rows,$ph}""")
+      }
+    }
+    // scaling exponents vs the smallest multiplier
+    if (mults.length > 1) {
+      val base = results.head
+      results.drop(1).foreach { case (m, rs) =>
+        val ratio = m.toDouble / base._1
+        rs.zip(base._2).foreach { case ((name, ph, _), (_, ph0, _)) =>
+          ph.zip(ph0).foreach { case ((p, s), (_, s0)) =>
+            val x = s / math.max(s0, 0.01)
+            val exp = math.log(x) / math.log(ratio)
+            println(f"""{"probe":"$name","phase":"$p","rows_x":$ratio%.0f,"time_x":$x%.2f,"exponent":$exp%.2f}""")
+          }
+        }
+      }
+    }
+    spark.stop()
+  }
+}

@@ -89,6 +89,73 @@ class StreamingSpec extends SparkSpec {
         s"only-batch=${(expect -- got).take(3)}")
   }
 
+  test("sessionization through a real StreamingQuery: state carries across " +
+      "micro-batches and EventTimeTimeout closes idle sessions") {
+    import EventStreams.{SessionEvent, SessionOut}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val gap = 100L * 1000000000L // 100 s in ns
+    // offset from a realistic epoch: a row at exactly the initial
+    // watermark (1970-01-01, i.e. raw ts=0) is dropped as late
+    def s2ns(s: Long): Long = (1700000000L + s) * 1000000000L
+    val input = MemoryStream[SessionEvent]
+    // the watermark must be attached upstream of the stateful operator;
+    // the typed view keeps the event_time column in the plan
+    val withWm = input.toDS()
+      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("event_time", "0 seconds")
+      .as[SessionEvent]
+    val ckpt = java.nio.file.Files.createTempDirectory("sess_ckpt").toString
+    val q = EventStreams.sessionizeStream(withWm, gap)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sess_stream")
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      // batch 1: u3 closes a session INLINE within the batch (0 → 300)
+      input.addData(SessionEvent(1, s2ns(0)), SessionEvent(1, s2ns(50)),
+        SessionEvent(2, s2ns(10)), SessionEvent(3, s2ns(0)),
+        SessionEvent(3, s2ns(300)), SessionEvent(3, s2ns(350)))
+      q.processAllAvailable()
+      // batch 2: u1's 600 closes its carried [0,50] session inline
+      // (state crossed the batch boundary); u3's 420 extends [300,·]
+      input.addData(SessionEvent(1, s2ns(600)), SessionEvent(3, s2ns(420)))
+      q.processAllAvailable()
+      // batch 3: a clock key advances the watermark to 2000 s; at the
+      // NEXT batch the timeout fires for u2 [10,10] and u3 [300,420]
+      input.addData(SessionEvent(99, s2ns(2000)))
+      q.processAllAvailable()
+      // batch 4: watermark 2000 s > every remaining timeout except the
+      // clock keys' own sessions → u1 [600,600] closes via TIMEOUT
+      input.addData(SessionEvent(100, s2ns(3000)))
+      q.processAllAvailable()
+
+      val got = spark.table("sess_stream").as[SessionOut]
+        .collect().map(s => (s.user_id, s.session_start, s.session_end, s.n_events))
+        .filter(_._1 < 99).toSet
+      // the watermark has passed every u1/u2/u3 session, so the stream
+      // must have emitted the COMPLETE batch twin for those users —
+      // no open-session subtraction like the batch-mode test above
+      val all = Seq((1L, 0L), (1L, 50L), (2L, 10L), (3L, 0L), (3L, 300L),
+        (3L, 350L), (1L, 600L), (3L, 420L))
+        .zipWithIndex.map { case ((u, s), i) => (u, s2ns(s), i.toLong) }
+        .toDF("user_id", "ts", "event_id")
+      val expect = graft.operators.Relational.sessionize(
+          all, "user_id", "ts", "event_id", gap)
+        .groupBy("user_id", "session_id")
+        .agg(min("ts").as("s"), max("ts").as("e"), count(lit(1)).as("n"))
+        .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toSet
+      assert(expect.size == 5) // sanity: the scenario has 5 closed sessions
+      assert(got == expect,
+        s"only-stream=${(got -- expect).take(5)} only-batch=${(expect -- got).take(5)}")
+      // the timeout path specifically: u2 has no later event, so its
+      // session can only have been emitted by hasTimedOut
+      assert(got.exists(_._1 == 2L))
+    } finally q.stop()
+  }
+
   test("stateful running totals accumulate across batches") {
     import EventStreams.{UserEvent, UserRunning}
     val events = spark.read.parquet(s"$sf/events.parquet")
