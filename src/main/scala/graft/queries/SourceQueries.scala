@@ -67,6 +67,36 @@ object SourceQueries {
               round(sum(value), 6) AS total_plays
               FROM events GROUP BY 1""")),
 
+    // F7 JDBC ingest (DBInputFormat; reference example
+    // DBCountPageView.java): supplier round-trips through an embedded
+    // in-memory Derby database — written with Spark's JDBC sink, read
+    // back through Sources.jdbc as a RANGED PARALLEL scan
+    // (partitionColumn on the key, 4 range partitions — the shape a
+    // 100 TB extract uses against a sharded RDBMS), then aggregated per
+    // nation. Derby uppercases identifiers, so the readback re-aliases;
+    // a reader that dropped rows, mangled types, or double-read a range
+    // boundary hash-mismatches against the parquet oracle.
+    Q("q_jdbc_ingest",
+      (s, dir) => {
+        val url = "jdbc:derby:memory:graft_jdbc_gate;create=true"
+        val driver = Map("driver" -> "org.apache.derby.iapi.jdbc.AutoloadedDriver")
+        val jprops = new java.util.Properties()
+        driver.foreach { case (k, v) => jprops.setProperty(k, v) }
+        val supp = Q.t(s, dir, "supplier")
+          .select(col("s_suppkey"), col("s_nationkey"), col("s_acctbal"))
+        supp.write.mode("overwrite").jdbc(url, "graft_supplier", jprops)
+        val hi = supp.agg(max("s_suppkey")).collect()(0).getLong(0) // O(1)
+        Sources.jdbc(s, url, "graft_supplier", driver ++ Map(
+            "partitionColumn" -> "S_SUPPKEY", "lowerBound" -> "1",
+            "upperBound" -> hi.toString, "numPartitions" -> "4"))
+          .groupBy(col("s_nationkey").cast("int").as("nation"))
+          .agg(count(lit(1)).as("n_supp"),
+            round(sum("s_acctbal"), 4).as("total_bal"))
+      },
+      Some("""SELECT CAST(s_nationkey AS INT) AS nation,
+              count(*) AS n_supp, round(sum(s_acctbal), 4) AS total_bal
+              FROM supplier GROUP BY 1""")),
+
     // Streaming gap sessionization, batch-executed (the backfill mode):
     // flatMapGroupsWithState emits every CLOSED session — each user's
     // final session stays open pending more data, exactly as a stream
