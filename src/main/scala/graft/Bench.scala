@@ -111,19 +111,25 @@ object Bench {
         s"resid=${diag("resid_blocks")}blk/${diag("resid_mb")}MB")
       (name, dt, ok, diag)
     }
+    // Per-query times rounded to 10 ms and the diag map exiled to
+    // stderr: the driver captures stdout's ONE JSON line, and the
+    // previous inline-diag line grew to ~10 KB with the query count —
+    // the last two rounds' driver-side captures came back truncated/
+    // unparsable. Contract fields only, ~2 KB at 78 queries.
     val qs = results.map { case (k, v, ok, _) =>
-      "\"" + k + "\":" + (if (ok) v else -1.0)
+      "\"" + k + "\":" + (if (ok) f"$v%.2f" else "-1")
     }.mkString("{", ",", "}")
     val diags = results.map { case (k, _, _, d) =>
       "\"" + k + "\":{" +
         d.map { case (dk, dv) => "\"" + dk + "\":" + dv }.mkString(",") + "}"
     }.mkString("{", ",", "}")
+    System.err.println(s"""[bench] diag: {"reps":$reps,"diag":$diags}""")
     // A crashed query's time-to-failure must not pollute the total; its
     // -1 marker plus the "failed" list make the breakage visible instead.
     val total = results.collect { case (_, v, true, _) => v }.sum
     val failed = results.collect { case (k, _, false, _) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"failed":$failed,"diag":$diags,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f"$total%.2f"},"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -125,7 +125,8 @@ object ScaleBench {
     }
 
     // Each probe returns (phase -> seconds) plus input rows.
-    def probes(dir: String, m: Int): Seq[(String, Seq[(String, Double)], Long)] = {
+    def probes(dir: String, m: Int, quiet: Boolean = false)
+        : Seq[(String, Seq[(String, Double)], Long)] = {
       val docs = spark.read.parquet(s"$dir/documents.parquet")
       val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
       val edges0 = spark.read.parquet(s"$dir/edges.parquet")
@@ -133,7 +134,17 @@ object ScaleBench {
       val out = scala.collection.mutable.ArrayBuffer
         .empty[(String, Seq[(String, Double)], Long)]
       def run(name: String, rows: Long)(phases: => Seq[(String, Double)]): Unit = {
-        out += ((name, phases, rows))
+        val ph = phases
+        out += ((name, ph, rows))
+        // stream each probe's line immediately: a later probe's crash
+        // (e.g. an OOM the harness exists to find) must not lose the
+        // measurements that already completed
+        if (!quiet) {
+          val phJson = ph.map { case (p, s) => s""""$p":${f"$s%.2f"}""" }
+            .mkString(",")
+          println(s"""{"scale":$m,"probe":"$name","rows":$rows,$phJson}""")
+          Console.out.flush()
+        }
         spark.catalog.clearCache(); System.gc()
         val r = resid()
         if (r != 0) System.err.println(s"[scale] RESIDUAL after $name: $r blocks")
@@ -236,7 +247,12 @@ object ScaleBench {
       run("incr_matvec_blocked", 150000L * m) {
         val m1 = normMat().persist(StorageLevel.MEMORY_AND_DISK)
         val b = algorithms.IncrementalMatVec.universe(m1, 0.2)
-        val blockSize = 64
+        // density-aware: a FIXED block size degenerates as the dimension
+        // grows at constant row degree (~1 cell/tile at 100x → the tile
+        // layer is pure overhead; OOMed an 8g heap before this rule)
+        val blockSize = algorithms.IncrementalMatVec
+          .tileSizeFor(dim = 4000L * m, nnz = 150000L * m)
+        System.err.println(s"[scale] blocked probe blockSize=$blockSize")
         val (preserved, tp) = timed(algorithms.IncrementalMatVec
           .preserveBlocked(m1, b, blockSize, iterations = 4))
         val (_, ti) = timed {
@@ -261,22 +277,15 @@ object ScaleBench {
     // inflating the 1x denominators and flattering every exponent.
     locally {
       val dir = prep(mults.min)
-      probes(dir, mults.min)
+      probes(dir, mults.min, quiet = true)
       spark.catalog.clearCache(); System.gc()
     }
 
+    // per-probe JSON lines stream from inside run() as they complete
     val results = mults.map { m =>
       val dir = prep(m)
       spark.catalog.clearCache(); System.gc()
       m -> probes(dir, m)
-    }
-    // one JSON line per (mult, probe, phase) for easy diffing
-    results.foreach { case (m, rs) =>
-      rs.foreach { case (name, phases, rows) =>
-        val ph = phases.map { case (p, s) => s""""$p":${f"$s%.2f"}""" }
-          .mkString(",")
-        println(s"""{"scale":$m,"probe":"$name","rows":$rows,$ph}""")
-      }
     }
     // scaling exponents vs the smallest multiplier
     if (mults.length > 1) {

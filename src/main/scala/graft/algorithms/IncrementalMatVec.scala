@@ -133,6 +133,24 @@ object IncrementalMatVec {
   def tileId(i: org.apache.spark.sql.Column, j: org.apache.spark.sql.Column,
       b: Int): org.apache.spark.sql.Column = tidCol(i, j, b)
 
+  /** Density-aware tile size. Blocking only compresses when a tile is
+    * expected to hold several cells; for a sparse matrix with `nnz`
+    * cells over a `dim`² space the expectation is `nnz·b²/dim²`, so a
+    * FIXED b degenerates as dimension grows at constant row degree:
+    * tiles ≈ nnz, every bag is a 1-element struct, and the tile layer
+    * is pure overhead (~3-4× the cell data — measured as an
+    * 8 GiB-heap OOM at dim=400k/deg≈38/b=64, where b=64 gives 0.39
+    * cells per tile; ScaleBench 100× run, round 7). Returns the
+    * smallest b (≥ `minB`, capped by the [[tileId]] packing's 1000
+    * column blocks) with ≥ `targetCellsPerTile` expected cells. */
+  def tileSizeFor(dim: Long, nnz: Long, targetCellsPerTile: Int = 4,
+      minB: Int = 16): Int = {
+    require(dim > 0 && nnz > 0, "tileSizeFor needs positive dim and nnz")
+    val density = math.sqrt(targetCellsPerTile.toDouble * dim * dim / nnz)
+    val packing = dim.toDouble / 1000.0 // ≤ 1000 column blocks (tileId)
+    math.ceil(density.max(packing).max(minB.toDouble)).toInt
+  }
+
   private def tidCol(i: org.apache.spark.sql.Column, j: org.apache.spark.sql.Column,
       b: Int): org.apache.spark.sql.Column =
     (i / b).cast("long") * 1000L + (j / b).cast("long")

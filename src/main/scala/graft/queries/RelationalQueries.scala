@@ -262,6 +262,35 @@ object RelationalQueries {
               SELECT evt_id, user_id, ts, prior_ts, prior_event_id
               FROM j WHERE rn = 1""")),
 
+    // The hot-key escape hatch under the SAME oracle: the merge window
+    // is partitioned by (user, 6h time bucket) with predecessor seeds,
+    // so one task buffers at most a bucket of one key's history — the
+    // result is contract-identical to q_asof_join bit-for-bit.
+    Q("q_asof_join_bucketed",
+      (s, dir) => {
+        val e = Q.eventsUs(s, dir)
+        val purchases = e.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("evt_id"), col("user_id"), col("ts"))
+        val clicks = e.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"), col("event_id"))
+        TimeJoins.asofJoinBucketed(purchases, clicks, "user_id", "ts",
+          Seq("event_id"), bucketWidth = 6L * 3600000000L, "prior_")
+      },
+      Some(s"""WITH e AS (SELECT user_id, ${Q.tsUs} AS ts, event_id,
+                event_type FROM events),
+              p AS (SELECT event_id AS evt_id, user_id, ts FROM e
+                WHERE event_type = 'purchase'),
+              c AS (SELECT user_id, ts, event_id FROM e
+                WHERE event_type = 'click'),
+              j AS (SELECT p.evt_id, p.user_id, p.ts, c.ts AS prior_ts,
+                  c.event_id AS prior_event_id,
+                  row_number() OVER (PARTITION BY p.evt_id
+                    ORDER BY c.ts DESC, c.event_id DESC) AS rn
+                FROM p LEFT JOIN c
+                  ON p.user_id = c.user_id AND c.ts <= p.ts)
+              SELECT evt_id, user_id, ts, prior_ts, prior_event_id
+              FROM j WHERE rn = 1""")),
+
     // Banded range join (equi-join on (key, time-band) + residual —
     // never a nested-loop theta join): clicks in the 24h before each
     // purchase, with empty windows kept as zero rows.

@@ -158,4 +158,24 @@ class AlgorithmsSpec extends SparkSpec {
       normalize = false).dynamic.as[(Long, Double)].collect().toMap
     assert(b2 == s2)
   }
+
+  test("tileSizeFor keeps tiles dense as dimension grows at fixed degree") {
+    import graft.algorithms.IncrementalMatVec.tileSizeFor
+    // the ScaleBench 100x hazard: dim=400k, deg≈38 → a fixed b=64 gives
+    // 0.39 expected cells/tile (tile layer ≈ pure overhead, OOMed 8g);
+    // the rule must return a b with >= target expected cells
+    for ((dim, nnz) <- Seq((4000L, 150000L), (40000L, 1500000L),
+        (400000L, 15000000L), (4000000L, 150000000L))) {
+      val b = tileSizeFor(dim, nnz)
+      val cellsPerTile = nnz.toDouble * b * b / (dim.toDouble * dim)
+      assert(cellsPerTile >= 4.0 - 1e-9, s"dim=$dim b=$b → $cellsPerTile")
+      // tid packing bound: at most 1000 column blocks
+      assert(math.ceil(dim.toDouble / b) <= 1000.0, s"dim=$dim b=$b")
+      assert(b >= 16)
+    }
+    // dense-enough matrices floor at minB, not below
+    assert(tileSizeFor(100L, 10000L) == 16)
+    // the packing bound dominates for huge sparse dims
+    assert(tileSizeFor(10000000L, 10000000L) >= 10000)
+  }
 }
