@@ -129,6 +129,95 @@ object Pipeline {
     df.filter(bucket < rate)
   }
 
+  /** Corpus mixing to a token budget: derive each source's permille
+    * sampling rate so the expected surviving token count approximates
+    * `budgetTokens · weight_s / 1000`, then apply the same Knuth-bucket
+    * deterministic filter as [[sampleByStrata]] — the "rebalance N
+    * heterogeneous sources into one training mixture" step. Sources
+    * absent from `weightsPermille` get weight 0 (dropped).
+    *
+    * All rate arithmetic is integer (Long) so the oracle reproduces it
+    * bit-for-bit: desired_s = budget·w_s div 1000;
+    * rate_s = min(1000, desired_s·1000 div T_s). A source whose corpus
+    * share already undershoots its target keeps everything (rate capped
+    * at 1000) — mixing can only downsample, never invent tokens.
+    * Overflow headroom: budget ≤ ~9·10¹⁴ tokens (a 100 TB corpus is
+    * ~10¹³-10¹⁴) keeps desired·1000 inside signed 64-bit.
+    *
+    * Scale shape: one groupBy(source) partial-aggregated count whose
+    * result is O(#sources) rows collected to the driver (documented
+    * bound — source catalogs are small even when corpora are not),
+    * then a pure map-side filter; no second shuffle, no RNG state, and
+    * co-sampling sibling tables on the same id stays aligned.
+    */
+  def mixToBudget(df: DataFrame, idCol: String, sourceCol: String,
+      ntokCol: String, budgetTokens: Long,
+      weightsPermille: Map[String, Int]): DataFrame = {
+    require(budgetTokens >= 0 && budgetTokens <= Long.MaxValue / 1000,
+      "budget out of range")
+    require(weightsPermille.values.forall(v => v >= 0 && v <= 1000),
+      "weights are permille")
+    // O(#sources) driver data: one row per distinct source value.
+    val totals = df.groupBy(col(sourceCol)).agg(
+      sum(col(ntokCol)).cast("long").as("_t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rates = totals.flatMap { case (src, t) =>
+      weightsPermille.get(src).map { w =>
+        val desired = budgetTokens * w / 1000L
+        val r = if (t <= 0L) 0L else math.min(1000L, desired * 1000L / t)
+        src -> r.toInt
+      }
+    }
+    sampleByStrata(df, idCol, sourceCol, rates, defaultPermille = 0)
+  }
+
+  /** Gopher-style n-gram repetition metrics: for each document, the
+    * fraction of its 2-grams occupied by the single most frequent
+    * 2-gram (`top2_frac`) and the fraction occupied by 2-grams that
+    * occur more than once (`dup2_frac`), plus the keep/drop decision
+    * under the given ceilings — the repetition filters a quality
+    * pipeline applies before training (boilerplate and generated spam
+    * have pathological repetition long before any model-based score
+    * notices). Documents with fewer than two tokens have no 2-grams;
+    * both fractions are defined as 0 and the document is kept.
+    *
+    * Scale shape: one explode + groupBy(doc, gram) with map-side
+    * partial counts (a gram repeated within a doc combines before the
+    * shuffle), then a groupBy(doc) rollup — the same two-shuffle shape
+    * as [[tfidf]], keyed by doc id so no gram's global frequency is
+    * ever materialized (repetition is per-document; there is no
+    * corpus-wide hot key).
+    */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String,
+      topFracMax: Double = 0.20, dupFracMax: Double = 0.60): DataFrame = {
+    val grams = df
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("_toks"))
+      .select(col("doc_id"),
+        when(size(col("_toks")) >= 2,
+          expr("transform(sequence(0, size(_toks) - 2), " +
+            "i -> concat(_toks[i], ' ', _toks[i + 1]))"))
+          .otherwise(array().cast("array<string>")).as("_grams"))
+    val base = df.select(col(idCol).as("doc_id"))
+    val counts = grams
+      .select(col("doc_id"), explode(col("_grams")).as("_g"))
+      .groupBy(col("doc_id"), col("_g")).agg(count(lit(1)).as("_c"))
+    val agg = counts.groupBy("doc_id").agg(
+      sum(col("_c")).cast("long").as("_n2"),
+      max(col("_c")).cast("long").as("_top"),
+      sum(when(col("_c") > 1, col("_c")).otherwise(lit(0L)))
+        .cast("long").as("_dup"))
+    base.join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("_n2"), lit(0L)).cast("int").as("n2"),
+        round(coalesce(col("_top").cast("double") / col("_n2"), lit(0.0)), 6)
+          .as("top2_frac"),
+        round(coalesce(col("_dup").cast("double") / col("_n2"), lit(0.0)), 6)
+          .as("dup2_frac"))
+      .withColumn("keep",
+        (col("top2_frac") <= topFracMax && col("dup2_frac") <= dupFracMax)
+          .cast("int"))
+  }
+
   /** Benchmark decontamination: drop every corpus document sharing at
     * least one word `w`-shingle with the evaluation set — the standard
     * containment rule for keeping test benchmarks out of training data
@@ -157,6 +246,47 @@ object Pipeline {
       .join(evalShingles, col("_cs") === col("_es"), "left_semi")
       .select(col(idCol)).distinct()
     corpus.join(contaminated, Seq(idCol), "left_anti")
+  }
+
+  /** Graded contamination: for each corpus document, the fraction of
+    * its DISTINCT word `w`-shingles that appear anywhere in the
+    * evaluation set — the continuous variant of [[decontaminate]]'s
+    * one-hit-disqualifies rule, for pipelines that quarantine by
+    * threshold (or audit how MUCH of a doc is benchmark text) instead
+    * of dropping outright. Documents shorter than `w` tokens have no
+    * shingles; their fraction is defined as 0.
+    *
+    * Scale shape: identical to [[decontaminate]] — the eval side
+    * collapses to its distinct shingle set (broadcast-sized next to
+    * the corpus); the corpus side is one scan + explode to per-doc
+    * DISTINCT shingles, a LEFT join against the eval set to flag hits
+    * (no row multiplication: the eval set is distinct on the join
+    * key), and a groupBy(doc) rollup. Skew-free: every shuffle is
+    * keyed by (doc, shingle) or doc id.
+    */
+  def contaminationScore(corpus: DataFrame, idCol: String, textCol: String,
+      evalSet: DataFrame, evalTextCol: String, w: Int = 3): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val evalShingles = evalSet
+      .select(explode(graft.functions.GraftFunctions
+        .word_shingles(tokens(col(evalTextCol)), w)).as("_es"))
+      .distinct().withColumn("_hit", lit(1L))
+    val docShingles = corpus
+      .select(col(idCol).as("doc_id"), explode(graft.functions.GraftFunctions
+        .word_shingles(tokens(col(textCol)), w)).as("_cs"))
+      .distinct()
+    val agg = docShingles
+      .join(evalShingles, col("_cs") === col("_es"), "left")
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("_nsh"),
+        sum(coalesce(col("_hit"), lit(0L))).as("_nhit"))
+    corpus.select(col(idCol).as("doc_id"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("_nsh"), lit(0L)).cast("int").as("n_shingles"),
+        coalesce(col("_nhit"), lit(0L)).cast("int").as("n_hits"),
+        round(coalesce(col("_nhit").cast("double") / col("_nsh"), lit(0.0)), 6)
+          .as("contam_frac"))
   }
 
   /** Corpus TF-IDF: per (doc, token) rows with term frequency, document

@@ -537,6 +537,34 @@ object PipelineQueries {
               JOIN toks t USING (doc_id)
               WHERE d.doc_id NOT IN (SELECT id FROM comps WHERE id <> comp)""")),
 
+    // Graded contamination over the same eval split as q_decontaminate:
+    // per corpus doc, the fraction of its distinct trigram shingles
+    // found anywhere in the eval set — the audit/threshold variant of
+    // the binary rule. Both engines compare on the rounded fraction.
+    Q("q_contam_frac",
+      (s, dir) => {
+        val docs = Q.t(s, dir, "documents")
+        Pipeline.contaminationScore(
+          docs.filter(col("doc_id") % 97 =!= 0), "doc_id", "text",
+          docs.filter(col("doc_id") % 97 === 0), "text", w = 3)
+      },
+      Some(s"""WITH $toksCte,
+              sh AS (SELECT doc_id, list_distinct(
+                [array_to_string(toks[i:i+2], ' ')
+                 for i in generate_series(1, len(toks) - 2)]) AS sh
+                FROM toks WHERE len(toks) >= 3),
+              ev AS (SELECT DISTINCT unnest(sh) AS s FROM sh
+                WHERE doc_id % 97 = 0),
+              hits AS (SELECT x.doc_id, count(*) AS nsh, count(ev.s) AS nhit
+                FROM (SELECT doc_id, unnest(sh) AS s FROM sh
+                  WHERE doc_id % 97 <> 0) x
+                LEFT JOIN ev USING (s) GROUP BY 1)
+              SELECT d.doc_id, CAST(COALESCE(h.nsh, 0) AS INT) AS n_shingles,
+                CAST(COALESCE(h.nhit, 0) AS INT) AS n_hits,
+                round(COALESCE(h.nhit::DOUBLE / h.nsh, 0.0), 6) AS contam_frac
+              FROM documents d LEFT JOIN hits h USING (doc_id)
+              WHERE d.doc_id % 97 <> 0""")),
+
     // Benchmark decontamination: eval set = doc_id % 97 == 0, corpus =
     // the rest; any shared word trigram disqualifies the corpus doc
     // (exact containment, threshold-free — the keep-benchmarks-out-of-
@@ -693,6 +721,65 @@ object PipelineQueries {
               WHERE ((doc_id % 1000) * 761 % 1000 + 1000) % 1000 <
                 (CASE lang WHEN 'en' THEN 500 WHEN 'de' THEN 200
                   WHEN 'es' THEN 100 ELSE 50 END)
+              GROUP BY 1""")),
+
+    // Gopher-style 2-gram repetition metrics + keep/drop under tight
+    // ceilings (the library defaults 0.20/0.60 keep everything on this
+    // synthetic corpus; 0.04/0.08 exercises both branches — 224 of 500
+    // docs keep at sf0.001). The oracle recomputes the same per-doc
+    // gram histogram; both engines compare on the ROUNDED fractions so
+    // last-ulp division noise can't flip the keep bit.
+    Q("q_repetition",
+      (s, dir) => Pipeline.repetitionStats(Q.t(s, dir, "documents"),
+        "doc_id", "text", topFracMax = 0.04, dupFracMax = 0.08),
+      Some(s"""WITH $toksCte,
+              g AS (SELECT doc_id, [array_to_string(toks[i:i+1], ' ')
+                for i in generate_series(1, len(toks) - 1)] AS grams
+                FROM toks),
+              gc AS (SELECT doc_id, g2, count(*) AS c FROM
+                (SELECT doc_id, unnest(grams) AS g2 FROM g) x GROUP BY 1, 2),
+              agg AS (SELECT doc_id, sum(c) AS n2, max(c) AS topc,
+                sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dupc
+                FROM gc GROUP BY 1)
+              SELECT t.doc_id, CAST(COALESCE(a.n2, 0) AS INT) AS n2,
+                round(COALESCE(a.topc::DOUBLE / a.n2, 0.0), 6) AS top2_frac,
+                round(COALESCE(a.dupc::DOUBLE / a.n2, 0.0), 6) AS dup2_frac,
+                CAST(CASE WHEN
+                  round(COALESCE(a.topc::DOUBLE / a.n2, 0.0), 6) <= 0.04
+                  AND round(COALESCE(a.dupc::DOUBLE / a.n2, 0.0), 6) <= 0.08
+                  THEN 1 ELSE 0 END AS INT) AS keep
+              FROM toks t LEFT JOIN agg a USING (doc_id)""")),
+
+    // Corpus mixing to a 2000-token budget over four weighted sources
+    // (the rest get weight 0 and drop). Rate arithmetic is pure Long
+    // integer math — desired·1000 div T — so the oracle reproduces the
+    // permille table exactly; the gate checks surviving doc/token
+    // counts per source.
+    Q("q_source_mix",
+      (s, dir) => {
+        val docs = Q.t(s, dir, "documents").select(col("doc_id"),
+          col("source"), size(tokens(col("text"))).as("ntok"))
+        Pipeline.mixToBudget(docs, "doc_id", "source", "ntok",
+          budgetTokens = 2000L,
+          weightsPermille = Map("src0" -> 400, "src1" -> 300,
+            "src2" -> 200, "src3" -> 100))
+          .groupBy("source").agg(count(lit(1)).as("n_docs"),
+            sum(col("ntok")).cast("long").as("n_tokens"))
+      },
+      Some(s"""WITH $toksCte,
+              d AS (SELECT t.doc_id, doc.source, len(t.toks) AS ntok
+                FROM toks t JOIN documents doc USING (doc_id)),
+              tot AS (SELECT source, CAST(sum(ntok) AS BIGINT) AS t
+                FROM d GROUP BY 1),
+              rates AS (SELECT source, CASE WHEN t <= 0 THEN 0
+                ELSE least(1000, ((2000::BIGINT * (CASE source
+                  WHEN 'src0' THEN 400 WHEN 'src1' THEN 300
+                  WHEN 'src2' THEN 200 WHEN 'src3' THEN 100
+                  ELSE 0 END)) // 1000) * 1000 // t) END AS r FROM tot)
+              SELECT d.source, count(*) AS n_docs,
+                CAST(sum(d.ntok) AS BIGINT) AS n_tokens
+              FROM d JOIN rates USING (source)
+              WHERE ((d.doc_id % 1000) * 761 % 1000 + 1000) % 1000 < r
               GROUP BY 1""")),
 
     // Token counting per source.

@@ -313,6 +313,63 @@ class OperatorsSpec extends SparkSpec {
     assert(kept == Set(2L, 3L, 4L), s"got $kept")
   }
 
+  test("contaminationScore: distinct-shingle fractions, short docs zero") {
+    val eval = Seq((900L, "the quick brown fox leaps"), (901L, "a b c"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "something about the quick brown fox here"), // 5 shingles, 2 hits
+      (2L, "a b c a b c a b c"),   // 3 DISTINCT shingles, 1 hit (a b c)
+      (3L, "the quick"),           // < w tokens: no shingles, frac 0
+      (4L, "fully unrelated text body") // 2 shingles, 0 hits
+    ).toDF("doc_id", "text")
+    val r = graft.operators.Pipeline.contaminationScore(
+      corpus, "doc_id", "text", eval, "text", w = 3)
+      .as[(Long, Int, Int, Double)].collect().map(t => t._1 -> t).toMap
+    assert(r(1L) == ((1L, 5, 2, 0.4)))
+    assert(r(2L) == ((2L, 3, 1, 0.333333)))
+    assert(r(3L) == ((3L, 0, 0, 0.0)))
+    assert(r(4L) == ((4L, 2, 0, 0.0)))
+  }
+
+  test("repetitionStats: exact fractions, short-doc zero case, keep bit") {
+    val d = Seq(
+      (1L, "a b a b a b"),  // grams: "a b"x3, "b a"x2 -> n2=5, top 0.6, dup 1.0
+      (2L, "x y z w"),      // all grams unique -> n2=3, top 1/3, dup 0
+      (3L, "solo"),         // one token: no grams, fractions 0, kept
+      (4L, "")              // empty: same
+    ).toDF("doc_id", "text")
+    val r = graft.operators.Pipeline
+      .repetitionStats(d, "doc_id", "text", topFracMax = 0.5, dupFracMax = 0.5)
+      .as[(Long, Int, Double, Double, Int)].collect()
+      .map(t => t._1 -> t).toMap
+    assert(r(1L) == ((1L, 5, 0.6, 1.0, 0)))
+    assert(r(2L) == ((2L, 3, 0.333333, 0.0, 1)))
+    assert(r(3L) == ((3L, 0, 0.0, 0.0, 1)))
+    assert(r(4L) == ((4L, 0, 0.0, 0.0, 1)))
+  }
+
+  test("mixToBudget: integer rates, cap at 1000, unlisted sources drop") {
+    val d = Seq(
+      (1L, "A", 10L), (2L, "A", 10L), (3L, "A", 10L), (4L, "A", 10L),
+      (5L, "B", 100L), (6L, "C", 5L)
+    ).toDF("doc_id", "source", "ntok")
+    // budget 60, A/B split 500/500: desired 30 each ->
+    // rate_A = 30*1000/40 = 750, rate_B = 30*1000/100 = 300.
+    // Knuth buckets: id1=761(>=750 drop) id2=522 id3=283 id4=44 keep;
+    // id5=805(>=300 drop); C unlisted -> dropped.
+    val kept = graft.operators.Pipeline.mixToBudget(
+      d, "doc_id", "source", "ntok", budgetTokens = 60L,
+      weightsPermille = Map("A" -> 500, "B" -> 500))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 3L, 4L), s"got $kept")
+    // A huge budget caps every listed source at 1000 permille.
+    val all = graft.operators.Pipeline.mixToBudget(
+      d, "doc_id", "source", "ntok", budgetTokens = 1000000L,
+      weightsPermille = Map("A" -> 500, "B" -> 500))
+      .select("doc_id").as[Long].collect().toSet
+    assert(all == Set(1L, 2L, 3L, 4L, 5L))
+  }
+
   test("tokens/shingles/fingerprint handle empty and short docs") {
     val d = Seq((1L, ""), (2L, "one"), (3L, "one two"), (4L, "a b c d"))
       .toDF("doc_id", "text")
