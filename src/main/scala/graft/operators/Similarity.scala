@@ -485,4 +485,52 @@ object Similarity {
     v.unpersist(blocking = false)
     out
   }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al.,
+    * "SemDeDup: Data-efficient learning at web-scale through semantic
+    * deduplication", arXiv:2303.09540): coarse-cluster the embeddings,
+    * then inside each cluster drop every vector that has a LOWER-id
+    * cluster-mate with cosine similarity above `tau`. This is the
+    * order-independent "dominated" variant of the paper's
+    * keep-one-per-duplicate-group rule — a drop decision depends only
+    * on the pair set, never on a greedy scan order, so the result is
+    * deterministic and declaratively reproducible. Exactly one vector
+    * of every mutually-similar group survives (its lowest id), and a
+    * chain a~b~c with cos(a,c) ≤ tau keeps a and drops both followers —
+    * slightly more aggressive than per-group-keep-one on chains, which
+    * is the conservative direction for dedup.
+    *
+    * Returns (id, cid, keep) for EVERY input vector (keep ∈ {0, 1}) so
+    * callers can either filter or audit per-cluster drop rates.
+    * Threshold comparisons use the ROUNDED cosine (6 digits) so
+    * last-ulp noise between engines cannot flip a decision.
+    *
+    * Scale shape: assignment is the shared IVF coarse-quantizer path
+    * (literal fold ≤ `centroidFoldLimit`, broadcast + partial-max_by
+    * argmax above it — no corpus×nlist blowup); the pair scan is ONE
+    * self-join keyed by cid, so total work is Σ|cluster|², bounded by
+    * the quantizer granularity — at corpus scale nlist grows with n
+    * (the paper uses k = O(√n)) keeping clusters ~constant-sized, and
+    * the dominated-set is deduplicated map-side before the final join.
+    * Pass trained `centroids` (e.g. [[graft.algorithms.KMeans.run]])
+    * for real corpora; the default lowest-id quantizer is the same
+    * pinned-seed contract as [[ivfTopK]].
+    */
+  def semanticDedup(vectors: DataFrame, nlist: Int, tau: Double,
+      centroids: Option[DataFrame] = None,
+      centroidFoldLimit: Int = 64): DataFrame = {
+    graft.functions.GraftFunctions.register(vectors.sparkSession)
+    val v = vectors.select(col("id").as("nid"),
+      col("vec").cast("array<double>").as("nvec"))
+    val cents = normalizedCentroids(v, centroids, nlist)
+    val assign = assignToLists(v, cents, centroidFoldLimit)
+    val dominated = assign.select(col("cid"), col("nid").as("ida"), col("nvec").as("va"))
+      .join(assign.select(col("cid"), col("nid").as("idb"), col("nvec").as("vb")), "cid")
+      .filter(col("ida") < col("idb"))
+      .filter(round(cosine(col("va"), col("vb")), 6) > tau)
+      .select(col("idb").as("nid")).distinct()
+    assign.join(dominated.withColumn("_dom", lit(1)), Seq("nid"), "left")
+      .select(col("nid").as("id"), col("cid"),
+        when(col("_dom").isNotNull, lit(0)).otherwise(lit(1)).as("keep"))
+  }
 }
