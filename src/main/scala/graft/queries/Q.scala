@@ -20,30 +20,33 @@ object Q {
     s.read.parquet(s"$dir/$name.parquet")
   }
 
-  /** Load `events`, whose `ts` column is Parquet TIMESTAMP(NANOS):
-    * Spark can't read nanos as a timestamp, so it is surfaced as a
-    * BIGINT of epoch-nanoseconds (oracle side: `epoch_ns(ts)`). */
+  /** Load `events` tolerating every `ts` encoding the test-data
+    * generator has shipped: Parquet TIMESTAMP(NANOS) (unreadable as a
+    * Spark timestamp — surfaced as a BIGINT of epoch-nanos via the
+    * legacy conf) or a native timestamp[µs] column (read as
+    * TIMESTAMP_NTZ). Callers that touch `ts` must go through
+    * [[eventsUs]], which normalizes both to epoch-µs; schema-less
+    * inputs whose encoding may drift are core parity behavior for the
+    * reference (parse-and-skip, IterKmeans_Lastfm.java:182-201). */
   def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     t(s, dir, "events")
   }
 
-  /** Oracle-side expression for `events.ts` as epoch-nanos BIGINT.
-    * CAUTION: DuckDB reads the parquet TIMESTAMP(NANOS) column at µs
-    * precision, so the low three digits come back ZERO — any oracle
-    * needing real sub-µs values must work in µs ([[tsUs]]) instead.
-    * Kept only for row-identity uses where truncation cancels out. */
-  val tsNs = "epoch_ns(ts)"
+  /** Normalize a `ts` column to epoch-MICROseconds BIGINT, adaptive to
+    * the loaded dtype — see [[graft.functions.TimeEncodings]] for the
+    * encoding matrix and why the NTZ branch must avoid session-tz
+    * coercion. The oracle side is `epoch_us(ts)` in DuckDB, which
+    * reads every encoding at µs precision. */
+  def tsToMicros(df: DataFrame, tsCol: String = "ts"): DataFrame =
+    graft.functions.TimeEncodings.toEpochMicros(df, tsCol)
 
-  /** `events` with `ts` truncated to epoch-MICROseconds. DuckDB's
-    * timestamp type is µs-precision, so any query exposing raw ts
-    * arithmetic must work in µs on both sides (`epoch_us(ts)` in the
-    * oracle) — the ns tail exists only on the Spark side. Integer
-    * `div`, not `/`: epoch-nanos exceed 2^53 and double division
-    * corrupts the low digits. */
+  /** `events` with `ts` as epoch-MICROseconds BIGINT regardless of the
+    * file's encoding ([[tsToMicros]]). DuckDB's timestamp type is
+    * µs-precision, so any query exposing raw ts arithmetic works in µs
+    * on both sides (`epoch_us(ts)` in the oracle). */
   def eventsUs(s: SparkSession, dir: String): DataFrame =
-    events(s, dir).withColumn("ts",
-      org.apache.spark.sql.functions.expr("ts div 1000"))
+    tsToMicros(events(s, dir))
 
   /** Oracle-side expression for `events.ts` as epoch-micros BIGINT. */
   val tsUs = "epoch_us(ts)"

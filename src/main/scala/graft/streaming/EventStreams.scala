@@ -14,17 +14,22 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * preserve-store machinery (F9/F27: per-key state carried across
   * input arrivals).
   *
-  * `events.ts` arrives as epoch-nanoseconds BIGINT (see
-  * [[graft.queries.Q.events]]); [[withEventTime]] converts to a proper
-  * timestamp for watermarking.
+  * `events.ts` arrives in whatever encoding the writer chose —
+  * epoch-nanos BIGINT or a native timestamp column (see
+  * [[graft.queries.Q.events]] / [[graft.functions.TimeEncodings]]);
+  * [[withEventTime]] adapts either to a proper timestamp for
+  * watermarking.
   */
 object EventStreams {
 
-  /** Attach an `event_time` timestamp column derived from the
-    * epoch-nano `ts`. */
+  /** Attach an `event_time` TIMESTAMP column derived from `ts` in any
+    * of the encodings the test data has shipped (epoch-nanos BIGINT,
+    * timestamp[µs]/TIMESTAMP_NTZ, TIMESTAMP — see
+    * [[graft.functions.TimeEncodings]]); watermarking needs a true
+    * TimestampType column regardless of how the file spells time. */
   def withEventTime(events: DataFrame): DataFrame =
     events.withColumn("event_time",
-      timestamp_micros(expr("ts div 1000")))
+      timestamp_micros(graft.functions.TimeEncodings.epochMicros(events, "ts")))
 
   /** Tumbling-window counts/sums per event type with a watermark —
     * late data beyond `lateness` is dropped; state is bounded. */

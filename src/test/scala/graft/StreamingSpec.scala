@@ -60,9 +60,10 @@ class StreamingSpec extends SparkSpec {
   test("gap sessionization with keyed state matches the batch operator") {
     import EventStreams.{SessionEvent, SessionOut}
     import org.apache.spark.sql.streaming.GroupStateTimeout
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val gap = 30L * 60 * 1000000000L // 30 min in ns
-    val events = spark.read.parquet(s"$sf/events.parquet")
+    // adaptive loader: ts arrives as epoch-µs regardless of the file's
+    // encoding, so the gap is in µs too (the operator is unit-agnostic)
+    val gap = 30L * 60 * 1000000L // 30 min in µs
+    val events = graft.queries.Q.eventsUs(spark, sf)
       .select(col("user_id"), col("ts")).as[SessionEvent]
     // batch execution with NoTimeout emits every CLOSED session; each
     // key's final session stays open (a stream would hold it for more
@@ -73,7 +74,7 @@ class StreamingSpec extends SparkSpec {
       .collect().map(s => (s.user_id, s.session_start, s.session_end, s.n_events))
       .toSet
     val batchSessions = graft.operators.Relational.sessionize(
-      spark.read.parquet(s"$sf/events.parquet")
+      graft.queries.Q.eventsUs(spark, sf)
         .select(col("user_id"), col("ts"), col("event_id")),
       "user_id", "ts", "event_id", gap)
       .groupBy("user_id", "session_id")
@@ -158,7 +159,7 @@ class StreamingSpec extends SparkSpec {
 
   test("stateful running totals accumulate across batches") {
     import EventStreams.{UserEvent, UserRunning}
-    val events = spark.read.parquet(s"$sf/events.parquet")
+    val events = graft.queries.Q.eventsUs(spark, sf)
       .select(col("user_id"), col("ts"), col("value")).as[UserEvent]
     val got = EventStreams.runningUserTotals(events)
       .collect().map(r => r.user_id -> r).toMap

@@ -38,9 +38,10 @@ class TimeJoinsSpec extends SparkSpec {
   }
 
   test("asofJoin plans one exchange and no theta join") {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val e = spark.read.parquet(s"$sf/events.parquet")
-      .select($"user_id", ($"ts" / 1000).cast("long").as("ts"), $"event_id")
+    // adaptive loader: survives the driver data's ts encoding changing
+    // between nanos-as-long and native timestamp parquet
+    val e = graft.queries.Q.eventsUs(spark, sf)
+      .select($"user_id", $"ts", $"event_id")
     val out = TimeJoins.asofJoin(e, e, "user_id", "ts", Seq("event_id"))
     noNestedLoop(out)
     val exchanges = out.queryExecution.executedPlan.toString
@@ -143,10 +144,8 @@ class TimeJoinsSpec extends SparkSpec {
   }
 
   test("bandedRangePairs matches a brute-force theta join on real data") {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val e = spark.read.parquet(s"$sf/events.parquet")
-      .select($"user_id".as("k"), ($"ts" / 1000).cast("long").as("ts"),
-        $"event_id".as("id"))
+    val e = graft.queries.Q.eventsUs(spark, sf)
+      .select($"user_id".as("k"), $"ts", $"event_id".as("id"))
     val probe = e.filter($"id" % 5 === 0)
     val w = 3600L * 1000000L
     val banded = TimeJoins.bandedRangePairs(probe, e, "k", "ts", w)
