@@ -93,6 +93,13 @@ object KMeans {
     * @param threshold stop when Σ‖c−c′‖₂ < threshold (checked from
     *                  iteration 2, reference semantics); negative = run
     *                  exactly `maxIterations`
+    * @param init      optional warm-start centers (cid → vector). When
+    *                  absent, the pinned k-lowest-id init. Warm starts
+    *                  are how callers compose rounds with an
+    *                  inter-round transform (e.g. the trained-IVF gate
+    *                  rounds centers to 6 digits between Lloyd rounds
+    *                  so both engines cross assignment boundaries on
+    *                  identical center values).
     * @return model with centers sorted by center id
     */
   def run(
@@ -100,7 +107,8 @@ object KMeans {
       k: Int,
       metric: String = "cosine",
       maxIterations: Int = 10,
-      threshold: Double = -1.0): Model = {
+      threshold: Double = -1.0,
+      init: Option[Array[(Int, Array[Double])]] = None): Model = {
     val spark = points.sparkSession
     import spark.implicits._
 
@@ -109,11 +117,14 @@ object KMeans {
       .as[(Long, Array[Double])]
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    // Pinned init: k lowest-id points, center ids 0..k-1.
-    var centers: Array[(Int, Array[Double])] =
-      pts.orderBy(col("id")).limit(k).collect().zipWithIndex.map {
+    // Pinned init: k lowest-id points, center ids 0..k-1 — unless the
+    // caller warm-starts with explicit centers.
+    require(init.forall(_.nonEmpty), "kmeans: empty warm-start center set")
+    var centers: Array[(Int, Array[Double])] = init
+      .map(_.map { case (cid, v) => (cid, v.clone) }.sortBy(_._1))
+      .getOrElse(pts.orderBy(col("id")).limit(k).collect().zipWithIndex.map {
         case ((_, v), i) => (i, v)
-      }
+      })
     val dim = centers.head._2.length
     val vecMean = new VecMean(dim)
 

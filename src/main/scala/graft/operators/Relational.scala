@@ -240,11 +240,15 @@ object Relational {
 
   /** Gap-based sessionization: a new session starts when the time since
     * the previous event of the same key exceeds `gap` (units of the ts
-    * column — here epoch-nanos). Pure window functions, one shuffle on
-    * the key; the streaming twin is
+    * column). An integer `tsCol` keeps the caller's unit; a
+    * TIMESTAMP/TIMESTAMP_NTZ `tsCol` is normalized to epoch-µs (output
+    * included), making `gap` µs — see
+    * [[graft.functions.TimeEncodings]]. Pure window functions, one
+    * shuffle on the key; the streaming twin is
     * `EventStreams.runningUserTotals`-style keyed state. */
-  def sessionize(df: DataFrame, keyCol: String, tsCol: String,
+  def sessionize(df0: DataFrame, keyCol: String, tsCol: String,
       orderTieCol: String, gap: Long): DataFrame = {
+    val df = graft.functions.TimeEncodings.acceptTimestamp(df0, tsCol)
     val w = Window.partitionBy(keyCol).orderBy(tsCol, orderTieCol)
     df.withColumn("_prev", lag(col(tsCol), 1).over(w))
       .withColumn("_new",

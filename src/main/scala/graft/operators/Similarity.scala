@@ -494,16 +494,28 @@ object Similarity {
     * order-independent "dominated" variant of the paper's
     * keep-one-per-duplicate-group rule — a drop decision depends only
     * on the pair set, never on a greedy scan order, so the result is
-    * deterministic and declaratively reproducible. Exactly one vector
-    * of every mutually-similar group survives (its lowest id), and a
-    * chain a~b~c with cos(a,c) ≤ tau keeps a and drops both followers —
-    * slightly more aggressive than per-group-keep-one on chains, which
-    * is the conservative direction for dedup.
+    * deterministic and declaratively reproducible. The keep-exactly-one
+    * guarantee holds for CLIQUES only: a mutually-similar group keeps
+    * its lowest id. On a transitive chain a~b~c with cos(a,c) ≤ tau,
+    * both b and c are dropped — c's only >tau neighbor (b) is itself
+    * dropped, so chain members can vanish with NO surviving
+    * near-duplicate above tau. That is more aggressive than
+    * per-group-keep-one on chains, which is the conservative direction
+    * for dedup (may lose a borderline original, never keeps a
+    * duplicate).
     *
     * Returns (id, cid, keep) for EVERY input vector (keep ∈ {0, 1}) so
-    * callers can either filter or audit per-cluster drop rates.
-    * Threshold comparisons use the ROUNDED cosine (6 digits) so
-    * last-ulp noise between engines cannot flip a decision.
+    * callers can either filter or audit per-cluster drop rates. The
+    * frame comes back EAGER and persisted with every internal cache
+    * released, so `unpersist()` on it is the only handle a caller
+    * needs (the library cache-release contract, as
+    * [[embeddingNearDups]]).
+    * Threshold comparisons use the ROUNDED cosine (6 digits) compared
+    * STRICTLY against `tau`, so last-ulp noise between engines cannot
+    * flip a decision. Boundary semantics: the effective threshold is
+    * `round(cos, 6) > tau` — a true cosine in (tau, tau + 5e-7] rounds
+    * down to tau and the pair is KEPT, and a `tau` not representable
+    * at 6 decimals shifts the boundary to its 6-digit neighborhood.
     *
     * Scale shape: assignment is the shared IVF coarse-quantizer path
     * (literal fold ≤ `centroidFoldLimit`, broadcast + partial-max_by
@@ -523,14 +535,24 @@ object Similarity {
     val v = vectors.select(col("id").as("nid"),
       col("vec").cast("array<double>").as("nvec"))
     val cents = normalizedCentroids(v, centroids, nlist)
+    // assign feeds both sides of the cid self-join AND the final keep
+    // join; unpersisted, the nearest-centroid argmax (a crossJoin +
+    // shuffle when nlist > centroidFoldLimit) would run up to 3x
     val assign = assignToLists(v, cents, centroidFoldLimit)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dominated = assign.select(col("cid"), col("nid").as("ida"), col("nvec").as("va"))
       .join(assign.select(col("cid"), col("nid").as("idb"), col("nvec").as("vb")), "cid")
       .filter(col("ida") < col("idb"))
       .filter(round(cosine(col("va"), col("vb")), 6) > tau)
       .select(col("idb").as("nid")).distinct()
-    assign.join(dominated.withColumn("_dom", lit(1)), Seq("nid"), "left")
+    val out = assign.join(dominated.withColumn("_dom", lit(1)), Seq("nid"), "left")
       .select(col("nid").as("id"), col("cid"),
         when(col("_dom").isNotNull, lit(0)).otherwise(lit(1)).as("keep"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // eager + release internals, the embeddingNearDups contract: the
+    // caller holds only the (id, cid, keep) frame, never the vectors
+    out.count()
+    assign.unpersist(blocking = false)
+    out
   }
 }

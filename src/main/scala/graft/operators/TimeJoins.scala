@@ -24,6 +24,9 @@ object TimeJoins {
     * largest `tsCol` ≤ the probe's `tsCol` within the same `keyCol`
     * group (NULLs when no build row precedes the probe). The payload
     * columns arrive prefixed with `prefix`, alongside `prefix+tsCol`.
+    * `tsCol` may be integer time (caller's unit) or a native
+    * TIMESTAMP/TIMESTAMP_NTZ column — timestamp inputs are normalized
+    * to epoch-µs BIGINT in the output (true of every operator here).
     *
     * Plan shape: tag both sides, union, one running
     * `last(payload, ignoreNulls)` window per key ordered by
@@ -48,9 +51,10 @@ object TimeJoins {
     * key than that, [[asofJoinBucketed]] bounds the buffer by a coarse
     * time bucket instead of the whole history.
     */
-  def asofJoin(probe: DataFrame, build: DataFrame, keyCol: String,
+  def asofJoin(probe0: DataFrame, build0: DataFrame, keyCol: String,
       tsCol: String, payloadCols: Seq[String],
       prefix: String = "asof_"): DataFrame = {
+    val (probe, build) = acceptTs(probe0, build0, tsCol)
     validateAsof(probe, build, tsCol, payloadCols, prefix)
     val payload = struct((tsCol +: payloadCols).map(c => build(c).as(c)): _*)
     val bTagged = build.select(col(keyCol).as("_k"), col(tsCol).as("_t"),
@@ -72,6 +76,16 @@ object TimeJoins {
       (tsCol +: payloadCols).map(c => col(s"_asof.$c").as(s"$prefix$c"))
     merged.select(outCols: _*)
   }
+
+  /** Timestamp-native entry: a TIMESTAMP/TIMESTAMP_NTZ `tsCol` on
+    * either side is normalized to epoch-µs BIGINT (both inputs AND the
+    * operator's output/interval unit become µs); integer time columns
+    * pass through in the caller's unit. Users of timestamp-typed
+    * tables call the operators directly — no pre-cast ceremony. */
+  private def acceptTs(probe: DataFrame, build: DataFrame,
+      tsCol: String): (DataFrame, DataFrame) =
+    (graft.functions.TimeEncodings.acceptTimestamp(probe, tsCol),
+      graft.functions.TimeEncodings.acceptTimestamp(build, tsCol))
 
   private val AsofReserved = Seq("_k", "_t", "_tag", "_p", "_row", "_bkt")
 
@@ -118,9 +132,11 @@ object TimeJoins {
     * spreads one key's merge across `history/width` tasks instead of
     * one.
     */
-  def asofJoinBucketed(probe: DataFrame, build: DataFrame, keyCol: String,
+  def asofJoinBucketed(probe0: DataFrame, build0: DataFrame, keyCol: String,
       tsCol: String, payloadCols: Seq[String], bucketWidth: Long,
       prefix: String = "asof_"): DataFrame = {
+    // timestamp-typed inputs normalize to epoch-µs, so bucketWidth is µs
+    val (probe, build) = acceptTs(probe0, build0, tsCol)
     validateAsof(probe, build, tsCol, payloadCols, prefix)
     require(bucketWidth > 0, "bucketWidth must be positive")
     val payload = struct((tsCol +: payloadCols).map(c => build(c).as(c)): _*)
@@ -195,8 +211,10 @@ object TimeJoins {
     * selectivity: a band ≈ the query interval keeps candidate pairs
     * within ~2× of the true pairs at any scale.
     */
-  def bandedRangePairs(probe: DataFrame, build: DataFrame, keyCol: String,
+  def bandedRangePairs(probe0: DataFrame, build0: DataFrame, keyCol: String,
       tsCol: String, window: Long, buildPrefix: String = "b_"): DataFrame = {
+    // timestamp-typed inputs normalize to epoch-µs, so window is µs
+    val (probe, build) = acceptTs(probe0, build0, tsCol)
     require(window > 0, "window must be positive")
     val reserved = Seq("_k", "_band", "_band0", "_graft_band_r")
     val collide =

@@ -131,32 +131,39 @@ object PipelineQueries {
 
   private lazy val ivfOracleSql = ivfOracleSqlFor("TRUE", "TRUE")
 
-  /** `q_ann_ivf_trained`: the coarse quantizer is TRAINED — one Lloyd
-    * round of cosine KMeans from the pinned lowest-id init (mirrored
-    * below: assign by min cosine distance with ties to the lower cid,
-    * recenter by per-dimension mean, an empty cluster keeps its seed) —
-    * then both engines round the centers to 6 digits before building
-    * the index, so downstream assignment can't amplify the engines'
-    * sub-ulp summation-order differences into a boundary flip. Probe:
-    * nprobe 3 of nlist 8, exact top-5 over the probed lists. */
-  private lazy val ivfTrainedOracleSql = {
+  /** `q_ann_ivf_trained` (+ the 2-round sibling): the coarse quantizer
+    * is TRAINED — `rounds` Lloyd rounds of cosine KMeans from the
+    * pinned lowest-id init (mirrored below: assign by min cosine
+    * distance with ties to the lower cid, recenter by per-dimension
+    * mean, an empty cluster keeps its previous center) — and after
+    * EVERY round both engines round the centers to 6 digits before the
+    * next assignment, so boundary decisions are always made on
+    * identical center values and the engines' sub-ulp summation-order
+    * differences can't compound across rounds. Probe: nprobe 3 of
+    * nlist 8, exact top-5 over the probed lists. */
+  private def ivfTrainedOracleSqlFor(rounds: Int): String = {
     def cosDist(a: String, b: String) =
       s"""1 - ${dotSql(a, b)} /
          (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"""
+    val roundCtes = (1 to rounds).map { r =>
+      val prev = if (r == 1) "c0" else s"cents${r - 1}"
+      s"""a$r AS (SELECT id, vec, cid FROM (
+            SELECT p.id, p.vec, c.cid,
+              row_number() OVER (PARTITION BY p.id ORDER BY
+                ${cosDist("p.vec", "c.cvec")}, c.cid) AS rn
+            FROM v p CROSS JOIN $prev c) WHERE rn = 1),
+          m$r AS (SELECT cid, i, round(avg(vec[i]), 6) AS m
+            FROM a$r, range(1, 65) t(i) GROUP BY 1, 2),
+          cents$r AS (SELECT $prev.cid,
+            coalesce(mv.mvec, [round(x, 6) for x in $prev.cvec]) AS cvec
+            FROM $prev LEFT JOIN (SELECT cid, list(m ORDER BY i) AS mvec
+              FROM m$r GROUP BY 1) mv USING (cid))"""
+    }.mkString(",\n        ")
     s"""WITH $vecCte,
         c0 AS (SELECT CAST(row_number() OVER (ORDER BY id) AS BIGINT) - 1 AS cid,
           vec AS cvec FROM (SELECT id, vec FROM v ORDER BY id LIMIT 8)),
-        a1 AS (SELECT id, vec, cid FROM (
-          SELECT p.id, p.vec, c.cid,
-            row_number() OVER (PARTITION BY p.id ORDER BY
-              ${cosDist("p.vec", "c.cvec")}, c.cid) AS rn
-          FROM v p CROSS JOIN c0 c) WHERE rn = 1),
-        m1 AS (SELECT cid, i, round(avg(vec[i]), 6) AS m
-          FROM a1, range(1, 65) t(i) GROUP BY 1, 2),
-        cents AS (SELECT c0.cid,
-          coalesce(mv.mvec, [round(x, 6) for x in c0.cvec]) AS cvec
-          FROM c0 LEFT JOIN (SELECT cid, list(m ORDER BY i) AS mvec
-            FROM m1 GROUP BY 1) mv USING (cid)),
+        $roundCtes,
+        cents AS (SELECT cid, cvec FROM cents$rounds),
         assign AS (SELECT nid, nvec, cid FROM (
           SELECT v.id AS nid, v.vec AS nvec, c.cid,
             row_number() OVER (PARTITION BY v.id ORDER BY
@@ -181,6 +188,44 @@ object PipelineQueries {
         FROM (SELECT qid, nid, cosine, row_number() OVER
           (PARTITION BY qid ORDER BY cosine DESC, nid) AS rk FROM scored)
         WHERE rk <= 5"""
+  }
+
+  private lazy val ivfTrainedOracleSql = ivfTrainedOracleSqlFor(1)
+
+  /** Spark side of the trained-IVF gates: `rounds` warm-started
+    * single-iteration KMeans runs with the centers rounded to 6 digits
+    * BETWEEN rounds (the cross-engine contract — see
+    * [[ivfTrainedOracleSqlFor]]), then an IVF probe over the trained
+    * quantizer with centroidFoldLimit < nlist forcing the broadcast +
+    * max_by assignment path. */
+  private def trainedIvf(s: org.apache.spark.sql.SparkSession, dir: String,
+      rounds: Int): org.apache.spark.sql.DataFrame = {
+    val vecs = Q.t(s, dir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    def r6(x: Double): Double = // half-away-from-zero, like SQL round()
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    var trained: Option[Array[(Int, Array[Double])]] = None
+    for (_ <- 1 to rounds) {
+      val m = graft.algorithms.KMeans.run(vecs, k = 8, metric = "cosine",
+        maxIterations = 1, init = trained)
+      trained = Some(m.centers.map { case (cid, v) => (cid, v.map(r6)) })
+    }
+    val centRows = trained.get.map { case (cid, v) =>
+      org.apache.spark.sql.Row(cid.toLong, v.toSeq)
+    }
+    val cents = s.createDataFrame(
+      s.sparkContext.parallelize(centRows.toIndexedSeq),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("vec",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType)))))
+    Similarity.ivfTopK(vecs, vecs.filter(col("id") < 5), k = 5,
+      nlist = 8, nprobe = 3, centroids = Some(cents),
+      centroidFoldLimit = 4)
+      .select(col("qid"), col("nid"), round(col("cosine"), 6).as("cosine"),
+        col("rk").cast("int").as("rk"))
   }
 
   /** `q_incr_ann_ivf`: base = ids ≢3 (mod 10), delta adds the ≡3 ids and
@@ -881,31 +926,16 @@ object PipelineQueries {
     // round 6, now under the oracle). Reference analog: trained global
     // centers as the ONE2ALL global value (`IterKmeans.java:492-539`).
     Q("q_ann_ivf_trained",
-      (s, dir) => {
-        val vecs = Q.t(s, dir, "embeddings")
-          .select(col("vec_id").as("id"), col("embedding").as("vec"))
-        val model = graft.algorithms.KMeans.run(vecs, k = 8,
-          metric = "cosine", maxIterations = 1)
-        def r6(x: Double): Double = // half-away-from-zero, like SQL round()
-          BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-        val centRows = model.centers.map { case (cid, v) =>
-          org.apache.spark.sql.Row(cid.toLong, v.map(r6).toSeq)
-        }
-        val cents = s.createDataFrame(
-          s.sparkContext.parallelize(centRows.toIndexedSeq),
-          org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField("id",
-              org.apache.spark.sql.types.LongType),
-            org.apache.spark.sql.types.StructField("vec",
-              org.apache.spark.sql.types.ArrayType(
-                org.apache.spark.sql.types.DoubleType)))))
-        Similarity.ivfTopK(vecs, vecs.filter(col("id") < 5), k = 5,
-          nlist = 8, nprobe = 3, centroids = Some(cents),
-          centroidFoldLimit = 4)
-          .select(col("qid"), col("nid"), round(col("cosine"), 6).as("cosine"),
-            col("rk").cast("int").as("rk"))
-      },
+      (s, dir) => trainedIvf(s, dir, rounds = 1),
       Some(ivfTrainedOracleSql)),
+
+    // TWO Lloyd rounds with the same inter-round 6-digit rounding
+    // contract: covers convergence of the trained path — round 2's
+    // assignment boundaries move with the retrained centers, and both
+    // engines must cross them identically.
+    Q("q_ann_ivf_trained2",
+      (s, dir) => trainedIvf(s, dir, rounds = 2),
+      Some(ivfTrainedOracleSqlFor(2))),
 
     // INCREMENTAL index maintenance: build on the base corpus (ids ≢3
     // mod 10), then updateIvfIndex applies the delta (+≡3 ids, −≡7 ids)
@@ -963,6 +993,39 @@ object PipelineQueries {
                      sqrt(${dotSql("y.vec", "y.vec")})) AS cosine
                 FROM cands c JOIN v x ON c.a = x.id JOIN v y ON c.b = y.id)
               WHERE cosine >= 0.2""")),
+
+    // SemDeDup (Abbas et al., arXiv:2303.09540): coarse-quantize the
+    // embeddings (16 lowest-id centroids — the same pinned-seed
+    // quantizer contract as q_ann_ivf), then inside each cluster drop
+    // every vector with a LOWER-id cluster-mate whose 6-digit-rounded
+    // cosine exceeds tau. Output keeps EVERY input row with keep∈{0,1}
+    // so drop rates are auditable; the oracle mirrors the argmax
+    // assignment and the dominated rule exactly.
+    Q("q_semantic_dedup",
+      (s, dir) => Similarity.semanticDedup(
+        Q.t(s, dir, "embeddings")
+          .select(col("vec_id").as("id"), col("embedding").as("vec")),
+        nlist = 16, tau = 0.3)
+        .select(col("id"), col("cid"), col("keep").cast("int").as("keep")),
+      Some(s"""WITH $vecCte,
+              cents AS (SELECT id AS cid, vec AS cvec FROM v
+                ORDER BY id LIMIT 16),
+              assign AS (SELECT nid, nvec, cid FROM (
+                SELECT v.id AS nid, v.vec AS nvec, c.cid,
+                  row_number() OVER (PARTITION BY v.id ORDER BY
+                    ${dotSql("v.vec", "c.cvec")} /
+                      (sqrt(${dotSql("v.vec", "v.vec")}) *
+                       sqrt(${dotSql("c.cvec", "c.cvec")})) DESC, c.cid) AS rk
+                FROM v CROSS JOIN cents c) WHERE rk = 1),
+              dom AS (SELECT DISTINCT y.nid AS nid
+                FROM assign x JOIN assign y
+                  ON x.cid = y.cid AND x.nid < y.nid
+                WHERE round(${dotSql("x.nvec", "y.nvec")} /
+                    (sqrt(${dotSql("x.nvec", "x.nvec")}) *
+                     sqrt(${dotSql("y.nvec", "y.nvec")})), 6) > 0.3)
+              SELECT a.nid AS id, a.cid,
+                CAST(CASE WHEN d.nid IS NULL THEN 1 ELSE 0 END AS INT) AS keep
+              FROM assign a LEFT JOIN dom d ON a.nid = d.nid""")),
 
     // Multimodal packing: binary payload + typed metadata (decode is a
     // stub by design; see graft.operators.Multimodal).

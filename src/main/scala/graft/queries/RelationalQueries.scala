@@ -11,6 +11,25 @@ import graft.operators.{Relational, TimeJoins}
   * names; double aggregates are rounded identically on both sides. */
 object RelationalQueries {
 
+  // Shared by the three as-of gates (plain / bucketed / timestamp-native
+  // entry): latest click at-or-before each purchase, left-joined so
+  // purchases with no prior click keep NULLs.
+  private val asofOracleSql =
+    s"""WITH e AS (SELECT user_id, ${Q.tsUs} AS ts, event_id,
+          event_type FROM events),
+        p AS (SELECT event_id AS evt_id, user_id, ts FROM e
+          WHERE event_type = 'purchase'),
+        c AS (SELECT user_id, ts, event_id FROM e
+          WHERE event_type = 'click'),
+        j AS (SELECT p.evt_id, p.user_id, p.ts, c.ts AS prior_ts,
+            c.event_id AS prior_event_id,
+            row_number() OVER (PARTITION BY p.evt_id
+              ORDER BY c.ts DESC, c.event_id DESC) AS rn
+          FROM p LEFT JOIN c
+            ON p.user_id = c.user_id AND c.ts <= p.ts)
+        SELECT evt_id, user_id, ts, prior_ts, prior_event_id
+        FROM j WHERE rn = 1"""
+
   val all: Seq[Q] = Seq(
 
     // F20/F19: groupBy-aggregate with map-side partial agg (TPC-H Q1 shape).
@@ -247,20 +266,27 @@ object RelationalQueries {
         TimeJoins.asofJoin(purchases, clicks, "user_id", "ts",
           Seq("event_id"), "prior_")
       },
-      Some(s"""WITH e AS (SELECT user_id, ${Q.tsUs} AS ts, event_id,
-                event_type FROM events),
-              p AS (SELECT event_id AS evt_id, user_id, ts FROM e
-                WHERE event_type = 'purchase'),
-              c AS (SELECT user_id, ts, event_id FROM e
-                WHERE event_type = 'click'),
-              j AS (SELECT p.evt_id, p.user_id, p.ts, c.ts AS prior_ts,
-                  c.event_id AS prior_event_id,
-                  row_number() OVER (PARTITION BY p.evt_id
-                    ORDER BY c.ts DESC, c.event_id DESC) AS rn
-                FROM p LEFT JOIN c
-                  ON p.user_id = c.user_id AND c.ts <= p.ts)
-              SELECT evt_id, user_id, ts, prior_ts, prior_event_id
-              FROM j WHERE rn = 1""")),
+      Some(asofOracleSql)),
+
+    // Timestamp-NATIVE entry under the same oracle: events.ts is fed to
+    // the operator in the file's own timestamp type (no µs pre-cast);
+    // the operator normalizes internally via TimeEncodings, so the
+    // output is epoch-µs either way. On legacy nanos-as-long data there
+    // is no timestamp type to exercise — the gate then routes through
+    // the µs loader and degenerates to q_asof_join exactly.
+    Q("q_asof_join_ts",
+      (s, dir) => {
+        val raw = Q.events(s, dir)
+        val e = if (raw.schema("ts").dataType ==
+            org.apache.spark.sql.types.LongType) Q.eventsUs(s, dir) else raw
+        val purchases = e.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("evt_id"), col("user_id"), col("ts"))
+        val clicks = e.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"), col("event_id"))
+        TimeJoins.asofJoin(purchases, clicks, "user_id", "ts",
+          Seq("event_id"), "prior_")
+      },
+      Some(asofOracleSql)),
 
     // The hot-key escape hatch under the SAME oracle: the merge window
     // is partitioned by (user, 6h time bucket) with predecessor seeds,
@@ -276,20 +302,7 @@ object RelationalQueries {
         TimeJoins.asofJoinBucketed(purchases, clicks, "user_id", "ts",
           Seq("event_id"), bucketWidth = 6L * 3600000000L, "prior_")
       },
-      Some(s"""WITH e AS (SELECT user_id, ${Q.tsUs} AS ts, event_id,
-                event_type FROM events),
-              p AS (SELECT event_id AS evt_id, user_id, ts FROM e
-                WHERE event_type = 'purchase'),
-              c AS (SELECT user_id, ts, event_id FROM e
-                WHERE event_type = 'click'),
-              j AS (SELECT p.evt_id, p.user_id, p.ts, c.ts AS prior_ts,
-                  c.event_id AS prior_event_id,
-                  row_number() OVER (PARTITION BY p.evt_id
-                    ORDER BY c.ts DESC, c.event_id DESC) AS rn
-                FROM p LEFT JOIN c
-                  ON p.user_id = c.user_id AND c.ts <= p.ts)
-              SELECT evt_id, user_id, ts, prior_ts, prior_event_id
-              FROM j WHERE rn = 1""")),
+      Some(asofOracleSql)),
 
     // Banded range join (equi-join on (key, time-band) + residual —
     // never a nested-loop theta join): clicks in the 24h before each

@@ -226,6 +226,38 @@ class OperatorsSpec extends SparkSpec {
       s"kept $kept of ${strong.size} strong pairs")
   }
 
+  test("semanticDedup: clique keeps its lowest id, chains drop all followers") {
+    import math.{cos, sin, toRadians => rad}
+    // disjoint subspaces isolate the groups (cross-group cosine 0):
+    //  dims 0-1: a 3-clique (0°, 20°, −20° — all pairwise cos > tau)
+    //  dims 2-3: a chain at 0°/50°/100° — cos50 ≈ .643 > tau links
+    //            10~11 and 11~12, but cos100 ≈ −.174 ≤ tau, so 12's
+    //            only >tau neighbor (11) is itself dropped
+    //  dim 4: a singleton
+    val tau = 0.5
+    val vecs = Seq(
+      0L -> Array(1.0, 0.0, 0.0, 0.0, 0.0),
+      1L -> Array(cos(rad(20)), sin(rad(20)), 0.0, 0.0, 0.0),
+      2L -> Array(cos(rad(20)), -sin(rad(20)), 0.0, 0.0, 0.0),
+      10L -> Array(0.0, 0.0, 1.0, 0.0, 0.0),
+      11L -> Array(0.0, 0.0, cos(rad(50)), sin(rad(50)), 0.0),
+      12L -> Array(0.0, 0.0, cos(rad(100)), sin(rad(100)), 0.0),
+      20L -> Array(0.0, 0.0, 0.0, 0.0, 1.0)).toDF("id", "vec")
+    val outDf = Similarity.semanticDedup(vecs, nlist = 1, tau = tau)
+    val out = outDf.select("id", "keep").as[(Long, Int)].collect().toMap
+    // every input row comes back exactly once with keep ∈ {0, 1}
+    assert(out.keySet == Set(0L, 1L, 2L, 10L, 11L, 12L, 20L))
+    assert(out.values.forall(k => k == 0 || k == 1))
+    // clique: lowest id survives, both mates drop
+    assert(out(0L) == 1 && out(1L) == 0 && out(2L) == 0)
+    // chain: followers drop even though 12 has no SURVIVING near-dup
+    assert(out(10L) == 1 && out(11L) == 0 && out(12L) == 0)
+    // dissimilar singleton survives
+    assert(out(20L) == 1)
+    // the operator returns an eagerly-persisted frame — release it
+    outDf.unpersist()
+  }
+
   test("teraValidate compares keys in native type order") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{LongType, StructField, StructType}

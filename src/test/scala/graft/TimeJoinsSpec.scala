@@ -94,6 +94,35 @@ class TimeJoinsSpec extends SparkSpec {
     assert(plain.getLong(0) == 100000L)
   }
 
+  test("time operators accept native timestamp columns, matching integer-µs inputs") {
+    import graft.operators.Relational
+    def ntz(df: org.apache.spark.sql.DataFrame) = df.withColumn("ts",
+      expr("timestampadd(MICROSECOND, ts, timestamp_ntz'1970-01-01 00:00:00')"))
+    val probe = Seq((1L, 10L, "p10"), (1L, 25L, "p25"), (2L, 5L, "p5"))
+      .toDF("k", "ts", "tag")
+    val build = Seq((1L, 10L, 100L), (1L, 20L, 200L), (1L, 30L, 300L),
+      (3L, 1L, 999L)).toDF("k", "ts", "v")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy(df.columns.map(col): _*).collect().toSeq
+    // the normalized output must EQUAL the integer-µs path bit-for-bit
+    // (same columns, same long values) for all four entry points
+    assert(rows(TimeJoins.asofJoin(ntz(probe), ntz(build), "k", "ts", Seq("v")))
+      == rows(TimeJoins.asofJoin(probe, build, "k", "ts", Seq("v"))))
+    assert(rows(TimeJoins.asofJoinBucketed(ntz(probe), ntz(build), "k", "ts",
+        Seq("v"), bucketWidth = 7L))
+      == rows(TimeJoins.asofJoinBucketed(probe, build, "k", "ts", Seq("v"),
+        bucketWidth = 7L)))
+    assert(rows(TimeJoins.bandedRangePairs(ntz(probe), ntz(build), "k", "ts", 10L))
+      == rows(TimeJoins.bandedRangePairs(probe, build, "k", "ts", 10L)))
+    val ev = Seq((1L, 5L, 1L), (1L, 8L, 2L), (1L, 30L, 3L), (2L, 9L, 4L))
+      .toDF("k", "ts", "id")
+    assert(rows(Relational.sessionize(ntz(ev), "k", "ts", "id", gap = 10L))
+      == rows(Relational.sessionize(ev, "k", "ts", "id", gap = 10L)))
+    // mixed encodings also converge: timestamp probe against integer build
+    assert(rows(TimeJoins.asofJoin(ntz(probe), build, "k", "ts", Seq("v")))
+      == rows(TimeJoins.asofJoin(probe, build, "k", "ts", Seq("v"))))
+  }
+
   test("asof validation: unorderable payload, reserved names, prefix collisions") {
     val probe = Seq((1L, 5L)).toDF("k", "ts")
     val mapBuild = Seq((1L, 3L, Map("a" -> 1))).toDF("k", "ts", "m")
