@@ -172,14 +172,16 @@ object Pipeline {
   }
 
   /** Gopher-style n-gram repetition metrics: for each document, the
-    * fraction of its 2-grams occupied by the single most frequent
-    * 2-gram (`top2_frac`) and the fraction occupied by 2-grams that
-    * occur more than once (`dup2_frac`), plus the keep/drop decision
+    * fraction of its `n`-grams occupied by the single most frequent
+    * one (`top_frac`) and the fraction occupied by `n`-grams that
+    * occur more than once (`dup_frac`), plus the keep/drop decision
     * under the given ceilings — the repetition filters a quality
     * pipeline applies before training (boilerplate and generated spam
     * have pathological repetition long before any model-based score
-    * notices). Documents with fewer than two tokens have no 2-grams;
-    * both fractions are defined as 0 and the document is kept.
+    * notices; Gopher's table sweeps n = 2..4 for top-gram ceilings,
+    * which is this operator at n = 2, 3, 4). Documents with fewer
+    * than `n` tokens have no `n`-grams; both fractions are defined as
+    * 0 and the document is kept.
     *
     * Scale shape: one explode + groupBy(doc, gram) with map-side
     * partial counts (a gram repeated within a doc combines before the
@@ -189,32 +191,34 @@ object Pipeline {
     * corpus-wide hot key).
     */
   def repetitionStats(df: DataFrame, idCol: String, textCol: String,
-      topFracMax: Double = 0.20, dupFracMax: Double = 0.60): DataFrame = {
+      topFracMax: Double = 0.20, dupFracMax: Double = 0.60,
+      n: Int = 2): DataFrame = {
+    require(n >= 2, s"repetitionStats: n must be >= 2, got $n")
     val grams = df
       .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("_toks"))
       .select(col("doc_id"),
-        when(size(col("_toks")) >= 2,
-          expr("transform(sequence(0, size(_toks) - 2), " +
-            "i -> concat(_toks[i], ' ', _toks[i + 1]))"))
+        when(size(col("_toks")) >= n,
+          expr(s"transform(sequence(0, size(_toks) - $n), " +
+            s"i -> concat_ws(' ', slice(_toks, i + 1, $n)))"))
           .otherwise(array().cast("array<string>")).as("_grams"))
     val base = df.select(col(idCol).as("doc_id"))
     val counts = grams
       .select(col("doc_id"), explode(col("_grams")).as("_g"))
       .groupBy(col("doc_id"), col("_g")).agg(count(lit(1)).as("_c"))
     val agg = counts.groupBy("doc_id").agg(
-      sum(col("_c")).cast("long").as("_n2"),
+      sum(col("_c")).cast("long").as("_ng"),
       max(col("_c")).cast("long").as("_top"),
       sum(when(col("_c") > 1, col("_c")).otherwise(lit(0L)))
         .cast("long").as("_dup"))
     base.join(agg, Seq("doc_id"), "left")
       .select(col("doc_id"),
-        coalesce(col("_n2"), lit(0L)).cast("int").as("n2"),
-        round(coalesce(col("_top").cast("double") / col("_n2"), lit(0.0)), 6)
-          .as("top2_frac"),
-        round(coalesce(col("_dup").cast("double") / col("_n2"), lit(0.0)), 6)
-          .as("dup2_frac"))
+        coalesce(col("_ng"), lit(0L)).cast("int").as("ng"),
+        round(coalesce(col("_top").cast("double") / col("_ng"), lit(0.0)), 6)
+          .as("top_frac"),
+        round(coalesce(col("_dup").cast("double") / col("_ng"), lit(0.0)), 6)
+          .as("dup_frac"))
       .withColumn("keep",
-        (col("top2_frac") <= topFracMax && col("dup2_frac") <= dupFracMax)
+        (col("top_frac") <= topFracMax && col("dup_frac") <= dupFracMax)
           .cast("int"))
   }
 

@@ -192,6 +192,31 @@ object PipelineQueries {
 
   private lazy val ivfTrainedOracleSql = ivfTrainedOracleSqlFor(1)
 
+  /** `q_repetition`/`q_repetition3` oracle: per-doc n-gram repetition
+    * stats mirroring [[graft.operators.Pipeline.repetitionStats]] —
+    * DuckDB's slice is 1-based inclusive, so an n-gram starting at i
+    * is `toks[i : i+n-1]`; docs shorter than n tokens get an empty
+    * series, fractions 0, and keep = 1. */
+  private def repetitionOracleSql(n: Int, topMax: Double,
+      dupMax: Double): String =
+    s"""WITH $toksCte,
+        g AS (SELECT doc_id, [array_to_string(toks[i:i+${n - 1}], ' ')
+          for i in generate_series(1, len(toks) - ${n - 1})] AS grams
+          FROM toks),
+        gc AS (SELECT doc_id, g2, count(*) AS c FROM
+          (SELECT doc_id, unnest(grams) AS g2 FROM g) x GROUP BY 1, 2),
+        agg AS (SELECT doc_id, sum(c) AS ng, max(c) AS topc,
+          sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dupc
+          FROM gc GROUP BY 1)
+        SELECT t.doc_id, CAST(COALESCE(a.ng, 0) AS INT) AS ng,
+          round(COALESCE(a.topc::DOUBLE / a.ng, 0.0), 6) AS top_frac,
+          round(COALESCE(a.dupc::DOUBLE / a.ng, 0.0), 6) AS dup_frac,
+          CAST(CASE WHEN
+            round(COALESCE(a.topc::DOUBLE / a.ng, 0.0), 6) <= $topMax
+            AND round(COALESCE(a.dupc::DOUBLE / a.ng, 0.0), 6) <= $dupMax
+            THEN 1 ELSE 0 END AS INT) AS keep
+        FROM toks t LEFT JOIN agg a USING (doc_id)"""
+
   /** Spark side of the trained-IVF gates: `rounds` warm-started
     * single-iteration KMeans runs with the centers rounded to 6 digits
     * BETWEEN rounds (the cross-engine contract — see
@@ -777,23 +802,15 @@ object PipelineQueries {
     Q("q_repetition",
       (s, dir) => Pipeline.repetitionStats(Q.t(s, dir, "documents"),
         "doc_id", "text", topFracMax = 0.04, dupFracMax = 0.08),
-      Some(s"""WITH $toksCte,
-              g AS (SELECT doc_id, [array_to_string(toks[i:i+1], ' ')
-                for i in generate_series(1, len(toks) - 1)] AS grams
-                FROM toks),
-              gc AS (SELECT doc_id, g2, count(*) AS c FROM
-                (SELECT doc_id, unnest(grams) AS g2 FROM g) x GROUP BY 1, 2),
-              agg AS (SELECT doc_id, sum(c) AS n2, max(c) AS topc,
-                sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dupc
-                FROM gc GROUP BY 1)
-              SELECT t.doc_id, CAST(COALESCE(a.n2, 0) AS INT) AS n2,
-                round(COALESCE(a.topc::DOUBLE / a.n2, 0.0), 6) AS top2_frac,
-                round(COALESCE(a.dupc::DOUBLE / a.n2, 0.0), 6) AS dup2_frac,
-                CAST(CASE WHEN
-                  round(COALESCE(a.topc::DOUBLE / a.n2, 0.0), 6) <= 0.04
-                  AND round(COALESCE(a.dupc::DOUBLE / a.n2, 0.0), 6) <= 0.08
-                  THEN 1 ELSE 0 END AS INT) AS keep
-              FROM toks t LEFT JOIN agg a USING (doc_id)""")),
+      Some(repetitionOracleSql(2, 0.04, 0.08))),
+
+    // Gopher sweeps the ceiling over several gram lengths (n = 2..4);
+    // the 3-gram point exercises the generalized slice-built grams on
+    // a distinct dup/top distribution under its own ceilings.
+    Q("q_repetition3",
+      (s, dir) => Pipeline.repetitionStats(Q.t(s, dir, "documents"),
+        "doc_id", "text", topFracMax = 0.03, dupFracMax = 0.06, n = 3),
+      Some(repetitionOracleSql(3, 0.03, 0.06))),
 
     // Corpus mixing to a 2000-token budget over four weighted sources
     // (the rest get weight 0 and drop). Rate arithmetic is pure Long

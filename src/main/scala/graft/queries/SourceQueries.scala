@@ -129,6 +129,44 @@ object SourceQueries {
             SELECT a.user_id, a.session_start, a.session_end, a.n_events
             FROM agg a LEFT JOIN last l
               ON a.user_id = l.user_id AND a.sid = l.sid
-            WHERE l.user_id IS NULL"""))
+            WHERE l.user_id IS NULL""")),
+
+    // Watermarked streaming dedup through a REAL StreamingQuery (not
+    // batch-executed): the documents table is written twice as two
+    // parquet files, maxFilesPerTrigger=1 forces the copies into
+    // separate micro-batches, and dropDuplicatesWithinWatermark must
+    // carry its key state across the batch boundary to drop the second
+    // arrival of every row — at-least-once ingestion in, exactly-once
+    // out. Both copies are bit-identical (same doc_id/text/ts), so
+    // whichever arrival survives, the output SET equals the documents
+    // table itself — a deterministic oracle with no dependence on file
+    // ordering. Without cross-batch state the count would be 2x.
+    Q("q_dedup_stream",
+      (s, dir) => {
+        import org.apache.spark.sql.streaming.Trigger
+        val docs = Q.t(s, dir, "documents").select(col("doc_id"), col("text"))
+        // event time: fixed epoch-ns base + doc_id ms; the span is far
+        // inside the 30-min watermark horizon, so no state expires
+        // between the two micro-batches
+        val withTs = docs.withColumn("ts",
+          lit(1700000000L * 1000000000L) + col("doc_id") * lit(1000000L))
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_dedup_stream_gate").toString
+        withTs.coalesce(1).write.mode("append").parquet(tmp)
+        withTs.coalesce(1).write.mode("append").parquet(tmp)
+        val stream = s.readStream.schema(withTs.schema)
+          .option("maxFilesPerTrigger", "1").parquet(tmp)
+        // unique sink name: the gate runs repeatedly in one session
+        // (bench reps); results never depend on it
+        val sink = s"dedup_stream_out_${java.util.UUID.randomUUID.toString.replace("-", "")}"
+        val q = EventStreams.dedupStream(stream, Seq("doc_id"))
+          .writeStream.outputMode("append")
+          .format("memory").queryName(sink)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination(120000)
+        s.table(sink).select(col("doc_id"), col("text"))
+      },
+      Some("SELECT doc_id, text FROM documents"))
   )
 }

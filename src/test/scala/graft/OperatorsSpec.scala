@@ -378,6 +378,17 @@ class OperatorsSpec extends SparkSpec {
     assert(r(2L) == ((2L, 3, 0.333333, 0.0, 1)))
     assert(r(3L) == ((3L, 0, 0.0, 0.0, 1)))
     assert(r(4L) == ((4L, 0, 0.0, 0.0, 1)))
+    // 3-gram generalization: doc 1 has "a b a"x2 + "b a b"x2 -> ng=4,
+    // top 0.5, dup 1.0; doc 2's two 3-grams are unique; short docs 0
+    val r3 = graft.operators.Pipeline
+      .repetitionStats(d, "doc_id", "text", topFracMax = 0.5,
+        dupFracMax = 0.5, n = 3)
+      .as[(Long, Int, Double, Double, Int)].collect()
+      .map(t => t._1 -> t).toMap
+    assert(r3(1L) == ((1L, 4, 0.5, 1.0, 0)))
+    assert(r3(2L) == ((2L, 2, 0.5, 0.0, 1)))
+    assert(r3(3L) == ((3L, 0, 0.0, 0.0, 1)))
+    assert(r3(4L) == ((4L, 0, 0.0, 0.0, 1)))
   }
 
   test("mixToBudget: integer rates, cap at 1000, unlisted sources drop") {
