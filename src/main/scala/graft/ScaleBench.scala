@@ -12,7 +12,8 @@ import org.apache.spark.storage.StorageLevel
   * The probes mirror the gate queries' structure (same operators, same
   * delta shapes — `q_incr_pagerank`, `q_incr_dedup_clusters`,
   * `q_incr_pipeline_clean`, `q_incr_matvec*`, `q_dedup_clusters`,
-  * `q_tfidf`, `q_ann_ivf_disk`) but parameterize the input SIZE: the
+  * `q_tfidf`, `q_ann_ivf_disk`, `q_semantic_dedup`, `q_line_dedup`)
+  * but parameterize the input SIZE: the
   * gates pin mod-constants (a 40x40 events matrix) that would hide
   * super-linear behavior behind fixed state. Inputs are written to
   * parquet first so scans are realistic and generation is untimed.
@@ -192,6 +193,36 @@ object ScaleBench {
       run("tfidf", 5000L * m) {
         val (_, t) = timed(consume(
           operators.Pipeline.tfidf(docs, "doc_id", "text")))
+        Seq("total" -> t)
+      }
+
+      run("semantic_dedup", 2000L * m) {
+        // nlist scales WITH the corpus (SemDeDup's k = O(corpus size)
+        // posture keeps clusters ~constant), so the pair scan's
+        // Σ|cluster|² stays linear; above foldLimit=64 (m >= 5) this
+        // also exercises the broadcast+max_by assignment — the
+        // trained-index-scale path
+        val v = vecs.select(col("id"), col("vec"))
+        val (_, t) = timed {
+          val outDf = operators.Similarity.semanticDedup(v,
+            nlist = 16 * m, tau = 0.9)
+          val n = consume(outDf); outDf.unpersist(); n
+        }
+        Seq("total" -> t)
+      }
+
+      run("line_dedup", 5000L * m) {
+        // the q_line_dedup shape: a footer hot across EVERY doc (the
+        // doc-frequency count must combine map-side, not funnel one
+        // key) plus a unique line per doc
+        val aug = docs.select(col("doc_id"), concat_ws("\n", col("text"),
+          lit("common boilerplate footer line"),
+          concat(lit("sig "), col("doc_id"))).as("text"))
+        val (_, t) = timed {
+          val outDf = operators.Pipeline.dedupLines(aug, "doc_id", "text",
+            maxDocs = 100)
+          val n = consume(outDf); outDf.unpersist(); n
+        }
         Seq("total" -> t)
       }
 

@@ -222,6 +222,56 @@ object Pipeline {
           .cast("int"))
   }
 
+  /** Corpus-level exact LINE deduplication — boilerplate removal (the
+    * CCNet/RefinedWeb line-filter rule: a line repeated across many
+    * documents is navigation/footer/template noise, not content).
+    * Splits `textCol` on `sep`, drops every line whose DOCUMENT
+    * frequency exceeds `maxDocs`, and reassembles each document with
+    * its surviving lines in original order. Returns one row per input
+    * document: (doc_id, clean, n_kept, n_removed) — a document whose
+    * lines are all boilerplate comes back with `clean` empty, never
+    * dropped (the caller decides what to do with husks).
+    *
+    * Scale shape: one explode; document frequency is a
+    * distinct-(doc, line) + groupBy(line) count with map-side partial
+    * aggregation (a boilerplate line hot across millions of docs
+    * combines before the shuffle — no hot-key blowup); the bad-line
+    * set is boilerplate-sized, so the anti-join broadcasts; reassembly
+    * is one groupBy(doc) with an order-restoring sort over (pos, line)
+    * structs. Eager + internal caches released — `unpersist()` on the
+    * returned frame is the caller's only handle (the cache-release
+    * contract, as [[cleanCorpus]]).
+    */
+  def dedupLines(df: DataFrame, idCol: String, textCol: String,
+      maxDocs: Long, sep: String = "\n"): DataFrame = {
+    val lines = df.select(col(idCol).as("doc_id"),
+      posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+        .as(Seq("pos", "line")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bad = lines.select("doc_id", "line").distinct()
+      .groupBy("line").agg(count(lit(1)).as("_nd"))
+      .filter(col("_nd") > maxDocs).select("line")
+    val kept = lines.join(bad, Seq("line"), "left_anti")
+    val totals = lines.groupBy("doc_id").agg(count(lit(1)).as("_n_all"))
+    val rebuilt = kept.groupBy("doc_id").agg(
+      array_join(transform(
+        array_sort(collect_list(struct(col("pos"), col("line")))),
+        x => x("line")), sep).as("clean"),
+      count(lit(1)).as("n_kept"))
+    val out = df.select(col(idCol).as("doc_id"))
+      .join(totals, Seq("doc_id"), "left")
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("clean"), lit("")).as("clean"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (coalesce(col("_n_all"), lit(0L)) - coalesce(col("n_kept"), lit(0L)))
+          .as("n_removed"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    lines.unpersist(blocking = false)
+    out
+  }
+
   /** Benchmark decontamination: drop every corpus document sharing at
     * least one word `w`-shingle with the evaluation set — the standard
     * containment rule for keeping test benchmarks out of training data

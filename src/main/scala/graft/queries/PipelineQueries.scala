@@ -812,6 +812,40 @@ object PipelineQueries {
         "doc_id", "text", topFracMax = 0.03, dupFracMax = 0.06, n = 3),
       Some(repetitionOracleSql(3, 0.03, 0.06))),
 
+    // Boilerplate LINE dedup (CCNet/RefinedWeb rule): the corpus text
+    // is flat, so the gate synthesizes multi-line docs — original text
+    // + a footer shared by EVERY doc (doc frequency 500/5000 ≫ 100 →
+    // removed) + a per-doc unique sig line (kept). Order-preserving
+    // reassembly and per-doc removal counts under the oracle.
+    Q("q_line_dedup",
+      (s, dir) => Pipeline.dedupLines(
+        Q.t(s, dir, "documents").select(col("doc_id"),
+          concat_ws("\n", col("text"),
+            lit("common boilerplate footer line"),
+            concat(lit("sig "), col("doc_id"))).as("text")),
+        "doc_id", "text", maxDocs = 100),
+      Some("""WITH aug AS (SELECT doc_id,
+              text || chr(10) || 'common boilerplate footer line' || chr(10) ||
+              'sig ' || doc_id AS text FROM documents),
+            p AS (SELECT doc_id, string_split(text, chr(10)) AS parts FROM aug),
+            l AS (SELECT doc_id, unnest([{'pos': i, 'line': parts[i]}
+                for i in generate_series(1, len(parts))]) AS pl FROM p),
+            l2 AS (SELECT doc_id, pl.pos AS pos, pl.line AS line FROM l),
+            bad AS (SELECT line FROM (SELECT line, count(DISTINCT doc_id) AS nd
+                FROM l2 GROUP BY 1) WHERE nd > 100),
+            kept AS (SELECT l2.doc_id, l2.pos, l2.line FROM l2 LEFT JOIN bad b
+                USING (line) WHERE b.line IS NULL),
+            agg AS (SELECT doc_id,
+                array_to_string(list(line ORDER BY pos, line), chr(10)) AS clean,
+                count(*) AS n_kept FROM kept GROUP BY 1),
+            tot AS (SELECT doc_id, count(*) AS n_all FROM l2 GROUP BY 1)
+            SELECT d.doc_id, COALESCE(a.clean, '') AS clean,
+              CAST(COALESCE(a.n_kept, 0) AS BIGINT) AS n_kept,
+              CAST(COALESCE(t.n_all, 0) - COALESCE(a.n_kept, 0) AS BIGINT)
+                AS n_removed
+            FROM documents d LEFT JOIN agg a USING (doc_id)
+              LEFT JOIN tot t USING (doc_id)""")),
+
     // Corpus mixing to a 2000-token budget over four weighted sources
     // (the rest get weight 0 and drop). Rate arithmetic is pure Long
     // integer math — desired·1000 div T — so the oracle reproduces the

@@ -391,6 +391,27 @@ class OperatorsSpec extends SparkSpec {
     assert(r3(4L) == ((4L, 0, 0.0, 0.0, 1)))
   }
 
+  test("dedupLines: doc-frequency rule, order kept, husk docs survive empty") {
+    val d = Seq(
+      (1L, "unique one\nFOOTER\nunique two"),
+      (2L, "FOOTER\nonly here\nFOOTER"), // in-doc repeat counts ONCE for df
+      (3L, "FOOTER"),                    // all lines boilerplate -> husk
+      (4L, "alpha\nbeta")
+    ).toDF("doc_id", "text")
+    // FOOTER df = 3 docs > 2 -> removed everywhere (both copies in doc
+    // 2); every other line has df 1
+    val out = graft.operators.Pipeline.dedupLines(d, "doc_id", "text",
+      maxDocs = 2)
+    val r = out.as[(Long, String, Long, Long)].collect()
+      .map(t => t._1 -> t).toMap
+    assert(r(1L) == ((1L, "unique one\nunique two", 2L, 1L)))
+    assert(r(2L) == ((2L, "only here", 1L, 2L)))
+    assert(r(3L) == ((3L, "", 0L, 1L)))
+    assert(r(4L) == ((4L, "alpha\nbeta", 2L, 0L)))
+    assert(out.count() == 4) // every input doc comes back exactly once
+    out.unpersist()
+  }
+
   test("mixToBudget: integer rates, cap at 1000, unlisted sources drop") {
     val d = Seq(
       (1L, "A", 10L), (2L, "A", 10L), (3L, "A", 10L), (4L, "A", 10L),
