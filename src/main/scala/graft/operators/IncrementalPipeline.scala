@@ -453,3 +453,155 @@ object IncrementalDecontam {
     corpus.join(contaminatedIds(state).select(col("id").as("_cid")),
       corpus(idCol) === col("_cid"), "left_anti")
 }
+
+/** Preserved boilerplate-line-dedup state ([[IncrementalLineDedup]]):
+  *
+  *  - `lines(doc_id, pos, line)` — the exploded line table. The
+  *    expensive part of [[Pipeline.dedupLines]] is exactly this
+  *    derivation (split + posexplode over every document's text);
+  *    preserving it means a delta explodes ONLY the delta's text.
+  *  - `dfreq(line, nd)` — each line's document frequency. Preserved so
+  *    a continuation can detect which lines' boilerplate status
+  *    FLIPPED under the delta without a corpus-wide recount.
+  *  - `out(doc_id, clean, n_kept, n_removed)` — the previous cleaned
+  *    output; unaffected documents pass through untouched.
+  *
+  * `maxDocs`/`sep` are part of the state (outputs under different
+  * ceilings are not comparable) and survive `write`/`read`. */
+final case class LineDedupState(lines: DataFrame, dfreq: DataFrame,
+    out: DataFrame, maxDocs: Long, sep: String,
+    release: () => Unit = () => ()) {
+  /** Materialize the state as Parquet tables (F27). */
+  def write(path: String): Unit = {
+    lines.write.mode("overwrite").parquet(s"$path/lines")
+    dfreq.write.mode("overwrite").parquet(s"$path/dfreq")
+    out.write.mode("overwrite").parquet(s"$path/out")
+    lines.sparkSession.createDataFrame(Seq((maxDocs, sep)))
+      .toDF("maxDocs", "sep")
+      .write.mode("overwrite").parquet(s"$path/params")
+  }
+}
+
+object LineDedupState {
+  def read(spark: org.apache.spark.sql.SparkSession,
+      path: String): LineDedupState = {
+    val p = spark.read.parquet(s"$path/params").collect()(0)
+    LineDedupState(
+      spark.read.parquet(s"$path/lines"),
+      spark.read.parquet(s"$path/dfreq"),
+      spark.read.parquet(s"$path/out"),
+      p.getLong(0), p.getString(1))
+  }
+}
+
+/** Incremental boilerplate line dedup — [[Pipeline.dedupLines]]
+  * continued over a ±document delta. The subtlety this operator exists
+  * for: a delta can flip a LINE's boilerplate status (its document
+  * frequency crosses `maxDocs` in either direction), which changes the
+  * cleaned text of UNTOUCHED documents containing that line. The
+  * continuation explodes only the delta's text, merges the
+  * document-frequency table, finds the flipped lines (they can only be
+  * lines the delta touched), and recleans exactly the documents that
+  * contain a flipped line plus the delta's own documents — everything
+  * else passes through from the preserved output.
+  *
+  * The continuation is EXACT: `state.out` after a continuation equals
+  * the batch operator over the post-delta corpus (spec- and
+  * gate-enforced, `q_incr_line_dedup`).
+  */
+object IncrementalLineDedup {
+
+  private def linesOf(df: DataFrame, idCol: String, textCol: String,
+      sep: String): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+      posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+        .as(Seq("pos", "line")))
+
+  /** The reassembly shared by preserve and continuation: clean every
+    * document present in `lines` against the `nd > maxDocs` rule. */
+  private def cleanFor(lines: DataFrame, dfreq: DataFrame, maxDocs: Long,
+      sep: String): DataFrame = {
+    val bad = dfreq.filter(col("nd") > maxDocs).select("line")
+    val kept = lines.join(bad, Seq("line"), "left_anti")
+    val totals = lines.groupBy("doc_id").agg(count(lit(1)).as("_n_all"))
+    val rebuilt = kept.groupBy("doc_id").agg(
+      array_join(transform(
+        array_sort(collect_list(struct(col("pos"), col("line")))),
+        x => x("line")), sep).as("clean"),
+      count(lit(1)).as("n_kept"))
+    totals.join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("clean"), lit("")).as("clean"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("_n_all") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+  }
+
+  /** Explode + count once, clean once, preserve all three tables. */
+  def preserveLines(df: DataFrame, idCol: String, textCol: String,
+      maxDocs: Long, sep: String = "\n"): LineDedupState = {
+    val (lines, r1) = IncrMat.matWithHandle(linesOf(df, idCol, textCol, sep))
+    val (dfreq, r2) = IncrMat.matWithHandle(
+      lines.select("doc_id", "line").distinct()
+        .groupBy("line").agg(count(lit(1)).as("nd")))
+    val (out, r3) = IncrMat.matWithHandle(cleanFor(lines, dfreq, maxDocs, sep))
+    LineDedupState(lines, dfreq, out, maxDocs, sep,
+      () => { r1(); r2(); r3() })
+  }
+
+  /** Roll the state forward over a ±document delta. An added id already
+    * present REPLACES its old rows (the upsert contract shared with
+    * [[IncrementalDecontam.continueDecontam]]). Release the old state
+    * once its continuations are done (library cache contract). */
+  def continueLines(state: LineDedupState, addedDocs: DataFrame,
+      removedIds: DataFrame, idCol: String,
+      textCol: String): LineDedupState = {
+    val intern = new IncrMat.Tracker
+    // replace semantics: an incoming id evicts its existing rows
+    val rem = intern.mat(removedIds
+      .select(col(removedIds.columns.head).as("_rid"))
+      .unionByName(addedDocs.select(col(idCol).as("_rid"))).distinct())
+    val addLines = intern.mat(linesOf(addedDocs, idCol, textCol, state.sep))
+    val (linesNext, rL) = IncrMat.matWithHandle(state.lines
+      .join(rem, col("doc_id") === col("_rid"), "left_anti")
+      .unionByName(addLines))
+    // doc-frequency delta: only lines the delta touches can change nd —
+    // departing rows count −1 per (doc, line), arriving rows +1
+    val depart = state.lines
+      .join(rem, col("doc_id") === col("_rid"), "left_semi")
+      .select("doc_id", "line").distinct()
+      .groupBy("line").agg((-count(lit(1))).as("_d"))
+    val arrive = addLines.select("doc_id", "line").distinct()
+      .groupBy("line").agg(count(lit(1)).as("_d"))
+    val delta = intern.mat(depart.unionByName(arrive)
+      .groupBy("line").agg(sum(col("_d")).as("_d"))
+      .filter(col("_d") =!= 0))
+    // merged table: nd2 = nd + d; a line whose last document left drops
+    // out (nd2 = 0), a brand-new line enters
+    val merged = state.dfreq.join(delta, Seq("line"), "full")
+      .select(col("line"),
+        coalesce(col("nd"), lit(0L)).as("_nd1"),
+        (coalesce(col("nd"), lit(0L)) + coalesce(col("_d"), lit(0L)))
+          .as("_nd2"))
+    val (dfreqNext, rD) = IncrMat.matWithHandle(merged
+      .filter(col("_nd2") > 0).select(col("line"), col("_nd2").as("nd")))
+    // flipped = boilerplate status changed; restricted to delta-touched
+    // lines by construction (elsewhere nd1 == nd2)
+    val flipped = intern.mat(merged
+      .filter((col("_nd1") > state.maxDocs) =!= (col("_nd2") > state.maxDocs))
+      .select("line"))
+    val affectedIds = intern.mat(linesNext
+      .join(flipped, Seq("line"), "left_semi").select("doc_id").distinct()
+      .unionByName(addedDocs.select(col(idCol).as("doc_id"))).distinct())
+    val recleaned = cleanFor(
+      linesNext.join(affectedIds, Seq("doc_id"), "left_semi"),
+      dfreqNext, state.maxDocs, state.sep)
+    val (outNext, rO) = IncrMat.matWithHandle(state.out
+      .join(affectedIds.select(col("doc_id").as("_aid"))
+          .unionByName(rem.select(col("_rid").as("_aid"))).distinct(),
+        col("doc_id") === col("_aid"), "left_anti")
+      .unionByName(recleaned))
+    intern.releaseAll()
+    LineDedupState(linesNext, dfreqNext, outNext, state.maxDocs, state.sep,
+      () => { rL(); rD(); rO() })
+  }
+}

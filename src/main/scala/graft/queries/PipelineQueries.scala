@@ -846,6 +846,58 @@ object PipelineQueries {
             FROM documents d LEFT JOIN agg a USING (doc_id)
               LEFT JOIN tot t USING (doc_id)""")),
 
+    // INCREMENTAL line dedup: base = cohort-augmented docs ≢3 (mod 10);
+    // the delta adds the ≡3 docs and removes the ≡7 ones. Each
+    // 'cohort K' (K = id mod 35) line spans TWO id-mod-10 classes, so
+    // when the delta pushes a cohort's document frequency across the
+    // maxDocs=11 ceiling (either direction at sf0.01: ~7 ↔ ~14), the
+    // cohort-mates in the UNTOUCHED class must be recleaned from
+    // preserved state. Oracle: full
+    // recompute over the post-delta corpus.
+    Q("q_incr_line_dedup",
+      (s, dir) => {
+        def aug(df: org.apache.spark.sql.DataFrame) =
+          df.select(col("doc_id"), concat_ws("\n", col("text"),
+            lit("common boilerplate footer line"),
+            concat(lit("cohort "), col("doc_id") % 35),
+            concat(lit("sig "), col("doc_id"))).as("text"))
+        val docs = Q.t(s, dir, "documents").select("doc_id", "text")
+        val base = aug(docs.filter(col("doc_id") % 10 =!= 3))
+        val st0 = graft.operators.IncrementalLineDedup.preserveLines(
+          base, "doc_id", "text", maxDocs = 11)
+        val st1 = graft.operators.IncrementalLineDedup.continueLines(st0,
+          aug(docs.filter(col("doc_id") % 10 === 3)),
+          docs.filter(col("doc_id") % 10 === 7).select("doc_id"),
+          "doc_id", "text")
+        val out = st1.out.select("doc_id", "clean", "n_kept", "n_removed")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        out.count()
+        st0.release()
+        st1.release()
+        out
+      },
+      Some("""WITH aug AS (SELECT doc_id,
+              text || chr(10) || 'common boilerplate footer line' || chr(10) ||
+              'cohort ' || (doc_id % 35) || chr(10) ||
+              'sig ' || doc_id AS text
+              FROM documents WHERE doc_id % 10 <> 7),
+            p AS (SELECT doc_id, string_split(text, chr(10)) AS parts FROM aug),
+            l AS (SELECT doc_id, unnest([{'pos': i, 'line': parts[i]}
+                for i in generate_series(1, len(parts))]) AS pl FROM p),
+            l2 AS (SELECT doc_id, pl.pos AS pos, pl.line AS line FROM l),
+            bad AS (SELECT line FROM (SELECT line, count(DISTINCT doc_id) AS nd
+                FROM l2 GROUP BY 1) WHERE nd > 11),
+            kept AS (SELECT l2.doc_id, l2.pos, l2.line FROM l2 LEFT JOIN bad b
+                USING (line) WHERE b.line IS NULL),
+            agg AS (SELECT doc_id,
+                array_to_string(list(line ORDER BY pos, line), chr(10)) AS clean,
+                count(*) AS n_kept FROM kept GROUP BY 1),
+            tot AS (SELECT doc_id, count(*) AS n_all FROM l2 GROUP BY 1)
+            SELECT t.doc_id, COALESCE(a.clean, '') AS clean,
+              CAST(COALESCE(a.n_kept, 0) AS BIGINT) AS n_kept,
+              CAST(t.n_all - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed
+            FROM tot t LEFT JOIN agg a USING (doc_id)""")),
+
     // Corpus mixing to a 2000-token budget over four weighted sources
     // (the rest get weight 0 and drop). Rate arithmetic is pure Long
     // integer math — desired·1000 div T — so the oracle reproduces the

@@ -757,4 +757,57 @@ class IncrementalSpec extends SparkSpec {
     assert(back.comps.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap == want)
     state.release()
   }
+
+  test("incremental line dedup: status flips reclean untouched docs both ways") {
+    import graft.operators.{IncrementalLineDedup, LineDedupState, Pipeline}
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, String, Long, Long)].collect().map(t => t._1 -> t).toMap
+    def batch(corpus: org.apache.spark.sql.DataFrame) = {
+      val out = Pipeline.dedupLines(corpus, "doc_id", "text", maxDocs = 2)
+      val r = rows(out); out.unpersist(); r
+    }
+    // FOOT appears in docs 1-2 (df 2 <= 2: kept in the base)
+    val base = Seq(
+      (1L, "one\nFOOT"), (2L, "two\nFOOT"),
+      (3L, "BAR\nthree"), (4L, "BAR\nfour"), (5L, "BAR\nfive")
+    ).toDF("doc_id", "text") // BAR df 3 > 2: boilerplate in the base
+    val st0 = IncrementalLineDedup.preserveLines(base, "doc_id", "text",
+      maxDocs = 2)
+    assert(rows(st0.out) == batch(base))
+
+    // delta: +6 ("three\nFOOT") pushes FOOT df to 3 — docs 1-2 are
+    // UNTOUCHED by the delta but must be recleaned (flip to bad);
+    // −4, −5 drop BAR's df to 2 — doc 3 must be recleaned (flip to
+    // good). "three" also enters doc 6 (df 2, stays kept).
+    val added = Seq((6L, "three\nFOOT")).toDF("doc_id", "text")
+    val removed = Seq(4L, 5L).toDF("doc_id")
+    val after = base.filter(!col("doc_id").isin(4L, 5L)).unionByName(added)
+    val st1 = IncrementalLineDedup.continueLines(st0, added, removed,
+      "doc_id", "text")
+    val got = rows(st1.out)
+    assert(got == batch(after), s"got=$got")
+    assert(got(1L)._2 == "one" && got(2L)._2 == "two") // FOOT now removed
+    assert(got(3L)._2 == "BAR\nthree")                 // BAR restored
+
+    // replace semantics: re-adding doc 6 with new text evicts its old
+    // lines (FOOT df back to 2 — docs 1-2 flip AGAIN, back to kept)
+    val doc6v2 = Seq((6L, "solo six")).toDF("doc_id", "text")
+    val after2 = after.filter(col("doc_id") =!= 6L).unionByName(doc6v2)
+    val noIds = Seq.empty[Long].toDF("doc_id")
+    val st2 = IncrementalLineDedup.continueLines(st1, doc6v2, noIds,
+      "doc_id", "text")
+    assert(rows(st2.out) == batch(after2))
+
+    // zero-change delta is the identity; state round-trips durably
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val st2b = IncrementalLineDedup.continueLines(st2, empty, noIds,
+      "doc_id", "text")
+    assert(rows(st2b.out) == batch(after2))
+    val dir = java.nio.file.Files.createTempDirectory("graft_linededup").toString
+    st2b.write(dir)
+    val back = LineDedupState.read(spark, dir)
+    assert(back.maxDocs == 2L && back.sep == "\n")
+    assert(rows(back.out) == batch(after2))
+    st0.release(); st1.release(); st2.release(); st2b.release()
+  }
 }
