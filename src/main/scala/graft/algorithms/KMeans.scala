@@ -119,7 +119,8 @@ object KMeans {
 
     // Pinned init: k lowest-id points, center ids 0..k-1 — unless the
     // caller warm-starts with explicit centers.
-    require(init.forall(_.nonEmpty), "kmeans: empty warm-start center set")
+    require(init.forall(_.length == k),
+      s"kmeans: warm-start center count ${init.map(_.length).getOrElse(0)} != k=$k")
     var centers: Array[(Int, Array[Double])] = init
       .map(_.map { case (cid, v) => (cid, v.clone) }.sortBy(_._1))
       .getOrElse(pts.orderBy(col("id")).limit(k).collect().zipWithIndex.map {

@@ -34,10 +34,12 @@ object TimeEncodings {
     * chosen by the column's loaded dtype. */
   def epochMicros(df: DataFrame, tsCol: String): Column =
     df.schema(tsCol).dataType match {
-      case LongType => expr(s"$tsCol div 1000")
+      // backticked: the column name is user input and may not be a
+      // bare SQL identifier
+      case LongType => expr(s"`$tsCol` div 1000")
       case TimestampNTZType => expr(
-        s"timestampdiff(MICROSECOND, timestamp_ntz'1970-01-01 00:00:00', $tsCol)")
-      case TimestampType => expr(s"unix_micros($tsCol)")
+        s"timestampdiff(MICROSECOND, timestamp_ntz'1970-01-01 00:00:00', `$tsCol`)")
+      case TimestampType => expr(s"unix_micros(`$tsCol`)")
       case other => throw new IllegalArgumentException(
         s"unsupported time encoding for column '$tsCol': $other (expected " +
           "BIGINT epoch-nanos, TIMESTAMP or TIMESTAMP_NTZ)")

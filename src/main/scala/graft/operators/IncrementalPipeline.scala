@@ -511,16 +511,24 @@ object LineDedupState {
   */
 object IncrementalLineDedup {
 
-  private def linesOf(df: DataFrame, idCol: String, textCol: String,
-      sep: String): DataFrame =
+  /** ONE line-table derivation for the batch operator
+    * ([[Pipeline.dedupLines]]) and both incremental phases — the
+    * incr ≡ batch oracle depends on these never drifting. NULL text is
+    * coalesced to empty (one empty-string line), so a null-text
+    * document still yields a row and survives as a husk on every
+    * path. */
+  private[operators] def linesOf(df: DataFrame, idCol: String,
+      textCol: String, sep: String): DataFrame =
     df.select(col(idCol).as("doc_id"),
-      posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
-        .as(Seq("pos", "line")))
+      posexplode(split(coalesce(col(textCol), lit("")),
+        java.util.regex.Pattern.quote(sep))).as(Seq("pos", "line")))
 
-  /** The reassembly shared by preserve and continuation: clean every
-    * document present in `lines` against the `nd > maxDocs` rule. */
-  private def cleanFor(lines: DataFrame, dfreq: DataFrame, maxDocs: Long,
-      sep: String): DataFrame = {
+  /** The reassembly shared by [[Pipeline.dedupLines]], preserve and
+    * continuation: clean every document present in `lines` against the
+    * `nd > maxDocs` rule ([[linesOf]] guarantees every input document
+    * has at least one line). */
+  private[operators] def cleanFor(lines: DataFrame, dfreq: DataFrame,
+      maxDocs: Long, sep: String): DataFrame = {
     val bad = dfreq.filter(col("nd") > maxDocs).select("line")
     val kept = lines.join(bad, Seq("line"), "left_anti")
     val totals = lines.groupBy("doc_id").agg(count(lit(1)).as("_n_all"))

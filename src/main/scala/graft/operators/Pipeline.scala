@@ -244,28 +244,14 @@ object Pipeline {
     */
   def dedupLines(df: DataFrame, idCol: String, textCol: String,
       maxDocs: Long, sep: String = "\n"): DataFrame = {
-    val lines = df.select(col(idCol).as("doc_id"),
-      posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
-        .as(Seq("pos", "line")))
+    // line derivation and reassembly are SHARED with the incremental
+    // twin ([[IncrementalLineDedup]]) — the incr ≡ batch oracle
+    // depends on one definition of both
+    val lines = IncrementalLineDedup.linesOf(df, idCol, textCol, sep)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bad = lines.select("doc_id", "line").distinct()
-      .groupBy("line").agg(count(lit(1)).as("_nd"))
-      .filter(col("_nd") > maxDocs).select("line")
-    val kept = lines.join(bad, Seq("line"), "left_anti")
-    val totals = lines.groupBy("doc_id").agg(count(lit(1)).as("_n_all"))
-    val rebuilt = kept.groupBy("doc_id").agg(
-      array_join(transform(
-        array_sort(collect_list(struct(col("pos"), col("line")))),
-        x => x("line")), sep).as("clean"),
-      count(lit(1)).as("n_kept"))
-    val out = df.select(col(idCol).as("doc_id"))
-      .join(totals, Seq("doc_id"), "left")
-      .join(rebuilt, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("clean"), lit("")).as("clean"),
-        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-        (coalesce(col("_n_all"), lit(0L)) - coalesce(col("n_kept"), lit(0L)))
-          .as("n_removed"))
+    val dfreq = lines.select("doc_id", "line").distinct()
+      .groupBy("line").agg(count(lit(1)).as("nd"))
+    val out = IncrementalLineDedup.cleanFor(lines, dfreq, maxDocs, sep)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     out.count()
     lines.unpersist(blocking = false)

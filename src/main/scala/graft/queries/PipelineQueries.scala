@@ -825,8 +825,8 @@ object PipelineQueries {
             concat(lit("sig "), col("doc_id"))).as("text")),
         "doc_id", "text", maxDocs = 100),
       Some("""WITH aug AS (SELECT doc_id,
-              text || chr(10) || 'common boilerplate footer line' || chr(10) ||
-              'sig ' || doc_id AS text FROM documents),
+              concat_ws(chr(10), text, 'common boilerplate footer line',
+                'sig ' || doc_id) AS text FROM documents),
             p AS (SELECT doc_id, string_split(text, chr(10)) AS parts FROM aug),
             l AS (SELECT doc_id, unnest([{'pos': i, 'line': parts[i]}
                 for i in generate_series(1, len(parts))]) AS pl FROM p),
@@ -877,9 +877,8 @@ object PipelineQueries {
         out
       },
       Some("""WITH aug AS (SELECT doc_id,
-              text || chr(10) || 'common boilerplate footer line' || chr(10) ||
-              'cohort ' || (doc_id % 35) || chr(10) ||
-              'sig ' || doc_id AS text
+              concat_ws(chr(10), text, 'common boilerplate footer line',
+                'cohort ' || (doc_id % 35), 'sig ' || doc_id) AS text
               FROM documents WHERE doc_id % 10 <> 7),
             p AS (SELECT doc_id, string_split(text, chr(10)) AS parts FROM aug),
             l AS (SELECT doc_id, unnest([{'pos': i, 'line': parts[i]}

@@ -145,11 +145,11 @@ object SourceQueries {
       (s, dir) => {
         import org.apache.spark.sql.streaming.Trigger
         val docs = Q.t(s, dir, "documents").select(col("doc_id"), col("text"))
-        // event time: fixed epoch-ns base + doc_id ms; the span is far
-        // inside the 30-min watermark horizon, so no state expires
-        // between the two micro-batches
-        val withTs = docs.withColumn("ts",
-          lit(1700000000L * 1000000000L) + col("doc_id") * lit(1000000L))
+        // ONE constant event time for every row: the watermark after
+        // batch 1 is t − 30 min < t, so no key's state can expire
+        // before batch 2 at ANY corpus size (id-proportional spacing
+        // would outrun the horizon past ~1.8M ids)
+        val withTs = docs.withColumn("ts", lit(1700000000L * 1000000000L))
         val tmp = java.nio.file.Files
           .createTempDirectory("graft_dedup_stream_gate").toString
         withTs.coalesce(1).write.mode("append").parquet(tmp)
@@ -164,8 +164,20 @@ object SourceQueries {
           .format("memory").queryName(sink)
           .trigger(Trigger.AvailableNow())
           .start()
-        q.awaitTermination(120000)
-        s.table(sink).select(col("doc_id"), col("text"))
+        // a timed-out stream means PARTIAL output — fail loudly rather
+        // than hand the oracle a mid-stream snapshot
+        if (!q.awaitTermination(180000)) {
+          q.stop()
+          sys.error("q_dedup_stream: stream did not finish in 180 s")
+        }
+        // copy out of the memory sink and drop its temp view so
+        // repeated in-session runs don't accumulate corpus copies in
+        // the driver
+        val out = s.table(sink).select(col("doc_id"), col("text"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        out.count()
+        s.catalog.dropTempView(sink)
+        out
       },
       Some("SELECT doc_id, text FROM documents"))
   )

@@ -396,7 +396,8 @@ class OperatorsSpec extends SparkSpec {
       (1L, "unique one\nFOOTER\nunique two"),
       (2L, "FOOTER\nonly here\nFOOTER"), // in-doc repeat counts ONCE for df
       (3L, "FOOTER"),                    // all lines boilerplate -> husk
-      (4L, "alpha\nbeta")
+      (4L, "alpha\nbeta"),
+      (5L, null.asInstanceOf[String])    // null text ≡ empty: one "" line
     ).toDF("doc_id", "text")
     // FOOTER df = 3 docs > 2 -> removed everywhere (both copies in doc
     // 2); every other line has df 1
@@ -408,8 +409,15 @@ class OperatorsSpec extends SparkSpec {
     assert(r(2L) == ((2L, "only here", 1L, 2L)))
     assert(r(3L) == ((3L, "", 0L, 1L)))
     assert(r(4L) == ((4L, "alpha\nbeta", 2L, 0L)))
-    assert(out.count() == 4) // every input doc comes back exactly once
+    assert(r(5L) == ((5L, "", 1L, 0L))) // kept husk, not dropped
+    assert(out.count() == 5) // every input doc comes back exactly once
     out.unpersist()
+    // the incremental twin must agree on the null-text rule
+    val st = graft.operators.IncrementalLineDedup.preserveLines(
+      d, "doc_id", "text", maxDocs = 2)
+    assert(st.out.as[(Long, String, Long, Long)].collect()
+      .map(t => t._1 -> t).toMap == r)
+    st.release()
   }
 
   test("mixToBudget: integer rates, cap at 1000, unlisted sources drop") {
