@@ -134,7 +134,12 @@ object ScaleBench {
       val mat0 = spark.read.parquet(s"$dir/matrix.parquet")
       val out = scala.collection.mutable.ArrayBuffer
         .empty[(String, Seq[(String, Double)], Long)]
+      // SCALE_PROBES=a,b,c restricts to named probes (targeted re-runs
+      // of one surface at big multipliers without paying the full suite)
+      val only = sys.env.get("SCALE_PROBES")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       def run(name: String, rows: Long)(phases: => Seq[(String, Double)]): Unit = {
+        if (only.exists(!_.contains(name))) return
         val ph = phases
         out += ((name, ph, rows))
         // stream each probe's line immediately: a later probe's crash
@@ -224,6 +229,28 @@ object ScaleBench {
           val n = consume(outDf); outDf.unpersist(); n
         }
         Seq("total" -> t)
+      }
+
+      run("incr_line_dedup", 5000L * m) {
+        // the q_incr_line_dedup shape: preserve the augmented corpus's
+        // line/doc-frequency tables, then continue over a ±10% delta —
+        // continuation cost must track the DELTA, not the corpus
+        def aug(df: DataFrame) = df.select(col("doc_id"),
+          concat_ws("\n", col("text"),
+            lit("common boilerplate footer line"),
+            concat(lit("cohort "), col("doc_id") % 35),
+            concat(lit("sig "), col("doc_id"))).as("text"))
+        val base = aug(docs.filter(col("doc_id") % 10 =!= 3))
+        val (st0, tp) = timed(operators.IncrementalLineDedup.preserveLines(
+          base, "doc_id", "text", maxDocs = 100))
+        val (_, ti) = timed {
+          val st1 = operators.IncrementalLineDedup.continueLines(st0,
+            aug(docs.filter(col("doc_id") % 10 === 3)),
+            docs.filter(col("doc_id") % 10 === 7).select("doc_id"),
+            "doc_id", "text")
+          val n = consume(st1.out); st0.release(); st1.release(); n
+        }
+        Seq("preserve" -> tp, "incremental" -> ti)
       }
 
       run("ann_ivf_disk", 2000L * m) {
