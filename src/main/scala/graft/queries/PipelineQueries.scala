@@ -315,6 +315,47 @@ object PipelineQueries {
       Some(s"""WITH $toksCte, $codesCte
               SELECT doc_id, simhash FROM (${simsSelect(1)})""")),
 
+    // Streaming NEAR-dup drop — the composition the dedupStream
+    // docstring documents: the SimHash digest projection runs
+    // unchanged under streaming, and the watermark-bounded dedup keys
+    // on the DIGEST, so near-identical arrivals collapse across
+    // micro-batches. Two identical corpus arrivals in separate batches
+    // (maxFilesPerTrigger=1); the output is the distinct digest set —
+    // deterministic regardless of which carrier row survives, and 2x
+    // it without cross-batch state. Oracle: the q_simhash digest
+    // computation, DISTINCT.
+    Q("q_dedup_stream_near",
+      (s, dir) => {
+        import org.apache.spark.sql.streaming.Trigger
+        val docs = Q.t(s, dir, "documents").select(col("doc_id"), col("text"))
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_dedup_stream_near_gate").toString
+        docs.coalesce(1).write.mode("append").parquet(tmp)
+        docs.coalesce(1).write.mode("append").parquet(tmp)
+        val stream = s.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", "1").parquet(tmp)
+        // one constant event time: state cannot expire between batches
+        val dig = Dedup.simhashDigests(stream, "doc_id", "text")
+          .withColumn("ts", lit(1700000000L * 1000000000L))
+        val sink = s"dedup_stream_near_out_${java.util.UUID.randomUUID.toString.replace("-", "")}"
+        val q = graft.streaming.EventStreams.dedupStream(dig, Seq("simhash"))
+          .writeStream.outputMode("append")
+          .format("memory").queryName(sink)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        if (!q.awaitTermination(180000)) {
+          q.stop()
+          sys.error("q_dedup_stream_near: stream did not finish in 180 s")
+        }
+        val out = s.table(sink).select(col("simhash"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        out.count()
+        s.catalog.dropTempView(sink)
+        out
+      },
+      Some(s"""WITH $toksCte, $codesCte
+              SELECT DISTINCT simhash FROM (${simsSelect(1)})""")),
+
     // SimHash near-dup pairs: 16-bit-band join over the 64-bit digest
     // (two seeded 32-bit halves) + Hamming <= 3 (pigeonhole over 4
     // bands => exact recall at that distance). The maxBucket star-link
