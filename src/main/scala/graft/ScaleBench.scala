@@ -201,6 +201,19 @@ object ScaleBench {
         Seq("total" -> t)
       }
 
+      run("dup_spans", 5000L * m) {
+        // windowed ExactSubstr: the ×w covered-position fan-out only
+        // touches duplicated spans (the generator's id%10==9 /
+        // id%100==50 dup structure), so cost must track the corpus,
+        // not corpus×w
+        val (_, t) = timed {
+          val outDf = operators.Pipeline.dupSpanStats(docs, "doc_id",
+            "text", w = 8, maxFrac = 0.5)
+          val n = consume(outDf); outDf.unpersist(); n
+        }
+        Seq("total" -> t)
+      }
+
       run("semantic_dedup", 2000L * m) {
         // nlist scales WITH the corpus (SemDeDup's k = O(corpus size)
         // posture keeps clusters ~constant), so the pair scan's

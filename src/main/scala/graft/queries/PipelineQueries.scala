@@ -853,6 +853,38 @@ object PipelineQueries {
         "doc_id", "text", topFracMax = 0.03, dupFracMax = 0.06, n = 3),
       Some(repetitionOracleSql(3, 0.03, 0.06))),
 
+    // Duplicated-SPAN statistics (Lee et al. 2107.06499, windowed
+    // ExactSubstr): per doc, the token fraction covered by 8-token
+    // spans occurring verbatim in another document — exact dups score
+    // 1.0, originals 0. Integer-exact coverage union on both engines.
+    Q("q_dup_spans",
+      (s, dir) => Pipeline.dupSpanStats(Q.t(s, dir, "documents"),
+        "doc_id", "text", w = 8, maxFrac = 0.5),
+      Some(s"""WITH $toksCte,
+              sp AS (SELECT doc_id,
+                unnest([{'pos': i, 's': array_to_string(toks[i:i+7], ' ')}
+                  for i in generate_series(1, len(toks) - 7)]) AS e
+                FROM toks),
+              sp2 AS (SELECT doc_id, e.pos AS pos, e.s AS s FROM sp),
+              dup AS (SELECT s FROM (SELECT s, count(DISTINCT doc_id) AS nd
+                FROM sp2 GROUP BY 1) WHERE nd >= 2),
+              cov AS (SELECT DISTINCT doc_id, pos + o AS p
+                FROM (SELECT sp2.doc_id, sp2.pos FROM sp2
+                  JOIN dup USING (s)), generate_series(0, 7) g(o)),
+              ncov AS (SELECT doc_id, count(*) AS n_covered
+                FROM cov GROUP BY 1),
+              base AS (SELECT t.doc_id,
+                CAST(len(t.toks) AS BIGINT) AS n_tokens,
+                CAST(COALESCE(c.n_covered, 0) AS BIGINT) AS n_covered
+                FROM toks t LEFT JOIN ncov c USING (doc_id))
+              SELECT doc_id, n_tokens, n_covered,
+                round(CASE WHEN n_tokens > 0
+                  THEN n_covered::DOUBLE / n_tokens ELSE 0.0 END, 6) AS dup_frac,
+                CAST(CASE WHEN round(CASE WHEN n_tokens > 0
+                    THEN n_covered::DOUBLE / n_tokens ELSE 0.0 END, 6) <= 0.5
+                  THEN 1 ELSE 0 END AS INT) AS keep
+              FROM base""")),
+
     // Boilerplate LINE dedup (CCNet/RefinedWeb rule): the corpus text
     // is flat, so the gate synthesizes multi-line docs — original text
     // + a footer shared by EVERY doc (doc frequency 500/5000 ≫ 100 →

@@ -391,6 +391,31 @@ class OperatorsSpec extends SparkSpec {
     assert(r3(4L) == ((4L, 0, 0.0, 0.0, 1)))
   }
 
+  test("dupSpanStats: union coverage, in-doc repeats don't count, short docs kept") {
+    val d = Seq(
+      (1L, "a b c d e f"),   // shares "a b c" with 2, "c d e"/"d e f" with 3
+      (2L, "a b c z"),       // cover {0,1,2} of 4
+      (3L, "c d e f w"),     // cover {0,1,2,3} of 5
+      (4L, "p q r p q r"),   // "p q r" repeats IN-DOC only: df 1, not dup
+      (5L, "zz yy"),         // shorter than w: no spans
+      (6L, "m n o q"), (7L, "m n o q") // exact dups: full coverage
+    ).toDF("doc_id", "text")
+    val out = graft.operators.Pipeline.dupSpanStats(d, "doc_id", "text",
+      w = 3, maxFrac = 0.5)
+    val r = out.as[(Long, Long, Long, Double, Int)].collect()
+      .map(t => t._1 -> t).toMap
+    // doc 1: dup spans at pos 0,2,3 -> covered {0..5} union = all 6
+    assert(r(1L) == ((1L, 6L, 6L, 1.0, 0)))
+    assert(r(2L) == ((2L, 4L, 3L, 0.75, 0)))
+    assert(r(3L) == ((3L, 5L, 4L, 0.8, 0)))
+    assert(r(4L) == ((4L, 6L, 0L, 0.0, 1)))
+    assert(r(5L) == ((5L, 2L, 0L, 0.0, 1)))
+    assert(r(6L) == ((6L, 4L, 4L, 1.0, 0)))
+    assert(r(7L) == ((7L, 4L, 4L, 1.0, 0)))
+    assert(out.count() == 7)
+    out.unpersist()
+  }
+
   test("dedupLines: doc-frequency rule, order kept, husk docs survive empty") {
     val d = Seq(
       (1L, "unique one\nFOOTER\nunique two"),
