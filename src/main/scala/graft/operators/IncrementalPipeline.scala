@@ -613,3 +613,161 @@ object IncrementalLineDedup {
       () => { rL(); rD(); rO() })
   }
 }
+
+/** Preserved duplicated-span state ([[IncrementalDupSpans]]): the
+  * exploded span table (the expensive tokenize+window derivation),
+  * per-document token counts, per-span document frequencies, and the
+  * previous scores. `w`/`maxFrac` are part of the state and survive
+  * `write`/`read`. */
+final case class DupSpanState(spans: DataFrame, ntoks: DataFrame,
+    dfreq: DataFrame, out: DataFrame, w: Int, maxFrac: Double,
+    release: () => Unit = () => ()) {
+  /** Materialize the state as Parquet tables (F27). */
+  def write(path: String): Unit = {
+    spans.write.mode("overwrite").parquet(s"$path/spans")
+    ntoks.write.mode("overwrite").parquet(s"$path/ntoks")
+    dfreq.write.mode("overwrite").parquet(s"$path/dfreq")
+    out.write.mode("overwrite").parquet(s"$path/out")
+    spans.sparkSession.createDataFrame(Seq((w, maxFrac)))
+      .toDF("w", "maxFrac")
+      .write.mode("overwrite").parquet(s"$path/params")
+  }
+}
+
+object DupSpanState {
+  def read(spark: org.apache.spark.sql.SparkSession,
+      path: String): DupSpanState = {
+    val p = spark.read.parquet(s"$path/params").collect()(0)
+    DupSpanState(
+      spark.read.parquet(s"$path/spans"),
+      spark.read.parquet(s"$path/ntoks"),
+      spark.read.parquet(s"$path/dfreq"),
+      spark.read.parquet(s"$path/out"),
+      p.getInt(0), p.getDouble(1))
+  }
+}
+
+/** Incremental duplicated-span scoring — [[Pipeline.dupSpanStats]]
+  * continued over a ±document delta. A delta can flip a SPAN's
+  * duplicated status (its document frequency crosses the ≥2 line in
+  * either direction): removing one copy of a duplicated passage makes
+  * the surviving copy original again, and adding a copy of an
+  * original passage makes BOTH documents duplicated — in each case an
+  * UNTOUCHED document's score changes. The continuation windows only
+  * the delta's text, merges the span frequencies, finds the flipped
+  * spans (only delta-touched spans can flip), and re-scores exactly
+  * the documents containing a flipped span plus the delta itself.
+  *
+  * EXACT: `state.out` after a continuation equals the batch operator
+  * over the post-delta corpus (spec- and gate-enforced,
+  * `q_incr_dup_spans`).
+  */
+object IncrementalDupSpans {
+
+  /** ONE span derivation for the batch operator and both incremental
+    * phases (NULL text ≡ empty — no spans, zero tokens). */
+  private[operators] def spansOf(df: DataFrame, idCol: String,
+      textCol: String, w: Int): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+      tokens(coalesce(col(textCol), lit(""))).as("_toks"))
+      .select(col("doc_id"),
+        when(size(col("_toks")) >= w,
+          expr(s"transform(sequence(0, size(_toks) - $w), " +
+            s"i -> struct(i as pos, concat_ws(' ', slice(_toks, i + 1, $w)) as s))"))
+          .otherwise(array().cast("array<struct<pos:int,s:string>>")).as("_sp"))
+      .select(col("doc_id"), explode(col("_sp")).as("_e"))
+      .select(col("doc_id"), col("_e.pos").as("pos"), col("_e.s").as("s"))
+
+  private[operators] def ntoksOf(df: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+      size(tokens(coalesce(col(textCol), lit("")))).cast("long").as("n_tokens"))
+
+  /** Score every document in `ntoks` against the duplicated-span set:
+    * covered positions are the union of [pos, pos+w) over the doc's
+    * duplicated spans. */
+  private[operators] def scoreFor(spans: DataFrame, ntoks: DataFrame,
+      dupSpans: DataFrame, w: Int, maxFrac: Double): DataFrame = {
+    val covered = spans.join(dupSpans, Seq("s"), "left_semi")
+      .select(col("doc_id"),
+        explode(expr(s"sequence(pos, pos + ${w - 1})")).as("p"))
+      .distinct()
+      .groupBy("doc_id").agg(count(lit(1)).as("_ncov"))
+    ntoks.join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("_ncov"), lit(0L)).as("n_covered"))
+      .withColumn("dup_frac", round(
+        when(col("n_tokens") > 0,
+          col("n_covered").cast("double") / col("n_tokens"))
+          .otherwise(lit(0.0)), 6))
+      .withColumn("keep", (col("dup_frac") <= maxFrac).cast("int"))
+  }
+
+  /** Window + count + score once, preserve all four tables. */
+  def preserveDupSpans(df: DataFrame, idCol: String, textCol: String,
+      w: Int = 8, maxFrac: Double = 0.5): DupSpanState = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val (spans, r1) = IncrMat.matWithHandle(spansOf(df, idCol, textCol, w))
+    val (ntoks, r2) = IncrMat.matWithHandle(ntoksOf(df, idCol, textCol))
+    val (dfreq, r3) = IncrMat.matWithHandle(
+      spans.select("doc_id", "s").distinct()
+        .groupBy("s").agg(count(lit(1)).as("nd")))
+    val (out, r4) = IncrMat.matWithHandle(scoreFor(spans, ntoks,
+      dfreq.filter(col("nd") >= 2).select("s"), w, maxFrac))
+    DupSpanState(spans, ntoks, dfreq, out, w, maxFrac,
+      () => { r1(); r2(); r3(); r4() })
+  }
+
+  /** Roll the state forward over a ±document delta (upsert contract:
+    * an incoming id evicts its existing rows). Release the old state
+    * once its continuations are done. */
+  def continueDupSpans(state: DupSpanState, addedDocs: DataFrame,
+      removedIds: DataFrame, idCol: String,
+      textCol: String): DupSpanState = {
+    val intern = new IncrMat.Tracker
+    val rem = intern.mat(removedIds
+      .select(col(removedIds.columns.head).as("_rid"))
+      .unionByName(addedDocs.select(col(idCol).as("_rid"))).distinct())
+    val addSpans = intern.mat(spansOf(addedDocs, idCol, textCol, state.w))
+    val (spansNext, rS) = IncrMat.matWithHandle(state.spans
+      .join(rem, col("doc_id") === col("_rid"), "left_anti")
+      .unionByName(addSpans))
+    val (ntoksNext, rN) = IncrMat.matWithHandle(state.ntoks
+      .join(rem, col("doc_id") === col("_rid"), "left_anti")
+      .unionByName(ntoksOf(addedDocs, idCol, textCol)))
+    val depart = state.spans
+      .join(rem, col("doc_id") === col("_rid"), "left_semi")
+      .select("doc_id", "s").distinct()
+      .groupBy("s").agg((-count(lit(1))).as("_d"))
+    val arrive = addSpans.select("doc_id", "s").distinct()
+      .groupBy("s").agg(count(lit(1)).as("_d"))
+    val delta = intern.mat(depart.unionByName(arrive)
+      .groupBy("s").agg(sum(col("_d")).as("_d"))
+      .filter(col("_d") =!= 0))
+    val merged = state.dfreq.join(delta, Seq("s"), "full")
+      .select(col("s"),
+        coalesce(col("nd"), lit(0L)).as("_nd1"),
+        (coalesce(col("nd"), lit(0L)) + coalesce(col("_d"), lit(0L)))
+          .as("_nd2"))
+    val (dfreqNext, rD) = IncrMat.matWithHandle(merged
+      .filter(col("_nd2") > 0).select(col("s"), col("_nd2").as("nd")))
+    // only delta-touched spans can flip (elsewhere nd1 == nd2)
+    val flipped = intern.mat(merged
+      .filter((col("_nd1") >= 2) =!= (col("_nd2") >= 2)).select("s"))
+    val affectedIds = intern.mat(spansNext
+      .join(flipped, Seq("s"), "left_semi").select("doc_id").distinct()
+      .unionByName(addedDocs.select(col(idCol).as("doc_id"))).distinct())
+    val rescored = scoreFor(
+      spansNext.join(affectedIds, Seq("doc_id"), "left_semi"),
+      ntoksNext.join(affectedIds, Seq("doc_id"), "left_semi"),
+      dfreqNext.filter(col("nd") >= 2).select("s"), state.w, state.maxFrac)
+    val (outNext, rO) = IncrMat.matWithHandle(state.out
+      .join(affectedIds.select(col("doc_id").as("_aid"))
+          .unionByName(rem.select(col("_rid").as("_aid"))).distinct(),
+        col("doc_id") === col("_aid"), "left_anti")
+      .unionByName(rescored))
+    intern.releaseAll()
+    DupSpanState(spansNext, ntoksNext, dfreqNext, outNext,
+      state.w, state.maxFrac, () => { rS(); rN(); rD(); rO() })
+  }
+}

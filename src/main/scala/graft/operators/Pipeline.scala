@@ -256,35 +256,17 @@ object Pipeline {
   def dupSpanStats(df: DataFrame, idCol: String, textCol: String,
       w: Int = 8, maxFrac: Double = 0.5): DataFrame = {
     require(w >= 2, s"dupSpanStats: w must be >= 2, got $w")
-    val toked = df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("_toks"))
-    val spans = toked
-      .select(col("doc_id"), size(col("_toks")).as("_ntok"),
-        when(size(col("_toks")) >= w,
-          expr(s"transform(sequence(0, size(_toks) - $w), " +
-            s"i -> struct(i as pos, concat_ws(' ', slice(_toks, i + 1, $w)) as s))"))
-          .otherwise(array().cast("array<struct<pos:int,s:string>>")).as("_sp"))
-      .select(col("doc_id"), col("_ntok"), explode(col("_sp")).as("_e"))
-      .select(col("doc_id"), col("_ntok"), col("_e.pos").as("pos"), col("_e.s").as("s"))
+    // span derivation and scoring are SHARED with the incremental twin
+    // ([[IncrementalDupSpans]]) — one definition, no drift
+    val spans = IncrementalDupSpans.spansOf(df, idCol, textCol, w)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // a span is duplicated when it occurs in >= 2 DISTINCT documents —
     // in-doc repetition alone is repetitionStats' business, not dedup's
     val dupSpans = spans.select("doc_id", "s").distinct()
       .groupBy("s").agg(count(lit(1)).as("_nd"))
       .filter(col("_nd") >= 2).select("s")
-    val covered = spans.join(dupSpans, Seq("s"), "left_semi")
-      .select(col("doc_id"),
-        explode(expr(s"sequence(pos, pos + ${w - 1})")).as("p"))
-      .distinct()
-      .groupBy("doc_id").agg(count(lit(1)).as("_ncov"))
-    val out = toked.select(col("doc_id"), size(col("_toks")).as("n_tokens"))
-      .join(covered, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
-        coalesce(col("_ncov"), lit(0L)).as("n_covered"))
-      .withColumn("dup_frac", round(
-        when(col("n_tokens") > 0,
-          col("n_covered").cast("double") / col("n_tokens"))
-          .otherwise(lit(0.0)), 6))
-      .withColumn("keep", (col("dup_frac") <= maxFrac).cast("int"))
+    val out = IncrementalDupSpans.scoreFor(spans,
+      IncrementalDupSpans.ntoksOf(df, idCol, textCol), dupSpans, w, maxFrac)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     out.count()
     spans.unpersist(blocking = false)

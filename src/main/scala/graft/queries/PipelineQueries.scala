@@ -885,6 +885,59 @@ object PipelineQueries {
                   THEN 1 ELSE 0 END AS INT) AS keep
               FROM base""")),
 
+    // INCREMENTAL duplicated-span scoring: base = docs ≢3 (mod 10);
+    // the delta adds the ≡3 docs and removes the ≡7 ones. The corpus's
+    // exact-dup groups span id classes, so removing one copy makes an
+    // UNTOUCHED survivor original again and added copies make their
+    // untouched partners duplicated — both flip directions re-score
+    // preserved-state docs. Oracle: full recompute post-delta.
+    Q("q_incr_dup_spans",
+      (s, dir) => {
+        val docs = Q.t(s, dir, "documents").select("doc_id", "text")
+        val st0 = graft.operators.IncrementalDupSpans.preserveDupSpans(
+          docs.filter(col("doc_id") % 10 =!= 3), "doc_id", "text",
+          w = 8, maxFrac = 0.5)
+        val st1 = graft.operators.IncrementalDupSpans.continueDupSpans(st0,
+          docs.filter(col("doc_id") % 10 === 3),
+          docs.filter(col("doc_id") % 10 === 7).select("doc_id"),
+          "doc_id", "text")
+        val out = st1.out
+          .select("doc_id", "n_tokens", "n_covered", "dup_frac", "keep")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        out.count()
+        st0.release()
+        st1.release()
+        out
+      },
+      Some(s"""WITH docs2 AS (SELECT doc_id, text FROM documents
+                WHERE doc_id % 10 <> 7),
+              toks AS (SELECT doc_id, list_filter(
+                regexp_split_to_array(text, ' +'), x -> x <> '') AS toks
+                FROM docs2),
+              sp AS (SELECT doc_id,
+                unnest([{'pos': i, 's': array_to_string(toks[i:i+7], ' ')}
+                  for i in generate_series(1, len(toks) - 7)]) AS e
+                FROM toks),
+              sp2 AS (SELECT doc_id, e.pos AS pos, e.s AS s FROM sp),
+              dup AS (SELECT s FROM (SELECT s, count(DISTINCT doc_id) AS nd
+                FROM sp2 GROUP BY 1) WHERE nd >= 2),
+              cov AS (SELECT DISTINCT doc_id, pos + o AS p
+                FROM (SELECT sp2.doc_id, sp2.pos FROM sp2
+                  JOIN dup USING (s)), generate_series(0, 7) g(o)),
+              ncov AS (SELECT doc_id, count(*) AS n_covered
+                FROM cov GROUP BY 1),
+              base AS (SELECT t.doc_id,
+                CAST(len(t.toks) AS BIGINT) AS n_tokens,
+                CAST(COALESCE(c.n_covered, 0) AS BIGINT) AS n_covered
+                FROM toks t LEFT JOIN ncov c USING (doc_id))
+              SELECT doc_id, n_tokens, n_covered,
+                round(CASE WHEN n_tokens > 0
+                  THEN n_covered::DOUBLE / n_tokens ELSE 0.0 END, 6) AS dup_frac,
+                CAST(CASE WHEN round(CASE WHEN n_tokens > 0
+                    THEN n_covered::DOUBLE / n_tokens ELSE 0.0 END, 6) <= 0.5
+                  THEN 1 ELSE 0 END AS INT) AS keep
+              FROM base""")),
+
     // Boilerplate LINE dedup (CCNet/RefinedWeb rule): the corpus text
     // is flat, so the gate synthesizes multi-line docs — original text
     // + a footer shared by EVERY doc (doc frequency 500/5000 ≫ 100 →

@@ -758,6 +758,57 @@ class IncrementalSpec extends SparkSpec {
     state.release()
   }
 
+  test("incremental dup spans: df crossing 2 re-scores untouched partners") {
+    import graft.operators.{IncrementalDupSpans, DupSpanState, Pipeline}
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Long, Double, Int)].collect().map(t => t._1 -> t).toMap
+    def batch(corpus: org.apache.spark.sql.DataFrame) = {
+      val out = Pipeline.dupSpanStats(corpus, "doc_id", "text",
+        w = 3, maxFrac = 0.5)
+      val r = rows(out); out.unpersist(); r
+    }
+    val base = Seq(
+      (1L, "a b c d e"), (2L, "a b c d e"), // duplicated pair
+      (3L, "x y z w")                       // original
+    ).toDF("doc_id", "text")
+    val st0 = IncrementalDupSpans.preserveDupSpans(base, "doc_id", "text",
+      w = 3, maxFrac = 0.5)
+    assert(rows(st0.out) == batch(base))
+    assert(rows(st0.out)(1L)._4 == 1.0 && rows(st0.out)(3L)._4 == 0.0)
+
+    // remove doc 2: UNTOUCHED doc 1's spans flip to unique (1.0 → 0);
+    // add doc 4 copying doc 3: UNTOUCHED doc 3 flips to duplicated
+    val added = Seq((4L, "x y z w")).toDF("doc_id", "text")
+    val removed = Seq(2L).toDF("doc_id")
+    val after = base.filter(col("doc_id") =!= 2L).unionByName(added)
+    val st1 = IncrementalDupSpans.continueDupSpans(st0, added, removed,
+      "doc_id", "text")
+    val got = rows(st1.out)
+    assert(got == batch(after), s"got=$got")
+    assert(got(1L)._4 == 0.0 && got(3L)._4 == 1.0 && got(4L)._4 == 1.0)
+
+    // replace doc 4 with original text: doc 3 flips back down
+    val doc4v2 = Seq((4L, "fresh new words here")).toDF("doc_id", "text")
+    val after2 = after.filter(col("doc_id") =!= 4L).unionByName(doc4v2)
+    val noIds = Seq.empty[Long].toDF("doc_id")
+    val st2 = IncrementalDupSpans.continueDupSpans(st1, doc4v2, noIds,
+      "doc_id", "text")
+    assert(rows(st2.out) == batch(after2))
+    assert(rows(st2.out)(3L)._4 == 0.0)
+
+    // zero-change identity + durable round-trip
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val st2b = IncrementalDupSpans.continueDupSpans(st2, empty, noIds,
+      "doc_id", "text")
+    assert(rows(st2b.out) == batch(after2))
+    val dir = java.nio.file.Files.createTempDirectory("graft_dupspans").toString
+    st2b.write(dir)
+    val back = DupSpanState.read(spark, dir)
+    assert(back.w == 3 && back.maxFrac == 0.5)
+    assert(rows(back.out) == batch(after2))
+    st0.release(); st1.release(); st2.release(); st2b.release()
+  }
+
   test("incremental line dedup: status flips reclean untouched docs both ways") {
     import graft.operators.{IncrementalLineDedup, LineDedupState, Pipeline}
     def rows(df: org.apache.spark.sql.DataFrame) =
