@@ -230,6 +230,36 @@ object ScaleBench {
         Seq("preserve" -> tp, "incremental" -> ti)
       }
 
+      run("seg_dup_spans", 5000L * m) {
+        // the SEGMENTED durable store in range-bucket mode under its
+        // intended regime — contiguous "new crawl shard" appends whose
+        // ids land in fresh buckets: continuation write cost must track
+        // the SHARD, not the corpus (cont1pct ≪ cont10pct ≪ init),
+        // which is exactly what the in-memory continuation cannot do
+        // (its leaf rewrite is corpus-width — the PERF_NOTES round-8
+        // named limitation this store retires)
+        val n = 5000L * m
+        val store = s"$dir/seg_dupspans"
+        deleteRec(new java.io.File(store))
+        val (_, tb) = timed(operators.DupSpansStore.init(spark, store,
+          docs, "doc_id", "text", w = 8, maxFrac = 0.5,
+          bucketMode = "range", rangeSpan = math.max(1L, n / 256)))
+        val shard10 = genDocs(spark, n + n / 10)
+          .filter(col("doc_id") >= n)
+        val (_, t10) = timed(operators.DupSpansStore.continueAt(spark,
+          store, shard10, spark.range(0).toDF("doc_id"),
+          "doc_id", "text"))
+        val shard1 = genDocs(spark, n + n / 10 + n / 100)
+          .filter(col("doc_id") >= n + n / 10)
+        val (_, t1) = timed(operators.DupSpansStore.continueAt(spark,
+          store, shard1, spark.range(0).toDF("doc_id"),
+          "doc_id", "text"))
+        val (_, tr) = timed(consume(
+          operators.DupSpansStore.scores(spark, store)))
+        Seq("init" -> tb, "cont10pct" -> t10, "cont1pct" -> t1,
+          "read" -> tr)
+      }
+
       run("semantic_dedup", 2000L * m) {
         // nlist scales WITH the corpus (SemDeDup's k = O(corpus size)
         // posture keeps clusters ~constant), so the pair scan's

@@ -217,6 +217,41 @@ object PipelineQueries {
             THEN 1 ELSE 0 END AS INT) AS keep
         FROM toks t LEFT JOIN agg a USING (doc_id)"""
 
+  /** Full recompute of [[graft.operators.Pipeline.dupSpanStats]] over
+    * the POST-delta corpus of the incremental dup-span gates (base =
+    * docs ≢3 (mod 10), +≡3, −≡7 ⇒ docs ≢7): shared by
+    * `q_incr_dup_spans` (in-memory state) and `q_incr_dup_spans_seg`
+    * (segmented durable store) — one oracle, two state layouts. */
+  private val dupSpansPostDeltaOracle =
+    s"""WITH docs2 AS (SELECT doc_id, text FROM documents
+          WHERE doc_id % 10 <> 7),
+        toks AS (SELECT doc_id, list_filter(
+          regexp_split_to_array(text, ' +'), x -> x <> '') AS toks
+          FROM docs2),
+        sp AS (SELECT doc_id,
+          unnest([{'pos': i, 's': array_to_string(toks[i:i+7], ' ')}
+            for i in generate_series(1, len(toks) - 7)]) AS e
+          FROM toks),
+        sp2 AS (SELECT doc_id, e.pos AS pos, e.s AS s FROM sp),
+        dup AS (SELECT s FROM (SELECT s, count(DISTINCT doc_id) AS nd
+          FROM sp2 GROUP BY 1) WHERE nd >= 2),
+        cov AS (SELECT DISTINCT doc_id, pos + o AS p
+          FROM (SELECT sp2.doc_id, sp2.pos FROM sp2
+            JOIN dup USING (s)), generate_series(0, 7) g(o)),
+        ncov AS (SELECT doc_id, count(*) AS n_covered
+          FROM cov GROUP BY 1),
+        base AS (SELECT t.doc_id,
+          CAST(len(t.toks) AS BIGINT) AS n_tokens,
+          CAST(COALESCE(c.n_covered, 0) AS BIGINT) AS n_covered
+          FROM toks t LEFT JOIN ncov c USING (doc_id))
+        SELECT doc_id, n_tokens, n_covered,
+          round(CASE WHEN n_tokens > 0
+            THEN n_covered::DOUBLE / n_tokens ELSE 0.0 END, 6) AS dup_frac,
+          CAST(CASE WHEN round(CASE WHEN n_tokens > 0
+              THEN n_covered::DOUBLE / n_tokens ELSE 0.0 END, 6) <= 0.5
+            THEN 1 ELSE 0 END AS INT) AS keep
+        FROM base"""
+
   /** Spark side of the trained-IVF gates: `rounds` warm-started
     * single-iteration KMeans runs with the centers rounded to 6 digits
     * BETWEEN rounds (the cross-engine contract — see
@@ -909,34 +944,31 @@ object PipelineQueries {
         st1.release()
         out
       },
-      Some(s"""WITH docs2 AS (SELECT doc_id, text FROM documents
-                WHERE doc_id % 10 <> 7),
-              toks AS (SELECT doc_id, list_filter(
-                regexp_split_to_array(text, ' +'), x -> x <> '') AS toks
-                FROM docs2),
-              sp AS (SELECT doc_id,
-                unnest([{'pos': i, 's': array_to_string(toks[i:i+7], ' ')}
-                  for i in generate_series(1, len(toks) - 7)]) AS e
-                FROM toks),
-              sp2 AS (SELECT doc_id, e.pos AS pos, e.s AS s FROM sp),
-              dup AS (SELECT s FROM (SELECT s, count(DISTINCT doc_id) AS nd
-                FROM sp2 GROUP BY 1) WHERE nd >= 2),
-              cov AS (SELECT DISTINCT doc_id, pos + o AS p
-                FROM (SELECT sp2.doc_id, sp2.pos FROM sp2
-                  JOIN dup USING (s)), generate_series(0, 7) g(o)),
-              ncov AS (SELECT doc_id, count(*) AS n_covered
-                FROM cov GROUP BY 1),
-              base AS (SELECT t.doc_id,
-                CAST(len(t.toks) AS BIGINT) AS n_tokens,
-                CAST(COALESCE(c.n_covered, 0) AS BIGINT) AS n_covered
-                FROM toks t LEFT JOIN ncov c USING (doc_id))
-              SELECT doc_id, n_tokens, n_covered,
-                round(CASE WHEN n_tokens > 0
-                  THEN n_covered::DOUBLE / n_tokens ELSE 0.0 END, 6) AS dup_frac,
-                CAST(CASE WHEN round(CASE WHEN n_tokens > 0
-                    THEN n_covered::DOUBLE / n_tokens ELSE 0.0 END, 6) <= 0.5
-                  THEN 1 ELSE 0 END AS INT) AS keep
-              FROM base""")),
+      Some(dupSpansPostDeltaOracle)),
+
+    // The SEGMENTED durable store ([[graft.operators.DupSpansStore]]):
+    // same cohorts and full-recompute oracle as q_incr_dup_spans, but
+    // the state lives as bucket-partitioned parquet and the
+    // continuation rewrites ONLY touched buckets (untouched partition
+    // files keep their bytes/mtimes — spec-asserted), making the
+    // continuation's write cost delta-proportional instead of
+    // corpus-width (the PERF_NOTES round-8 named limitation).
+    Q("q_incr_dup_spans_seg",
+      (s, dir) => {
+        val docs = Q.t(s, dir, "documents").select("doc_id", "text")
+        val store = java.nio.file.Files
+          .createTempDirectory("graft_dup_spans_seg").toString
+        graft.operators.DupSpansStore.init(s, store,
+          docs.filter(col("doc_id") % 10 =!= 3), "doc_id", "text",
+          w = 8, maxFrac = 0.5)
+        graft.operators.DupSpansStore.continueAt(s, store,
+          docs.filter(col("doc_id") % 10 === 3),
+          docs.filter(col("doc_id") % 10 === 7).select("doc_id"),
+          "doc_id", "text")
+        graft.operators.DupSpansStore.scores(s, store)
+          .select("doc_id", "n_tokens", "n_covered", "dup_frac", "keep")
+      },
+      Some(dupSpansPostDeltaOracle)),
 
     // Boilerplate LINE dedup (CCNet/RefinedWeb rule): the corpus text
     // is flat, so the gate synthesizes multi-line docs — original text

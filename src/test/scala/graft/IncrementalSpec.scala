@@ -809,6 +809,85 @@ class IncrementalSpec extends SparkSpec {
     st0.release(); st1.release(); st2.release(); st2b.release()
   }
 
+  test("segmented dup-span store: touched-bucket rewrites, untouched files intact") {
+    import graft.operators.{DupSpansStore, Pipeline}
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Long, Double, Int)].collect().map(t => t._1 -> t).toMap
+    def batch(corpus: org.apache.spark.sql.DataFrame) = {
+      val out = Pipeline.dupSpanStats(corpus, "doc_id", "text",
+        w = 3, maxFrac = 0.5)
+      val r = rows(out); out.unpersist(); r
+    }
+    val B = 16
+    // fillers spread docs over many buckets so untouched ones exist
+    val fillers = (10L to 40L).map(i => (i, s"filler u$i v$i w$i x$i"))
+    val base = (Seq(
+      (1L, "a b c d e"), (2L, "a b c d e"), // duplicated pair
+      (3L, "x y z w")                       // original
+    ) ++ fillers).toDF("doc_id", "text")
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_seg_store").toString
+    DupSpansStore.init(spark, store, base, "doc_id", "text",
+      w = 3, maxFrac = 0.5, nBuckets = B)
+    assert(rows(DupSpansStore.scores(spark, store)) == batch(base))
+
+    // the continuation's touched doc-buckets, computed as the store does
+    def bucketsOf(ids: Seq[Long]): Set[Int] =
+      ids.toDF("id").select(pmod(xxhash64(col("id")), lit(B.toLong))
+        .cast("int").as("b")).distinct().as[Int].collect().toSet
+    def listing(table: String): Map[String, (Long, Long)] = {
+      val root = java.nio.file.Paths.get(store, table)
+      val st = java.nio.file.Files.walk(root)
+      try st.filter(p => java.nio.file.Files.isRegularFile(p)).toArray.map { p0 =>
+        val p = p0.asInstanceOf[java.nio.file.Path]
+        (root.relativize(p).toString,
+          (java.nio.file.Files.getLastModifiedTime(p).toMillis,
+            java.nio.file.Files.size(p)))
+      }.toMap finally st.close()
+    }
+    val before = listing("spans")
+    // remove doc 2 (untouched doc 1 flips to unique), add doc 4
+    // copying doc 3 (untouched doc 3 flips to duplicated)
+    val added = Seq((4L, "x y z w")).toDF("doc_id", "text")
+    DupSpansStore.continueAt(spark, store, added, Seq(2L).toDF("doc_id"),
+      "doc_id", "text")
+    val after = base.filter(col("doc_id") =!= 2L).unionByName(added)
+    val got = rows(DupSpansStore.scores(spark, store))
+    assert(got == batch(after), s"got=$got")
+    assert(got(1L)._4 == 0.0 && got(3L)._4 == 1.0 && got(4L)._4 == 1.0)
+    // untouched span buckets kept their exact files (bytes + mtimes):
+    // the rewrite only staged and swapped the delta's buckets
+    val touched = bucketsOf(Seq(2L, 4L)).map(b => s"_b=$b/")
+    val untouchedBefore = before.filter { case (f, _) =>
+      !touched.exists(f.startsWith) }
+    assert(untouchedBefore.nonEmpty, "test needs untouched buckets")
+    val afterL = listing("spans")
+    untouchedBefore.foreach { case (f, meta) =>
+      assert(afterL.get(f).contains(meta), s"untouched file rewritten: $f")
+    }
+
+    // a doc alone in its bucket: removing it must DELETE the bucket dir
+    val lone = spark.read.parquet(s"$store/spans")
+      .groupBy(col("_b")).agg(countDistinct(col("doc_id")).as("n"),
+        first(col("doc_id")).as("id"))
+      .filter(col("n") === 1).select("id", "_b").as[(Long, Int)].collect()
+    assert(lone.nonEmpty, "test needs a lone-doc bucket")
+    val (loneId, loneB) = lone.head
+    val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    DupSpansStore.continueAt(spark, store, emptyDocs,
+      Seq(loneId).toDF("doc_id"), "doc_id", "text")
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(store, "spans", s"_b=$loneB")),
+      "emptied bucket dir must be deleted")
+    val after2 = after.filter(col("doc_id") =!= loneId)
+    assert(rows(DupSpansStore.scores(spark, store)) == batch(after2))
+
+    // zero-change continuation is the identity
+    DupSpansStore.continueAt(spark, store, emptyDocs,
+      Seq.empty[Long].toDF("doc_id"), "doc_id", "text")
+    assert(rows(DupSpansStore.scores(spark, store)) == batch(after2))
+  }
+
   test("incremental line dedup: status flips reclean untouched docs both ways") {
     import graft.operators.{IncrementalLineDedup, LineDedupState, Pipeline}
     def rows(df: org.apache.spark.sql.DataFrame) =
