@@ -222,6 +222,63 @@ object Pipeline {
           .cast("int"))
   }
 
+  /** Statistical language-model quality scoring — the perplexity-filter
+    * signal of CCNet (Wenzek et al., arXiv:1911.00359), with an
+    * in-corpus add-k-smoothed bigram model standing in for the external
+    * KenLM (no model artifacts exist in this environment, and an
+    * in-corpus model is the self-supervised variant: documents whose
+    * token transitions are unlike the corpus's own distribution score
+    * high). Per document,
+    *
+    *   avg_nll = −(1/nb) · Σᵢ ln( (C(wᵢ,wᵢ₊₁) + k) / (C(wᵢ) + k·V) )
+    *
+    * over its nb = max(ntokens−1, 0) bigram occurrences, where C(·) are
+    * CORPUS-wide bigram/unigram counts and V the vocabulary size.
+    * Fluent corpus-typical text scores low; gibberish, shuffled tokens
+    * and vocabulary soup score high. Returns (doc_id, nb, avg_nll,
+    * keep) for every input row; docs with <2 tokens have nb 0, avg_nll
+    * 0, keep 1; `keep` = avg_nll ≤ `maxNll`.
+    *
+    * Scale shape: two count aggregations (map-side combined) and two
+    * key-partitioned joins, all on token keys. The per-doc bigram bag
+    * is pre-counted (`_n` per (doc, a, b)) so repeated bigrams join
+    * once, and the vocabulary size rides along as a broadcast 1-row
+    * frame — no driver-side scalar, the whole score is one lazy plan.
+    * The unigram join's probe side is Zipf-skewed by nature; AQE's
+    * skew-join split handles the hot-token partitions (the corpus-wide
+    * counts themselves partial-aggregate map-side, so no single
+    * reducer sees a hot token's full occurrence stream). */
+  def lmScore(df: DataFrame, idCol: String, textCol: String,
+      k: Double = 0.5, maxNll: Double = 3.5): DataFrame = {
+    val toks = df.select(col(idCol).as("doc_id"),
+      tokens(coalesce(col(textCol), lit(""))).as("_toks"))
+    val uni = toks.select(explode(col("_toks")).as("_a"))
+      .groupBy("_a").agg(count(lit(1)).as("_cw"))
+    val vocab = uni.agg(count(lit(1)).cast("double").as("_v"))
+    val bg = toks.filter(size(col("_toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(_toks) - 1), " +
+          "i -> struct(element_at(_toks, i) as _a, " +
+          "element_at(_toks, i + 1) as _b))")).as("_e"))
+      .select(col("doc_id"), col("_e._a").as("_a"), col("_e._b").as("_b"))
+    val bgDoc = bg.groupBy("doc_id", "_a", "_b").agg(count(lit(1)).as("_n"))
+    val bgCorpus = bg.groupBy("_a", "_b").agg(count(lit(1)).as("_cab"))
+    val scored = bgDoc
+      .join(bgCorpus, Seq("_a", "_b"))
+      .join(uni, Seq("_a"))
+      .crossJoin(broadcast(vocab))
+      .groupBy("doc_id").agg(
+        sum(col("_n")).as("_nb"),
+        sum(col("_n").cast("double") *
+          log((col("_cab") + lit(k)) / (col("_cw") + lit(k) * col("_v"))))
+          .as("_s"))
+    df.select(col(idCol).as("doc_id")).join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("_nb"), lit(0L)).cast("long").as("nb"),
+        round(coalesce(-col("_s") / col("_nb"), lit(0.0)), 6).as("avg_nll"))
+      .withColumn("keep", (col("avg_nll") <= maxNll).cast("int"))
+  }
+
   /** Cross-document duplicated-SPAN statistics — the substring-level
     * dedup signal of Lee et al., "Deduplicating Training Data Makes
     * Language Models Better" (arXiv:2107.06499): for each document,

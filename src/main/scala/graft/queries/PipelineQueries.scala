@@ -888,6 +888,35 @@ object PipelineQueries {
         "doc_id", "text", topFracMax = 0.03, dupFracMax = 0.06, n = 3),
       Some(repetitionOracleSql(3, 0.03, 0.06))),
 
+    // CCNet-style LM quality filter (in-corpus add-k bigram model):
+    // per-doc average negative log-likelihood of token transitions
+    // under corpus-wide smoothed bigram/unigram counts. maxNll 3.45 ≈
+    // the corpus's p90 (median 3.40, max 3.65 at sf0.01) — a real
+    // split, not a rubber stamp. Both engines round the nll to 6
+    // digits before the keep comparison.
+    Q("q_lm_score",
+      (s, dir) => Pipeline.lmScore(Q.t(s, dir, "documents"),
+        "doc_id", "text", k = 0.5, maxNll = 3.45),
+      Some(s"""WITH $toksCte,
+              u AS (SELECT w, count(*) AS cw FROM
+                (SELECT unnest(toks) AS w FROM toks) GROUP BY 1),
+              v AS (SELECT count(*)::DOUBLE AS V FROM u),
+              bg AS (SELECT doc_id, unnest([{'a': toks[i], 'b': toks[i+1]}
+                for i in generate_series(1, len(toks) - 1)]) AS e FROM toks),
+              bg2 AS (SELECT doc_id, e.a AS a, e.b AS b FROM bg),
+              bgd AS (SELECT doc_id, a, b, count(*) AS nn
+                FROM bg2 GROUP BY 1, 2, 3),
+              bgc AS (SELECT a, b, count(*) AS cab FROM bg2 GROUP BY 1, 2),
+              sc AS (SELECT d.doc_id, sum(d.nn) AS nb,
+                sum(d.nn * ln((c.cab + 0.5) / (u.cw + 0.5 * (SELECT V FROM v)))) AS s
+                FROM bgd d JOIN bgc c ON d.a = c.a AND d.b = c.b
+                JOIN u ON u.w = d.a GROUP BY 1)
+              SELECT t.doc_id, CAST(COALESCE(sc.nb, 0) AS BIGINT) AS nb,
+                round(COALESCE(-sc.s / sc.nb, 0.0), 6) AS avg_nll,
+                CAST(CASE WHEN round(COALESCE(-sc.s / sc.nb, 0.0), 6) <= 3.45
+                  THEN 1 ELSE 0 END AS INT) AS keep
+              FROM toks t LEFT JOIN sc USING (doc_id)""")),
+
     // Duplicated-SPAN statistics (Lee et al. 2107.06499, windowed
     // ExactSubstr): per doc, the token fraction covered by 8-token
     // spans occurring verbatim in another document — exact dups score

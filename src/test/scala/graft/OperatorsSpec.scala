@@ -391,6 +391,44 @@ class OperatorsSpec extends SparkSpec {
     assert(r3(4L) == ((4L, 0, 0.0, 0.0, 1)))
   }
 
+  test("lmScore: corpus-typical text scores below vocabulary soup; short docs kept") {
+    // corpus of one dominant transition pattern + one doc of never-seen
+    // transitions over the same vocabulary
+    val d = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the cat sat on the mat"),
+      (3L, "the cat sat on the mat"),
+      (4L, "mat the on sat cat the"), // same unigrams, unseen bigrams
+      (5L, "solo"),                   // 1 token: nb 0, nll 0, kept
+      (6L, "")                        // empty: same
+    ).toDF("doc_id", "text")
+    val r = graft.operators.Pipeline
+      .lmScore(d, "doc_id", "text", k = 0.5, maxNll = 100.0)
+      .as[(Long, Long, Double, Int)].collect().map(t => t._1 -> t).toMap
+    assert(r.size == 6 && r.values.forall(_._4 == 1))
+    assert(r(1L)._2 == 5 && r(1L) == r(2L).copy(_1 = 1L))
+    // the shuffled doc's transitions are all count-1-smoothed → much
+    // higher nll than the thrice-seen pattern
+    assert(r(4L)._3 > r(1L)._3 + 0.5,
+      s"soup=${r(4L)._3} typical=${r(1L)._3}")
+    assert(r(5L) == ((5L, 0L, 0.0, 1)) && r(6L) == ((6L, 0L, 0.0, 1)))
+    // exact spot value over hand-counted corpus stats: V=6 unigrams,
+    // C(the)=8 (docs 1-4), C(cat)=C(sat)=C(on)=4; doc 1's five bigrams
+    // each occur 3x corpus-wide
+    val kV = 0.5 * 6
+    def term(cab: Long, cw: Long) = -math.log((cab + 0.5) / (cw + kV))
+    // doc 1 bigrams: (the,cat)3/the8 (cat,sat)3/cat4 (sat,on)3/sat4
+    // (on,the)3/on4 (the,mat)3/the8
+    val want = (term(3, 8) * 2 + term(3, 4) * 3) / 5
+    assert(math.abs(r(1L)._3 - want) < 1e-6, s"got=${r(1L)._3} want=$want")
+    // threshold splits on the rounded value
+    val strict = graft.operators.Pipeline
+      .lmScore(d, "doc_id", "text", k = 0.5,
+        maxNll = (r(1L)._3 + r(4L)._3) / 2)
+      .as[(Long, Long, Double, Int)].collect().map(t => t._1 -> t._4).toMap
+    assert(strict(1L) == 1 && strict(4L) == 0)
+  }
+
   test("dupSpanStats: union coverage, in-doc repeats don't count, short docs kept") {
     val d = Seq(
       (1L, "a b c d e f"),   // shares "a b c" with 2, "c d e"/"d e f" with 3
