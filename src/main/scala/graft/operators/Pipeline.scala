@@ -249,30 +249,46 @@ object Pipeline {
     * counts themselves partial-aggregate map-side, so no single
     * reducer sees a hot token's full occurrence stream). */
   def lmScore(df: DataFrame, idCol: String, textCol: String,
-      k: Double = 0.5, maxNll: Double = 3.5): DataFrame = {
-    val toks = df.select(col(idCol).as("doc_id"),
+      k: Double = 0.5, maxNll: Double = 3.5): DataFrame =
+    lmScoreAgainst(df, df, idCol, textCol, k, maxNll)
+
+  /** [[lmScore]] with the TRAIN/APPLY split a production filter runs:
+    * the model's counts come from `train` (the curated reference
+    * corpus), the scores from `score` (e.g. a fresh crawl delta) — so
+    * scoring new data never retrains, and incremental ingest reuses a
+    * frozen model the way CCNet reuses its pretrained KenLM. Bigrams
+    * and unigrams unseen in `train` are pure-smoothing terms
+    * (C(·) = 0 → ln(k / (k·V)) = −ln V for an OOV history), which is
+    * exactly the heavy penalty out-of-distribution text should get. */
+  def lmScoreAgainst(train: DataFrame, score: DataFrame, idCol: String,
+      textCol: String, k: Double = 0.5, maxNll: Double = 3.5): DataFrame = {
+    def toksOf(df: DataFrame) = df.select(col(idCol).as("doc_id"),
       tokens(coalesce(col(textCol), lit(""))).as("_toks"))
-    val uni = toks.select(explode(col("_toks")).as("_a"))
-      .groupBy("_a").agg(count(lit(1)).as("_cw"))
-    val vocab = uni.agg(count(lit(1)).cast("double").as("_v"))
-    val bg = toks.filter(size(col("_toks")) >= 2)
+    def bigramsOf(toks: DataFrame) = toks
+      .filter(size(col("_toks")) >= 2)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(1, size(_toks) - 1), " +
           "i -> struct(element_at(_toks, i) as _a, " +
           "element_at(_toks, i + 1) as _b))")).as("_e"))
       .select(col("doc_id"), col("_e._a").as("_a"), col("_e._b").as("_b"))
-    val bgDoc = bg.groupBy("doc_id", "_a", "_b").agg(count(lit(1)).as("_n"))
-    val bgCorpus = bg.groupBy("_a", "_b").agg(count(lit(1)).as("_cab"))
+    val uni = toksOf(train).select(explode(col("_toks")).as("_a"))
+      .groupBy("_a").agg(count(lit(1)).as("_cw"))
+    val vocab = uni.agg(count(lit(1)).cast("double").as("_v"))
+    val bgCorpus = bigramsOf(toksOf(train))
+      .groupBy("_a", "_b").agg(count(lit(1)).as("_cab"))
+    val bgDoc = bigramsOf(toksOf(score))
+      .groupBy("doc_id", "_a", "_b").agg(count(lit(1)).as("_n"))
     val scored = bgDoc
-      .join(bgCorpus, Seq("_a", "_b"))
-      .join(uni, Seq("_a"))
+      .join(bgCorpus, Seq("_a", "_b"), "left")
+      .join(uni, Seq("_a"), "left")
       .crossJoin(broadcast(vocab))
       .groupBy("doc_id").agg(
         sum(col("_n")).as("_nb"),
         sum(col("_n").cast("double") *
-          log((col("_cab") + lit(k)) / (col("_cw") + lit(k) * col("_v"))))
+          log((coalesce(col("_cab"), lit(0L)) + lit(k)) /
+            (coalesce(col("_cw"), lit(0L)) + lit(k) * col("_v"))))
           .as("_s"))
-    df.select(col(idCol).as("doc_id")).join(scored, Seq("doc_id"), "left")
+    score.select(col(idCol).as("doc_id")).join(scored, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("_nb"), lit(0L)).cast("long").as("nb"),
         round(coalesce(-col("_s") / col("_nb"), lit(0.0)), 6).as("avg_nll"))

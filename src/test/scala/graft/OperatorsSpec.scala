@@ -427,6 +427,23 @@ class OperatorsSpec extends SparkSpec {
         maxNll = (r(1L)._3 + r(4L)._3) / 2)
       .as[(Long, Long, Double, Int)].collect().map(t => t._1 -> t._4).toMap
     assert(strict(1L) == 1 && strict(4L) == 0)
+    // frozen train/apply split: an OOV doc is pure smoothing —
+    // every term -ln(k / (k·V)) = ln V — and in-vocab text scores as
+    // under self-training (same counts, different score frame)
+    val train = d.filter($"doc_id" <= 3L)
+    val apply = Seq((7L, "the cat sat on the mat"),
+      (8L, "zx qy wv zx qy")).toDF("doc_id", "text")
+    val fr = graft.operators.Pipeline
+      .lmScoreAgainst(train, apply, "doc_id", "text", k = 0.5,
+        maxNll = 100.0)
+      .as[(Long, Long, Double, Int)].collect().map(t => t._1 -> t).toMap
+    // train vocab = {the,cat,sat,on,mat}: V=5, C(the)=6, others 3
+    val kV5 = 0.5 * 5
+    def t5(cab: Long, cw: Long) = -math.log((cab + 0.5) / (cw + kV5))
+    val want7 = (t5(3, 6) * 2 + t5(3, 3) * 3) / 5
+    assert(math.abs(fr(7L)._3 - want7) < 1e-6, s"got=${fr(7L)._3}")
+    assert(math.abs(fr(8L)._3 - math.log(5.0)) < 1e-6,
+      s"OOV doc must score ln V, got=${fr(8L)._3}")
   }
 
   test("dupSpanStats: union coverage, in-doc repeats don't count, short docs kept") {
