@@ -275,6 +275,15 @@ object ScaleBench {
         Seq("total" -> t)
       }
 
+      run("lm_score", 5000L * m) {
+        // bigram-count joins are the heaviest text-stat shape (corpus
+        // bigram table ~ corpus token count): cost must stay ~linear
+        // and the Zipf-skewed unigram probe must not funnel one task
+        val (_, t) = timed(consume(
+          operators.Pipeline.lmScore(docs, "doc_id", "text")))
+        Seq("total" -> t)
+      }
+
       run("line_dedup", 5000L * m) {
         // the q_line_dedup shape: a footer hot across EVERY doc (the
         // doc-frequency count must combine map-side, not funnel one

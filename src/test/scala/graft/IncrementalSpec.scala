@@ -888,6 +888,70 @@ class IncrementalSpec extends SparkSpec {
     assert(rows(DupSpansStore.scores(spark, store)) == batch(after2))
   }
 
+  test("segmented dup-span store: crash recovery honors the journal contract") {
+    import graft.operators.{DupSpansStore, Pipeline}
+    import java.nio.file.{Files, Paths, Path}
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Long, Double, Int)].collect().map(t => t._1 -> t).toMap
+    val base = (1L to 20L).map(i => (i, s"crash u$i v$i w$i x$i"))
+      .toDF("doc_id", "text")
+    val store = Files.createTempDirectory("graft_seg_crash").toString
+    DupSpansStore.init(spark, store, base, "doc_id", "text",
+      w = 3, maxFrac = 0.5, nBuckets = 8)
+    val want = rows(Pipeline.dupSpanStats(base, "doc_id", "text", 3, 0.5))
+
+    // (a) un-journaled crash: orphan staging, live state untouched —
+    // the reader must return pre-crash data and must NOT delete the
+    // staging (a writer may still be mid-flight); a writer cleans it
+    val orphan = Paths.get(store, "seg_staging", "spans", "_b=0")
+    Files.createDirectories(orphan)
+    Files.write(orphan.resolve("junk"), "partial".getBytes)
+    assert(rows(DupSpansStore.scores(spark, store)) == want)
+    assert(Files.exists(orphan), "reader must not clean a writer's staging")
+    DupSpansStore.continueAt(spark, store,
+      Seq.empty[(Long, String)].toDF("doc_id", "text"),
+      Seq.empty[Long].toDF("doc_id"), "doc_id", "text")
+    assert(!Files.exists(orphan), "writer entry must roll back orphan staging")
+    assert(rows(DupSpansStore.scores(spark, store)) == want)
+
+    // (b) journaled crash: staged content + committed journal, renames
+    // never ran — the next reader rolls FORWARD (staged dir installed,
+    // journal consumed) and data is intact
+    val liveBuckets = Files.list(Paths.get(store, "spans")).toArray
+      .map(_.asInstanceOf[Path].getFileName.toString)
+      .filter(_.startsWith("_b=")).sorted
+    val b = liveBuckets.head.stripPrefix("_b=")
+    val stage = Paths.get(store, "seg_staging", "spans", s"_b=$b")
+    Files.createDirectories(stage.getParent)
+    // stage a byte-identical copy of the live dir (what a crashed
+    // continuation that changed nothing would have staged)
+    val live = Paths.get(store, "spans", s"_b=$b")
+    Files.walk(live).forEach { p =>
+      val dst = stage.resolve(live.relativize(p).toString)
+      if (Files.isDirectory(p)) Files.createDirectories(dst)
+      else Files.copy(p, dst)
+    }
+    // "empty" line for a bucket that does not exist: deletes nothing
+    Files.write(Paths.get(store, "seg_swap_journal"),
+      s"spans $b staged\nntoks 9999 empty".getBytes)
+    assert(rows(DupSpansStore.scores(spark, store)) == want)
+    assert(!Files.exists(Paths.get(store, "seg_swap_journal")),
+      "journal must be consumed by roll-forward")
+    assert(!Files.exists(stage), "staged dir must be installed")
+    assert(Files.exists(live))
+
+    // (c) corrupt journal: strict parse aborts BEFORE touching anything
+    Files.write(Paths.get(store, "seg_swap_journal"),
+      "spans NOT_A_BUCKET staged".getBytes)
+    intercept[IllegalStateException] {
+      DupSpansStore.scores(spark, store).collect()
+    }
+    assert(Files.exists(Paths.get(store, "seg_swap_journal")),
+      "corrupt journal must be preserved for forensics")
+    Files.delete(Paths.get(store, "seg_swap_journal"))
+    assert(rows(DupSpansStore.scores(spark, store)) == want)
+  }
+
   test("incremental line dedup: status flips reclean untouched docs both ways") {
     import graft.operators.{IncrementalLineDedup, LineDedupState, Pipeline}
     def rows(df: org.apache.spark.sql.DataFrame) =
