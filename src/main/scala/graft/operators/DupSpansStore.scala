@@ -118,6 +118,11 @@ object DupSpansStore {
       s"dupspans: unknown bucketMode '$bucketMode'")
     require(bucketMode == "hash" || rangeSpan > 0,
       "dupspans: range bucketing needs a positive rangeSpan")
+    require(bucketMode == "hash" || docs.schema(idCol).dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"dupspans: range bucketing needs a numeric id column, " +
+        s"got ${docs.schema(idCol).dataType.sql} — a non-numeric id " +
+        "would cast to NULL and land every row in the default partition")
     graft.functions.GraftFunctions.register(spark)
     val p0 = Params(w, maxFrac, nBuckets, bucketMode, rangeSpan, Map.empty)
     val intern = new IncrMat.Tracker
@@ -134,9 +139,15 @@ object DupSpansStore {
         spans.drop("_b"), ntoks.drop("_b"),
         dfreq.filter(col("nd") >= 2).select("s"), w, maxFrac)
       .withColumn("_b", docBucket(col("doc_id"), p0))
+    // repartition on the bucket key first: without it every shuffle
+    // task opens a writer per bucket it sees (tasks × buckets small
+    // files); with it each bucket is one task's contiguous write —
+    // the file-count hygiene a 100 TB store needs, and measurably
+    // cheaper swaps at test scale
     Seq("spans" -> spans, "ntoks" -> ntoks, "dfreq" -> dfreq,
         "out" -> out).foreach { case (n, df) =>
-      df.write.mode("overwrite").partitionBy("_b").parquet(s"$path/$n")
+      df.repartition(col("_b")).write.mode("overwrite")
+        .partitionBy("_b").parquet(s"$path/$n")
     }
     // params last: their presence marks a complete init
     writeParams(spark, path, p0.copy(ddl = Map(
@@ -267,8 +278,8 @@ object DupSpansStore {
       fs.delete(new HPath(s"$path/$Staging"), true)
       touched.foreach { case (n, df, bs) =>
         if (bs.nonEmpty)
-          df.write.mode("overwrite").partitionBy("_b")
-            .parquet(s"$path/$Staging/$n")
+          df.repartition(col("_b")).write.mode("overwrite")
+            .partitionBy("_b").parquet(s"$path/$Staging/$n")
       }
       // journal AFTER staging succeeds; its appearance is the atomic
       // commit point (tmp + rename), exactly the updateIvfIndex shape

@@ -1034,7 +1034,7 @@ object PipelineQueries {
           .createTempDirectory("graft_dup_spans_seg").toString
         graft.operators.DupSpansStore.init(s, store,
           docs.filter(col("doc_id") % 10 =!= 3), "doc_id", "text",
-          w = 8, maxFrac = 0.5)
+          w = 8, maxFrac = 0.5, nBuckets = 16)
         graft.operators.DupSpansStore.continueAt(s, store,
           docs.filter(col("doc_id") % 10 === 3),
           docs.filter(col("doc_id") % 10 === 7).select("doc_id"),

@@ -57,6 +57,56 @@ class StreamingSpec extends SparkSpec {
       docs.select("text").distinct().count())
   }
 
+  test("streaming shard ingest maintains the segmented dup-span store") {
+    // the production continuous-curation loop: a durable segmented
+    // store inited on the base corpus, then crawl shards arriving as
+    // files roll it forward one micro-batch at a time via foreachBatch
+    // — after the stream drains, the store equals a batch recompute
+    // over everything that ever arrived
+    import graft.operators.{DupSpansStore, Pipeline}
+    def doc(i: Long, text: String) = (i, text)
+    val base = ((1L to 28L).map(i => doc(i, s"base b$i c$i d$i e$i")) :+
+      doc(29L, "shared passage one two three") :+
+      doc(30L, "another original line here")).toDF("doc_id", "text")
+    // shard 1 copies base doc 29's text: the UNTOUCHED base doc must
+    // flip to duplicated through the stream-driven continuation
+    val shard1 = Seq(doc(31L, "shared passage one two three"),
+      doc(32L, "fresh crawl alpha beta gamma")).toDF("doc_id", "text")
+    val shard2 = Seq(doc(33L, "fresh crawl alpha beta gamma"),
+      doc(34L, "late arrival wholly original")).toDF("doc_id", "text")
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_stream_store").toString
+    DupSpansStore.init(spark, store, base, "doc_id", "text",
+      w = 3, maxFrac = 0.5, nBuckets = 8)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_stream_shards").toString
+    shard1.coalesce(1).write.mode("append").parquet(dir)
+    shard2.coalesce(1).write.mode("append").parquet(dir)
+    val noIds = Seq.empty[Long].toDF("doc_id")
+    var batches = 0
+    val q = spark.readStream.schema(shard1.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+      .writeStream.foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            _: Long) =>
+          batches += 1
+          DupSpansStore.continueAt(spark, store, batch, noIds,
+            "doc_id", "text")
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    assert(batches == 2, s"expected 2 micro-batches, got $batches")
+    val all = base.unionByName(shard1).unionByName(shard2)
+    val want = Pipeline.dupSpanStats(all, "doc_id", "text", 3, 0.5)
+      .as[(Long, Long, Long, Double, Int)].collect().map(t => t._1 -> t).toMap
+    val got = DupSpansStore.scores(spark, store)
+      .as[(Long, Long, Long, Double, Int)].collect().map(t => t._1 -> t).toMap
+    assert(got == want)
+    assert(got(29L)._4 == 1.0 && got(31L)._4 == 1.0,
+      "untouched base doc must flip to duplicated via the stream")
+  }
+
   test("gap sessionization with keyed state matches the batch operator") {
     import EventStreams.{SessionEvent, SessionOut}
     import org.apache.spark.sql.streaming.GroupStateTimeout
