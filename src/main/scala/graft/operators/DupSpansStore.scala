@@ -242,12 +242,18 @@ object DupSpansStore {
     // ---- affected documents + re-score --------------------------------
     // membership probe over the post-delta span table: untouched
     // buckets are READ (column-pruned, map-side broadcast semi-join —
-    // no shuffle write), touched buckets come from the staged leaf
+    // no shuffle write), touched buckets come from the staged leaf.
+    // When nothing flipped (pure upserts of original text), the probe
+    // is skipped outright — the flip set is a cached leaf, so the
+    // emptiness check is free, and the corpus-width scan with it
     val spansPost = spansLive.filter(!inBuckets(td)).unionByName(spansNextT)
-    val affected = intern.mat(spansPost
-      .join(broadcast(flipped), Seq("s"), "left_semi")
-      .select("doc_id").distinct()
-      .unionByName(addedDocs.select(col(idCol).as("doc_id"))).distinct())
+    val addedIds = addedDocs.select(col(idCol).as("doc_id"))
+    val affected = intern.mat(
+      if (flipped.isEmpty) addedIds.distinct()
+      else spansPost
+        .join(broadcast(flipped), Seq("s"), "left_semi")
+        .select("doc_id").distinct()
+        .unionByName(addedIds).distinct())
     val ab = affected.select(docBucket(col("doc_id"), p).as("_b"))
       .distinct().collect().map(_.getInt(0)).toSet
     val ntoksPost = ntoksLive.filter(!inBuckets(td)).unionByName(ntoksNextT)

@@ -446,6 +446,25 @@ class OperatorsSpec extends SparkSpec {
       s"OOV doc must score ln V, got=${fr(8L)._3}")
   }
 
+  test("lmScoreAgainst: a doc's frozen score is independent of the score batch") {
+    // the property that makes frozen-model delta scoring sound: scoring
+    // a doc alongside any other batch yields the same value as scoring
+    // it alone (counts come from train only — nothing leaks from the
+    // score side into the model)
+    val train = (1L to 12L).map(i => (i, s"w$i x$i y$i z$i w$i x$i"))
+      .toDF("doc_id", "text")
+    val a = Seq((101L, "w1 x1 y1 unseen"), (102L, "x2 y2 z2 w2"))
+      .toDF("doc_id", "text")
+    val b = (201L to 208L).map(i => (i, s"noise n$i m$i w3 x3"))
+      .toDF("doc_id", "text")
+    def score(df: org.apache.spark.sql.DataFrame) = graft.operators.Pipeline
+      .lmScoreAgainst(train, df, "doc_id", "text")
+      .as[(Long, Long, Double, Int)].collect().map(t => t._1 -> t).toMap
+    val alone = score(a)
+    val together = score(a.unionByName(b)).filter(_._1 < 200L)
+    assert(together == alone)
+  }
+
   test("dupSpanStats: union coverage, in-doc repeats don't count, short docs kept") {
     val d = Seq(
       (1L, "a b c d e f"),   // shares "a b c" with 2, "c d e"/"d e f" with 3
