@@ -1,6 +1,5 @@
 package graft.operators
 
-import org.apache.hadoop.fs.{FileSystem, Path => HPath}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
@@ -45,6 +44,7 @@ import org.apache.spark.sql.types.StructType
   * (table, bucket, staged|empty) decision, and only then are live
   * directories retired and staged ones renamed in. A crash before the
   * journal rolls back (live state untouched); after, rolls forward.
+  * The swap machinery is [[SegSwap]], shared with [[LmCountsStore]].
   *
   * EXACT: after [[continueAt]] the store's `out` equals
   * [[Pipeline.dupSpanStats]] over the post-delta corpus (gate
@@ -52,10 +52,6 @@ import org.apache.spark.sql.types.StructType
   * derivation so incr ≡ batch cannot drift.
   */
 object DupSpansStore {
-
-  private val Staging = "seg_staging"
-  private val Journal = "seg_swap_journal"
-  private val JournalLine = """^(spans|ntoks|dfreq|out) (\d+) (staged|empty)$""".r
 
   /** Doc-side bucketing is PLUGGABLE because it decides which deltas
     * are cheap: `hash` scatters uniformly (bounded buckets, but a
@@ -73,9 +69,6 @@ object DupSpansStore {
     else pmod(xxhash64(c), lit(p.b.toLong)).cast("int")
   private def spanBucket(c: Column, b: Int): Column =
     pmod(c, lit(b.toLong)).cast("int")
-
-  private def fsOf(spark: SparkSession, path: String): FileSystem =
-    new HPath(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   /** Stored alongside the data: window/threshold parameters, bucket
     * count, and each table's exact DDL (explicit-schema reads keep a
@@ -162,7 +155,7 @@ object DupSpansStore {
     val p = readParams(spark, path)
     // reader-side recovery must not discard a concurrent writer's
     // un-journaled staging — the updateIvfIndex reader/writer lesson
-    recoverSwap(fsOf(spark, path), path, cleanupOrphans = false)
+    SegSwap.recover(SegSwap.fsOf(spark, path), path, cleanupOrphans = false)
     readTable(spark, path, p, "out").drop("_b")
   }
 
@@ -172,9 +165,9 @@ object DupSpansStore {
   def continueAt(spark: SparkSession, path: String, addedDocs: DataFrame,
       removedIds: DataFrame, idCol: String, textCol: String): Unit = {
     graft.functions.GraftFunctions.register(spark)
-    val fs = fsOf(spark, path)
+    val fs = SegSwap.fsOf(spark, path)
     val p = readParams(spark, path)
-    recoverSwap(fs, path)
+    SegSwap.recover(fs, path)
     val B = p.b
     val intern = new IncrMat.Tracker
 
@@ -276,70 +269,10 @@ object DupSpansStore {
       .unionByName(rescored.withColumn("_b",
         docBucket(col("doc_id"), p))))
 
-    // ---- stage, journal, swap -----------------------------------------
-    val touched: Seq[(String, DataFrame, Set[Int])] = Seq(
+    // ---- stage, journal, swap ([[SegSwap]]) ---------------------------
+    SegSwap.commit(fs, path, Seq(
       ("spans", spansNextT, td), ("ntoks", ntoksNextT, td),
-      ("dfreq", intern.mat(dfreqNextT), ts), ("out", outNextT, ao))
-    if (touched.exists(_._3.nonEmpty)) {
-      fs.delete(new HPath(s"$path/$Staging"), true)
-      touched.foreach { case (n, df, bs) =>
-        if (bs.nonEmpty)
-          df.repartition(col("_b")).write.mode("overwrite")
-            .partitionBy("_b").parquet(s"$path/$Staging/$n")
-      }
-      // journal AFTER staging succeeds; its appearance is the atomic
-      // commit point (tmp + rename), exactly the updateIvfIndex shape
-      val lines = touched.flatMap { case (n, _, bs) =>
-        bs.toSeq.sorted.map { b =>
-          val staged = fs.exists(new HPath(s"$path/$Staging/$n/_b=$b"))
-          s"$n $b ${if (staged) "staged" else "empty"}"
-        }
-      }
-      val jTmp = new HPath(s"$path/$Journal.tmp")
-      val jDst = new HPath(s"$path/$Journal")
-      val out = fs.create(jTmp, true)
-      try out.write(lines.mkString("\n").getBytes("UTF-8"))
-      finally out.close()
-      require(fs.rename(jTmp, jDst),
-        s"dupspans: could not commit swap journal $jDst")
-      recoverSwap(fs, path) // the journaled roll-forward IS the swap
-    }
+      ("dfreq", intern.mat(dfreqNextT), ts), ("out", outNextT, ao)))
     intern.releaseAll()
-  }
-
-  /** Finish or undo an interrupted [[continueAt]] swap: a committed
-    * journal rolls FORWARD (staged dirs renamed in, "empty" buckets
-    * deleted — idempotent: a staged dir already moved means its rename
-    * happened); no journal rolls BACK (live state untouched, staging
-    * discarded). A malformed journal line aborts with the store
-    * untouched. `cleanupOrphans = false` (the read path) skips the
-    * staging delete so a concurrent writer's pre-journal staging
-    * survives. */
-  private def recoverSwap(fs: FileSystem, path: String,
-      cleanupOrphans: Boolean = true): Unit = {
-    val jDst = new HPath(s"$path/$Journal")
-    if (fs.exists(jDst)) {
-      val in = fs.open(jDst)
-      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-        finally in.close()
-      val entries = text.linesIterator.filter(_.nonEmpty).map {
-        case JournalLine(n, b, st) => (n, b.toInt, st == "staged")
-        case bad => throw new IllegalStateException(
-          s"dupspans: corrupt swap journal line '$bad' in $jDst")
-      }.toSeq
-      entries.foreach { case (n, b, staged) =>
-        val live = new HPath(s"$path/$n/_b=$b")
-        val stage = new HPath(s"$path/$Staging/$n/_b=$b")
-        if (staged && fs.exists(stage)) {
-          fs.delete(live, true)
-          require(fs.rename(stage, live),
-            s"dupspans: could not install $stage")
-        } else if (!staged) fs.delete(live, true)
-        // staged && !exists(stage): rename already happened — idempotent
-      }
-      fs.delete(jDst, false)
-      fs.delete(new HPath(s"$path/$Staging"), true)
-    } else if (cleanupOrphans)
-      fs.delete(new HPath(s"$path/$Staging"), true)
   }
 }

@@ -1,0 +1,174 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Incrementally-maintained bigram language model — the
+  * [[Pipeline.lmScoreAgainst]] frozen model kept CURRENT as the
+  * reference corpus evolves, without ever retraining from scratch.
+  * The second user of the segmented durable-store pattern
+  * ([[SegSwap]]; [[DupSpansStore]] is the first), instantiating the
+  * reference's preserve-then-continue thesis (F27–F31) on the model
+  * surface:
+  *
+  *  - `unidoc(doc_id, w, n, _b)` / `bidoc(doc_id, a, b, n, _b)` —
+  *    per-document count contributions, doc-hash-bucketed: the MRBGraph
+  *    contribution bags that make REMOVALS possible (subtracting a
+  *    departed document needs its counts, not its text, and reading
+  *    them prunes to the delta's buckets);
+  *  - `uni(w, cw, _b)` / `bi(a, b, cab, _b)` — the aggregated model,
+  *    token-hash-bucketed: a delta changes only the counts of tokens
+  *    it contains, so only those buckets rewrite (one full-outer merge
+  *    per table over the touched buckets — the kvs-merge shape).
+  *
+  * [[scoreAgainst]] reads the aggregated tables and scores any corpus
+  * through the SAME [[Pipeline.lmScoreFromCounts]] core as the batch
+  * variants, so `init + continueAt*` ≡ `lmScoreAgainst(post-delta
+  * corpus, …)` exactly (gate `q_incr_lm_score` + spec). Single
+  * concurrent writer; crash-safe via the [[SegSwap]] journal. */
+object LmCountsStore {
+
+  private def docBucket(c: Column, b: Int): Column =
+    pmod(xxhash64(c), lit(b.toLong)).cast("int")
+  private def tokBucket(b: Int, cs: Column*): Column =
+    pmod(xxhash64(cs: _*), lit(b.toLong)).cast("int")
+
+  private case class Params(b: Int, ddl: Map[String, String])
+
+  private def writeParams(spark: SparkSession, path: String, p: Params): Unit =
+    spark.createDataFrame(Seq((p.b, p.ddl("unidoc"), p.ddl("bidoc"),
+        p.ddl("uni"), p.ddl("bi"))))
+      .toDF("b", "unidocDdl", "bidocDdl", "uniDdl", "biDdl")
+      .write.mode("overwrite").parquet(s"$path/params")
+
+  private def readParams(spark: SparkSession, path: String): Params = {
+    val r = spark.read.parquet(s"$path/params").collect()(0)
+    Params(r.getInt(0), Map("unidoc" -> r.getString(1),
+      "bidoc" -> r.getString(2), "uni" -> r.getString(3),
+      "bi" -> r.getString(4)))
+  }
+
+  private def readTable(spark: SparkSession, path: String, p: Params,
+      name: String): DataFrame =
+    spark.read.schema(StructType.fromDDL(p.ddl(name)))
+      .parquet(s"$path/$name")
+
+  /** Per-doc contribution tables for a corpus (shared by init and the
+    * continuation's arrival side — one definition, no drift). */
+  private def uniDocOf(docs: DataFrame, idCol: String, textCol: String,
+      b: Int): DataFrame =
+    Pipeline.lmToksOf(docs, idCol, textCol)
+      .select(col("doc_id"), explode(col("_toks")).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("n"))
+      .withColumn("_b", docBucket(col("doc_id"), b))
+
+  private def biDocOf(docs: DataFrame, idCol: String, textCol: String,
+      b: Int): DataFrame =
+    Pipeline.lmBigramsOf(Pipeline.lmToksOf(docs, idCol, textCol))
+      .groupBy("doc_id", "_a", "_b").agg(count(lit(1)).as("n"))
+      .select(col("doc_id"), col("_a").as("a"), col("_b").as("b"),
+        col("n"))
+      .withColumn("_b", docBucket(col("doc_id"), b))
+
+  /** Train once: derive contributions and aggregates, lay them out as
+    * bucket-partitioned Parquet. */
+  def init(spark: SparkSession, path: String, docs: DataFrame,
+      idCol: String, textCol: String, nBuckets: Int = 64): Unit = {
+    graft.functions.GraftFunctions.register(spark)
+    val intern = new IncrMat.Tracker
+    val unidoc = intern.mat(uniDocOf(docs, idCol, textCol, nBuckets))
+    val bidoc = intern.mat(biDocOf(docs, idCol, textCol, nBuckets))
+    val uni = intern.mat(unidoc.groupBy("w").agg(sum(col("n")).as("cw"))
+      .withColumn("_b", tokBucket(nBuckets, col("w"))))
+    val bi = intern.mat(bidoc.groupBy("a", "b")
+      .agg(sum(col("n")).as("cab"))
+      .withColumn("_b", tokBucket(nBuckets, col("a"), col("b"))))
+    Seq("unidoc" -> unidoc, "bidoc" -> bidoc, "uni" -> uni,
+        "bi" -> bi).foreach { case (n, df) =>
+      df.repartition(col("_b")).write.mode("overwrite")
+        .partitionBy("_b").parquet(s"$path/$n")
+    }
+    writeParams(spark, path, Params(nBuckets, Map(
+      "unidoc" -> unidoc.schema.toDDL, "bidoc" -> bidoc.schema.toDDL,
+      "uni" -> uni.schema.toDDL, "bi" -> bi.schema.toDDL)))
+    intern.releaseAll()
+  }
+
+  /** Roll the model forward over a ±document delta (upsert contract:
+    * an incoming id evicts its existing contributions). Rewrites only
+    * the delta's doc buckets of the contribution tables and the
+    * delta's token buckets of the aggregates. */
+  def continueAt(spark: SparkSession, path: String, addedDocs: DataFrame,
+      removedIds: DataFrame, idCol: String, textCol: String): Unit = {
+    graft.functions.GraftFunctions.register(spark)
+    val fs = SegSwap.fsOf(spark, path)
+    val p = readParams(spark, path)
+    SegSwap.recover(fs, path)
+    val intern = new IncrMat.Tracker
+    val rem = intern.mat(removedIds
+      .select(col(removedIds.columns.head).as("_rid"))
+      .unionByName(addedDocs.select(col(idCol).as("_rid"))).distinct())
+    val addUni = intern.mat(uniDocOf(addedDocs, idCol, textCol, p.b))
+    val addBi = intern.mat(biDocOf(addedDocs, idCol, textCol, p.b))
+    val td = rem.select(docBucket(col("_rid"), p.b).as("_b"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    def inBuckets(bs: Set[Int]): Column =
+      if (bs.isEmpty) lit(false)
+      else col("_b").isin(bs.toSeq.map(Integer.valueOf): _*)
+
+    // contribution rewrites + count deltas from ONE pruned scan each:
+    // departures are the stored bags of evicted docs (negated),
+    // arrivals the delta's fresh bags
+    def roll(doc: String, agg: String, keys: Seq[String],
+        add: DataFrame): Seq[(String, DataFrame, Set[Int])] = {
+      val live = readTable(spark, path, p, doc)
+      val oldT = intern.mat(live.filter(inBuckets(td)))
+      val nextT = intern.mat(oldT
+        .join(rem, col("doc_id") === col("_rid"), "left_anti")
+        .unionByName(add))
+      val kcols = keys.map(col)
+      val delta = intern.mat(oldT
+        .join(rem, col("doc_id") === col("_rid"), "left_semi")
+        .select(kcols :+ (-col("n")).as("_d"): _*)
+        .unionByName(add.select(kcols :+ col("n").as("_d"): _*))
+        .groupBy(kcols: _*).agg(sum(col("_d")).as("_d"))
+        .filter(col("_d") =!= 0))
+      val tb = delta.select(tokBucket(p.b, kcols: _*).as("_b"))
+        .distinct().collect().map(_.getInt(0)).toSet
+      val cnt = if (agg == "uni") "cw" else "cab"
+      val aggNextT = intern.mat(readTable(spark, path, p, agg)
+        .filter(inBuckets(tb))
+        .join(delta, keys, "full")
+        .select(kcols :+
+          (coalesce(col(cnt), lit(0L)) + coalesce(col("_d"), lit(0L)))
+            .as(cnt): _*)
+        .filter(col(cnt) > 0)
+        .withColumn("_b", tokBucket(p.b, kcols: _*)))
+      Seq((doc, nextT, td), (agg, aggNextT, tb))
+    }
+    SegSwap.commit(fs, path,
+      roll("unidoc", "uni", Seq("w"), addUni) ++
+        roll("bidoc", "bi", Seq("a", "b"), addBi))
+    intern.releaseAll()
+  }
+
+  /** Score any corpus against the store's CURRENT model — the same
+    * contract as [[Pipeline.lmScoreAgainst]] with the stored counts as
+    * the train side. */
+  def scoreAgainst(spark: SparkSession, path: String, score: DataFrame,
+      idCol: String, textCol: String, k: Double = 0.5,
+      maxNll: Double = 3.5): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val p = readParams(spark, path)
+    SegSwap.recover(SegSwap.fsOf(spark, path), path,
+      cleanupOrphans = false)
+    Pipeline.lmScoreFromCounts(
+      readTable(spark, path, p, "uni")
+        .select(col("w").as("_a"), col("cw").as("_cw")),
+      readTable(spark, path, p, "bi")
+        .select(col("a").as("_a"), col("b").as("_b"),
+          col("cab").as("_cab")),
+      score, idCol, textCol, k, maxNll)
+  }
+}

@@ -262,24 +262,40 @@ object Pipeline {
     * exactly the heavy penalty out-of-distribution text should get. */
   def lmScoreAgainst(train: DataFrame, score: DataFrame, idCol: String,
       textCol: String, k: Double = 0.5, maxNll: Double = 3.5): DataFrame = {
-    def toksOf(df: DataFrame) = df.select(col(idCol).as("doc_id"),
-      tokens(coalesce(col(textCol), lit(""))).as("_toks"))
-    def bigramsOf(toks: DataFrame) = toks
-      .filter(size(col("_toks")) >= 2)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, size(_toks) - 1), " +
-          "i -> struct(element_at(_toks, i) as _a, " +
-          "element_at(_toks, i + 1) as _b))")).as("_e"))
-      .select(col("doc_id"), col("_e._a").as("_a"), col("_e._b").as("_b"))
-    val uni = toksOf(train).select(explode(col("_toks")).as("_a"))
+    val uni = lmToksOf(train, idCol, textCol)
+      .select(explode(col("_toks")).as("_a"))
       .groupBy("_a").agg(count(lit(1)).as("_cw"))
-    val vocab = uni.agg(count(lit(1)).cast("double").as("_v"))
-    val bgCorpus = bigramsOf(toksOf(train))
+    val bi = lmBigramsOf(lmToksOf(train, idCol, textCol))
       .groupBy("_a", "_b").agg(count(lit(1)).as("_cab"))
-    val bgDoc = bigramsOf(toksOf(score))
+    lmScoreFromCounts(uni, bi, score, idCol, textCol, k, maxNll)
+  }
+
+  /** ONE tokenize/bigram/score core for the self-trained, frozen and
+    * incrementally-maintained ([[LmCountsStore]]) model variants — the
+    * scoring semantics must not drift between them. `uni(_a, _cw)` /
+    * `bi(_a, _b, _cab)` are the model's corpus counts, whatever their
+    * provenance. */
+  private[operators] def lmToksOf(df: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+      tokens(coalesce(col(textCol), lit(""))).as("_toks"))
+
+  private[operators] def lmBigramsOf(toks: DataFrame): DataFrame = toks
+    .filter(size(col("_toks")) >= 2)
+    .select(col("doc_id"), explode(expr(
+      "transform(sequence(1, size(_toks) - 1), " +
+        "i -> struct(element_at(_toks, i) as _a, " +
+        "element_at(_toks, i + 1) as _b))")).as("_e"))
+    .select(col("doc_id"), col("_e._a").as("_a"), col("_e._b").as("_b"))
+
+  private[operators] def lmScoreFromCounts(uni: DataFrame, bi: DataFrame,
+      score: DataFrame, idCol: String, textCol: String, k: Double,
+      maxNll: Double): DataFrame = {
+    val vocab = uni.agg(count(lit(1)).cast("double").as("_v"))
+    val bgDoc = lmBigramsOf(lmToksOf(score, idCol, textCol))
       .groupBy("doc_id", "_a", "_b").agg(count(lit(1)).as("_n"))
     val scored = bgDoc
-      .join(bgCorpus, Seq("_a", "_b"), "left")
+      .join(bi, Seq("_a", "_b"), "left")
       .join(uni, Seq("_a"), "left")
       .crossJoin(broadcast(vocab))
       .groupBy("doc_id").agg(

@@ -962,6 +962,60 @@ object PipelineQueries {
                   THEN 1 ELSE 0 END AS INT) AS keep
               FROM tsc t LEFT JOIN sc USING (doc_id)""")),
 
+    // INCREMENTALLY-maintained LM ([[LmCountsStore]]): the model is
+    // trained on the base cohort, rolled forward over a ±delta
+    // (contribution bags make removals exact), then a fixed audit
+    // cohort is scored against the UPDATED counts. Oracle: frozen-score
+    // recompute under the post-delta model (docs ≢7 mod 10). maxNll
+    // 3.43 ≈ the cohort's p85.
+    Q("q_incr_lm_score",
+      (s, dir) => {
+        val docs = Q.t(s, dir, "documents")
+        val store = java.nio.file.Files
+          .createTempDirectory("graft_lm_store").toString
+        graft.operators.LmCountsStore.init(s, store,
+          docs.filter(col("doc_id") % 10 =!= 3), "doc_id", "text",
+          nBuckets = 16)
+        graft.operators.LmCountsStore.continueAt(s, store,
+          docs.filter(col("doc_id") % 10 === 3),
+          docs.filter(col("doc_id") % 10 === 7).select("doc_id"),
+          "doc_id", "text")
+        graft.operators.LmCountsStore.scoreAgainst(s, store,
+          docs.filter(col("doc_id") % 10 === 1), "doc_id", "text",
+          k = 0.5, maxNll = 3.43)
+      },
+      Some("""WITH tr AS (SELECT doc_id, text FROM documents
+                WHERE doc_id % 10 <> 7),
+              ttr AS (SELECT doc_id, list_filter(
+                regexp_split_to_array(text, ' +'), x -> x <> '') AS toks
+                FROM tr),
+              tsc AS (SELECT doc_id, list_filter(
+                regexp_split_to_array(text, ' +'), x -> x <> '') AS toks
+                FROM documents WHERE doc_id % 10 = 1),
+              u AS (SELECT w, count(*) AS cw FROM
+                (SELECT unnest(toks) AS w FROM ttr) GROUP BY 1),
+              v AS (SELECT count(*)::DOUBLE AS V FROM u),
+              bgt AS (SELECT doc_id, unnest([{'a': toks[i], 'b': toks[i+1]}
+                for i in generate_series(1, len(toks) - 1)]) AS e FROM ttr),
+              bgc AS (SELECT e.a AS a, e.b AS b, count(*) AS cab
+                FROM bgt GROUP BY 1, 2),
+              bgs AS (SELECT doc_id, e.a AS a, e.b AS b FROM
+                (SELECT doc_id, unnest([{'a': toks[i], 'b': toks[i+1]}
+                  for i in generate_series(1, len(toks) - 1)]) AS e
+                  FROM tsc)),
+              bgd AS (SELECT doc_id, a, b, count(*) AS nn
+                FROM bgs GROUP BY 1, 2, 3),
+              sc AS (SELECT d.doc_id, sum(d.nn) AS nb,
+                sum(d.nn * ln((COALESCE(c.cab, 0) + 0.5) /
+                  (COALESCE(u.cw, 0) + 0.5 * (SELECT V FROM v)))) AS s
+                FROM bgd d LEFT JOIN bgc c ON d.a = c.a AND d.b = c.b
+                LEFT JOIN u ON u.w = d.a GROUP BY 1)
+              SELECT t.doc_id, CAST(COALESCE(sc.nb, 0) AS BIGINT) AS nb,
+                round(COALESCE(-sc.s / sc.nb, 0.0), 6) AS avg_nll,
+                CAST(CASE WHEN round(COALESCE(-sc.s / sc.nb, 0.0), 6) <= 3.43
+                  THEN 1 ELSE 0 END AS INT) AS keep
+              FROM tsc t LEFT JOIN sc USING (doc_id)""")),
+
     // Duplicated-SPAN statistics (Lee et al. 2107.06499, windowed
     // ExactSubstr): per doc, the token fraction covered by 8-token
     // spans occurring verbatim in another document — exact dups score

@@ -952,6 +952,57 @@ class IncrementalSpec extends SparkSpec {
     assert(rows(DupSpansStore.scores(spark, store)) == want)
   }
 
+  test("LM counts store: rolled-forward model scores equal batch retraining") {
+    import graft.operators.{LmCountsStore, Pipeline}
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Double, Int)].collect().map(t => t._1 -> t).toMap
+    val audit = Seq((900L, "the cat sat on the mat"),
+      (901L, "mat the on sat cat the"),
+      (902L, "never seen tokens qq zz")).toDF("doc_id", "text")
+    def batchScore(model: org.apache.spark.sql.DataFrame) =
+      rows(Pipeline.lmScoreAgainst(model, audit, "doc_id", "text"))
+    val base = ((1L to 6L).map(i => (i, "the cat sat on the mat")) ++
+      (7L to 12L).map(i => (i, s"pad p$i q$i r$i"))).toDF("doc_id", "text")
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_lm_counts").toString
+    LmCountsStore.init(spark, store, base, "doc_id", "text", nBuckets = 8)
+    assert(rows(LmCountsStore.scoreAgainst(spark, store, audit,
+      "doc_id", "text")) == batchScore(base))
+
+    // delta: remove two copies of the dominant pattern, add docs whose
+    // text shifts the model toward the shuffled transitions — every
+    // audit score must move exactly as a full retrain says
+    val added = Seq((20L, "mat the on sat cat the"),
+      (21L, "mat the on sat cat the")).toDF("doc_id", "text")
+    val removed = Seq(1L, 2L).toDF("doc_id")
+    LmCountsStore.continueAt(spark, store, added, removed,
+      "doc_id", "text")
+    val after = base.filter(!col("doc_id").isin(1L, 2L)).unionByName(added)
+    val got = rows(LmCountsStore.scoreAgainst(spark, store, audit,
+      "doc_id", "text"))
+    assert(got == batchScore(after), s"got=$got")
+    // the shift is visible: the shuffled audit doc got cheaper, the
+    // dominant pattern costlier
+    val before = batchScore(base)
+    assert(got(901L)._3 < before(901L)._3 && got(900L)._3 > before(900L)._3)
+
+    // upsert replaces contributions; a token whose last occurrence
+    // leaves must drop out of the vocabulary (V shrinks exactly)
+    val replaced = Seq((7L, "the cat sat on the mat")).toDF("doc_id", "text")
+    LmCountsStore.continueAt(spark, store, replaced,
+      Seq.empty[Long].toDF("doc_id"), "doc_id", "text")
+    val after2 = after.filter(col("doc_id") =!= 7L).unionByName(replaced)
+    assert(rows(LmCountsStore.scoreAgainst(spark, store, audit,
+      "doc_id", "text")) == batchScore(after2))
+
+    // zero-change continuation is the identity
+    LmCountsStore.continueAt(spark, store,
+      Seq.empty[(Long, String)].toDF("doc_id", "text"),
+      Seq.empty[Long].toDF("doc_id"), "doc_id", "text")
+    assert(rows(LmCountsStore.scoreAgainst(spark, store, audit,
+      "doc_id", "text")) == batchScore(after2))
+  }
+
   test("incremental line dedup: status flips reclean untouched docs both ways") {
     import graft.operators.{IncrementalLineDedup, LineDedupState, Pipeline}
     def rows(df: org.apache.spark.sql.DataFrame) =
