@@ -192,8 +192,12 @@ object DupSpansStore {
     val spansLive = readTable(spark, path, p, "spans")
     val ntoksLive = readTable(spark, path, p, "ntoks")
     // the OLD touched rows feed both the rewrite and the frequency
-    // delta; one pruned scan, materialized before its files are retired
-    val spansOldT = intern.mat(spansLive.filter(inBuckets(td)))
+    // delta; one pruned scan, materialized before its files are
+    // retired. Released EARLY (not at end-of-call): at 1000x corpus
+    // the sum of all live leaves OOM'd a 48 GiB heap — peak leaf
+    // memory must track the pipeline stage, not the whole call
+    val (spansOldT, relSpansOld) = IncrMat.matWithHandle(
+      spansLive.filter(inBuckets(td)))
     val spansNextT = intern.mat(spansOldT
       .join(rem, col("doc_id") === col("_rid"), "left_anti")
       .unionByName(addSpans))
@@ -212,25 +216,31 @@ object DupSpansStore {
     val delta = intern.mat(depart.unionByName(arrive)
       .groupBy("s").agg(sum(col("_d")).as("_d"))
       .filter(col("_d") =!= 0))
+    relSpansOld() // everything derived from the old rows is materialized
     val ts = delta.select(spanBucket(col("s"), B).as("_b"))
       .distinct().collect().map(_.getInt(0)).toSet
     val dfreqLive = readTable(spark, path, p, "dfreq")
     // merged materialized ONCE: the rewrite and the flip set both
     // derive from it (the IncrementalDupSpans lesson), and it reads
-    // only the touched dfreq buckets
-    val merged = intern.mat(dfreqLive.filter(inBuckets(ts))
-      .join(delta, Seq("s"), "full")
-      .select(col("s"),
-        coalesce(col("nd"), lit(0L)).as("_nd1"),
-        (coalesce(col("nd"), lit(0L)) + coalesce(col("_d"), lit(0L)))
-          .as("_nd2")))
-    val dfreqNextT = merged.filter(col("_nd2") > 0)
+    // only the touched dfreq buckets. It is the WIDEST leaf of the
+    // continuation (all touched spans' frequencies), so its
+    // derivatives materialize immediately and it releases here — not
+    // at end-of-call (the 1000x peak-memory lesson above)
+    val (merged, relMerged) = IncrMat.matWithHandle(
+      dfreqLive.filter(inBuckets(ts))
+        .join(delta, Seq("s"), "full")
+        .select(col("s"),
+          coalesce(col("nd"), lit(0L)).as("_nd1"),
+          (coalesce(col("nd"), lit(0L)) + coalesce(col("_d"), lit(0L)))
+            .as("_nd2")))
+    val dfreqNextT = intern.mat(merged.filter(col("_nd2") > 0)
       .select(col("s"), col("_nd2").as("nd"),
-        spanBucket(col("s"), B).as("_b"))
+        spanBucket(col("s"), B).as("_b")))
     // duplicated status flipped — only delta-touched spans can
     // (elsewhere nd1 == nd2); delta-bounded, so broadcast below
     val flipped = intern.mat(merged
       .filter((col("_nd1") >= 2) =!= (col("_nd2") >= 2)).select("s"))
+    relMerged()
 
     // ---- affected documents + re-score --------------------------------
     // membership probe over the post-delta span table: untouched
@@ -241,10 +251,17 @@ object DupSpansStore {
     // emptiness check is free, and the corpus-width scan with it
     val spansPost = spansLive.filter(!inBuckets(td)).unionByName(spansNextT)
     val addedIds = addedDocs.select(col(idCol).as("doc_id"))
+    // guarded broadcast (the IncrementalJob frontier pattern): the
+    // flip set is usually delta-small, but a delta that duplicates or
+    // un-duplicates a large slice of the corpus can flip millions of
+    // spans — forcing those into every task's heap is its own OOM, so
+    // past the guard the planner gets a plain key-partitioned semi-join
+    val flippedN = flipped.count() // cached leaf — a cheap local scan
+    val flipProbe = if (flippedN <= 4000000L) broadcast(flipped) else flipped
     val affected = intern.mat(
-      if (flipped.isEmpty) addedIds.distinct()
+      if (flippedN == 0L) addedIds.distinct()
       else spansPost
-        .join(broadcast(flipped), Seq("s"), "left_semi")
+        .join(flipProbe, Seq("s"), "left_semi")
         .select("doc_id").distinct()
         .unionByName(addedIds).distinct())
     val ab = affected.select(docBucket(col("doc_id"), p).as("_b"))
@@ -272,7 +289,7 @@ object DupSpansStore {
     // ---- stage, journal, swap ([[SegSwap]]) ---------------------------
     SegSwap.commit(fs, path, Seq(
       ("spans", spansNextT, td), ("ntoks", ntoksNextT, td),
-      ("dfreq", intern.mat(dfreqNextT), ts), ("out", outNextT, ao)))
+      ("dfreq", dfreqNextT, ts), ("out", outNextT, ao)))
     intern.releaseAll()
   }
 }
