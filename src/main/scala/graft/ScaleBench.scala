@@ -275,6 +275,29 @@ object ScaleBench {
         Seq("total" -> t)
       }
 
+      run("seg_lm", 5000L * m) {
+        // the incrementally-maintained LM model: init on the corpus,
+        // roll ±1% deltas forward (one scattered-upsert, one
+        // removal-heavy), score a fixed probe set. Continuation cost
+        // must track the delta's token volume, not the corpus's
+        val store = s"$dir/seg_lm"
+        deleteRec(new java.io.File(store))
+        val (_, tb) = timed(operators.LmCountsStore.init(spark, store,
+          docs, "doc_id", "text"))
+        val (_, tu) = timed(operators.LmCountsStore.continueAt(spark,
+          store, docs.filter(col("doc_id") % 100 === 44),
+          spark.range(0).toDF("doc_id"), "doc_id", "text"))
+        val (_, tr) = timed(operators.LmCountsStore.continueAt(spark,
+          store, spark.range(0).selectExpr("id as doc_id", "'' as text"),
+          docs.filter(col("doc_id") % 100 === 55).select("doc_id"),
+          "doc_id", "text"))
+        val (_, tq) = timed(consume(operators.LmCountsStore.scoreAgainst(
+          spark, store, docs.filter(col("doc_id") < 100),
+          "doc_id", "text")))
+        Seq("init" -> tb, "upsert1pct" -> tu, "remove1pct" -> tr,
+          "score" -> tq)
+      }
+
       run("lm_score", 5000L * m) {
         // bigram-count joins are the heaviest text-stat shape (corpus
         // bigram table ~ corpus token count): cost must stay ~linear

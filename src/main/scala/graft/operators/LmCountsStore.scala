@@ -123,7 +123,11 @@ object LmCountsStore {
     def roll(doc: String, agg: String, keys: Seq[String],
         add: DataFrame): Seq[(String, DataFrame, Set[Int])] = {
       val live = readTable(spark, path, p, doc)
-      val oldT = intern.mat(live.filter(inBuckets(td)))
+      // the old-contribution scan releases as soon as its two
+      // derivatives are materialized — with a scattered delta it is
+      // corpus-width, and holding it through the staged writes starved
+      // execution memory at 100x (the DupSpansStore peak-memory lesson)
+      val (oldT, relOld) = IncrMat.matWithHandle(live.filter(inBuckets(td)))
       val nextT = intern.mat(oldT
         .join(rem, col("doc_id") === col("_rid"), "left_anti")
         .unionByName(add))
@@ -134,6 +138,7 @@ object LmCountsStore {
         .unionByName(add.select(kcols :+ col("n").as("_d"): _*))
         .groupBy(kcols: _*).agg(sum(col("_d")).as("_d"))
         .filter(col("_d") =!= 0))
+      relOld()
       val tb = delta.select(tokBucket(p.b, kcols: _*).as("_b"))
         .distinct().collect().map(_.getInt(0)).toSet
       val cnt = if (agg == "uni") "cw" else "cab"
