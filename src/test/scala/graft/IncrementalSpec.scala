@@ -888,6 +888,60 @@ class IncrementalSpec extends SparkSpec {
     assert(rows(DupSpansStore.scores(spark, store)) == batch(after2))
   }
 
+  test("segmented dup-span store: range bucketing, shard appends, negative ids") {
+    import graft.operators.{DupSpansStore, Pipeline}
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Long, Double, Int)].collect().map(t => t._1 -> t).toMap
+    def batch(corpus: org.apache.spark.sql.DataFrame) = {
+      val out = Pipeline.dupSpanStats(corpus, "doc_id", "text",
+        w = 3, maxFrac = 0.5)
+      val r = rows(out); out.unpersist(); r
+    }
+    // ids straddle zero: negative ids produce NEGATIVE range buckets,
+    // which the swap journal must round-trip (the -?\d+ parse)
+    val base = (-6L to 9L).map(i => (i, s"neg u$i v$i w$i x$i"))
+      .toDF("doc_id", "text")
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_seg_range").toString
+    DupSpansStore.init(spark, store, base, "doc_id", "text",
+      w = 3, maxFrac = 0.5, bucketMode = "range", rangeSpan = 4L)
+    assert(rows(DupSpansStore.scores(spark, store)) == batch(base))
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(store, "spans", "_b=-2")),
+      "negative ids must land in negative range buckets")
+
+    // a contiguous shard append lands in FRESH buckets only: every
+    // pre-existing bucket dir keeps its files byte-identical
+    def listing() = {
+      val root = java.nio.file.Paths.get(store, "spans")
+      val st = java.nio.file.Files.walk(root)
+      try st.filter(p => java.nio.file.Files.isRegularFile(p)).toArray.map { p0 =>
+        val p = p0.asInstanceOf[java.nio.file.Path]
+        (root.relativize(p).toString,
+          java.nio.file.Files.getLastModifiedTime(p).toMillis)
+      }.toMap finally st.close()
+    }
+    val before = listing()
+    val shard = (12L to 19L).map(i => (i, s"neg u$i v$i w$i x$i"))
+      .toDF("doc_id", "text")
+    DupSpansStore.continueAt(spark, store, shard,
+      Seq.empty[Long].toDF("doc_id"), "doc_id", "text")
+    val after = base.unionByName(shard)
+    assert(rows(DupSpansStore.scores(spark, store)) == batch(after))
+    val afterL = listing()
+    before.foreach { case (f, mt) =>
+      assert(afterL.get(f).contains(mt),
+        s"pre-existing file rewritten by a pure shard append: $f")
+    }
+    // removing a negative-id doc rewrites (only) its negative bucket —
+    // the journal's negative-bucket line drives the swap
+    DupSpansStore.continueAt(spark, store,
+      Seq.empty[(Long, String)].toDF("doc_id", "text"),
+      Seq(-5L).toDF("doc_id"), "doc_id", "text")
+    assert(rows(DupSpansStore.scores(spark, store)) ==
+      batch(after.filter(col("doc_id") =!= -5L)))
+  }
+
   test("segmented dup-span store: crash recovery honors the journal contract") {
     import graft.operators.{DupSpansStore, Pipeline}
     import java.nio.file.{Files, Paths, Path}
