@@ -50,6 +50,23 @@ class PlansSpec extends SparkSpec {
     } finally spark.experimental.extraOptimizations = prev
   }
 
+  test("lmScore plans shuffled count joins, no cartesian blowup") {
+    // the only nested-loop allowed is the broadcast of the 1-ROW
+    // vocabulary frame; everything else must be key-partitioned or
+    // broadcast-hash — a cartesian over the bigram tables would be the
+    // corpus-squared accident this pin exists to catch
+    val docs = (1L to 50L).map(i => (i, s"p$i q$i r$i s$i"))
+      .toDF("doc_id", "text")
+    val out = graft.operators.Pipeline.lmScore(docs, "doc_id", "text")
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian in lmScore:\n$plan")
+    val bnlj = plan.linesIterator
+      .count(_.contains("BroadcastNestedLoopJoin"))
+    assert(bnlj <= 1, s"want at most the 1-row vocab BNLJ, got $bnlj")
+    val exchanges = plan.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 12, s"lmScore exchange count regressed: $exchanges")
+  }
+
   test("kvText source splits on separator and handles missing values") {
     val dir = java.nio.file.Files.createTempDirectory("graft_kv").toString
     java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/a.txt"),
