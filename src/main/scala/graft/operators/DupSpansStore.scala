@@ -97,6 +97,11 @@ object DupSpansStore {
     spark.read.schema(StructType.fromDDL(p.ddl(name)))
       .parquet(s"$path/$name")
 
+  /** Literal bucket predicate — stays a partition-pruning filter. */
+  private def inBuckets(bs: Set[Int]): Column =
+    if (bs.isEmpty) lit(false)
+    else col("_b").isin(bs.toSeq.map(Integer.valueOf): _*)
+
   /** Batch pass: derive spans / token counts / span frequencies /
     * scores once ([[Pipeline.dupSpanStats]] semantics) and lay them
     * out as bucket-partitioned Parquet. `nBuckets` trades rewrite
@@ -159,6 +164,22 @@ object DupSpansStore {
     readTable(spark, path, p, "out").drop("_b")
   }
 
+  /** Scores for a specific id set, reading ONLY those ids' buckets —
+    * the doc-axis analog of [[Similarity.probeIvfIndex]]'s pruned
+    * probe: the bucket literals are derived from the ids driver-side
+    * (O(ids) work), so parquet partition pruning skips every other
+    * bucket's files (spec-asserted via the scanned file set). */
+  def scoresFor(spark: SparkSession, path: String,
+      ids: DataFrame): DataFrame = {
+    val p = readParams(spark, path)
+    SegSwap.recover(SegSwap.fsOf(spark, path), path, cleanupOrphans = false)
+    val idsD = ids.select(col(ids.columns.head).as("doc_id"))
+    val bs = idsD.select(docBucket(col("doc_id"), p).as("_b"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    readTable(spark, path, p, "out").filter(inBuckets(bs))
+      .join(idsD, Seq("doc_id"), "left_semi").drop("_b")
+  }
+
   /** Roll the store forward over a ±document delta (upsert contract:
     * an incoming id evicts its existing rows), rewriting only touched
     * buckets. Single concurrent writer; crash-safe (see class doc). */
@@ -186,9 +207,6 @@ object DupSpansStore {
     // touched doc buckets — O(delta) driver ints, delta-derived
     val td = rem.select(docBucket(col("_rid"), p).as("_b"))
       .distinct().collect().map(_.getInt(0)).toSet
-    def inBuckets(bs: Set[Int]): Column =
-      if (bs.isEmpty) lit(false)
-      else col("_b").isin(bs.toSeq.map(Integer.valueOf): _*)
     val spansLive = readTable(spark, path, p, "spans")
     val ntoksLive = readTable(spark, path, p, "ntoks")
     // the OLD touched rows feed both the rewrite and the frequency

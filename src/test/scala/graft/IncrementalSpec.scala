@@ -886,6 +886,21 @@ class IncrementalSpec extends SparkSpec {
     DupSpansStore.continueAt(spark, store, emptyDocs,
       Seq.empty[Long].toDF("doc_id"), "doc_id", "text")
     assert(rows(DupSpansStore.scores(spark, store)) == batch(after2))
+
+    // pruned point read: same rows as a filtered full read, and the
+    // scan must only touch the probed ids' bucket files
+    val probeIds = Seq(1L, 3L)
+    val pruned = DupSpansStore.scoresFor(spark, store,
+      probeIds.toDF("doc_id"))
+    assert(rows(pruned) ==
+      rows(DupSpansStore.scores(spark, store)
+        .filter(col("doc_id").isin(probeIds: _*))))
+    val allowed = bucketsOf(probeIds).map(b => s"/_b=$b/")
+    val scanned = pruned.select(input_file_name()).distinct()
+      .as[String].collect()
+    assert(scanned.nonEmpty &&
+      scanned.forall(f => allowed.exists(f.contains)),
+      s"pruned read touched foreign buckets: ${scanned.mkString(",")}")
   }
 
   test("segmented dup-span store: range bucketing, shard appends, negative ids") {
