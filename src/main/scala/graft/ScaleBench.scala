@@ -254,10 +254,15 @@ object ScaleBench {
         val (_, t1) = timed(operators.DupSpansStore.continueAt(spark,
           store, shard1, spark.range(0).toDF("doc_id"),
           "doc_id", "text"))
+        val shard01 = genDocs(spark, n + n / 10 + n / 100 + n / 1000)
+          .filter(col("doc_id") >= n + n / 10 + n / 100)
+        val (_, t01) = timed(operators.DupSpansStore.continueAt(spark,
+          store, shard01, spark.range(0).toDF("doc_id"),
+          "doc_id", "text"))
         val (_, tr) = timed(consume(
           operators.DupSpansStore.scores(spark, store)))
         Seq("init" -> tb, "cont10pct" -> t10, "cont1pct" -> t1,
-          "read" -> tr)
+          "cont01pct" -> t01, "read" -> tr)
       }
 
       run("semantic_dedup", 2000L * m) {
