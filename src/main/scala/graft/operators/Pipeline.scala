@@ -362,6 +362,58 @@ object Pipeline {
     out
   }
 
+  /** The ExactSubstr CUT — Lee et al. 2107.06499's actual
+    * transformation, where [[dupSpanStats]] is its audit: REMOVE from
+    * every document the tokens covered by a cross-document duplicated
+    * `w`-token span, keeping one fluent survivor nowhere (the paper
+    * deliberately cuts ALL copies: the surviving signal lives in the
+    * rest of each document, and training-data loss beats duplication).
+    * Returns one row per input document: (doc_id, clean, n_kept,
+    * n_removed), `clean` the surviving tokens in original order —
+    * documents with nothing duplicated come back whitespace-normalized
+    * but intact, fully-duplicated documents as empty husks (the caller
+    * decides; [[dupSpanStats]]' keep bit is the usual gate).
+    *
+    * Scale shape: the [[IncrementalDupSpans.spansOf]] digest windowing
+    * and the same ×w covered-position fan-out as the audit (touches
+    * only duplicated spans), then one posexplode and a per-doc
+    * sort_array reassembly — all doc-keyed shuffles, no corpus-wide
+    * hot key. */
+  def cutDupSpans(df: DataFrame, idCol: String, textCol: String,
+      w: Int = 8): DataFrame = {
+    require(w >= 2, s"cutDupSpans: w must be >= 2, got $w")
+    val spans = IncrementalDupSpans.spansOf(df, idCol, textCol, w)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dupSpans = spans.select("doc_id", "s").distinct()
+      .groupBy("s").agg(count(lit(1)).as("_nd"))
+      .filter(col("_nd") >= 2).select("s")
+    val covered = spans.join(dupSpans, Seq("s"), "left_semi")
+      .select(col("doc_id"),
+        explode(expr(s"sequence(pos, pos + ${w - 1})")).as("pos"))
+      .distinct()
+    val tokpos = df.select(col(idCol).as("doc_id"),
+        posexplode_outer(tokens(coalesce(col(textCol), lit("")))))
+      .toDF("doc_id", "pos", "tok")
+    val kept = tokpos.filter(col("tok").isNotNull)
+      .join(covered, Seq("doc_id", "pos"), "left_anti")
+      .groupBy("doc_id").agg(
+        concat_ws(" ", expr("transform(array_sort(" +
+          "collect_list(struct(pos, tok))), x -> x.tok)")).as("clean"),
+        count(lit(1)).as("n_kept"))
+    val out = df.select(col(idCol).as("doc_id"),
+        size(tokens(coalesce(col(textCol), lit("")))).cast("long")
+          .as("_ntok"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("clean"), lit("")).as("clean"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("_ntok") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    spans.unpersist(blocking = false)
+    out
+  }
+
   /** Corpus-level exact LINE deduplication — boilerplate removal (the
     * CCNet/RefinedWeb line-filter rule: a line repeated across many
     * documents is navigation/footer/template noise, not content).

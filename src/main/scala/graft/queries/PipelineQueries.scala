@@ -1048,6 +1048,41 @@ object PipelineQueries {
                   THEN 1 ELSE 0 END AS INT) AS keep
               FROM base""")),
 
+    // The ExactSubstr CUT (Lee et al.'s transformation, where
+    // q_dup_spans is the audit): remove every token covered by a
+    // cross-document duplicated 8-token span, reassemble survivors in
+    // order. Exact dup pairs become empty husks; quoting docs lose the
+    // shared passage only. Both engines rebuild from the token array,
+    // so the comparison is whitespace-normalization-proof.
+    Q("q_cut_dup_spans",
+      (s, dir) => Pipeline.cutDupSpans(Q.t(s, dir, "documents"),
+        "doc_id", "text", w = 8),
+      Some(s"""WITH $toksCte,
+              sp AS (SELECT doc_id,
+                unnest([{'pos': i, 's': array_to_string(toks[i:i+7], ' ')}
+                  for i in generate_series(1, len(toks) - 7)]) AS e
+                FROM toks),
+              sp2 AS (SELECT doc_id, e.pos AS pos, e.s AS s FROM sp),
+              dup AS (SELECT s FROM (SELECT s, count(DISTINCT doc_id) AS nd
+                FROM sp2 GROUP BY 1) WHERE nd >= 2),
+              cov AS (SELECT DISTINCT doc_id, pos + o AS p
+                FROM (SELECT sp2.doc_id, sp2.pos FROM sp2
+                  JOIN dup USING (s)), generate_series(0, 7) g(o)),
+              tp AS (SELECT doc_id, unnest([{'pos': i, 'tok': toks[i]}
+                for i in generate_series(1, len(toks))]) AS e FROM toks),
+              tokpos AS (SELECT doc_id, e.pos AS pos, e.tok AS tok FROM tp),
+              kept AS (SELECT t.doc_id,
+                string_agg(t.tok, ' ' ORDER BY t.pos) AS clean,
+                count(*) AS n_kept
+                FROM tokpos t LEFT JOIN cov c
+                  ON t.doc_id = c.doc_id AND t.pos = c.p
+                WHERE c.p IS NULL GROUP BY 1)
+              SELECT tk.doc_id, COALESCE(k.clean, '') AS clean,
+                CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
+                CAST(len(tk.toks) - COALESCE(k.n_kept, 0) AS BIGINT)
+                  AS n_removed
+              FROM toks tk LEFT JOIN kept k USING (doc_id)""")),
+
     // INCREMENTAL duplicated-span scoring: base = docs ≢3 (mod 10);
     // the delta adds the ≡3 docs and removes the ≡7 ones. The corpus's
     // exact-dup groups span id classes, so removing one copy makes an

@@ -490,6 +490,25 @@ class OperatorsSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("cutDupSpans: shared passage excised everywhere, originals intact") {
+    val d = Seq(
+      (1L, "alpha beta gamma delta my own tail"),  // quotes the passage
+      (2L, "head words alpha beta gamma delta"),   // quotes it too
+      (3L, "dup dup dup dup"), (4L, "dup dup dup dup"), // exact pair
+      (5L, "wholly original five words here"),
+      (6L, "")
+    ).toDF("doc_id", "text")
+    val r = graft.operators.Pipeline.cutDupSpans(d, "doc_id", "text", w = 4)
+      .as[(Long, String, Long, Long)].collect().map(t => t._1 -> t).toMap
+    // "alpha beta gamma delta" (4 tokens) is duplicated; BOTH copies cut
+    assert(r(1L) == ((1L, "my own tail", 3L, 4L)))
+    assert(r(2L) == ((2L, "head words", 2L, 4L)))
+    // exact duplicates collapse to empty husks (n_removed = full length)
+    assert(r(3L) == ((3L, "", 0L, 4L)) && r(4L) == ((4L, "", 0L, 4L)))
+    assert(r(5L) == ((5L, "wholly original five words here", 5L, 0L)))
+    assert(r(6L) == ((6L, "", 0L, 0L)))
+  }
+
   test("dedupLines: doc-frequency rule, order kept, husk docs survive empty") {
     val d = Seq(
       (1L, "unique one\nFOOTER\nunique two"),
