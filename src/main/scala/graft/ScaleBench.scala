@@ -214,6 +214,19 @@ object ScaleBench {
         Seq("total" -> t)
       }
 
+      run("cut_dup_spans", 5000L * m) {
+        // the ExactSubstr cut adds a corpus-wide posexplode + per-doc
+        // sorted reassembly on top of the audit's coverage union — the
+        // reassembly is doc-keyed (no hot key), so the shape must stay
+        // ~linear like its audit sibling
+        val (_, t) = timed {
+          val outDf = operators.Pipeline.cutDupSpans(docs, "doc_id",
+            "text", w = 8)
+          val n = consume(outDf); outDf.unpersist(); n
+        }
+        Seq("total" -> t)
+      }
+
       run("incr_dup_spans", 5000L * m) {
         // preserved span/frequency tables continued over a ±10% delta
         // (the generator's dup structure guarantees df-crossing flips)
