@@ -129,7 +129,16 @@ object Bench {
     val total = results.collect { case (_, v, true, _) => v }.sum
     val failed = results.collect { case (k, _, false, _) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${f"$total%.2f"},"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":${f"$total%.2f"},"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+    // The driver's tail capture of stdout truncated the head of this
+    // line once the query map outgrew the capture window (BENCH_r08's
+    // parsed: null) — ALSO write the whole line to a file the driver
+    // (or a human) can read intact, before printing it.
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("bench_result.json"), line + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write bench_result.json: $e") }
+    println(line)
     spark.stop()
   }
 }

@@ -71,31 +71,35 @@ object DupSpansStore {
     pmod(c, lit(b.toLong)).cast("int")
 
   /** Stored alongside the data: window/threshold parameters, bucket
-    * count, and each table's exact DDL (explicit-schema reads keep a
-    * fully-drained table readable and the partition column's type
-    * pinned — the [[Similarity.probeIvfIndex]] lesson). */
+    * count, the id column's pinned DDL (bucket hashes are dtype-
+    * sensitive — see [[SegSwap.castToPinned]]), and each table's exact
+    * DDL (explicit-schema reads keep a fully-drained table readable
+    * and the partition column's type pinned — the
+    * [[Similarity.probeIvfIndex]] lesson). */
   private case class Params(w: Int, maxFrac: Double, b: Int,
-      mode: String, span: Long, ddl: Map[String, String])
+      mode: String, span: Long, idDdl: String, ddl: Map[String, String])
 
   private def writeParams(spark: SparkSession, path: String, p: Params): Unit =
-    spark.createDataFrame(Seq((p.w, p.maxFrac, p.b, p.mode, p.span,
+    spark.createDataFrame(Seq((p.w, p.maxFrac, p.b, p.mode, p.span, p.idDdl,
         p.ddl("spans"), p.ddl("ntoks"), p.ddl("dfreq"), p.ddl("out"))))
-      .toDF("w", "maxFrac", "b", "mode", "span",
+      .toDF("w", "maxFrac", "b", "mode", "span", "idDdl",
         "spansDdl", "ntoksDdl", "dfreqDdl", "outDdl")
       .write.mode("overwrite").parquet(s"$path/params")
 
   private def readParams(spark: SparkSession, path: String): Params = {
     val r = spark.read.parquet(s"$path/params").collect()(0)
     Params(r.getInt(0), r.getDouble(1), r.getInt(2), r.getString(3),
-      r.getLong(4), Map(
-        "spans" -> r.getString(5), "ntoks" -> r.getString(6),
-        "dfreq" -> r.getString(7), "out" -> r.getString(8)))
+      r.getLong(4), r.getString(5), Map(
+        "spans" -> r.getString(6), "ntoks" -> r.getString(7),
+        "dfreq" -> r.getString(8), "out" -> r.getString(9)))
   }
 
+  /** Journal-aware read ([[SegSwap.resolvedTable]]): non-destructive
+    * under an uninstalled commit, a plain live read otherwise. */
   private def readTable(spark: SparkSession, path: String, p: Params,
       name: String): DataFrame =
-    spark.read.schema(StructType.fromDDL(p.ddl(name)))
-      .parquet(s"$path/$name")
+    SegSwap.resolvedTable(spark, path, name,
+      StructType.fromDDL(p.ddl(name)))
 
   /** Literal bucket predicate — stays a partition-pruning filter. */
   private def inBuckets(bs: Set[Int]): Column =
@@ -122,7 +126,12 @@ object DupSpansStore {
         s"got ${docs.schema(idCol).dataType.sql} — a non-numeric id " +
         "would cast to NULL and land every row in the default partition")
     graft.functions.GraftFunctions.register(spark)
-    val p0 = Params(w, maxFrac, nBuckets, bucketMode, rangeSpan, Map.empty)
+    // params (the completeness marker) go FIRST when re-initing over an
+    // existing path: a crash mid-init must read as incomplete, never as
+    // old params over half-overwritten tables
+    SegSwap.resetForInit(SegSwap.fsOf(spark, path), path)
+    val p0 = Params(w, maxFrac, nBuckets, bucketMode, rangeSpan,
+      docs.schema(idCol).dataType.sql, Map.empty)
     val intern = new IncrMat.Tracker
     val spans = intern.mat(
       IncrementalDupSpans.spansOf(docs, idCol, textCol, w)
@@ -158,9 +167,8 @@ object DupSpansStore {
     * keep` — [[Pipeline.dupSpanStats]]'s contract). */
   def scores(spark: SparkSession, path: String): DataFrame = {
     val p = readParams(spark, path)
-    // reader-side recovery must not discard a concurrent writer's
-    // un-journaled staging — the updateIvfIndex reader/writer lesson
-    SegSwap.recover(SegSwap.fsOf(spark, path), path, cleanupOrphans = false)
+    // readers never mutate: an uninstalled commit is resolved through
+    // the journal by readTable ([[SegSwap.resolvedTable]])
     readTable(spark, path, p, "out").drop("_b")
   }
 
@@ -172,8 +180,9 @@ object DupSpansStore {
   def scoresFor(spark: SparkSession, path: String,
       ids: DataFrame): DataFrame = {
     val p = readParams(spark, path)
-    SegSwap.recover(SegSwap.fsOf(spark, path), path, cleanupOrphans = false)
-    val idsD = ids.select(col(ids.columns.head).as("doc_id"))
+    val idsD = SegSwap.castToPinned(
+      ids.select(col(ids.columns.head).as("doc_id")),
+      "doc_id", p.idDdl, "scoresFor")
     val bs = idsD.select(docBucket(col("doc_id"), p).as("_b"))
       .distinct().collect().map(_.getInt(0)).toSet
     readTable(spark, path, p, "out").filter(inBuckets(bs))
@@ -183,14 +192,22 @@ object DupSpansStore {
   /** Roll the store forward over a ±document delta (upsert contract:
     * an incoming id evicts its existing rows), rewriting only touched
     * buckets. Single concurrent writer; crash-safe (see class doc). */
-  def continueAt(spark: SparkSession, path: String, addedDocs: DataFrame,
-      removedIds: DataFrame, idCol: String, textCol: String): Unit = {
+  def continueAt(spark: SparkSession, path: String, addedDocs0: DataFrame,
+      removedIds0: DataFrame, idCol: String, textCol: String): Unit = {
     graft.functions.GraftFunctions.register(spark)
     val fs = SegSwap.fsOf(spark, path)
     val p = readParams(spark, path)
     SegSwap.recover(fs, path)
     val B = p.b
     val intern = new IncrMat.Tracker
+
+    // the delta's id dtype is pinned to the init corpus's before any
+    // bucket hash ([[SegSwap.castToPinned]] — int vs long ids would
+    // otherwise bucket differently and strand stale rows)
+    val addedDocs = SegSwap.castToPinned(addedDocs0, idCol, p.idDdl,
+      "continueAt addedDocs")
+    val removedIds = SegSwap.castToPinned(removedIds0,
+      removedIds0.columns.head, p.idDdl, "continueAt removedIds")
 
     // replace semantics: an incoming id evicts its existing rows
     val rem = intern.mat(removedIds

@@ -34,25 +34,27 @@ object LmCountsStore {
   private def tokBucket(b: Int, cs: Column*): Column =
     pmod(xxhash64(cs: _*), lit(b.toLong)).cast("int")
 
-  private case class Params(b: Int, ddl: Map[String, String])
+  private case class Params(b: Int, idDdl: String, ddl: Map[String, String])
 
   private def writeParams(spark: SparkSession, path: String, p: Params): Unit =
-    spark.createDataFrame(Seq((p.b, p.ddl("unidoc"), p.ddl("bidoc"),
-        p.ddl("uni"), p.ddl("bi"))))
-      .toDF("b", "unidocDdl", "bidocDdl", "uniDdl", "biDdl")
+    spark.createDataFrame(Seq((p.b, p.idDdl, p.ddl("unidoc"),
+        p.ddl("bidoc"), p.ddl("uni"), p.ddl("bi"))))
+      .toDF("b", "idDdl", "unidocDdl", "bidocDdl", "uniDdl", "biDdl")
       .write.mode("overwrite").parquet(s"$path/params")
 
   private def readParams(spark: SparkSession, path: String): Params = {
     val r = spark.read.parquet(s"$path/params").collect()(0)
-    Params(r.getInt(0), Map("unidoc" -> r.getString(1),
-      "bidoc" -> r.getString(2), "uni" -> r.getString(3),
-      "bi" -> r.getString(4)))
+    Params(r.getInt(0), r.getString(1), Map("unidoc" -> r.getString(2),
+      "bidoc" -> r.getString(3), "uni" -> r.getString(4),
+      "bi" -> r.getString(5)))
   }
 
+  /** Journal-aware read ([[SegSwap.resolvedTable]]): non-destructive
+    * under an uninstalled commit, a plain live read otherwise. */
   private def readTable(spark: SparkSession, path: String, p: Params,
       name: String): DataFrame =
-    spark.read.schema(StructType.fromDDL(p.ddl(name)))
-      .parquet(s"$path/$name")
+    SegSwap.resolvedTable(spark, path, name,
+      StructType.fromDDL(p.ddl(name)))
 
   /** Per-doc contribution tables for a corpus (shared by init and the
     * continuation's arrival side — one definition, no drift). */
@@ -76,6 +78,9 @@ object LmCountsStore {
   def init(spark: SparkSession, path: String, docs: DataFrame,
       idCol: String, textCol: String, nBuckets: Int = 64): Unit = {
     graft.functions.GraftFunctions.register(spark)
+    // remove the completeness marker FIRST when re-initing over an
+    // existing path (crash mid-init must read as incomplete)
+    SegSwap.resetForInit(SegSwap.fsOf(spark, path), path)
     val intern = new IncrMat.Tracker
     val unidoc = intern.mat(uniDocOf(docs, idCol, textCol, nBuckets))
     val bidoc = intern.mat(biDocOf(docs, idCol, textCol, nBuckets))
@@ -89,7 +94,8 @@ object LmCountsStore {
       df.repartition(col("_b")).write.mode("overwrite")
         .partitionBy("_b").parquet(s"$path/$n")
     }
-    writeParams(spark, path, Params(nBuckets, Map(
+    writeParams(spark, path, Params(nBuckets,
+      docs.schema(idCol).dataType.sql, Map(
       "unidoc" -> unidoc.schema.toDDL, "bidoc" -> bidoc.schema.toDDL,
       "uni" -> uni.schema.toDDL, "bi" -> bi.schema.toDDL)))
     intern.releaseAll()
@@ -99,12 +105,17 @@ object LmCountsStore {
     * an incoming id evicts its existing contributions). Rewrites only
     * the delta's doc buckets of the contribution tables and the
     * delta's token buckets of the aggregates. */
-  def continueAt(spark: SparkSession, path: String, addedDocs: DataFrame,
-      removedIds: DataFrame, idCol: String, textCol: String): Unit = {
+  def continueAt(spark: SparkSession, path: String, addedDocs0: DataFrame,
+      removedIds0: DataFrame, idCol: String, textCol: String): Unit = {
     graft.functions.GraftFunctions.register(spark)
     val fs = SegSwap.fsOf(spark, path)
     val p = readParams(spark, path)
     SegSwap.recover(fs, path)
+    // pin the delta's id dtype to the init corpus's before bucketing
+    val addedDocs = SegSwap.castToPinned(addedDocs0, idCol, p.idDdl,
+      "continueAt addedDocs")
+    val removedIds = SegSwap.castToPinned(removedIds0,
+      removedIds0.columns.head, p.idDdl, "continueAt removedIds")
     val intern = new IncrMat.Tracker
     val rem = intern.mat(removedIds
       .select(col(removedIds.columns.head).as("_rid"))
@@ -166,8 +177,8 @@ object LmCountsStore {
       maxNll: Double = 3.5): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val p = readParams(spark, path)
-    SegSwap.recover(SegSwap.fsOf(spark, path), path,
-      cleanupOrphans = false)
+    // readers never mutate: an uninstalled commit is resolved through
+    // the journal by readTable ([[SegSwap.resolvedTable]])
     Pipeline.lmScoreFromCounts(
       readTable(spark, path, p, "uni")
         .select(col("w").as("_a"), col("cw").as("_cw")),

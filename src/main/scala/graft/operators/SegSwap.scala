@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.hadoop.fs.{FileSystem, Path => HPath}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.StructType
 
 /** The journaled touched-bucket swap shared by every segmented durable
   * store ([[DupSpansStore]], [[LmCountsStore]]): state tables live as
@@ -14,16 +15,19 @@ import org.apache.spark.sql.functions.col
   *  - [[commit]] stages every table's touched buckets under
   *    `seg_staging/`, writes the journal (tmp + rename — a torn write
   *    can never masquerade as a commit), then rolls forward;
-  *  - [[recover]] finishes an interrupted swap: a committed journal
-  *    rolls FORWARD (staged dirs renamed in, "empty" buckets deleted;
-  *    idempotent — a missing staged dir means its rename already
-  *    happened), no journal rolls BACK (live state untouched, staging
-  *    discarded). Readers pass `cleanupOrphans = false` so a writer's
-  *    pre-journal staging survives a concurrent read
+  *  - [[recover]] (WRITER-only) finishes an interrupted swap: a
+  *    committed journal rolls FORWARD (staged dirs renamed in, "empty"
+  *    buckets deleted; idempotent — a missing staged dir means its
+  *    rename already happened), no journal rolls BACK (live state
+  *    untouched, staging discarded);
+  *  - READERS resolve the journal non-destructively via
+  *    [[resolvedTable]] (staged dirs read in place, nothing renamed or
+  *    deleted) — so concurrent readers can never race each other's
+  *    roll-forward or discard a writer's pre-journal staging
   *    ([[Similarity.updateIvfIndex]]'s reader/writer lesson);
   *  - a malformed journal line aborts with the store untouched.
   */
-private[operators] object SegSwap {
+private[graft] object SegSwap {
 
   private val Staging = "seg_staging"
   private val Journal = "seg_swap_journal"
@@ -32,6 +36,35 @@ private[operators] object SegSwap {
 
   def fsOf(spark: SparkSession, path: String): FileSystem =
     new HPath(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Cast an id column to the store's PINNED type before hashing.
+    * Bucket functions hash the id's physical representation
+    * (`xxhash64(int 5)` ≠ `xxhash64(long 5)`), so a continuation whose
+    * delta carries a different id dtype than the init corpus would
+    * compute different buckets and silently strand stale rows in
+    * buckets that are never read or evicted. Pinning the DDL at init
+    * and casting every incoming id to it makes bucket placement
+    * dtype-independent; an uncastable dtype fails loudly. */
+  private[operators] def castToPinned(df: DataFrame, c: String,
+      pinnedDdl: String, what: String): DataFrame = {
+    val t = StructType.fromDDL(s"x $pinnedDdl").head.dataType
+    val in = df.schema(c).dataType
+    require(org.apache.spark.sql.catalyst.expressions.Cast.canCast(in, t),
+      s"segswap: $what id column '$c' has dtype ${in.sql}, which cannot " +
+        s"cast to the store's pinned id dtype $pinnedDdl")
+    if (in == t) df else df.withColumn(c, col(c).cast(t))
+  }
+
+  /** Reset a store directory for a fresh [[init]]: remove the params
+    * marker FIRST (its absence marks the store incomplete — a crash
+    * mid-init can then never read as a complete-but-inconsistent
+    * store), plus any stale journal/staging from a previous life. */
+  private[operators] def resetForInit(fs: FileSystem, path: String,
+      paramsDir: String = "params"): Unit = {
+    fs.delete(new HPath(s"$path/$paramsDir"), true)
+    fs.delete(new HPath(s"$path/$Journal"), false)
+    fs.delete(new HPath(s"$path/$Staging"), true)
+  }
 
   /** Stage, journal, and install `touched` = (table, replacement rows
     * for the touched buckets, touched bucket set). Replacement frames
@@ -69,18 +102,30 @@ private[operators] object SegSwap {
     recover(fs, path) // the journaled roll-forward IS the swap
   }
 
-  def recover(fs: FileSystem, path: String,
-      cleanupOrphans: Boolean = true): Unit = {
+  private def journalEntries(fs: FileSystem,
+      path: String): Seq[(String, Int, Boolean)] = {
     val jDst = new HPath(s"$path/$Journal")
-    if (fs.exists(jDst)) {
-      val in = fs.open(jDst)
-      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-        finally in.close()
-      val entries = text.linesIterator.filter(_.nonEmpty).map {
-        case JournalLine(n, b, st) => (n, b.toInt, st == "staged")
-        case bad => throw new IllegalStateException(
-          s"segswap: corrupt swap journal line '$bad' in $jDst")
-      }.toSeq
+    if (!fs.exists(jDst)) return Nil
+    val in = fs.open(jDst)
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    text.linesIterator.filter(_.nonEmpty).map {
+      case JournalLine(n, b, st) => (n, b.toInt, st == "staged")
+      case bad => throw new IllegalStateException(
+        s"segswap: corrupt swap journal line '$bad' in $jDst")
+    }.toSeq
+  }
+
+  /** WRITER-side roll-forward/rollback of an interrupted swap. Only
+    * the single writer may call this — it renames/deletes live
+    * directories. Readers use [[resolvedTable]], which resolves the
+    * same journal WITHOUT mutating anything (two concurrent readers,
+    * or a reader racing the writer's commit-time recover, previously
+    * raced each other's delete/rename and could observe a bucket
+    * missing between the two). */
+  def recover(fs: FileSystem, path: String): Unit = {
+    val entries = journalEntries(fs, path)
+    if (entries.nonEmpty) {
       entries.foreach { case (n, b, staged) =>
         val live = new HPath(s"$path/$n/_b=$b")
         val stage = new HPath(s"$path/$Staging/$n/_b=$b")
@@ -91,9 +136,45 @@ private[operators] object SegSwap {
         } else if (!staged) fs.delete(live, true)
         // staged && !exists(stage): rename already happened — idempotent
       }
-      fs.delete(jDst, false)
-      fs.delete(new HPath(s"$path/$Staging"), true)
-    } else if (cleanupOrphans)
-      fs.delete(new HPath(s"$path/$Staging"), true)
+      fs.delete(new HPath(s"$path/$Journal"), false)
+    }
+    // writer-only orphan cleanup: un-journaled staging is a crashed
+    // writer's pre-commit scratch, superseded by this writer's run
+    fs.delete(new HPath(s"$path/$Staging"), true)
+  }
+
+  /** READ-ONLY view of a table under the journal: a committed-but-not-
+    * yet-installed swap is resolved by reading staged bucket dirs in
+    * place of their live counterparts (and skipping journaled "empty"
+    * buckets), without renaming or deleting anything — so any number
+    * of readers can run concurrently, and a reader can never destroy a
+    * writer's staging or race another reader's roll-forward. With no
+    * journal this is a plain live read. The residual visibility caveat
+    * is inherent to rename-based swaps: a reader OVERLAPPING the
+    * writer's install may see staged files vanish mid-scan (the store
+    * contract is single writer, readers between — not during —
+    * commits). */
+  def resolvedTable(spark: SparkSession, path: String, name: String,
+      schema: StructType): DataFrame = {
+    val fs = fsOf(spark, path)
+    val mine = journalEntries(fs, path).filter(_._1 == name)
+    val live = spark.read.schema(schema).parquet(s"$path/$name")
+    if (mine.isEmpty) return live
+    // staged buckets whose rename already happened (a writer crashed
+    // mid-install) are correct in the LIVE dir; the rest read staged
+    val (installed, pending) = mine.partition { case (_, b, staged) =>
+      staged && !fs.exists(new HPath(s"$path/$Staging/$name/_b=$b"))
+    }
+    val excluded = pending.map(_._2)
+    val liveSide =
+      if (excluded.isEmpty) live
+      else live.filter(!col("_b").isin(excluded.map(Integer.valueOf): _*))
+    val stagedDirs = pending.collect { case (_, b, true) =>
+      s"$path/$Staging/$name/_b=$b" }
+    val _ = installed // live-side rows already current for these
+    if (stagedDirs.isEmpty) liveSide
+    else liveSide.unionByName(spark.read.schema(schema)
+      .option("basePath", s"$path/$Staging/$name")
+      .parquet(stagedDirs: _*))
   }
 }

@@ -957,6 +957,57 @@ class IncrementalSpec extends SparkSpec {
       batch(after.filter(col("doc_id") =!= -5L)))
   }
 
+  test("segmented stores: delta id dtype is pinned to the init corpus's") {
+    // xxhash64(int 5) != xxhash64(long 5): an un-pinned delta with a
+    // narrower id dtype would bucket differently and strand stale rows
+    // in buckets that are never read or evicted. The store casts every
+    // incoming id to the DDL pinned at init; an uncastable dtype fails
+    // loudly instead of silently corrupting bucket placement.
+    import graft.operators.{DupSpansStore, LmCountsStore, Pipeline}
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Long, Double, Int)].collect().map(t => t._1 -> t).toMap
+    def batch(corpus: org.apache.spark.sql.DataFrame) = {
+      val out = Pipeline.dupSpanStats(corpus, "doc_id", "text", 3, 0.5)
+      val r = rows(out); out.unpersist(); r
+    }
+    val base = (1L to 16L).map(i => (i, s"pin u$i v$i w$i x$i"))
+      .toDF("doc_id", "text") // BIGINT ids
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_seg_pin").toString
+    DupSpansStore.init(spark, store, base, "doc_id", "text",
+      w = 3, maxFrac = 0.5, nBuckets = 8)
+    // the delta arrives with INT ids and INT removal ids
+    val added = Seq((20, s"pin u3 v3 w3 x3")).toDF("doc_id", "text")
+    val removed = Seq(5, 6).toDF("doc_id")
+    DupSpansStore.continueAt(spark, store, added, removed,
+      "doc_id", "text")
+    val after = base.filter(!col("doc_id").isin(5L, 6L))
+      .unionByName(Seq((20L, s"pin u3 v3 w3 x3")).toDF("doc_id", "text"))
+    assert(rows(DupSpansStore.scores(spark, store)) == batch(after),
+      "int-id delta must bucket identically to the long-id store")
+    // pruned point-reads pin too
+    assert(DupSpansStore.scoresFor(spark, store, Seq(20).toDF("doc_id"))
+      .count() == 1L)
+    // an uncastable id dtype fails loudly
+    val bad = Seq((Array(1.toByte), "x")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      DupSpansStore.continueAt(spark, store, bad,
+        Seq.empty[Long].toDF("doc_id"), "doc_id", "text")
+    }
+    // same contract on the LM store
+    val lmStore = java.nio.file.Files
+      .createTempDirectory("graft_lm_pin").toString
+    LmCountsStore.init(spark, lmStore, base, "doc_id", "text", nBuckets = 8)
+    LmCountsStore.continueAt(spark, lmStore, added, removed,
+      "doc_id", "text")
+    val audit = Seq((900L, "pin u3 v3 w3 x3")).toDF("doc_id", "text")
+    val want = Pipeline.lmScoreAgainst(after, audit, "doc_id", "text")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val got = LmCountsStore.scoreAgainst(spark, lmStore, audit,
+      "doc_id", "text").as[(Long, Long, Double, Int)].collect().toSet
+    assert(got == want, s"got=$got want=$want")
+  }
+
   test("segmented dup-span store: crash recovery honors the journal contract") {
     import graft.operators.{DupSpansStore, Pipeline}
     import java.nio.file.{Files, Paths, Path}
@@ -984,8 +1035,10 @@ class IncrementalSpec extends SparkSpec {
     assert(rows(DupSpansStore.scores(spark, store)) == want)
 
     // (b) journaled crash: staged content + committed journal, renames
-    // never ran — the next reader rolls FORWARD (staged dir installed,
-    // journal consumed) and data is intact
+    // never ran — a READER resolves the journal NON-destructively
+    // (staged dir read in place of live, nothing renamed or deleted:
+    // two concurrent readers can never race a roll-forward), and the
+    // next WRITER entry rolls forward for real
     val liveBuckets = Files.list(Paths.get(store, "spans")).toArray
       .map(_.asInstanceOf[Path].getFileName.toString)
       .filter(_.startsWith("_b=")).sorted
@@ -1004,10 +1057,17 @@ class IncrementalSpec extends SparkSpec {
     Files.write(Paths.get(store, "seg_swap_journal"),
       s"spans $b staged\nntoks 9999 empty".getBytes)
     assert(rows(DupSpansStore.scores(spark, store)) == want)
+    assert(Files.exists(Paths.get(store, "seg_swap_journal")),
+      "reader must not consume the journal (non-destructive resolve)")
+    assert(Files.exists(stage), "reader must not install staged dirs")
+    DupSpansStore.continueAt(spark, store,
+      Seq.empty[(Long, String)].toDF("doc_id", "text"),
+      Seq.empty[Long].toDF("doc_id"), "doc_id", "text")
     assert(!Files.exists(Paths.get(store, "seg_swap_journal")),
-      "journal must be consumed by roll-forward")
-    assert(!Files.exists(stage), "staged dir must be installed")
+      "writer entry must consume the journal by roll-forward")
+    assert(!Files.exists(stage), "writer entry must install staged dirs")
     assert(Files.exists(live))
+    assert(rows(DupSpansStore.scores(spark, store)) == want)
 
     // (c) corrupt journal: strict parse aborts BEFORE touching anything
     Files.write(Paths.get(store, "seg_swap_journal"),
