@@ -1,9 +1,9 @@
 package graft.algorithms
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.core.{IncrementalJob, PreservedState}
+import graft.core.{IncrementalJob, PreservedState, SegmentedStateStore}
 
 /** Incremental PageRank (A5, reference `IncrPageRank.java:26-276`):
   * a converged-and-preserved base run is continued over a graph delta,
@@ -58,6 +58,36 @@ object IncrementalPageRank {
     * @param filterThreshold F30 pruning θ; 0 = exact propagation
     * @return (node, rank) after `iterations` incremental rounds
     */
+  /** Run the base job and lay the preserved state out as a SEGMENTED
+    * durable store at `path` ([[graft.core.SegmentedStateStore]]) —
+    * the production form: repeated [[incrementalSeg]] continuations
+    * then rewrite only the buckets each delta touches, under the
+    * journaled crash contract, instead of re-materializing the whole
+    * kvs/out per continuation. */
+  def preserveTo(spark: SparkSession, path: String, edges: DataFrame,
+      damping: Double, iterations: Int, numPartitions: Int = 32,
+      nBuckets: Int = 64): Unit = {
+    val st = preserve(edges, damping, iterations, numPartitions)
+    SegmentedStateStore.init(spark, path, st, "node", nBuckets)
+    st.release()
+  }
+
+  /** Continue over the updated graph AGAINST THE STORE at `path`:
+    * reads only the frontier/touched buckets, commits only the touched
+    * buckets back (one journaled swap), and returns the post-delta
+    * ranks read from the installed store. Single concurrent writer per
+    * store; a crash mid-continuation re-runs from the intact store. */
+  def incrementalSeg(spark: SparkSession, path: String,
+      updatedEdges: DataFrame, changedSources: DataFrame, damping: Double,
+      iterations: Int, filterThreshold: Double = 0.0,
+      numPartitions: Int = 32,
+      broadcastMaxRows: Long = 4L * 1000 * 1000): DataFrame = {
+    val store = SegmentedStateStore.openForWrite(spark, path)
+    incremental(updatedEdges, store.preserved, changedSources, damping,
+      iterations, filterThreshold, numPartitions,
+      broadcastMaxRows = broadcastMaxRows, segStore = Some(store))
+  }
+
   def incremental(
       updatedEdges: DataFrame,
       preserved: PreservedState,
@@ -67,7 +97,8 @@ object IncrementalPageRank {
       filterThreshold: Double = 0.0,
       numPartitions: Int = 32,
       durableStatePath: Option[String] = None,
-      broadcastMaxRows: Long = 4L * 1000 * 1000): DataFrame = {
+      broadcastMaxRows: Long = 4L * 1000 * 1000,
+      segStore: Option[SegmentedStateStore] = None): DataFrame = {
 
     val static = PageRank.prepare(updatedEdges) // (src, dst, deg) with new degrees
 
@@ -97,7 +128,8 @@ object IncrementalPageRank {
       maxIterations = iterations,
       numPartitions = numPartitions,
       durableStatePath = durableStatePath,
-      broadcastMaxRows = broadcastMaxRows)
+      broadcastMaxRows = broadcastMaxRows,
+      segStore = segStore)
 
     IncrementalJob.finish(job.run())
   }

@@ -119,6 +119,22 @@ final case class IncrResult(out: DataFrame, kvs: DataFrame, iterations: Int,
   *                      reduces whose empty-bag rule is "keep the old
   *                      value" (KMeans' empty-cluster rule) rather than
   *                      an identity element
+  * @param segStore      SEGMENTED durable state mode ([[SegmentedStateStore]]):
+  *                      the loop's initial kvs/out segments are LAZY
+  *                      reads over the store's live bucket dirs (no
+  *                      init materialization — untouched buckets are
+  *                      never read, partition pruning serves the
+  *                      touched-bucket filters), per-iteration dirty
+  *                      segments stay in-memory leaves (a crash mid-
+  *                      loop re-runs the continuation from the intact
+  *                      store), and ONE journaled [[SegmentedStateStore.commit]]
+  *                      at loop end rewrites exactly the buckets the
+  *                      loop touched — delta-proportional durable
+  *                      writes, the round-8 DupSpansStore discipline on
+  *                      the engine's own F27-F31 state. When set,
+  *                      `preserved` and `durableStatePath` are ignored
+  *                      (pass `segStore.get.preserved` for clarity) and
+  *                      `stateBuckets` is the store's bucket count.
   */
 final class IncrementalJob(
     updatedStatic: DataFrame,
@@ -139,7 +155,8 @@ final class IncrementalJob(
     stateBuckets: Int = 32,
     broadcastMaxRows: Long = 4L * 1000 * 1000,
     compactionInterval: Int = 4,
-    durableStatePath: Option[String] = None) {
+    durableStatePath: Option[String] = None,
+    segStore: Option[SegmentedStateStore] = None) {
 
   require(projectKind != ProjectKind.One2Mul || backProject.isDefined,
     "One2Mul needs backProject: moved k2 keys -> dependent sk keys")
@@ -210,7 +227,7 @@ final class IncrementalJob(
   private var segCounter = 0L
   private def materialize(df: DataFrame,
       durable: Boolean = false): (DataFrame, Long, () => Unit) =
-    durableStatePath match {
+    (if (segStore.isDefined) None else durableStatePath) match {
       case Some(dir) if durable =>
         val path = s"$dir/seg-$segCounter"
         segCounter += 1
@@ -230,8 +247,16 @@ final class IncrementalJob(
   private def runLoop(n: Int): IncrResult = {
     val static = updatedStatic.repartition(n, col(skCol))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val B = stateBuckets
-    def bucketOf(c: Column): Column = pmod(xxhash64(c), lit(B.toLong)).cast("int")
+    // store mode: the bucket fn and count MUST be the store's (same
+    // hash, same B, key dtype pinned) or touched-bucket bookkeeping
+    // and the final commit would disagree with the files on disk
+    val B = segStore.map(_.nBuckets).getOrElse(stateBuckets)
+    def bucketOf(c: Column): Column = segStore match {
+      case Some(st) => st.bucketOf(c)
+      case None => pmod(xxhash64(c), lit(B.toLong)).cast("int")
+    }
+    def pinK2(df: DataFrame): DataFrame =
+      segStore.map(_.pinKey(df)).getOrElse(df)
 
     // ---- segmented, bucketed state store --------------------------------
     // The preserved state (keyed by the OUTPUT key k2) lives as a list of
@@ -258,11 +283,21 @@ final class IncrementalJob(
     // superseded segment per iteration; without the release, every
     // superseded segment's blocks linger for the whole run (the round-4
     // bench variance source).
-    case class Seg(df: DataFrame, buckets: Set[Int], release: () => Unit)
-    def initStore(df: DataFrame, label: String): List[Seg] = timed(label) {
-      val (leaf, _, rel) = materialize(df.repartition(n, col(k2Col))
-        .withColumn("_b", bucketOf(col(k2Col))), durable = true)
-      List(Seg(leaf, (0 until B).toSet, rel))
+    case class Seg(df: DataFrame, buckets: Set[Int], release: () => Unit,
+        base: Boolean = false)
+    def initStore(df: DataFrame, label: String): List[Seg] = segStore match {
+      // store mode: the base segment is a LAZY read over the store's
+      // live bucket dirs — nothing is materialized, and the loop's
+      // touched-bucket filters become parquet partition pruning, so a
+      // small delta never even READS the untouched state
+      case Some(st) =>
+        val base = if (label.contains("kvs")) st.kvs else st.out
+        List(Seg(base, (0 until B).toSet, () => (), base = true))
+      case None => timed(label) {
+        val (leaf, _, rel) = materialize(df.repartition(n, col(k2Col))
+          .withColumn("_b", bucketOf(col(k2Col))), durable = true)
+        List(Seg(leaf, (0 until B).toSet, rel))
+      }
     }
     def unionSegs(segs: List[Seg]): DataFrame = segs.map(_.df).reduce(_ unionByName _)
     def scanAll(segs: List[Seg]): DataFrame = unionSegs(segs).drop("_b")
@@ -270,8 +305,8 @@ final class IncrementalJob(
       * bucket are skipped, fully-touched segments scan unfiltered. */
     def scanTouched(segs: List[Seg], touched: Set[Int], isTouched: Column): DataFrame =
       segs.collect {
-        case Seg(df, bs, _) if bs.subsetOf(touched) => df
-        case Seg(df, bs, _) if (bs & touched).nonEmpty => df.filter(isTouched)
+        case Seg(df, bs, _, _) if bs.subsetOf(touched) => df
+        case Seg(df, bs, _, _) if (bs & touched).nonEmpty => df.filter(isTouched)
       }.reduce(_ unionByName _)
     /** `segs` minus `touched` buckets: dead segments are dropped AND
       * their leaves released (the superseding dirty segment is already
@@ -280,14 +315,18 @@ final class IncrementalJob(
       * their parent leaf's release thunk. */
     def dropTouched(segs: List[Seg], touched: Set[Int], isTouched: Column): List[Seg] =
       segs.flatMap {
-        case Seg(_, bs, rel) if bs.subsetOf(touched) => rel(); None
-        case s @ Seg(_, bs, _) if (bs & touched).isEmpty => Some(s)
-        case Seg(df, bs, rel) => Some(Seg(df.filter(!isTouched), bs -- touched, rel))
+        case Seg(_, bs, rel, _) if bs.subsetOf(touched) => rel(); None
+        case s @ Seg(_, bs, _, _) if (bs & touched).isEmpty => Some(s)
+        case Seg(df, bs, rel, b) =>
+          Some(Seg(df.filter(!isTouched), bs -- touched, rel, b))
       }
 
     var kvsSegs = initStore(preserved.kvs, "init kvs store")
     var outSegs = initStore(preserved.out, "init out store")
     var sinceCompact = 0
+    // store mode: union of every iteration's touched buckets — exactly
+    // the buckets whose live dirs the final commit must replace
+    var cumTouched = Set.empty[Int]
 
     // ---- scratch-leaf lifecycle ----------------------------------------
     // Frontier/affected/fresh leaves are dead one iteration after they
@@ -340,8 +379,19 @@ final class IncrementalJob(
       // sized rows; One2Mul — a source reads a SET of outputs and the
       // mapContribs join selects exactly the ones it needs)
       val dynF = projectKind match {
-        case ProjectKind.One2One => outToDyn(
-          scanAll(outSegs).join(fk, col(k2Col) === col("_fk")).drop("_fk"))
+        case ProjectKind.One2One =>
+          // One2One: the mapper only reads the frontier keys' own
+          // values, which live in the frontier keys' buckets — in
+          // store mode that bucket set prunes the parquet scan to
+          // O(frontier) partitions instead of the whole out state
+          // (O(frontier) driver ints, like the touched set below)
+          val outScan = if (segStore.isEmpty) scanAll(outSegs) else {
+            val fb = frontier.select(bucketOf(col(skCol)).as("_b"))
+              .distinct().collect().map(_.getInt(0)).toSet
+            scanTouched(outSegs, fb,
+              col("_b").isin(fb.toSeq.map(Integer.valueOf): _*)).drop("_b")
+          }
+          outToDyn(outScan.join(fk, col(k2Col) === col("_fk")).drop("_fk"))
         case _ => outToDyn(scanAll(outSegs))
       }
 
@@ -352,7 +402,10 @@ final class IncrementalJob(
       // payloads. Affected keys = distinct k2 of the union — both
       // sides of the old two-job fresh/affected split, with the full
       // kvs probe paid once instead of twice.
-      val freshPlan = mapContribs(staticF, dynF)
+      // store mode pins the fresh keys' dtype to the store's (bucket
+      // hashes are dtype-sensitive, and a widening union would change
+      // the staged table's schema out from under the pinned DDL)
+      val freshPlan = pinK2(mapContribs(staticF, dynF))
       val payloadCols = freshPlan.schema.fields.filter(_.name != k2Col)
       val oldKeyRows = scanAll(kvsSegs)
         .join(fk, col(skCol) === col("_fk"), "left_semi")
@@ -375,6 +428,7 @@ final class IncrementalJob(
         // bucket ids holding affected keys — at most B values, driver-tiny
         val touched = affected.select(bucketOf(col("_aff")).as("_b")).distinct()
           .collect().map(_.getInt(0)).toSet
+        cumTouched ++= touched
         val isTouched = col("_b").isin(touched.toSeq.map(Integer.valueOf): _*)
 
         // MRBGraph merge: copy ONLY touched-bucket rows into a new dirty
@@ -416,7 +470,7 @@ final class IncrementalJob(
             col(k2Col) === col(s"_old_$k2Col"), "left").drop(s"_old_$k2Col")
         }
         val newOutPlan =
-          reduce(affectedForReduce, kvsAffected)
+          pinK2(reduce(affectedForReduce, kvsAffected))
             .withColumn("_b", bucketOf(col(k2Col)))
         val dirtyOut = {
           val (leaf, _, rel) = timed(s"iter $i reduce+out (${touched.size}/$B buckets)")(
@@ -460,7 +514,9 @@ final class IncrementalJob(
           // the reduce output as a view over the dirty segment leaf
           val newOut = dirtyOut.df
             .join(aff, col(k2Col) === col("_aff"), "left_semi")
-          val old = scanAll(outSegs)
+          // pre-update values of affected keys live in touched buckets
+          // by construction — prune the old-side scan to them
+          val old = scanTouched(outSegs, touched, isTouched).drop("_b")
             .select(col(k2Col).as("_ok"), struct(col("*")).as("_old"))
           val neu = newOut.drop("_b")
             .select(col(k2Col), struct(col("*")).as("_new"))
@@ -480,12 +536,22 @@ final class IncrementalJob(
         sinceCompact += 1
         if (sinceCompact >= compactionInterval &&
             (kvsSegs.length > 1 || outSegs.length > 1)) {
+          // store mode: compact only the DIRTY segments (in-memory
+          // leaves over touched buckets) — folding the lazy base view
+          // in would materialize the whole store, the very corpus-
+          // width copy this mode exists to avoid. The base view's
+          // filter stack is bounded by compactionInterval.
           def compact(segs: List[Seg], label: String): List[Seg] = {
-            val (leaf, _, rel) = timed(label)(
-              materialize(unionSegs(segs).repartition(n, col(k2Col)),
-                durable = true))
-            segs.foreach(_.release())
-            List(Seg(leaf, (0 until B).toSet, rel))
+            val (baseSegs, dirty) = segs.partition(_.base)
+            if (dirty.length <= 1) segs else {
+              val (leaf, _, rel) = timed(label)(
+                materialize(unionSegs(dirty).repartition(n, col(k2Col)),
+                  durable = true))
+              dirty.foreach(_.release())
+              val bs = if (baseSegs.isEmpty) (0 until B).toSet
+                else dirty.flatMap(_.buckets).toSet
+              baseSegs :+ Seg(leaf, bs, rel)
+            }
           }
           kvsSegs = compact(kvsSegs, s"iter $i compact kvs")
           outSegs = compact(outSegs, s"iter $i compact out")
@@ -505,15 +571,36 @@ final class IncrementalJob(
     scratchPrev.foreach(_.apply())
     scratchCur.foreach(_.apply())
     allSourcesRelease()
-    val finalKvs = kvsSegs
-    val finalOut = outSegs
-    // In-memory mode this unpersists every remaining segment leaf; in
-    // durable mode the final segment dirs are KEPT (they are the
-    // preserved artifact) — their release thunks delete files, so they
-    // are intentionally not invoked here.
-    val release: () => Unit = () =>
-      if (durableStatePath.isEmpty) (finalKvs ++ finalOut).foreach(_.release())
-    IncrResult(scanAll(finalOut), scanAll(finalKvs), i, release)
+    segStore match {
+      case Some(st) =>
+        // ONE journaled commit installs the continuation: replacement
+        // rows for exactly the buckets the loop touched. The dirty
+        // segments (in-memory leaves) hold only touched-bucket rows by
+        // construction, and the base view holds none of them (every
+        // touched bucket was filtered out of it when it was touched),
+        // so the union of non-base segments IS the replacement content
+        // — the untouched state is neither read nor written.
+        if (cumTouched.nonEmpty)
+          timed(s"segstore commit (${cumTouched.size}/$B buckets)")(
+            st.commit(
+              unionSegs(kvsSegs.filterNot(_.base)),
+              unionSegs(outSegs.filterNot(_.base)), cumTouched))
+        // the returned frames read the INSTALLED store — the loop's
+        // leaves are all releasable scratch now
+        val segs = kvsSegs ++ outSegs
+        IncrResult(st.out.drop("_b"), st.kvs.drop("_b"), i,
+          () => segs.foreach(_.release()))
+      case None =>
+        val finalKvs = kvsSegs
+        val finalOut = outSegs
+        // In-memory mode this unpersists every remaining segment leaf;
+        // in durable mode the final segment dirs are KEPT (they are the
+        // preserved artifact) — their release thunks delete files, so
+        // they are intentionally not invoked here.
+        val release: () => Unit = () =>
+          if (durableStatePath.isEmpty) (finalKvs ++ finalOut).foreach(_.release())
+        IncrResult(scanAll(finalOut), scanAll(finalKvs), i, release)
+    }
   }
 }
 

@@ -1,0 +1,156 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+import graft.operators.SegSwap
+
+/** SEGMENTED durable form of the generic incremental core's
+  * [[PreservedState]] — the [[graft.operators.DupSpansStore]] /
+  * [[graft.operators.LmCountsStore]] touched-bucket layout applied to
+  * the engine's own F27-F31 preserve store (`kvs`/`out`), so the
+  * flagship continuations (incremental PageRank's ranks, GIM-V's
+  * vector, KMeans' centers) get delta-proportional durable writes with
+  * the same journaled crash contract.
+  *
+  * Why: [[PreservedState.write]] is a wholesale overwrite, and a loop
+  * run with `durableStatePath` re-materializes the WHOLE kvs/out as
+  * its first durable segment on every continuation — corpus-width
+  * write cost no matter how small the delta. Here the state lives as
+  * Parquet PARTITIONED by a key-hash bucket `_b =
+  * pmod(xxhash64(k2), B)`, the loop's initial segments are LAZY reads
+  * over the live bucket dirs (untouched buckets are never even read,
+  * thanks to partition pruning on the loop's touched-bucket filters),
+  * and one [[SegSwap]] commit at the end of the continuation rewrites
+  * ONLY the buckets the loop touched. Untouched bucket files keep
+  * their exact bytes and mtimes (spec-asserted). Reference analog: the
+  * preserve store is rewritten per reduce partition, not wholesale
+  * (`incr-hadoop-0.1/src/mapred/.../ReduceTask.java:3504-3691`,
+  * `IFile.java:478-800`).
+  *
+  * Crash contract (the shared [[SegSwap]] one): a continuation stages
+  * every touched bucket, then one atomically-renamed journal commits
+  * the two-table swap; a crash before the journal rolls back (live
+  * state untouched — the continuation simply re-runs), after it rolls
+  * forward. Readers resolve an uninstalled commit non-destructively
+  * ([[SegSwap.resolvedTable]]). Single concurrent writer.
+  *
+  * The key column's dtype is PINNED at init (bucket hashes are
+  * dtype-sensitive); the loop casts every fresh key to it before
+  * hashing, so a continuation whose reduce emits a narrower key type
+  * cannot silently mis-bucket.
+  */
+final class SegmentedStateStore private[core] (
+    spark: SparkSession, val path: String, val k2Col: String,
+    val nBuckets: Int, k2Ddl: String, kvsDdl: String, outDdl: String) {
+
+  private val k2Type = StructType.fromDDL(s"x $k2Ddl").head.dataType
+
+  /** The store's bucket function — pins the key dtype before hashing
+    * so bucket placement is dtype-drift-proof. */
+  def bucketOf(c: Column): Column = {
+    val pinned = if (k2Type == org.apache.spark.sql.types.NullType) c
+      else c.cast(k2Type)
+    pmod(xxhash64(pinned), lit(nBuckets.toLong)).cast("int")
+  }
+
+  /** Cast a loop frame's key column to the pinned dtype (no-op when it
+    * already matches; loud failure when uncastable). */
+  def pinKey(df: DataFrame): DataFrame =
+    SegSwap.castToPinned(df, k2Col, k2Ddl, s"segmented state at $path")
+
+  /** Journal-resolved reads — `_b` included (the loop's segment
+    * manifests want it; [[preserved]] drops it for plain consumers). */
+  def kvs: DataFrame =
+    SegSwap.resolvedTable(spark, path, "kvs", StructType.fromDDL(kvsDdl))
+  def out: DataFrame =
+    SegSwap.resolvedTable(spark, path, "out", StructType.fromDDL(outDdl))
+
+  /** The store as a plain [[PreservedState]] view (lazy, no copies). */
+  def preserved: PreservedState = PreservedState(kvs.drop("_b"), out.drop("_b"))
+
+  /** Install the continuation's result: replacement rows (must carry
+    * `_b`) for exactly the `touched` buckets of both tables, staged
+    * and swapped under one journal. The frames MUST be materialized
+    * leaves — the swap retires the very files a lazy plan over [[kvs]]
+    * /[[out]] would re-read. No-op when nothing was touched. */
+  private[core] def commit(kvsRows: DataFrame, outRows: DataFrame,
+      touched: Set[Int]): Unit =
+    SegSwap.commit(spark, path,
+      Seq(("kvs", kvsRows, touched), ("out", outRows, touched)))
+}
+
+object SegmentedStateStore {
+
+  private def writeParams(spark: SparkSession, path: String, k2Col: String,
+      b: Int, k2Ddl: String, kvsDdl: String, outDdl: String): Unit =
+    spark.createDataFrame(Seq((k2Col, b, k2Ddl, kvsDdl, outDdl)))
+      .toDF("k2Col", "b", "k2Ddl", "kvsDdl", "outDdl")
+      .write.mode("overwrite").parquet(s"$path/params")
+
+  /** Lay a converged run's preserved state out as the bucket-
+    * partitioned store. `nBuckets` trades rewrite granularity against
+    * file count — at 100 TB one bucket should hold O(executor-task)
+    * bytes, so thousands; the default suits the test scales. */
+  def init(spark: SparkSession, path: String, state: PreservedState,
+      k2Col: String, nBuckets: Int = 64): Unit = {
+    // params (the completeness marker) removed FIRST on re-init: a
+    // crash mid-init must read as incomplete (the store-family rule)
+    SegSwap.resetForInit(SegSwap.fsOf(spark, path), path)
+    val k2Ddl = state.out.schema(k2Col).dataType.sql
+    val bucket = pmod(xxhash64(col(k2Col)), lit(nBuckets.toLong)).cast("int")
+    var ddl = Map.empty[String, String]
+    Seq("kvs" -> state.kvs, "out" -> state.out).foreach { case (n, df) =>
+      val withB = df.withColumn("_b", bucket)
+      ddl += n -> withB.schema.toDDL
+      // repartition on the bucket key first: each bucket is one task's
+      // contiguous write (the tasks-x-buckets small-file lesson)
+      withB.repartition(col("_b")).write.mode("overwrite")
+        .partitionBy("_b").parquet(s"$path/$n")
+    }
+    writeParams(spark, path, k2Col, nBuckets, k2Ddl, ddl("kvs"), ddl("out"))
+  }
+
+  private def open(spark: SparkSession, path: String): SegmentedStateStore = {
+    val r = spark.read.parquet(s"$path/params").collect()(0)
+    new SegmentedStateStore(spark, path, r.getString(0), r.getInt(1),
+      r.getString(2), r.getString(3), r.getString(4))
+  }
+
+  /** Open for the single WRITER (an incremental continuation): rolls
+    * any interrupted swap forward first, so the continuation starts
+    * from installed state and staging is clean for its own commit. */
+  def openForWrite(spark: SparkSession, path: String): SegmentedStateStore = {
+    SegSwap.recover(spark, path)
+    open(spark, path)
+  }
+
+  /** Open read-only: never mutates — an uninstalled commit is resolved
+    * through the journal on every read. */
+  def openForRead(spark: SparkSession, path: String): SegmentedStateStore =
+    open(spark, path)
+
+  /** Journaled COMPACTION: rewrite every bucket of both tables in one
+    * crash-safe swap, merging each bucket's accreted files (repeated
+    * continuations append one file per touched bucket per commit) back
+    * to one contiguous file per bucket. Content-invariant by
+    * construction — same rows, same buckets, fewer files; the
+    * [[SegSwap]] journal gives the same roll-forward/rollback contract
+    * as a continuation, so a crash mid-compact never loses state. */
+  def compact(spark: SparkSession, path: String): Unit = {
+    val store = openForWrite(spark, path) // recover ran: live dirs are truth
+    val fs = SegSwap.fsOf(spark, path)
+    def liveBuckets(table: String): Set[Int] = {
+      val dir = new org.apache.hadoop.fs.Path(s"$path/$table")
+      if (!fs.exists(dir)) Set.empty
+      else fs.listStatus(dir).toSeq.map(_.getPath.getName)
+        .collect { case n if n.startsWith("_b=") =>
+          n.stripPrefix("_b=").toInt }.toSet
+    }
+    // the union of both tables' buckets: a bucket present in only one
+    // table still journals for the other (its "empty" line is a no-op)
+    val touched = liveBuckets("kvs") ++ liveBuckets("out")
+    if (touched.nonEmpty) store.commit(store.kvs, store.out, touched)
+  }
+}

@@ -195,9 +195,8 @@ object DupSpansStore {
   def continueAt(spark: SparkSession, path: String, addedDocs0: DataFrame,
       removedIds0: DataFrame, idCol: String, textCol: String): Unit = {
     graft.functions.GraftFunctions.register(spark)
-    val fs = SegSwap.fsOf(spark, path)
     val p = readParams(spark, path)
-    SegSwap.recover(fs, path)
+    SegSwap.recover(spark, path)
     val B = p.b
     val intern = new IncrMat.Tracker
 
@@ -322,7 +321,7 @@ object DupSpansStore {
         docBucket(col("doc_id"), p))))
 
     // ---- stage, journal, swap ([[SegSwap]]) ---------------------------
-    SegSwap.commit(fs, path, Seq(
+    SegSwap.commit(spark, path, Seq(
       ("spans", spansNextT, td), ("ntoks", ntoksNextT, td),
       ("dfreq", dfreqNextT, ts), ("out", outNextT, ao)))
     intern.releaseAll()

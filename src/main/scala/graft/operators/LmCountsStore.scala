@@ -108,9 +108,8 @@ object LmCountsStore {
   def continueAt(spark: SparkSession, path: String, addedDocs0: DataFrame,
       removedIds0: DataFrame, idCol: String, textCol: String): Unit = {
     graft.functions.GraftFunctions.register(spark)
-    val fs = SegSwap.fsOf(spark, path)
     val p = readParams(spark, path)
-    SegSwap.recover(fs, path)
+    SegSwap.recover(spark, path)
     // pin the delta's id dtype to the init corpus's before bucketing
     val addedDocs = SegSwap.castToPinned(addedDocs0, idCol, p.idDdl,
       "continueAt addedDocs")
@@ -163,7 +162,7 @@ object LmCountsStore {
         .withColumn("_b", tokBucket(p.b, kcols: _*)))
       Seq((doc, nextT, td), (agg, aggNextT, tb))
     }
-    SegSwap.commit(fs, path,
+    SegSwap.commit(spark, path,
       roll("unidoc", "uni", Seq("w"), addUni) ++
         roll("bidoc", "bi", Seq("a", "b"), addBi))
     intern.releaseAll()

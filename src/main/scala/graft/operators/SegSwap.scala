@@ -45,7 +45,7 @@ private[graft] object SegSwap {
     * buckets that are never read or evicted. Pinning the DDL at init
     * and casting every incoming id to it makes bucket placement
     * dtype-independent; an uncastable dtype fails loudly. */
-  private[operators] def castToPinned(df: DataFrame, c: String,
+  private[graft] def castToPinned(df: DataFrame, c: String,
       pinnedDdl: String, what: String): DataFrame = {
     val t = StructType.fromDDL(s"x $pinnedDdl").head.dataType
     val in = df.schema(c).dataType
@@ -59,7 +59,7 @@ private[graft] object SegSwap {
     * marker FIRST (its absence marks the store incomplete — a crash
     * mid-init can then never read as a complete-but-inconsistent
     * store), plus any stale journal/staging from a previous life. */
-  private[operators] def resetForInit(fs: FileSystem, path: String,
+  private[graft] def resetForInit(fs: FileSystem, path: String,
       paramsDir: String = "params"): Unit = {
     fs.delete(new HPath(s"$path/$paramsDir"), true)
     fs.delete(new HPath(s"$path/$Journal"), false)
@@ -70,10 +70,20 @@ private[graft] object SegSwap {
     * for the touched buckets, touched bucket set). Replacement frames
     * MUST be materialized (lineage-free leaves) before the call — the
     * swap retires the very files a lazy plan would re-read. No-op when
-    * nothing is touched. */
-  def commit(fs: FileSystem, path: String,
+    * nothing is touched.
+    *
+    * Ends with `refreshByPath`: a swap REPLACES files under `path`, and
+    * Spark's CacheManager matches new reads against still-cached plans
+    * by canonicalized equality — a caller that cached the store's
+    * content before the swap (e.g. a chained continuation's finish())
+    * would silently get the PRE-swap rows back on its next
+    * identically-shaped read (found by the chained-continuation spec:
+    * "Asked to cache already cached data", stale ranks). Refreshing the
+    * path invalidates and recaches every plan that reads it. */
+  def commit(spark: SparkSession, path: String,
       touched: Seq[(String, DataFrame, Set[Int])]): Unit = {
     if (!touched.exists(_._3.nonEmpty)) return
+    val fs = fsOf(spark, path)
     fs.delete(new HPath(s"$path/$Staging"), true)
     touched.foreach { case (n, df, bs) =>
       // repartition on the bucket key first: without it every shuffle
@@ -100,6 +110,15 @@ private[graft] object SegSwap {
     require(fs.rename(jTmp, jDst),
       s"segswap: could not commit swap journal $jDst")
     recover(fs, path) // the journaled roll-forward IS the swap
+    spark.catalog.refreshByPath(path)
+  }
+
+  /** Writer-entry recovery with the same cache hygiene as [[commit]]:
+    * a roll-forward can replace files, so cached plans over `path`
+    * must be refreshed here too. */
+  def recover(spark: SparkSession, path: String): Unit = {
+    recover(fsOf(spark, path), path)
+    spark.catalog.refreshByPath(path)
   }
 
   private def journalEntries(fs: FileSystem,

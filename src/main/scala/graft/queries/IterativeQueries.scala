@@ -460,6 +460,33 @@ object IterativeQueries {
           iterations = 3, filterThreshold = 0.0)
           .select(col("node"), round(col("rank"), 6).as("rank"))
       },
+      Some(incrPagerankSql(4, 3))),
+
+    // The SEGMENTED durable form of the same continuation
+    // ([[graft.core.SegmentedStateStore]]): the preserved kvs/out live
+    // as bucket-partitioned parquet, the loop's base segments are lazy
+    // pruned reads over the live bucket dirs, and ONE journaled swap
+    // installs exactly the touched buckets (untouched files keep their
+    // bytes/mtimes — spec-asserted). Identical delta and identical
+    // exact unrolled-SQL oracle as q_incr_pagerank: the store machinery
+    // must be result-invisible.
+    Q("q_incr_pagerank_seg",
+      (s, dir) => {
+        val edges1 = sparkEdges(s, dir)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val ncust = Q.t(s, dir, "customer").count()
+        val store = java.nio.file.Files
+          .createTempDirectory("graft_pr_seg_gate").toString
+        IncrementalPageRank.preserveTo(s, store, edges1, 0.8,
+          iterations = 4, nBuckets = 64)
+        val chg = edges1.filter(col("src") % 10 === 3).select("src").distinct()
+        val added = chg.select(col("src"),
+          (lit(1L) + (col("src") * 11 + 5) % lit(ncust)).as("dst"))
+        val edges2 = edges1.filter(col("src") % 10 =!= 3).unionByName(added)
+        IncrementalPageRank.incrementalSeg(s, store, edges2, chg, 0.8,
+          iterations = 3, filterThreshold = 0.0)
+          .select(col("node"), round(col("rank"), 6).as("rank"))
+      },
       Some(incrPagerankSql(4, 3)))
   )
 }

@@ -957,6 +957,99 @@ class IncrementalSpec extends SparkSpec {
       batch(after.filter(col("doc_id") =!= -5L)))
   }
 
+  test("segmented preserved state: exact, delta-proportional, untouched files intact") {
+    import graft.core.SegmentedStateStore
+    // two far-apart components: a chain the delta perturbs and a large
+    // clique-ish blob it never reaches — with 64 buckets, the blob's
+    // nodes dominate most buckets, so a 2-hop continuation must leave
+    // most bucket files byte-identical
+    val chain = (0L until 6L).map(i => (100L + i, 101L + i))
+    val blob = (for (i <- 0L until 40L; j <- Seq((i * 7 + 1) % 40, (i * 3 + 2) % 40)
+      if i != j) yield (i, j)).distinct
+    val edges1 = (chain ++ blob).toDF("src", "dst")
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_pr_seg").toString
+    IncrementalPageRank.preserveTo(spark, store, edges1, 0.8,
+      iterations = 4, nBuckets = 64)
+    // in-memory twin of the same preserve for exact equivalence
+    val st0 = IncrementalPageRank.preserve(edges1, 0.8, iterations = 4)
+
+    // delta: node 100 re-points its edge (chain head) — the 2-iteration
+    // frontier reaches {101-ish} then one hop more, never the blob
+    val edges2 = edges1.filter(col("src") =!= 100L)
+      .unionByName(Seq((100L, 103L)).toDF("src", "dst"))
+    val chg = Seq(100L).toDF("src")
+    def listing(table: String) = {
+      val root = java.nio.file.Paths.get(store, table)
+      val st = java.nio.file.Files.walk(root)
+      try st.filter(p => java.nio.file.Files.isRegularFile(p)).toArray.map { p0 =>
+        val p = p0.asInstanceOf[java.nio.file.Path]
+        (root.relativize(p).toString,
+          java.nio.file.Files.getLastModifiedTime(p).toMillis)
+      }.toMap finally st.close()
+    }
+    val beforeKvs = listing("kvs"); val beforeOut = listing("out")
+    val gotSeg = IncrementalPageRank.incrementalSeg(spark, store,
+      edges2, chg, 0.8, iterations = 2, filterThreshold = 0.0)
+      .as[(Long, Double)].collect().toMap
+    val gotMem = IncrementalPageRank.incremental(edges2, st0, chg, 0.8,
+      iterations = 2, filterThreshold = 0.0)
+      .as[(Long, Double)].collect().toMap
+    assert(gotSeg.keySet == gotMem.keySet)
+    for (k <- gotSeg.keySet)
+      assert(math.abs(gotSeg(k) - gotMem(k)) < 1e-12,
+        s"node $k seg=${gotSeg(k)} mem=${gotMem(k)}")
+
+    // delta-proportionality, the point of the store: most bucket files
+    // were neither rewritten nor touched (byte-identical mtimes)
+    for ((table, before) <- Seq("kvs" -> beforeKvs, "out" -> beforeOut)) {
+      val after = listing(table)
+      val unchanged = before.count { case (f, mt) => after.get(f).contains(mt) }
+      assert(unchanged > before.size / 2,
+        s"$table: only $unchanged/${before.size} files untouched — " +
+          "continuation rewrote more than the touched buckets")
+      assert(after.exists { case (f, mt) => !before.get(f).contains(mt) },
+        s"$table: nothing rewritten — the delta must touch SOME bucket")
+    }
+
+    // chained continuation through the store == the in-memory loop
+    // started from a SNAPSHOT of the committed post-delta-1 state
+    // (localCheckpoint detaches the snapshot from the files the second
+    // seg run is about to replace) — verifies the store machinery
+    // (lazy base, pruned reads, journaled commit) round-trips the
+    // literal MRBGraph state, not a re-derivation of it
+    val edges3 = edges2.filter(col("src") =!= 102L)
+      .unionByName(Seq((102L, 105L)).toDF("src", "dst"))
+    val chg2 = Seq(102L).toDF("src")
+    val st1 = {
+      val s = SegmentedStateStore.openForRead(spark, store).preserved
+      graft.core.PreservedState(
+        s.kvs.localCheckpoint(true), s.out.localCheckpoint(true))
+    }
+    val gotSeg2 = IncrementalPageRank.incrementalSeg(spark, store,
+      edges3, chg2, 0.8, iterations = 2, filterThreshold = 0.0)
+      .as[(Long, Double)].collect().toMap
+    val gotMem2 = IncrementalPageRank.incremental(edges3, st1, chg2, 0.8,
+      iterations = 2, filterThreshold = 0.0)
+      .as[(Long, Double)].collect().toMap
+    assert(gotSeg2.keySet == gotMem2.keySet)
+    for (k <- gotSeg2.keySet)
+      assert(math.abs(gotSeg2(k) - gotMem2(k)) < 1e-12,
+        s"chained node $k seg=${gotSeg2(k)} mem=${gotMem2(k)}")
+
+    // compact: content-invariant, one file per live bucket dir
+    SegmentedStateStore.compact(spark, store)
+    val postCompact = SegmentedStateStore.openForRead(spark, store)
+      .preserved.out.as[(Long, Double)].collect().toMap
+    assert(postCompact == gotSeg2, "compact must not change content")
+    val outFiles = listing("out")
+    val byBucket = outFiles.keys.filter(_.endsWith(".parquet"))
+      .groupBy(_.split("/")(0))
+    assert(byBucket.values.forall(_.size == 1),
+      s"compact must leave one file per bucket: $byBucket")
+    st0.release(); st1.release()
+  }
+
   test("segmented stores: delta id dtype is pinned to the init corpus's") {
     // xxhash64(int 5) != xxhash64(long 5): an un-pinned delta with a
     // narrower id dtype would bucket differently and strand stale rows
