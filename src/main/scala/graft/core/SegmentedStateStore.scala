@@ -113,7 +113,8 @@ object SegmentedStateStore {
   }
 
   private def open(spark: SparkSession, path: String): SegmentedStateStore = {
-    val r = spark.read.parquet(s"$path/params").collect()(0)
+    val dir = SegSwap.resolvedDirPath(SegSwap.fsOf(spark, path), path, "params")
+    val r = spark.read.parquet(dir).collect()(0)
     new SegmentedStateStore(spark, path, r.getString(0), r.getInt(1),
       r.getString(2), r.getString(3), r.getString(4))
   }

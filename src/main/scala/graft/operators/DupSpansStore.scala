@@ -79,15 +79,23 @@ object DupSpansStore {
   private case class Params(w: Int, maxFrac: Double, b: Int,
       mode: String, span: Long, idDdl: String, ddl: Map[String, String])
 
-  private def writeParams(spark: SparkSession, path: String, p: Params): Unit =
+  private def writeParamsTo(spark: SparkSession, dst: String,
+      p: Params): Unit =
     spark.createDataFrame(Seq((p.w, p.maxFrac, p.b, p.mode, p.span, p.idDdl,
         p.ddl("spans"), p.ddl("ntoks"), p.ddl("dfreq"), p.ddl("out"))))
       .toDF("w", "maxFrac", "b", "mode", "span", "idDdl",
         "spansDdl", "ntoksDdl", "dfreqDdl", "outDdl")
-      .write.mode("overwrite").parquet(s"$path/params")
+      .write.mode("overwrite").parquet(dst)
 
+  private def writeParams(spark: SparkSession, path: String, p: Params): Unit =
+    writeParamsTo(spark, s"$path/params", p)
+
+  /** Journal-aware ([[SegSwap.resolvedDirPath]]): a committed-but-
+    * uninstalled rebucket's NEW params are visible to readers without
+    * mutating anything. */
   private def readParams(spark: SparkSession, path: String): Params = {
-    val r = spark.read.parquet(s"$path/params").collect()(0)
+    val dir = SegSwap.resolvedDirPath(SegSwap.fsOf(spark, path), path, "params")
+    val r = spark.read.parquet(dir).collect()(0)
     Params(r.getInt(0), r.getDouble(1), r.getInt(2), r.getString(3),
       r.getLong(4), r.getString(5), Map(
         "spans" -> r.getString(6), "ntoks" -> r.getString(7),
@@ -325,5 +333,65 @@ object DupSpansStore {
       ("spans", spansNextT, td), ("ntoks", ntoksNextT, td),
       ("dfreq", dfreqNextT, ts), ("out", outNextT, ao)))
     intern.releaseAll()
+  }
+
+  /** Journaled RE-BUCKETING — the segmented-store lifecycle operation:
+    * migrate the doc-bucket layout (nBuckets / hash↔range / rangeSpan)
+    * in ONE crash-safe swap. Content-invariant: every table's rows are
+    * re-hashed into the new layout, old bucket dirs outside it are
+    * journaled "empty" (deleted on roll-forward), and the NEW params
+    * install atomically with the data through a `dir` journal line —
+    * a crash can never leave readers deriving buckets with the wrong
+    * B. This is how an operator bounds range-mode bucket growth (a
+    * year of shard appends → re-span), fixes an under-provisioned
+    * nBuckets, or flips an append-shaped store to hash once its ids
+    * stop being contiguous. */
+  def rebucket(spark: SparkSession, path: String, nBuckets: Int,
+      bucketMode: String = "hash", rangeSpan: Long = 0L): Unit = {
+    require(bucketMode == "hash" || bucketMode == "range",
+      s"dupspans: unknown bucketMode '$bucketMode'")
+    require(bucketMode == "hash" || rangeSpan > 0,
+      "dupspans: range bucketing needs a positive rangeSpan")
+    val fs = SegSwap.fsOf(spark, path)
+    SegSwap.recover(spark, path) // writer entry: live dirs are truth
+    val p = readParams(spark, path)
+    require(bucketMode == "hash" ||
+      StructType.fromDDL(s"x ${p.idDdl}").head.dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"dupspans: range bucketing needs a numeric id, store has ${p.idDdl}")
+    val p2 = p.copy(b = nBuckets, mode = bucketMode, span = rangeSpan)
+    def liveBuckets(t: String): Set[Int] = {
+      val dir = new org.apache.hadoop.fs.Path(s"$path/$t")
+      if (!fs.exists(dir)) Set.empty
+      else fs.listStatus(dir).toSeq.map(_.getPath.getName)
+        .collect { case n if n.startsWith("_b=") =>
+          n.stripPrefix("_b=").toInt }.toSet
+    }
+    val intern = new IncrMat.Tracker
+    val staged = Seq(
+      ("spans", docBucket(col("doc_id"), p2)),
+      ("ntoks", docBucket(col("doc_id"), p2)),
+      ("out", docBucket(col("doc_id"), p2)),
+      ("dfreq", spanBucket(col("s"), nBuckets))).map { case (t, newB) =>
+      val rows = intern.mat(readTable(spark, path, p, t)
+        .withColumn("_b", newB))
+      // touched = every old live bucket (rows may leave it) ∪ every
+      // new bucket (rows land there) — O(buckets) driver ints
+      val newBs = rows.select("_b").distinct()
+        .collect().map(_.getInt(0)).toSet
+      (t, rows, liveBuckets(t) ++ newBs)
+    }
+    SegSwap.commit(spark, path, staged, dirSwaps = Seq(
+      "params" -> ((dst: String) => writeParamsTo(spark, dst, p2))))
+    intern.releaseAll()
+  }
+
+  /** Journaled COMPACTION: rewrite every bucket under the CURRENT
+    * layout — merges each bucket's content back to one contiguous file
+    * per bucket; content-invariant ([[rebucket]] with the store's own
+    * params). */
+  def compact(spark: SparkSession, path: String): Unit = {
+    val p = readParams(spark, path)
+    rebucket(spark, path, p.b, p.mode, p.span)
   }
 }

@@ -42,8 +42,10 @@ object LmCountsStore {
       .toDF("b", "idDdl", "unidocDdl", "bidocDdl", "uniDdl", "biDdl")
       .write.mode("overwrite").parquet(s"$path/params")
 
+  /** Journal-aware ([[SegSwap.resolvedDirPath]]), like the data reads. */
   private def readParams(spark: SparkSession, path: String): Params = {
-    val r = spark.read.parquet(s"$path/params").collect()(0)
+    val dir = SegSwap.resolvedDirPath(SegSwap.fsOf(spark, path), path, "params")
+    val r = spark.read.parquet(dir).collect()(0)
     Params(r.getInt(0), r.getString(1), Map("unidoc" -> r.getString(2),
       "bidoc" -> r.getString(3), "uni" -> r.getString(4),
       "bi" -> r.getString(5)))

@@ -31,8 +31,10 @@ private[graft] object SegSwap {
 
   private val Staging = "seg_staging"
   private val Journal = "seg_swap_journal"
-  // bucket ids may be negative (range bucketing of negative ids)
-  private val JournalLine = """^([A-Za-z0-9_]+) (-?\d+) (staged|empty)$""".r
+  // bucket ids may be negative (range bucketing of negative ids);
+  // state "dir" swaps a whole un-bucketed directory (bucket field
+  // ignored — params migration during a rebucket)
+  private val JournalLine = """^([A-Za-z0-9_]+) (-?\d+) (staged|empty|dir)$""".r
 
   def fsOf(spark: SparkSession, path: String): FileSystem =
     new HPath(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -81,8 +83,9 @@ private[graft] object SegSwap {
     * "Asked to cache already cached data", stale ranks). Refreshing the
     * path invalidates and recaches every plan that reads it. */
   def commit(spark: SparkSession, path: String,
-      touched: Seq[(String, DataFrame, Set[Int])]): Unit = {
-    if (!touched.exists(_._3.nonEmpty)) return
+      touched: Seq[(String, DataFrame, Set[Int])],
+      dirSwaps: Seq[(String, String => Unit)] = Nil): Unit = {
+    if (!touched.exists(_._3.nonEmpty) && dirSwaps.isEmpty) return
     val fs = fsOf(spark, path)
     fs.delete(new HPath(s"$path/$Staging"), true)
     touched.foreach { case (n, df, bs) =>
@@ -94,6 +97,12 @@ private[graft] object SegSwap {
         df.repartition(col("_b")).write.mode("overwrite")
           .partitionBy("_b").parquet(s"$path/$Staging/$n")
     }
+    // whole-dir swaps (e.g. the params table during a rebucket — its
+    // new bucket count must install ATOMICALLY with the re-bucketed
+    // data or a crash would leave readers deriving buckets with the
+    // wrong B): the caller's writer stages the dir's new content, and
+    // a `dir` journal line carries it through the same roll-forward
+    dirSwaps.foreach { case (n, write) => write(s"$path/$Staging/$n") }
     // journal AFTER staging succeeds; its appearance is the atomic
     // commit point
     val lines = touched.flatMap { case (n, _, bs) =>
@@ -101,7 +110,7 @@ private[graft] object SegSwap {
         val staged = fs.exists(new HPath(s"$path/$Staging/$n/_b=$b"))
         s"$n $b ${if (staged) "staged" else "empty"}"
       }
-    }
+    } ++ dirSwaps.map { case (n, _) => s"$n 0 dir" }
     val jTmp = new HPath(s"$path/$Journal.tmp")
     val jDst = new HPath(s"$path/$Journal")
     val out = fs.create(jTmp, true)
@@ -122,14 +131,14 @@ private[graft] object SegSwap {
   }
 
   private def journalEntries(fs: FileSystem,
-      path: String): Seq[(String, Int, Boolean)] = {
+      path: String): Seq[(String, Int, String)] = {
     val jDst = new HPath(s"$path/$Journal")
     if (!fs.exists(jDst)) return Nil
     val in = fs.open(jDst)
     val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
     text.linesIterator.filter(_.nonEmpty).map {
-      case JournalLine(n, b, st) => (n, b.toInt, st == "staged")
+      case JournalLine(n, b, st) => (n, b.toInt, st)
       case bad => throw new IllegalStateException(
         s"segswap: corrupt swap journal line '$bad' in $jDst")
     }.toSeq
@@ -145,15 +154,17 @@ private[graft] object SegSwap {
   def recover(fs: FileSystem, path: String): Unit = {
     val entries = journalEntries(fs, path)
     if (entries.nonEmpty) {
-      entries.foreach { case (n, b, staged) =>
-        val live = new HPath(s"$path/$n/_b=$b")
-        val stage = new HPath(s"$path/$Staging/$n/_b=$b")
-        if (staged && fs.exists(stage)) {
+      entries.foreach { case (n, b, st) =>
+        val live = new HPath(
+          if (st == "dir") s"$path/$n" else s"$path/$n/_b=$b")
+        val stage = new HPath(
+          if (st == "dir") s"$path/$Staging/$n" else s"$path/$Staging/$n/_b=$b")
+        if (st != "empty" && fs.exists(stage)) {
           fs.delete(live, true)
           require(fs.rename(stage, live),
             s"segswap: could not install $stage")
-        } else if (!staged) fs.delete(live, true)
-        // staged && !exists(stage): rename already happened — idempotent
+        } else if (st == "empty") fs.delete(live, true)
+        // staged/dir && !exists(stage): rename already happened — idempotent
       }
       fs.delete(new HPath(s"$path/$Journal"), false)
     }
@@ -177,23 +188,39 @@ private[graft] object SegSwap {
       schema: StructType): DataFrame = {
     val fs = fsOf(spark, path)
     val mine = journalEntries(fs, path).filter(_._1 == name)
+    // a whole-dir swap replaces the table root itself
+    if (mine.exists(_._3 == "dir"))
+      return spark.read.schema(schema)
+        .parquet(resolvedDirPath(fs, path, name))
     val live = spark.read.schema(schema).parquet(s"$path/$name")
     if (mine.isEmpty) return live
     // staged buckets whose rename already happened (a writer crashed
     // mid-install) are correct in the LIVE dir; the rest read staged
-    val (installed, pending) = mine.partition { case (_, b, staged) =>
-      staged && !fs.exists(new HPath(s"$path/$Staging/$name/_b=$b"))
+    val (installed, pending) = mine.partition { case (_, b, st) =>
+      st == "staged" && !fs.exists(new HPath(s"$path/$Staging/$name/_b=$b"))
     }
     val excluded = pending.map(_._2)
     val liveSide =
       if (excluded.isEmpty) live
       else live.filter(!col("_b").isin(excluded.map(Integer.valueOf): _*))
-    val stagedDirs = pending.collect { case (_, b, true) =>
+    val stagedDirs = pending.collect { case (_, b, "staged") =>
       s"$path/$Staging/$name/_b=$b" }
     val _ = installed // live-side rows already current for these
     if (stagedDirs.isEmpty) liveSide
     else liveSide.unionByName(spark.read.schema(schema)
       .option("basePath", s"$path/$Staging/$name")
       .parquet(stagedDirs: _*))
+  }
+
+  /** Journal-aware path of a WHOLE-DIR table (e.g. `params`): the
+    * staged dir when an uninstalled `dir` swap references it and the
+    * staged content still exists, the live dir otherwise. Readers use
+    * this so a committed-but-uninstalled rebucket is visible to them
+    * without mutating anything. */
+  def resolvedDirPath(fs: FileSystem, path: String, name: String): String = {
+    val pendingDir = journalEntries(fs, path)
+      .exists(e => e._1 == name && e._3 == "dir" &&
+        fs.exists(new HPath(s"$path/$Staging/$name")))
+    if (pendingDir) s"$path/$Staging/$name" else s"$path/$name"
   }
 }

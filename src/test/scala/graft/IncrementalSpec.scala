@@ -1101,6 +1101,93 @@ class IncrementalSpec extends SparkSpec {
     assert(got == want, s"got=$got want=$want")
   }
 
+  test("segmented dup-span store: journaled rebucket/compact is content-invariant") {
+    import graft.operators.{DupSpansStore, Pipeline}
+    import java.nio.file.{Files, Paths}
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Long, Double, Int)].collect().map(t => t._1 -> t).toMap
+    def batch(corpus: org.apache.spark.sql.DataFrame) = {
+      val out = Pipeline.dupSpanStats(corpus, "doc_id", "text", 3, 0.5)
+      val r = rows(out); out.unpersist(); r
+    }
+    def bucketDirs(store: String, t: String) = {
+      val s = Files.list(Paths.get(store, t))
+      try s.toArray.map(_.toString.split("/").last)
+        .filter(_.startsWith("_b=")).toSet finally s.close()
+    }
+    // range-bucketed store + two shard appends: bucket count grows
+    // with the id range — the lifecycle problem rebucket exists for
+    val base = (1L to 12L).map(i => (i, s"reb u$i v$i w$i x$i"))
+      .toDF("doc_id", "text")
+    val store = Files.createTempDirectory("graft_seg_rebucket").toString
+    DupSpansStore.init(spark, store, base, "doc_id", "text",
+      w = 3, maxFrac = 0.5, bucketMode = "range", rangeSpan = 4L)
+    val noIds = Seq.empty[Long].toDF("doc_id")
+    val shard1 = (20L to 27L).map(i => (i, s"reb u$i v$i w$i x$i"))
+      .toDF("doc_id", "text")
+    val shard2 = (40L to 47L).map(i => (i, s"reb u$i v$i w$i x$i"))
+      .toDF("doc_id", "text")
+    DupSpansStore.continueAt(spark, store, shard1, noIds, "doc_id", "text")
+    DupSpansStore.continueAt(spark, store, shard2, noIds, "doc_id", "text")
+    val corpus = base.unionByName(shard1).unionByName(shard2)
+    val want = batch(corpus)
+    assert(rows(DupSpansStore.scores(spark, store)) == want)
+    assert(bucketDirs(store, "spans").size > 6,
+      "shard appends should have grown the range-bucket count")
+
+    // rebucket range -> hash/4: content invariant, layout migrated
+    DupSpansStore.rebucket(spark, store, nBuckets = 4, bucketMode = "hash")
+    assert(rows(DupSpansStore.scores(spark, store)) == want,
+      "rebucket must not change scores")
+    assert(bucketDirs(store, "spans").subsetOf(
+      (0 until 4).map(b => s"_b=$b").toSet),
+      s"hash/4 layout expected: ${bucketDirs(store, "spans")}")
+    // one contiguous file per bucket dir afterward
+    for (t <- Seq("spans", "ntoks", "dfreq", "out");
+         d <- bucketDirs(store, t)) {
+      val s = Files.list(Paths.get(store, t, d))
+      val parts = try s.toArray.map(_.toString)
+        .count(_.endsWith(".parquet")) finally s.close()
+      assert(parts == 1, s"$t/$d has $parts files after rebucket")
+    }
+    // the store keeps working under the new layout: another delta,
+    // then point-reads prune with the NEW bucket fn
+    val shard3 = Seq((60L, "reb u1 v1 w1 x1")).toDF("doc_id", "text")
+    DupSpansStore.continueAt(spark, store, shard3, Seq(5L).toDF("doc_id"),
+      "doc_id", "text")
+    val corpus2 = corpus.filter(col("doc_id") =!= 5L).unionByName(shard3)
+    assert(rows(DupSpansStore.scores(spark, store)) == batch(corpus2))
+    assert(DupSpansStore.scoresFor(spark, store, Seq(60L).toDF("doc_id"))
+      .count() == 1L)
+
+    // crash between journal-commit and install: a READER must see the
+    // NEW params + data (resolved through the journal, non-destructive)
+    // — simulate by re-staging a rebucket journal by hand
+    DupSpansStore.compact(spark, store) // clean slate, 1 file/bucket
+    val want2 = rows(DupSpansStore.scores(spark, store))
+    // stage a params copy + a journal claiming a pending dir swap; the
+    // reader must prefer the staged params and leave everything alone
+    val stagedParams = Paths.get(store, "seg_staging", "params")
+    Files.createDirectories(stagedParams.getParent)
+    val live = Paths.get(store, "params")
+    Files.walk(live).forEach { p =>
+      val dst = stagedParams.resolve(live.relativize(p).toString)
+      if (Files.isDirectory(p)) Files.createDirectories(dst)
+      else Files.copy(p, dst)
+    }
+    Files.write(Paths.get(store, "seg_swap_journal"),
+      "params 0 dir".getBytes)
+    assert(rows(DupSpansStore.scores(spark, store)) == want2)
+    assert(Files.exists(Paths.get(store, "seg_swap_journal")),
+      "reader must not consume a dir-swap journal")
+    // next writer installs it
+    DupSpansStore.continueAt(spark, store,
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), noIds,
+      "doc_id", "text")
+    assert(!Files.exists(Paths.get(store, "seg_swap_journal")))
+    assert(rows(DupSpansStore.scores(spark, store)) == want2)
+  }
+
   test("segmented dup-span store: crash recovery honors the journal contract") {
     import graft.operators.{DupSpansStore, Pipeline}
     import java.nio.file.{Files, Paths, Path}
