@@ -77,14 +77,23 @@ object DupSpansStore {
     * and the partition column's type pinned — the
     * [[Similarity.probeIvfIndex]] lesson). */
   private case class Params(w: Int, maxFrac: Double, b: Int,
-      mode: String, span: Long, idDdl: String, ddl: Map[String, String])
+      mode: String, span: Long, idDdl: String, withCut: Boolean,
+      ddl: Map[String, String]) {
+    /** Doc-bucketed tables present in this store (dfreq is span-
+      * bucketed and handled separately). */
+    def docTables: Seq[String] =
+      Seq("spans", "ntoks", "out") ++
+        (if (withCut) Seq("text", "cut") else Nil)
+  }
 
   private def writeParamsTo(spark: SparkSession, dst: String,
       p: Params): Unit =
     spark.createDataFrame(Seq((p.w, p.maxFrac, p.b, p.mode, p.span, p.idDdl,
-        p.ddl("spans"), p.ddl("ntoks"), p.ddl("dfreq"), p.ddl("out"))))
-      .toDF("w", "maxFrac", "b", "mode", "span", "idDdl",
-        "spansDdl", "ntoksDdl", "dfreqDdl", "outDdl")
+        p.withCut,
+        p.ddl("spans"), p.ddl("ntoks"), p.ddl("dfreq"), p.ddl("out"),
+        p.ddl.getOrElse("text", ""), p.ddl.getOrElse("cut", ""))))
+      .toDF("w", "maxFrac", "b", "mode", "span", "idDdl", "withCut",
+        "spansDdl", "ntoksDdl", "dfreqDdl", "outDdl", "textDdl", "cutDdl")
       .write.mode("overwrite").parquet(dst)
 
   private def writeParams(spark: SparkSession, path: String, p: Params): Unit =
@@ -96,10 +105,13 @@ object DupSpansStore {
   private def readParams(spark: SparkSession, path: String): Params = {
     val dir = SegSwap.resolvedDirPath(SegSwap.fsOf(spark, path), path, "params")
     val r = spark.read.parquet(dir).collect()(0)
+    val cut = r.getBoolean(6)
     Params(r.getInt(0), r.getDouble(1), r.getInt(2), r.getString(3),
-      r.getLong(4), r.getString(5), Map(
-        "spans" -> r.getString(6), "ntoks" -> r.getString(7),
-        "dfreq" -> r.getString(8), "out" -> r.getString(9)))
+      r.getLong(4), r.getString(5), cut, Map(
+        "spans" -> r.getString(7), "ntoks" -> r.getString(8),
+        "dfreq" -> r.getString(9), "out" -> r.getString(10)) ++
+        (if (cut) Map("text" -> r.getString(11), "cut" -> r.getString(12))
+         else Map.empty))
   }
 
   /** Journal-aware read ([[SegSwap.resolvedTable]]): non-destructive
@@ -123,7 +135,7 @@ object DupSpansStore {
   def init(spark: SparkSession, path: String, docs: DataFrame,
       idCol: String, textCol: String, w: Int = 8, maxFrac: Double = 0.5,
       nBuckets: Int = 64, bucketMode: String = "hash",
-      rangeSpan: Long = 0L): Unit = {
+      rangeSpan: Long = 0L, withCut: Boolean = false): Unit = {
     require(bucketMode == "hash" || bucketMode == "range",
       s"dupspans: unknown bucketMode '$bucketMode'")
     require(bucketMode == "hash" || rangeSpan > 0,
@@ -139,7 +151,7 @@ object DupSpansStore {
     // old params over half-overwritten tables
     SegSwap.resetForInit(SegSwap.fsOf(spark, path), path)
     val p0 = Params(w, maxFrac, nBuckets, bucketMode, rangeSpan,
-      docs.schema(idCol).dataType.sql, Map.empty)
+      docs.schema(idCol).dataType.sql, withCut, Map.empty)
     val intern = new IncrMat.Tracker
     val spans = intern.mat(
       IncrementalDupSpans.spansOf(docs, idCol, textCol, w)
@@ -150,24 +162,34 @@ object DupSpansStore {
     val dfreq = intern.mat(spans.select("doc_id", "s").distinct()
       .groupBy("s").agg(count(lit(1)).as("nd"))
       .withColumn("_b", spanBucket(col("s"), nBuckets)))
+    val dup = dfreq.filter(col("nd") >= 2).select("s")
     val out = IncrementalDupSpans.scoreFor(
-        spans.drop("_b"), ntoks.drop("_b"),
-        dfreq.filter(col("nd") >= 2).select("s"), w, maxFrac)
+        spans.drop("_b"), ntoks.drop("_b"), dup, w, maxFrac)
       .withColumn("_b", docBucket(col("doc_id"), p0))
+    // cut maintenance (withCut): the store additionally keeps the raw
+    // text (re-cutting a flip-affected doc needs its tokens, not just
+    // its spans) and the cut output, both doc-bucketed
+    val textT = docs.select(col(idCol).as("doc_id"),
+        col(textCol).as("text"))
+      .withColumn("_b", docBucket(col("doc_id"), p0))
+    val cutT = if (!withCut) None else Some(
+      IncrementalDupSpans.cutFor(textT.drop("_b"), spans.drop("_b"),
+        dup, w).withColumn("_b", docBucket(col("doc_id"), p0)))
     // repartition on the bucket key first: without it every shuffle
     // task opens a writer per bucket it sees (tasks × buckets small
     // files); with it each bucket is one task's contiguous write —
     // the file-count hygiene a 100 TB store needs, and measurably
     // cheaper swaps at test scale
-    Seq("spans" -> spans, "ntoks" -> ntoks, "dfreq" -> dfreq,
-        "out" -> out).foreach { case (n, df) =>
+    val tables = Seq("spans" -> spans, "ntoks" -> ntoks,
+        "dfreq" -> dfreq, "out" -> out) ++
+      (if (withCut) Seq("text" -> textT, "cut" -> cutT.get) else Nil)
+    tables.foreach { case (n, df) =>
       df.repartition(col("_b")).write.mode("overwrite")
         .partitionBy("_b").parquet(s"$path/$n")
     }
     // params last: their presence marks a complete init
-    writeParams(spark, path, p0.copy(ddl = Map(
-      "spans" -> spans.schema.toDDL, "ntoks" -> ntoks.schema.toDDL,
-      "dfreq" -> dfreq.schema.toDDL, "out" -> out.schema.toDDL)))
+    writeParams(spark, path, p0.copy(
+      ddl = tables.map { case (n, df) => n -> df.schema.toDDL }.toMap))
     intern.releaseAll()
   }
 
@@ -195,6 +217,16 @@ object DupSpansStore {
       .distinct().collect().map(_.getInt(0)).toSet
     readTable(spark, path, p, "out").filter(inBuckets(bs))
       .join(idsD, Seq("doc_id"), "left_semi").drop("_b")
+  }
+
+  /** The post-delta ExactSubstr CUT output (`doc_id, clean, n_kept,
+    * n_removed` — [[Pipeline.cutDupSpans]]'s contract). Only on stores
+    * initialized `withCut = true`. */
+  def cuts(spark: SparkSession, path: String): DataFrame = {
+    val p = readParams(spark, path)
+    require(p.withCut,
+      s"dupspans: store at $path was initialized without cut maintenance")
+    readTable(spark, path, p, "cut").drop("_b")
   }
 
   /** Roll the store forward over a ±document delta (upsert contract:
@@ -328,10 +360,38 @@ object DupSpansStore {
       .unionByName(rescored.withColumn("_b",
         docBucket(col("doc_id"), p))))
 
+    // ---- cut maintenance (withCut stores) ------------------------------
+    // re-CUT exactly the affected documents against the post-delta dup
+    // set (the [[IncrementalDupSpans.cutFor]] core shared with the
+    // batch operator): their text comes from the store's text table —
+    // a pruned read of the affected buckets — merged with the delta's
+    val cutTables = if (!p.withCut) Nil else {
+      val textLive = readTable(spark, path, p, "text")
+      val addText = addedDocs.select(col(idCol).as("doc_id"),
+          col(textCol).as("text"))
+        .withColumn("_b", docBucket(col("doc_id"), p))
+      val textNextT = intern.mat(textLive.filter(inBuckets(td))
+        .join(rem, col("doc_id") === col("_rid"), "left_anti")
+        .unionByName(addText))
+      val textPost = textLive.filter(!inBuckets(td)).unionByName(textNextT)
+      val recut = IncrementalDupSpans.cutFor(
+        textPost.filter(inBuckets(ab))
+          .join(affected, Seq("doc_id"), "left_semi").drop("_b"),
+        spansPost.filter(inBuckets(ab))
+          .join(affected, Seq("doc_id"), "left_semi").drop("_b"),
+        dupPost, p.w)
+      val cutNextT = intern.mat(readTable(spark, path, p, "cut")
+        .filter(inBuckets(ao))
+        .join(evict, Seq("doc_id"), "left_anti")
+        .unionByName(recut.withColumn("_b",
+          docBucket(col("doc_id"), p))))
+      Seq(("text", textNextT, td), ("cut", cutNextT, ao))
+    }
+
     // ---- stage, journal, swap ([[SegSwap]]) ---------------------------
     SegSwap.commit(spark, path, Seq(
       ("spans", spansNextT, td), ("ntoks", ntoksNextT, td),
-      ("dfreq", dfreqNextT, ts), ("out", outNextT, ao)))
+      ("dfreq", dfreqNextT, ts), ("out", outNextT, ao)) ++ cutTables)
     intern.releaseAll()
   }
 
@@ -368,11 +428,8 @@ object DupSpansStore {
           n.stripPrefix("_b=").toInt }.toSet
     }
     val intern = new IncrMat.Tracker
-    val staged = Seq(
-      ("spans", docBucket(col("doc_id"), p2)),
-      ("ntoks", docBucket(col("doc_id"), p2)),
-      ("out", docBucket(col("doc_id"), p2)),
-      ("dfreq", spanBucket(col("s"), nBuckets))).map { case (t, newB) =>
+    val staged = (p.docTables.map(t => (t, docBucket(col("doc_id"), p2))) :+
+        (("dfreq", spanBucket(col("s"), nBuckets)))).map { case (t, newB) =>
       val rows = intern.mat(readTable(spark, path, p, t)
         .withColumn("_b", newB))
       // touched = every old live bucket (rows may leave it) ∪ every

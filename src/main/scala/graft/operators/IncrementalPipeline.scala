@@ -714,6 +714,39 @@ object IncrementalDupSpans {
       .withColumn("keep", (col("dup_frac") <= maxFrac).cast("int"))
   }
 
+  /** The ExactSubstr CUT for a document set against a duplicated-span
+    * set — ONE definition shared by [[Pipeline.cutDupSpans]] (batch),
+    * [[DupSpansStore.init]] (cut maintenance) and
+    * [[DupSpansStore.continueAt]] (re-cut of flip-affected docs only):
+    * remove every token covered by a span in `dupSpans`, reassemble
+    * survivors in original order. `docs` must expose (doc_id, text);
+    * `spans` must be exactly [[spansOf]] of those docs. Returns
+    * (doc_id, clean, n_kept, n_removed) for EVERY doc in `docs`. */
+  private[operators] def cutFor(docs: DataFrame, spans: DataFrame,
+      dupSpans: DataFrame, w: Int): DataFrame = {
+    val covered = spans.join(dupSpans, Seq("s"), "left_semi")
+      .select(col("doc_id"),
+        explode(expr(s"sequence(pos, pos + ${w - 1})")).as("pos"))
+      .distinct()
+    val tokpos = docs.select(col("doc_id"),
+        posexplode_outer(tokens(coalesce(col("text"), lit("")))))
+      .toDF("doc_id", "pos", "tok")
+    val kept = tokpos.filter(col("tok").isNotNull)
+      .join(covered, Seq("doc_id", "pos"), "left_anti")
+      .groupBy("doc_id").agg(
+        concat_ws(" ", expr("transform(array_sort(" +
+          "collect_list(struct(pos, tok))), x -> x.tok)")).as("clean"),
+        count(lit(1)).as("n_kept"))
+    docs.select(col("doc_id"),
+        size(tokens(coalesce(col("text"), lit("")))).cast("long")
+          .as("_ntok"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("clean"), lit("")).as("clean"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("_ntok") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+  }
+
   /** Window + count + score once, preserve all four tables. */
   def preserveDupSpans(df: DataFrame, idCol: String, textCol: String,
       w: Int = 8, maxFrac: Double = 0.5): DupSpanState = {

@@ -382,32 +382,17 @@ object Pipeline {
   def cutDupSpans(df: DataFrame, idCol: String, textCol: String,
       w: Int = 8): DataFrame = {
     require(w >= 2, s"cutDupSpans: w must be >= 2, got $w")
+    // span derivation and the cut itself are SHARED with the segmented
+    // store's cut maintenance ([[IncrementalDupSpans.cutFor]]) — one
+    // definition, no drift between batch and incremental
     val spans = IncrementalDupSpans.spansOf(df, idCol, textCol, w)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dupSpans = spans.select("doc_id", "s").distinct()
       .groupBy("s").agg(count(lit(1)).as("_nd"))
       .filter(col("_nd") >= 2).select("s")
-    val covered = spans.join(dupSpans, Seq("s"), "left_semi")
-      .select(col("doc_id"),
-        explode(expr(s"sequence(pos, pos + ${w - 1})")).as("pos"))
-      .distinct()
-    val tokpos = df.select(col(idCol).as("doc_id"),
-        posexplode_outer(tokens(coalesce(col(textCol), lit("")))))
-      .toDF("doc_id", "pos", "tok")
-    val kept = tokpos.filter(col("tok").isNotNull)
-      .join(covered, Seq("doc_id", "pos"), "left_anti")
-      .groupBy("doc_id").agg(
-        concat_ws(" ", expr("transform(array_sort(" +
-          "collect_list(struct(pos, tok))), x -> x.tok)")).as("clean"),
-        count(lit(1)).as("n_kept"))
-    val out = df.select(col(idCol).as("doc_id"),
-        size(tokens(coalesce(col(textCol), lit("")))).cast("long")
-          .as("_ntok"))
-      .join(kept, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("clean"), lit("")).as("clean"),
-        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-        (col("_ntok") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+    val out = IncrementalDupSpans.cutFor(
+        df.select(col(idCol).as("doc_id"), col(textCol).as("text")),
+        spans, dupSpans, w)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     out.count()
     spans.unpersist(blocking = false)

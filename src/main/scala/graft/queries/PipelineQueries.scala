@@ -252,6 +252,41 @@ object PipelineQueries {
             THEN 1 ELSE 0 END AS INT) AS keep
         FROM base"""
 
+  /** Full recompute of [[graft.operators.Pipeline.cutDupSpans]] over
+    * the POST-delta corpus of the incremental cut gate (same cohorts
+    * as [[dupSpansPostDeltaOracle]]): the ExactSubstr cut rebuilt from
+    * the token arrays, whitespace-normalization-proof. */
+  private val cutPostDeltaOracle =
+    s"""WITH docs2 AS (SELECT doc_id, text FROM documents
+          WHERE doc_id % 10 <> 7),
+        toks AS (SELECT doc_id, list_filter(
+          regexp_split_to_array(text, ' +'), x -> x <> '') AS toks
+          FROM docs2),
+        sp AS (SELECT doc_id,
+          unnest([{'pos': i, 's': array_to_string(toks[i:i+7], ' ')}
+            for i in generate_series(1, len(toks) - 7)]) AS e
+          FROM toks),
+        sp2 AS (SELECT doc_id, e.pos AS pos, e.s AS s FROM sp),
+        dup AS (SELECT s FROM (SELECT s, count(DISTINCT doc_id) AS nd
+          FROM sp2 GROUP BY 1) WHERE nd >= 2),
+        cov AS (SELECT DISTINCT doc_id, pos + o AS p
+          FROM (SELECT sp2.doc_id, sp2.pos FROM sp2
+            JOIN dup USING (s)), generate_series(0, 7) g(o)),
+        tp AS (SELECT doc_id, unnest([{'pos': i, 'tok': toks[i]}
+          for i in generate_series(1, len(toks))]) AS e FROM toks),
+        tokpos AS (SELECT doc_id, e.pos AS pos, e.tok AS tok FROM tp),
+        kept AS (SELECT t.doc_id,
+          string_agg(t.tok, ' ' ORDER BY t.pos) AS clean,
+          count(*) AS n_kept
+          FROM tokpos t LEFT JOIN cov c
+            ON t.doc_id = c.doc_id AND t.pos = c.p
+          WHERE c.p IS NULL GROUP BY 1)
+        SELECT tk.doc_id, COALESCE(k.clean, '') AS clean,
+          CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
+          CAST(len(tk.toks) - COALESCE(k.n_kept, 0) AS BIGINT)
+            AS n_removed
+        FROM toks tk LEFT JOIN kept k USING (doc_id)"""
+
   /** Spark side of the trained-IVF gates: `rounds` warm-started
     * single-iteration KMeans runs with the centers rounded to 6 digits
     * BETWEEN rounds (the cross-engine contract — see
@@ -1132,6 +1167,30 @@ object PipelineQueries {
           .select("doc_id", "n_tokens", "n_covered", "dup_frac", "keep")
       },
       Some(dupSpansPostDeltaOracle)),
+
+    // INCREMENTAL ExactSubstr CUT over the segmented store: the store
+    // is initialized withCut (text + cut tables maintained alongside
+    // the audit tables) and the continuation RE-CUTS only the
+    // flip-affected documents — the corpus's exact-dup groups span id
+    // classes, so removing the ≡7 copies un-cuts their untouched
+    // survivors and the added ≡3 copies cut their untouched partners
+    // (both flip directions). Oracle: full batch cut post-delta.
+    Q("q_incr_cut_dup_spans",
+      (s, dir) => {
+        val docs = Q.t(s, dir, "documents").select("doc_id", "text")
+        val store = java.nio.file.Files
+          .createTempDirectory("graft_cut_dup_spans_seg").toString
+        graft.operators.DupSpansStore.init(s, store,
+          docs.filter(col("doc_id") % 10 =!= 3), "doc_id", "text",
+          w = 8, maxFrac = 0.5, nBuckets = 16, withCut = true)
+        graft.operators.DupSpansStore.continueAt(s, store,
+          docs.filter(col("doc_id") % 10 === 3),
+          docs.filter(col("doc_id") % 10 === 7).select("doc_id"),
+          "doc_id", "text")
+        graft.operators.DupSpansStore.cuts(s, store)
+          .select("doc_id", "clean", "n_kept", "n_removed")
+      },
+      Some(cutPostDeltaOracle)),
 
     // Boilerplate LINE dedup (CCNet/RefinedWeb rule): the corpus text
     // is flat, so the gate synthesizes multi-line docs — original text

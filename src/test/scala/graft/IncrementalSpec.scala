@@ -1101,6 +1101,58 @@ class IncrementalSpec extends SparkSpec {
     assert(got == want, s"got=$got want=$want")
   }
 
+  test("segmented dup-span store: incremental cut re-cuts flip-affected docs only") {
+    import graft.operators.{DupSpansStore, Pipeline}
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, String, Long, Long)].collect().map(t => t._1 -> t).toMap
+    def batchCut(corpus: org.apache.spark.sql.DataFrame) = {
+      val out = Pipeline.cutDupSpans(corpus, "doc_id", "text", w = 3)
+      val r = rows(out); out.unpersist(); r
+    }
+    // docs 1 and 2 share a passage (duplicated at init — cut from
+    // both); doc 3 is original; doc 4 will LOSE its partner (5), doc 6
+    // will GAIN one (7) — both flip directions re-cut untouched docs
+    val shared = "alpha beta gamma delta"
+    val base = Seq(
+      (1L, s"one $shared tail1"), (2L, s"two $shared tail2"),
+      (3L, "plain original text three"),
+      (4L, "epsilon zeta eta theta four"), (5L, "epsilon zeta eta theta five"),
+      (6L, "iota kappa lambda mu six")).toDF("doc_id", "text")
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_seg_cut").toString
+    DupSpansStore.init(spark, store, base, "doc_id", "text",
+      w = 3, maxFrac = 0.5, nBuckets = 8, withCut = true)
+    assert(rows(DupSpansStore.cuts(spark, store)) == batchCut(base))
+    // doc 1/2's shared passage must actually be cut at init
+    assert(!rows(DupSpansStore.cuts(spark, store))(1L)._2.contains("beta"))
+
+    // delta: −5 (doc 4's spans flip to original: UNTOUCHED doc 4 must
+    // be re-cut back to full text), +7 duplicating doc 6's passage
+    // (UNTOUCHED doc 6 must be re-cut to lose it)
+    val added = Seq((7L, "iota kappa lambda mu seven")).toDF("doc_id", "text")
+    val removed = Seq(5L).toDF("doc_id")
+    DupSpansStore.continueAt(spark, store, added, removed,
+      "doc_id", "text")
+    val after = base.filter(col("doc_id") =!= 5L).unionByName(added)
+    val got = rows(DupSpansStore.cuts(spark, store))
+    assert(got == batchCut(after), s"got=$got")
+    assert(got(4L)._2 == "epsilon zeta eta theta four",
+      "doc 4 must regain its full text after its partner left")
+    assert(!got(6L)._2.contains("kappa"),
+      "doc 6 must lose the passage doc 7 duplicated")
+
+    // upsert: replacing doc 2 with fresh text un-duplicates doc 1
+    val doc2v2 = Seq((2L, "totally new content two")).toDF("doc_id", "text")
+    DupSpansStore.continueAt(spark, store, doc2v2,
+      Seq.empty[Long].toDF("doc_id"), "doc_id", "text")
+    val after2 = after.filter(col("doc_id") =!= 2L).unionByName(doc2v2)
+    val got2 = rows(DupSpansStore.cuts(spark, store))
+    assert(got2 == batchCut(after2))
+    assert(got2(1L)._2 == s"one $shared tail1")
+    // scores stay consistent alongside the cut tables
+    assert(DupSpansStore.scores(spark, store).count() == after2.count())
+  }
+
   test("segmented dup-span store: journaled rebucket/compact is content-invariant") {
     import graft.operators.{DupSpansStore, Pipeline}
     import java.nio.file.{Files, Paths}
