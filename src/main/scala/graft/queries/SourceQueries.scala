@@ -97,21 +97,71 @@ object SourceQueries {
               count(*) AS n_supp, round(sum(s_acctbal), 4) AS total_bal
               FROM supplier GROUP BY 1""")),
 
-    // Streaming gap sessionization, batch-executed (the backfill mode):
-    // flatMapGroupsWithState emits every CLOSED session — each user's
-    // final session stays open pending more data, exactly as a stream
-    // would hold it — so the oracle is the window-function session
-    // computation MINUS each user's last session. Same 30-min gap and
-    // epoch-µs arithmetic as q_sessionize (DuckDB truncates the
-    // parquet TIMESTAMP(NANOS) to µs, so ns-precision comparisons are
-    // not oracle-expressible); all-integer, exact.
+    // Streaming gap sessionization through a REAL StreamingQuery (the
+    // q_dedup_stream two-micro-batch pattern): the events table is
+    // time-split at its ts midpoint into two parquet files whose
+    // mtimes force the file source to deliver the EARLY half in
+    // micro-batch 1 and the late half in micro-batch 2
+    // (maxFilesPerTrigger=1) — so every session straddling the split
+    // must be carried across the batch boundary in keyed state, and a
+    // sessionizer that dropped or re-opened state would split or merge
+    // sessions and hash-mismatch. flatMapGroupsWithState emits every
+    // CLOSED session (each user's final session stays open pending
+    // more data, exactly as a production stream holds it), so the
+    // oracle is the window-function session computation MINUS each
+    // user's last session. Same 30-min gap and epoch-µs arithmetic as
+    // q_sessionize; all-integer, exact, split-point-independent.
     Q("q_sessionize_stream",
       (s, dir) => {
         import s.implicits._
+        import org.apache.spark.sql.streaming.{GroupStateTimeout, Trigger}
         val events = Q.eventsUs(s, dir).select(col("user_id"), col("ts"))
+        val mm = events.agg(min("ts"), max("ts")).collect()(0)
+        val mid = mm.getLong(0) / 2 + mm.getLong(1) / 2
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_sessionize_stream_gate").toString
+        def parts(): Set[java.nio.file.Path] = {
+          val st = java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
+          try st.toArray.map(_.asInstanceOf[java.nio.file.Path])
+            .filter(_.toString.endsWith(".parquet")).toSet
+          finally st.close()
+        }
+        events.filter(col("ts") <= mid).coalesce(1)
+          .write.mode("append").parquet(tmp)
+        val early = parts()
+        events.filter(col("ts") > mid).coalesce(1)
+          .write.mode("append").parquet(tmp)
+        val late = parts() -- early
+        // deterministic micro-batch order: the file source admits files
+        // by mtime, so pin early ≺ late explicitly rather than trusting
+        // write-time ms resolution
+        val t0 = System.currentTimeMillis()
+        early.foreach(p => java.nio.file.Files.setLastModifiedTime(p,
+          java.nio.file.attribute.FileTime.fromMillis(t0 - 120000)))
+        late.foreach(p => java.nio.file.Files.setLastModifiedTime(p,
+          java.nio.file.attribute.FileTime.fromMillis(t0)))
+        val stream = s.readStream
+          .schema(events.schema)
+          .option("maxFilesPerTrigger", "1").parquet(tmp)
           .as[EventStreams.SessionEvent]
-        EventStreams.sessionizeStream(events, gapNanos = 1800000000L,
-          org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout()).toDF()
+        val sink = s"sessionize_stream_out_${java.util.UUID.randomUUID.toString.replace("-", "")}"
+        val q = EventStreams.sessionizeStream(stream,
+            gapNanos = 1800000000L, GroupStateTimeout.NoTimeout())
+          .toDF()
+          .writeStream.outputMode("append")
+          .format("memory").queryName(sink)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        if (!q.awaitTermination(180000)) {
+          q.stop()
+          sys.error("q_sessionize_stream: stream did not finish in 180 s")
+        }
+        val out = s.table(sink)
+          .select("user_id", "session_start", "session_end", "n_events")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        out.count()
+        s.catalog.dropTempView(sink)
+        out
       },
       Some(s"""WITH e AS (SELECT user_id, event_id, ${Q.tsUs} AS tns FROM events),
             g AS (SELECT user_id, event_id, tns,
