@@ -222,9 +222,13 @@ object PipelineQueries {
     * docs ≢3 (mod 10), +≡3, −≡7 ⇒ docs ≢7): shared by
     * `q_incr_dup_spans` (in-memory state) and `q_incr_dup_spans_seg`
     * (segmented durable store) — one oracle, two state layouts. */
-  private val dupSpansPostDeltaOracle =
+  private val dupSpansPostDeltaOracle = dupSpansOracleOver("doc_id % 10 <> 7")
+
+  /** Same full recompute over an arbitrary post-delta corpus predicate
+    * (the two-delta chain gate ends at `% 10 NOT IN (7, 1)`). */
+  private def dupSpansOracleOver(where: String) =
     s"""WITH docs2 AS (SELECT doc_id, text FROM documents
-          WHERE doc_id % 10 <> 7),
+          WHERE $where),
         toks AS (SELECT doc_id, list_filter(
           regexp_split_to_array(text, ' +'), x -> x <> '') AS toks
           FROM docs2),
@@ -1167,6 +1171,36 @@ object PipelineQueries {
           .select("doc_id", "n_tokens", "n_covered", "dup_frac", "keep")
       },
       Some(dupSpansPostDeltaOracle)),
+
+    // TWO-DELTA CHAIN through the segmented store — the reference's
+    // operational mode is REPEATED deltas over one preserve
+    // (IncrPageRank.java:267), so the store must compose: init on docs
+    // ∉{3,9} (mod 10), delta 1 = +≡3/−≡7, delta 2 = +≡9/−≡1, each a
+    // journaled touched-bucket swap over the PREVIOUS commit's files.
+    // Oracle: full recompute over the post-BOTH corpus (∉{7,1}). A
+    // store that leaked rows, double-applied a delta, or mis-merged
+    // dfreq across commits diverges here even if each single delta
+    // passes.
+    Q("q_incr_dup_spans_chain",
+      (s, dir) => {
+        val docs = Q.t(s, dir, "documents").select("doc_id", "text")
+        val store = java.nio.file.Files
+          .createTempDirectory("graft_dup_spans_chain").toString
+        graft.operators.DupSpansStore.init(s, store,
+          docs.filter(col("doc_id") % 10 =!= 3 && col("doc_id") % 10 =!= 9),
+          "doc_id", "text", w = 8, maxFrac = 0.5, nBuckets = 16)
+        graft.operators.DupSpansStore.continueAt(s, store,
+          docs.filter(col("doc_id") % 10 === 3),
+          docs.filter(col("doc_id") % 10 === 7).select("doc_id"),
+          "doc_id", "text")
+        graft.operators.DupSpansStore.continueAt(s, store,
+          docs.filter(col("doc_id") % 10 === 9),
+          docs.filter(col("doc_id") % 10 === 1).select("doc_id"),
+          "doc_id", "text")
+        graft.operators.DupSpansStore.scores(s, store)
+          .select("doc_id", "n_tokens", "n_covered", "dup_frac", "keep")
+      },
+      Some(dupSpansOracleOver("doc_id % 10 NOT IN (7, 1)"))),
 
     // INCREMENTAL ExactSubstr CUT over the segmented store: the store
     // is initialized withCut (text + cut tables maintained alongside

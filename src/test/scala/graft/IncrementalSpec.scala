@@ -1153,6 +1153,55 @@ class IncrementalSpec extends SparkSpec {
     assert(DupSpansStore.scores(spark, store).count() == after2.count())
   }
 
+  test("segmented dup-span store: crash between chained deltas recovers exactly") {
+    import graft.operators.{DupSpansStore, Pipeline}
+    import java.nio.file.{Files, Paths}
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Long, Double, Int)].collect().map(t => t._1 -> t).toMap
+    def batch(corpus: org.apache.spark.sql.DataFrame) = {
+      val out = Pipeline.dupSpanStats(corpus, "doc_id", "text", 3, 0.5)
+      val r = rows(out); out.unpersist(); r
+    }
+    val base = (1L to 20L).map(i => (i, s"chain u$i v$i w$i x$i"))
+      .toDF("doc_id", "text")
+    val store = Files.createTempDirectory("graft_seg_chain_crash").toString
+    DupSpansStore.init(spark, store, base, "doc_id", "text",
+      w = 3, maxFrac = 0.5, nBuckets = 8)
+    val d1add = Seq((30L, "chain u4 v4 w4 x4")).toDF("doc_id", "text")
+    DupSpansStore.continueAt(spark, store, d1add, Seq(2L).toDF("doc_id"),
+      "doc_id", "text")
+    val after1 = base.filter(col("doc_id") =!= 2L).unionByName(d1add)
+    assert(rows(DupSpansStore.scores(spark, store)) == batch(after1))
+
+    // simulate a crash BETWEEN the deltas: a torn swap (staged copy of
+    // a live bucket + committed journal, renames never ran) left by a
+    // writer that died right after delta 1's successor started — the
+    // next delta's writer entry must roll it forward, then apply its
+    // own delta on top, ending exactly at the post-both state
+    val liveBuckets = Files.list(Paths.get(store, "spans")).toArray
+      .map(_.toString.split("/").last).filter(_.startsWith("_b=")).sorted
+    val b = liveBuckets.head.stripPrefix("_b=")
+    val stage = Paths.get(store, "seg_staging", "spans", s"_b=$b")
+    Files.createDirectories(stage.getParent)
+    val live = Paths.get(store, "spans", s"_b=$b")
+    Files.walk(live).forEach { p =>
+      val dst = stage.resolve(live.relativize(p).toString)
+      if (Files.isDirectory(p)) Files.createDirectories(dst)
+      else Files.copy(p, dst)
+    }
+    Files.write(Paths.get(store, "seg_swap_journal"),
+      s"spans $b staged".getBytes)
+
+    val d2add = Seq((31L, "chain u9 v9 w9 x9")).toDF("doc_id", "text")
+    DupSpansStore.continueAt(spark, store, d2add, Seq(6L).toDF("doc_id"),
+      "doc_id", "text")
+    val after2 = after1.filter(col("doc_id") =!= 6L).unionByName(d2add)
+    assert(rows(DupSpansStore.scores(spark, store)) == batch(after2),
+      "delta 2 over a torn swap must recover then apply exactly")
+    assert(!Files.exists(Paths.get(store, "seg_swap_journal")))
+    assert(!Files.exists(Paths.get(store, "seg_staging")))
+  }
+
   test("segmented dup-span store: journaled rebucket/compact is content-invariant") {
     import graft.operators.{DupSpansStore, Pipeline}
     import java.nio.file.{Files, Paths}
