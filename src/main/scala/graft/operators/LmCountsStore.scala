@@ -29,26 +29,38 @@ import org.apache.spark.sql.types.StructType
   * concurrent writer; crash-safe via the [[SegSwap]] journal. */
 object LmCountsStore {
 
-  private def docBucket(c: Column, b: Int): Column =
-    pmod(xxhash64(c), lit(b.toLong)).cast("int")
+  /** Doc-side bucketing is pluggable exactly as in [[DupSpansStore]]:
+    * `hash` scatters uniformly, `range` (numeric ids, width `span`)
+    * keeps id-locality — an append-shaped crawl shard's contiguous ids
+    * land in FRESH contribution buckets, so the unidoc/bidoc rewrites
+    * touch O(|delta|) rows no matter how big the stored model. The
+    * AGGREGATE tables (`uni`/`bi`) stay token-hash-bucketed in either
+    * mode — their touch set is the delta's token set by construction,
+    * not its id range. */
+  private def docBucket(c: Column, p: Params): Column =
+    if (p.mode == "range")
+      floor(c.cast("bigint") / lit(p.span)).cast("int")
+    else pmod(xxhash64(c), lit(p.b.toLong)).cast("int")
   private def tokBucket(b: Int, cs: Column*): Column =
     pmod(xxhash64(cs: _*), lit(b.toLong)).cast("int")
 
-  private case class Params(b: Int, idDdl: String, ddl: Map[String, String])
+  private case class Params(b: Int, mode: String, span: Long,
+      idDdl: String, ddl: Map[String, String])
 
   private def writeParams(spark: SparkSession, path: String, p: Params): Unit =
-    spark.createDataFrame(Seq((p.b, p.idDdl, p.ddl("unidoc"),
-        p.ddl("bidoc"), p.ddl("uni"), p.ddl("bi"))))
-      .toDF("b", "idDdl", "unidocDdl", "bidocDdl", "uniDdl", "biDdl")
+    spark.createDataFrame(Seq((p.b, p.mode, p.span, p.idDdl,
+        p.ddl("unidoc"), p.ddl("bidoc"), p.ddl("uni"), p.ddl("bi"))))
+      .toDF("b", "mode", "span", "idDdl",
+        "unidocDdl", "bidocDdl", "uniDdl", "biDdl")
       .write.mode("overwrite").parquet(s"$path/params")
 
   /** Journal-aware ([[SegSwap.resolvedDirPath]]), like the data reads. */
   private def readParams(spark: SparkSession, path: String): Params = {
     val dir = SegSwap.resolvedDirPath(SegSwap.fsOf(spark, path), path, "params")
     val r = spark.read.parquet(dir).collect()(0)
-    Params(r.getInt(0), r.getString(1), Map("unidoc" -> r.getString(2),
-      "bidoc" -> r.getString(3), "uni" -> r.getString(4),
-      "bi" -> r.getString(5)))
+    Params(r.getInt(0), r.getString(1), r.getLong(2), r.getString(3),
+      Map("unidoc" -> r.getString(4), "bidoc" -> r.getString(5),
+        "uni" -> r.getString(6), "bi" -> r.getString(7)))
   }
 
   /** Journal-aware read ([[SegSwap.resolvedTable]]): non-destructive
@@ -61,31 +73,42 @@ object LmCountsStore {
   /** Per-doc contribution tables for a corpus (shared by init and the
     * continuation's arrival side — one definition, no drift). */
   private def uniDocOf(docs: DataFrame, idCol: String, textCol: String,
-      b: Int): DataFrame =
+      p: Params): DataFrame =
     Pipeline.lmToksOf(docs, idCol, textCol)
       .select(col("doc_id"), explode(col("_toks")).as("w"))
       .groupBy("doc_id", "w").agg(count(lit(1)).as("n"))
-      .withColumn("_b", docBucket(col("doc_id"), b))
+      .withColumn("_b", docBucket(col("doc_id"), p))
 
   private def biDocOf(docs: DataFrame, idCol: String, textCol: String,
-      b: Int): DataFrame =
+      p: Params): DataFrame =
     Pipeline.lmBigramsOf(Pipeline.lmToksOf(docs, idCol, textCol))
       .groupBy("doc_id", "_a", "_b").agg(count(lit(1)).as("n"))
       .select(col("doc_id"), col("_a").as("a"), col("_b").as("b"),
         col("n"))
-      .withColumn("_b", docBucket(col("doc_id"), b))
+      .withColumn("_b", docBucket(col("doc_id"), p))
 
   /** Train once: derive contributions and aggregates, lay them out as
     * bucket-partitioned Parquet. */
   def init(spark: SparkSession, path: String, docs: DataFrame,
-      idCol: String, textCol: String, nBuckets: Int = 64): Unit = {
+      idCol: String, textCol: String, nBuckets: Int = 64,
+      bucketMode: String = "hash", rangeSpan: Long = 0L): Unit = {
+    require(bucketMode == "hash" || bucketMode == "range",
+      s"lmcounts: unknown bucketMode '$bucketMode'")
+    require(bucketMode == "hash" || rangeSpan > 0,
+      "lmcounts: range bucketing needs a positive rangeSpan")
+    require(bucketMode == "hash" || docs.schema(idCol).dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"lmcounts: range bucketing needs a numeric id column, " +
+        s"got ${docs.schema(idCol).dataType.sql}")
     graft.functions.GraftFunctions.register(spark)
     // remove the completeness marker FIRST when re-initing over an
     // existing path (crash mid-init must read as incomplete)
     SegSwap.resetForInit(SegSwap.fsOf(spark, path), path)
+    val p0 = Params(nBuckets, bucketMode, rangeSpan,
+      docs.schema(idCol).dataType.sql, Map.empty)
     val intern = new IncrMat.Tracker
-    val unidoc = intern.mat(uniDocOf(docs, idCol, textCol, nBuckets))
-    val bidoc = intern.mat(biDocOf(docs, idCol, textCol, nBuckets))
+    val unidoc = intern.mat(uniDocOf(docs, idCol, textCol, p0))
+    val bidoc = intern.mat(biDocOf(docs, idCol, textCol, p0))
     val uni = intern.mat(unidoc.groupBy("w").agg(sum(col("n")).as("cw"))
       .withColumn("_b", tokBucket(nBuckets, col("w"))))
     val bi = intern.mat(bidoc.groupBy("a", "b")
@@ -96,8 +119,7 @@ object LmCountsStore {
       df.repartition(col("_b")).write.mode("overwrite")
         .partitionBy("_b").parquet(s"$path/$n")
     }
-    writeParams(spark, path, Params(nBuckets,
-      docs.schema(idCol).dataType.sql, Map(
+    writeParams(spark, path, p0.copy(ddl = Map(
       "unidoc" -> unidoc.schema.toDDL, "bidoc" -> bidoc.schema.toDDL,
       "uni" -> uni.schema.toDDL, "bi" -> bi.schema.toDDL)))
     intern.releaseAll()
@@ -121,9 +143,9 @@ object LmCountsStore {
     val rem = intern.mat(removedIds
       .select(col(removedIds.columns.head).as("_rid"))
       .unionByName(addedDocs.select(col(idCol).as("_rid"))).distinct())
-    val addUni = intern.mat(uniDocOf(addedDocs, idCol, textCol, p.b))
-    val addBi = intern.mat(biDocOf(addedDocs, idCol, textCol, p.b))
-    val td = rem.select(docBucket(col("_rid"), p.b).as("_b"))
+    val addUni = intern.mat(uniDocOf(addedDocs, idCol, textCol, p))
+    val addBi = intern.mat(biDocOf(addedDocs, idCol, textCol, p))
+    val td = rem.select(docBucket(col("_rid"), p).as("_b"))
       .distinct().collect().map(_.getInt(0)).toSet
     def inBuckets(bs: Set[Int]): Column =
       if (bs.isEmpty) lit(false)

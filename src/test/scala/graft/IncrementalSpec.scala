@@ -1413,6 +1413,58 @@ class IncrementalSpec extends SparkSpec {
       "doc_id", "text")) == batchScore(after2))
   }
 
+  test("LM counts store: range mode keeps shard-append contribution buckets fresh") {
+    import graft.operators.{LmCountsStore, Pipeline}
+    import java.nio.file.{Files, Paths}
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Double, Int)].collect().map(t => t._1 -> t).toMap
+    val audit = Seq((900L, "range cat sat mat"), (901L, "unseen zz qq"))
+      .toDF("doc_id", "text")
+    def batchScore(model: org.apache.spark.sql.DataFrame) =
+      rows(Pipeline.lmScoreAgainst(model, audit, "doc_id", "text"))
+    val base = (1L to 16L).map(i => (i, s"range cat sat mat p$i"))
+      .toDF("doc_id", "text")
+    val store = Files.createTempDirectory("graft_lm_range").toString
+    LmCountsStore.init(spark, store, base, "doc_id", "text",
+      nBuckets = 8, bucketMode = "range", rangeSpan = 8L)
+    assert(rows(LmCountsStore.scoreAgainst(spark, store, audit,
+      "doc_id", "text")) == batchScore(base))
+    def listing(t: String) = {
+      val root = Paths.get(store, t)
+      val st = Files.walk(root)
+      try st.filter(p => Files.isRegularFile(p)).toArray.map { p0 =>
+        val p = p0.asInstanceOf[java.nio.file.Path]
+        (root.relativize(p).toString, Files.getLastModifiedTime(p).toMillis)
+      }.toMap finally st.close()
+    }
+    val beforeUni = listing("unidoc"); val beforeBi = listing("bidoc")
+    // a contiguous crawl shard: its ids land in FRESH contribution
+    // buckets, so every pre-existing unidoc/bidoc file stays
+    // byte-identical — the append-shaped ingest win range mode buys
+    // (hash mode would scatter the shard across every bucket)
+    val shard = (32L to 40L).map(i => (i, s"range cat sat new n$i"))
+      .toDF("doc_id", "text")
+    LmCountsStore.continueAt(spark, store, shard,
+      Seq.empty[Long].toDF("doc_id"), "doc_id", "text")
+    assert(rows(LmCountsStore.scoreAgainst(spark, store, audit,
+      "doc_id", "text")) == batchScore(base.unionByName(shard)))
+    for ((t, before) <- Seq("unidoc" -> beforeUni, "bidoc" -> beforeBi)) {
+      val after = listing(t)
+      before.foreach { case (f, mt) =>
+        assert(after.get(f).contains(mt),
+          s"$t: pre-existing file rewritten by a pure shard append: $f")
+      }
+    }
+    // removals still exact under range mode (contribution bags pruned
+    // to the departing shard's buckets)
+    LmCountsStore.continueAt(spark, store,
+      Seq.empty[(Long, String)].toDF("doc_id", "text"),
+      Seq(3L, 33L).toDF("doc_id"), "doc_id", "text")
+    assert(rows(LmCountsStore.scoreAgainst(spark, store, audit,
+      "doc_id", "text")) == batchScore(
+        base.unionByName(shard).filter(!col("doc_id").isin(3L, 33L))))
+  }
+
   test("incremental line dedup: status flips reclean untouched docs both ways") {
     import graft.operators.{IncrementalLineDedup, LineDedupState, Pipeline}
     def rows(df: org.apache.spark.sql.DataFrame) =
