@@ -312,8 +312,24 @@ object ScaleBench {
         val (_, tq) = timed(consume(operators.LmCountsStore.scoreAgainst(
           spark, store, docs.filter(col("doc_id") < 100),
           "doc_id", "text")))
+        // the shard-append point: a contiguous crawl shard against a
+        // HASH-mode store scatters across every contribution bucket,
+        // against a RANGE-mode store it lands in fresh buckets only —
+        // shard_range must beat shard_hash and the gap must widen with
+        // the corpus (the contribution tables' width)
+        val n = 5000L * m
+        val shard = genDocs(spark, n + n / 100).filter(col("doc_id") >= n)
+        val (_, tsh) = timed(operators.LmCountsStore.continueAt(spark,
+          store, shard, spark.range(0).toDF("doc_id"), "doc_id", "text"))
+        val storeR = s"$dir/seg_lm_range"
+        deleteRec(new java.io.File(storeR))
+        operators.LmCountsStore.init(spark, storeR, docs, "doc_id",
+          "text", bucketMode = "range",
+          rangeSpan = math.max(1L, n / 256))
+        val (_, tsr) = timed(operators.LmCountsStore.continueAt(spark,
+          storeR, shard, spark.range(0).toDF("doc_id"), "doc_id", "text"))
         Seq("init" -> tb, "upsert1pct" -> tu, "remove1pct" -> tr,
-          "score" -> tq)
+          "score" -> tq, "shard_hash" -> tsh, "shard_range" -> tsr)
       }
 
       run("lm_score", 5000L * m) {
@@ -371,6 +387,48 @@ object ScaleBench {
         val (_, tq) = timed(consume(operators.Similarity.probeIvfIndex(
           spark, idx, v.filter(col("id") < 5), k = 5, nprobe = 4)))
         Seq("build" -> tb, "probe" -> tq)
+      }
+
+      run("seg_pagerank", 15000L * m) {
+        // the SEGMENTED generic preserved state (SegmentedStateStore +
+        // IncrementalJob store mode) — the crossover table: one durable
+        // init, then continuations at 10% / 0.1% / 0.01% / 0.001%
+        // source deltas. Continuation cost must be MONOTONE in the
+        // delta (lazy base segments + touched-bucket-only commit),
+        // where durableStatePath mode re-materialized the whole kvs/out
+        // per continuation. PROVISIONING RULE measured by this probe:
+        // a scattered delta whose 3-hop affected-key count reaches B
+        // touches every bucket — commit degenerates to a full rewrite
+        // paying per-bucket-dir file overhead (first run of this probe
+        // measured 97 s for a 2560-bucket full rewrite of 630k rows —
+        // tiny files, pure writer overhead), so B is provisioned like a
+        // production store: big enough to prune typical deltas, small
+        // enough that buckets hold real bytes. B=512 here puts the big
+        // deltas in the (honest) saturation regime and the small ones
+        // in the pruned regime — the curve between them is the win.
+        val edges1 = edges0.persist(StorageLevel.MEMORY_AND_DISK)
+        val store = s"$dir/seg_pagerank"
+        deleteRec(new java.io.File(store))
+        val (preserved, tp) = timed(algorithms.IncrementalPageRank.preserve(
+          edges1, 0.8, iterations = 4))
+        val (_, tinit) = timed {
+          core.SegmentedStateStore.init(spark, store, preserved, "node",
+            nBuckets = 512)
+          preserved.release()
+        }
+        def cont(everyNth: Int): Double = timed {
+          val (edges2, chg, _) =
+            graft.util.Generators.graphDelta(edges1, everyNth, 15000L * m)
+          consume(algorithms.IncrementalPageRank.incrementalSeg(spark,
+            store, edges2, chg.select(col("src")), 0.8,
+            iterations = 3, filterThreshold = 0.0))
+        }._2
+        val t10 = cont(10); val t01 = cont(1000)
+        val t001 = cont(10000); val t0001 = cont(100000)
+        edges1.unpersist()
+        Seq("preserve" -> tp, "init" -> tinit, "cont10pct" -> t10,
+          "cont01pct" -> t01, "cont001pct" -> t001,
+          "cont0001pct" -> t0001)
       }
 
       run("incr_pagerank", 15000L * m) {
