@@ -528,6 +528,92 @@ object Similarity {
     * for real corpora; the default lowest-id quantizer is the same
     * pinned-seed contract as [[ivfTopK]].
     */
+  /** Preserved SemDeDup state for incremental maintenance
+    * ([[preserveSemanticDedup]]/[[continueSemanticDedup]]): the FROZEN
+    * normalized quantizer, the (cid, nid, nvec) assignment table, and
+    * the (id, cid, keep) output. A keep decision depends ONLY on pairs
+    * within its own cluster under the frozen quantizer, so a ±vector
+    * delta re-decides exactly the clusters it touches — the
+    * updateIvfIndex frozen-quantizer thesis on the dedup surface. */
+  final case class SemanticDedupState(cents: DataFrame, assign: DataFrame,
+      out: DataFrame, tau: Double, centroidFoldLimit: Int,
+      release: () => Unit = () => ())
+
+  /** Run SemDeDup once and keep the state ([[semanticDedup]]'s
+    * semantics — same assignment path, same rounded-cosine boundary —
+    * with the internals preserved instead of released). */
+  def preserveSemanticDedup(vectors: DataFrame, nlist: Int, tau: Double,
+      centroids: Option[DataFrame] = None,
+      centroidFoldLimit: Int = 64): SemanticDedupState = {
+    graft.functions.GraftFunctions.register(vectors.sparkSession)
+    val v = vectors.select(col("id").as("nid"),
+      col("vec").cast("array<double>").as("nvec"))
+    // the quantizer freezes at preserve time (k rows, driver-small)
+    val (cents, rC) = IncrMat.matWithHandle(
+      normalizedCentroids(v, centroids, nlist))
+    val (assign, rA) = IncrMat.matWithHandle(
+      assignToLists(v, cents, centroidFoldLimit))
+    val (out, rO) = IncrMat.matWithHandle(keepFor(assign, tau))
+    SemanticDedupState(cents, assign, out, tau, centroidFoldLimit,
+      () => { rC(); rA(); rO() })
+  }
+
+  /** keep ∈ {0,1} for every row of `assign` (cid, nid, nvec) against
+    * its own cluster-mate pairs: the ONE dominance definition shared by
+    * the batch operator, the preserve pass, and the continuation's
+    * affected-cluster re-decide (keep depends only on within-cluster
+    * pairs, which is what makes the per-cluster re-decide exact). */
+  private def keepFor(assign: DataFrame, tau: Double): DataFrame = {
+    val dominated = assign
+      .select(col("cid"), col("nid").as("ida"), col("nvec").as("va"))
+      .join(assign.select(col("cid"), col("nid").as("idb"),
+        col("nvec").as("vb")), "cid")
+      .filter(col("ida") < col("idb"))
+      .filter(round(cosine(col("va"), col("vb")), 6) > tau)
+      .select(col("idb").as("nid")).distinct()
+    assign.join(dominated.withColumn("_dom", lit(1)), Seq("nid"), "left")
+      .select(col("nid").as("id"), col("cid"),
+        when(col("_dom").isNotNull, lit(0)).otherwise(lit(1)).as("keep"))
+  }
+
+  /** Roll the state forward over a ±vector delta (upsert contract: an
+    * incoming id evicts its existing row) under the FROZEN quantizer:
+    * the delta assigns against the preserved centroids, only the
+    * clusters that gained or lost a member re-run the dominance scan
+    * (Σ|affected cluster|² work), and every other cluster's keep bits
+    * carry over untouched. EXACT vs [[semanticDedup]] on the
+    * post-delta vectors with the same centroids (gate + spec). */
+  def continueSemanticDedup(state: SemanticDedupState,
+      addedVecs: DataFrame, removedIds: DataFrame): SemanticDedupState = {
+    val intern = new IncrMat.Tracker
+    val rem = intern.mat(removedIds
+      .select(col(removedIds.columns.head).as("_rid"))
+      .unionByName(addedVecs.select(col("id").as("_rid"))).distinct())
+    val addAssign = intern.mat(assignToLists(
+      addedVecs.select(col("id").as("nid"),
+        col("vec").cast("array<double>").as("nvec")),
+      state.cents, state.centroidFoldLimit))
+    // affected clusters: those losing a member (evicted rows' cids)
+    // or gaining one — O(delta) cids, broadcast-sized by nature
+    val affCids = intern.mat(state.assign
+      .join(rem, col("nid") === col("_rid"), "left_semi").select("cid")
+      .unionByName(addAssign.select("cid")).distinct())
+    val (assignNext, rA) = IncrMat.matWithHandle(state.assign
+      .join(rem, col("nid") === col("_rid"), "left_anti")
+      .unionByName(addAssign))
+    val recomputed = keepFor(
+      assignNext.join(affCids, Seq("cid"), "left_semi"), state.tau)
+    val (outNext, rO) = IncrMat.matWithHandle(state.out
+      .join(rem, col("id") === col("_rid"), "left_anti")
+      .join(affCids, Seq("cid"), "left_anti")
+      .unionByName(recomputed.select("id", "cid", "keep")))
+    intern.releaseAll()
+    // cents carry over FROZEN; their release stays with the original
+    // state's thunk (call state.release() after the chain is done)
+    SemanticDedupState(state.cents, assignNext, outNext, state.tau,
+      state.centroidFoldLimit, () => { rA(); rO() })
+  }
+
   def semanticDedup(vectors: DataFrame, nlist: Int, tau: Double,
       centroids: Option[DataFrame] = None,
       centroidFoldLimit: Int = 64): DataFrame = {

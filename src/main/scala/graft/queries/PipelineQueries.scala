@@ -1543,6 +1543,50 @@ object PipelineQueries {
                 CAST(CASE WHEN d.nid IS NULL THEN 1 ELSE 0 END AS INT) AS keep
               FROM assign a LEFT JOIN dom d ON a.nid = d.nid""")),
 
+    // INCREMENTAL SemDeDup ([[Similarity.continueSemanticDedup]]): the
+    // quantizer freezes on the base cohort (vec_id ≢3 mod 10), the
+    // delta adds ≡3 and removes ≡7, and ONLY clusters that gained or
+    // lost a member re-run the dominance scan — an added near-dup must
+    // flip its untouched cluster-mates' keep bits, a removed dominator
+    // must restore them. Oracle: full SemDeDup over the post-delta
+    // vectors under the SAME frozen (base-derived) quantizer.
+    Q("q_incr_semantic_dedup",
+      (s, dir) => {
+        val vecs = Q.t(s, dir, "embeddings")
+          .select(col("vec_id").as("id"), col("embedding").as("vec"))
+        val st0 = Similarity.preserveSemanticDedup(
+          vecs.filter(col("id") % 10 =!= 3), nlist = 16, tau = 0.3)
+        val st1 = Similarity.continueSemanticDedup(st0,
+          vecs.filter(col("id") % 10 === 3),
+          vecs.filter(col("id") % 10 === 7).select("id"))
+        val out = st1.out
+          .select(col("id"), col("cid"), col("keep").cast("int").as("keep"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        out.count()
+        st0.release(); st1.release()
+        out
+      },
+      Some(s"""WITH $vecCte,
+              cents AS (SELECT id AS cid, vec AS cvec FROM v
+                WHERE id % 10 <> 3 ORDER BY id LIMIT 16),
+              v2 AS (SELECT * FROM v WHERE id % 10 <> 7),
+              assign AS (SELECT nid, nvec, cid FROM (
+                SELECT v2.id AS nid, v2.vec AS nvec, c.cid,
+                  row_number() OVER (PARTITION BY v2.id ORDER BY
+                    ${dotSql("v2.vec", "c.cvec")} /
+                      (sqrt(${dotSql("v2.vec", "v2.vec")}) *
+                       sqrt(${dotSql("c.cvec", "c.cvec")})) DESC, c.cid) AS rk
+                FROM v2 CROSS JOIN cents c) WHERE rk = 1),
+              dom AS (SELECT DISTINCT y.nid AS nid
+                FROM assign x JOIN assign y
+                  ON x.cid = y.cid AND x.nid < y.nid
+                WHERE round(${dotSql("x.nvec", "y.nvec")} /
+                    (sqrt(${dotSql("x.nvec", "x.nvec")}) *
+                     sqrt(${dotSql("y.nvec", "y.nvec")})), 6) > 0.3)
+              SELECT a.nid AS id, a.cid,
+                CAST(CASE WHEN d.nid IS NULL THEN 1 ELSE 0 END AS INT) AS keep
+              FROM assign a LEFT JOIN dom d ON a.nid = d.nid""")),
+
     // Multimodal packing: binary payload + typed metadata (decode is a
     // stub by design; see graft.operators.Multimodal).
     Q("q_multimodal_pack",

@@ -258,6 +258,52 @@ class OperatorsSpec extends SparkSpec {
     outDf.unpersist()
   }
 
+  test("incremental semanticDedup: affected-cluster re-decide flips both ways") {
+    // frozen 3-centroid quantizer from the base's lowest ids (1, 2, 4);
+    // clusters live in disjoint-ish 2D directions so assignment is
+    // unambiguous. tau = 0.9.
+    val tau = 0.9
+    val base = Seq(
+      1L -> Array(1.0, 0.0),             // centroid A
+      2L -> Array(0.0, 1.0),             // centroid B
+      4L -> Array(-1.0, 0.0),            // centroid C
+      5L -> Array(0.995, 0.0999),        // A-mate, dominated by 1
+      6L -> Array(0.6, 0.8),             // B-mate, cos(2,6)=.8 <= tau: kept
+      7L -> Array(-0.995, -0.0999)       // C-mate, dominated by 4
+    ).toDF("id", "vec")
+    val st0 = Similarity.preserveSemanticDedup(base, nlist = 3, tau = tau)
+    val out0 = st0.out.select("id", "keep").as[(Long, Int)].collect().toMap
+    assert(out0 == Map(1L -> 1, 2L -> 1, 4L -> 1, 5L -> 0, 6L -> 1, 7L -> 0))
+
+    // delta: +3 (B-direction, cos(3,6) ≈ .998 > tau — UNTOUCHED 6 must
+    // flip to dropped, 3 < 6 dominates); −1 (5's only dominator leaves —
+    // UNTOUCHED 5 must flip back to kept). Cluster C is untouched by
+    // the delta: 4/7's bits must carry over unchanged.
+    val added = Seq(3L -> Array(0.55, 0.835)).toDF("id", "vec")
+    val st1 = Similarity.continueSemanticDedup(st0, added,
+      Seq(1L).toDF("id"))
+    val out1 = st1.out.select("id", "keep").as[(Long, Int)].collect().toMap
+    assert(out1 == Map(2L -> 1, 3L -> 1, 4L -> 1, 5L -> 1, 6L -> 0, 7L -> 0),
+      s"got $out1")
+
+    // exactness: equals the batch operator over the post-delta vectors
+    // under the SAME frozen quantizer
+    val after = base.filter(col("id") =!= 1L).unionByName(added)
+    val cents = base.filter(col("id").isin(1L, 2L, 4L))
+    val batch = Similarity.semanticDedup(after, nlist = 3, tau = tau,
+      centroids = Some(cents))
+    val want = batch.select("id", "keep").as[(Long, Int)].collect().toMap
+    assert(out1 == want)
+    // full (id, cid, keep) agreement, not just keep bits
+    val got3 = st1.out.select("id", "cid", "keep")
+      .as[(Long, Long, Int)].collect().toSet
+    val want3 = batch.select(col("id"), col("cid"),
+        col("keep").cast("int"))
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got3 == want3)
+    batch.unpersist(); st0.release(); st1.release()
+  }
+
   test("teraValidate compares keys in native type order") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
