@@ -54,7 +54,9 @@ object Bench {
       Seq("q1_agg", "q_pagerank", "q_incr_pagerank", "q_incr_kmeans",
         "q_incr_matvec", "q_incr_matvec_blocked", "q_minhash",
         "q_dedup_clusters", "q_incr_dedup_clusters", "q_incr_pipeline_clean",
-        "q_incr_tfidf", "q_incr_ann_ivf", "q_incr_decontaminate").foreach { n =>
+        "q_incr_tfidf", "q_incr_ann_ivf", "q_incr_decontaminate",
+        "q_incr_pagerank_seg", "q_incr_dup_spans_seg",
+        "q_incr_cut_dup_spans").foreach { n =>
         SparkEntry.queries.get(n).foreach { fn =>
           try fn(spark, warmDir).count() catch { case _: Throwable => () }
         }
