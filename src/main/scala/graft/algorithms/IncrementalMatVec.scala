@@ -76,6 +76,30 @@ object IncrementalMatVec {
       () => { kvs.unpersist(blocking = false); res.release() })
   }
 
+  /** Lay the preserved state out as a SEGMENTED durable store
+    * ([[graft.core.SegmentedStateStore]]) — same production form as
+    * [[IncrementalPageRank.preserveTo]]. */
+  def preserveTo(spark: org.apache.spark.sql.SparkSession, path: String,
+      m: DataFrame, b: DataFrame, iterations: Int,
+      numPartitions: Int = 32, nBuckets: Int = 64): Unit = {
+    val st = preserve(m, b, iterations, numPartitions)
+    graft.core.SegmentedStateStore.init(spark, path, st, "idx", nBuckets)
+    st.release()
+  }
+
+  /** Continue AGAINST THE STORE at `path`: the generic store mode is
+    * algorithm-agnostic — this is the One2One matvec through the same
+    * lazy-base / touched-bucket-commit machinery as the PageRank twin
+    * (spec-pinned equal to the in-memory continuation). */
+  def incrementalSeg(spark: org.apache.spark.sql.SparkSession,
+      path: String, updatedM: DataFrame, b: DataFrame,
+      changedColumns: DataFrame, iterations: Int,
+      filterThreshold: Double = 0.0, numPartitions: Int = 32): DataFrame = {
+    val store = graft.core.SegmentedStateStore.openForWrite(spark, path)
+    incremental(updatedM, b, store.preserved, changedColumns, iterations,
+      filterThreshold, numPartitions, segStore = Some(store))
+  }
+
   /** Continue over the updated matrix.
     *
     * @param updatedM       cells AFTER the delta (i, j, v)
@@ -90,7 +114,8 @@ object IncrementalMatVec {
       iterations: Int,
       filterThreshold: Double = 0.0,
       numPartitions: Int = 32,
-      durableStatePath: Option[String] = None): DataFrame = {
+      durableStatePath: Option[String] = None,
+      segStore: Option[graft.core.SegmentedStateStore] = None): DataFrame = {
 
     val static = updatedM.select(col("i").cast("long"), col("j").cast("long"),
       col("v").cast("double"))
@@ -119,7 +144,8 @@ object IncrementalMatVec {
       filterThreshold = filterThreshold,
       maxIterations = iterations,
       numPartitions = numPartitions,
-      durableStatePath = durableStatePath)
+      durableStatePath = durableStatePath,
+      segStore = segStore)
 
     IncrementalJob.finish(job.run())
   }
@@ -200,6 +226,29 @@ object IncrementalMatVec {
     * @param updatedM     cells AFTER the delta (i, j, v)
     * @param changedTiles tile ids whose cells changed (single column tid)
     */
+  /** Segmented-store twins of the BLOCKED (One2Mul) continuation: with
+    * [[preserveTo]]/[[incrementalSeg]] and the PageRank pair these
+    * cover the store mode across the full projector-cardinality matrix
+    * minus One2All (whose out state is k centers — broadcast-sized,
+    * nothing to segment). */
+  def preserveBlockedTo(spark: org.apache.spark.sql.SparkSession,
+      path: String, m: DataFrame, b: DataFrame, blockSize: Int,
+      iterations: Int, numPartitions: Int = 32, nBuckets: Int = 64): Unit = {
+    val st = preserveBlocked(m, b, blockSize, iterations, numPartitions)
+    graft.core.SegmentedStateStore.init(spark, path, st, "idx", nBuckets)
+    st.release()
+  }
+
+  def incrementalBlockedSeg(spark: org.apache.spark.sql.SparkSession,
+      path: String, updatedM: DataFrame, b: DataFrame,
+      changedTiles: DataFrame, blockSize: Int, iterations: Int,
+      filterThreshold: Double = 0.0, numPartitions: Int = 32): DataFrame = {
+    val store = graft.core.SegmentedStateStore.openForWrite(spark, path)
+    incrementalBlocked(updatedM, b, store.preserved, changedTiles,
+      blockSize, iterations, filterThreshold, numPartitions,
+      segStore = Some(store))
+  }
+
   def incrementalBlocked(
       updatedM: DataFrame,
       b: DataFrame,
@@ -209,7 +258,8 @@ object IncrementalMatVec {
       iterations: Int,
       filterThreshold: Double = 0.0,
       numPartitions: Int = 32,
-      durableStatePath: Option[String] = None): DataFrame = {
+      durableStatePath: Option[String] = None,
+      segStore: Option[graft.core.SegmentedStateStore] = None): DataFrame = {
 
     val static = tiles(updatedM, blockSize)
     val bKeyed = b.select(col("idx").cast("long"), col("bv").cast("double"))
@@ -265,7 +315,8 @@ object IncrementalMatVec {
       filterThreshold = filterThreshold,
       maxIterations = iterations,
       numPartitions = numPartitions,
-      durableStatePath = durableStatePath)
+      durableStatePath = durableStatePath,
+      segStore = segStore)
 
     val out = IncrementalJob.finish(job.run())
     releaseIdx()

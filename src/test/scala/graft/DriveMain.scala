@@ -4,8 +4,10 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** Scratch driver for manual verification runs (see .claude/skills/verify).
-  * Current drive (round 9): chained segmented-preserved-state debug —
-  * compare the store path against the in-memory loop per continuation. */
+  * Current drive (round 9): prove the store-mode loop's touched-bucket
+  * filters reach the parquet scan as PARTITION pruning — the plan's
+  * scan node must list `_b` partition filters and the scanned file set
+  * must exclude untouched buckets. */
 object DriveMain {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[8]")
@@ -15,47 +17,25 @@ object DriveMain {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
-    import graft.algorithms.IncrementalPageRank
     import graft.core.SegmentedStateStore
 
-    val chain = (0L until 6L).map(i => (100L + i, 101L + i))
-    val blob = (for (i <- 0L until 40L; j <- Seq((i * 7 + 1) % 40, (i * 3 + 2) % 40)
-      if i != j) yield (i, j)).distinct
-    val edges1 = (chain ++ blob).toDF("src", "dst")
+    val edges = (for (i <- 0L until 200L; j <- Seq((i * 7 + 1) % 200, (i * 3 + 2) % 200)
+      if i != j) yield (i, j)).distinct.toDF("src", "dst")
     val store = java.nio.file.Files
-      .createTempDirectory("graft_pr_seg_dbg").toString
-    IncrementalPageRank.preserveTo(spark, store, edges1, 0.8,
-      iterations = 4, nBuckets = 64)
+      .createTempDirectory("graft_prune_probe").toString
+    graft.algorithms.IncrementalPageRank.preserveTo(spark, store, edges,
+      0.8, iterations = 3, nBuckets = 64)
 
-    val edges2 = edges1.filter(col("src") =!= 100L)
-      .unionByName(Seq((100L, 103L)).toDF("src", "dst"))
-    val chg = Seq(100L).toDF("src")
-    val seg1 = IncrementalPageRank.incrementalSeg(spark, store,
-      edges2, chg, 0.8, iterations = 2).as[(Long, Double)].collect().toMap
-
-    // snapshot post-run-1 store
-    val s1 = SegmentedStateStore.openForRead(spark, store).preserved
-    val st1 = graft.core.PreservedState(
-      s1.kvs.localCheckpoint(true), s1.out.localCheckpoint(true))
-    println("snapshot out 105 = " +
-      st1.out.filter(col("node").isin(102L, 103L, 104L, 105L, 106L))
-        .orderBy("node").collect().mkString(" "))
-    println("snapshot kvs 105/106 = " +
-      st1.kvs.filter(col("node").isin(105L, 106L))
-        .orderBy("node", "src").collect().mkString(" "))
-
-    val edges3 = edges2.filter(col("src") =!= 102L)
-      .unionByName(Seq((102L, 105L)).toDF("src", "dst"))
-    val chg2 = Seq(102L).toDF("src")
-    val seg2 = IncrementalPageRank.incrementalSeg(spark, store,
-      edges3, chg2, 0.8, iterations = 2).as[(Long, Double)].collect().toMap
-    val mem2 = IncrementalPageRank.incremental(edges3, st1, chg2, 0.8,
-      iterations = 2).as[(Long, Double)].collect().toMap
-    val s2 = SegmentedStateStore.openForRead(spark, store).preserved
-    println("post-run-2 store kvs 106 = " +
-      s2.kvs.filter(col("node") === 106L).collect().mkString(" "))
-    for (k <- Seq(102L, 103L, 104L, 105L, 106L))
-      println(s"node $k run1=${seg1.get(k)} seg2=${seg2.get(k)} mem2=${mem2.get(k)}")
+    // a pruned read the loop would issue: out rows of 3 buckets
+    val st = SegmentedStateStore.openForRead(spark, store)
+    val probe = st.out.filter(col("_b").isin(1, 2, 3))
+    probe.collect()
+    println("=== explain ===")
+    println(probe.queryExecution.executedPlan.toString.take(2000))
+    val scanned = probe
+      .select(input_file_name()).distinct().as[String].collect()
+    println(s"=== scanned ${scanned.length} files ===")
+    scanned.foreach(f => println(f.split("/").takeRight(2).mkString("/")))
     spark.stop()
   }
 }

@@ -1050,6 +1050,66 @@ class IncrementalSpec extends SparkSpec {
     st0.release(); st1.release()
   }
 
+  test("segmented preserved state is algorithm-agnostic: matvec One2One and One2Mul") {
+    import graft.algorithms.IncrementalMatVec
+    // damped row-normalized matrix over a 60-index space, delta halves
+    // three columns' cells — the q_incr_matvec construction at spec size
+    def weights(n: Int) = (0 until n).flatMap { i =>
+      Seq((i.toLong, ((i * 7 + 1) % n).toLong, 1.0 + (i % 5)),
+        (i.toLong, ((i * 3 + 2) % n).toLong, 2.0 + (i % 3)))
+    }.filter { case (i, j, _) => i != j }
+    val w = weights(60).toDF("i", "j", "w")
+    val rs = w.groupBy("i").agg(sum(abs(col("w"))).as("rs"))
+    val m1 = w.join(rs, "i")
+      .select(col("i"), col("j"), (col("w") / col("rs") * 0.8).as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val b = IncrementalMatVec.universe(m1, 0.2)
+    val chg = m1.filter(col("j") % 10 === 3).select("j").distinct()
+    val m2 = m1.withColumn("v",
+      when(col("j") % 10 === 3, col("v") * 0.5).otherwise(col("v")))
+
+    // One2One: store continuation == in-memory continuation exactly
+    val store1 = java.nio.file.Files
+      .createTempDirectory("graft_mv_seg").toString
+    IncrementalMatVec.preserveTo(spark, store1, m1, b, iterations = 3,
+      nBuckets = 16)
+    val gotSeg = IncrementalMatVec.incrementalSeg(spark, store1, m2, b,
+      chg, iterations = 2).as[(Long, Double)].collect().toMap
+    val st0 = IncrementalMatVec.preserve(m1, b, iterations = 3)
+    val gotMem = IncrementalMatVec.incremental(m2, b, st0, chg,
+      iterations = 2).as[(Long, Double)].collect().toMap
+    assert(gotSeg.keySet == gotMem.keySet)
+    for (k <- gotSeg.keySet)
+      assert(math.abs(gotSeg(k) - gotMem(k)) < 1e-12,
+        s"idx $k seg=${gotSeg(k)} mem=${gotMem(k)}")
+    st0.release()
+
+    // One2Mul (blocked tiles + backProject through block sparsity):
+    // the store mode must compose with the full out-state dyn scope
+    // and the tile-granular frontier
+    val blockSize = 8
+    val chgT = m1.filter(col("j") % 10 === 3)
+      .select(IncrementalMatVec.tileId(col("i"), col("j"), blockSize)
+        .as("tid")).distinct()
+    val store2 = java.nio.file.Files
+      .createTempDirectory("graft_mvb_seg").toString
+    IncrementalMatVec.preserveBlockedTo(spark, store2, m1, b, blockSize,
+      iterations = 3, nBuckets = 16)
+    val gotSegB = IncrementalMatVec.incrementalBlockedSeg(spark, store2,
+      m2, b, chgT, blockSize, iterations = 2)
+      .as[(Long, Double)].collect().toMap
+    val st0b = IncrementalMatVec.preserveBlocked(m1, b, blockSize,
+      iterations = 3)
+    val gotMemB = IncrementalMatVec.incrementalBlocked(m2, b, st0b, chgT,
+      blockSize, iterations = 2).as[(Long, Double)].collect().toMap
+    assert(gotSegB.keySet == gotMemB.keySet)
+    for (k <- gotSegB.keySet)
+      assert(math.abs(gotSegB(k) - gotMemB(k)) < 1e-12,
+        s"blocked idx $k seg=${gotSegB(k)} mem=${gotMemB(k)}")
+    st0b.release()
+    m1.unpersist(blocking = false)
+  }
+
   test("segmented stores: delta id dtype is pinned to the init corpus's") {
     // xxhash64(int 5) != xxhash64(long 5): an un-pinned delta with a
     // narrower id dtype would bucket differently and strand stale rows
