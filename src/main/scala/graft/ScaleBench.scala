@@ -316,11 +316,18 @@ object ScaleBench {
         // HASH-mode store scatters across every contribution bucket,
         // against a RANGE-mode store it lands in fresh buckets only —
         // shard_range must beat shard_hash and the gap must widen with
-        // the corpus (the contribution tables' width)
+        // the corpus (the contribution tables' width). BOTH stores are
+        // freshly inited on the pristine corpus so the comparison
+        // isolates bucket-mode scatter (timing the hash append against
+        // the churned store above would bias it with accreted files
+        // and a ±2% different doc set)
         val n = 5000L * m
         val shard = genDocs(spark, n + n / 100).filter(col("doc_id") >= n)
+        val storeH = s"$dir/seg_lm_hash2"
+        deleteRec(new java.io.File(storeH))
+        operators.LmCountsStore.init(spark, storeH, docs, "doc_id", "text")
         val (_, tsh) = timed(operators.LmCountsStore.continueAt(spark,
-          store, shard, spark.range(0).toDF("doc_id"), "doc_id", "text"))
+          storeH, shard, spark.range(0).toDF("doc_id"), "doc_id", "text"))
         val storeR = s"$dir/seg_lm_range"
         deleteRec(new java.io.File(storeR))
         operators.LmCountsStore.init(spark, storeR, docs, "doc_id",
@@ -416,15 +423,29 @@ object ScaleBench {
             nBuckets = 512)
           preserved.release()
         }
-        def cont(everyNth: Int): Double = timed {
-          val (edges2, chg, _) =
-            graft.util.Generators.graphDelta(edges1, everyNth, 15000L * m)
-          consume(algorithms.IncrementalPageRank.incrementalSeg(spark,
-            store, edges2, chg.select(col("src")), 0.8,
-            iterations = 3, filterThreshold = 0.0))
-        }._2
+        // the graph EVOLVES across the chain: each delta derives from
+        // the previous continuation's graph, so the store's committed
+        // state and the passed updatedEdges always describe the same
+        // graph (deriving every delta from edges1 would hand the later
+        // continuations a static side inconsistent with the state —
+        // semantically invalid timings)
+        var cur = edges1
+        def cont(everyNth: Int): Double = {
+          val (edges2raw, chg, _) =
+            graft.util.Generators.graphDelta(cur, everyNth, 15000L * m)
+          val edges2 = edges2raw.persist(StorageLevel.MEMORY_AND_DISK)
+          edges2.count()
+          val (_, t) = timed(
+            consume(algorithms.IncrementalPageRank.incrementalSeg(spark,
+              store, edges2, chg.select(col("src")), 0.8,
+              iterations = 3, filterThreshold = 0.0)))
+          if (!(cur eq edges1)) cur.unpersist(blocking = false)
+          cur = edges2
+          t
+        }
         val t10 = cont(10); val t01 = cont(1000)
         val t001 = cont(10000); val t0001 = cont(100000)
+        if (!(cur eq edges1)) cur.unpersist(blocking = false)
         edges1.unpersist()
         Seq("preserve" -> tp, "init" -> tinit, "cont10pct" -> t10,
           "cont01pct" -> t01, "cont001pct" -> t001,

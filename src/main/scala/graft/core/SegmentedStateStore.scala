@@ -114,7 +114,14 @@ object SegmentedStateStore {
 
   private def open(spark: SparkSession, path: String): SegmentedStateStore = {
     val dir = SegSwap.resolvedDirPath(SegSwap.fsOf(spark, path), path, "params")
-    val r = spark.read.parquet(dir).collect()(0)
+    val df = spark.read.parquet(dir)
+    // NAME-based reads: a future params layout change fails clearly
+    val want = Seq("k2Col", "b", "k2Ddl", "kvsDdl", "outDdl")
+    val missing = want.filterNot(df.columns.contains)
+    require(missing.isEmpty,
+      s"segstate: store at $path has an incompatible params layout " +
+        s"(missing ${missing.mkString(",")}) — re-init the store")
+    val r = df.select(want.map(col): _*).collect()(0)
     new SegmentedStateStore(spark, path, r.getString(0), r.getInt(1),
       r.getString(2), r.getString(3), r.getString(4))
   }
@@ -142,16 +149,20 @@ object SegmentedStateStore {
   def compact(spark: SparkSession, path: String): Unit = {
     val store = openForWrite(spark, path) // recover ran: live dirs are truth
     val fs = SegSwap.fsOf(spark, path)
-    def liveBuckets(table: String): Set[Int] = {
-      val dir = new org.apache.hadoop.fs.Path(s"$path/$table")
-      if (!fs.exists(dir)) Set.empty
-      else fs.listStatus(dir).toSeq.map(_.getPath.getName)
-        .collect { case n if n.startsWith("_b=") =>
-          n.stripPrefix("_b=").toInt }.toSet
-    }
     // the union of both tables' buckets: a bucket present in only one
     // table still journals for the other (its "empty" line is a no-op)
-    val touched = liveBuckets("kvs") ++ liveBuckets("out")
-    if (touched.nonEmpty) store.commit(store.kvs, store.out, touched)
+    val touched = SegSwap.liveBuckets(fs, path, "kvs") ++
+      SegSwap.liveBuckets(fs, path, "out")
+    if (touched.nonEmpty) {
+      // MATERIALIZE lineage-free leaves before the commit (its
+      // documented contract): the swap retires the very files the lazy
+      // store views would re-read
+      val (kvsM, _, relK) = org.apache.spark.sql.graft.GraftSqlShim
+        .checkpointedLeafWithHandle(store.kvs)
+      val (outM, _, relO) = org.apache.spark.sql.graft.GraftSqlShim
+        .checkpointedLeafWithHandle(store.out)
+      try store.commit(kvsM, outM, touched)
+      finally { relK(); relO() }
+    }
   }
 }

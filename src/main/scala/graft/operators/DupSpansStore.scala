@@ -104,7 +104,18 @@ object DupSpansStore {
     * mutating anything. */
   private def readParams(spark: SparkSession, path: String): Params = {
     val dir = SegSwap.resolvedDirPath(SegSwap.fsOf(spark, path), path, "params")
-    val r = spark.read.parquet(dir).collect()(0)
+    val df = spark.read.parquet(dir)
+    // NAME-based reads: a store written by an older params layout fails
+    // with a clear column-not-found (re-init required), never a
+    // positional ClassCastException deep in a getter
+    val want = Seq("w", "maxFrac", "b", "mode", "span", "idDdl", "withCut",
+      "spansDdl", "ntoksDdl", "dfreqDdl", "outDdl", "textDdl", "cutDdl")
+    val missing = want.filterNot(df.columns.contains)
+    require(missing.isEmpty,
+      s"dupspans: store at $path has an incompatible params layout " +
+        s"(missing ${missing.mkString(",")}) — written by an older " +
+        "build; re-init the store")
+    val r = df.select(want.map(col): _*).collect()(0)
     val cut = r.getBoolean(6)
     Params(r.getInt(0), r.getDouble(1), r.getInt(2), r.getString(3),
       r.getLong(4), r.getString(5), cut, Map(
@@ -420,13 +431,6 @@ object DupSpansStore {
         .isInstanceOf[org.apache.spark.sql.types.NumericType],
       s"dupspans: range bucketing needs a numeric id, store has ${p.idDdl}")
     val p2 = p.copy(b = nBuckets, mode = bucketMode, span = rangeSpan)
-    def liveBuckets(t: String): Set[Int] = {
-      val dir = new org.apache.hadoop.fs.Path(s"$path/$t")
-      if (!fs.exists(dir)) Set.empty
-      else fs.listStatus(dir).toSeq.map(_.getPath.getName)
-        .collect { case n if n.startsWith("_b=") =>
-          n.stripPrefix("_b=").toInt }.toSet
-    }
     val intern = new IncrMat.Tracker
     val staged = (p.docTables.map(t => (t, docBucket(col("doc_id"), p2))) :+
         (("dfreq", spanBucket(col("s"), nBuckets)))).map { case (t, newB) =>
@@ -436,7 +440,7 @@ object DupSpansStore {
       // new bucket (rows land there) — O(buckets) driver ints
       val newBs = rows.select("_b").distinct()
         .collect().map(_.getInt(0)).toSet
-      (t, rows, liveBuckets(t) ++ newBs)
+      (t, rows, SegSwap.liveBuckets(fs, path, t) ++ newBs)
     }
     SegSwap.commit(spark, path, staged, dirSwaps = Seq(
       "params" -> ((dst: String) => writeParamsTo(spark, dst, p2))))

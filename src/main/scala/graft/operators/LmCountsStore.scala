@@ -47,17 +47,31 @@ object LmCountsStore {
   private case class Params(b: Int, mode: String, span: Long,
       idDdl: String, ddl: Map[String, String])
 
-  private def writeParams(spark: SparkSession, path: String, p: Params): Unit =
+  private def writeParamsTo(spark: SparkSession, dst: String,
+      p: Params): Unit =
     spark.createDataFrame(Seq((p.b, p.mode, p.span, p.idDdl,
         p.ddl("unidoc"), p.ddl("bidoc"), p.ddl("uni"), p.ddl("bi"))))
       .toDF("b", "mode", "span", "idDdl",
         "unidocDdl", "bidocDdl", "uniDdl", "biDdl")
-      .write.mode("overwrite").parquet(s"$path/params")
+      .write.mode("overwrite").parquet(dst)
 
-  /** Journal-aware ([[SegSwap.resolvedDirPath]]), like the data reads. */
+  private def writeParams(spark: SparkSession, path: String, p: Params): Unit =
+    writeParamsTo(spark, s"$path/params", p)
+
+  /** Journal-aware ([[SegSwap.resolvedDirPath]]), like the data reads;
+    * NAME-based so an older params layout fails clearly (re-init),
+    * never as a positional ClassCastException. */
   private def readParams(spark: SparkSession, path: String): Params = {
     val dir = SegSwap.resolvedDirPath(SegSwap.fsOf(spark, path), path, "params")
-    val r = spark.read.parquet(dir).collect()(0)
+    val df = spark.read.parquet(dir)
+    val want = Seq("b", "mode", "span", "idDdl",
+      "unidocDdl", "bidocDdl", "uniDdl", "biDdl")
+    val missing = want.filterNot(df.columns.contains)
+    require(missing.isEmpty,
+      s"lmcounts: store at $path has an incompatible params layout " +
+        s"(missing ${missing.mkString(",")}) — written by an older " +
+        "build; re-init the store")
+    val r = df.select(want.map(col): _*).collect()(0)
     Params(r.getInt(0), r.getString(1), r.getLong(2), r.getString(3),
       Map("unidoc" -> r.getString(4), "bidoc" -> r.getString(5),
         "uni" -> r.getString(6), "bi" -> r.getString(7)))
@@ -209,5 +223,50 @@ object LmCountsStore {
         .select(col("a").as("_a"), col("b").as("_b"),
           col("cab").as("_cab")),
       score, idCol, textCol, k, maxNll)
+  }
+
+  /** Journaled RE-BUCKETING of the doc-bucket layout (nBuckets /
+    * hash↔range / rangeSpan) — the same lifecycle operation as
+    * [[DupSpansStore.rebucket]]: without it a range-mode store's
+    * contribution-bucket count grows with every shard append forever.
+    * All four tables rewrite (the aggregate tables' token-hash depends
+    * on `b` too) and the NEW params install atomically with the data
+    * through the journal's whole-dir entry. */
+  def rebucket(spark: SparkSession, path: String, nBuckets: Int,
+      bucketMode: String = "hash", rangeSpan: Long = 0L): Unit = {
+    require(bucketMode == "hash" || bucketMode == "range",
+      s"lmcounts: unknown bucketMode '$bucketMode'")
+    require(bucketMode == "hash" || rangeSpan > 0,
+      "lmcounts: range bucketing needs a positive rangeSpan")
+    val fs = SegSwap.fsOf(spark, path)
+    SegSwap.recover(spark, path) // writer entry: live dirs are truth
+    val p = readParams(spark, path)
+    require(bucketMode == "hash" ||
+      StructType.fromDDL(s"x ${p.idDdl}").head.dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"lmcounts: range bucketing needs a numeric id, store has ${p.idDdl}")
+    val p2 = p.copy(b = nBuckets, mode = bucketMode, span = rangeSpan)
+    val intern = new IncrMat.Tracker
+    val staged = Seq(
+      ("unidoc", docBucket(col("doc_id"), p2)),
+      ("bidoc", docBucket(col("doc_id"), p2)),
+      ("uni", tokBucket(nBuckets, col("w"))),
+      ("bi", tokBucket(nBuckets, col("a"), col("b")))).map { case (t, nb) =>
+      val rows = intern.mat(readTable(spark, path, p, t)
+        .withColumn("_b", nb))
+      val newBs = rows.select("_b").distinct()
+        .collect().map(_.getInt(0)).toSet
+      (t, rows, SegSwap.liveBuckets(fs, path, t) ++ newBs)
+    }
+    SegSwap.commit(spark, path, staged, dirSwaps = Seq(
+      "params" -> ((dst: String) => writeParamsTo(spark, dst, p2))))
+    intern.releaseAll()
+  }
+
+  /** Journaled COMPACTION: [[rebucket]] under the store's own params —
+    * one contiguous file per bucket, content-invariant. */
+  def compact(spark: SparkSession, path: String): Unit = {
+    val p = readParams(spark, path)
+    rebucket(spark, path, p.b, p.mode, p.span)
   }
 }

@@ -212,6 +212,19 @@ private[graft] object SegSwap {
       .parquet(stagedDirs: _*))
   }
 
+  /** Live `_b=` bucket ids of a table from the FS listing — valid for
+    * a WRITER after [[recover]] (live dirs are then the truth; a
+    * reader under a pending journal must go through [[resolvedTable]]
+    * instead). Shared by every store's rebucket/compact. */
+  private[graft] def liveBuckets(fs: FileSystem, path: String,
+      table: String): Set[Int] = {
+    val dir = new HPath(s"$path/$table")
+    if (!fs.exists(dir)) Set.empty
+    else fs.listStatus(dir).toSeq.map(_.getPath.getName)
+      .collect { case n if n.startsWith("_b=") =>
+        n.stripPrefix("_b=").toInt }.toSet
+  }
+
   /** Journal-aware path of a WHOLE-DIR table (e.g. `params`): the
     * staged dir when an uninstalled `dir` swap references it and the
     * staged content still exists, the live dir otherwise. Readers use

@@ -1525,6 +1525,51 @@ class IncrementalSpec extends SparkSpec {
         base.unionByName(shard).filter(!col("doc_id").isin(3L, 33L))))
   }
 
+  test("LM counts store: journaled rebucket migrates range growth back to hash") {
+    import graft.operators.{LmCountsStore, Pipeline}
+    import java.nio.file.{Files, Paths}
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Double, Int)].collect().map(t => t._1 -> t).toMap
+    val audit = Seq((900L, "rb cat sat mat"), (901L, "unseen zz qq"))
+      .toDF("doc_id", "text")
+    def batchScore(model: org.apache.spark.sql.DataFrame) =
+      rows(Pipeline.lmScoreAgainst(model, audit, "doc_id", "text"))
+    def bucketDirs(store: String, t: String) = {
+      val s = Files.list(Paths.get(store, t))
+      try s.toArray.map(_.toString.split("/").last)
+        .filter(_.startsWith("_b=")).toSet finally s.close()
+    }
+    val base = (1L to 12L).map(i => (i, s"rb cat sat mat p$i"))
+      .toDF("doc_id", "text")
+    val store = Files.createTempDirectory("graft_lm_rebucket").toString
+    LmCountsStore.init(spark, store, base, "doc_id", "text",
+      bucketMode = "range", rangeSpan = 4L)
+    // two far-apart shards grow the range-bucket count
+    val s1 = (40L to 45L).map(i => (i, s"rb cat new n$i")).toDF("doc_id", "text")
+    val s2 = (90L to 95L).map(i => (i, s"rb sat new m$i")).toDF("doc_id", "text")
+    val noIds = Seq.empty[Long].toDF("doc_id")
+    LmCountsStore.continueAt(spark, store, s1, noIds, "doc_id", "text")
+    LmCountsStore.continueAt(spark, store, s2, noIds, "doc_id", "text")
+    val corpus = base.unionByName(s1).unionByName(s2)
+    assert(rows(LmCountsStore.scoreAgainst(spark, store, audit,
+      "doc_id", "text")) == batchScore(corpus))
+    assert(bucketDirs(store, "unidoc").size > 4)
+    // migrate range -> hash/4: scores invariant, layout bounded, the
+    // store keeps working under the new layout
+    LmCountsStore.rebucket(spark, store, nBuckets = 4, bucketMode = "hash")
+    assert(rows(LmCountsStore.scoreAgainst(spark, store, audit,
+      "doc_id", "text")) == batchScore(corpus))
+    assert(bucketDirs(store, "unidoc").subsetOf(
+      (0 until 4).map(b => s"_b=$b").toSet))
+    LmCountsStore.continueAt(spark, store,
+      Seq((200L, "rb cat sat mat late")).toDF("doc_id", "text"),
+      Seq(3L).toDF("doc_id"), "doc_id", "text")
+    val corpus2 = corpus.filter(col("doc_id") =!= 3L)
+      .unionByName(Seq((200L, "rb cat sat mat late")).toDF("doc_id", "text"))
+    assert(rows(LmCountsStore.scoreAgainst(spark, store, audit,
+      "doc_id", "text")) == batchScore(corpus2))
+  }
+
   test("incremental line dedup: status flips reclean untouched docs both ways") {
     import graft.operators.{IncrementalLineDedup, LineDedupState, Pipeline}
     def rows(df: org.apache.spark.sql.DataFrame) =
