@@ -493,6 +493,37 @@ object PipelineQueries {
                 UNION SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u)
               SELECT u AS id, min(v) AS comp FROM reach GROUP BY 1""")),
 
+    // The SEGMENTED durable form of the dedup-cluster state
+    // ([[graft.operators.DedupClusterStore]]): band table + component
+    // labels as doc-bucketed parquet, continuation rewrites only the
+    // delta ids' band buckets and the affected-component members' comp
+    // buckets through the shared journaled swap. Same cohorts and
+    // recursive-closure oracle as q_incr_dedup_clusters — the store
+    // machinery must be result-invisible.
+    Q("q_incr_dedup_clusters_seg",
+      (s, dir) => {
+        val docs = Q.t(s, dir, "documents")
+        val base = docs.filter(col("doc_id") % 10 =!= 3)
+        val store = java.nio.file.Files
+          .createTempDirectory("graft_dedup_clusters_seg").toString
+        graft.operators.DedupClusterStore.init(s, store, base,
+          "doc_id", "text", maxHamming = 3, nBuckets = 16)
+        graft.operators.DedupClusterStore.continueAt(s, store,
+          docs.filter(col("doc_id") % 10 === 3),
+          base.filter(col("doc_id") % 10 === 7).select("doc_id"),
+          "doc_id", "text")
+        graft.operators.DedupClusterStore.clusters(s, store)
+          .select(col("id"), col("comp"))
+      },
+      Some(s"""WITH RECURSIVE ${simhashPairCtesWhere(" WHERE doc_id % 10 <> 7")},
+              prs AS (SELECT a, b FROM cands
+                WHERE bit_count(xor(ha1, hb1)) + bit_count(xor(ha2, hb2)) <= 3),
+              edges AS (SELECT a AS u, b AS v FROM prs
+                UNION SELECT b, a FROM prs),
+              reach AS (SELECT u, u AS v FROM (SELECT DISTINCT u FROM edges) t
+                UNION SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u)
+              SELECT u AS id, min(v) AS comp FROM reach GROUP BY 1""")),
+
     // REPEATED multi-delta continuation — the reference's operational
     // mode (`IncrPageRank.java:267` re-enters on the previous run's
     // preserve files): two deltas chained through continueClusters with

@@ -1525,6 +1525,79 @@ class IncrementalSpec extends SparkSpec {
         base.unionByName(shard).filter(!col("doc_id").isin(3L, 33L))))
   }
 
+  test("segmented dedup-cluster store: store == in-memory, untouched buckets intact") {
+    import graft.operators.{DedupClusterStore, IncrementalDedup}
+    import java.nio.file.{Files, Paths}
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long)].collect().toMap
+    // near-dup groups of 3 (one token differs WITHIN a group; groups
+    // are token-DISJOINT so their simhash bands never collide) spread
+    // over id space so a localized delta leaves most buckets untouched
+    def doc(i: Long) = {
+      val g = i / 3
+      val v = i % 3
+      (i, (0 until 8).map(k => s"tok${g}x$k").mkString(" ") + s" v$v$g")
+    }
+    val base = (0L until 60L).map(doc).toDF("doc_id", "text")
+    val store = Files.createTempDirectory("graft_dedup_seg").toString
+    DedupClusterStore.init(spark, store, base, "doc_id", "text",
+      maxHamming = 3, nBuckets = 64)
+    val st0 = IncrementalDedup.preserveClusters(base, "doc_id", "text",
+      maxHamming = 3)
+    assert(rows(DedupClusterStore.clusters(spark, store)) == rows(st0.comps))
+
+    def listing(t: String) = {
+      val root = Paths.get(store, t)
+      val s = Files.walk(root)
+      try s.filter(p => Files.isRegularFile(p)).toArray.map { p0 =>
+        val p = p0.asInstanceOf[java.nio.file.Path]
+        (root.relativize(p).toString, Files.getLastModifiedTime(p).toMillis)
+      }.toMap finally s.close()
+    }
+    val beforeBands = listing("bands"); val beforeComps = listing("comps")
+
+    // delta: +100 joins group 2's near-dup cluster, −7 leaves group 2's
+    // exact text of doc 6 (group 2, variant 0): distance 0, provably
+    // paired regardless of how single-token flips land in the simhash
+    val g2text = (0 until 8).map(k => s"tok2x$k").mkString(" ") + " v02"
+    val added = Seq((100L, g2text)).toDF("doc_id", "text")
+    val removed = Seq(7L).toDF("doc_id")
+    DedupClusterStore.continueAt(spark, store, added, removed,
+      "doc_id", "text")
+    val gotSeg = rows(DedupClusterStore.clusters(spark, store))
+    val gotMem = rows(IncrementalDedup.incrementalClusters(st0, added,
+      removed, "doc_id", "text"))
+    assert(gotSeg == gotMem, s"seg=${gotSeg.size} mem=${gotMem.size}")
+    st0.release()
+
+    // delta-proportionality: most bucket files untouched
+    for ((t, before) <- Seq("bands" -> beforeBands, "comps" -> beforeComps)) {
+      val after = listing(t)
+      val unchanged = before.count { case (f, mt) => after.get(f).contains(mt) }
+      assert(unchanged > before.size / 2,
+        s"$t: only $unchanged/${before.size} files untouched")
+    }
+    // pruned point-read + compact invariance
+    assert(rows(DedupClusterStore.clustersFor(spark, store,
+      Seq(100L).toDF("id"))).contains(100L))
+    DedupClusterStore.compact(spark, store)
+    assert(rows(DedupClusterStore.clusters(spark, store)) == gotSeg)
+    // rebucket migration keeps content and future continuations work
+    DedupClusterStore.rebucket(spark, store, nBuckets = 8)
+    assert(rows(DedupClusterStore.clusters(spark, store)) == gotSeg)
+    val g5text = (0 until 8).map(k => s"tok5x$k").mkString(" ") + " v05"
+    DedupClusterStore.continueAt(spark, store,
+      Seq((101L, g5text)).toDF("doc_id", "text"),
+      Seq.empty[Long].toDF("doc_id"), "doc_id", "text")
+    val after2 = base.filter(col("doc_id") =!= 7L).unionByName(added)
+      .unionByName(Seq((101L, g5text)).toDF("doc_id", "text"))
+    val full = graft.operators.Dedup.connectedComponents(
+      graft.operators.Dedup.simhashNearDups(after2, "doc_id", "text",
+        maxHamming = 3))
+    assert(rows(DedupClusterStore.clusters(spark, store)) == rows(full))
+    full.unpersist()
+  }
+
   test("LM counts store: journaled rebucket migrates range growth back to hash") {
     import graft.operators.{LmCountsStore, Pipeline}
     import java.nio.file.{Files, Paths}
