@@ -107,6 +107,81 @@ class StreamingSpec extends SparkSpec {
       "untouched base doc must flip to duplicated via the stream")
   }
 
+  test("streaming edge deltas maintain the segmented PageRank state") {
+    // streaming incremental PageRank: a durable SegmentedStateStore
+    // inited on the base graph, then "source rewired" events arriving
+    // as files roll the ranks forward one micro-batch at a time via
+    // foreachBatch — the generic preserve store fed by a REAL
+    // StreamingQuery, exactly the DupSpansStore shard-ingest pattern
+    // on the engine's own F27-F31 state
+    import graft.algorithms.IncrementalPageRank
+    import graft.core.SegmentedStateStore
+    val edges1 = ((0L until 40L).flatMap(i =>
+      Seq((i, (i * 7 + 1) % 40), (i, (i * 3 + 2) % 40)))
+      .filter { case (a, b) => a != b }).distinct.toDF("src", "dst")
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_stream_pr_store").toString
+    IncrementalPageRank.preserveTo(spark, store, edges1, 0.8,
+      iterations = 4, nBuckets = 32)
+
+    // two delta batches: each rewires a few sources' out-edges
+    val delta1 = Seq((3L, 11L), (3L, 17L), (8L, 21L)).toDF("src", "dst")
+    val delta2 = Seq((14L, 5L), (3L, 29L)).toDF("src", "dst")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_stream_pr_deltas").toString
+    delta1.coalesce(1).write.mode("append").parquet(dir)
+    delta2.coalesce(1).write.mode("append").parquet(dir)
+
+    // the graph evolves batch-by-batch: a batch REPLACES its sources'
+    // out-edge sets (the q_incr_pagerank delta shape)
+    var cur = edges1.localCheckpoint(true)
+    var batches = 0
+    val q = spark.readStream.schema(delta1.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+      .writeStream.foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            _: Long) =>
+          batches += 1
+          val chg = batch.select("src").distinct().localCheckpoint(true)
+          val next = cur.join(chg, Seq("src"), "left_anti")
+            .unionByName(batch.select("src", "dst"))
+            .localCheckpoint(true)
+          IncrementalPageRank.incrementalSeg(spark, store, next, chg,
+            0.8, iterations = 3, filterThreshold = 0.0).count()
+          cur = next
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    assert(batches == 2, s"expected 2 micro-batches, got $batches")
+
+    // exactness: the stream-maintained store equals the same two
+    // chained continuations applied BATCH-side to a second store with
+    // a DIFFERENT bucket count (layout-independent, stream-vs-batch
+    // driver-independent; file order is pinned by write order under
+    // maxFilesPerTrigger=1)
+    val gotStream = SegmentedStateStore.openForRead(spark, store)
+      .preserved.out.as[(Long, Double)].collect().toMap
+    val e2 = edges1.join(delta1.select("src").distinct(), Seq("src"), "left_anti")
+      .unionByName(delta1).localCheckpoint(true)
+    val store2 = java.nio.file.Files
+      .createTempDirectory("graft_stream_pr_store2").toString
+    IncrementalPageRank.preserveTo(spark, store2, edges1, 0.8,
+      iterations = 4, nBuckets = 8)
+    IncrementalPageRank.incrementalSeg(spark, store2, e2,
+      delta1.select("src").distinct(), 0.8, iterations = 3).count()
+    val e3 = e2.join(delta2.select("src").distinct(), Seq("src"), "left_anti")
+      .unionByName(delta2).localCheckpoint(true)
+    IncrementalPageRank.incrementalSeg(spark, store2, e3,
+      delta2.select("src").distinct(), 0.8, iterations = 3).count()
+    val gotBatch = SegmentedStateStore.openForRead(spark, store2)
+      .preserved.out.as[(Long, Double)].collect().toMap
+    assert(gotStream.keySet == gotBatch.keySet)
+    for (k <- gotStream.keySet)
+      assert(math.abs(gotStream(k) - gotBatch(k)) < 1e-12,
+        s"node $k stream=${gotStream(k)} batch=${gotBatch(k)}")
+  }
+
   test("gap sessionization with keyed state matches the batch operator") {
     import EventStreams.{SessionEvent, SessionOut}
     import org.apache.spark.sql.streaming.GroupStateTimeout
