@@ -161,43 +161,34 @@ object DedupClusterStore {
     // post-delta band view: untouched buckets from live files
     // (column-pruned scans below), touched from the staged leaf
     val postBands = bandsLive.filter(!inBuckets(td))
-      .unionByName(bandsNextT)
-    val candidates = intern.mat(postBands
-      .join(changedBuckets, Seq("band", "bv"), "left_semi")
-      .select(col("doc_id").as("_cand")).distinct())
-
+      .unionByName(bandsNextT).drop("_b")
     val compsLive = readTable(spark, path, p, "comps")
-    val touchers = candidates
-      .unionByName(rem.select(col("_rid").as("_cand")))
-    val affectedComps = intern.mat(compsLive
-      .join(touchers, col("id") === col("_cand"), "left_semi")
-      .select(col("comp").as("_acomp")).distinct())
-    val members = compsLive
-      .join(affectedComps, col("comp") === col("_acomp"), "left_semi")
-      .join(rem, col("id") === col("_rid"), "left_anti")
-      .select(col("id").as("_aid"))
-    val affected = intern.mat(members
-      .unionByName(candidates.select(col("_cand").as("_aid")))
-      .distinct())
 
-    // pair regeneration over the affected buckets' FULL post-delta
-    // membership, restricted to A (IncrementalDedup soundness (3)/(4))
-    val bucketsOfA = postBands
-      .join(affected, col("doc_id") === col("_aid"), "left_semi")
-      .select("band", "bv").distinct()
-    val subBands = intern.mat(postBands.drop("_b")
-      .join(bucketsOfA, Seq("band", "bv"), "left_semi"))
-    val pairs = intern.mat(
-      Dedup.pairsFromBands(subBands, p.maxHamming, p.maxBucket)
-        .join(affected, col("a") === col("_aid"), "left_semi")
-        .join(affected, col("b") === col("_aid"), "left_semi"))
-    val newComps = Dedup.connectedComponents(pairs)
+    // Stages 2-5 run in the SHARED residence-independent core
+    // ([[IncrementalDedup.affectedAndReconverge]] — one definition for
+    // the in-memory path and this store, no drift). The affected-docs
+    // band probe is PRUNED: affected ids' rows live in their own doc
+    // buckets, so the probe reads only those partitions (the bucket
+    // set doubles as the comps rewrite set below). The (band,bv)-keyed
+    // candidate/sub-band scans stay corpus-width by nature
+    // (bucket-mates live anywhere) — same as the in-memory twin.
+    var affectedBuckets = Set.empty[Int]
+    val (_, affectedComps, newComps) =
+      IncrementalDedup.affectedAndReconverge(postBands, changedBuckets,
+        compsLive.drop("_b"), rem, p.maxHamming, p.maxBucket,
+        intern.mat,
+        pruneBandsFor = (_, affected) => {
+          affectedBuckets = affected
+            .select(docBucket(col("_aid"), B).as("_b"))
+            .distinct().collect().map(_.getInt(0)).toSet
+          bandsLive.filter(!inBuckets(td) && inBuckets(affectedBuckets))
+            .unionByName(bandsNextT).drop("_b")
+        })
 
     // comps rewrite buckets: affected ∪ removed ids' buckets hold every
     // dropped row (affected components' members + removed docs' stale
     // labels) and every installed row (newComps ids ⊆ affected)
-    val ao = affected.select(docBucket(col("_aid"), B).as("_b"))
-      .distinct().collect().map(_.getInt(0)).toSet ++ td
+    val ao = affectedBuckets ++ td
     val compsNextT = intern.mat(compsLive.filter(inBuckets(ao))
       .join(affectedComps, col("comp") === col("_acomp"), "left_anti")
       .join(rem, col("id") === col("_rid"), "left_anti")

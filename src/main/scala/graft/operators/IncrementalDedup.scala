@@ -158,6 +158,59 @@ object IncrementalDedup {
     })
   }
 
+  /** The residence-independent core of the continuation — stages 2-5
+    * of the affected-set algorithm (soundness notes (1)-(4) above),
+    * SHARED verbatim by the in-memory path ([[incrImpl]]) and the
+    * segmented store ([[DedupClusterStore.continueAt]]) so the two
+    * cannot drift. Inputs are views whose residence the caller chose
+    * (cached frames here, journal-resolved pruned parquet there):
+    *
+    * @param postBands      post-delta band table (doc_id, h1, h2, band, bv)
+    * @param changedBuckets (band, bv) whose membership the delta changed
+    * @param comps          pre-delta component labels (id, comp)
+    * @param rem            removed ∪ replaced ids (single column _rid)
+    * @param mat            caller's leaf-materializer (lifetime owner)
+    * @return (affected ids as _aid — materialized via mat,
+    *          affected comp labels as _acomp — materialized via mat,
+    *          newComps — the re-converged affected subgraph, persisted
+    *          by [[Dedup.connectedComponents]]; caller unpersists)
+    */
+  private[operators] def affectedAndReconverge(postBands: DataFrame,
+      changedBuckets: DataFrame, comps: DataFrame, rem: DataFrame,
+      maxHamming: Int, maxBucket: Int, mat: DataFrame => DataFrame,
+      pruneBandsFor: (DataFrame, DataFrame) => DataFrame = (pb, _) => pb)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val candidates = mat(postBands
+      .join(changedBuckets, Seq("band", "bv"), "left_semi")
+      .select(col("doc_id").as("_cand")).distinct())
+    val touchers = candidates
+      .unionByName(rem.select(col("_rid").as("_cand")))
+    val affectedComps = mat(comps
+      .join(touchers, col("id") === col("_cand"), "left_semi")
+      .select(col("comp").as("_acomp")).distinct())
+    val members = comps
+      .join(affectedComps, col("comp") === col("_acomp"), "left_semi")
+      .join(rem, col("id") === col("_rid"), "left_anti")
+      .select(col("id").as("_aid"))
+    val affected = mat(members
+      .unionByName(candidates.select(col("_cand").as("_aid")))
+      .distinct())
+    // pair regeneration over the affected buckets' FULL post-delta
+    // membership (note (3)), then restricted to A (note (4)).
+    // pruneBandsFor lets a doc-bucketed store turn the affected-docs
+    // probe into partition pruning (it receives the materialized
+    // affected set); the (band, bv)-keyed scans below are inherently
+    // corpus-width (bucket-mates live anywhere).
+    val bucketsOfA = pruneBandsFor(postBands, affected)
+      .join(affected, col("doc_id") === col("_aid"), "left_semi")
+      .select("band", "bv").distinct()
+    val subBands = mat(postBands.join(bucketsOfA, Seq("band", "bv"), "left_semi"))
+    val pairs = mat(Dedup.pairsFromBands(subBands, maxHamming, maxBucket)
+      .join(affected, col("a") === col("_aid"), "left_semi")
+      .join(affected, col("b") === col("_aid"), "left_semi"))
+    (affected, affectedComps, Dedup.connectedComponents(pairs))
+  }
+
   private def incrImpl(state: DedupClusterState, addedDocs: DataFrame,
       removedIds: DataFrame, idCol: String, textCol: String,
       keepBands: Boolean): (DataFrame, Option[DataFrame]) = {
@@ -218,52 +271,13 @@ object IncrementalDedup {
         .select("band", "bv"))
       .distinct()
 
-    // Stage 2: candidate docs = post-delta docs sharing a changed bucket
-    // (added docs included by construction — their buckets are changed).
-    val candidates = timed("candidates")(mat(postBands
-      .join(changedBuckets, Seq("band", "bv"), "left_semi")
-      .select(col("doc_id").as("_cand")).distinct()))
-
-    // Stage 3: affected components = old components containing a
-    // candidate OR a removed doc; the affected doc set A = those
-    // components' surviving members + all candidates (covers candidates
-    // with no old component). Removed docs are NOT candidates (they have
-    // no post-delta band rows), and a component whose every member is
-    // removed leaves no surviving bucket-mate to mark it — without the
-    // explicit union its stale labels would pass through the splice.
-    val touchers = candidates
-      .unionByName(removed.select(col("_rid").as("_cand")))
-    val affectedComps = timed("affected comps")(mat(state.comps
-      .join(touchers, col("id") === col("_cand"), "left_semi")
-      .select(col("comp").as("_acomp")).distinct()))
-    val members = state.comps
-      .join(affectedComps, col("comp") === col("_acomp"), "left_semi")
-      .join(removed, col("id") === col("_rid"), "left_anti")
-      .select(col("id").as("_aid"))
-    val affected = timed("affected docs")(mat(members
-      .unionByName(candidates.select(col("_cand").as("_aid")))
-      .distinct()))
-
-    // Stage 4: regenerate pairs over the affected buckets' FULL
-    // post-delta membership (soundness note (3) above), then keep only
-    // pairs inside A (note (4)). subBands is the cached base the five
-    // pairsFromBands branches scan — the incremental analog of the
-    // batch path's persisted digest frame.
-    val bucketsOfA = postBands
-      .join(affected, col("doc_id") === col("_aid"), "left_semi")
-      .select("band", "bv").distinct()
-    val subBands = timed("sub bands")(mat(
-      postBands.join(bucketsOfA, Seq("band", "bv"), "left_semi")))
-    val pairs = timed("pairs")(mat(
-      Dedup.pairsFromBands(subBands, maxHamming, maxBucket)
-        .join(affected, col("a") === col("_aid"), "left_semi")
-        .join(affected, col("b") === col("_aid"), "left_semi")))
-
-    // Stage 5: re-converge the affected subgraph from reset labels and
-    // splice: untouched components pass through label-for-label (removed
-    // docs' old entries sit in affected components by construction, so
-    // the anti-join drops them).
-    val newComps = timed("components")(Dedup.connectedComponents(pairs))
+    // Stages 2-5 (candidates → affected components/docs → pair
+    // regeneration → re-converge) run in the SHARED residence-
+    // independent core ([[affectedAndReconverge]]) — one definition
+    // for this path and the segmented store, no drift.
+    val (_, affectedComps, newComps) = timed("affected+reconverge")(
+      affectedAndReconverge(postBands, changedBuckets, state.comps,
+        removed, maxHamming, maxBucket, mat))
     // The result is a catalog-visible cache (session clearCache /
     // caller unpersist both reclaim it); every internal leaf is freed
     // here, after the splice materializes from them.

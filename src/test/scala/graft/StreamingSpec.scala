@@ -129,8 +129,24 @@ class StreamingSpec extends SparkSpec {
     val delta2 = Seq((14L, 5L), (3L, 29L)).toDF("src", "dst")
     val dir = java.nio.file.Files
       .createTempDirectory("graft_stream_pr_deltas").toString
+    def parts(): Set[java.nio.file.Path] = {
+      val st = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      try st.toArray.map(_.asInstanceOf[java.nio.file.Path])
+        .filter(_.toString.endsWith(".parquet")).toSet
+      finally st.close()
+    }
     delta1.coalesce(1).write.mode("append").parquet(dir)
+    val first = parts()
     delta2.coalesce(1).write.mode("append").parquet(dir)
+    val second = parts() -- first
+    // both deltas rewire source 3, so batch ORDER is semantic: pin it
+    // explicitly (the file source admits by mtime; same-ms writes
+    // would tie-break arbitrarily — the q_sessionize_stream lesson)
+    val t0 = System.currentTimeMillis()
+    first.foreach(p => java.nio.file.Files.setLastModifiedTime(p,
+      java.nio.file.attribute.FileTime.fromMillis(t0 - 120000)))
+    second.foreach(p => java.nio.file.Files.setLastModifiedTime(p,
+      java.nio.file.attribute.FileTime.fromMillis(t0)))
 
     // the graph evolves batch-by-batch: a batch REPLACES its sources'
     // out-edge sets (the q_incr_pagerank delta shape)
