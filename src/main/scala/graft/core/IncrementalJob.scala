@@ -24,7 +24,11 @@ import org.apache.spark.storage.StorageLevel
   * would emit given its current output value. (The reference instead
   * stores the literal last reduce inputs, which matches this only at
   * convergence — deriving from the final state makes incremental runs
-  * exact even when the base run stopped early.)
+  * exact even when the base run stopped early.) [[IncrementalJob]]
+  * RE-ESTABLISHES this invariant at loop exit (the final frontier's
+  * rows are re-derived from the final out — see the exit-invariant
+  * block there), so chained continuations hand each other the same
+  * contract preserve() provides.
   *
   * `release` frees whatever caches back the two frames (set by the
   * `preserve()` builders — the library cache-release contract). Call it
@@ -173,6 +177,12 @@ final class IncrementalJob(
     // Spark's DetectAmbiguousSelfJoin false-positives on those (all our
     // joins use explicit per-frame column references or USING columns,
     // so resolution is unambiguous). Disable for the loop, restore after.
+    // CONSTRAINT: this is a SESSION-wide conf mutation — correct for the
+    // single-threaded driver loops this engine runs, but a caller
+    // sharing the SparkSession with concurrent analyses would see the
+    // toggle for the loop's duration. Such callers should run the loop
+    // on `spark.newSession()` (confs are session-scoped; the shared
+    // SparkContext and its caches are unaffected).
     val ambiguityKey = "spark.sql.analyzer.failAmbiguousSelfJoin"
     val prevAmbiguity = spark.conf.getOption(ambiguityKey)
     spark.conf.set(ambiguityKey, "false")
@@ -181,6 +191,9 @@ final class IncrementalJob(
         case Some(v) => spark.conf.set(ambiguityKey, v)
         case None    => spark.conf.unset(ambiguityKey)
       }
+      // store mode: the commit released the lease on success; this
+      // covers the no-commit and exception paths (idempotent)
+      segStore.foreach(_.releaseLease())
     }
   }
 
@@ -285,13 +298,16 @@ final class IncrementalJob(
     // bench variance source).
     case class Seg(df: DataFrame, buckets: Set[Int], release: () => Unit,
         base: Boolean = false)
-    def initStore(df: DataFrame, label: String): List[Seg] = segStore match {
+    def initStore(df: DataFrame, isKvs: Boolean, label: String): List[Seg] =
+      segStore match {
       // store mode: the base segment is a LAZY read over the store's
       // live bucket dirs — nothing is materialized, and the loop's
       // touched-bucket filters become parquet partition pruning, so a
-      // small delta never even READS the untouched state
+      // small delta never even READS the untouched state. The table is
+      // selected by the explicit isKvs flag, never by matching the
+      // timing label (a rename there must not rebind the base segment).
       case Some(st) =>
-        val base = if (label.contains("kvs")) st.kvs else st.out
+        val base = if (isKvs) st.kvs else st.out
         List(Seg(base, (0 until B).toSet, () => (), base = true))
       case None => timed(label) {
         val (leaf, _, rel) = materialize(df.repartition(n, col(k2Col))
@@ -321,12 +337,17 @@ final class IncrementalJob(
           Some(Seg(df.filter(!isTouched), bs -- touched, rel, b))
       }
 
-    var kvsSegs = initStore(preserved.kvs, "init kvs store")
-    var outSegs = initStore(preserved.out, "init out store")
+    var kvsSegs = initStore(preserved.kvs, isKvs = true, "init kvs store")
+    var outSegs = initStore(preserved.out, isKvs = false, "init out store")
     var sinceCompact = 0
     // store mode: union of every iteration's touched buckets — exactly
-    // the buckets whose live dirs the final commit must replace
-    var cumTouched = Set.empty[Int]
+    // the buckets whose live dirs the final commit must replace. PER
+    // TABLE: loop iterations touch the same buckets on both (affected
+    // keys drive both rewrites), but the exit-invariant kvs refresh
+    // touches kvs ONLY — journaling its buckets for out too would
+    // delete out rows the loop never staged replacements for
+    var cumTouchedKvs = Set.empty[Int]
+    var cumTouchedOut = Set.empty[Int]
 
     // ---- scratch-leaf lifecycle ----------------------------------------
     // Frontier/affected/fresh leaves are dead one iteration after they
@@ -428,7 +449,8 @@ final class IncrementalJob(
         // bucket ids holding affected keys — at most B values, driver-tiny
         val touched = affected.select(bucketOf(col("_aff")).as("_b")).distinct()
           .collect().map(_.getInt(0)).toSet
-        cumTouched ++= touched
+        cumTouchedKvs ++= touched
+        cumTouchedOut ++= touched
         val isTouched = col("_b").isin(touched.toSeq.map(Integer.valueOf): _*)
 
         // MRBGraph merge: copy ONLY touched-bucket rows into a new dirty
@@ -564,6 +586,67 @@ final class IncrementalJob(
       scratchPrev = scratchCur
       scratchCur = Nil
     }
+
+    // ---- F27 exit invariant: re-derive the bag for the final frontier --
+    // The PreservedState contract says kvs is DERIVED FROM THE FINAL
+    // dynamic state (preserve() upholds it by construction). Inside the
+    // loop the bag is always consistent with the CURRENT out at every
+    // re-reduce — a source's row is refreshed in the iteration AFTER its
+    // value moves — but the LAST iteration moves values whose refresh
+    // would have happened in the never-run next iteration, handing a
+    // chained continuation a bag stale by exactly those sources (order-
+    // dependent results across chains). One final F28 map+merge — no
+    // reduce, out is already final — restores the invariant:
+    // delta-proportional for One2One/One2Mul (the final frontier's
+    // static rows only); a full map pass for One2All, the same width as
+    // any One2All iteration. Under θ>0 the frontier is the ≥θ movers —
+    // sub-θ staleness is the F30 approximation contract itself, exactly
+    // as preserve-after-early-stop leaves it. Chained exactness is
+    // gate-enforced (q_incr_pagerank_stream's two-delta unrolled oracle).
+    if (frontierSize > 0) {
+      val fkRaw = frontier.withColumnRenamed(skCol, "_fk")
+      val fk = if (frontierSize <= broadcastMaxRows) broadcast(fkRaw) else fkRaw
+      val staticF = static.join(fk, col(skCol) === col("_fk")).drop("_fk")
+      val dynF = projectKind match {
+        case ProjectKind.One2One =>
+          val outScan = if (segStore.isEmpty) scanAll(outSegs) else {
+            val fb = frontier.select(bucketOf(col(skCol)).as("_b"))
+              .distinct().collect().map(_.getInt(0)).toSet
+            scanTouched(outSegs, fb,
+              col("_b").isin(fb.toSeq.map(Integer.valueOf): _*)).drop("_b")
+          }
+          outToDyn(outScan.join(fk, col(k2Col) === col("_fk")).drop("_fk"))
+        case _ => outToDyn(scanAll(outSegs))
+      }
+      val freshPlan = pinK2(mapContribs(staticF, dynF))
+      val payloadCols = freshPlan.schema.fields.filter(_.name != k2Col)
+      val oldKeyRows = scanAll(kvsSegs)
+        .join(fk, col(skCol) === col("_fk"), "left_semi")
+        .select(col(k2Col) +:
+          payloadCols.map(f => lit(null).cast(f.dataType).as(f.name)): _*)
+      val (fa, faRows, relFa) = timed("exit kvs refresh")(
+        materialize(freshPlan.withColumn("_tag", lit("f"))
+          .unionByName(oldKeyRows.withColumn("_tag", lit("a")))
+          .withColumn("_b", bucketOf(col(k2Col)))))
+      if (faRows > 0) {
+        val fresh = fa.filter(col("_tag") === "f").drop("_tag")
+        val touched = fa.select("_b").distinct()
+          .collect().map(_.getInt(0)).toSet
+        cumTouchedKvs ++= touched // kvs ONLY — out is final and unstaged here
+        val isTouched = col("_b").isin(touched.toSeq.map(Integer.valueOf): _*)
+        val dirtyKvs = {
+          val (leaf, _, rel) = timed(
+            s"exit kvs merge (${touched.size}/$B buckets)")(
+            materialize(scanTouched(kvsSegs, touched, isTouched)
+              .join(fk, col(skCol) === col("_fk"), "left_anti")
+              .unionByName(fresh)
+              .repartition(n, col(k2Col)), durable = true))
+          Seg(leaf, touched, rel)
+        }
+        kvsSegs = dropTouched(kvsSegs, touched, isTouched) :+ dirtyKvs
+      }
+      relFa()
+    }
     static.unpersist(blocking = false)
     // Remaining scratch (last two generations + the One2All/One2Mul
     // all-sources leaf) is not referenced by the returned frames — only
@@ -574,17 +657,21 @@ final class IncrementalJob(
     segStore match {
       case Some(st) =>
         // ONE journaled commit installs the continuation: replacement
-        // rows for exactly the buckets the loop touched. The dirty
-        // segments (in-memory leaves) hold only touched-bucket rows by
-        // construction, and the base view holds none of them (every
-        // touched bucket was filtered out of it when it was touched),
-        // so the union of non-base segments IS the replacement content
-        // — the untouched state is neither read nor written.
-        if (cumTouched.nonEmpty)
-          timed(s"segstore commit (${cumTouched.size}/$B buckets)")(
+        // rows for exactly the buckets the loop touched — PER TABLE
+        // (the exit refresh can touch kvs buckets whose out side the
+        // loop never staged). The dirty segments (in-memory leaves)
+        // hold only touched-bucket rows by construction, and each base
+        // view holds none of its own touched buckets (filtered out
+        // when touched), so the union of non-base segments IS the
+        // replacement content — the untouched state is neither read
+        // nor written.
+        if (cumTouchedKvs.nonEmpty || cumTouchedOut.nonEmpty)
+          timed(s"segstore commit (${cumTouchedKvs.size}+" +
+            s"${cumTouchedOut.size}/$B buckets)")(
             st.commit(
               unionSegs(kvsSegs.filterNot(_.base)),
-              unionSegs(outSegs.filterNot(_.base)), cumTouched))
+              unionSegs(outSegs.filterNot(_.base)),
+              cumTouchedKvs, cumTouchedOut))
         // the returned frames read the INSTALLED store — the loop's
         // leaves are all releasable scratch now
         val segs = kvsSegs ++ outSegs

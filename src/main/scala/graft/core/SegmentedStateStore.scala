@@ -61,33 +61,54 @@ final class SegmentedStateStore private[core] (
     SegSwap.castToPinned(df, k2Col, k2Ddl, s"segmented state at $path")
 
   /** Journal-resolved reads — `_b` included (the loop's segment
-    * manifests want it; [[preserved]] drops it for plain consumers). */
+    * manifests want it; [[preserved]] drops it for plain consumers).
+    * LAZY: consume (collect/materialize) a frame BEFORE the next
+    * writer commit on this store — an install renames/deletes the
+    * files a stale plan holds ([[SegSwap.resolvedTable]]'s contract).
+    * Store-mode loop results honor this via [[IncrementalJob.finish]]. */
   def kvs: DataFrame =
     SegSwap.resolvedTable(spark, path, "kvs", StructType.fromDDL(kvsDdl))
   def out: DataFrame =
     SegSwap.resolvedTable(spark, path, "out", StructType.fromDDL(outDdl))
 
+  /** Writer-lease epoch held by this handle ([[SegSwap.acquireLease]];
+    * set by `openForWrite`, passed as the commit fence, released after
+    * the swap — or by [[releaseLease]] on a no-commit path). */
+  private[core] var leaseEpoch: Option[Long] = None
+
+  /** Release the held writer lease (idempotent; a no-op for read
+    * handles and after a commit already released it). */
+  def releaseLease(): Unit = leaseEpoch.foreach { e =>
+    SegSwap.releaseLease(SegSwap.fsOf(spark, path), path, e)
+    leaseEpoch = None
+  }
+
   /** The store as a plain [[PreservedState]] view (lazy, no copies). */
   def preserved: PreservedState = PreservedState(kvs.drop("_b"), out.drop("_b"))
 
   /** Install the continuation's result: replacement rows (must carry
-    * `_b`) for exactly the `touched` buckets of both tables, staged
-    * and swapped under one journal. The frames MUST be materialized
-    * leaves — the swap retires the very files a lazy plan over [[kvs]]
-    * /[[out]] would re-read. No-op when nothing was touched. */
+    * `_b`) for exactly each table's `touched` buckets (the sets can
+    * differ — the loop's exit-invariant kvs refresh touches kvs only),
+    * staged and swapped under one journal. The frames MUST be either
+    * materialized leaves or live-file-only plans built after recover
+    * ([[SegSwap.commit]]'s residence contract). No-op when nothing was
+    * touched. */
   private[core] def commit(kvsRows: DataFrame, outRows: DataFrame,
-      touched: Set[Int]): Unit =
+      touchedKvs: Set[Int], touchedOut: Set[Int]): Unit = {
     SegSwap.commit(spark, path,
-      Seq(("kvs", kvsRows, touched), ("out", outRows, touched)))
+      Seq(("kvs", kvsRows, touchedKvs), ("out", outRows, touchedOut)),
+      fence = leaseEpoch)
+    releaseLease()
+  }
 }
 
 object SegmentedStateStore {
 
   private def writeParams(spark: SparkSession, path: String, k2Col: String,
       b: Int, k2Ddl: String, kvsDdl: String, outDdl: String): Unit =
-    spark.createDataFrame(Seq((k2Col, b, k2Ddl, kvsDdl, outDdl)))
-      .toDF("k2Col", "b", "k2Ddl", "kvsDdl", "outDdl")
-      .write.mode("overwrite").parquet(s"$path/params")
+    SegSwap.writeParamsTo(spark, s"$path/params", Seq(
+      "k2Col" -> k2Col, "b" -> b, "k2Ddl" -> k2Ddl,
+      "kvsDdl" -> kvsDdl, "outDdl" -> outDdl))
 
   /** Lay a converged run's preserved state out as the bucket-
     * partitioned store. `nBuckets` trades rewrite granularity against
@@ -101,7 +122,14 @@ object SegmentedStateStore {
     val k2Ddl = state.out.schema(k2Col).dataType.sql
     val bucket = pmod(xxhash64(col(k2Col)), lit(nBuckets.toLong)).cast("int")
     var ddl = Map.empty[String, String]
-    Seq("kvs" -> state.kvs, "out" -> state.out).foreach { case (n, df) =>
+    Seq("kvs" -> state.kvs, "out" -> state.out).foreach { case (n, df0) =>
+      // BOTH tables' key columns cast to the pinned dtype (derived
+      // from out) before hashing: a preserve whose kvs carries a
+      // different k2 dtype than out (e.g. int vs long) would otherwise
+      // place kvs rows in buckets inconsistent with bucketOf, and
+      // continuations would silently strand or miss them — the exact
+      // dtype-drift class castToPinned defends against elsewhere
+      val df = SegSwap.castToPinned(df0, k2Col, k2Ddl, s"segstate init $n")
       val withB = df.withColumn("_b", bucket)
       ddl += n -> withB.schema.toDDL
       // repartition on the bucket key first: each bucket is one task's
@@ -113,25 +141,30 @@ object SegmentedStateStore {
   }
 
   private def open(spark: SparkSession, path: String): SegmentedStateStore = {
-    val dir = SegSwap.resolvedDirPath(SegSwap.fsOf(spark, path), path, "params")
-    val df = spark.read.parquet(dir)
-    // NAME-based reads: a future params layout change fails clearly
-    val want = Seq("k2Col", "b", "k2Ddl", "kvsDdl", "outDdl")
-    val missing = want.filterNot(df.columns.contains)
-    require(missing.isEmpty,
-      s"segstate: store at $path has an incompatible params layout " +
-        s"(missing ${missing.mkString(",")}) — re-init the store")
-    val r = df.select(want.map(col): _*).collect()(0)
+    val r = SegSwap.readParamsRow(spark, path,
+      Seq("k2Col", "b", "k2Ddl", "kvsDdl", "outDdl"), "segstate")
     new SegmentedStateStore(spark, path, r.getString(0), r.getInt(1),
       r.getString(2), r.getString(3), r.getString(4))
   }
 
-  /** Open for the single WRITER (an incremental continuation): rolls
-    * any interrupted swap forward first, so the continuation starts
-    * from installed state and staging is clean for its own commit. */
+  /** Open for the single WRITER (an incremental continuation): takes
+    * the writer lease (a second concurrent writer fails loudly here —
+    * [[SegSwap.acquireLease]]), then rolls any interrupted swap
+    * forward, so the continuation starts from installed state and
+    * staging is clean for its own commit. The lease is released by the
+    * continuation's commit (or [[SegmentedStateStore.releaseLease]] on
+    * a no-commit path); a crashed holder's lease expires via TTL. */
   def openForWrite(spark: SparkSession, path: String): SegmentedStateStore = {
-    SegSwap.recover(spark, path)
-    open(spark, path)
+    val fs = SegSwap.fsOf(spark, path)
+    val epoch = SegSwap.acquireLease(fs, path)
+    try {
+      SegSwap.recover(spark, path)
+      val st = open(spark, path)
+      st.leaseEpoch = Some(epoch)
+      st
+    } catch { case e: Throwable =>
+      SegSwap.releaseLease(fs, path, epoch); throw e
+    }
   }
 
   /** Open read-only: never mutates — an uninstalled commit is resolved
@@ -145,7 +178,14 @@ object SegmentedStateStore {
     * to one contiguous file per bucket. Content-invariant by
     * construction — same rows, same buckets, fewer files; the
     * [[SegSwap]] journal gives the same roll-forward/rollback contract
-    * as a continuation, so a crash mid-compact never loses state. */
+    * as a continuation, so a crash mid-compact never loses state.
+    *
+    * The staging write STREAMS the lazy store views straight to
+    * `seg_staging/` (no whole-store materialization through the block
+    * manager — the lifecycle op is disk-bounded, not memory-bounded,
+    * matching the 100 TB provisioning narrative): safe because live
+    * files are retired only after the journal lands
+    * ([[SegSwap.commit]]'s residence contract). */
   def compact(spark: SparkSession, path: String): Unit = {
     val store = openForWrite(spark, path) // recover ran: live dirs are truth
     val fs = SegSwap.fsOf(spark, path)
@@ -153,16 +193,7 @@ object SegmentedStateStore {
     // table still journals for the other (its "empty" line is a no-op)
     val touched = SegSwap.liveBuckets(fs, path, "kvs") ++
       SegSwap.liveBuckets(fs, path, "out")
-    if (touched.nonEmpty) {
-      // MATERIALIZE lineage-free leaves before the commit (its
-      // documented contract): the swap retires the very files the lazy
-      // store views would re-read
-      val (kvsM, _, relK) = org.apache.spark.sql.graft.GraftSqlShim
-        .checkpointedLeafWithHandle(store.kvs)
-      val (outM, _, relO) = org.apache.spark.sql.graft.GraftSqlShim
-        .checkpointedLeafWithHandle(store.out)
-      try store.commit(kvsM, outM, touched)
-      finally { relK(); relO() }
-    }
+    if (touched.nonEmpty) store.commit(store.kvs, store.out, touched, touched)
+    else store.releaseLease()
   }
 }

@@ -37,25 +37,20 @@ object DedupClusterStore {
   private case class Params(maxHamming: Int, maxBucket: Int, b: Int,
       idDdl: String, ddl: Map[String, String])
 
+  // params plumbing via the family-shared codec ([[SegSwap.writeParamsTo]]
+  // / [[SegSwap.readParamsRow]]: journal-aware, NAME-based, loud on an
+  // older layout)
   private def writeParamsTo(spark: SparkSession, dst: String,
       p: Params): Unit =
-    spark.createDataFrame(Seq((p.maxHamming, p.maxBucket, p.b, p.idDdl,
-        p.ddl("bands"), p.ddl("comps"))))
-      .toDF("maxHamming", "maxBucket", "b", "idDdl",
-        "bandsDdl", "compsDdl")
-      .write.mode("overwrite").parquet(dst)
+    SegSwap.writeParamsTo(spark, dst, Seq(
+      "maxHamming" -> p.maxHamming, "maxBucket" -> p.maxBucket,
+      "b" -> p.b, "idDdl" -> p.idDdl,
+      "bandsDdl" -> p.ddl("bands"), "compsDdl" -> p.ddl("comps")))
 
-  /** Journal-aware, NAME-based (the store-family format rule). */
   private def readParams(spark: SparkSession, path: String): Params = {
-    val dir = SegSwap.resolvedDirPath(SegSwap.fsOf(spark, path), path, "params")
-    val df = spark.read.parquet(dir)
-    val want = Seq("maxHamming", "maxBucket", "b", "idDdl",
-      "bandsDdl", "compsDdl")
-    val missing = want.filterNot(df.columns.contains)
-    require(missing.isEmpty,
-      s"dedupclusters: store at $path has an incompatible params " +
-        s"layout (missing ${missing.mkString(",")}) — re-init the store")
-    val r = df.select(want.map(col): _*).collect()(0)
+    val r = SegSwap.readParamsRow(spark, path,
+      Seq("maxHamming", "maxBucket", "b", "idDdl", "bandsDdl", "compsDdl"),
+      "dedupclusters")
     Params(r.getInt(0), r.getInt(1), r.getInt(2), r.getString(3),
       Map("bands" -> r.getString(4), "comps" -> r.getString(5)))
   }
@@ -120,10 +115,11 @@ object DedupClusterStore {
     * fresh — [[IncrementalDedup.incrementalClusters]]'s contract).
     * Single concurrent writer; crash-safe via the shared journal. */
   def continueAt(spark: SparkSession, path: String, addedDocs0: DataFrame,
-      removedIds0: DataFrame, idCol: String, textCol: String): Unit = {
+      removedIds0: DataFrame, idCol: String, textCol: String): Unit =
+   SegSwap.withWriterLease(spark, path) { lease =>
     graft.functions.GraftFunctions.register(spark)
-    val p = readParams(spark, path)
     SegSwap.recover(spark, path)
+    val p = readParams(spark, path)
     val addedDocs = SegSwap.castToPinned(addedDocs0, idCol, p.idDdl,
       "continueAt addedDocs")
     val removedIds = SegSwap.castToPinned(removedIds0,
@@ -196,31 +192,33 @@ object DedupClusterStore {
     newComps.unpersist(blocking = false)
 
     SegSwap.commit(spark, path, Seq(
-      ("bands", bandsNextT, td), ("comps", compsNextT, ao)))
+      ("bands", bandsNextT, td), ("comps", compsNextT, ao)),
+      fence = Some(lease))
     intern.releaseAll()
-  }
+   }
 
   /** Journaled RE-BUCKETING / COMPACTION — the shared store-lifecycle
     * ops (both tables doc-bucketed; params ride the journal's
     * whole-dir entry). */
-  def rebucket(spark: SparkSession, path: String, nBuckets: Int): Unit = {
-    val fs = SegSwap.fsOf(spark, path)
-    SegSwap.recover(spark, path)
-    val p = readParams(spark, path)
-    val p2 = p.copy(b = nBuckets)
-    val intern = new IncrMat.Tracker
-    val staged = Seq(("bands", "doc_id"), ("comps", "id")).map {
-      case (t, idc) =>
-        val rows = intern.mat(readTable(spark, path, p, t)
-          .withColumn("_b", docBucket(col(idc), nBuckets)))
-        val newBs = rows.select("_b").distinct()
-          .collect().map(_.getInt(0)).toSet
-        (t, rows, SegSwap.liveBuckets(fs, path, t) ++ newBs)
+  def rebucket(spark: SparkSession, path: String, nBuckets: Int): Unit =
+    SegSwap.withWriterLease(spark, path) { lease =>
+      val fs = SegSwap.fsOf(spark, path)
+      SegSwap.recover(spark, path)
+      val p = readParams(spark, path)
+      val p2 = p.copy(b = nBuckets)
+      // LAZY staged frames streamed straight to seg_staging (safe: live
+      // files retire only after the journal lands); destination buckets
+      // discovered from the staged dirs (augmentFromStaging)
+      val staged = Seq(("bands", "doc_id"), ("comps", "id")).map {
+        case (t, idc) =>
+          (t, readTable(spark, path, p, t)
+            .withColumn("_b", docBucket(col(idc), nBuckets)),
+            SegSwap.liveBuckets(fs, path, t))
+      }
+      SegSwap.commit(spark, path, staged, dirSwaps = Seq(
+        "params" -> ((dst: String) => writeParamsTo(spark, dst, p2))),
+        fence = Some(lease), augmentFromStaging = true)
     }
-    SegSwap.commit(spark, path, staged, dirSwaps = Seq(
-      "params" -> ((dst: String) => writeParamsTo(spark, dst, p2))))
-    intern.releaseAll()
-  }
 
   def compact(spark: SparkSession, path: String): Unit =
     rebucket(spark, path, readParams(spark, path).b)

@@ -86,36 +86,27 @@ object DupSpansStore {
         (if (withCut) Seq("text", "cut") else Nil)
   }
 
+  // params plumbing via the family-shared codec ([[SegSwap.writeParamsTo]]
+  // / [[SegSwap.readParamsRow]]: journal-aware, NAME-based, loud on an
+  // older layout)
   private def writeParamsTo(spark: SparkSession, dst: String,
       p: Params): Unit =
-    spark.createDataFrame(Seq((p.w, p.maxFrac, p.b, p.mode, p.span, p.idDdl,
-        p.withCut,
-        p.ddl("spans"), p.ddl("ntoks"), p.ddl("dfreq"), p.ddl("out"),
-        p.ddl.getOrElse("text", ""), p.ddl.getOrElse("cut", ""))))
-      .toDF("w", "maxFrac", "b", "mode", "span", "idDdl", "withCut",
-        "spansDdl", "ntoksDdl", "dfreqDdl", "outDdl", "textDdl", "cutDdl")
-      .write.mode("overwrite").parquet(dst)
+    SegSwap.writeParamsTo(spark, dst, Seq(
+      "w" -> p.w, "maxFrac" -> p.maxFrac, "b" -> p.b, "mode" -> p.mode,
+      "span" -> p.span, "idDdl" -> p.idDdl, "withCut" -> p.withCut,
+      "spansDdl" -> p.ddl("spans"), "ntoksDdl" -> p.ddl("ntoks"),
+      "dfreqDdl" -> p.ddl("dfreq"), "outDdl" -> p.ddl("out"),
+      "textDdl" -> p.ddl.getOrElse("text", ""),
+      "cutDdl" -> p.ddl.getOrElse("cut", "")))
 
   private def writeParams(spark: SparkSession, path: String, p: Params): Unit =
     writeParamsTo(spark, s"$path/params", p)
 
-  /** Journal-aware ([[SegSwap.resolvedDirPath]]): a committed-but-
-    * uninstalled rebucket's NEW params are visible to readers without
-    * mutating anything. */
   private def readParams(spark: SparkSession, path: String): Params = {
-    val dir = SegSwap.resolvedDirPath(SegSwap.fsOf(spark, path), path, "params")
-    val df = spark.read.parquet(dir)
-    // NAME-based reads: a store written by an older params layout fails
-    // with a clear column-not-found (re-init required), never a
-    // positional ClassCastException deep in a getter
-    val want = Seq("w", "maxFrac", "b", "mode", "span", "idDdl", "withCut",
-      "spansDdl", "ntoksDdl", "dfreqDdl", "outDdl", "textDdl", "cutDdl")
-    val missing = want.filterNot(df.columns.contains)
-    require(missing.isEmpty,
-      s"dupspans: store at $path has an incompatible params layout " +
-        s"(missing ${missing.mkString(",")}) — written by an older " +
-        "build; re-init the store")
-    val r = df.select(want.map(col): _*).collect()(0)
+    val r = SegSwap.readParamsRow(spark, path,
+      Seq("w", "maxFrac", "b", "mode", "span", "idDdl", "withCut",
+        "spansDdl", "ntoksDdl", "dfreqDdl", "outDdl", "textDdl", "cutDdl"),
+      "dupspans")
     val cut = r.getBoolean(6)
     Params(r.getInt(0), r.getDouble(1), r.getInt(2), r.getString(3),
       r.getLong(4), r.getString(5), cut, Map(
@@ -242,12 +233,22 @@ object DupSpansStore {
 
   /** Roll the store forward over a ±document delta (upsert contract:
     * an incoming id evicts its existing rows), rewriting only touched
-    * buckets. Single concurrent writer; crash-safe (see class doc). */
+    * buckets. Single concurrent writer — enforced by the epoch-fenced
+    * writer lease ([[SegSwap.withWriterLease]]); crash-safe (see class
+    * doc).
+    *
+    * LIFECYCLE POLICY ([[StorePolicy]]): returns the continue-vs-
+    * rebuild advice (touched-bucket fraction against the measured
+    * crossover), and auto-compacts — outside the continuation's lease;
+    * the compact takes its own — once any bucket accretes
+    * `autoCompactFiles` files (0 disables). */
   def continueAt(spark: SparkSession, path: String, addedDocs0: DataFrame,
-      removedIds0: DataFrame, idCol: String, textCol: String): Unit = {
+      removedIds0: DataFrame, idCol: String, textCol: String,
+      autoCompactFiles: Int = 16): StorePolicy.ContinueAdvice = {
+   val advice = SegSwap.withWriterLease(spark, path) { lease =>
     graft.functions.GraftFunctions.register(spark)
-    val p = readParams(spark, path)
     SegSwap.recover(spark, path)
+    val p = readParams(spark, path)
     val B = p.b
     val intern = new IncrMat.Tracker
 
@@ -400,10 +401,21 @@ object DupSpansStore {
     }
 
     // ---- stage, journal, swap ([[SegSwap]]) ---------------------------
+    // advice denominator: the store's LIVE doc-bucket footprint
+    // (meaningful in both hash and range modes), taken before the swap
+    val liveDocBuckets = math.max(1,
+      SegSwap.liveBuckets(SegSwap.fsOf(spark, path), path, "out").size)
     SegSwap.commit(spark, path, Seq(
       ("spans", spansNextT, td), ("ntoks", ntoksNextT, td),
-      ("dfreq", dfreqNextT, ts), ("out", outNextT, ao)) ++ cutTables)
+      ("dfreq", dfreqNextT, ts), ("out", outNextT, ao)) ++ cutTables,
+      fence = Some(lease))
     intern.releaseAll()
+    StorePolicy.advise("dupspans", (td ++ ao).size, liveDocBuckets)
+   }
+   StorePolicy.autoCompactIfNeeded(spark, path,
+     readParams(spark, path).docTables :+ "dfreq", autoCompactFiles)(
+     compact(spark, path))
+   advice
   }
 
   /** Journaled RE-BUCKETING — the segmented-store lifecycle operation:
@@ -423,28 +435,31 @@ object DupSpansStore {
       s"dupspans: unknown bucketMode '$bucketMode'")
     require(bucketMode == "hash" || rangeSpan > 0,
       "dupspans: range bucketing needs a positive rangeSpan")
-    val fs = SegSwap.fsOf(spark, path)
-    SegSwap.recover(spark, path) // writer entry: live dirs are truth
-    val p = readParams(spark, path)
-    require(bucketMode == "hash" ||
-      StructType.fromDDL(s"x ${p.idDdl}").head.dataType
-        .isInstanceOf[org.apache.spark.sql.types.NumericType],
-      s"dupspans: range bucketing needs a numeric id, store has ${p.idDdl}")
-    val p2 = p.copy(b = nBuckets, mode = bucketMode, span = rangeSpan)
-    val intern = new IncrMat.Tracker
-    val staged = (p.docTables.map(t => (t, docBucket(col("doc_id"), p2))) :+
-        (("dfreq", spanBucket(col("s"), nBuckets)))).map { case (t, newB) =>
-      val rows = intern.mat(readTable(spark, path, p, t)
-        .withColumn("_b", newB))
-      // touched = every old live bucket (rows may leave it) ∪ every
-      // new bucket (rows land there) — O(buckets) driver ints
-      val newBs = rows.select("_b").distinct()
-        .collect().map(_.getInt(0)).toSet
-      (t, rows, SegSwap.liveBuckets(fs, path, t) ++ newBs)
+    SegSwap.withWriterLease(spark, path) { lease =>
+      val fs = SegSwap.fsOf(spark, path)
+      SegSwap.recover(spark, path) // writer entry: live dirs are truth
+      val p = readParams(spark, path)
+      require(bucketMode == "hash" ||
+        StructType.fromDDL(s"x ${p.idDdl}").head.dataType
+          .isInstanceOf[org.apache.spark.sql.types.NumericType],
+        s"dupspans: range bucketing needs a numeric id, store has ${p.idDdl}")
+      val p2 = p.copy(b = nBuckets, mode = bucketMode, span = rangeSpan)
+      // LAZY staged frames: the rewrite STREAMS each live table through
+      // one shuffle into seg_staging (safe — live files retire only
+      // after the journal lands), instead of materializing the whole
+      // store through the block manager; destination buckets are
+      // discovered from the staged dirs (augmentFromStaging), so the
+      // old separate enumeration scan is gone too. Touched base set =
+      // every OLD live bucket (rows may leave it).
+      val staged = (p.docTables.map(t => (t, docBucket(col("doc_id"), p2))) :+
+          (("dfreq", spanBucket(col("s"), nBuckets)))).map { case (t, newB) =>
+        (t, readTable(spark, path, p, t).withColumn("_b", newB),
+          SegSwap.liveBuckets(fs, path, t))
+      }
+      SegSwap.commit(spark, path, staged, dirSwaps = Seq(
+        "params" -> ((dst: String) => writeParamsTo(spark, dst, p2))),
+        fence = Some(lease), augmentFromStaging = true)
     }
-    SegSwap.commit(spark, path, staged, dirSwaps = Seq(
-      "params" -> ((dst: String) => writeParamsTo(spark, dst, p2))))
-    intern.releaseAll()
   }
 
   /** Journaled COMPACTION: rewrite every bucket under the CURRENT

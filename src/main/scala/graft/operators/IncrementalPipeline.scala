@@ -132,7 +132,9 @@ object TfidfState {
   */
 object IncrementalTfidf {
 
-  private def tfOf(df: DataFrame, idCol: String, textCol: String) =
+  /** ONE per-doc term-frequency derivation for the in-memory twin and
+    * [[TfidfStore]] — the incr ≡ batch oracle depends on no drift. */
+  private[operators] def tfOf(df: DataFrame, idCol: String, textCol: String) =
     df.select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("token"))
       .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
 

@@ -47,31 +47,23 @@ object LmCountsStore {
   private case class Params(b: Int, mode: String, span: Long,
       idDdl: String, ddl: Map[String, String])
 
+  // params plumbing via the family-shared codec ([[SegSwap.writeParamsTo]]
+  // / [[SegSwap.readParamsRow]]: journal-aware, NAME-based, loud on an
+  // older layout)
   private def writeParamsTo(spark: SparkSession, dst: String,
       p: Params): Unit =
-    spark.createDataFrame(Seq((p.b, p.mode, p.span, p.idDdl,
-        p.ddl("unidoc"), p.ddl("bidoc"), p.ddl("uni"), p.ddl("bi"))))
-      .toDF("b", "mode", "span", "idDdl",
-        "unidocDdl", "bidocDdl", "uniDdl", "biDdl")
-      .write.mode("overwrite").parquet(dst)
+    SegSwap.writeParamsTo(spark, dst, Seq(
+      "b" -> p.b, "mode" -> p.mode, "span" -> p.span, "idDdl" -> p.idDdl,
+      "unidocDdl" -> p.ddl("unidoc"), "bidocDdl" -> p.ddl("bidoc"),
+      "uniDdl" -> p.ddl("uni"), "biDdl" -> p.ddl("bi")))
 
   private def writeParams(spark: SparkSession, path: String, p: Params): Unit =
     writeParamsTo(spark, s"$path/params", p)
 
-  /** Journal-aware ([[SegSwap.resolvedDirPath]]), like the data reads;
-    * NAME-based so an older params layout fails clearly (re-init),
-    * never as a positional ClassCastException. */
   private def readParams(spark: SparkSession, path: String): Params = {
-    val dir = SegSwap.resolvedDirPath(SegSwap.fsOf(spark, path), path, "params")
-    val df = spark.read.parquet(dir)
-    val want = Seq("b", "mode", "span", "idDdl",
-      "unidocDdl", "bidocDdl", "uniDdl", "biDdl")
-    val missing = want.filterNot(df.columns.contains)
-    require(missing.isEmpty,
-      s"lmcounts: store at $path has an incompatible params layout " +
-        s"(missing ${missing.mkString(",")}) — written by an older " +
-        "build; re-init the store")
-    val r = df.select(want.map(col): _*).collect()(0)
+    val r = SegSwap.readParamsRow(spark, path,
+      Seq("b", "mode", "span", "idDdl",
+        "unidocDdl", "bidocDdl", "uniDdl", "biDdl"), "lmcounts")
     Params(r.getInt(0), r.getString(1), r.getLong(2), r.getString(3),
       Map("unidoc" -> r.getString(4), "bidoc" -> r.getString(5),
         "uni" -> r.getString(6), "bi" -> r.getString(7)))
@@ -144,10 +136,11 @@ object LmCountsStore {
     * the delta's doc buckets of the contribution tables and the
     * delta's token buckets of the aggregates. */
   def continueAt(spark: SparkSession, path: String, addedDocs0: DataFrame,
-      removedIds0: DataFrame, idCol: String, textCol: String): Unit = {
+      removedIds0: DataFrame, idCol: String, textCol: String): Unit =
+   SegSwap.withWriterLease(spark, path) { lease =>
     graft.functions.GraftFunctions.register(spark)
-    val p = readParams(spark, path)
     SegSwap.recover(spark, path)
+    val p = readParams(spark, path)
     // pin the delta's id dtype to the init corpus's before bucketing
     val addedDocs = SegSwap.castToPinned(addedDocs0, idCol, p.idDdl,
       "continueAt addedDocs")
@@ -202,9 +195,10 @@ object LmCountsStore {
     }
     SegSwap.commit(spark, path,
       roll("unidoc", "uni", Seq("w"), addUni) ++
-        roll("bidoc", "bi", Seq("a", "b"), addBi))
+        roll("bidoc", "bi", Seq("a", "b"), addBi),
+      fence = Some(lease))
     intern.releaseAll()
-  }
+   }
 
   /** Score any corpus against the store's CURRENT model — the same
     * contract as [[Pipeline.lmScoreAgainst]] with the stored counts as
@@ -238,29 +232,31 @@ object LmCountsStore {
       s"lmcounts: unknown bucketMode '$bucketMode'")
     require(bucketMode == "hash" || rangeSpan > 0,
       "lmcounts: range bucketing needs a positive rangeSpan")
-    val fs = SegSwap.fsOf(spark, path)
-    SegSwap.recover(spark, path) // writer entry: live dirs are truth
-    val p = readParams(spark, path)
-    require(bucketMode == "hash" ||
-      StructType.fromDDL(s"x ${p.idDdl}").head.dataType
-        .isInstanceOf[org.apache.spark.sql.types.NumericType],
-      s"lmcounts: range bucketing needs a numeric id, store has ${p.idDdl}")
-    val p2 = p.copy(b = nBuckets, mode = bucketMode, span = rangeSpan)
-    val intern = new IncrMat.Tracker
-    val staged = Seq(
-      ("unidoc", docBucket(col("doc_id"), p2)),
-      ("bidoc", docBucket(col("doc_id"), p2)),
-      ("uni", tokBucket(nBuckets, col("w"))),
-      ("bi", tokBucket(nBuckets, col("a"), col("b")))).map { case (t, nb) =>
-      val rows = intern.mat(readTable(spark, path, p, t)
-        .withColumn("_b", nb))
-      val newBs = rows.select("_b").distinct()
-        .collect().map(_.getInt(0)).toSet
-      (t, rows, SegSwap.liveBuckets(fs, path, t) ++ newBs)
+    SegSwap.withWriterLease(spark, path) { lease =>
+      val fs = SegSwap.fsOf(spark, path)
+      SegSwap.recover(spark, path) // writer entry: live dirs are truth
+      val p = readParams(spark, path)
+      require(bucketMode == "hash" ||
+        StructType.fromDDL(s"x ${p.idDdl}").head.dataType
+          .isInstanceOf[org.apache.spark.sql.types.NumericType],
+        s"lmcounts: range bucketing needs a numeric id, store has ${p.idDdl}")
+      val p2 = p.copy(b = nBuckets, mode = bucketMode, span = rangeSpan)
+      // LAZY staged frames streamed straight to seg_staging (safe: live
+      // files retire only after the journal lands) with destination
+      // buckets discovered from the staged dirs — no whole-store
+      // materialization, no separate enumeration scan
+      val staged = Seq(
+        ("unidoc", docBucket(col("doc_id"), p2)),
+        ("bidoc", docBucket(col("doc_id"), p2)),
+        ("uni", tokBucket(nBuckets, col("w"))),
+        ("bi", tokBucket(nBuckets, col("a"), col("b")))).map { case (t, nb) =>
+        (t, readTable(spark, path, p, t).withColumn("_b", nb),
+          SegSwap.liveBuckets(fs, path, t))
+      }
+      SegSwap.commit(spark, path, staged, dirSwaps = Seq(
+        "params" -> ((dst: String) => writeParamsTo(spark, dst, p2))),
+        fence = Some(lease), augmentFromStaging = true)
     }
-    SegSwap.commit(spark, path, staged, dirSwaps = Seq(
-      "params" -> ((dst: String) => writeParamsTo(spark, dst, p2))))
-    intern.releaseAll()
   }
 
   /** Journaled COMPACTION: [[rebucket]] under the store's own params —

@@ -25,12 +25,22 @@ import org.apache.spark.sql.types.StructType
   *    deleted) — so concurrent readers can never race each other's
   *    roll-forward or discard a writer's pre-journal staging
   *    ([[Similarity.updateIvfIndex]]'s reader/writer lesson);
-  *  - a malformed journal line aborts with the store untouched.
+  *  - a malformed journal line aborts with the store untouched;
+  *  - the single-writer contract is MECHANICAL, not just documented:
+  *    writer entry points take a [[acquireLease]] writer lease (epoch-
+  *    numbered lock file) — a second concurrent writer fails loudly at
+  *    entry instead of deleting the first's staging mid-commit, a
+  *    crashed writer's lease expires after a TTL and is taken over
+  *    with a higher epoch, and [[commit]] re-checks the lease epoch
+  *    right before the journal rename so a writer that stalled past
+  *    its TTL (and was taken over) aborts instead of clobbering the
+  *    successor's state (epoch fencing).
   */
 private[graft] object SegSwap {
 
   private val Staging = "seg_staging"
   private val Journal = "seg_swap_journal"
+  private val Lease = "seg_writer_lease"
   // bucket ids may be negative (range bucketing of negative ids);
   // state "dir" swaps a whole un-bucketed directory (bucket field
   // ignored — params migration during a rebucket)
@@ -60,19 +70,177 @@ private[graft] object SegSwap {
   /** Reset a store directory for a fresh [[init]]: remove the params
     * marker FIRST (its absence marks the store incomplete — a crash
     * mid-init can then never read as a complete-but-inconsistent
-    * store), plus any stale journal/staging from a previous life. */
+    * store), plus any stale journal/staging/lease from a previous
+    * life. */
   private[graft] def resetForInit(fs: FileSystem, path: String,
       paramsDir: String = "params"): Unit = {
     fs.delete(new HPath(s"$path/$paramsDir"), true)
     fs.delete(new HPath(s"$path/$Journal"), false)
     fs.delete(new HPath(s"$path/$Staging"), true)
+    fs.delete(new HPath(s"$path/$Lease"), false)
+  }
+
+  // ---- writer lease (epoch-fenced single-writer enforcement) ------------
+
+  private val LeaseLine = """^(\d+) (\d+)$""".r
+
+  /** Default lease TTL: long enough for any continuation at test and
+    * bench scales; a production deploy tunes it to its slowest
+    * expected continuation (too short → spurious takeovers, fenced by
+    * [[checkFence]]; too long → a crashed writer blocks successors
+    * for the TTL). */
+  private[graft] val DefaultLeaseTtlMs: Long = 30L * 60 * 1000
+
+  private def readLeaseFile(fs: FileSystem,
+      path: String): Option[(Long, Long)] = {
+    val lp = new HPath(s"$path/$Lease")
+    if (!fs.exists(lp)) None
+    else {
+      val in = fs.open(lp)
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      text match {
+        case LeaseLine(e, t) => Some((e.toLong, t.toLong))
+        // a torn lease (the rename-based write makes this corruption,
+        // not an expected state) reads as epoch 0 at time 0: always
+        // stale, so the next writer takes over at epoch 1+
+        case _ => Some((0L, 0L))
+      }
+    }
+  }
+
+  /** Take the writer lease on `path` or fail loudly. The lease file
+    * carries `epoch timestampMs`; a live lease (age ≤ ttl) rejects the
+    * caller — the SINGLE-writer contract enforced mechanically instead
+    * of by convention — while a stale one (crashed writer) is taken
+    * over with epoch+1. The acquire itself is check-then-rename (not
+    * atomic across hosts on a raw FS): it deterministically catches
+    * accidental concurrent writers, the failure mode the contract
+    * guards; it is not a Byzantine-proof distributed lock. Returns the
+    * held epoch — pass it to [[commit]] as `fence`. */
+  private[graft] def acquireLease(fs: FileSystem, path: String,
+      ttlMs: Long = DefaultLeaseTtlMs): Long = {
+    val now = System.currentTimeMillis()
+    readLeaseFile(fs, path) match {
+      case Some((epoch, ts)) if now - ts <= ttlMs =>
+        throw new IllegalStateException(
+          s"segswap: another writer holds the lease on $path (epoch " +
+            s"$epoch, age ${now - ts} ms, ttl $ttlMs ms) — the store " +
+            "contract is single concurrent writer; wait for it, or if " +
+            s"it is known dead delete $path/$Lease")
+      case other =>
+        val epoch = other.map(_._1 + 1).getOrElse(1L)
+        val tmp = new HPath(s"$path/$Lease.tmp")
+        val dst = new HPath(s"$path/$Lease")
+        val out = fs.create(tmp, true)
+        try out.write(s"$epoch $now".getBytes("UTF-8")) finally out.close()
+        fs.delete(dst, false)
+        require(fs.rename(tmp, dst),
+          s"segswap: could not install writer lease $dst")
+        epoch
+    }
+  }
+
+  /** Release the lease IF still held at our epoch (a takeover's lease
+    * is never deleted by the fenced-out writer). Idempotent. */
+  private[graft] def releaseLease(fs: FileSystem, path: String,
+      epoch: Long): Unit =
+    if (readLeaseFile(fs, path).exists(_._1 == epoch))
+      fs.delete(new HPath(s"$path/$Lease"), false)
+
+  /** Epoch fence: abort unless the lease file still carries `epoch`.
+    * Called by [[commit]] immediately before the journal rename (the
+    * commit point) — a writer that stalled past its TTL and was taken
+    * over fails HERE, with its staging discarded by the successor's
+    * recover, instead of installing a stale journal over the
+    * successor's state. */
+  private def checkFence(fs: FileSystem, path: String, epoch: Long): Unit = {
+    val held = readLeaseFile(fs, path)
+    require(held.exists(_._1 == epoch),
+      s"segswap: writer fenced out on $path — the lease is now " +
+        s"${held.map(h => s"epoch ${h._1}").getOrElse("released")}, this " +
+        s"writer held epoch $epoch (its lease expired and was taken " +
+        "over); aborting before the journal so the new writer's state " +
+        "is untouched")
+  }
+
+  /** Acquire → run → release (release skipped by a takeover's fence;
+    * a crashed JVM leaves the lease to expire via TTL). Writer entry
+    * points (`continueAt`/`rebucket`/`compact`) wrap their whole
+    * recover-stage-commit span in this. */
+  private[graft] def withWriterLease[T](spark: SparkSession, path: String,
+      ttlMs: Long = DefaultLeaseTtlMs)(body: Long => T): T = {
+    val fs = fsOf(spark, path)
+    val epoch = acquireLease(fs, path, ttlMs)
+    try body(epoch) finally releaseLease(fs, path, epoch)
+  }
+
+  // ---- shared params codec ----------------------------------------------
+
+  /** ONE params writer for the store family: a single Row of
+    * (name → scalar) fields as a parquet table, written whole. Scalars
+    * only (Int/Long/Double/Boolean/String) — params are configuration,
+    * not data. */
+  private[graft] def writeParamsTo(spark: SparkSession, dst: String,
+      fields: Seq[(String, Any)]): Unit = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(fields.map { case (n, v) =>
+      StructField(n, v match {
+        case _: Int => IntegerType
+        case _: Long => LongType
+        case _: Double => DoubleType
+        case _: Boolean => BooleanType
+        case _: String => StringType
+        case other => throw new IllegalArgumentException(
+          s"segswap: unsupported params field '$n' of " +
+            s"${if (other == null) "null" else other.getClass.getName}")
+      }, nullable = false)
+    })
+    spark.createDataFrame(
+      java.util.Collections.singletonList(
+        org.apache.spark.sql.Row.fromSeq(fields.map(_._2))), schema)
+      .write.mode("overwrite").parquet(dst)
+  }
+
+  /** ONE params reader: journal-aware ([[resolvedDirPath]] — a
+    * committed-but-uninstalled rebucket's NEW params are visible
+    * without mutating anything) and NAME-based (a store written by an
+    * older params layout fails with a clear column-not-found telling
+    * the operator to re-init, never a positional ClassCastException
+    * deep in a getter). Returns the single row in `want` order. */
+  private[graft] def readParamsRow(spark: SparkSession, path: String,
+      want: Seq[String], what: String): org.apache.spark.sql.Row = {
+    val dir = resolvedDirPath(fsOf(spark, path), path, "params")
+    val df = spark.read.parquet(dir)
+    val missing = want.filterNot(df.columns.contains)
+    require(missing.isEmpty,
+      s"$what: store at $path has an incompatible params layout " +
+        s"(missing ${missing.mkString(",")}) — written by an older " +
+        "build; re-init the store")
+    df.select(want.map(col): _*).collect()(0)
   }
 
   /** Stage, journal, and install `touched` = (table, replacement rows
-    * for the touched buckets, touched bucket set). Replacement frames
-    * MUST be materialized (lineage-free leaves) before the call — the
-    * swap retires the very files a lazy plan would re-read. No-op when
-    * nothing is touched.
+    * for the touched buckets, touched bucket set). Replacement-frame
+    * residence contract: frames must be either materialized
+    * (lineage-free leaves) or lazy plans reading ONLY the store's LIVE
+    * bucket dirs constructed AFTER writer-entry [[recover]]. Lazy
+    * live-file plans are safe because staging completes before any
+    * live file is retired (the journal rename is the first destructive
+    * step) — this is the streamed compact/rebucket path, which avoids
+    * materializing a whole store through the block manager. A plan
+    * that reads a PENDING journal's staged dirs (a [[resolvedTable]]
+    * taken before recover) is NOT safe: commit deletes the staging dir
+    * first.
+    *
+    * With `augmentFromStaging`, each table's journaled bucket set is
+    * its provided set UNION the `_b=` dirs actually staged — for
+    * rebucket-style rewrites whose destination buckets are only known
+    * after the write, saving a separate full scan to enumerate them.
+    *
+    * `fence` (a held [[acquireLease]] epoch) is re-checked immediately
+    * before the journal rename — the epoch-fencing half of the
+    * single-writer contract.
     *
     * Ends with `refreshByPath`: a swap REPLACES files under `path`, and
     * Spark's CacheManager matches new reads against still-cached plans
@@ -84,8 +252,11 @@ private[graft] object SegSwap {
     * path invalidates and recaches every plan that reads it. */
   def commit(spark: SparkSession, path: String,
       touched: Seq[(String, DataFrame, Set[Int])],
-      dirSwaps: Seq[(String, String => Unit)] = Nil): Unit = {
-    if (!touched.exists(_._3.nonEmpty) && dirSwaps.isEmpty) return
+      dirSwaps: Seq[(String, String => Unit)] = Nil,
+      fence: Option[Long] = None,
+      augmentFromStaging: Boolean = false): Unit = {
+    if (!augmentFromStaging && !touched.exists(_._3.nonEmpty) &&
+      dirSwaps.isEmpty) return
     val fs = fsOf(spark, path)
     fs.delete(new HPath(s"$path/$Staging"), true)
     touched.foreach { case (n, df, bs) =>
@@ -93,7 +264,7 @@ private[graft] object SegSwap {
       // task opens a writer per bucket it sees (tasks × buckets small
       // files); with it each bucket is one contiguous file — the
       // file-count hygiene a large store needs
-      if (bs.nonEmpty)
+      if (bs.nonEmpty || augmentFromStaging)
         df.repartition(col("_b")).write.mode("overwrite")
           .partitionBy("_b").parquet(s"$path/$Staging/$n")
     }
@@ -103,14 +274,31 @@ private[graft] object SegSwap {
     // wrong B): the caller's writer stages the dir's new content, and
     // a `dir` journal line carries it through the same roll-forward
     dirSwaps.foreach { case (n, write) => write(s"$path/$Staging/$n") }
+    val finalTouched = if (!augmentFromStaging) touched else
+      touched.map { case (n, df, bs) =>
+        val dir = new HPath(s"$path/$Staging/$n")
+        val stagedBs = if (!fs.exists(dir)) Set.empty[Int]
+          else fs.listStatus(dir).toSeq.map(_.getPath.getName)
+            .collect { case s if s.startsWith("_b=") =>
+              s.stripPrefix("_b=").toInt }.toSet
+        (n, df, bs ++ stagedBs)
+      }
+    // the fence runs AFTER staging (cheap to redo, owned by us either
+    // way) and immediately BEFORE the commit point: a fenced-out
+    // writer must never journal
+    fence.foreach(checkFence(fs, path, _))
     // journal AFTER staging succeeds; its appearance is the atomic
     // commit point
-    val lines = touched.flatMap { case (n, _, bs) =>
+    val lines = finalTouched.flatMap { case (n, _, bs) =>
       bs.toSeq.sorted.map { b =>
         val staged = fs.exists(new HPath(s"$path/$Staging/$n/_b=$b"))
         s"$n $b ${if (staged) "staged" else "empty"}"
       }
     } ++ dirSwaps.map { case (n, _) => s"$n 0 dir" }
+    if (lines.isEmpty) { // augment mode over an empty store: nothing to swap
+      fs.delete(new HPath(s"$path/$Staging"), true)
+      return
+    }
     val jTmp = new HPath(s"$path/$Journal.tmp")
     val jDst = new HPath(s"$path/$Journal")
     val out = fs.create(jTmp, true)
@@ -183,7 +371,13 @@ private[graft] object SegSwap {
     * is inherent to rename-based swaps: a reader OVERLAPPING the
     * writer's install may see staged files vanish mid-scan (the store
     * contract is single writer, readers between — not during —
-    * commits). */
+    * commits). The same caveat binds LAZY frames across commits: the
+    * journal is resolved at plan-construction time, so a frame built
+    * here (or any store `kvs`/`out`/`scores` view) must be consumed —
+    * collected or materialized — BEFORE the next writer commit, whose
+    * install renames/deletes the very paths the stale plan holds.
+    * Store-mode continuations honor this by materializing their
+    * results before returning ([[graft.core.IncrementalJob.finish]]). */
   def resolvedTable(spark: SparkSession, path: String, name: String,
       schema: StructType): DataFrame = {
     val fs = fsOf(spark, path)

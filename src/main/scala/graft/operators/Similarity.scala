@@ -36,7 +36,7 @@ object Similarity {
     * job. NULL cosines sort LAST under the descending rank windows
     * (Spark's desc = nulls last), so zero vectors never displace real
     * neighbors. */
-  private def cosine(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+  private[operators] def cosine(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
     try_divide(dot(a, b), norm(a) * norm(b))
 
   /** Exact top-k cosine neighbors of each query vector.
@@ -336,7 +336,7 @@ object Similarity {
     }
   }
 
-  private def normalizedCentroids(v: DataFrame, centroids: Option[DataFrame],
+  private[operators] def normalizedCentroids(v: DataFrame, centroids: Option[DataFrame],
       nlist: Int): DataFrame = centroids
     .map(_.select(col("id").as("cid"), col("vec").cast("array<double>").as("cvec")))
     .getOrElse(v.orderBy("nid").limit(nlist)
@@ -368,7 +368,7 @@ object Similarity {
     * before the (only) shuffle. Tie-breaking matches the fold exactly:
     * max over (c, −cid) == earliest max in ascending-cid order ==
     * lowest cid. */
-  private def assignToLists(v: DataFrame, cents: DataFrame,
+  private[operators] def assignToLists(v: DataFrame, cents: DataFrame,
       centroidFoldLimit: Int): DataFrame = {
     val centRows = cents.orderBy("cid").collect()
     require(centRows.nonEmpty, "ivf: empty centroid set")
@@ -563,7 +563,7 @@ object Similarity {
     * the batch operator, the preserve pass, and the continuation's
     * affected-cluster re-decide (keep depends only on within-cluster
     * pairs, which is what makes the per-cluster re-decide exact). */
-  private def keepFor(assign: DataFrame, tau: Double): DataFrame = {
+  private[operators] def keepFor(assign: DataFrame, tau: Double): DataFrame = {
     val dominated = assign
       .select(col("cid"), col("nid").as("ida"), col("nvec").as("va"))
       .join(assign.select(col("cid"), col("nid").as("idb"),
@@ -621,19 +621,15 @@ object Similarity {
     val v = vectors.select(col("id").as("nid"),
       col("vec").cast("array<double>").as("nvec"))
     val cents = normalizedCentroids(v, centroids, nlist)
-    // assign feeds both sides of the cid self-join AND the final keep
-    // join; unpersisted, the nearest-centroid argmax (a crossJoin +
-    // shuffle when nlist > centroidFoldLimit) would run up to 3x
+    // assign feeds both sides of keepFor's cid self-join AND its final
+    // keep join; unpersisted, the nearest-centroid argmax (a crossJoin
+    // + shuffle when nlist > centroidFoldLimit) would run up to 3x
     val assign = assignToLists(v, cents, centroidFoldLimit)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val dominated = assign.select(col("cid"), col("nid").as("ida"), col("nvec").as("va"))
-      .join(assign.select(col("cid"), col("nid").as("idb"), col("nvec").as("vb")), "cid")
-      .filter(col("ida") < col("idb"))
-      .filter(round(cosine(col("va"), col("vb")), 6) > tau)
-      .select(col("idb").as("nid")).distinct()
-    val out = assign.join(dominated.withColumn("_dom", lit(1)), Seq("nid"), "left")
-      .select(col("nid").as("id"), col("cid"),
-        when(col("_dom").isNotNull, lit(0)).otherwise(lit(1)).as("keep"))
+    // the ONE dominance definition ([[keepFor]]) — shared verbatim with
+    // the preserve pass and the incremental continuation, so the
+    // rounded-cosine boundary contract lives in exactly one place
+    val out = keepFor(assign, tau)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // eager + release internals, the embeddingNearDups contract: the
     // caller holds only the (id, cid, keep) frame, never the vectors

@@ -132,6 +132,62 @@ object IterativeQueries {
        SELECT node, round(rank, 6) AS rank FROM p$incrIters"""
   }
 
+  /** TWO-delta chained incremental PageRank oracle — the
+    * q_incr_pagerank_stream gate's truth: `baseIters` full iterations
+    * on the base graph, then `incrIters` frontier-propagated rounds
+    * per delta, the second continuing from the first's final state
+    * (exactly what the stream's two micro-batch continuations do to
+    * the durable store). Delta 1 rewires src%10==3 (the
+    * q_incr_pagerank delta), delta 2 rewires src%10==6 on the
+    * post-delta-1 graph. θ=0 — no float comparisons decide control
+    * flow, so the unroll is exact. */
+  private def incrPagerankStreamSql(baseIters: Int, incrIters: Int): String = {
+    // one continuation's rounds: affected keys at round 1 are the dsts
+    // of the changed sources under BOTH the new and previous graphs
+    // (fresh contributions ∪ evicted stored ones), then frontier
+    // propagation under the new graph
+    def rounds(tag: String, start: String, edges: String,
+        edgesPrev: String, chg: String, deg: String): String =
+      (1 to incrIters).map { i =>
+        val prev = if (i == 1) start else s"p$tag${i - 1}"
+        val affected =
+          if (i == 1)
+            s"""a$tag$i AS (SELECT DISTINCT dst AS node FROM $edges JOIN $chg USING (src)
+               UNION SELECT DISTINCT dst AS node FROM $edgesPrev JOIN $chg USING (src))"""
+          else
+            s"""a$tag$i AS (SELECT DISTINCT e.dst AS node
+               FROM $edges e JOIN a$tag${i - 1} f ON e.src = f.node)"""
+        s"""$affected,
+           s$tag$i AS (SELECT a.node, (1.0 - 0.8) + coalesce(c.s, 0.0) AS rank
+             FROM a$tag$i a LEFT JOIN (
+               SELECT e.dst AS node, sum(r.rank / d.d * 0.8) AS s
+               FROM $edges e JOIN $prev r ON e.src = r.node
+               JOIN $deg d ON e.src = d.src
+               GROUP BY 1) c ON a.node = c.node),
+           p$tag$i AS (SELECT r.node, r.rank FROM $prev r
+             WHERE r.node NOT IN (SELECT node FROM a$tag$i)
+             UNION ALL SELECT node, rank FROM s$tag$i)"""
+      }.mkString(",\n")
+    s"""WITH edges AS ($edgesSql),
+       deg AS (SELECT src, count(*) AS d FROM edges GROUP BY 1),
+       nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+       r0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS rank FROM nodes),
+       ${pagerankCtes(baseIters)},
+       chg1 AS (SELECT DISTINCT src FROM edges WHERE src % 10 = 3),
+       e2 AS (SELECT src, dst FROM edges WHERE src % 10 <> 3
+         UNION SELECT src, 1 + (src * 11 + 5) % (SELECT count(*) FROM customer) AS dst
+         FROM chg1),
+       deg2 AS (SELECT src, count(*) AS d FROM e2 GROUP BY 1),
+       ${rounds("x", s"r$baseIters", "e2", "edges", "chg1", "deg2")},
+       chg2 AS (SELECT DISTINCT src FROM e2 WHERE src % 10 = 6),
+       e3 AS (SELECT src, dst FROM e2 WHERE src % 10 <> 6
+         UNION SELECT src, 1 + (src * 13 + 7) % (SELECT count(*) FROM customer) AS dst
+         FROM chg2),
+       deg3 AS (SELECT src, count(*) AS d FROM e3 GROUP BY 1),
+       ${rounds("y", s"px$incrIters", "e3", "e2", "chg2", "deg3")}
+       SELECT node, round(rank, 6) AS rank FROM py$incrIters"""
+  }
+
   /** Incremental Jacobi matvec oracle (x ← b + M·x): `baseIters` full
     * iterations, then `incrIters` frontier-propagated rounds over a
     * column delta — the [[graft.algorithms.IncrementalMatVec]] semantics
@@ -487,6 +543,94 @@ object IterativeQueries {
           iterations = 3, filterThreshold = 0.0)
           .select(col("node"), round(col("rank"), 6).as("rank"))
       },
-      Some(incrPagerankSql(4, 3)))
+      Some(incrPagerankSql(4, 3))),
+
+    // STREAM-OF-DELTAS store maintenance through a REAL StreamingQuery
+    // (round-9 verdict item #4 promoted from spec to gate): the durable
+    // SegmentedStateStore is inited on the base graph, then two edge-
+    // delta FILES arrive as micro-batches (maxFilesPerTrigger=1, order
+    // pinned by mtime — the q_sessionize_stream lesson) and foreachBatch
+    // rolls the ranks forward with one journaled continuation each.
+    // Oracle: the TWO-delta chained incremental unroll — stream-driven
+    // continuations must equal the batch-driven chain exactly.
+    Q("q_incr_pagerank_stream",
+      (s, dir) => {
+        import org.apache.spark.sql.streaming.Trigger
+        val edges1 = sparkEdges(s, dir)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val ncust = Q.t(s, dir, "customer").count()
+        val store = java.nio.file.Files
+          .createTempDirectory("graft_pr_stream_gate").toString
+        IncrementalPageRank.preserveTo(s, store, edges1, 0.8,
+          iterations = 4, nBuckets = 64)
+        // delta 1 rewires src%10==3, delta 2 rewires src%10==6 of the
+        // post-delta-1 graph (disjoint source sets, but rank mass from
+        // delta 1 propagates into delta 2's continuation, so ORDER is
+        // semantic)
+        val chg1 = edges1.filter(col("src") % 10 === 3)
+          .select("src").distinct()
+        val delta1 = chg1.select(col("src"),
+          (lit(1L) + (col("src") * 11 + 5) % lit(ncust)).as("dst"))
+        val edges2 = edges1.filter(col("src") % 10 =!= 3)
+          .unionByName(delta1)
+        val chg2 = edges2.filter(col("src") % 10 === 6)
+          .select("src").distinct()
+        val delta2 = chg2.select(col("src"),
+          (lit(1L) + (col("src") * 13 + 7) % lit(ncust)).as("dst"))
+        val drop = java.nio.file.Files
+          .createTempDirectory("graft_pr_stream_deltas").toString
+        def parts(): Set[java.nio.file.Path] = {
+          val st = java.nio.file.Files.list(java.nio.file.Paths.get(drop))
+          try st.toArray.map(_.asInstanceOf[java.nio.file.Path])
+            .filter(_.toString.endsWith(".parquet")).toSet
+          finally st.close()
+        }
+        delta1.coalesce(1).write.mode("append").parquet(drop)
+        val first = parts()
+        delta2.coalesce(1).write.mode("append").parquet(drop)
+        val second = parts() -- first
+        val t0 = System.currentTimeMillis()
+        first.foreach(p => java.nio.file.Files.setLastModifiedTime(p,
+          java.nio.file.attribute.FileTime.fromMillis(t0 - 120000)))
+        second.foreach(p => java.nio.file.Files.setLastModifiedTime(p,
+          java.nio.file.attribute.FileTime.fromMillis(t0)))
+
+        // each micro-batch REPLACES its sources' out-edge sets in the
+        // evolving graph and runs ONE journaled store continuation; the
+        // localCheckpoints pin each graph version (raw blocks, freed
+        // explicitly below — clearCache can't see them)
+        var cur = edges1
+        val cps = scala.collection.mutable.ListBuffer
+          .empty[org.apache.spark.sql.DataFrame]
+        val q = s.readStream.schema(delta1.schema)
+          .option("maxFilesPerTrigger", "1").parquet(drop)
+          .writeStream.foreachBatch {
+            (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                _: Long) =>
+              val chg = batch.select("src").distinct().localCheckpoint(true)
+              val next = cur.join(chg, Seq("src"), "left_anti")
+                .unionByName(batch.select("src", "dst"))
+                .localCheckpoint(true)
+              cps += chg; cps += next
+              IncrementalPageRank.incrementalSeg(s, store, next, chg,
+                0.8, iterations = 3, filterThreshold = 0.0)
+                .unpersist(blocking = false)
+              cur = next
+          }
+          .trigger(Trigger.AvailableNow())
+          .start()
+        if (!q.awaitTermination(180000)) {
+          q.stop()
+          sys.error("q_incr_pagerank_stream: stream did not finish in 180 s")
+        }
+        val out = graft.core.SegmentedStateStore.openForRead(s, store)
+          .preserved.out
+          .select(col("node"), round(col("rank"), 6).as("rank"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        out.count()
+        cps.foreach(_.unpersist(blocking = false))
+        out
+      },
+      Some(incrPagerankStreamSql(4, 3)))
   )
 }

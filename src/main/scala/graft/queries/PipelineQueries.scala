@@ -619,6 +619,41 @@ object PipelineQueries {
                 round(tf.tf * ln(n.n::DOUBLE / dfq.df), 6) AS tfidf
               FROM tf JOIN dfq USING (token) CROSS JOIN n""")),
 
+    // The SEGMENTED durable form of the TF-IDF continuation
+    // ([[graft.operators.TfidfStore]]): tf doc-bucketed, dfreq
+    // token-bucketed, N riding the params dir-swap — the continuation
+    // rewrites only the delta's doc buckets and the delta vocabulary's
+    // token buckets through the shared journaled swap. Same cohorts
+    // and full-recompute oracle as q_incr_tfidf: the store machinery
+    // must be result-invisible.
+    Q("q_incr_tfidf_seg",
+      (s, dir) => {
+        val docs = Q.t(s, dir, "documents")
+        val base = docs.filter(col("doc_id") % 10 =!= 3)
+        val store = java.nio.file.Files
+          .createTempDirectory("graft_tfidf_seg").toString
+        graft.operators.TfidfStore.init(s, store, base, "doc_id", "text",
+          nBuckets = 16)
+        graft.operators.TfidfStore.continueAt(s, store,
+          docs.filter(col("doc_id") % 10 === 3),
+          base.filter(col("doc_id") % 10 === 7).select("doc_id"),
+          "doc_id", "text")
+        graft.operators.TfidfStore.tfidf(s, store)
+          .select(col("doc_id"), col("token"), col("tf"), col("df"),
+            round(col("tfidf"), 6).as("tfidf"))
+      },
+      Some(s"""WITH toks AS (SELECT doc_id,
+                list_filter(regexp_split_to_array(text, ' +'), x -> x <> '') AS toks
+                FROM documents WHERE doc_id % 10 <> 7),
+              tf AS (SELECT doc_id, t AS token, count(*) AS tf
+                FROM (SELECT doc_id, unnest(toks) AS t FROM toks)
+                GROUP BY 1, 2),
+              dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+              n AS (SELECT count(*) AS n FROM documents WHERE doc_id % 10 <> 7)
+              SELECT tf.doc_id, tf.token, tf.tf, dfq.df,
+                round(tf.tf * ln(n.n::DOUBLE / dfq.df), 6) AS tfidf
+              FROM tf JOIN dfq USING (token) CROSS JOIN n""")),
+
     // Word-trigram Jaccard near-dup pairs on a doc_id%5 slice. The
     // df<=128 candidate cap is part of the operator contract (kills the
     // quadratic hot-shingle self-join) and is mirrored here.
@@ -841,6 +876,51 @@ object PipelineQueries {
         st.release()
         next.release()
         out
+      },
+      Some(s"""WITH $toksCte,
+              sh AS (SELECT doc_id, list_distinct(
+                [array_to_string(toks[i:i+2], ' ')
+                 for i in generate_series(1, len(toks) - 2)]) AS sh
+                FROM toks WHERE len(toks) >= 3),
+              ev AS (SELECT DISTINCT unnest(sh) AS s FROM sh
+                WHERE doc_id % 97 = 0),
+              bad AS (SELECT DISTINCT doc_id FROM
+                (SELECT doc_id, unnest(sh) AS s FROM sh
+                 WHERE doc_id % 97 <> 0 AND doc_id % 10 <> 7) x
+                 JOIN ev USING (s))
+              SELECT d.doc_id, d.source, CAST(len(t.toks) AS INT) AS ntok
+              FROM documents d JOIN toks t USING (doc_id)
+              WHERE d.doc_id % 97 <> 0 AND d.doc_id % 10 <> 7
+                AND d.doc_id NOT IN (SELECT doc_id FROM bad)""")),
+
+    // The SEGMENTED durable form of the decontamination continuation
+    // ([[graft.operators.DecontamStore]]): both shingle tables
+    // doc/item-bucketed, the two-sided delta rewriting only its own
+    // buckets through the shared journaled swap. Same cohorts and
+    // oracle as q_incr_decontaminate.
+    Q("q_incr_decontaminate_seg",
+      (s, dir) => {
+        val docs = Q.t(s, dir, "documents")
+        val corp = docs.filter(col("doc_id") % 97 =!= 0)
+        val evals = docs.filter(col("doc_id") % 97 === 0)
+        val base = corp.filter(col("doc_id") % 10 =!= 3)
+        val store = java.nio.file.Files
+          .createTempDirectory("graft_decontam_seg").toString
+        graft.operators.DecontamStore.init(s, store,
+          base, "doc_id", "text",
+          evals.filter(col("doc_id") % 2 === 0), "doc_id", "text",
+          w = 3, nBuckets = 16)
+        graft.operators.DecontamStore.continueAt(s, store,
+          corp.filter(col("doc_id") % 10 === 3),
+          base.filter(col("doc_id") % 10 === 7).select("doc_id"),
+          evals.filter(col("doc_id") % 2 === 1),
+          s.range(0).select(col("id").as("doc_id")),
+          "doc_id", "text", "doc_id", "text")
+        val corpusAfter = corp.filter(col("doc_id") % 10 =!= 7)
+        graft.operators.DecontamStore
+          .decontaminated(s, store, corpusAfter, "doc_id")
+          .select(col("doc_id"), col("source"),
+            size(tokens(col("text"))).as("ntok"))
       },
       Some(s"""WITH $toksCte,
               sh AS (SELECT doc_id, list_distinct(
@@ -1342,6 +1422,53 @@ object PipelineQueries {
               CAST(t.n_all - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed
             FROM tot t LEFT JOIN agg a USING (doc_id)""")),
 
+    // The SEGMENTED durable form of the line-dedup continuation
+    // ([[graft.operators.LineDedupStore]]): lines/out doc-bucketed,
+    // dfreq line-bucketed — the continuation rewrites the delta's
+    // buckets plus the flip-affected documents' through the shared
+    // journaled swap. Same cohorts (the cohort-K flip construction)
+    // and full-recompute oracle as q_incr_line_dedup.
+    Q("q_incr_line_dedup_seg",
+      (s, dir) => {
+        def aug(df: org.apache.spark.sql.DataFrame) =
+          df.select(col("doc_id"), concat_ws("\n", col("text"),
+            lit("common boilerplate footer line"),
+            concat(lit("cohort "), col("doc_id") % 35),
+            concat(lit("sig "), col("doc_id"))).as("text"))
+        val docs = Q.t(s, dir, "documents").select("doc_id", "text")
+        val base = aug(docs.filter(col("doc_id") % 10 =!= 3))
+        val store = java.nio.file.Files
+          .createTempDirectory("graft_line_dedup_seg").toString
+        graft.operators.LineDedupStore.init(s, store, base,
+          "doc_id", "text", maxDocs = 11, nBuckets = 16)
+        graft.operators.LineDedupStore.continueAt(s, store,
+          aug(docs.filter(col("doc_id") % 10 === 3)),
+          docs.filter(col("doc_id") % 10 === 7).select("doc_id"),
+          "doc_id", "text")
+        graft.operators.LineDedupStore.cleaned(s, store)
+          .select("doc_id", "clean", "n_kept", "n_removed")
+      },
+      Some("""WITH aug AS (SELECT doc_id,
+              concat_ws(chr(10), text, 'common boilerplate footer line',
+                'cohort ' || (doc_id % 35), 'sig ' || doc_id) AS text
+              FROM documents WHERE doc_id % 10 <> 7),
+            p AS (SELECT doc_id, string_split(text, chr(10)) AS parts FROM aug),
+            l AS (SELECT doc_id, unnest([{'pos': i, 'line': parts[i]}
+                for i in generate_series(1, len(parts))]) AS pl FROM p),
+            l2 AS (SELECT doc_id, pl.pos AS pos, pl.line AS line FROM l),
+            bad AS (SELECT line FROM (SELECT line, count(DISTINCT doc_id) AS nd
+                FROM l2 GROUP BY 1) WHERE nd > 11),
+            kept AS (SELECT l2.doc_id, l2.pos, l2.line FROM l2 LEFT JOIN bad b
+                USING (line) WHERE b.line IS NULL),
+            agg AS (SELECT doc_id,
+                array_to_string(list(line ORDER BY pos, line), chr(10)) AS clean,
+                count(*) AS n_kept FROM kept GROUP BY 1),
+            tot AS (SELECT doc_id, count(*) AS n_all FROM l2 GROUP BY 1)
+            SELECT t.doc_id, COALESCE(a.clean, '') AS clean,
+              CAST(COALESCE(a.n_kept, 0) AS BIGINT) AS n_kept,
+              CAST(t.n_all - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed
+            FROM tot t LEFT JOIN agg a USING (doc_id)""")),
+
     // Corpus mixing to a 2000-token budget over four weighted sources
     // (the rest get weight 0 and drop). Rate arithmetic is pure Long
     // integer math — desired·1000 div T — so the oracle reproduces the
@@ -1596,6 +1723,49 @@ object PipelineQueries {
         out.count()
         st0.release(); st1.release()
         out
+      },
+      Some(s"""WITH $vecCte,
+              cents AS (SELECT id AS cid, vec AS cvec FROM v
+                WHERE id % 10 <> 3 ORDER BY id LIMIT 16),
+              v2 AS (SELECT * FROM v WHERE id % 10 <> 7),
+              assign AS (SELECT nid, nvec, cid FROM (
+                SELECT v2.id AS nid, v2.vec AS nvec, c.cid,
+                  row_number() OVER (PARTITION BY v2.id ORDER BY
+                    ${dotSql("v2.vec", "c.cvec")} /
+                      (sqrt(${dotSql("v2.vec", "v2.vec")}) *
+                       sqrt(${dotSql("c.cvec", "c.cvec")})) DESC, c.cid) AS rk
+                FROM v2 CROSS JOIN cents c) WHERE rk = 1),
+              dom AS (SELECT DISTINCT y.nid AS nid
+                FROM assign x JOIN assign y
+                  ON x.cid = y.cid AND x.nid < y.nid
+                WHERE round(${dotSql("x.nvec", "y.nvec")} /
+                    (sqrt(${dotSql("x.nvec", "x.nvec")}) *
+                     sqrt(${dotSql("y.nvec", "y.nvec")})), 6) > 0.3)
+              SELECT a.nid AS id, a.cid,
+                CAST(CASE WHEN d.nid IS NULL THEN 1 ELSE 0 END AS INT) AS keep
+              FROM assign a LEFT JOIN dom d ON a.nid = d.nid""")),
+
+    // The SEGMENTED durable form of the SemDeDup continuation
+    // ([[graft.operators.SemanticDedupStore]]): frozen quantizer on
+    // disk, assignment + decision tables CLUSTER-bucketed — the
+    // continuation locates evicted ids via a column-pruned scan,
+    // re-decides only the affected clusters, and rewrites only their
+    // buckets through the shared journaled swap. Same cohorts and
+    // frozen-quantizer full-recompute oracle as q_incr_semantic_dedup.
+    Q("q_incr_semantic_dedup_seg",
+      (s, dir) => {
+        val vecs = Q.t(s, dir, "embeddings")
+          .select(col("vec_id").as("id"), col("embedding").as("vec"))
+        val store = java.nio.file.Files
+          .createTempDirectory("graft_semdedup_seg").toString
+        graft.operators.SemanticDedupStore.init(s, store,
+          vecs.filter(col("id") % 10 =!= 3), nlist = 16, tau = 0.3,
+          nBuckets = 8)
+        graft.operators.SemanticDedupStore.continueAt(s, store,
+          vecs.filter(col("id") % 10 === 3),
+          vecs.filter(col("id") % 10 === 7).select("id"))
+        graft.operators.SemanticDedupStore.keeps(s, store)
+          .select(col("id"), col("cid"), col("keep").cast("int").as("keep"))
       },
       Some(s"""WITH $vecCte,
               cents AS (SELECT id AS cid, vec AS cvec FROM v

@@ -1,41 +1,33 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
 
 /** Scratch driver for manual verification runs (see .claude/skills/verify).
-  * Current drive (round 9): prove the store-mode loop's touched-bucket
-  * filters reach the parquet scan as PARTITION pruning — the plan's
-  * scan node must list `_b` partition filters and the scanned file set
-  * must exclude untouched buckets. */
+  * Current drive (round 10): run the new segmented-store gates
+  * end-to-end at sf0.001 the way the correctness driver will — each
+  * must produce rows and finish without error. */
 object DriveMain {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    import spark.implicits._
-    import graft.core.SegmentedStateStore
-
-    val edges = (for (i <- 0L until 200L; j <- Seq((i * 7 + 1) % 200, (i * 3 + 2) % 200)
-      if i != j) yield (i, j)).distinct.toDF("src", "dst")
-    val store = java.nio.file.Files
-      .createTempDirectory("graft_prune_probe").toString
-    graft.algorithms.IncrementalPageRank.preserveTo(spark, store, edges,
-      0.8, iterations = 3, nBuckets = 64)
-
-    // a pruned read the loop would issue: out rows of 3 buckets
-    val st = SegmentedStateStore.openForRead(spark, store)
-    val probe = st.out.filter(col("_b").isin(1, 2, 3))
-    probe.collect()
-    println("=== explain ===")
-    println(probe.queryExecution.executedPlan.toString.take(2000))
-    val scanned = probe
-      .select(input_file_name()).distinct().as[String].collect()
-    println(s"=== scanned ${scanned.length} files ===")
-    scanned.foreach(f => println(f.split("/").takeRight(2).mkString("/")))
+    graft.util.LogQuiet()
+    val dir = sys.env.getOrElse("GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    val names =
+      if (args.nonEmpty) args.toSeq
+      else Seq("q_incr_tfidf_seg", "q_incr_decontaminate_seg",
+        "q_incr_line_dedup_seg", "q_incr_semantic_dedup_seg",
+        "q_incr_pagerank_stream")
+    names.foreach { n =>
+      val t0 = System.nanoTime()
+      val c = SparkEntry.queries(n)(spark, dir).count()
+      println(f"$n: $c rows, ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      spark.catalog.clearCache()
+    }
     spark.stop()
   }
 }

@@ -1349,6 +1349,403 @@ class IncrementalSpec extends SparkSpec {
     assert(rows(DupSpansStore.scores(spark, store)) == want2)
   }
 
+  test("writer lease: live lease rejects, stale lease taken over, fence aborts a stalled commit") {
+    import graft.operators.{DupSpansStore, SegSwap}
+    import java.nio.file.{Files, Paths}
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Long, Double, Int)].collect().map(t => t._1 -> t).toMap
+    val base = (1L to 10L).map(i => (i, s"lease u$i v$i w$i x$i"))
+      .toDF("doc_id", "text")
+    val store = Files.createTempDirectory("graft_lease").toString
+    DupSpansStore.init(spark, store, base, "doc_id", "text",
+      w = 3, maxFrac = 0.5, nBuckets = 4)
+    // lease writes go through the Hadoop FS (not java.nio) so the
+    // LocalFileSystem .crc sidecar stays consistent across overwrites
+    def writeLease(dir: String, epoch: Long, ts: Long): Unit = {
+      val f = SegSwap.fsOf(spark, dir)
+      val o = f.create(
+        new org.apache.hadoop.fs.Path(s"$dir/seg_writer_lease"), true)
+      try o.write(s"$epoch $ts".getBytes("UTF-8")) finally o.close()
+    }
+    val intact = rows(DupSpansStore.scores(spark, store))
+    val d1 = Seq((30L, "lease u4 v4 w4 x4")).toDF("doc_id", "text")
+    val noIds = Seq.empty[Long].toDF("doc_id")
+
+    // a LIVE lease (another writer mid-continuation, staging on disk):
+    // a second writer fails at entry and must NOT touch the staging —
+    // the exact race the lease exists to prevent (an unleased second
+    // writer's recover would delete the first's staging mid-commit)
+    val stage = Paths.get(store, "seg_staging", "spans", "_b=0")
+    Files.createDirectories(stage)
+    Files.write(stage.resolve("part-live-writer.parquet"), Array[Byte](1))
+    writeLease(store, 7, System.currentTimeMillis())
+    val e = intercept[IllegalStateException] {
+      DupSpansStore.continueAt(spark, store, d1, noIds, "doc_id", "text")
+    }
+    assert(e.getMessage.contains("another writer holds the lease"),
+      e.getMessage)
+    assert(Files.exists(stage.resolve("part-live-writer.parquet")),
+      "rejected writer deleted the live writer's staging")
+    assert(rows(DupSpansStore.scores(spark, store)) == intact)
+
+    // a STALE lease (crashed writer, age > TTL) is taken over: the
+    // continuation runs, cleans the orphan staging, and releases
+    writeLease(store, 7,
+      System.currentTimeMillis() - SegSwap.DefaultLeaseTtlMs - 1000)
+    DupSpansStore.continueAt(spark, store, d1, noIds, "doc_id", "text")
+    val after = base.unionByName(d1)
+    val got = rows(DupSpansStore.scores(spark, store))
+    val wantDf = graft.operators.Pipeline.dupSpanStats(
+      after, "doc_id", "text", 3, 0.5)
+    assert(got == rows(wantDf)); wantDf.unpersist()
+    assert(!Files.exists(Paths.get(store, "seg_writer_lease")),
+      "takeover writer did not release its lease")
+    assert(!Files.exists(Paths.get(store, "seg_staging")),
+      "takeover writer did not clean the crashed writer's staging")
+
+    // EPOCH FENCING: a writer that stalled past its TTL and was taken
+    // over (the lease now carries a higher epoch) must abort BEFORE the
+    // journal — its stale swap never commits over the successor's state
+    val fs = SegSwap.fsOf(spark, store)
+    val myEpoch = SegSwap.acquireLease(fs, store)
+    writeLease(store, myEpoch + 1, System.currentTimeMillis())
+    val stale = Seq((1L, 2, 3L, 0)).toDF("doc_id", "pos", "s", "_b")
+    val f = intercept[IllegalArgumentException] {
+      SegSwap.commit(spark, store, Seq(("spans", stale, Set(0))),
+        fence = Some(myEpoch))
+    }
+    assert(f.getMessage.contains("fenced out"), f.getMessage)
+    assert(!Files.exists(Paths.get(store, "seg_swap_journal")),
+      "fenced-out writer still journaled")
+    assert(rows(DupSpansStore.scores(spark, store)) == got,
+      "fenced-out writer corrupted the store")
+    // successor (epoch+1) proceeds normally, recovering the orphan
+    writeLease(store, myEpoch + 1,
+      System.currentTimeMillis() - SegSwap.DefaultLeaseTtlMs - 1000)
+    DupSpansStore.continueAt(spark, store,
+      Seq((31L, "lease u9 v9 w9 x9")).toDF("doc_id", "text"), noIds,
+      "doc_id", "text")
+    val after2 = after.unionByName(
+      Seq((31L, "lease u9 v9 w9 x9")).toDF("doc_id", "text"))
+    val wantDf2 = graft.operators.Pipeline.dupSpanStats(
+      after2, "doc_id", "text", 3, 0.5)
+    assert(rows(DupSpansStore.scores(spark, store)) == rows(wantDf2))
+    wantDf2.unpersist()
+
+    // the SegmentedStateStore writer handle honors the same contract
+    import graft.core.{PreservedState, SegmentedStateStore}
+    val prStore = Files.createTempDirectory("graft_lease_pr").toString
+    SegmentedStateStore.init(spark, prStore, PreservedState(
+      Seq((1L, 1L, 0.5)).toDF("node", "src", "contrib"),
+      Seq((1L, 1.0)).toDF("node", "rank")), "node", nBuckets = 4)
+    writeLease(prStore, 3, System.currentTimeMillis())
+    intercept[IllegalStateException] {
+      SegmentedStateStore.openForWrite(spark, prStore)
+    }
+    SegSwap.fsOf(spark, prStore).delete(
+      new org.apache.hadoop.fs.Path(s"$prStore/seg_writer_lease"), false)
+    val h = SegmentedStateStore.openForWrite(spark, prStore)
+    assert(Files.exists(Paths.get(prStore, "seg_writer_lease")))
+    h.releaseLease()
+    assert(!Files.exists(Paths.get(prStore, "seg_writer_lease")))
+  }
+
+  /** Full file→mtime snapshot of a store table dir (untouched-bucket
+    * immutability assertions for the round-10 store family). */
+  private def fileSnapshot(dir: String): Map[String, Long] = {
+    import java.nio.file.{Files, Paths}
+    if (!Files.exists(Paths.get(dir))) Map.empty
+    else {
+      val s = java.nio.file.Files.walk(Paths.get(dir))
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.filter(java.nio.file.Files.isRegularFile(_))
+          .map(p => p.toString ->
+            java.nio.file.Files.getLastModifiedTime(p).toMillis).toMap
+      } finally s.close()
+    }
+  }
+
+  /** Files under untouched `_b=` dirs must keep their exact paths and
+    * mtimes across a continuation. */
+  private def assertUntouched(before: Map[String, Long],
+      after: Map[String, Long], touched: Set[Int], what: String): Unit = {
+    def bucketOfPath(p: String): Option[Int] =
+      "_b=(-?\\d+)".r.findFirstMatchIn(p).map(_.group(1).toInt)
+    val untouchedBefore = before.filter {
+      case (p, _) => bucketOfPath(p).exists(b => !touched.contains(b))
+    }
+    assert(untouchedBefore.nonEmpty,
+      s"$what: no untouched bucket files to check (touched=$touched)")
+    for ((p, t) <- untouchedBefore)
+      assert(after.get(p).contains(t),
+        s"$what: untouched bucket file rewritten or removed: $p")
+  }
+
+  test("semantic-dedup store: continuation equals in-memory twin and batch, prunes to affected clusters") {
+    import graft.operators.{SemanticDedupStore, Similarity}
+    import java.nio.file.Files
+    def keysOf(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "cid", "keep").collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
+    // two clusters seeded by ids 1/2; cluster-2 members sit ~30° apart
+    // (mutual cosine ≤ 0.87 < tau) so NOTHING is dominated at init —
+    // the flip must come from the delta
+    val mk = (rows: Seq[(Long, Seq[Double])]) => rows.toDF("id", "vec")
+    val base = mk(Seq(1L -> Seq(1.0, 0.0), 2L -> Seq(0.0, 1.0),
+      10L -> Seq(0.95, 0.05), 11L -> Seq(0.9, 0.1),
+      20L -> Seq(0.5, 0.866), 21L -> Seq(-0.5, 0.866)))
+    // cid-bucket count where the two cluster ids land in DIFFERENT
+    // buckets (deterministic — xxhash64 is fixed), so the untouched-
+    // bucket assertion is never vacuous
+    val nB = Seq(8, 16, 32).find { b =>
+      val bs = spark.range(1).select(
+        pmod(xxhash64(lit(1L)), lit(b.toLong)).cast("int"),
+        pmod(xxhash64(lit(2L)), lit(b.toLong)).cast("int")).collect()(0)
+      bs.getInt(0) != bs.getInt(1)
+    }.get
+    val store = Files.createTempDirectory("graft_semdedup_store").toString
+    SemanticDedupStore.init(spark, store, base, nlist = 2, tau = 0.9,
+      nBuckets = nB)
+    val centsDf = SemanticDedupStore.centroids(spark, store)
+      .select(col("cid").as("id"), col("cvec").as("vec"))
+    def batch(corpus: org.apache.spark.sql.DataFrame) = {
+      val out = Similarity.semanticDedup(corpus, nlist = 2, tau = 0.9,
+        centroids = Some(centsDf))
+      val r = keysOf(out); out.unpersist(); r
+    }
+    val init = keysOf(SemanticDedupStore.keeps(spark, store))
+    assert(init == batch(base))
+    assert(init(20L)._2 == 1 && init(21L)._2 == 1)
+
+    // delta 1 touches ONLY cluster 2: add id 5 (a dominator — 5 < 20,
+    // cos(5,20) ≈ 0.998 > tau flips UNTOUCHED 20's keep bit; cos(2,5)
+    // ≈ 0.89 < tau keeps 5 itself), remove 21. Cluster 1's bucket
+    // files must keep their exact mtimes.
+    val touchedBuckets = Set(spark.range(1).select(
+      pmod(xxhash64(lit(2L)), lit(nB.toLong)).cast("int"))
+      .collect()(0).getInt(0))
+    val beforeA = fileSnapshot(s"$store/assign")
+    val beforeO = fileSnapshot(s"$store/out")
+    val add1 = mk(Seq(5L -> Seq(0.45, 0.893)))
+    SemanticDedupStore.continueAt(spark, store, add1, Seq(21L).toDF("id"))
+    val corpus1 = base.filter(col("id") =!= 21L).unionByName(add1)
+    val got1 = keysOf(SemanticDedupStore.keeps(spark, store))
+    assert(got1 == batch(corpus1))
+    assert(got1(20L)._2 == 0,
+      "added lower-id dominator must flip untouched cluster-mate 20")
+    assertUntouched(beforeA, fileSnapshot(s"$store/assign"),
+      touchedBuckets, "assign")
+    assertUntouched(beforeO, fileSnapshot(s"$store/out"),
+      touchedBuckets, "out")
+
+    // the in-memory twin agrees step for step (shared keepFor core)
+    val st0 = Similarity.preserveSemanticDedup(base, nlist = 2,
+      tau = 0.9, centroids = Some(centsDf))
+    val st1 = Similarity.continueSemanticDedup(st0, add1,
+      Seq(21L).toDF("id"))
+    assert(keysOf(st1.out) == got1)
+    st0.release(); st1.release()
+
+    // delta 2 chained: removing the dominator restores 20; upsert moves
+    // 10 into cluster 2 (re-assignment across clusters)
+    val move10 = mk(Seq(10L -> Seq(0.0, 1.0)))
+    SemanticDedupStore.continueAt(spark, store, move10, Seq(5L).toDF("id"))
+    val corpus2 = corpus1.filter(!col("id").isin(5L, 10L)).unionByName(move10)
+    val got2 = keysOf(SemanticDedupStore.keeps(spark, store))
+    assert(got2 == batch(corpus2))
+    assert(got2(20L)._2 == 1, "removed dominator must restore 20")
+    assert(got2(10L)._1 == 2L, "upserted vector not re-assigned")
+
+    // rebucket/compact are content-invariant
+    SemanticDedupStore.rebucket(spark, store, nBuckets = 3)
+    assert(keysOf(SemanticDedupStore.keeps(spark, store)) == got2)
+    SemanticDedupStore.compact(spark, store)
+    assert(keysOf(SemanticDedupStore.keeps(spark, store)) == got2)
+  }
+
+  test("tfidf store: continuation equals full recompute, N rides the journal, rebucket invariant") {
+    import graft.operators.{Pipeline, TfidfStore}
+    import java.nio.file.Files
+    def collect(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    def sameAs(a: Map[(Long, String), (Long, Long, Double)],
+        b: Map[(Long, String), (Long, Long, Double)], tag: String): Unit = {
+      assert(a.keySet == b.keySet, s"$tag keys diverge")
+      for ((k, (tf, df, w)) <- a) {
+        val (btf, bdf, bw) = b(k)
+        assert(tf == btf && df == bdf && math.abs(w - bw) < 1e-12, s"$tag $k")
+      }
+    }
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("doc_id") < 300)
+    val base = docs.filter(col("doc_id") % 10 =!= 3)
+    val store = Files.createTempDirectory("graft_tfidf_store").toString
+    TfidfStore.init(spark, store, base, "doc_id", "text", nBuckets = 8)
+    sameAs(collect(TfidfStore.tfidf(spark, store)),
+      collect(Pipeline.tfidf(base, "doc_id", "text")), "init")
+
+    // delta 1: add %10==3 plus an EMPTY doc (counts in N, no tf rows),
+    // remove %10==7 with one id duplicated (N must not decrement twice)
+    val emptyDoc = Seq((9999991L, "   ")).toDF("doc_id", "text")
+    val added1 = docs.filter(col("doc_id") % 10 === 3)
+      .select("doc_id", "text").unionByName(emptyDoc)
+    val removed1base = base.filter(col("doc_id") % 10 === 7).select("doc_id")
+    TfidfStore.continueAt(spark, store, added1,
+      removed1base.unionByName(removed1base.limit(1)), "doc_id", "text")
+    val corpus1 = docs.filter(col("doc_id") % 10 =!= 7)
+      .select("doc_id", "text").unionByName(emptyDoc)
+    sameAs(collect(TfidfStore.tfidf(spark, store)),
+      collect(Pipeline.tfidf(corpus1, "doc_id", "text")), "delta1")
+
+    // delta 2 chained: clones raise df; the empty doc leaves N
+    val added2 = corpus1.filter(col("doc_id") % 10 === 5)
+      .withColumn("doc_id", col("doc_id") + 1000000L)
+    val removed2 = corpus1
+      .filter(col("doc_id") % 10 === 1 || col("doc_id") === 9999991L)
+      .select("doc_id")
+    TfidfStore.continueAt(spark, store, added2, removed2, "doc_id", "text")
+    val corpus2 = corpus1
+      .filter(col("doc_id") % 10 =!= 1 && col("doc_id") =!= 9999991L)
+      .unionByName(added2)
+    val want2 = collect(Pipeline.tfidf(corpus2, "doc_id", "text"))
+    sameAs(collect(TfidfStore.tfidf(spark, store)), want2, "delta2")
+
+    // rebucket migrates the layout (params dir-swap) content-invariantly
+    TfidfStore.rebucket(spark, store, nBuckets = 3)
+    sameAs(collect(TfidfStore.tfidf(spark, store)), want2, "rebucket")
+    // a SINGLE-doc continuation under the new layout touches only its
+    // own tf bucket: the other buckets' files keep their exact mtimes
+    val beforeTf = fileSnapshot(s"$store/tf")
+    val touchedTf = Set(spark.range(1).select(
+      pmod(xxhash64(lit(8888881L)), lit(3L)).cast("int"))
+      .collect()(0).getInt(0))
+    TfidfStore.continueAt(spark, store,
+      Seq((8888881L, "zz zz qq")).toDF("doc_id", "text"),
+      spark.range(0).select(col("id").as("doc_id")), "doc_id", "text")
+    val corpus3 = corpus2.unionByName(
+      Seq((8888881L, "zz zz qq")).toDF("doc_id", "text"))
+    sameAs(collect(TfidfStore.tfidf(spark, store)),
+      collect(Pipeline.tfidf(corpus3, "doc_id", "text")), "post-rebucket")
+    assertUntouched(beforeTf, fileSnapshot(s"$store/tf"), touchedTf, "tf")
+  }
+
+  test("line-dedup store: flips reclean untouched docs from pruned state") {
+    import graft.operators.{LineDedupStore, Pipeline}
+    import java.nio.file.Files
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, String, Long, Long)].collect().map(t => t._1 -> t).toMap
+    def batch(corpus: org.apache.spark.sql.DataFrame) =
+      rows(Pipeline.dedupLines(corpus, "doc_id", "text", maxDocs = 2))
+    // "shared K" lines span docs; crossing nd=2 flips them
+    val base = (1L to 6L).map(i =>
+      (i, s"unique line $i\nshared ${i % 3}")).toDF("doc_id", "text")
+    val store = Files.createTempDirectory("graft_line_store").toString
+    LineDedupStore.init(spark, store, base, "doc_id", "text",
+      maxDocs = 2, nBuckets = 8)
+    assert(rows(LineDedupStore.cleaned(spark, store)) == batch(base))
+
+    // delta: add doc 10 carrying "shared 0" (df 2 → 3 — FLIPS, so
+    // untouched docs 3 and 6 must be recleaned), remove doc 1
+    // ("shared 1" df 2 → 1 — flips BACK, doc 4 recleaned)
+    val add = Seq((10L, "fresh here\nshared 0")).toDF("doc_id", "text")
+    LineDedupStore.continueAt(spark, store, add, Seq(1L).toDF("doc_id"),
+      "doc_id", "text")
+    val after = base.filter(col("doc_id") =!= 1L).unionByName(add)
+    val got = rows(LineDedupStore.cleaned(spark, store))
+    assert(got == batch(after))
+    assert(!got(3L)._2.contains("shared 0"),
+      "untouched doc 3 kept a line flipped to boilerplate")
+    assert(got(4L)._2.contains("shared 1"),
+      "untouched doc 4 lost a line flipped back to unique")
+
+    // the in-memory twin agrees (shared linesOf/cleanFor cores)
+    import graft.operators.IncrementalLineDedup
+    val st0 = IncrementalLineDedup.preserveLines(base, "doc_id", "text",
+      maxDocs = 2)
+    val st1 = IncrementalLineDedup.continueLines(st0, add,
+      Seq(1L).toDF("doc_id"), "doc_id", "text")
+    assert(rows(st1.out.select("doc_id", "clean", "n_kept", "n_removed"))
+      == got)
+    st0.release(); st1.release()
+
+    // chained upsert: rewriting doc 10 without the shared line flips
+    // "shared 0" back (df 3 → 2)
+    val up = Seq((10L, "fresh here rewritten")).toDF("doc_id", "text")
+    LineDedupStore.continueAt(spark, store, up,
+      spark.range(0).select(col("id").as("doc_id")), "doc_id", "text")
+    val after2 = after.filter(col("doc_id") =!= 10L).unionByName(up)
+    assert(rows(LineDedupStore.cleaned(spark, store)) == batch(after2))
+    // compact is content-invariant
+    LineDedupStore.compact(spark, store)
+    assert(rows(LineDedupStore.cleaned(spark, store)) == batch(after2))
+  }
+
+  test("decontam store: two-sided touched-bucket continuation equals batch") {
+    import graft.operators.{DecontamStore, Pipeline}
+    import java.nio.file.Files
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    val corpus0 = Seq(
+      (1L, "aa bb cc dd"), (2L, "xx yy zz ww"),
+      (3L, "pp qq rr ss"), (4L, "mm nn")).toDF("doc_id", "text")
+    val eval0 = Seq(
+      (100L, "aa bb cc"),
+      (101L, "aa bb cc extra")).toDF("doc_id", "text")
+    val store = Files.createTempDirectory("graft_decontam_store").toString
+    DecontamStore.init(spark, store, corpus0, "doc_id", "text",
+      eval0, "doc_id", "text", w = 3, nBuckets = 8)
+    def batch(c: org.apache.spark.sql.DataFrame,
+        e: org.apache.spark.sql.DataFrame) =
+      ids(Pipeline.decontaminate(c, "doc_id", "text", e, "text", w = 3))
+    assert(ids(DecontamStore.decontaminated(spark, store, corpus0,
+      "doc_id")) == batch(corpus0, eval0))
+
+    // two-sided delta: +doc 5, −doc 2; +eval 102 (hits doc 3), −eval
+    // 101 (its shingle STILL contributed by 100). Doc 1's bucket is
+    // untouched — its shingle files keep their mtimes.
+    val beforeSh = fileSnapshot(s"$store/shingles")
+    val touchedSh = Seq(5L, 2L)
+      .map(i => spark.range(1).select(
+        pmod(xxhash64(lit(i)), lit(8L)).cast("int")).collect()(0).getInt(0))
+      .toSet
+    DecontamStore.continueAt(spark, store,
+      Seq((5L, "uu vv tt hh")).toDF("doc_id", "text"), Seq(2L).toDF("doc_id"),
+      Seq((102L, "pp qq rr")).toDF("doc_id", "text"), Seq(101L).toDF("doc_id"),
+      "doc_id", "text", "doc_id", "text")
+    val corpus1 = corpus0.filter(col("doc_id") =!= 2L)
+      .unionByName(Seq((5L, "uu vv tt hh")).toDF("doc_id", "text"))
+    val eval1 = eval0.filter(col("doc_id") =!= 101L)
+      .unionByName(Seq((102L, "pp qq rr")).toDF("doc_id", "text"))
+    val got = ids(DecontamStore.decontaminated(spark, store, corpus1,
+      "doc_id"))
+    assert(got == batch(corpus1, eval1))
+    assert(!got.contains(1L), "overlapping-shingle eval removal freed doc 1")
+    assert(!got.contains(3L), "added eval item missed doc 3")
+    assertUntouched(beforeSh, fileSnapshot(s"$store/shingles"),
+      touchedSh, "shingles")
+
+    // replace semantics on BOTH sides (the in-memory twin's scenario)
+    val doc1v2 = Seq((1L, "qq ww ee rr")).toDF("doc_id", "text")
+    val eval100v2 = Seq((100L, "uu vv tt")).toDF("doc_id", "text")
+    DecontamStore.continueAt(spark, store, doc1v2,
+      spark.range(0).select(col("id").as("doc_id")), eval100v2,
+      spark.range(0).select(col("id").as("doc_id")),
+      "doc_id", "text", "doc_id", "text")
+    val corpus2 = corpus1.filter(col("doc_id") =!= 1L).unionByName(doc1v2)
+    val eval2 = eval1.filter(col("doc_id") =!= 100L).unionByName(eval100v2)
+    val got2 = ids(DecontamStore.decontaminated(spark, store, corpus2,
+      "doc_id"))
+    assert(got2 == batch(corpus2, eval2))
+    assert(got2.contains(1L), "re-added doc kept its stale contamination")
+    assert(!got2.contains(5L), "re-added eval item's new shingles missed doc 5")
+    // rebucket is content-invariant
+    DecontamStore.rebucket(spark, store, nBuckets = 3)
+    assert(ids(DecontamStore.decontaminated(spark, store, corpus2,
+      "doc_id")) == got2)
+  }
+
   test("segmented dup-span store: crash recovery honors the journal contract") {
     import graft.operators.{DupSpansStore, Pipeline}
     import java.nio.file.{Files, Paths, Path}

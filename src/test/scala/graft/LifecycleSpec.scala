@@ -628,6 +628,58 @@ class LifecycleSpec extends SparkSpec {
       "writer-side recovery left the orphaned journal temp file")
   }
 
+  test("store lifecycle policy: auto-compact bounds file growth, advisor flags past-crossover deltas") {
+    import graft.operators.{DupSpansStore, Pipeline, StorePolicy}
+    import java.nio.file.Files
+    // the advisor's pure contract: the measured ~10% crossover
+    assert(!StorePolicy.advise("spec", 5, 100).rebuildRecommended)
+    assert(StorePolicy.advise("spec", 15, 100).rebuildRecommended)
+    assert(StorePolicy.advise("spec", 15, 100).touchedFraction == 0.15)
+
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Long, Double, Int)].collect().map(t => t._1 -> t).toMap
+    def batch(corpus: org.apache.spark.sql.DataFrame) = {
+      val out = Pipeline.dupSpanStats(corpus, "doc_id", "text", 3, 0.5)
+      val r = rows(out); out.unpersist(); r
+    }
+    val base = (1L to 12L).map(i => (i, s"pol u$i v$i w$i x$i"))
+      .toDF("doc_id", "text")
+    val store = Files.createTempDirectory("graft_policy").toString
+    DupSpansStore.init(spark, store, base, "doc_id", "text",
+      w = 3, maxFrac = 0.5, nBuckets = 8)
+    val noIds = Seq.empty[Long].toDF("doc_id")
+    // repeatedly upsert the SAME doc id: its bucket accretes one file
+    // per commit — 4 continuations + init would reach 5 files without
+    // the policy; threshold 3 must bound it via auto-compaction
+    var corpus = base
+    for (i <- 1 to 4) {
+      val up = Seq((100L, s"pol fresh round $i")).toDF("doc_id", "text")
+      val advice = DupSpansStore.continueAt(spark, store, up, noIds,
+        "doc_id", "text", autoCompactFiles = 3)
+      assert(advice.touchedBuckets >= 1 && advice.totalBuckets >= 1)
+      corpus = corpus.filter(col("doc_id") =!= 100L).unionByName(up)
+    }
+    val worst = StorePolicy.maxFilesPerBucket(spark, store,
+      Seq("spans", "ntoks", "dfreq", "out"))
+    assert(worst <= 3,
+      s"auto-compact did not bound file growth: $worst files in a bucket")
+    assert(rows(DupSpansStore.scores(spark, store)) == batch(corpus),
+      "auto-compact changed store content")
+
+    // a delta replacing most of the corpus crosses the ~10% rebuild
+    // crossover: the continuation still runs (correctness first) and
+    // the advice surfaces the economics
+    val big = (1L to 9L).map(i => (i, s"pol rewritten $i wide delta"))
+      .toDF("doc_id", "text")
+    val advice = DupSpansStore.continueAt(spark, store, big, noIds,
+      "doc_id", "text", autoCompactFiles = 0)
+    assert(advice.rebuildRecommended,
+      s"9/12-doc delta should cross the rebuild crossover: $advice")
+    corpus = corpus.join(big.select(col("doc_id").as("_d")),
+      col("doc_id") === col("_d"), "left_anti").unionByName(big)
+    assert(rows(DupSpansStore.scores(spark, store)) == batch(corpus))
+  }
+
   test("teraValidate compares strings in UTF-8 order (supplementary plane)") {
     // U+E000 (3-byte UTF-8) sorts BELOW U+1F600 (4-byte, surrogate pair
     // in UTF-16) under Spark/DuckDB binary order; Java's UTF-16

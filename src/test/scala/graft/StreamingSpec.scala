@@ -92,6 +92,7 @@ class StreamingSpec extends SparkSpec {
           batches += 1
           DupSpansStore.continueAt(spark, store, batch, noIds,
             "doc_id", "text")
+          ()
       }
       .trigger(Trigger.AvailableNow())
       .start()
