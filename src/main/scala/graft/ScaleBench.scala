@@ -278,6 +278,71 @@ object ScaleBench {
           "cont01pct" -> t01, "read" -> tr)
       }
 
+      run("seg_respan", 5000L * m) {
+        // the STREAMED lifecycle op (round-9 "what's wrong #3" retired):
+        // rebucket/compact write the lazy store views straight to
+        // seg_staging — no whole-store block-manager materialization —
+        // so the op's cost tracks the store's BYTES (one read + one
+        // shuffled write) and its peak memory does not grow with the
+        // corpus. The scenario is the REAL degradation respan exists
+        // for: a range store provisioned at ~256 dirs sprawls to ~4x
+        // that through contiguous shard appends (probe-verified: swaps
+        // REPLACE touched dirs, so files-per-bucket never accretes —
+        // dir sprawl is the thing that grows), then one journaled
+        // respan collapses it back to the provisioned budget.
+        val n = 5000L * m
+        val span = math.max(1L, n / 256)
+        val store = s"$dir/seg_respan"
+        deleteRec(new java.io.File(store))
+        val (_, tb) = timed(operators.DupSpansStore.init(spark, store,
+          docs, "doc_id", "text", w = 8, maxFrac = 0.5,
+          bucketMode = "range", rangeSpan = span))
+        // sprawl: three shard appends tripling the id range (untriggered
+        // — autoRespanFactor 0 — so the respan is timed on its own)
+        var hi = n
+        var tchurn = 0.0
+        for (_ <- 1 to 3) {
+          val shard = genDocs(spark, hi + n).filter(col("doc_id") >= hi)
+          val (_, t) = timed(operators.DupSpansStore.continueAt(spark,
+            store, shard, spark.range(0).toDF("doc_id"), "doc_id", "text",
+            autoRespanFactor = 0))
+          tchurn += t
+          hi += n
+        }
+        val fs = operators.SegSwap.fsOf(spark, store)
+        val dirsBefore = operators.SegSwap.liveBuckets(fs, store, "out").size
+        val (_, tc) = timed(operators.DupSpansStore.rebucket(spark, store,
+          nBuckets = 256, bucketMode = "range", rangeSpan = span * 4))
+        val dirsAfter = operators.SegSwap.liveBuckets(fs, store, "out").size
+        System.err.println(
+          s"[scale] seg_respan out dirs $dirsBefore -> $dirsAfter, " +
+          "files/bucket " + operators.StorePolicy.maxFilesPerBucket(spark,
+            store, Seq("spans", "ntoks", "dfreq", "out")))
+        val (_, trd) = timed(consume(
+          operators.DupSpansStore.scores(spark, store)))
+        Seq("init" -> tb, "churn3shards" -> tchurn, "respan" -> tc,
+          "read" -> trd)
+      }
+
+      run("seg_tfidf", 5000L * m) {
+        // the round-10 TfidfStore: durable init, a ±1% continuation
+        // (upsert-shaped: fresh ids in, old ids out), and a full
+        // derived-weight read. Continuation cost must track the delta's
+        // token volume (touched doc buckets + touched vocabulary
+        // buckets), not the corpus's.
+        val n = 5000L * m
+        val store = s"$dir/seg_tfidf"
+        deleteRec(new java.io.File(store))
+        val (_, tb) = timed(operators.TfidfStore.init(spark, store,
+          docs, "doc_id", "text"))
+        val fresh = genDocs(spark, n + n / 100).filter(col("doc_id") >= n)
+        val (_, ti) = timed(operators.TfidfStore.continueAt(spark, store,
+          fresh, docs.filter(col("doc_id") % 100 === 55).select("doc_id"),
+          "doc_id", "text"))
+        val (_, trd) = timed(consume(operators.TfidfStore.tfidf(spark, store)))
+        Seq("init" -> tb, "cont1pct" -> ti, "read" -> trd)
+      }
+
       run("semantic_dedup", 2000L * m) {
         // nlist scales WITH the corpus (SemDeDup's k = O(corpus size)
         // posture keeps clusters ~constant), so the pair scan's

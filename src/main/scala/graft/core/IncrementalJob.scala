@@ -665,13 +665,18 @@ final class IncrementalJob(
         // when touched), so the union of non-base segments IS the
         // replacement content — the untouched state is neither read
         // nor written.
-        if (cumTouchedKvs.nonEmpty || cumTouchedOut.nonEmpty)
+        if (cumTouchedKvs.nonEmpty || cumTouchedOut.nonEmpty) {
           timed(s"segstore commit (${cumTouchedKvs.size}+" +
             s"${cumTouchedOut.size}/$B buckets)")(
             st.commit(
               unionSegs(kvsSegs.filterNot(_.base)),
               unionSegs(outSegs.filterNot(_.base)),
               cumTouchedKvs, cumTouchedOut))
+          // lifecycle advice (StorePolicy): surface the continue-vs-
+          // rebuild economics of this delta's footprint
+          graft.operators.StorePolicy.advise("segstate",
+            (cumTouchedKvs ++ cumTouchedOut).size, B)
+        }
         // the returned frames read the INSTALLED store — the loop's
         // leaves are all releasable scratch now
         val segs = kvsSegs ++ outSegs

@@ -173,12 +173,15 @@ object SegmentedStateStore {
     open(spark, path)
 
   /** Journaled COMPACTION: rewrite every bucket of both tables in one
-    * crash-safe swap, merging each bucket's accreted files (repeated
-    * continuations append one file per touched bucket per commit) back
-    * to one contiguous file per bucket. Content-invariant by
-    * construction — same rows, same buckets, fewer files; the
-    * [[SegSwap]] journal gives the same roll-forward/rollback contract
-    * as a continuation, so a crash mid-compact never loses state.
+    * crash-safe swap. NOTE on when this matters: continuations REPLACE
+    * every touched bucket dir with one fresh file (the swap's
+    * dir-rename semantics — per-bucket file counts never accrete,
+    * probe-verified), so this is a repair/maintenance op for state
+    * written OUTSIDE the swap path or for re-clustering, not a
+    * routine post-continuation step. Content-invariant by
+    * construction — same rows, same buckets; the [[SegSwap]] journal
+    * gives the same roll-forward/rollback contract as a continuation,
+    * so a crash mid-compact never loses state.
     *
     * The staging write STREAMS the lazy store views straight to
     * `seg_staging/` (no whole-store materialization through the block

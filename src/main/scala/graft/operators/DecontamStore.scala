@@ -131,8 +131,8 @@ object DecontamStore {
       addedDocs: DataFrame, removedDocIds: DataFrame,
       addedEval: DataFrame, removedEvalIds: DataFrame,
       idCol: String, textCol: String,
-      evalIdCol: String, evalTextCol: String,
-      autoCompactFiles: Int = 16): StorePolicy.ContinueAdvice = {
+      evalIdCol: String, evalTextCol: String)
+      : StorePolicy.ContinueAdvice = {
    val advice = SegSwap.withWriterLease(spark, path) { lease =>
     graft.functions.GraftFunctions.register(spark)
     SegSwap.recover(spark, path)
@@ -177,8 +177,6 @@ object DecontamStore {
     StorePolicy.advise("decontamstore",
       touched.flatMap(_._3).toSet.size, liveB)
    }
-   StorePolicy.autoCompactIfNeeded(spark, path, Seq("shingles", "evalsh"),
-     autoCompactFiles)(compact(spark, path))
    advice
   }
 

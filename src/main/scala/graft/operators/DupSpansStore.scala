@@ -239,12 +239,15 @@ object DupSpansStore {
     *
     * LIFECYCLE POLICY ([[StorePolicy]]): returns the continue-vs-
     * rebuild advice (touched-bucket fraction against the measured
-    * crossover), and auto-compacts — outside the continuation's lease;
-    * the compact takes its own — once any bucket accretes
-    * `autoCompactFiles` files (0 disables). */
+    * crossover); on RANGE-mode stores, auto-respans — outside the
+    * continuation's lease; the rebucket takes its own — once shard
+    * appends sprawl the live bucket-dir count past `autoRespanFactor ×`
+    * the provisioned budget (0 disables). Hash-mode stores have a
+    * fixed bucket set and self-compacting swaps (every touched dir is
+    * replaced with one fresh file), so nothing auto-triggers there. */
   def continueAt(spark: SparkSession, path: String, addedDocs0: DataFrame,
       removedIds0: DataFrame, idCol: String, textCol: String,
-      autoCompactFiles: Int = 16): StorePolicy.ContinueAdvice = {
+      autoRespanFactor: Int = 4): StorePolicy.ContinueAdvice = {
    val advice = SegSwap.withWriterLease(spark, path) { lease =>
     graft.functions.GraftFunctions.register(spark)
     SegSwap.recover(spark, path)
@@ -412,9 +415,16 @@ object DupSpansStore {
     intern.releaseAll()
     StorePolicy.advise("dupspans", (td ++ ao).size, liveDocBuckets)
    }
-   StorePolicy.autoCompactIfNeeded(spark, path,
-     readParams(spark, path).docTables :+ "dfreq", autoCompactFiles)(
-     compact(spark, path))
+   locally {
+     val p = readParams(spark, path)
+     if (p.mode == "range")
+       StorePolicy.autoRespanIfSprawled(spark, path, "out", p.b,
+         autoRespanFactor) { live =>
+         // scale the span so the live dirs collapse back to ~b
+         rebucket(spark, path, p.b, "range",
+           p.span * ((live + p.b - 1) / p.b))
+       }
+   }
    advice
   }
 

@@ -113,8 +113,8 @@ object LineDedupStore {
     * [[IncrementalLineDedup.continueLines]]'s semantics verbatim).
     * Single fenced writer; crash-safe via the shared journal. */
   def continueAt(spark: SparkSession, path: String, addedDocs0: DataFrame,
-      removedIds0: DataFrame, idCol: String, textCol: String,
-      autoCompactFiles: Int = 16): StorePolicy.ContinueAdvice = {
+      removedIds0: DataFrame, idCol: String, textCol: String)
+      : StorePolicy.ContinueAdvice = {
    val advice = SegSwap.withWriterLease(spark, path) { lease =>
     graft.functions.GraftFunctions.register(spark)
     SegSwap.recover(spark, path)
@@ -218,8 +218,6 @@ object LineDedupStore {
     intern.releaseAll()
     StorePolicy.advise("linededup", ao.size, liveB)
    }
-   StorePolicy.autoCompactIfNeeded(spark, path,
-     Seq("lines", "dfreq", "out"), autoCompactFiles)(compact(spark, path))
    advice
   }
 

@@ -134,10 +134,14 @@ object LmCountsStore {
   /** Roll the model forward over a ±document delta (upsert contract:
     * an incoming id evicts its existing contributions). Rewrites only
     * the delta's doc buckets of the contribution tables and the
-    * delta's token buckets of the aggregates. */
+    * delta's token buckets of the aggregates. Returns the
+    * [[StorePolicy]] continue-vs-rebuild advice; range-mode stores
+    * auto-respan once shard appends sprawl the contribution dirs past
+    * `autoRespanFactor ×` the provisioned budget (0 disables). */
   def continueAt(spark: SparkSession, path: String, addedDocs0: DataFrame,
-      removedIds0: DataFrame, idCol: String, textCol: String): Unit =
-   SegSwap.withWriterLease(spark, path) { lease =>
+      removedIds0: DataFrame, idCol: String, textCol: String,
+      autoRespanFactor: Int = 4): StorePolicy.ContinueAdvice = {
+   val advice = SegSwap.withWriterLease(spark, path) { lease =>
     graft.functions.GraftFunctions.register(spark)
     SegSwap.recover(spark, path)
     val p = readParams(spark, path)
@@ -193,12 +197,26 @@ object LmCountsStore {
         .withColumn("_b", tokBucket(p.b, kcols: _*)))
       Seq((doc, nextT, td), (agg, aggNextT, tb))
     }
+    val liveB = math.max(1,
+      SegSwap.liveBuckets(SegSwap.fsOf(spark, path), path, "unidoc").size)
     SegSwap.commit(spark, path,
       roll("unidoc", "uni", Seq("w"), addUni) ++
         roll("bidoc", "bi", Seq("a", "b"), addBi),
       fence = Some(lease))
     intern.releaseAll()
+    StorePolicy.advise("lmcounts", td.size, liveB)
    }
+   locally {
+     val p = readParams(spark, path)
+     if (p.mode == "range")
+       StorePolicy.autoRespanIfSprawled(spark, path, "unidoc", p.b,
+         autoRespanFactor) { live =>
+         rebucket(spark, path, p.b, "range",
+           p.span * ((live + p.b - 1) / p.b))
+       }
+   }
+   advice
+  }
 
   /** Score any corpus against the store's CURRENT model — the same
     * contract as [[Pipeline.lmScoreAgainst]] with the stored counts as

@@ -134,8 +134,7 @@ object SemanticDedupStore {
     * re-score. Single fenced writer; crash-safe via the shared
     * journal. */
   def continueAt(spark: SparkSession, path: String, addedVecs: DataFrame,
-      removedIds: DataFrame,
-      autoCompactFiles: Int = 16): StorePolicy.ContinueAdvice = {
+      removedIds: DataFrame): StorePolicy.ContinueAdvice = {
    val advice = SegSwap.withWriterLease(spark, path) { lease =>
     graft.functions.GraftFunctions.register(spark)
     SegSwap.recover(spark, path)
@@ -194,8 +193,6 @@ object SemanticDedupStore {
     intern.releaseAll()
     StorePolicy.advise("semdedup", tb.size, liveB)
    }
-   StorePolicy.autoCompactIfNeeded(spark, path, Seq("assign", "out"),
-     autoCompactFiles)(compact(spark, path))
    advice
   }
 

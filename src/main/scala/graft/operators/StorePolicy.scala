@@ -7,15 +7,28 @@ import org.apache.spark.sql.SparkSession
   * verdict's missing-#2: `rebucket`/`compact` are mechanism, this
   * decides WHEN.
   *
-  *  - [[autoCompactIfNeeded]] — every continuation appends one file
-  *    per touched bucket per commit; unbounded, the file count
-  *    degrades every later scan (open/seek overhead per file) until a
-  *    compact. The trigger is files-per-bucket (the quantity that
-  *    actually degrades), checked after a continuation's commit from
-  *    a driver-side FS listing (O(buckets) stats). Reference analog:
-  *    the preserve file's append-then-merge-on-close is AUTOMATIC
-  *    (`incr-hadoop-0.1/src/mapred/.../IFile.java:548-553,629-647`);
-  *    this is the same merge, triggered by the measurable symptom.
+  * What actually degrades under repeated continuations — measured, not
+  * assumed (the first draft of this policy triggered on files-per-
+  * bucket and its ScaleBench probe found the count pinned at 1):
+  * a [[SegSwap]] commit REPLACES every touched bucket dir with one
+  * freshly-written file (`repartition(_b)` puts each bucket in one
+  * task), so the within-bucket layout is SELF-compacting and never
+  * accretes. The quantity that does degrade is BUCKET-DIR SPRAWL in
+  * range mode: every contiguous shard append lands in fresh `_b=` dirs
+  * forever, so a year of appends turns a provisioned-B store into tens
+  * of thousands of tiny dirs — per-dir writer/lister overhead was
+  * measured at 97 s for a 5120-dir commit of 630k rows (round-9
+  * provisioning lesson).
+  *
+  *  - [[autoRespanIfSprawled]] — the trigger on that real symptom:
+  *    once the live dir count exceeds `factor ×` the provisioned
+  *    bucket budget, the store re-spans (a journaled [[SegSwap]]
+  *    rebucket with a proportionally larger range span), restoring
+  *    the budget while keeping id-locality. Checked after a
+  *    continuation's commit from a driver-side FS listing. Reference
+  *    analog: the preserve file's merge-on-close is AUTOMATIC
+  *    (`incr-hadoop-0.1/src/mapred/.../IFile.java:548-553,629-647`) —
+  *    same idea, triggered by the measurable symptom.
   *  - [[advise]] — rebuild-vs-continue: the round-9 1000× envelope
   *    probe measured a continuation costing more than a rebuild once
   *    a delta's touched-bucket fraction reaches ~10% (scattered
@@ -55,8 +68,10 @@ object StorePolicy {
   }
 
   /** Max parquet-file count over every live `_b=` dir of `tables` —
-    * the symptom auto-compaction bounds. Driver-side listing,
-    * O(buckets) stats. */
+    * a DIAGNOSTIC invariant, not a trigger: the swap's dir-replacement
+    * semantics pin this at 1 (spec- and probe-verified), so a higher
+    * value means a store was written outside the [[SegSwap]] path.
+    * Driver-side listing, O(buckets) stats. */
   def maxFilesPerBucket(spark: SparkSession, path: String,
       tables: Seq[String]): Int = {
     val fs = SegSwap.fsOf(spark, path)
@@ -70,20 +85,24 @@ object StorePolicy {
     }.maxOption.getOrElse(0)
   }
 
-  /** Fire `compactFn` when any bucket of `tables` holds ≥ `threshold`
-    * files. Called AFTER a continuation releases its writer lease (the
-    * compact takes its own — the ops serialize through the lease, they
-    * never nest). Returns whether a compact ran. `threshold <= 0`
-    * disables. */
-  def autoCompactIfNeeded(spark: SparkSession, path: String,
-      tables: Seq[String], threshold: Int)(compactFn: => Unit): Boolean = {
-    if (threshold <= 0) return false
-    val worst = maxFilesPerBucket(spark, path, tables)
-    if (worst < threshold) false
+  /** Fire `respanFn(liveDirs)` when a range-mode store's live bucket-
+    * dir count exceeds `factor ×` its provisioned budget `b` — the
+    * shard-append sprawl trigger. Called AFTER a continuation releases
+    * its writer lease (the rebucket takes its own — the ops serialize
+    * through the lease, they never nest). Returns whether a respan
+    * ran. `factor <= 0` disables. */
+  def autoRespanIfSprawled(spark: SparkSession, path: String,
+      liveTable: String, provisionedB: Int, factor: Int)(
+      respanFn: Int => Unit): Boolean = {
+    if (factor <= 0) return false
+    val live = SegSwap.liveBuckets(SegSwap.fsOf(spark, path), path,
+      liveTable).size
+    if (live <= factor * provisionedB) false
     else {
-      System.err.println(s"[segstore] auto-compact at $path: a bucket " +
-        s"reached $worst files (threshold $threshold)")
-      compactFn
+      System.err.println(s"[segstore] auto-respan at $path: $live live " +
+        s"bucket dirs > $factor x provisioned $provisionedB — " +
+        "re-spanning back to the bucket budget")
+      respanFn(live)
       true
     }
   }

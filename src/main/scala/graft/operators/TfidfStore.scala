@@ -103,8 +103,8 @@ object TfidfStore {
     * the delta vocabulary's token buckets of `dfreq` rewrite; N rides
     * the params dir-swap through the same journal. */
   def continueAt(spark: SparkSession, path: String, addedDocs: DataFrame,
-      removedIds: DataFrame, idCol: String, textCol: String,
-      autoCompactFiles: Int = 16): StorePolicy.ContinueAdvice = {
+      removedIds: DataFrame, idCol: String, textCol: String)
+      : StorePolicy.ContinueAdvice = {
    val advice = SegSwap.withWriterLease(spark, path) { lease =>
     graft.functions.GraftFunctions.register(spark)
     SegSwap.recover(spark, path)
@@ -168,8 +168,6 @@ object TfidfStore {
     intern.releaseAll()
     StorePolicy.advise("tfidfstore", td.size, liveB)
    }
-   StorePolicy.autoCompactIfNeeded(spark, path, Seq("tf", "dfreq"),
-     autoCompactFiles)(compact(spark, path))
    advice
   }
 

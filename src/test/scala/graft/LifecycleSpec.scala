@@ -628,9 +628,9 @@ class LifecycleSpec extends SparkSpec {
       "writer-side recovery left the orphaned journal temp file")
   }
 
-  test("store lifecycle policy: auto-compact bounds file growth, advisor flags past-crossover deltas") {
+  test("store lifecycle policy: swaps self-compact, sprawl auto-respans, advisor flags past-crossover deltas") {
     import graft.operators.{DupSpansStore, Pipeline, StorePolicy}
-    import java.nio.file.Files
+    import java.nio.file.{Files, Paths}
     // the advisor's pure contract: the measured ~10% crossover
     assert(!StorePolicy.advise("spec", 5, 100).rebuildRecommended)
     assert(StorePolicy.advise("spec", 15, 100).rebuildRecommended)
@@ -642,39 +642,75 @@ class LifecycleSpec extends SparkSpec {
       val out = Pipeline.dupSpanStats(corpus, "doc_id", "text", 3, 0.5)
       val r = rows(out); out.unpersist(); r
     }
+    val store = Files.createTempDirectory("graft_policy").toString
+    def liveDirs(table: String): Int = {
+      val s = Files.list(Paths.get(store, table))
+      try s.toArray.map(_.toString.split("/").last)
+        .count(_.startsWith("_b=")) finally s.close()
+    }
     val base = (1L to 12L).map(i => (i, s"pol u$i v$i w$i x$i"))
       .toDF("doc_id", "text")
-    val store = Files.createTempDirectory("graft_policy").toString
+    // provisioned budget b=4, range span 3 → base occupies 4 dirs
     DupSpansStore.init(spark, store, base, "doc_id", "text",
-      w = 3, maxFrac = 0.5, nBuckets = 8)
+      w = 3, maxFrac = 0.5, nBuckets = 4, bucketMode = "range",
+      rangeSpan = 3L)
     val noIds = Seq.empty[Long].toDF("doc_id")
-    // repeatedly upsert the SAME doc id: its bucket accretes one file
-    // per commit — 4 continuations + init would reach 5 files without
-    // the policy; threshold 3 must bound it via auto-compaction
+
+    // repeated UPSERTS of one doc: the swap REPLACES its bucket dir
+    // with one fresh file each time — per-bucket file counts never
+    // accrete (the corrected lifecycle model; the first policy draft
+    // triggered on files-per-bucket and this invariant is why it
+    // never fired)
     var corpus = base
-    for (i <- 1 to 4) {
-      val up = Seq((100L, s"pol fresh round $i")).toDF("doc_id", "text")
+    for (i <- 1 to 3) {
+      val up = Seq((7L, s"pol fresh round $i")).toDF("doc_id", "text")
       val advice = DupSpansStore.continueAt(spark, store, up, noIds,
-        "doc_id", "text", autoCompactFiles = 3)
+        "doc_id", "text")
       assert(advice.touchedBuckets >= 1 && advice.totalBuckets >= 1)
-      corpus = corpus.filter(col("doc_id") =!= 100L).unionByName(up)
+      corpus = corpus.filter(col("doc_id") =!= 7L).unionByName(up)
     }
-    val worst = StorePolicy.maxFilesPerBucket(spark, store,
-      Seq("spans", "ntoks", "dfreq", "out"))
-    assert(worst <= 3,
-      s"auto-compact did not bound file growth: $worst files in a bucket")
+    assert(StorePolicy.maxFilesPerBucket(spark, store,
+      Seq("spans", "ntoks", "dfreq", "out")) == 1,
+      "touched-bucket swaps must replace dirs, not accrete files")
+    assert(rows(DupSpansStore.scores(spark, store)) == batch(corpus))
+
+    // SPRAWL + AUTO-RESPAN: shard appends land in fresh range buckets
+    // forever; once live dirs exceed factor x the provisioned budget,
+    // the NEXT continuation re-spans back to ~b dirs, content-invariant
+    var hi = 12L
+    var respanned = false
+    for (_ <- 1 to 6 if !respanned) {
+      val shard = ((hi + 1) to (hi + 9L)).map(i =>
+        (i, s"pol shard u$i v$i w$i")).toDF("doc_id", "text")
+      hi += 9L
+      val before = liveDirs("out")
+      DupSpansStore.continueAt(spark, store, shard, noIds,
+        "doc_id", "text", autoRespanFactor = 4)
+      corpus = corpus.unionByName(shard)
+      if (liveDirs("out") < before) respanned = true
+    }
+    assert(respanned, "sprawl never triggered the auto-respan")
+    assert(liveDirs("out") <= 4 + 1,
+      s"respan did not restore the bucket budget: ${liveDirs("out")} dirs")
     assert(rows(DupSpansStore.scores(spark, store)) == batch(corpus),
-      "auto-compact changed store content")
+      "auto-respan changed store content")
+    // and the store keeps working under the new span
+    val more = Seq((500L, "pol after respan u v w")).toDF("doc_id", "text")
+    DupSpansStore.continueAt(spark, store, more, noIds, "doc_id", "text")
+    corpus = corpus.unionByName(more)
+    assert(rows(DupSpansStore.scores(spark, store)) == batch(corpus))
 
     // a delta replacing most of the corpus crosses the ~10% rebuild
     // crossover: the continuation still runs (correctness first) and
     // the advice surfaces the economics
-    val big = (1L to 9L).map(i => (i, s"pol rewritten $i wide delta"))
+    val big = corpus.select("doc_id").distinct().limit(40)
+      .collect().map(_.getLong(0)).toSeq
+      .map(i => (i, s"pol rewritten $i wide delta"))
       .toDF("doc_id", "text")
     val advice = DupSpansStore.continueAt(spark, store, big, noIds,
-      "doc_id", "text", autoCompactFiles = 0)
+      "doc_id", "text", autoRespanFactor = 0)
     assert(advice.rebuildRecommended,
-      s"9/12-doc delta should cross the rebuild crossover: $advice")
+      s"most-of-corpus delta should cross the rebuild crossover: $advice")
     corpus = corpus.join(big.select(col("doc_id").as("_d")),
       col("doc_id") === col("_d"), "left_anti").unionByName(big)
     assert(rows(DupSpansStore.scores(spark, store)) == batch(corpus))
