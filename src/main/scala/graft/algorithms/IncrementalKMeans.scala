@@ -130,6 +130,26 @@ object IncrementalKMeans {
       numPartitions: Int = 32,
       durableStatePath: Option[String] = None,
       metric: String = "euclidean"): (DataFrame, Int) = {
+    val r = incrementalRaw(updatedPoints, preserved, changedIds, iterations,
+      filterThreshold, numPartitions, durableStatePath, metric)
+    (IncrementalJob.finish(r), r.iterations)
+  }
+
+  /** The raw [[graft.core.IncrResult]] of a continuation (kvs view
+    * included, pre-finish) — ONE job wiring for [[incremental]] /
+    * [[incrementalWithStats]] and the exit-invariant spec's hook: the
+    * returned kvs must equal [[assignAll]] of every point under the
+    * final centers (the PreservedState consistency contract the loop
+    * re-establishes at exit). Consume the views before `release()`. */
+  private[graft] def incrementalRaw(
+      updatedPoints: DataFrame,
+      preserved: PreservedState,
+      changedIds: DataFrame,
+      iterations: Int,
+      filterThreshold: Double = 0.0,
+      numPartitions: Int = 32,
+      durableStatePath: Option[String] = None,
+      metric: String = "euclidean"): graft.core.IncrResult = {
 
     val pts = updatedPoints.select(col("id").cast("long"),
       col("vec").cast("array<double>"))
@@ -168,7 +188,6 @@ object IncrementalKMeans {
       numPartitions = numPartitions,
       durableStatePath = durableStatePath)
 
-    val r = job.run()
-    (IncrementalJob.finish(r), r.iterations)
+    job.run()
   }
 }

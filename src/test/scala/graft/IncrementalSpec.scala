@@ -47,6 +47,73 @@ class IncrementalSpec extends SparkSpec {
         s"node $nd incr=${incr(nd)} full=${full(nd)}")
   }
 
+  test("exit invariant: continuation kvs equals a re-derivation from the final out") {
+    // The PreservedState consistency contract — every stored
+    // contribution equals what its source would emit given the FINAL
+    // output values — must hold AFTER a continuation too (the loop
+    // re-derives the final frontier's rows at exit), or chained
+    // continuations become order-dependent (caught by the
+    // q_incr_pagerank_stream oracle). Checked on both refresh paths.
+
+    // One2One (PageRank), through the durable store so the committed
+    // kvs itself is inspected
+    val base = randomEdges(50, 200, seed = 42)
+    val edges1 = base.toDF("src", "dst")
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_exit_inv").toString
+    IncrementalPageRank.preserveTo(spark, store, edges1, 0.5,
+      iterations = 4, nBuckets = 16)
+    val changed = base.map(_._1).distinct.filter(_ % 5 == 0)
+    val edges2 = base.filterNot { case (s, _) => s % 5 == 0 }
+      .++(changed.map(s => (s, (s * 13 + 3) % 50)))
+      .filter { case (a, b) => a != b }.distinct.toDF("src", "dst")
+    IncrementalPageRank.incrementalSeg(spark, store, edges2,
+      changed.toDF("src"), 0.5, iterations = 3).unpersist(blocking = true)
+    val st = graft.core.SegmentedStateStore.openForRead(spark, store)
+      .preserved
+    val static2 = PageRank.prepare(edges2)
+    val wantKvs = static2.join(st.out, static2("src") === col("node"))
+      .select(static2("dst"), static2("src"),
+        (col("rank") / static2("deg") * 0.5).as("contrib"))
+      .as[(Long, Long, Double)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    val gotKvs = st.kvs.as[(Long, Long, Double)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    assert(gotKvs.keySet == wantKvs.keySet,
+      s"only-got=${(gotKvs.keySet -- wantKvs.keySet).take(3)} " +
+        s"only-want=${(wantKvs.keySet -- gotKvs.keySet).take(3)}")
+    for ((k, v) <- wantKvs)
+      assert(math.abs(gotKvs(k) - v) < 1e-12,
+        s"stale contribution $k: got=${gotKvs(k)} want=$v")
+
+    // One2All (KMeans — exit refresh is a full map pass): the raw
+    // result's kvs must equal a fresh assignment under the final
+    // centers (IncrementalKMeans.assignAll — the ONE assignment core)
+    val pts = spark.range(1, 61).select(col("id"),
+      array((col("id") % 7).cast("double"),
+        (col("id") % 11).cast("double")).as("vec"))
+    val preserved = IncrementalKMeans.preserve(pts, k = 3, iterations = 3)
+    val chg = pts.filter(col("id") % 5 === 0).select("id")
+    val pts2 = pts.withColumn("vec",
+      when(col("id") % 5 === 0, transform(col("vec"), x => x * 0.4))
+        .otherwise(col("vec")))
+    val r = IncrementalKMeans.incrementalRaw(pts2, preserved, chg,
+      iterations = 2)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("cid", "id", "vec").collect()
+        .map(x => (x.getInt(0), x.getLong(1)) -> x.getSeq[Double](2)).toMap
+    val got = key(r.kvs)
+    val want = key(IncrementalKMeans.assignAll(
+      pts2.select(col("id").cast("long"), col("vec").cast("array<double>")),
+      r.out, "euclidean"))
+    assert(got.keySet == want.keySet,
+      s"only-got=${(got.keySet -- want.keySet).take(3)} " +
+        s"only-want=${(want.keySet -- got.keySet).take(3)}")
+    for ((k, v) <- want) assert(got(k) == v, s"stale assignment $k")
+    r.release()
+    preserved.release()
+  }
+
   test("filter threshold bounds the error against full recomputation") {
     val base = randomEdges(80, 320, seed = 11)
     val edges1 = base.toDF("src", "dst")
