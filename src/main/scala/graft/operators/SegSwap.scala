@@ -154,7 +154,7 @@ private[graft] object SegSwap {
     * over fails HERE, with its staging discarded by the successor's
     * recover, instead of installing a stale journal over the
     * successor's state. */
-  private def checkFence(fs: FileSystem, path: String, epoch: Long): Unit = {
+  private[graft] def checkFence(fs: FileSystem, path: String, epoch: Long): Unit = {
     val held = readLeaseFile(fs, path)
     require(held.exists(_._1 == epoch),
       s"segswap: writer fenced out on $path — the lease is now " +

@@ -145,11 +145,16 @@ object Similarity {
   def buildIvfIndex(vectors: DataFrame, path: String, nlist: Int = 256,
       centroids: Option[DataFrame] = None, centroidFoldLimit: Int = 64): Unit = {
     graft.functions.GraftFunctions.register(vectors.sparkSession)
-    val v = vectors.select(col("id").as("nid"), col("vec").cast("array<double>").as("nvec"))
-    val cents = normalizedCentroids(v, centroids, nlist)
-    cents.write.mode("overwrite").parquet(s"$path/centroids")
-    assignToLists(v, cents, centroidFoldLimit)
-      .write.mode("overwrite").partitionBy("cid").parquet(s"$path/lists")
+    // a build overwrites live dirs — a writer by definition, so it
+    // holds the same epoch-fenced lease as updateIvfIndex
+    SegSwap.withWriterLease(vectors.sparkSession, path) { _ =>
+      val v = vectors.select(col("id").as("nid"),
+        col("vec").cast("array<double>").as("nvec"))
+      val cents = normalizedCentroids(v, centroids, nlist)
+      cents.write.mode("overwrite").parquet(s"$path/centroids")
+      assignToLists(v, cents, centroidFoldLimit)
+        .write.mode("overwrite").partitionBy("cid").parquet(s"$path/lists")
+    }
   }
 
   /** Probe a [[buildIvfIndex]] index: same results contract as
@@ -222,6 +227,12 @@ object Similarity {
     graft.functions.GraftFunctions.register(spark)
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // the family's epoch-fenced writer lease (SegSwap) guards this
+    // store's own journal too: a second concurrent updater fails at
+    // entry instead of racing recoverIvfSwap's staging cleanup, and a
+    // stalled-past-TTL updater is fenced before its journal rename
+    val lease = SegSwap.acquireLease(fs, path)
+    try {
     recoverIvfSwap(fs, path)
     val cents = spark.read.parquet(s"$path/centroids")
     val added = addedVecs.select(col("id").as("nid"),
@@ -258,7 +269,9 @@ object Similarity {
       // The journal is the commit point, so its appearance must be atomic:
       // write to a temp path, then rename into place. A crash mid-write
       // leaves only the temp file (an unjournaled crash → clean rollback);
-      // a torn line can never masquerade as a committed journal.
+      // a torn line can never masquerade as a committed journal. The
+      // fence runs immediately before the rename (the commit point).
+      SegSwap.checkFence(fs, path, lease)
       val jTmp = new org.apache.hadoop.fs.Path(s"$path/$IvfJournal.tmp")
       val jDst = new org.apache.hadoop.fs.Path(s"$path/$IvfJournal")
       val out = fs.create(jTmp, true)
@@ -267,6 +280,7 @@ object Similarity {
       recoverIvfSwap(fs, path) // the journaled roll-forward IS the swap
     }
     assigned.unpersist(blocking = false)
+    } finally SegSwap.releaseLease(fs, path, lease)
   }
 
   private val listsSchema = org.apache.spark.sql.types.StructType.fromDDL(
