@@ -76,16 +76,34 @@ object IncrementalPageRank {
     * reads only the frontier/touched buckets, commits only the touched
     * buckets back (one journaled swap), and returns the post-delta
     * ranks read from the installed store. Single concurrent writer per
-    * store; a crash mid-continuation re-runs from the intact store. */
+    * store; a crash mid-continuation re-runs from the intact store.
+    *
+    * `batchId` (stream maintainers): the continuation is applied AT
+    * MOST ONCE per id — if the store already records it (the id rides
+    * the commit's own journal), the call is a no-op returning the
+    * current ranks, which is what makes a checkpoint-replayed
+    * foreachBatch exactly-once (a re-run continuation is NOT
+    * idempotent: it would propagate the already-applied delta further). */
   def incrementalSeg(spark: SparkSession, path: String,
       updatedEdges: DataFrame, changedSources: DataFrame, damping: Double,
       iterations: Int, filterThreshold: Double = 0.0,
       numPartitions: Int = 32,
-      broadcastMaxRows: Long = 4L * 1000 * 1000): DataFrame = {
+      broadcastMaxRows: Long = 4L * 1000 * 1000,
+      batchId: Option[Long] = None): DataFrame = {
     val store = SegmentedStateStore.openForWrite(spark, path)
-    incremental(updatedEdges, store.preserved, changedSources, damping,
-      iterations, filterThreshold, numPartitions,
-      broadcastMaxRows = broadcastMaxRows, segStore = Some(store))
+    if (batchId.exists(_ <= store.appliedBatch)) {
+      // replayed batch: nothing to do — hand back the current ranks
+      // under the finish() contract (eager catalog-visible cache)
+      store.releaseLease()
+      val out = store.out.drop("_b")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      out.count()
+      out
+    } else
+      incremental(updatedEdges, store.preserved, changedSources, damping,
+        iterations, filterThreshold, numPartitions,
+        broadcastMaxRows = broadcastMaxRows, segStore = Some(store),
+        segStoreBatchId = batchId)
   }
 
   def incremental(
@@ -98,7 +116,8 @@ object IncrementalPageRank {
       numPartitions: Int = 32,
       durableStatePath: Option[String] = None,
       broadcastMaxRows: Long = 4L * 1000 * 1000,
-      segStore: Option[SegmentedStateStore] = None): DataFrame = {
+      segStore: Option[SegmentedStateStore] = None,
+      segStoreBatchId: Option[Long] = None): DataFrame = {
 
     val static = PageRank.prepare(updatedEdges) // (src, dst, deg) with new degrees
 
@@ -129,7 +148,8 @@ object IncrementalPageRank {
       numPartitions = numPartitions,
       durableStatePath = durableStatePath,
       broadcastMaxRows = broadcastMaxRows,
-      segStore = segStore)
+      segStore = segStore,
+      segStoreBatchId = segStoreBatchId)
 
     IncrementalJob.finish(job.run())
   }

@@ -160,7 +160,8 @@ final class IncrementalJob(
     broadcastMaxRows: Long = 4L * 1000 * 1000,
     compactionInterval: Int = 4,
     durableStatePath: Option[String] = None,
-    segStore: Option[SegmentedStateStore] = None) {
+    segStore: Option[SegmentedStateStore] = None,
+    segStoreBatchId: Option[Long] = None) {
 
   require(projectKind != ProjectKind.One2Mul || backProject.isDefined,
     "One2Mul needs backProject: moved k2 keys -> dependent sk keys")
@@ -671,7 +672,7 @@ final class IncrementalJob(
             st.commit(
               unionSegs(kvsSegs.filterNot(_.base)),
               unionSegs(outSegs.filterNot(_.base)),
-              cumTouchedKvs, cumTouchedOut))
+              cumTouchedKvs, cumTouchedOut, segStoreBatchId))
           // lifecycle advice (StorePolicy): surface the continue-vs-
           // rebuild economics of this delta's footprint
           graft.operators.StorePolicy.advise("segstate",

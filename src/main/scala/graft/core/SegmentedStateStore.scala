@@ -86,17 +86,31 @@ final class SegmentedStateStore private[core] (
   /** The store as a plain [[PreservedState]] view (lazy, no copies). */
   def preserved: PreservedState = PreservedState(kvs.drop("_b"), out.drop("_b"))
 
+  /** The last stream batch id applied to this store (−1 = none) — the
+    * idempotence fence for checkpoint-replayed micro-batches: a
+    * foreachBatch maintainer skips a continuation whose batch id is
+    * already recorded here (it rides the SAME journal as the swap, so
+    * it can never claim a batch whose data didn't install). */
+  def appliedBatch: Long = SegSwap.readParamsRow(spark, path,
+    Seq("appliedBatch"), "segstate").getLong(0)
+
   /** Install the continuation's result: replacement rows (must carry
     * `_b`) for exactly each table's `touched` buckets (the sets can
     * differ — the loop's exit-invariant kvs refresh touches kvs only),
-    * staged and swapped under one journal. The frames MUST be either
-    * materialized leaves or live-file-only plans built after recover
+    * staged and swapped under one journal; `batchId` (stream
+    * maintainers) records [[appliedBatch]] atomically with the swap
+    * via the params dir entry. The frames MUST be either materialized
+    * leaves or live-file-only plans built after recover
     * ([[SegSwap.commit]]'s residence contract). No-op when nothing was
     * touched. */
   private[core] def commit(kvsRows: DataFrame, outRows: DataFrame,
-      touchedKvs: Set[Int], touchedOut: Set[Int]): Unit = {
+      touchedKvs: Set[Int], touchedOut: Set[Int],
+      batchId: Option[Long] = None): Unit = {
     SegSwap.commit(spark, path,
       Seq(("kvs", kvsRows, touchedKvs), ("out", outRows, touchedOut)),
+      dirSwaps = batchId.toSeq.map(b => "params" -> ((dst: String) =>
+        SegmentedStateStore.writeParams(spark, dst, k2Col, nBuckets,
+          k2Ddl, kvsDdl, outDdl, appliedBatch = b))),
       fence = leaseEpoch)
     releaseLease()
   }
@@ -104,11 +118,13 @@ final class SegmentedStateStore private[core] (
 
 object SegmentedStateStore {
 
-  private def writeParams(spark: SparkSession, path: String, k2Col: String,
-      b: Int, k2Ddl: String, kvsDdl: String, outDdl: String): Unit =
-    SegSwap.writeParamsTo(spark, s"$path/params", Seq(
+  private[core] def writeParams(spark: SparkSession, dst: String,
+      k2Col: String, b: Int, k2Ddl: String, kvsDdl: String,
+      outDdl: String, appliedBatch: Long): Unit =
+    SegSwap.writeParamsTo(spark, dst, Seq(
       "k2Col" -> k2Col, "b" -> b, "k2Ddl" -> k2Ddl,
-      "kvsDdl" -> kvsDdl, "outDdl" -> outDdl))
+      "kvsDdl" -> kvsDdl, "outDdl" -> outDdl,
+      "appliedBatch" -> appliedBatch))
 
   /** Lay a converged run's preserved state out as the bucket-
     * partitioned store. `nBuckets` trades rewrite granularity against
@@ -137,7 +153,8 @@ object SegmentedStateStore {
       withB.repartition(col("_b")).write.mode("overwrite")
         .partitionBy("_b").parquet(s"$path/$n")
     }
-    writeParams(spark, path, k2Col, nBuckets, k2Ddl, ddl("kvs"), ddl("out"))
+    writeParams(spark, s"$path/params", k2Col, nBuckets, k2Ddl,
+      ddl("kvs"), ddl("out"), appliedBatch = -1L)
   }
 
   private def open(spark: SparkSession, path: String): SegmentedStateStore = {

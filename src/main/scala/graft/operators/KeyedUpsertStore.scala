@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** A durable KEYED-UPSERT table on the family's journaled layout
+  * ([[SegSwap]]) — the INPUT side of a restart-safe stream maintainer.
+  *
+  * A foreachBatch pipeline that maintains derived state (the segmented
+  * rank/span/model stores) over an evolving input relation needs that
+  * relation durable too: after a crash, Structured Streaming's
+  * checkpoint replays the in-flight micro-batch, and the replayed
+  * continuation must see the exact PRE-batch input — a driver-side
+  * variable rebuilt from scratch would silently drop every earlier
+  * batch's effect. This store keeps the relation as key-bucketed
+  * parquet (`_b = pmod(xxhash64(key), B)`); [[upsertBatch]] REPLACES
+  * all rows of every key present in the batch (and drops
+  * `removedKeys`), touching only those keys' buckets.
+  *
+  * EXACTLY-ONCE: `batchId` rides the params table through the same
+  * journal as the data swap, so a checkpoint-replayed batch (its id ≤
+  * the stored one) is skipped — the fence can never claim a batch
+  * whose rows didn't install, and a crash between the sink commit and
+  * the checkpoint commit resolves to "skip on replay". Combined with
+  * a per-store fence on the DERIVED store and a fixed apply order
+  * (derived continuation first, input upsert second — see
+  * [[graft.streaming.StreamMaintain]]), the whole two-store pipeline
+  * is exactly-once without any cross-store atomic commit: whenever
+  * the derived store replays, the input store still holds the
+  * pre-batch relation.
+  *
+  * Single fenced writer; non-destructive readers; the family crash
+  * contract ([[SegSwap]]).
+  */
+object KeyedUpsertStore {
+
+  private def keyBucket(c: Column, b: Int): Column =
+    pmod(xxhash64(c), lit(b.toLong)).cast("int")
+
+  private case class Params(keyCol: String, b: Int, keyDdl: String,
+      lastBatch: Long, rowsDdl: String)
+
+  private def writeParamsTo(spark: SparkSession, dst: String,
+      p: Params): Unit =
+    SegSwap.writeParamsTo(spark, dst, Seq(
+      "keyCol" -> p.keyCol, "b" -> p.b, "keyDdl" -> p.keyDdl,
+      "lastBatch" -> p.lastBatch, "rowsDdl" -> p.rowsDdl))
+
+  private def readParams(spark: SparkSession, path: String): Params = {
+    val r = SegSwap.readParamsRow(spark, path,
+      Seq("keyCol", "b", "keyDdl", "lastBatch", "rowsDdl"), "keyedupsert")
+    Params(r.getString(0), r.getInt(1), r.getString(2), r.getLong(3),
+      r.getString(4))
+  }
+
+  private def inBuckets(bs: Set[Int]): Column =
+    if (bs.isEmpty) lit(false)
+    else col("_b").isin(bs.toSeq.map(Integer.valueOf): _*)
+
+  /** Lay the base relation out key-bucketed (params — carrying the
+    * batch fence, initialized to −1 — last). */
+  def init(spark: SparkSession, path: String, rows: DataFrame,
+      keyCol: String, nBuckets: Int = 32): Unit = {
+    SegSwap.resetForInit(SegSwap.fsOf(spark, path), path)
+    val withB = rows.withColumn("_b", keyBucket(col(keyCol), nBuckets))
+    withB.repartition(col("_b")).write.mode("overwrite")
+      .partitionBy("_b").parquet(s"$path/rows")
+    writeParamsTo(spark, s"$path/params", Params(keyCol, nBuckets,
+      rows.schema(keyCol).dataType.sql, -1L, withB.schema.toDDL))
+  }
+
+  /** The current relation (journal-resolved; consume before the next
+    * writer commit). */
+  def rows(spark: SparkSession, path: String): DataFrame = {
+    val p = readParams(spark, path)
+    SegSwap.resolvedTable(spark, path, "rows",
+      StructType.fromDDL(p.rowsDdl)).drop("_b")
+  }
+
+  /** The last applied batch id (−1 = none). */
+  def lastBatch(spark: SparkSession, path: String): Long =
+    readParams(spark, path).lastBatch
+
+  /** Apply batch `batchId` AT MOST ONCE: replace all rows of keys in
+    * `added`, drop `removedKeys`, record the id — one journaled swap.
+    * Returns false when the id was already applied (checkpoint
+    * replay). Single fenced writer. */
+  def upsertBatch(spark: SparkSession, path: String, added: DataFrame,
+      removedKeys: DataFrame, batchId: Long): Boolean =
+   SegSwap.withWriterLease(spark, path) { lease =>
+    SegSwap.recover(spark, path)
+    val p = readParams(spark, path)
+    if (batchId <= p.lastBatch) false
+    else {
+      val intern = new IncrMat.Tracker
+      val addedP = SegSwap.castToPinned(added, p.keyCol, p.keyDdl,
+        "keyedupsert added")
+      val rem = intern.mat(SegSwap.castToPinned(
+          removedKeys.select(col(removedKeys.columns.head).as("_rid")),
+          "_rid", p.keyDdl, "keyedupsert removedKeys")
+        .unionByName(addedP.select(col(p.keyCol).as("_rid"))).distinct())
+      val td = rem.select(keyBucket(col("_rid"), p.b).as("_b"))
+        .distinct().collect().map(_.getInt(0)).toSet
+      val live = SegSwap.resolvedTable(spark, path, "rows",
+        StructType.fromDDL(p.rowsDdl))
+      val nextT = intern.mat(live.filter(inBuckets(td))
+        .join(rem, col(p.keyCol) === col("_rid"), "left_anti")
+        .unionByName(addedP.withColumn("_b",
+          keyBucket(col(p.keyCol), p.b))))
+      // the batch id installs ATOMICALLY with the rows via the params
+      // dir entry of the same journal
+      SegSwap.commit(spark, path, Seq(("rows", nextT, td)),
+        dirSwaps = Seq("params" -> ((dst: String) =>
+          writeParamsTo(spark, dst, p.copy(lastBatch = batchId)))),
+        fence = Some(lease))
+      intern.releaseAll()
+      true
+    }
+   }
+}

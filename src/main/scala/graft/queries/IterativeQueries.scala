@@ -598,7 +598,14 @@ object IterativeQueries {
         // each micro-batch REPLACES its sources' out-edge sets in the
         // evolving graph and runs ONE journaled store continuation; the
         // localCheckpoints pin each graph version (raw blocks, freed
-        // explicitly below — clearCache can't see them)
+        // explicitly below — clearCache can't see them).
+        // PRODUCTION NOTE: `cur` is driver-side state, valid under
+        // AvailableNow's single-run drain (this gate's shape). A
+        // restartable 24/7 stream must keep the evolving EDGE TABLE
+        // durable too — e.g. a bucketed-parquet store upserted per
+        // batch under the same journal family — so a checkpoint replay
+        // reconstructs the exact pre-batch graph instead of trusting a
+        // rebuilt driver variable.
         var cur = edges1
         val cps = scala.collection.mutable.ListBuffer
           .empty[org.apache.spark.sql.DataFrame]

@@ -8,6 +8,123 @@ import graft.streaming.EventStreams
 class StreamingSpec extends SparkSpec {
   import spark.implicits._
 
+  test("restart-safe stream maintenance: checkpoint restart and duplicate delivery are exactly-once") {
+    import graft.algorithms.IncrementalPageRank
+    import graft.core.SegmentedStateStore
+    import graft.operators.KeyedUpsertStore
+    import graft.streaming.StreamMaintain
+    val edges1 = ((0L until 40L).flatMap(i =>
+      Seq((i, (i * 7 + 1) % 40), (i, (i * 3 + 2) % 40)))
+      .filter { case (a, b) => a != b }).distinct.toDF("src", "dst")
+    val rankStore = java.nio.file.Files
+      .createTempDirectory("graft_restart_rank").toString
+    val edgeStore = java.nio.file.Files
+      .createTempDirectory("graft_restart_edges").toString
+    IncrementalPageRank.preserveTo(spark, rankStore, edges1, 0.8,
+      iterations = 4, nBuckets = 16)
+    KeyedUpsertStore.init(spark, edgeStore, edges1, "src", nBuckets = 8)
+
+    val delta1 = Seq((3L, 11L), (3L, 17L), (8L, 21L)).toDF("src", "dst")
+    val delta2 = Seq((14L, 5L), (3L, 29L)).toDF("src", "dst")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_restart_deltas").toString
+    def parts(): Set[java.nio.file.Path] = {
+      val st = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      try st.toArray.map(_.asInstanceOf[java.nio.file.Path])
+        .filter(_.toString.endsWith(".parquet")).toSet
+      finally st.close()
+    }
+    delta1.coalesce(1).write.mode("append").parquet(dir)
+    val first = parts()
+    delta2.coalesce(1).write.mode("append").parquet(dir)
+    val second = parts() -- first
+    val t0 = System.currentTimeMillis()
+    first.foreach(p => java.nio.file.Files.setLastModifiedTime(p,
+      java.nio.file.attribute.FileTime.fromMillis(t0 - 120000)))
+    second.foreach(p => java.nio.file.Files.setLastModifiedTime(p,
+      java.nio.file.attribute.FileTime.fromMillis(t0)))
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_restart_ckpt").toString
+
+    // NO driver-side graph variable anywhere: the evolving relation
+    // lives in the edge store, the ranks in the rank store, and each
+    // batch applies through the fixed-order fenced StreamMaintain body
+    var delivered = 0
+    def run(poisonSecond: Boolean) = spark.readStream.schema(delta1.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            bid: Long) =>
+          delivered += 1
+          if (poisonSecond && delivered >= 2)
+            sys.error("simulated crash at batch 2")
+          StreamMaintain.pageRankBatch(spark, rankStore, edgeStore,
+            batch, bid, 0.8, iterations = 3)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+    // RUN 1 dies at batch 2, AFTER batch 1 committed to the checkpoint
+    val q1 = run(poisonSecond = true)
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q1.awaitTermination()
+    }
+    assert(SegmentedStateStore.openForRead(spark, rankStore)
+      .appliedBatch == 0L)
+    assert(KeyedUpsertStore.lastBatch(spark, edgeStore) == 0L)
+
+    // RUN 2 — the RESTART from the same checkpoint: batch 1 is not
+    // redelivered; batch 2 applies once
+    delivered = 0
+    val q2 = run(poisonSecond = false)
+    assert(q2.awaitTermination(120000), "restart run did not finish")
+    assert(delivered == 1, s"restart must deliver only batch 2, saw $delivered")
+    assert(SegmentedStateStore.openForRead(spark, rankStore)
+      .appliedBatch == 1L)
+    assert(KeyedUpsertStore.lastBatch(spark, edgeStore) == 1L)
+
+    def ranks() = SegmentedStateStore.openForRead(spark, rankStore)
+      .preserved.out.as[(Long, Double)].collect().toMap
+    val got = ranks()
+
+    // DUPLICATE DELIVERY (a replayed foreachBatch): both fences skip,
+    // nothing changes — a re-run continuation would NOT be idempotent,
+    // so this is the assertion that makes the pipeline exactly-once
+    StreamMaintain.pageRankBatch(spark, rankStore, edgeStore,
+      delta2, 1L, 0.8, iterations = 3)
+    assert(ranks() == got, "replayed batch mutated the rank store")
+    assert(KeyedUpsertStore.lastBatch(spark, edgeStore) == 1L)
+
+    // exactness: equals the batch-driven chain on a second store with
+    // a DIFFERENT bucket count (layout- and driver-independent)
+    val e2 = edges1.join(delta1.select("src").distinct(), Seq("src"),
+      "left_anti").unionByName(delta1).localCheckpoint(true)
+    val store2 = java.nio.file.Files
+      .createTempDirectory("graft_restart_rank2").toString
+    IncrementalPageRank.preserveTo(spark, store2, edges1, 0.8,
+      iterations = 4, nBuckets = 8)
+    IncrementalPageRank.incrementalSeg(spark, store2, e2,
+      delta1.select("src").distinct(), 0.8, iterations = 3)
+      .unpersist(blocking = false)
+    val e3 = e2.join(delta2.select("src").distinct(), Seq("src"),
+      "left_anti").unionByName(delta2).localCheckpoint(true)
+    IncrementalPageRank.incrementalSeg(spark, store2, e3,
+      delta2.select("src").distinct(), 0.8, iterations = 3)
+      .unpersist(blocking = false)
+    val want = SegmentedStateStore.openForRead(spark, store2)
+      .preserved.out.as[(Long, Double)].collect().toMap
+    assert(got.keySet == want.keySet)
+    for (k <- got.keySet)
+      assert(math.abs(got(k) - want(k)) < 1e-12,
+        s"node $k stream=${got(k)} batch=${want(k)}")
+    // and the durable edge table holds exactly the final graph
+    val gotEdges = KeyedUpsertStore.rows(spark, edgeStore)
+      .as[(Long, Long)].collect().toSet
+    assert(gotEdges == e3.as[(Long, Long)].collect().toSet)
+    e2.unpersist(blocking = false); e3.unpersist(blocking = false)
+  }
+
   test("windowed stats over a file stream match the batch computation") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val stream = EventStreams.readEventStream(spark, sf)
