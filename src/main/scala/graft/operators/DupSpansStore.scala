@@ -235,7 +235,12 @@ object DupSpansStore {
     * an incoming id evicts its existing rows), rewriting only touched
     * buckets. Single concurrent writer — enforced by the epoch-fenced
     * writer lease ([[SegSwap.withWriterLease]]); crash-safe (see class
-    * doc).
+    * doc). IDEMPOTENT under replay: the state is a pure function of
+    * the corpus and the upsert replaces rather than accumulates, so a
+    * stream maintainer re-delivering a micro-batch re-pays compute but
+    * lands on the identical state — no batch-id fence is needed here,
+    * unlike the history-dependent rank loop
+    * ([[graft.streaming.StreamMaintain]]).
     *
     * LIFECYCLE POLICY ([[StorePolicy]]): returns the continue-vs-
     * rebuild advice (touched-bucket fraction against the measured

@@ -546,12 +546,17 @@ object IterativeQueries {
       Some(incrPagerankSql(4, 3))),
 
     // STREAM-OF-DELTAS store maintenance through a REAL StreamingQuery
-    // (round-9 verdict item #4 promoted from spec to gate): the durable
-    // SegmentedStateStore is inited on the base graph, then two edge-
-    // delta FILES arrive as micro-batches (maxFilesPerTrigger=1, order
-    // pinned by mtime — the q_sessionize_stream lesson) and foreachBatch
-    // rolls the ranks forward with one journaled continuation each.
-    // Oracle: the TWO-delta chained incremental unroll — stream-driven
+    // (round-9 verdict item #4 promoted from spec to gate) in the full
+    // PRODUCTION shape: the durable SegmentedStateStore is inited on
+    // the base graph, the evolving edge relation lives in a durable
+    // KeyedUpsertStore (never a driver variable), and two edge-delta
+    // FILES arrive as micro-batches (maxFilesPerTrigger=1, order
+    // pinned by mtime — the q_sessionize_stream lesson) applied by the
+    // restart-safe StreamMaintain body: rank continuation then edge
+    // upsert, each fenced by the micro-batch id riding its store's own
+    // journal, under a real checkpointLocation — the exactly-once
+    // pipeline the StreamingSpec kill/replay test pins. Oracle: the
+    // TWO-delta chained incremental unroll — stream-driven
     // continuations must equal the batch-driven chain exactly.
     Q("q_incr_pagerank_stream",
       (s, dir) => {
@@ -561,8 +566,12 @@ object IterativeQueries {
         val ncust = Q.t(s, dir, "customer").count()
         val store = java.nio.file.Files
           .createTempDirectory("graft_pr_stream_gate").toString
+        val edgeStore = java.nio.file.Files
+          .createTempDirectory("graft_pr_stream_edges").toString
         IncrementalPageRank.preserveTo(s, store, edges1, 0.8,
           iterations = 4, nBuckets = 64)
+        graft.operators.KeyedUpsertStore.init(s, edgeStore, edges1,
+          "src", nBuckets = 32)
         // delta 1 rewires src%10==3, delta 2 rewires src%10==6 of the
         // post-delta-1 graph (disjoint source sets, but rank mass from
         // delta 1 propagates into delta 2's continuation, so ORDER is
@@ -594,35 +603,17 @@ object IterativeQueries {
           java.nio.file.attribute.FileTime.fromMillis(t0 - 120000)))
         second.foreach(p => java.nio.file.Files.setLastModifiedTime(p,
           java.nio.file.attribute.FileTime.fromMillis(t0)))
+        val ckpt = java.nio.file.Files
+          .createTempDirectory("graft_pr_stream_ckpt").toString
 
-        // each micro-batch REPLACES its sources' out-edge sets in the
-        // evolving graph and runs ONE journaled store continuation; the
-        // localCheckpoints pin each graph version (raw blocks, freed
-        // explicitly below — clearCache can't see them).
-        // PRODUCTION NOTE: `cur` is driver-side state, valid under
-        // AvailableNow's single-run drain (this gate's shape). A
-        // restartable 24/7 stream must keep the evolving EDGE TABLE
-        // durable too — e.g. a bucketed-parquet store upserted per
-        // batch under the same journal family — so a checkpoint replay
-        // reconstructs the exact pre-batch graph instead of trusting a
-        // rebuilt driver variable.
-        var cur = edges1
-        val cps = scala.collection.mutable.ListBuffer
-          .empty[org.apache.spark.sql.DataFrame]
         val q = s.readStream.schema(delta1.schema)
           .option("maxFilesPerTrigger", "1").parquet(drop)
-          .writeStream.foreachBatch {
+          .writeStream.option("checkpointLocation", ckpt)
+          .foreachBatch {
             (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-                _: Long) =>
-              val chg = batch.select("src").distinct().localCheckpoint(true)
-              val next = cur.join(chg, Seq("src"), "left_anti")
-                .unionByName(batch.select("src", "dst"))
-                .localCheckpoint(true)
-              cps += chg; cps += next
-              IncrementalPageRank.incrementalSeg(s, store, next, chg,
-                0.8, iterations = 3, filterThreshold = 0.0)
-                .unpersist(blocking = false)
-              cur = next
+                bid: Long) =>
+              graft.streaming.StreamMaintain.pageRankBatch(s, store,
+                edgeStore, batch, bid, 0.8, iterations = 3)
           }
           .trigger(Trigger.AvailableNow())
           .start()
@@ -635,7 +626,6 @@ object IterativeQueries {
           .select(col("node"), round(col("rank"), 6).as("rank"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         out.count()
-        cps.foreach(_.unpersist(blocking = false))
         out
       },
       Some(incrPagerankStreamSql(4, 3)))
