@@ -86,6 +86,29 @@ final class SegmentedStateStore private[core] (
   /** The store as a plain [[PreservedState]] view (lazy, no copies). */
   def preserved: PreservedState = PreservedState(kvs.drop("_b"), out.drop("_b"))
 
+  /** The store's current commit epoch (0 = as-inited; each installed
+    * continuation/compaction advances it by one). */
+  def currentEpoch: Long =
+    SegSwap.currentEpoch(SegSwap.fsOf(spark, path), path)
+
+  /** Time-travel view: the preserved state AS OF `epoch`, re-resolvable
+    * for [[SegSwap.retentionOf]] epochs after it ([[SegSwap
+    * .snapshotTable]] — untouched buckets read live, replaced ones from
+    * the retiring commit's retired dir). A continuation can be audited
+    * or diffed against the exact state it started from; past the
+    * horizon the read fails loudly instead of silently mixing epochs. */
+  def snapshotAt(epoch: Long): PreservedState = PreservedState(
+    SegSwap.snapshotTable(spark, path, "kvs",
+      StructType.fromDDL(kvsDdl), epoch).drop("_b"),
+    SegSwap.snapshotTable(spark, path, "out",
+      StructType.fromDDL(outDdl), epoch).drop("_b"))
+
+  /** Persist a non-default snapshot retention horizon (epochs kept
+    * readable behind the current one; 0 = retire nothing past the
+    * install, the pre-snapshot disk profile). */
+  def setRetention(epochs: Int): Unit =
+    SegSwap.setRetention(SegSwap.fsOf(spark, path), path, epochs)
+
   /** The last stream batch id applied to this store (−1 = none) — the
     * idempotence fence for checkpoint-replayed micro-batches: a
     * foreachBatch maintainer skips a continuation whose batch id is

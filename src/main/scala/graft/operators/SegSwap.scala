@@ -26,6 +26,18 @@ import org.apache.spark.sql.types.StructType
   *    roll-forward or discard a writer's pre-journal staging
   *    ([[Similarity.updateIvfIndex]]'s reader/writer lesson);
   *  - a malformed journal line aborts with the store untouched;
+  *  - every commit advances the store's EPOCH, and the files an install
+  *    replaces are RETIRED (renamed under `seg_retired/e=<epoch>/`)
+  *    instead of deleted, so [[snapshotTable]] serves a consistent
+  *    as-of-epoch view of any epoch inside the retention horizon
+  *    ([[retentionOf]], default [[DefaultRetainEpochs]]) — the
+  *    mechanical answer to the old "readers between, not during,
+  *    commits" caveat: a commit no longer destroys the pre-commit
+  *    view, so a reader overtaken by one RE-RESOLVES its epoch (one
+  *    metadata pass) instead of losing it. Retire is one O(1) rename per touched
+  *    bucket and retained bytes are the SUM OF THE LAST K DELTAS (not
+  *    K store copies), so the horizon is cheap at 100 TB; epochs past
+  *    it are garbage-collected at the next commit;
   *  - the single-writer contract is MECHANICAL, not just documented:
   *    writer entry points take a [[acquireLease]] writer lease (epoch-
   *    numbered lock file) — a second concurrent writer fails loudly at
@@ -41,10 +53,18 @@ private[graft] object SegSwap {
   private val Staging = "seg_staging"
   private val Journal = "seg_swap_journal"
   private val Lease = "seg_writer_lease"
+  private val Retired = "seg_retired"
+  private val Snapshots = "seg_snapshots"
+  private val EpochFile = "seg_epoch"
+  private val RetainFile = "seg_retain"
   // bucket ids may be negative (range bucketing of negative ids);
   // state "dir" swaps a whole un-bucketed directory (bucket field
   // ignored — params migration during a rebucket)
   private val JournalLine = """^([A-Za-z0-9_]+) (-?\d+) (staged|empty|dir)$""".r
+  // optional journal header carrying the commit's epoch (absent on
+  // journals written before the snapshot layer — resolved as
+  // installed-epoch + 1)
+  private val EpochHeader = """^epoch (\d+)$""".r
 
   def fsOf(spark: SparkSession, path: String): FileSystem =
     new HPath(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -78,6 +98,34 @@ private[graft] object SegSwap {
     fs.delete(new HPath(s"$path/$Journal"), false)
     fs.delete(new HPath(s"$path/$Staging"), true)
     fs.delete(new HPath(s"$path/$Lease"), false)
+    // a re-init starts a new store life: its epoch line restarts at 0
+    // and snapshots of the previous life are gone by definition
+    fs.delete(new HPath(s"$path/$Retired"), true)
+    fs.delete(new HPath(s"$path/$Snapshots"), true)
+    fs.delete(new HPath(s"$path/$EpochFile"), false)
+    fs.delete(new HPath(s"$path/$RetainFile"), false)
+  }
+
+  // ---- small atomic text-file helpers (lease, epoch, manifests) ---------
+
+  private def readText(fs: FileSystem, p: HPath): Option[String] =
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
+      finally in.close()
+    }
+
+  /** tmp + rename — a torn write can never masquerade as the file. */
+  private def writeTextAtomic(fs: FileSystem, dst: String,
+      text: String): Unit = {
+    val d = new HPath(dst)
+    val tmp = new HPath(dst + ".tmp")
+    if (d.getParent != null) fs.mkdirs(d.getParent)
+    val out = fs.create(tmp, true)
+    try out.write(text.getBytes("UTF-8")) finally out.close()
+    fs.delete(d, false)
+    require(fs.rename(tmp, d), s"segswap: could not write $dst")
   }
 
   // ---- writer lease (epoch-fenced single-writer enforcement) ------------
@@ -173,6 +221,124 @@ private[graft] object SegSwap {
     val fs = fsOf(spark, path)
     val epoch = acquireLease(fs, path, ttlMs)
     try body(epoch) finally releaseLease(fs, path, epoch)
+  }
+
+  // ---- epochs, retention, snapshot manifests ----------------------------
+
+  /** Epochs retained for [[snapshotTable]] by default: the current
+    * install plus this many predecessors stay readable. Retained bytes
+    * are the sum of the last K deltas (each commit retires only its
+    * touched buckets), so a small K is cheap even at 100 TB; a store
+    * that needs longer time travel raises it via [[setRetention]] and a
+    * store that wants the pre-snapshot disk profile sets 0. */
+  private[graft] val DefaultRetainEpochs: Int = 2
+
+  /** Installed epoch (commits fully rolled forward). 0 = fresh store. */
+  private def installedEpoch(fs: FileSystem, path: String): Long =
+    readText(fs, new HPath(s"$path/$EpochFile"))
+      .map(_.trim.toLong).getOrElse(0L)
+
+  /** The store's current epoch as READERS see it: a committed-but-not-
+    * installed journal already IS the next epoch (readers resolve its
+    * content via [[resolvedTable]]). */
+  def currentEpoch(fs: FileSystem, path: String): Long =
+    journalRaw(fs, path) match {
+      case Some((epoch, _)) => epoch
+      case None => installedEpoch(fs, path)
+    }
+
+  /** Persist a non-default retention horizon for the store. */
+  def setRetention(fs: FileSystem, path: String, epochs: Int): Unit = {
+    require(epochs >= 0, s"segswap: negative retention $epochs")
+    writeTextAtomic(fs, s"$path/$RetainFile", epochs.toString)
+  }
+
+  def retentionOf(fs: FileSystem, path: String): Int =
+    readText(fs, new HPath(s"$path/$RetainFile"))
+      .map(_.trim.toInt).getOrElse(DefaultRetainEpochs)
+
+  /** Bucket-set manifest of `table` as of `epoch` (one `e=<epoch>/
+    * <table>` text file per commit that touched the table, written by
+    * the roll-forward). A manifest stays authoritative for every later
+    * epoch until the table's next touch; [[gcRetired]] prunes each
+    * table to the horizon plus the one pre-horizon manifest that rule
+    * still needs. */
+  private def writeManifest(fs: FileSystem, path: String, epoch: Long,
+      table: String, buckets: Set[Int]): Unit =
+    writeTextAtomic(fs, s"$path/$Snapshots/e=$epoch/$table",
+      buckets.toSeq.sorted.mkString("\n"))
+
+  private def manifestEpochsFor(fs: FileSystem, path: String,
+      table: String): Seq[Long] = {
+    val root = new HPath(s"$path/$Snapshots")
+    if (!fs.exists(root)) Nil
+    else fs.listStatus(root).toSeq.map(_.getPath.getName)
+      .collect { case n if n.startsWith("e=") => n.stripPrefix("e=").toLong }
+      .filter(e => fs.exists(new HPath(s"$path/$Snapshots/e=$e/$table")))
+      .sorted
+  }
+
+  private def readManifest(fs: FileSystem, path: String, epoch: Long,
+      table: String): Set[Int] =
+    readText(fs, new HPath(s"$path/$Snapshots/e=$epoch/$table"))
+      .map(_.linesIterator.filter(_.nonEmpty).map(_.trim.toInt).toSet)
+      .getOrElse(Set.empty)
+
+  /** The bucket set of `table` as of `epoch`: the latest manifest at or
+    * before `epoch`; with none (the table untouched up to `epoch`), the
+    * EARLIEST later manifest (its bootstrap twin — [[commit]] records
+    * the pre-state of a table's first touch, so this is the set that
+    * held unchanged since init); with no manifests at all (never
+    * touched by any commit), the live listing is valid for every epoch. */
+  private def bucketsAt(fs: FileSystem, path: String, table: String,
+      epoch: Long): Set[Int] = {
+    val eps = manifestEpochsFor(fs, path, table)
+    eps.filter(_ <= epoch).lastOption.orElse(eps.headOption) match {
+      case Some(m) => readManifest(fs, path, m, table)
+      case None => liveBuckets(fs, path, table)
+    }
+  }
+
+  private def retiredEpochs(fs: FileSystem, path: String): Seq[Long] = {
+    val root = new HPath(s"$path/$Retired")
+    if (!fs.exists(root)) Nil
+    else fs.listStatus(root).toSeq.map(_.getPath.getName)
+      .collect { case n if n.startsWith("e=") => n.stripPrefix("e=").toLong }
+      .sorted
+  }
+
+  /** Drop retired epochs past the retention horizon, and prune each
+    * table's manifests to the horizon too — per table, everything
+    * strictly older than the latest manifest at-or-before the cut goes
+    * (that one stays authoritative for every still-readable epoch), so
+    * a long-lived store carries O(horizon) manifests per table, not
+    * O(#commits). Runs at the end of every roll-forward. */
+  private def gcRetired(fs: FileSystem, path: String, epoch: Long): Unit = {
+    val cut = epoch - retentionOf(fs, path)
+    retiredEpochs(fs, path).filter(_ <= cut).foreach { e =>
+      fs.delete(new HPath(s"$path/$Retired/e=$e"), true)
+    }
+    val snapRoot = new HPath(s"$path/$Snapshots")
+    if (fs.exists(snapRoot)) {
+      val eps = fs.listStatus(snapRoot).toSeq.map(_.getPath.getName)
+        .collect { case n if n.startsWith("e=") => n.stripPrefix("e=").toLong }
+      val byTable = eps.flatMap { e =>
+        fs.listStatus(new HPath(s"$path/$Snapshots/e=$e")).toSeq
+          .filterNot(_.getPath.getName.endsWith(".tmp"))
+          .map(s => (s.getPath.getName, e))
+      }.groupBy(_._1).view.mapValues(_.map(_._2).sorted)
+      byTable.foreach { case (table, ms) =>
+        val keepFloor = ms.filter(_ <= cut).lastOption.getOrElse(Long.MinValue)
+        ms.filter(_ < keepFloor).foreach { m =>
+          fs.delete(new HPath(s"$path/$Snapshots/e=$m/$table"), false)
+        }
+      }
+      // drop epoch dirs emptied by the per-table pruning
+      eps.foreach { e =>
+        val d = new HPath(s"$path/$Snapshots/e=$e")
+        if (fs.exists(d) && fs.listStatus(d).isEmpty) fs.delete(d, true)
+      }
+    }
   }
 
   // ---- shared params codec ----------------------------------------------
@@ -299,10 +465,21 @@ private[graft] object SegSwap {
       fs.delete(new HPath(s"$path/$Staging"), true)
       return
     }
+    // this commit's epoch, and the snapshot bootstrap: a table's FIRST
+    // journaled touch records its pre-commit bucket set as the manifest
+    // of the PREVIOUS epoch (live dirs are untouched until the
+    // roll-forward below, so the listing here IS the state at epoch-1;
+    // a crash before the journal leaves a manifest that is correct
+    // regardless)
+    val epoch = installedEpoch(fs, path) + 1
+    finalTouched.map(_._1).distinct.foreach { n =>
+      if (manifestEpochsFor(fs, path, n).isEmpty)
+        writeManifest(fs, path, epoch - 1, n, liveBuckets(fs, path, n))
+    }
     val jTmp = new HPath(s"$path/$Journal.tmp")
     val jDst = new HPath(s"$path/$Journal")
     val out = fs.create(jTmp, true)
-    try out.write(lines.mkString("\n").getBytes("UTF-8"))
+    try out.write((s"epoch $epoch" +: lines).mkString("\n").getBytes("UTF-8"))
     finally out.close()
     require(fs.rename(jTmp, jDst),
       s"segswap: could not commit swap journal $jDst")
@@ -318,19 +495,28 @@ private[graft] object SegSwap {
     spark.catalog.refreshByPath(path)
   }
 
-  private def journalEntries(fs: FileSystem,
-      path: String): Seq[(String, Int, String)] = {
+  /** The pending journal, if any, as (epoch, entries). A header-less
+    * journal (written before the snapshot layer, or hand-crafted by the
+    * crash specs) commits the NEXT epoch after the installed one. */
+  private def journalRaw(fs: FileSystem,
+      path: String): Option[(Long, Seq[(String, Int, String)])] = {
     val jDst = new HPath(s"$path/$Journal")
-    if (!fs.exists(jDst)) return Nil
-    val in = fs.open(jDst)
-    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-      finally in.close()
-    text.linesIterator.filter(_.nonEmpty).map {
-      case JournalLine(n, b, st) => (n, b.toInt, st)
-      case bad => throw new IllegalStateException(
-        s"segswap: corrupt swap journal line '$bad' in $jDst")
-    }.toSeq
+    readText(fs, jDst).map { text =>
+      var epoch: Option[Long] = None
+      val entries = text.linesIterator.filter(_.nonEmpty).zipWithIndex
+        .flatMap {
+          case (EpochHeader(e), 0) => epoch = Some(e.toLong); None
+          case (JournalLine(n, b, st), _) => Some((n, b.toInt, st))
+          case (bad, _) => throw new IllegalStateException(
+            s"segswap: corrupt swap journal line '$bad' in $jDst")
+        }.toSeq
+      (epoch.getOrElse(installedEpoch(fs, path) + 1), entries)
+    }
   }
+
+  private def journalEntries(fs: FileSystem,
+      path: String): Seq[(String, Int, String)] =
+    journalRaw(fs, path).map(_._2).getOrElse(Nil)
 
   /** WRITER-side roll-forward/rollback of an interrupted swap. Only
     * the single writer may call this — it renames/deletes live
@@ -340,21 +526,40 @@ private[graft] object SegSwap {
     * raced each other's delete/rename and could observe a bucket
     * missing between the two). */
   def recover(fs: FileSystem, path: String): Unit = {
-    val entries = journalEntries(fs, path)
-    if (entries.nonEmpty) {
+    journalRaw(fs, path).foreach { case (epoch, entries) =>
       entries.foreach { case (n, b, st) =>
-        val live = new HPath(
-          if (st == "dir") s"$path/$n" else s"$path/$n/_b=$b")
-        val stage = new HPath(
-          if (st == "dir") s"$path/$Staging/$n" else s"$path/$Staging/$n/_b=$b")
+        val sub = if (st == "dir") n else s"$n/_b=$b"
+        val live = new HPath(s"$path/$sub")
+        val stage = new HPath(s"$path/$Staging/$sub")
+        // the file set this install replaces is RETIRED, not deleted:
+        // one rename into the epoch's retired dir keeps every previous
+        // epoch inside the retention horizon readable via
+        // [[snapshotTable]]. Idempotent under crash-rerun: a live dir
+        // already renamed away is simply absent on the second pass.
+        def retireLive(): Unit = if (fs.exists(live)) {
+          val dst = new HPath(s"$path/$Retired/e=$epoch/$sub")
+          fs.mkdirs(dst.getParent)
+          require(fs.rename(live, dst),
+            s"segswap: could not retire $live to $dst")
+        }
         if (st != "empty" && fs.exists(stage)) {
-          fs.delete(live, true)
+          retireLive()
           require(fs.rename(stage, live),
             s"segswap: could not install $stage")
-        } else if (st == "empty") fs.delete(live, true)
+        } else if (st == "empty") retireLive()
         // staged/dir && !exists(stage): rename already happened — idempotent
       }
+      // post-install bucket manifests for this epoch's touched tables
+      // (written by the roll-forward, not the committer, so a crash
+      // right after the journal rename still produces them on replay)
+      entries.filter(_._3 != "dir").map(_._1).distinct.foreach { n =>
+        writeManifest(fs, path, epoch, n, liveBuckets(fs, path, n))
+      }
+      // epoch line BEFORE the journal delete: a crash between re-runs
+      // the idempotent roll-forward and rewrites the same value
+      writeTextAtomic(fs, s"$path/$EpochFile", epoch.toString)
       fs.delete(new HPath(s"$path/$Journal"), false)
+      gcRetired(fs, path, epoch)
     }
     // writer-only orphan cleanup: un-journaled staging is a crashed
     // writer's pre-commit scratch, superseded by this writer's run
@@ -417,6 +622,103 @@ private[graft] object SegSwap {
     else fs.listStatus(dir).toSeq.map(_.getPath.getName)
       .collect { case n if n.startsWith("_b=") =>
         n.stripPrefix("_b=").toInt }.toSet
+  }
+
+  /** Time-travel read: the content of `name` AS OF `epoch`, for any
+    * epoch inside the retention horizon. Resolution is pure convention,
+    * no per-file metadata: the content a bucket held at epoch E is
+    * either still live (never replaced since) or sits in the retired
+    * dir of the FIRST commit after E that replaced it —
+    * `min{F > E : seg_retired/e=F has the bucket}`. The bucket set at E
+    * comes from the epoch's manifest ([[bucketsAt]]), so buckets
+    * created after E are never read and buckets emptied after E are
+    * found in their retiring epoch.
+    *
+    * What this buys over [[resolvedTable]]: epoch E stays RE-RESOLVABLE
+    * for the whole horizon — before the snapshot layer, the pre-commit
+    * view was simply GONE the moment an install renamed its files; now
+    * any reader re-derives a consistent as-of-E frame at any time, and
+    * a post-E continuation can be audited, diffed, or rolled back
+    * against it. The plan-residence caveat is narrowed, not erased: the
+    * RETIRED portion of a snapshot plan is immutable until GC, but
+    * buckets still resolving to live dirs can be renamed by a later
+    * commit — a frame held across one re-resolves (one metadata pass)
+    * rather than dying unrecoverably. */
+  def snapshotTable(spark: SparkSession, path: String, name: String,
+      schema: StructType, epoch: Long): DataFrame = {
+    val fs = fsOf(spark, path)
+    journalRaw(fs, path) match {
+      // the pending journal IS the requested epoch: the resolved view
+      case Some((je, _)) if epoch == je =>
+        return resolvedTable(spark, path, name, schema)
+      case _ => ()
+    }
+    val now = currentEpoch(fs, path)
+    require(epoch <= now,
+      s"segswap: snapshot epoch $epoch of $path/$name is in the future " +
+        s"(current epoch $now)")
+    val horizon = now - retentionOf(fs, path)
+    require(epoch >= horizon,
+      s"segswap: snapshot epoch $epoch of $path/$name is past the " +
+        s"retention horizon (current epoch $now, retained back to " +
+        s"$horizon) — its retired files were garbage-collected; raise " +
+        "retention via setRetention before the commits that should " +
+        "stay readable")
+    val want = bucketsAt(fs, path, name, epoch)
+    if (want.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    // assign each bucket to the first retiring epoch after `epoch`,
+    // falling back to the live dir for buckets never since replaced
+    val laterRetired = retiredEpochs(fs, path).filter(_ > epoch)
+    val retiredSets: Seq[(Long, Set[Int])] = laterRetired.map { f =>
+      val dir = new HPath(s"$path/$Retired/e=$f/$name")
+      val bs = if (!fs.exists(dir)) Set.empty[Int]
+        else fs.listStatus(dir).toSeq.map(_.getPath.getName)
+          .collect { case s if s.startsWith("_b=") =>
+            s.stripPrefix("_b=").toInt }.toSet
+      (f, bs)
+    }
+    var remaining = want
+    val groups = scala.collection.mutable.ArrayBuffer.empty[(String, Set[Int])]
+    retiredSets.foreach { case (f, bs) =>
+      val here = remaining.intersect(bs)
+      if (here.nonEmpty) {
+        groups += ((s"$path/$Retired/e=$f/$name", here))
+        remaining = remaining -- here
+      }
+    }
+    if (remaining.nonEmpty) {
+      val missing = remaining.filterNot(b =>
+        fs.exists(new HPath(s"$path/$name/_b=$b")))
+      require(missing.isEmpty,
+        s"segswap: snapshot epoch $epoch of $path/$name is unreadable — " +
+          s"buckets ${missing.toSeq.sorted.mkString(",")} are neither " +
+          "live nor in any retained epoch (store predates the snapshot " +
+          "layer, or retired files were removed outside GC)")
+      groups += ((s"$path/$name", remaining))
+    }
+    groups.map { case (base, bs) =>
+      spark.read.schema(schema).option("basePath", base)
+        .parquet(bs.toSeq.sorted.map(b => s"$base/_b=$b"): _*)
+    }.reduce(_ unionByName _)
+  }
+
+  /** [[snapshotTable]]'s whole-dir twin (params tables): the dir's
+    * content as of `epoch` — the first retiring epoch after it, else
+    * the live (journal-resolved, when the pending journal is the
+    * requested epoch) dir. */
+  def snapshotDirPath(fs: FileSystem, path: String, name: String,
+      epoch: Long): String = {
+    journalRaw(fs, path) match {
+      case Some((je, _)) if epoch == je =>
+        return resolvedDirPath(fs, path, name)
+      case _ => ()
+    }
+    retiredEpochs(fs, path).filter(_ > epoch)
+      .find(f => fs.exists(new HPath(s"$path/$Retired/e=$f/$name")))
+      .map(f => s"$path/$Retired/e=$f/$name")
+      .getOrElse(s"$path/$name")
   }
 
   /** Journal-aware path of a WHOLE-DIR table (e.g. `params`): the

@@ -545,6 +545,50 @@ object IterativeQueries {
       },
       Some(incrPagerankSql(4, 3))),
 
+    // TIME-TRAVEL gate for the snapshot layer ([[graft.operators
+    // .SegSwap.snapshotTable]]): run TWO chained continuations against
+    // the durable store, then read the store AS OF the epoch the first
+    // continuation installed — the snapshot must reproduce the
+    // single-delta result EXACTLY (q_incr_pagerank's own unrolled-SQL
+    // oracle) even though the live store has moved on to the
+    // post-delta-2 state (delta 2 rewires a disjoint source set whose
+    // rank mass shifts most of the graph, so a snapshot that leaked
+    // even one post-delta-2 bucket hash-mismatches). The mechanism
+    // under test is epoch retirement + as-of resolution; the deltas are
+    // the stream gate's.
+    Q("q_incr_pagerank_snapshot",
+      (s, dir) => {
+        val edges1 = sparkEdges(s, dir)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val ncust = Q.t(s, dir, "customer").count()
+        val store = java.nio.file.Files
+          .createTempDirectory("graft_pr_snap_gate").toString
+        IncrementalPageRank.preserveTo(s, store, edges1, 0.8,
+          iterations = 4, nBuckets = 64)
+        val chg1 = edges1.filter(col("src") % 10 === 3)
+          .select("src").distinct()
+        val delta1 = chg1.select(col("src"),
+          (lit(1L) + (col("src") * 11 + 5) % lit(ncust)).as("dst"))
+        val edges2 = edges1.filter(col("src") % 10 =!= 3)
+          .unionByName(delta1)
+        IncrementalPageRank.incrementalSeg(s, store, edges2, chg1, 0.8,
+          iterations = 3, filterThreshold = 0.0).unpersist()
+        val e1 = graft.core.SegmentedStateStore.openForRead(s, store)
+          .currentEpoch
+        val chg2 = edges2.filter(col("src") % 10 === 6)
+          .select("src").distinct()
+        val delta2 = chg2.select(col("src"),
+          (lit(1L) + (col("src") * 13 + 7) % lit(ncust)).as("dst"))
+        val edges3 = edges2.filter(col("src") % 10 =!= 6)
+          .unionByName(delta2)
+        IncrementalPageRank.incrementalSeg(s, store, edges3, chg2, 0.8,
+          iterations = 3, filterThreshold = 0.0).unpersist()
+        graft.core.SegmentedStateStore.openForRead(s, store)
+          .snapshotAt(e1).out
+          .select(col("node"), round(col("rank"), 6).as("rank"))
+      },
+      Some(incrPagerankSql(4, 3))),
+
     // STREAM-OF-DELTAS store maintenance through a REAL StreamingQuery
     // (round-9 verdict item #4 promoted from spec to gate) in the full
     // PRODUCTION shape: the durable SegmentedStateStore is inited on
