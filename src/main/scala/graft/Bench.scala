@@ -57,7 +57,8 @@ object Bench {
         "q_incr_tfidf", "q_incr_ann_ivf", "q_incr_decontaminate",
         "q_incr_pagerank_seg", "q_incr_dup_spans_seg",
         "q_incr_cut_dup_spans", "q_incr_pagerank_stream",
-        "q_incr_line_dedup_seg", "q_incr_pagerank_snapshot").foreach { n =>
+        "q_incr_line_dedup_seg", "q_incr_pagerank_snapshot",
+        "q_incr_pagerank_rollback", "q_incr_pagerank_diff").foreach { n =>
         SparkEntry.queries.get(n).foreach { fn =>
           try fn(spark, warmDir).count() catch { case _: Throwable => () }
         }

@@ -510,11 +510,24 @@ object ScaleBench {
         }
         val t10 = cont(10); val t01 = cont(1000)
         val t001 = cont(10000); val t0001 = cont(100000)
+        // the snapshot layer's scale claims, measured on the chain's
+        // store (epoch = 4 continuations deep, retention 2):
+        //  - snapRead: re-resolving the PREVIOUS epoch (retired buckets
+        //    of the last 0.001% delta + untouched live) must cost ~a
+        //    live read — resolution is metadata + the same pruned scan;
+        //  - rollback: reverting that delta must be DELTA-proportional
+        //    (touched buckets only), nowhere near a preserve/init
+        val st = core.SegmentedStateStore.openForRead(spark, store)
+        val eNow = st.currentEpoch
+        val (_, tLive) = timed(consume(st.preserved.out))
+        val (_, tSnap) = timed(consume(st.snapshotAt(eNow - 1).out))
+        val (_, tRoll) = timed(st.rollbackTo(eNow - 1))
         if (!(cur eq edges1)) cur.unpersist(blocking = false)
         edges1.unpersist()
         Seq("preserve" -> tp, "init" -> tinit, "cont10pct" -> t10,
           "cont01pct" -> t01, "cont001pct" -> t001,
-          "cont0001pct" -> t0001)
+          "cont0001pct" -> t0001, "liveRead" -> tLive,
+          "snapRead" -> tSnap, "rollback0001pct" -> tRoll)
       }
 
       run("incr_pagerank", 15000L * m) {

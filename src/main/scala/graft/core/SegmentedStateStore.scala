@@ -109,6 +109,52 @@ final class SegmentedStateStore private[core] (
   def setRetention(epochs: Int): Unit =
     SegSwap.setRetention(SegSwap.fsOf(spark, path), path, epochs)
 
+  /** AUDIT DIFF between two committed epochs of the preserved `out` —
+    * the reference's compseqfile/compagerank divergence check (A8/A9,
+    * `incr-hadoop-0.1/src/examples/org/apache/hadoop/examples/incremental/CompSeqFile.java:19-74`)
+    * as a TIME-TRAVEL op: one row per key whose out row differs
+    * between the two epochs' views, as `(k2, v_before, v_after)` per
+    * value column, appear/disappear rows surfacing with a null side.
+    *
+    * Scale shape: both snapshot frames are partition-pruned to
+    * [[SegSwap.changedBuckets]] — the buckets commits in (a, b]
+    * actually replaced/created/dropped — so the audit reads and joins
+    * O(changed buckets), never the corpus, no matter how old the store
+    * is. Assumes `out` carries one row per key (One2One/One2All
+    * reduces; a One2Mul out would need the multi-row merge the loop
+    * itself uses). Both epochs must be inside the retention horizon
+    * ([[snapshotAt]]'s loud guard). */
+  def diffOut(a: Long, b: Long): DataFrame = {
+    require(a <= b, s"segstate: diffOut epochs out of order ($a > $b)")
+    val fs = SegSwap.fsOf(spark, path)
+    val changed = SegSwap.changedBuckets(fs, path, "out", a, b)
+    val schema = StructType.fromDDL(outDdl)
+    val valueCols = schema.fieldNames.filterNot(c => c == k2Col || c == "_b")
+    def side(e: Long, tag: String): DataFrame = {
+      val f0 = SegSwap.snapshotTable(spark, path, "out", schema, e)
+      val f = if (changed.isEmpty) f0.limit(0)
+        else f0.filter(col("_b").isin(changed.toSeq.map(Integer.valueOf): _*))
+      f.select(col(k2Col) +: valueCols.map(c => col(c).as(s"${c}_$tag")): _*)
+    }
+    val joined = side(a, "before").join(side(b, "after"), Seq(k2Col), "full_outer")
+    val differs = valueCols.map(c =>
+      !(col(s"${c}_before") <=> col(s"${c}_after"))).reduce(_ || _)
+    joined.filter(differs)
+  }
+
+  /** Roll the store back to `epoch` as a NEW journaled commit (a
+    * revert, not a reset — the rolled-away epochs stay resolvable, and
+    * the rollback can itself be rolled back, until GC): kvs, out, AND
+    * params (so a stream maintainer's [[appliedBatch]] fence reverts
+    * with the state it fenced — replayed deltas re-apply instead of
+    * being skipped against rolled-back ranks). Writer-leased; touched
+    * set = only the buckets later commits replaced or created. */
+  def rollbackTo(epoch: Long): Unit =
+    SegSwap.rollbackTo(spark, path, epoch,
+      Seq("kvs" -> StructType.fromDDL(kvsDdl),
+        "out" -> StructType.fromDDL(outDdl)),
+      dirTables = Seq("params"))
+
   /** The last stream batch id applied to this store (−1 = none) — the
     * idempotence fence for checkpoint-replayed micro-batches: a
     * foreachBatch maintainer skips a continuation whose batch id is

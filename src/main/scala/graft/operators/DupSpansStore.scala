@@ -221,6 +221,33 @@ object DupSpansStore {
       .join(idsD, Seq("doc_id"), "left_semi").drop("_b")
   }
 
+  /** Time-travel read: the scores table AS OF `epoch` — the
+    * [[graft.core.SegmentedStateStore.snapshotAt]] twin on this store
+    * (same [[SegSwap.snapshotTable]] resolution from retired + live
+    * buckets, same retention horizon and loud past-horizon failure). */
+  def scoresAt(spark: SparkSession, path: String, epoch: Long): DataFrame = {
+    val p = readParams(spark, path)
+    SegSwap.snapshotTable(spark, path, "out",
+      StructType.fromDDL(p.ddl("out")), epoch).drop("_b")
+  }
+
+  /** The store's current commit epoch (0 = as-inited). */
+  def currentEpoch(spark: SparkSession, path: String): Long =
+    SegSwap.currentEpoch(SegSwap.fsOf(spark, path), path)
+
+  /** Roll EVERY table of the store (all doc-bucketed tables, the
+    * span-bucketed dfreq, and params) back to `epoch` as one journaled
+    * revert — [[SegSwap.rollbackTo]] with this store's table set. The
+    * bad-delta escape hatch: a continuation that ingested a poisoned
+    * shard is undone in one delta-proportional commit, history stays
+    * resolvable, and the store then continues normally. */
+  def rollbackTo(spark: SparkSession, path: String, epoch: Long): Unit = {
+    val p = readParams(spark, path)
+    SegSwap.rollbackTo(spark, path, epoch,
+      (p.docTables :+ "dfreq").map(n => n -> StructType.fromDDL(p.ddl(n))),
+      dirTables = Seq("params"))
+  }
+
   /** The post-delta ExactSubstr CUT output (`doc_id, clean, n_kept,
     * n_removed` — [[Pipeline.cutDupSpans]]'s contract). Only on stores
     * initialized `withCut = true`. */

@@ -307,6 +307,34 @@ private[graft] object SegSwap {
       .sorted
   }
 
+  /** Bucket ids commit `epoch` RETIRED for `table` — the pre-images it
+    * replaced (or dropped). Empty when the commit never touched it. */
+  private def retiredBucketsOf(fs: FileSystem, path: String, epoch: Long,
+      table: String): Set[Int] = {
+    val dir = new HPath(s"$path/$Retired/e=$epoch/$table")
+    if (!fs.exists(dir)) Set.empty
+    else fs.listStatus(dir).toSeq.map(_.getPath.getName)
+      .collect { case s if s.startsWith("_b=") =>
+        s.stripPrefix("_b=").toInt }.toSet
+  }
+
+  /** Buckets of `table` whose content CAN differ between committed
+    * epochs `a` ≤ `b`: every bucket some commit in (a, b] replaced or
+    * dropped (its pre-image sits in that commit's retired dir) plus
+    * buckets created between the epochs' manifests. Everything else
+    * provably held its exact files across the interval, so an
+    * epoch-to-epoch audit (diff) prunes to this set. Sound under
+    * rebucket/compact too — those commits replace every bucket, so the
+    * set degenerates to all of them (no pruning, still correct). */
+  private[graft] def changedBuckets(fs: FileSystem, path: String,
+      table: String, a: Long, b: Long): Set[Int] = {
+    val replaced = retiredEpochs(fs, path).filter(f => f > a && f <= b)
+      .flatMap(f => retiredBucketsOf(fs, path, f, table)).toSet
+    val atA = bucketsAt(fs, path, table, a)
+    val atB = bucketsAt(fs, path, table, b)
+    replaced ++ (atB -- atA) ++ (atA -- atB)
+  }
+
   /** Drop retired epochs past the retention horizon, and prune each
     * table's manifests to the horizon too — per table, everything
     * strictly older than the latest manifest at-or-before the cut goes
@@ -672,12 +700,7 @@ private[graft] object SegSwap {
     // falling back to the live dir for buckets never since replaced
     val laterRetired = retiredEpochs(fs, path).filter(_ > epoch)
     val retiredSets: Seq[(Long, Set[Int])] = laterRetired.map { f =>
-      val dir = new HPath(s"$path/$Retired/e=$f/$name")
-      val bs = if (!fs.exists(dir)) Set.empty[Int]
-        else fs.listStatus(dir).toSeq.map(_.getPath.getName)
-          .collect { case s if s.startsWith("_b=") =>
-            s.stripPrefix("_b=").toInt }.toSet
-      (f, bs)
+      (f, retiredBucketsOf(fs, path, f, name))
     }
     var remaining = want
     val groups = scala.collection.mutable.ArrayBuffer.empty[(String, Set[Int])]
@@ -703,6 +726,61 @@ private[graft] object SegSwap {
         .parquet(bs.toSeq.sorted.map(b => s"$base/_b=$b"): _*)
     }.reduce(_ unionByName _)
   }
+
+  /** ROLLBACK as a new commit: restore `tables` (and any `dirTables`
+    * replaced since) to their content AS OF `epoch`, through the same
+    * journaled swap as any continuation — a REVERT, not a reset.
+    * History is preserved: the rollback retires what it replaces, so
+    * the rolled-away epochs stay resolvable (and a rollback can itself
+    * be rolled back) until GC. The touched set is exactly the buckets
+    * that could differ from epoch's view — every bucket some later
+    * commit replaced, plus buckets created since (journaled "empty" so
+    * the install drops them). Takes the writer lease; fails loudly
+    * past the retention horizon (via [[snapshotTable]]'s own guard). */
+  def rollbackTo(spark: SparkSession, path: String, epoch: Long,
+      tables: Seq[(String, StructType)],
+      dirTables: Seq[String] = Nil): Unit =
+    withWriterLease(spark, path) { lease =>
+      recover(spark, path) // install any pending swap; live dirs = truth
+      val fs = fsOf(spark, path)
+      val now = installedEpoch(fs, path)
+      require(epoch <= now,
+        s"segswap: cannot roll $path back to future epoch $epoch " +
+          s"(current $now)")
+      if (epoch < now) { // rolling back to `now` is a no-op, not a commit
+      val later = retiredEpochs(fs, path).filter(_ > epoch)
+      val touched = tables.map { case (name, schema) =>
+        val atE = bucketsAt(fs, path, name, epoch)
+        val replacedSince =
+          later.flatMap(f => retiredBucketsOf(fs, path, f, name)).toSet
+        val created = liveBuckets(fs, path, name) -- atE
+        val changed = replacedSince ++ created
+        val restore = changed.intersect(atE)
+        // the staged frame: the as-of view pruned to the buckets being
+        // restored (partition pruning on _b); buckets in changed\atE
+        // stage nothing and journal "empty", dropping what was created
+        val frame = snapshotTable(spark, path, name, schema, epoch)
+          .filter(col("_b").isin(restore.toSeq.map(Integer.valueOf): _*))
+        (name, frame, changed)
+      }
+      val conf = spark.sparkContext.hadoopConfiguration
+      val dirSwaps = dirTables.flatMap { n =>
+        // only dirs actually replaced since `epoch` need restoring
+        later.find(f => fs.exists(new HPath(s"$path/$Retired/e=$f/$n")))
+          .map { f =>
+            n -> ((dst: String) => {
+              val src = new HPath(s"$path/$Retired/e=$f/$n")
+              require(org.apache.hadoop.fs.FileUtil.copy(
+                fs, src, fs, new HPath(dst), false, conf),
+                s"segswap: could not stage rollback copy of $src")
+              ()
+            })
+          }
+      }
+      if (touched.exists(_._3.nonEmpty) || dirSwaps.nonEmpty)
+        commit(spark, path, touched, dirSwaps, fence = Some(lease))
+      }
+    }
 
   /** [[snapshotTable]]'s whole-dir twin (params tables): the dir's
     * content as of `epoch` — the first retiring epoch after it, else

@@ -141,7 +141,23 @@ object IterativeQueries {
     * q_incr_pagerank delta), delta 2 rewires src%10==6 on the
     * post-delta-1 graph. θ=0 — no float comparisons decide control
     * flow, so the unroll is exact. */
-  private def incrPagerankStreamSql(baseIters: Int, incrIters: Int): String = {
+  private def incrPagerankStreamSql(baseIters: Int, incrIters: Int): String =
+    s"""WITH ${incrPagerankChainCtes(baseIters, incrIters)}
+       SELECT node, round(rank, 6) AS rank FROM py$incrIters"""
+
+  /** Epoch-diff oracle: the divergence between the single-delta state
+    * (`px`) and the two-delta state (`py`) of the SAME chain — exactly
+    * what [[graft.core.SegmentedStateStore.diffOut]] must report when
+    * asked to compare the store's two continuation epochs. */
+  private def incrPagerankDiffSql(baseIters: Int, incrIters: Int): String =
+    s"""WITH ${incrPagerankChainCtes(baseIters, incrIters)}
+       SELECT coalesce(b.node, a.node) AS node,
+         round(b.rank, 6) AS rank_before,
+         round(a.rank, 6) AS rank_after
+       FROM px$incrIters b FULL OUTER JOIN py$incrIters a ON b.node = a.node
+       WHERE round(b.rank, 6) IS DISTINCT FROM round(a.rank, 6)"""
+
+  private def incrPagerankChainCtes(baseIters: Int, incrIters: Int): String = {
     // one continuation's rounds: affected keys at round 1 are the dsts
     // of the changed sources under BOTH the new and previous graphs
     // (fresh contributions ∪ evicted stored ones), then frontier
@@ -168,7 +184,7 @@ object IterativeQueries {
              WHERE r.node NOT IN (SELECT node FROM a$tag$i)
              UNION ALL SELECT node, rank FROM s$tag$i)"""
       }.mkString(",\n")
-    s"""WITH edges AS ($edgesSql),
+    s"""edges AS ($edgesSql),
        deg AS (SELECT src, count(*) AS d FROM edges GROUP BY 1),
        nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
        r0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS rank FROM nodes),
@@ -184,8 +200,7 @@ object IterativeQueries {
          UNION SELECT src, 1 + (src * 13 + 7) % (SELECT count(*) FROM customer) AS dst
          FROM chg2),
        deg3 AS (SELECT src, count(*) AS d FROM e3 GROUP BY 1),
-       ${rounds("y", s"px$incrIters", "e3", "e2", "chg2", "deg3")}
-       SELECT node, round(rank, 6) AS rank FROM py$incrIters"""
+       ${rounds("y", s"px$incrIters", "e3", "e2", "chg2", "deg3")}"""
   }
 
   /** Incremental Jacobi matvec oracle (x ← b + M·x): `baseIters` full
@@ -588,6 +603,90 @@ object IterativeQueries {
           .select(col("node"), round(col("rank"), 6).as("rank"))
       },
       Some(incrPagerankSql(4, 3))),
+
+    // ROLLBACK gate: same two-delta chain as the snapshot gate, but the
+    // store is then ROLLED BACK to the post-delta-1 epoch — a journaled
+    // revert that restores replaced buckets from their retiring epochs
+    // and drops created ones — and the LIVE store must equal the
+    // single-delta result under q_incr_pagerank's unrolled-SQL oracle.
+    // (The snapshot gate proves as-of READS; this proves the store can
+    // be REVERTED and then continued — the bad-delta escape hatch.)
+    Q("q_incr_pagerank_rollback",
+      (s, dir) => {
+        val edges1 = sparkEdges(s, dir)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val ncust = Q.t(s, dir, "customer").count()
+        val store = java.nio.file.Files
+          .createTempDirectory("graft_pr_rollback_gate").toString
+        IncrementalPageRank.preserveTo(s, store, edges1, 0.8,
+          iterations = 4, nBuckets = 64)
+        val chg1 = edges1.filter(col("src") % 10 === 3)
+          .select("src").distinct()
+        val delta1 = chg1.select(col("src"),
+          (lit(1L) + (col("src") * 11 + 5) % lit(ncust)).as("dst"))
+        val edges2 = edges1.filter(col("src") % 10 =!= 3)
+          .unionByName(delta1)
+        IncrementalPageRank.incrementalSeg(s, store, edges2, chg1, 0.8,
+          iterations = 3, filterThreshold = 0.0).unpersist()
+        val e1 = graft.core.SegmentedStateStore.openForRead(s, store)
+          .currentEpoch
+        val chg2 = edges2.filter(col("src") % 10 === 6)
+          .select("src").distinct()
+        val delta2 = chg2.select(col("src"),
+          (lit(1L) + (col("src") * 13 + 7) % lit(ncust)).as("dst"))
+        val edges3 = edges2.filter(col("src") % 10 =!= 6)
+          .unionByName(delta2)
+        IncrementalPageRank.incrementalSeg(s, store, edges3, chg2, 0.8,
+          iterations = 3, filterThreshold = 0.0).unpersist()
+        graft.core.SegmentedStateStore.openForRead(s, store)
+          .rollbackTo(e1)
+        graft.core.SegmentedStateStore.openForRead(s, store)
+          .preserved.out
+          .select(col("node"), round(col("rank"), 6).as("rank"))
+      },
+      Some(incrPagerankSql(4, 3))),
+
+    // EPOCH-DIFF gate: the same two-delta chain, then
+    // diffOut(e_after_delta1, e_after_delta2) — the compseqfile/
+    // compagerank divergence audit (A8/A9) as a time-travel op reading
+    // only the buckets delta 2's commit touched. The oracle computes
+    // both chain states in SQL and full-outer-joins them on the same
+    // rounded-distinctness predicate.
+    Q("q_incr_pagerank_diff",
+      (s, dir) => {
+        val edges1 = sparkEdges(s, dir)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val ncust = Q.t(s, dir, "customer").count()
+        val store = java.nio.file.Files
+          .createTempDirectory("graft_pr_diff_gate").toString
+        IncrementalPageRank.preserveTo(s, store, edges1, 0.8,
+          iterations = 4, nBuckets = 64)
+        val chg1 = edges1.filter(col("src") % 10 === 3)
+          .select("src").distinct()
+        val delta1 = chg1.select(col("src"),
+          (lit(1L) + (col("src") * 11 + 5) % lit(ncust)).as("dst"))
+        val edges2 = edges1.filter(col("src") % 10 =!= 3)
+          .unionByName(delta1)
+        IncrementalPageRank.incrementalSeg(s, store, edges2, chg1, 0.8,
+          iterations = 3, filterThreshold = 0.0).unpersist()
+        val e1 = graft.core.SegmentedStateStore.openForRead(s, store)
+          .currentEpoch
+        val chg2 = edges2.filter(col("src") % 10 === 6)
+          .select("src").distinct()
+        val delta2 = chg2.select(col("src"),
+          (lit(1L) + (col("src") * 13 + 7) % lit(ncust)).as("dst"))
+        val edges3 = edges2.filter(col("src") % 10 =!= 6)
+          .unionByName(delta2)
+        IncrementalPageRank.incrementalSeg(s, store, edges3, chg2, 0.8,
+          iterations = 3, filterThreshold = 0.0).unpersist()
+        val st = graft.core.SegmentedStateStore.openForRead(s, store)
+        st.diffOut(e1, st.currentEpoch)
+          .select(col("node"),
+            round(col("rank_before"), 6).as("rank_before"),
+            round(col("rank_after"), 6).as("rank_after"))
+          .filter(!(col("rank_before") <=> col("rank_after")))
+      },
+      Some(incrPagerankDiffSql(4, 3))),
 
     // STREAM-OF-DELTAS store maintenance through a REAL StreamingQuery
     // (round-9 verdict item #4 promoted from spec to gate) in the full

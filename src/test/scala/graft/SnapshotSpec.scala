@@ -79,7 +79,119 @@ class SnapshotSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
     assert(viaSnapshot == direct,
       s"snapshot gate diverged: ${viaSnapshot.toSet.diff(direct.toSet).take(5)}")
+    // the rollback gate reverts the LIVE store to the same epoch — same
+    // oracle, entirely different mechanism (journaled install vs read)
+    val viaRollback = SparkEntry.queries("q_incr_pagerank_rollback")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(viaRollback == direct,
+      s"rollback gate diverged: ${viaRollback.toSet.diff(direct.toSet).take(5)}")
     spark.catalog.clearCache()
+  }
+
+  test("diffOut: pruned epoch diff == brute-force snapshot diff; self-diff empty") {
+    val edges1 = chainEdges
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_snap_diff").toString
+    IncrementalPageRank.preserveTo(spark, store, edges1, 0.8,
+      iterations = 4, nBuckets = 16)
+
+    // delta: rewire one chain node AND add brand-new nodes (300-304) so
+    // the diff must surface both changed ranks and appear-only rows
+    val edges2 = edges1.filter(col("src") =!= 100L)
+      .unionByName(Seq((100L, 103L)).toDF("src", "dst"))
+      .unionByName((300L to 304L).map(n => (101L, n)).toDF("src", "dst"))
+    IncrementalPageRank.incrementalSeg(spark, store, edges2,
+      Seq(100L, 101L).toDF("src"), 0.8, iterations = 2,
+      filterThreshold = 0.0).unpersist()
+    val st = SegmentedStateStore.openForRead(spark, store)
+    val e1 = st.currentEpoch
+
+    val got = st.diffOut(0L, e1)
+      .select("node", "rank_before", "rank_after")
+      .as[(Long, Option[Double], Option[Double])].collect().toSet
+    // brute force: full-outer join the UNPRUNED snapshot views
+    val before = ranks(st.snapshotAt(0L))
+    val after = ranks(st.snapshotAt(e1))
+    val want = (before.keySet ++ after.keySet).flatMap { n =>
+      val (b, a) = (before.get(n), after.get(n))
+      if (b == a) None else Some((n, b, a))
+    }
+    assert(got == want, s"diffOut diverged from brute force: " +
+      s"${got.diff(want).take(3)} / ${want.diff(got).take(3)}")
+    assert(got.nonEmpty && got.exists(_._2.isEmpty),
+      "the cohort must exercise both changed and appear-only rows")
+    // self-diff is empty, and asking it costs no scan (changed = ∅)
+    assert(st.diffOut(e1, e1).isEmpty)
+    assert(st.diffOut(0L, 0L).isEmpty)
+  }
+
+  test("rollbackTo is a journaled revert: exact, history-preserving, re-rollbackable") {
+    val edges1 = chainEdges
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_snap_rollback").toString
+    IncrementalPageRank.preserveTo(spark, store, edges1, 0.8,
+      iterations = 4, nBuckets = 16)
+    // retention 3: the test walks 4 epochs of history
+    SegmentedStateStore.openForRead(spark, store).setRetention(3)
+
+    val edges2 = edges1.filter(col("src") =!= 100L)
+      .unionByName(Seq((100L, 103L)).toDF("src", "dst"))
+    IncrementalPageRank.incrementalSeg(spark, store, edges2,
+      Seq(100L).toDF("src"), 0.8, iterations = 2, filterThreshold = 0.0)
+      .unpersist()
+    val e1 = SegmentedStateStore.openForRead(spark, store).currentEpoch
+    val at1 = ranks(SegmentedStateStore.openForRead(spark, store).preserved)
+    val kvs1 = SegmentedStateStore.openForRead(spark, store)
+      .preserved.kvs.collect().toSet
+
+    // delta 2 ADDS brand-new nodes (200-209): their out rows land in
+    // buckets epoch e1 never had, so the rollback must also DROP
+    // created buckets (the journal-"empty" path), not just restore
+    // replaced ones
+    val edges3 = edges2.unionByName(
+      (200L to 209L).map(n => (102L, n)).toDF("src", "dst"))
+    IncrementalPageRank.incrementalSeg(spark, store, edges3,
+      Seq(102L).toDF("src"), 0.8, iterations = 2, filterThreshold = 0.0)
+      .unpersist()
+    val e2 = SegmentedStateStore.openForRead(spark, store).currentEpoch
+    val at2 = ranks(SegmentedStateStore.openForRead(spark, store).preserved)
+    assert(at2.keySet.exists(_ >= 200L), "delta 2 must introduce new nodes")
+
+    // revert to e1: BOTH tables restored exactly (kvs too — a
+    // continuation off a half-rolled-back store would corrupt)
+    SegmentedStateStore.openForRead(spark, store).rollbackTo(e1)
+    val st = SegmentedStateStore.openForRead(spark, store)
+    assert(st.currentEpoch > e2, "a rollback is a new commit, not a reset")
+    assert(ranks(st.preserved) == at1,
+      "rollback must reproduce epoch e1's out exactly")
+    assert(st.preserved.kvs.collect().toSet == kvs1,
+      "rollback must reproduce epoch e1's kvs exactly")
+    assert(!ranks(st.preserved).keySet.exists(_ >= 200L),
+      "buckets created after e1 must be dropped by the revert")
+    // history preserved: the rolled-away epoch still resolves…
+    assert(ranks(st.snapshotAt(e2)) == at2,
+      "the rolled-away epoch must stay resolvable (revert, not reset)")
+    // …and the rollback can itself be undone
+    st.rollbackTo(e2)
+    val back = SegmentedStateStore.openForRead(spark, store)
+    assert(ranks(back.preserved) == at2, "rollback of the rollback = redo")
+
+    // a continuation off the re-rolled state behaves like any other
+    val edges4 = edges3.filter(col("src") =!= 104L)
+      .unionByName(Seq((104L, 101L)).toDF("src", "dst"))
+    // detach the expected-state snapshot BEFORE the seg continuation
+    // replaces the very files back.preserved reads
+    val wantSt = graft.core.PreservedState(
+      back.preserved.kvs.localCheckpoint(true),
+      back.preserved.out.localCheckpoint(true))
+    val got = IncrementalPageRank.incrementalSeg(spark, store, edges4,
+      Seq(104L).toDF("src"), 0.8, iterations = 2, filterThreshold = 0.0)
+    val want = IncrementalPageRank.incremental(edges4, wantSt,
+      Seq(104L).toDF("src"), 0.8, iterations = 2, filterThreshold = 0.0)
+    assert(got.as[(Long, Double)].collect().toMap ==
+      want.as[(Long, Double)].collect().toMap,
+      "continuations after a rollback must equal in-memory continuations")
+    got.unpersist(); wantSt.release()
   }
 
   test("snapshot GC: retired bytes bounded by the horizon; past it fails loudly") {
@@ -125,6 +237,49 @@ class SnapshotSpec extends SparkSpec {
     }
     assert(retained.length <= 1,
       s"retention 1 must keep at most one retired epoch: ${retained.toSeq}")
+  }
+
+  test("operator-store rollback: DupSpansStore reverts a poisoned shard exactly") {
+    val base = (1L to 12L).map(i => (i, s"roll u$i v$i w$i x$i"))
+      .toDF("doc_id", "text")
+    def freshStore(tag: String): String = {
+      val p = java.nio.file.Files
+        .createTempDirectory(s"graft_snap_dsroll$tag").toString
+      DupSpansStore.init(spark, p, base, "doc_id", "text",
+        w = 3, maxFrac = 0.5, nBuckets = 4)
+      p
+    }
+    val store = freshStore("a")
+    val scores0 = DupSpansStore.scores(spark, store).collect().toSet
+
+    // the poisoned shard: six exact copies of doc 1's text flip keep
+    // bits across the corpus (dfreq moves, not just the new docs' out)
+    DupSpansStore.continueAt(spark, store,
+      (50L to 55L).map(i => (i, "roll u1 v1 w1 x1")).toDF("doc_id", "text"),
+      Seq(3L).toDF("doc_id"), "doc_id", "text")
+    val e1 = DupSpansStore.currentEpoch(spark, store)
+    val scores1 = DupSpansStore.scores(spark, store).collect().toSet
+    assert(scores1 != scores0, "the shard must actually move scores")
+
+    DupSpansStore.rollbackTo(spark, store, 0L)
+    assert(DupSpansStore.scores(spark, store).collect().toSet == scores0,
+      "rollback must restore the pre-shard scores exactly")
+    // the rolled-away epoch stays resolvable (revert, not reset)
+    assert(DupSpansStore.scoresAt(spark, store, e1).collect().toSet
+      == scores1)
+
+    // the INTERNAL state (dfreq, spans, ntoks) reverted too: a
+    // continuation off the rolled-back store must equal the same
+    // continuation on a store that never saw the poisoned shard
+    val control = freshStore("b")
+    val add = Seq((90L, "roll u2 v2 w2 x2")).toDF("doc_id", "text")
+    val none = Seq.empty[Long].toDF("doc_id")
+    DupSpansStore.continueAt(spark, store, add, none, "doc_id", "text")
+    DupSpansStore.continueAt(spark, control, add, none, "doc_id", "text")
+    assert(DupSpansStore.scores(spark, store).collect().toSet ==
+      DupSpansStore.scores(spark, control).collect().toSet,
+      "post-rollback continuations must be indistinguishable from a " +
+        "never-poisoned store's")
   }
 
   test("snapshots survive bucket creation, emptying, and a crashed install") {
