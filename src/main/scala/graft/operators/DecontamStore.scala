@@ -63,6 +63,22 @@ object DecontamStore {
     SegSwap.resolvedTable(spark, path, name,
       StructType.fromDDL(p.ddl(name)))
 
+  /** The store's current commit epoch (0 = as-inited). */
+  def currentEpoch(spark: SparkSession, path: String): Long =
+    SegSwap.currentEpoch(SegSwap.fsOf(spark, path), path)
+
+  /** Roll every table of the store (and params) back to `epoch` as one
+    * journaled revert — [[SegSwap.rollbackTo]] with this store's table
+    * set (see [[DupSpansStore.rollbackTo]], the family exemplar, for
+    * the contract: history-preserving, redo-able, delta-proportional,
+    * loud past the retention horizon). */
+  def rollbackTo(spark: SparkSession, path: String, epoch: Long): Unit = {
+    val p = readParams(spark, path)
+    SegSwap.rollbackTo(spark, path, epoch,
+      p.ddl.toSeq.map { case (n, d) => n -> StructType.fromDDL(d) },
+      dirTables = Seq("params"))
+  }
+
   private def inBuckets(bs: Set[Int]): Column =
     if (bs.isEmpty) lit(false)
     else col("_b").isin(bs.toSeq.map(Integer.valueOf): _*)

@@ -3,9 +3,11 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Scratch driver for manual verification runs (see .claude/skills/verify).
-  * Current drive (round 10): run the new segmented-store gates
-  * end-to-end at sf0.001 the way the correctness driver will — each
-  * must produce rows and finish without error. */
+  * Current drive (round 10): exercise the family-wide store time-travel
+  * API end-to-end on real sf0.001 documents — init a TfidfStore and a
+  * DedupClusterStore, run a continuation, read currentEpoch, roll back
+  * to epoch 0, and check the rolled-back scores equal the pre-shard
+  * ones while a redo (rollback forward) restores the post-shard view. */
 object DriveMain {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[8]")
@@ -16,18 +18,51 @@ object DriveMain {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     graft.util.LogQuiet()
+    import spark.implicits._
+    import graft.operators.{TfidfStore, DedupClusterStore}
     val dir = sys.env.getOrElse("GRAFT_SF_DIR", "/root/testdata/sf0.001")
-    val names =
-      if (args.nonEmpty) args.toSeq
-      else Seq("q_incr_tfidf_seg", "q_incr_decontaminate_seg",
-        "q_incr_line_dedup_seg", "q_incr_semantic_dedup_seg",
-        "q_incr_pagerank_stream")
-    names.foreach { n =>
-      val t0 = System.nanoTime()
-      val c = SparkEntry.queries(n)(spark, dir).count()
-      println(f"$n: $c rows, ${(System.nanoTime() - t0) / 1e9}%.1f s")
-      spark.catalog.clearCache()
-    }
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .selectExpr("doc_id", "text")
+
+    // --- TfidfStore: epoch + rollback + redo over real documents ---
+    val tp = java.nio.file.Files.createTempDirectory("drive_tfidf").toString
+    val base = docs.filter("doc_id % 10 < 8")
+    val delta = docs.filter("doc_id % 10 >= 8")
+    TfidfStore.init(spark, tp, base, "doc_id", "text", nBuckets = 16)
+    require(TfidfStore.currentEpoch(spark, tp) == 0L, "fresh store at epoch 0")
+    def tfidfTop(p: String): Seq[(Long, String, Double)] =
+      TfidfStore.tfidf(spark, p)
+        .orderBy(org.apache.spark.sql.functions.desc("tfidf"), $"doc_id", $"token")
+        .limit(20).selectExpr("doc_id", "token", "tfidf")
+        .as[(Long, String, Double)].collect().toSeq
+    val pre = tfidfTop(tp)
+    TfidfStore.continueAt(spark, tp, delta,
+      Seq.empty[Long].toDF("doc_id"), "doc_id", "text")
+    val e1 = TfidfStore.currentEpoch(spark, tp)
+    require(e1 == 1L, s"continuation bumps epoch to 1, got $e1")
+    val post = tfidfTop(tp)
+    require(post != pre, "delta must move the top TF-IDF list")
+    TfidfStore.rollbackTo(spark, tp, 0L)
+    require(tfidfTop(tp) == pre, "rollback to 0 restores pre-delta scores")
+    TfidfStore.rollbackTo(spark, tp, 1L) // redo
+    require(tfidfTop(tp) == post, "redo to 1 restores post-delta scores")
+    println(s"tfidf store drive OK: ${pre.size} top rows, epochs 0->1->0->1")
+
+    // --- DedupClusterStore: rollback undoes a clustering shard ---
+    val cp = java.nio.file.Files.createTempDirectory("drive_clus").toString
+    DedupClusterStore.init(spark, cp, base, "doc_id", "text",
+      nBuckets = 16)
+    def clusters(p: String): Map[Long, Long] =
+      DedupClusterStore.clusters(spark, p)
+        .as[(Long, Long)].collect().toMap
+    val c0 = clusters(cp)
+    DedupClusterStore.continueAt(spark, cp, delta,
+      Seq.empty[Long].toDF("doc_id"), "doc_id", "text")
+    require(DedupClusterStore.currentEpoch(spark, cp) == 1L)
+    require(clusters(cp).size > c0.size, "delta docs join the clustering")
+    DedupClusterStore.rollbackTo(spark, cp, 0L)
+    require(clusters(cp) == c0, "rollback restores the pre-delta clustering")
+    println(s"dedup-cluster store drive OK: ${c0.size} base assignments")
     spark.stop()
   }
 }

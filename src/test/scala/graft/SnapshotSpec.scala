@@ -282,6 +282,45 @@ class SnapshotSpec extends SparkSpec {
         "never-poisoned store's")
   }
 
+  test("family sweep: LmCountsStore rollbackTo reverts counts, vocab, and a continuation") {
+    import graft.operators.{LmCountsStore, Pipeline}
+    val audit = Seq((900L, "the cat sat on the mat"),
+      (901L, "mat the on sat cat the")).toDF("doc_id", "text")
+    def sc(store: String) = LmCountsStore.scoreAgainst(spark, store,
+      audit, "doc_id", "text").as[(Long, Long, Double, Int)].collect().toSet
+    val base = ((1L to 6L).map(i => (i, "the cat sat on the mat")) ++
+      (7L to 12L).map(i => (i, s"pad p$i q$i r$i"))).toDF("doc_id", "text")
+    def freshStore(tag: String): String = {
+      val p = java.nio.file.Files
+        .createTempDirectory(s"graft_snap_lmroll$tag").toString
+      LmCountsStore.init(spark, p, base, "doc_id", "text", nBuckets = 8)
+      p
+    }
+    val store = freshStore("a")
+    val score0 = sc(store)
+    // the bad shard: shuffled transitions move every audit score, and
+    // removing doc 1 moves the dominant pattern's counts
+    LmCountsStore.continueAt(spark, store,
+      Seq((20L, "mat the on sat cat the"),
+        (21L, "mat the on sat cat the")).toDF("doc_id", "text"),
+      Seq(1L).toDF("doc_id"), "doc_id", "text")
+    assert(sc(store) != score0, "the shard must move scores")
+
+    LmCountsStore.rollbackTo(spark, store, 0L)
+    assert(sc(store) == score0,
+      "rollback must restore the pre-shard LM scores exactly")
+    // all four tables (contributions AND aggregates) reverted: a
+    // continuation off the rolled-back store equals one on a store
+    // that never saw the shard
+    val control = freshStore("b")
+    val add = Seq((30L, "pad fresh s30 t30")).toDF("doc_id", "text")
+    val none = Seq.empty[Long].toDF("doc_id")
+    LmCountsStore.continueAt(spark, store, add, none, "doc_id", "text")
+    LmCountsStore.continueAt(spark, control, add, none, "doc_id", "text")
+    assert(sc(store) == sc(control),
+      "post-rollback continuations must equal a never-poisoned store's")
+  }
+
   test("snapshots survive bucket creation, emptying, and a crashed install") {
     import graft.operators.SegSwap
     // DupSpansStore exercises the generic layer through an operator
