@@ -108,7 +108,7 @@ private[graft] object SegSwap {
 
   // ---- small atomic text-file helpers (lease, epoch, manifests) ---------
 
-  private def readText(fs: FileSystem, p: HPath): Option[String] =
+  private[graft] def readText(fs: FileSystem, p: HPath): Option[String] =
     if (!fs.exists(p)) None
     else {
       val in = fs.open(p)
@@ -117,7 +117,7 @@ private[graft] object SegSwap {
     }
 
   /** tmp + rename — a torn write can never masquerade as the file. */
-  private def writeTextAtomic(fs: FileSystem, dst: String,
+  private[graft] def writeTextAtomic(fs: FileSystem, dst: String,
       text: String): Unit = {
     val d = new HPath(dst)
     val tmp = new HPath(dst + ".tmp")

@@ -1,0 +1,154 @@
+package graft.operators
+
+import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.spark.sql.SparkSession
+
+/** ALL-OR-NOTHING continuations across SEVERAL segmented stores.
+  *
+  * A production pipeline continuation applies one corpus delta to many
+  * derived stores at once — TF-IDF statistics, LM quality counts, line
+  * dedup frequencies, decontamination shingles, dedup clusters. Each
+  * store's own swap is crash-atomic ([[SegSwap]]), but the GROUP is
+  * not: a failure after the second of five continuations strands the
+  * family at mixed epochs, and unlike the streaming path there is no
+  * replay fence to make re-running safe (a batch driver that re-applies
+  * the delta would double-apply it to the stores that already
+  * committed). The reference has no answer here either — its preserve
+  * files are per-job and a multi-job pipeline restarts from scratch
+  * (`incr-hadoop-0.1/src/mapred/org/apache/hadoop/mapred/JobClient.java`
+  * submits independently-failing jobs).
+  *
+  * This layer makes the group atomic by COMPENSATION, built on the
+  * family's journaled time travel: a txn manifest — written atomically
+  * BEFORE any store commits — records every participant's pre-txn
+  * epoch; if the body fails (or the driver dies), each store that
+  * advanced is rolled back to its recorded epoch via
+  * [[SegSwap.rollbackTo]] (itself one more journaled, history-
+  * preserving commit). Deleting the manifest is the txn's commit
+  * point:
+  *
+  *   - crash BEFORE the manifest lands → no store was touched;
+  *   - crash mid-body (or body throws) → [[recover]]/the abort path
+  *     reverts every advanced store — each rollback is delta-
+  *     proportional (only buckets the txn touched restage);
+  *   - crash AFTER the body but BEFORE the manifest delete → the txn
+  *     never committed; recovery reverts it (standard presumed-abort);
+  *   - crash DURING recovery → recovery is idempotent by CONTENT:
+  *     re-running rolls the remaining stores back and re-reverting an
+  *     already-reverted store restages the same as-of view (extra
+  *     epochs, identical rows).
+  *
+  * Contracts inherited from the family: one coordinator at a time per
+  * txn dir (each store continuation and rollback is individually
+  * writer-leased and epoch-fenced, so a racing second coordinator
+  * fails loudly rather than corrupting); every participant's snapshot
+  * retention must cover the commits the body makes to it (default 2 —
+  * fine for the one-continuation-per-store shape; a body chaining more
+  * raises it via [[SegSwap.setRetention]] first, and a rollback past
+  * the horizon fails loudly, never silently mixes epochs); recovery
+  * after a driver crash honors the dead writer's lease TTL before
+  * taking over.
+  */
+object StoreTxn {
+
+  /** A participant kind — how to read the store's installed epoch and
+    * roll it back. Recorded BY NAME in the manifest so a fresh JVM's
+    * [[recover]] can rebuild the compensation without any live state. */
+  type Rollback = (SparkSession, String, Long) => Unit
+
+  /** Registry of manifest-recoverable store kinds (the whole durable
+    * family; [[graft.core.SegmentedStateStore]] participates as
+    * "state"). */
+  val kinds: Map[String, Rollback] = Map(
+    "state" -> ((s: SparkSession, p: String, e: Long) =>
+      graft.core.SegmentedStateStore.openForRead(s, p).rollbackTo(e)),
+    "dupspans" -> (DupSpansStore.rollbackTo _),
+    "lmcounts" -> (LmCountsStore.rollbackTo _),
+    "dedupclusters" -> (DedupClusterStore.rollbackTo _),
+    "linededup" -> (LineDedupStore.rollbackTo _),
+    "decontam" -> (DecontamStore.rollbackTo _),
+    "tfidf" -> (TfidfStore.rollbackTo _),
+    "semdedup" -> (SemanticDedupStore.rollbackTo _))
+
+  private def manifest(txnDir: String) = new HPath(s"$txnDir/txn_manifest")
+
+  /** Exposed for crash-simulation specs; [[run]] is the real writer. */
+  private[graft] def writeManifest(spark: SparkSession, txnDir: String,
+      rows: Seq[(String, String, Long)]): Unit = {
+    rows.foreach { case (kind, _, _) =>
+      require(kinds.contains(kind),
+        s"storetxn: unknown store kind '$kind' (known: " +
+          s"${kinds.keys.toSeq.sorted.mkString(", ")})")
+    }
+    SegSwap.writeTextAtomic(SegSwap.fsOf(spark, txnDir),
+      manifest(txnDir).toString,
+      rows.map { case (k, p, e) => s"$k\t$p\t$e" }.mkString("\n"))
+  }
+
+  /** Roll back the crashed txn recorded under `txnDir`, if any.
+    * Returns true when a manifest was found and compensated. Call at
+    * coordinator startup (the batch twin of Structured Streaming's
+    * checkpoint recovery); [[run]] also calls it first, so back-to-back
+    * txns through the same dir self-heal. */
+  def recover(spark: SparkSession, txnDir: String): Boolean = {
+    val fs = SegSwap.fsOf(spark, txnDir)
+    val m = manifest(txnDir)
+    SegSwap.readText(fs, m) match {
+      case None => false
+      case Some(text) =>
+        val rows = text.split("\n").toSeq.filter(_.nonEmpty).map { line =>
+          line.split("\t") match {
+            case Array(kind, path, epoch) => (kind, path, epoch.toLong)
+            case _ => sys.error(s"storetxn: malformed manifest line " +
+              s"'$line' in $m")
+          }
+        }
+        // reverse declaration order, so a mid-recovery crash leaves a
+        // prefix of still-advanced stores — exactly the state a re-run
+        // handles (by-content idempotence for the already-reverted
+        // suffix)
+        // currentEpoch counts a committed-but-uninstalled journal as
+        // the next epoch, so "advanced" detection survives a crash at
+        // any point of a participant's own commit
+        rows.reverse.foreach { case (kind, path, preEpoch) =>
+          if (SegSwap.currentEpoch(SegSwap.fsOf(spark, path), path)
+              != preEpoch)
+            kinds(kind)(spark, path, preEpoch)
+        }
+        fs.delete(m, false)
+        true
+    }
+  }
+
+  /** Run `body` — any sequence of continuations over the declared
+    * `stores` (`(kind, path)` pairs, kinds from [[kinds]]) — as one
+    * atomic group. On success the manifest delete commits the txn; on
+    * failure every advanced store is rolled back to its pre-txn epoch
+    * and the body's exception is rethrown. Stores the body does not
+    * actually touch cost one epoch read each.
+    *
+    * The SCALE SHAPE is the family's: the manifest is O(#stores) text;
+    * compensation restages only the buckets the txn's commits touched
+    * (never a corpus scan); and the no-failure path adds zero data I/O
+    * on top of the body's own continuations. */
+  def run[T](spark: SparkSession, txnDir: String,
+      stores: Seq[(String, String)])(body: => T): T = {
+    require(stores.nonEmpty, "storetxn: no participating stores")
+    recover(spark, txnDir) // self-heal a predecessor's crash
+    val rows = stores.map { case (kind, path) =>
+      (kind, path, SegSwap.currentEpoch(SegSwap.fsOf(spark, path), path))
+    }
+    writeManifest(spark, txnDir, rows)
+    val result =
+      try body
+      catch {
+        case e: Throwable =>
+          try recover(spark, txnDir)
+          catch { case r: Throwable => e.addSuppressed(r) }
+          throw e
+      }
+    val fs = SegSwap.fsOf(spark, txnDir)
+    fs.delete(manifest(txnDir), false) // the commit point
+    result
+  }
+}

@@ -654,6 +654,58 @@ object PipelineQueries {
                 round(tf.tf * ln(n.n::DOUBLE / dfq.df), 6) AS tfidf
               FROM tf JOIN dfq USING (token) CROSS JOIN n""")),
 
+    // CROSS-STORE ATOMIC continuation ([[graft.operators.StoreTxn]]):
+    // a two-store pipeline txn (TF-IDF + LM counts) FAILS mid-body
+    // after the first store committed — compensation must roll it back
+    // to pre-txn content — then a second txn applies the same delta to
+    // both stores for real. The oracle is the full post-delta TF-IDF
+    // recompute: a wrong or partial rollback would poison the second
+    // continuation's starting state (tf bags, df, N) and hash-mismatch.
+    Q("q_store_txn",
+      (s, dir) => {
+        val docs = Q.t(s, dir, "documents")
+        val base = docs.filter(col("doc_id") % 10 =!= 3)
+        val added = docs.filter(col("doc_id") % 10 === 3)
+        val removed = base.filter(col("doc_id") % 10 === 7).select("doc_id")
+        val tp = java.nio.file.Files
+          .createTempDirectory("graft_txn_tfidf").toString
+        val lp = java.nio.file.Files
+          .createTempDirectory("graft_txn_lm").toString
+        val txn = java.nio.file.Files
+          .createTempDirectory("graft_txn_dir").toString
+        graft.operators.TfidfStore.init(s, tp, base, "doc_id", "text",
+          nBuckets = 16)
+        graft.operators.LmCountsStore.init(s, lp, base, "doc_id", "text",
+          nBuckets = 16)
+        val parts = Seq("tfidf" -> tp, "lmcounts" -> lp)
+        try graft.operators.StoreTxn.run(s, txn, parts) {
+          graft.operators.TfidfStore.continueAt(s, tp, added, removed,
+            "doc_id", "text")
+          sys.error("injected mid-pipeline failure")
+        } catch { case e: RuntimeException
+            if e.getMessage.contains("injected") => () }
+        graft.operators.StoreTxn.run(s, txn, parts) {
+          graft.operators.TfidfStore.continueAt(s, tp, added, removed,
+            "doc_id", "text")
+          graft.operators.LmCountsStore.continueAt(s, lp, added, removed,
+            "doc_id", "text")
+        }
+        graft.operators.TfidfStore.tfidf(s, tp)
+          .select(col("doc_id"), col("token"), col("tf"), col("df"),
+            round(col("tfidf"), 6).as("tfidf"))
+      },
+      Some(s"""WITH toks AS (SELECT doc_id,
+                list_filter(regexp_split_to_array(text, ' +'), x -> x <> '') AS toks
+                FROM documents WHERE doc_id % 10 <> 7),
+              tf AS (SELECT doc_id, t AS token, count(*) AS tf
+                FROM (SELECT doc_id, unnest(toks) AS t FROM toks)
+                GROUP BY 1, 2),
+              dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+              n AS (SELECT count(*) AS n FROM documents WHERE doc_id % 10 <> 7)
+              SELECT tf.doc_id, tf.token, tf.tf, dfq.df,
+                round(tf.tf * ln(n.n::DOUBLE / dfq.df), 6) AS tfidf
+              FROM tf JOIN dfq USING (token) CROSS JOIN n""")),
+
     // Word-trigram Jaccard near-dup pairs on a doc_id%5 slice. The
     // df<=128 candidate cap is part of the operator contract (kills the
     // quadratic hot-shingle self-join) and is mirrored here.

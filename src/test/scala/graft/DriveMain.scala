@@ -21,6 +21,21 @@ object DriveMain {
     import spark.implicits._
     import graft.operators.{TfidfStore, DedupClusterStore}
     val dir = sys.env.getOrElse("GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    if (args.nonEmpty) { // gate mode: run the named SparkEntry queries
+      args.foreach { n =>
+        val t0 = System.nanoTime()
+        val df = SparkEntry.queries(n)(spark, dir)
+        val c = sys.env.get("GRAFT_OUT") match {
+          case Some(out) =>
+            df.write.mode("overwrite").parquet(s"$out/$n")
+            spark.read.parquet(s"$out/$n").count()
+          case None => df.count()
+        }
+        println(f"$n: $c rows, ${(System.nanoTime() - t0) / 1e9}%.1f s")
+        spark.catalog.clearCache()
+      }
+      spark.stop(); return
+    }
     val docs = spark.read.parquet(s"$dir/documents.parquet")
       .selectExpr("doc_id", "text")
 

@@ -1,0 +1,150 @@
+package graft
+
+import graft.operators.{LmCountsStore, SegSwap, StoreTxn, TfidfStore}
+
+/** Cross-store atomic continuations ([[graft.operators.StoreTxn]]):
+  * one corpus delta applied to several derived stores must be
+  * all-or-nothing — a mid-pipeline failure (or coordinator crash) must
+  * leave every participant at its pre-txn content, compensated through
+  * the family's journaled rollback. These specs pin the abort path,
+  * fresh-JVM crash recovery off the manifest alone, by-content
+  * recovery idempotence, the success commit point, and the loud
+  * unknown-kind guard. */
+class StoreTxnSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def baseDocs = ((1L to 6L).map(i => (i, "the cat sat on the mat")) ++
+    (7L to 12L).map(i => (i, s"pad p$i q$i r$i"))).toDF("doc_id", "text")
+  private def deltaDocs = Seq((20L, "mat the on sat cat the"),
+    (21L, "fresh delta words w21")).toDF("doc_id", "text")
+  private def noIds = Seq.empty[Long].toDF("doc_id")
+
+  private def tfidfRows(p: String): Set[(Long, String, Long, Long)] =
+    TfidfStore.tfidf(spark, p).selectExpr("doc_id", "token", "tf", "df")
+      .as[(Long, String, Long, Long)].collect().toSet
+
+  private def lmScores(p: String): Set[(Long, Long, Double, Int)] =
+    LmCountsStore.scoreAgainst(spark, p,
+      Seq((900L, "the cat sat on the mat")).toDF("doc_id", "text"),
+      "doc_id", "text").as[(Long, Long, Double, Int)].collect().toSet
+
+  private def freshPair(tag: String): (String, String) = {
+    val tp = java.nio.file.Files
+      .createTempDirectory(s"graft_txn_tfidf$tag").toString
+    val lp = java.nio.file.Files
+      .createTempDirectory(s"graft_txn_lm$tag").toString
+    TfidfStore.init(spark, tp, baseDocs, "doc_id", "text", nBuckets = 8)
+    LmCountsStore.init(spark, lp, baseDocs, "doc_id", "text", nBuckets = 8)
+    (tp, lp)
+  }
+
+  private def txnDirOf(tag: String): String = java.nio.file.Files
+    .createTempDirectory(s"graft_txn_dir$tag").toString
+
+  test("body failure rolls every advanced store back to its pre-txn content") {
+    val (tp, lp) = freshPair("abort")
+    val txn = txnDirOf("abort")
+    val tf0 = tfidfRows(tp)
+    val lm0 = lmScores(lp)
+    val boom = intercept[RuntimeException] {
+      StoreTxn.run(spark, txn, Seq("tfidf" -> tp, "lmcounts" -> lp)) {
+        TfidfStore.continueAt(spark, tp, deltaDocs, noIds, "doc_id", "text")
+        assert(tfidfRows(tp) != tf0, "the first continuation must land")
+        sys.error("mid-pipeline failure before the lm continuation")
+      }
+    }
+    assert(boom.getMessage.contains("mid-pipeline failure"),
+      "the body's own exception must surface, not a compensation error")
+    assert(tfidfRows(tp) == tf0,
+      "the advanced store must revert to its pre-txn content")
+    assert(lmScores(lp) == lm0, "the untouched store must be unchanged")
+    assert(LmCountsStore.currentEpoch(spark, lp) == 0L,
+      "an untouched participant costs no commit")
+    val fs = SegSwap.fsOf(spark, txn)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$txn/txn_manifest")),
+      "the abort path must clear the manifest")
+    // the dir is reusable: a follow-up txn commits both stores
+    StoreTxn.run(spark, txn, Seq("tfidf" -> tp, "lmcounts" -> lp)) {
+      TfidfStore.continueAt(spark, tp, deltaDocs, noIds, "doc_id", "text")
+      LmCountsStore.continueAt(spark, lp, deltaDocs, noIds, "doc_id", "text")
+    }
+    assert(tfidfRows(tp) != tf0 && lmScores(lp) != lm0,
+      "the follow-up txn must commit both stores")
+  }
+
+  test("a fresh coordinator recovers a crashed txn from the manifest alone") {
+    val (tp, lp) = freshPair("crash")
+    val txn = txnDirOf("crash")
+    val tf0 = tfidfRows(tp)
+    // simulate the crash window: manifest landed, one store committed,
+    // the coordinator died before the others (and before any cleanup)
+    StoreTxn.writeManifest(spark, txn,
+      Seq(("tfidf", tp, 0L), ("lmcounts", lp, 0L)))
+    TfidfStore.continueAt(spark, tp, deltaDocs, noIds, "doc_id", "text")
+    assert(tfidfRows(tp) != tf0)
+
+    assert(StoreTxn.recover(spark, txn), "recovery must find the manifest")
+    assert(tfidfRows(tp) == tf0,
+      "recovery must revert the advanced store by content")
+    assert(LmCountsStore.currentEpoch(spark, lp) == 0L)
+    assert(!StoreTxn.recover(spark, txn),
+      "a second recovery is a no-op — the manifest delete is the fence")
+    // post-recovery, continuations behave exactly like a never-crashed
+    // store's (the rollback is a normal journaled commit)
+    val control = freshPair("ctrl")
+    TfidfStore.continueAt(spark, tp, deltaDocs, noIds, "doc_id", "text")
+    TfidfStore.continueAt(spark, control._1, deltaDocs, noIds,
+      "doc_id", "text")
+    assert(tfidfRows(tp) == tfidfRows(control._1),
+      "post-recovery continuations must equal a never-crashed store's")
+  }
+
+  test("recovery crashed mid-compensation is idempotent by content") {
+    val (tp, lp) = freshPair("idem")
+    val txn = txnDirOf("idem")
+    val tf0 = tfidfRows(tp)
+    val lm0 = lmScores(lp)
+    StoreTxn.writeManifest(spark, txn,
+      Seq(("tfidf", tp, 0L), ("lmcounts", lp, 0L)))
+    TfidfStore.continueAt(spark, tp, deltaDocs, noIds, "doc_id", "text")
+    LmCountsStore.continueAt(spark, lp, deltaDocs, noIds, "doc_id", "text")
+    // first recovery attempt died after reverting lmcounts (reverse
+    // declaration order) but before tfidf — simulated by hand
+    LmCountsStore.rollbackTo(spark, lp, 0L)
+    assert(lmScores(lp) == lm0)
+    // the re-run reverts the remaining store and re-reverting the
+    // already-reverted one changes nothing
+    assert(StoreTxn.recover(spark, txn))
+    assert(tfidfRows(tp) == tf0 && lmScores(lp) == lm0,
+      "both stores must end at pre-txn content")
+  }
+
+  test("success path: the manifest delete is the commit point") {
+    val (tp, lp) = freshPair("ok")
+    val txn = txnDirOf("ok")
+    val out = StoreTxn.run(spark, txn,
+      Seq("tfidf" -> tp, "lmcounts" -> lp)) {
+      TfidfStore.continueAt(spark, tp, deltaDocs, noIds, "doc_id", "text")
+      LmCountsStore.continueAt(spark, lp, deltaDocs, noIds, "doc_id", "text")
+      "done"
+    }
+    assert(out == "done", "run returns the body's value")
+    // contents equal a plain (txn-less) twin's — the txn layer is
+    // result-invisible on success
+    val (tc, lc) = freshPair("oktwin")
+    TfidfStore.continueAt(spark, tc, deltaDocs, noIds, "doc_id", "text")
+    LmCountsStore.continueAt(spark, lc, deltaDocs, noIds, "doc_id", "text")
+    assert(tfidfRows(tp) == tfidfRows(tc))
+    assert(lmScores(lp) == lmScores(lc))
+    assert(!StoreTxn.recover(spark, txn),
+      "a committed txn leaves nothing to recover")
+  }
+
+  test("unknown store kinds fail loudly at manifest time, before any commit") {
+    val txn = txnDirOf("kind")
+    val e = intercept[IllegalArgumentException] {
+      StoreTxn.run(spark, txn, Seq("nosuchkind" -> "/tmp/nowhere")) { () }
+    }
+    assert(e.getMessage.contains("unknown store kind"))
+  }
+}
