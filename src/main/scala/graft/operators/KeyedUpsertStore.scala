@@ -82,6 +82,24 @@ object KeyedUpsertStore {
   def lastBatch(spark: SparkSession, path: String): Long =
     readParams(spark, path).lastBatch
 
+  /** The store's current commit epoch (0 = as-inited). */
+  def currentEpoch(spark: SparkSession, path: String): Long =
+    SegSwap.currentEpoch(SegSwap.fsOf(spark, path), path)
+
+  /** Roll rows AND the batch fence back to `epoch` as one journaled
+    * revert ([[SegSwap.rollbackTo]] — the family contract: history-
+    * preserving, redo-able, delta-proportional, loud past the
+    * retention horizon). The fence reverting WITH the rows is what
+    * makes a rolled-back stream restartable: batches after the revert
+    * point re-apply instead of being skipped against rolled-back
+    * rows. */
+  def rollbackTo(spark: SparkSession, path: String, epoch: Long): Unit = {
+    val p = readParams(spark, path)
+    SegSwap.rollbackTo(spark, path, epoch,
+      Seq("rows" -> StructType.fromDDL(p.rowsDdl)),
+      dirTables = Seq("params"))
+  }
+
   /** Apply batch `batchId` AT MOST ONCE: replace all rows of keys in
     * `added`, drop `removedKeys`, record the id — one journaled swap.
     * Returns false when the id was already applied (checkpoint

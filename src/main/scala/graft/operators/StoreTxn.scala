@@ -68,7 +68,8 @@ object StoreTxn {
     "linededup" -> (LineDedupStore.rollbackTo _),
     "decontam" -> (DecontamStore.rollbackTo _),
     "tfidf" -> (TfidfStore.rollbackTo _),
-    "semdedup" -> (SemanticDedupStore.rollbackTo _))
+    "semdedup" -> (SemanticDedupStore.rollbackTo _),
+    "keyedupsert" -> (KeyedUpsertStore.rollbackTo _))
 
   private def manifest(txnDir: String) = new HPath(s"$txnDir/txn_manifest")
 

@@ -78,6 +78,23 @@ object DriveMain {
     DedupClusterStore.rollbackTo(spark, cp, 0L)
     require(clusters(cp) == c0, "rollback restores the pre-delta clustering")
     println(s"dedup-cluster store drive OK: ${c0.size} base assignments")
+
+    // --- KeyedUpsertStore: rollback reverts fence with rows ---
+    val up = java.nio.file.Files.createTempDirectory("drive_ups").toString
+    import graft.operators.KeyedUpsertStore
+    KeyedUpsertStore.init(spark, up,
+      docs.filter("doc_id % 10 < 8").selectExpr("doc_id as k", "text as v"),
+      "k", nBuckets = 16)
+    val r0 = KeyedUpsertStore.rows(spark, up).count()
+    require(KeyedUpsertStore.upsertBatch(spark, up,
+      docs.filter("doc_id % 10 >= 8").selectExpr("doc_id as k", "text as v"),
+      Seq.empty[Long].toDF("k"), batchId = 0L))
+    require(KeyedUpsertStore.rows(spark, up).count() > r0)
+    KeyedUpsertStore.rollbackTo(spark, up, 0L)
+    require(KeyedUpsertStore.rows(spark, up).count() == r0 &&
+      KeyedUpsertStore.lastBatch(spark, up) == -1L,
+      "rollback must revert rows and the batch fence together")
+    println(s"keyed-upsert store drive OK: $r0 base rows restored")
     spark.stop()
   }
 }

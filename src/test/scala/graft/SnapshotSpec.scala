@@ -321,6 +321,34 @@ class SnapshotSpec extends SparkSpec {
       "post-rollback continuations must equal a never-poisoned store's")
   }
 
+  test("KeyedUpsertStore rollback reverts the batch fence WITH the rows") {
+    import graft.operators.KeyedUpsertStore
+    val p = java.nio.file.Files
+      .createTempDirectory("graft_snap_upsroll").toString
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    KeyedUpsertStore.init(spark, p, base, "k", nBuckets = 4)
+    def rows(): Set[(Long, String)] =
+      KeyedUpsertStore.rows(spark, p).as[(Long, String)].collect().toSet
+    val r0 = rows()
+    assert(KeyedUpsertStore.upsertBatch(spark, p,
+      Seq((2L, "B2"), (9L, "i9")).toDF("k", "v"),
+      Seq(3L).toDF("k"), batchId = 0L))
+    assert(rows() == Set((1L, "a"), (2L, "B2"), (9L, "i9")))
+    assert(KeyedUpsertStore.lastBatch(spark, p) == 0L)
+
+    KeyedUpsertStore.rollbackTo(spark, p, 0L)
+    assert(rows() == r0, "rollback restores the pre-batch relation")
+    assert(KeyedUpsertStore.lastBatch(spark, p) == -1L,
+      "the exactly-once fence must revert WITH the rows")
+    // the revert makes batch 0 re-appliable — the restartable-stream
+    // property the fence+rows co-revert exists for
+    assert(KeyedUpsertStore.upsertBatch(spark, p,
+      Seq((2L, "B2"), (9L, "i9")).toDF("k", "v"),
+      Seq(3L).toDF("k"), batchId = 0L),
+      "a batch after the revert point must re-apply, not be skipped")
+    assert(rows() == Set((1L, "a"), (2L, "B2"), (9L, "i9")))
+  }
+
   test("snapshots survive bucket creation, emptying, and a crashed install") {
     import graft.operators.SegSwap
     // DupSpansStore exercises the generic layer through an operator
