@@ -404,6 +404,45 @@ object ScaleBench {
           "score" -> tq, "shard_hash" -> tsh, "shard_range" -> tsr)
       }
 
+      run("seg_timetravel", 5000L * m) {
+        // the round-10 snapshot/rollback layer, measured in its two
+        // production shapes. (a) RANGE-mode LM store + contiguous
+        // crawl-shard append — the poisoned-shard scenario: the shard
+        // lands in FRESH buckets, so the revert journals them "empty"
+        // and restages almost nothing; rb_range must stay near-flat in
+        // m (the revert is delta-proportional, and a created-only
+        // delta is near O(1)). (b) HASH-mode TfidfStore + scattered
+        // ±1% delta: the delta hashes across every bucket, so both the
+        // as-of read (snapread — pre-delta weights while the store is
+        // post-delta) and the revert pay touched-bucket width — the
+        // same economics as the continuation itself, stated honestly.
+        val n = 5000L * m
+        val shard = genDocs(spark, n + n / 100).filter(col("doc_id") >= n)
+        val storeR = s"$dir/seg_tt_lm"
+        deleteRec(new java.io.File(storeR))
+        operators.LmCountsStore.init(spark, storeR, docs, "doc_id",
+          "text", bucketMode = "range", rangeSpan = math.max(1L, n / 256))
+        operators.LmCountsStore.continueAt(spark, storeR, shard,
+          spark.range(0).toDF("doc_id"), "doc_id", "text")
+        val (_, trr) = timed(
+          operators.LmCountsStore.rollbackTo(spark, storeR, 0L))
+
+        val storeT = s"$dir/seg_tt_tfidf"
+        deleteRec(new java.io.File(storeT))
+        operators.TfidfStore.init(spark, storeT, docs, "doc_id", "text")
+        operators.TfidfStore.continueAt(spark, storeT, shard,
+          docs.filter(col("doc_id") % 100 === 55).select("doc_id"),
+          "doc_id", "text")
+        val (_, tsr) = timed(consume(
+          operators.TfidfStore.tfidfAt(spark, storeT, 0L)))
+        val (_, trh) = timed(
+          operators.TfidfStore.rollbackTo(spark, storeT, 0L))
+        val (_, trd) = timed(
+          operators.TfidfStore.rollbackTo(spark, storeT, 1L))
+        Seq("rb_range" -> trr, "snapread" -> tsr, "rb_hash" -> trh,
+          "redo_hash" -> trd)
+      }
+
       run("lm_score", 5000L * m) {
         // bigram-count joins are the heaviest text-stat shape (corpus
         // bigram table ~ corpus token count): cost must stay ~linear

@@ -109,6 +109,16 @@ final class SegmentedStateStore private[core] (
   def setRetention(epochs: Int): Unit =
     SegSwap.setRetention(SegSwap.fsOf(spark, path), path, epochs)
 
+  /** PIN `epoch` (and with it every later epoch) against roll-forward
+    * GC for the duration of a long snapshot read — an audit, diff, or
+    * export that outlives `retention` writer commits. TTL-expiring,
+    * like the writer lease; release with [[releasePin]]. */
+  def pinEpoch(epoch: Long): String =
+    SegSwap.pinEpoch(SegSwap.fsOf(spark, path), path, epoch)
+
+  def releasePin(token: String): Unit =
+    SegSwap.releasePin(SegSwap.fsOf(spark, path), path, token)
+
   /** AUDIT DIFF between two committed epochs of the preserved `out` —
     * the reference's compseqfile/compagerank divergence check (A8/A9,
     * `incr-hadoop-0.1/src/examples/org/apache/hadoop/examples/incremental/CompSeqFile.java:19-74`)

@@ -78,6 +78,14 @@ object KeyedUpsertStore {
       StructType.fromDDL(p.rowsDdl)).drop("_b")
   }
 
+  /** The relation AS OF `epoch` ([[SegSwap.snapshotTable]] — readable
+    * for the retention horizon, or for as long as a pin covers it). */
+  def rowsAt(spark: SparkSession, path: String, epoch: Long): DataFrame = {
+    val p = readParams(spark, path)
+    SegSwap.snapshotTable(spark, path, "rows",
+      StructType.fromDDL(p.rowsDdl), epoch).drop("_b")
+  }
+
   /** The last applied batch id (−1 = none). */
   def lastBatch(spark: SparkSession, path: String): Long =
     readParams(spark, path).lastBatch

@@ -55,6 +55,7 @@ private[graft] object SegSwap {
   private val Lease = "seg_writer_lease"
   private val Retired = "seg_retired"
   private val Snapshots = "seg_snapshots"
+  private val Pins = "seg_pins"
   private val EpochFile = "seg_epoch"
   private val RetainFile = "seg_retain"
   // bucket ids may be negative (range bucketing of negative ids);
@@ -335,6 +336,72 @@ private[graft] object SegSwap {
     replaced ++ (atB -- atA) ++ (atA -- atB)
   }
 
+  // ---- reader pins (GC fences for long snapshot reads) ------------------
+
+  /** Default pin TTL: long enough for any single audit/diff/export read
+    * of a snapshot; a pin is a READER liveness claim, so like the
+    * writer lease it expires rather than wedging GC forever when its
+    * holder dies. */
+  private[graft] val DefaultPinTtlMs: Long = 60L * 60 * 1000
+
+  /** Min pinned epoch among unexpired pins (lazily deleting expired
+    * pin files — the pin twin of the lease's stale-takeover). */
+  private def pinnedFloor(fs: FileSystem, path: String,
+      excluding: Option[String] = None): Option[Long] = {
+    val root = new HPath(s"$path/$Pins")
+    if (!fs.exists(root)) return None
+    val nowMs = System.currentTimeMillis()
+    val live = fs.listStatus(root).toSeq.flatMap { st =>
+      val token = st.getPath.getName
+      if (token.endsWith(".tmp") || excluding.contains(token)) None
+      else readText(fs, st.getPath).flatMap { text =>
+        text.trim.split(" ") match {
+          case Array(e, exp) if exp.toLong >= nowMs => Some(e.toLong)
+          case _ => fs.delete(st.getPath, false); None // expired/torn
+        }
+      }
+    }
+    if (live.isEmpty) None else Some(live.min)
+  }
+
+  /** PIN `epoch` against GC: while an unexpired pin at P exists, every
+    * retired epoch > P (and the manifests that resolve it) survives
+    * roll-forward GC, so ALL epochs ≥ P stay snapshot-readable no
+    * matter how many commits land during the read — the missing half
+    * of the reader contract (a pin-less long read races the writer's
+    * per-commit GC once `retention` commits pass it). Pin-then-verify:
+    * the pin file lands first, THEN the epoch is re-checked against
+    * the horizon — if it already fell past (or falls past between the
+    * two steps, in which case GC could not yet have seen the pin but
+    * may have collected the files), the pin is withdrawn and the call
+    * fails loudly, never handing out a claim on collected files.
+    * Returns the pin token for [[releasePin]]. */
+  def pinEpoch(fs: FileSystem, path: String, epoch: Long,
+      ttlMs: Long = DefaultPinTtlMs): String = {
+    val now = currentEpoch(fs, path)
+    require(epoch <= now,
+      s"segswap: cannot pin future epoch $epoch of $path (current $now)")
+    val token = s"p-${System.currentTimeMillis()}-" +
+      java.util.UUID.randomUUID().toString.take(8)
+    writeTextAtomic(fs, s"$path/$Pins/$token",
+      s"$epoch ${System.currentTimeMillis() + ttlMs}")
+    val horizon = currentEpoch(fs, path) - retentionOf(fs, path)
+    if (epoch < horizon &&
+        !pinnedFloor(fs, path, excluding = Some(token)).exists(_ <= epoch)) {
+      fs.delete(new HPath(s"$path/$Pins/$token"), false)
+      sys.error(s"segswap: epoch $epoch of $path is already past the " +
+        s"retention horizon ($horizon) and no earlier pin covers it — " +
+        "pin before the epoch leaves the horizon (or raise retention)")
+    }
+    token
+  }
+
+  /** Release a pin token (idempotent; an unreleased pin expires via
+    * its TTL). */
+  def releasePin(fs: FileSystem, path: String, token: String): Unit = {
+    val _ = fs.delete(new HPath(s"$path/$Pins/$token"), false)
+  }
+
   /** Drop retired epochs past the retention horizon, and prune each
     * table's manifests to the horizon too — per table, everything
     * strictly older than the latest manifest at-or-before the cut goes
@@ -342,7 +409,14 @@ private[graft] object SegSwap {
     * a long-lived store carries O(horizon) manifests per table, not
     * O(#commits). Runs at the end of every roll-forward. */
   private def gcRetired(fs: FileSystem, path: String, epoch: Long): Unit = {
-    val cut = epoch - retentionOf(fs, path)
+    // a pin at P needs every retired epoch > P (reading E ≥ P uses
+    // the first retiring commit AFTER E, never E's own), so the cut
+    // backs off to the pinned floor
+    val cut0 = epoch - retentionOf(fs, path)
+    val cut = pinnedFloor(fs, path) match {
+      case Some(p) => math.min(cut0, p)
+      case None => cut0
+    }
     retiredEpochs(fs, path).filter(_ <= cut).foreach { e =>
       fs.delete(new HPath(s"$path/$Retired/e=$e"), true)
     }
@@ -403,8 +477,22 @@ private[graft] object SegSwap {
     * the operator to re-init, never a positional ClassCastException
     * deep in a getter). Returns the single row in `want` order. */
   private[graft] def readParamsRow(spark: SparkSession, path: String,
+      want: Seq[String], what: String): org.apache.spark.sql.Row =
+    paramsRowFrom(spark, path,
+      resolvedDirPath(fsOf(spark, path), path, "params"), want, what)
+
+  /** [[readParamsRow]] AS OF an epoch — params metadata (N, bucket
+    * mode, fences) resolved from the same commit the snapshot data
+    * tables come from, so an as-of derived read is consistent end to
+    * end. */
+  private[graft] def readParamsRowAt(spark: SparkSession, path: String,
+      want: Seq[String], what: String,
+      epoch: Long): org.apache.spark.sql.Row =
+    paramsRowFrom(spark, path,
+      snapshotDirPath(fsOf(spark, path), path, "params", epoch), want, what)
+
+  private def paramsRowFrom(spark: SparkSession, path: String, dir: String,
       want: Seq[String], what: String): org.apache.spark.sql.Row = {
-    val dir = resolvedDirPath(fsOf(spark, path), path, "params")
     val df = spark.read.parquet(dir)
     val missing = want.filterNot(df.columns.contains)
     require(missing.isEmpty,
@@ -686,11 +774,13 @@ private[graft] object SegSwap {
       s"segswap: snapshot epoch $epoch of $path/$name is in the future " +
         s"(current epoch $now)")
     val horizon = now - retentionOf(fs, path)
-    require(epoch >= horizon,
+    require(epoch >= horizon ||
+        pinnedFloor(fs, path).exists(_ <= epoch),
       s"segswap: snapshot epoch $epoch of $path/$name is past the " +
         s"retention horizon (current epoch $now, retained back to " +
-        s"$horizon) — its retired files were garbage-collected; raise " +
-        "retention via setRetention before the commits that should " +
+        s"$horizon) and no pin covers it — its retired files were " +
+        "garbage-collected; raise retention via setRetention, or " +
+        "pinEpoch before a long read, before the commits that should " +
         "stay readable")
     val want = bucketsAt(fs, path, name, epoch)
     if (want.isEmpty)

@@ -64,6 +64,26 @@ object TfidfStore {
   def currentEpoch(spark: SparkSession, path: String): Long =
     SegSwap.currentEpoch(SegSwap.fsOf(spark, path), path)
 
+  /** The TF-IDF rows AS OF `epoch` — same columns and arithmetic as
+    * [[tfidf]], with EVERY input (tf, dfreq, and the corpus size N in
+    * params) resolved at that epoch, so the as-of weights are exactly
+    * what [[tfidf]] returned when the epoch was current. Readable for
+    * the retention horizon, or for as long as a pin covers it
+    * ([[SegSwap.pinEpoch]]). */
+  def tfidfAt(spark: SparkSession, path: String, epoch: Long): DataFrame = {
+    val r = SegSwap.readParamsRowAt(spark, path,
+      Seq("b", "n", "idDdl", "tfDdl", "dfreqDdl"), "tfidfstore", epoch)
+    val p = Params(r.getInt(0), r.getLong(1), r.getString(2),
+      Map("tf" -> r.getString(3), "dfreq" -> r.getString(4)))
+    val tf = SegSwap.snapshotTable(spark, path, "tf",
+      StructType.fromDDL(p.ddl("tf")), epoch)
+    val dfreq = SegSwap.snapshotTable(spark, path, "dfreq",
+      StructType.fromDDL(p.ddl("dfreq")), epoch)
+    tf.drop("_b").join(dfreq.drop("_b"), "token")
+      .select(col("doc_id"), col("token"), col("tf"), col("df"),
+        (col("tf") * log(lit(p.n.toDouble) / col("df"))).as("tfidf"))
+  }
+
   /** Roll every table of the store (and params) back to `epoch` as one
     * journaled revert — [[SegSwap.rollbackTo]] with this store's table
     * set (see [[DupSpansStore.rollbackTo]], the family exemplar, for

@@ -349,6 +349,59 @@ class SnapshotSpec extends SparkSpec {
     assert(rows() == Set((1L, "a"), (2L, "B2"), (9L, "i9")))
   }
 
+  test("reader pins hold GC past the horizon, expire by TTL, and fail when late") {
+    import graft.operators.{KeyedUpsertStore, SegSwap}
+    def fresh(): String = {
+      val p = java.nio.file.Files
+        .createTempDirectory("graft_snap_pin").toString
+      KeyedUpsertStore.init(spark, p,
+        Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"), "k",
+        nBuckets = 4)
+      p
+    }
+    def commitN(p: String, n: Int): Unit = (1 to n).foreach { i =>
+      KeyedUpsertStore.upsertBatch(spark, p,
+        Seq((1L, s"a$i")).toDF("k", "v"), Seq.empty[Long].toDF("k"),
+        batchId = i.toLong)
+    }
+    def rowsAt0(p: String): Set[(Long, String)] =
+      KeyedUpsertStore.rowsAt(spark, p, 0L)
+        .as[(Long, String)].collect().toSet
+    val init = Set((1L, "a"), (2L, "b"), (3L, "c"))
+
+    // pinned: epoch 0 outlives retention-many commits (default 2)
+    val p1 = fresh()
+    val fs1 = SegSwap.fsOf(spark, p1)
+    val token = SegSwap.pinEpoch(fs1, p1, 0L)
+    commitN(p1, 4) // without the pin, epoch 0 would be GC'd at epoch 3
+    assert(rowsAt0(p1) == init,
+      "a pinned epoch must stay exactly readable across any number of commits")
+    // ...and the pin extends ROLLBACK reach the same way (rollback
+    // reads through snapshotTable)
+    KeyedUpsertStore.rollbackTo(spark, p1, 0L)
+    assert(KeyedUpsertStore.rows(spark, p1)
+      .as[(Long, String)].collect().toSet == init)
+    SegSwap.releasePin(fs1, p1, token)
+    commitN(p1, 7) // re-apply + push far past the horizon; GC runs
+    intercept[IllegalArgumentException] { rowsAt0(p1) }
+
+    // unpinned control: the same commits collect epoch 0
+    val p2 = fresh()
+    commitN(p2, 4)
+    val e = intercept[IllegalArgumentException] { rowsAt0(p2) }
+    assert(e.getMessage.contains("no pin covers it"))
+
+    // an EXPIRED pin is no claim: GC ignores it and a later read fails
+    val p3 = fresh()
+    val fs3 = SegSwap.fsOf(spark, p3)
+    SegSwap.pinEpoch(fs3, p3, 0L, ttlMs = -1L)
+    commitN(p3, 4)
+    intercept[IllegalArgumentException] { rowsAt0(p3) }
+    // pinning after the horizon passed fails loudly instead of
+    // claiming already-collected files
+    intercept[RuntimeException] { SegSwap.pinEpoch(fs3, p3, 0L) }
+  }
+
   test("snapshots survive bucket creation, emptying, and a crashed install") {
     import graft.operators.SegSwap
     // DupSpansStore exercises the generic layer through an operator
