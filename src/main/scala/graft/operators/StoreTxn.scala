@@ -73,17 +73,22 @@ object StoreTxn {
 
   private def manifest(txnDir: String) = new HPath(s"$txnDir/txn_manifest")
 
-  /** Exposed for crash-simulation specs; [[run]] is the real writer. */
+  /** Exposed for crash-simulation specs; [[run]] is the real writer.
+    * A row's 4th field is the pre-txn epoch's PIN token ("-" = none):
+    * [[run]] pins every participant's revert target before the body,
+    * so a body committing more than `retention` epochs to one store
+    * cannot GC its own compensation point — without the pin, a long
+    * txn's abort would fail past the horizon. */
   private[graft] def writeManifest(spark: SparkSession, txnDir: String,
-      rows: Seq[(String, String, Long)]): Unit = {
-    rows.foreach { case (kind, _, _) =>
+      rows: Seq[(String, String, Long, String)]): Unit = {
+    rows.foreach { case (kind, _, _, _) =>
       require(kinds.contains(kind),
         s"storetxn: unknown store kind '$kind' (known: " +
           s"${kinds.keys.toSeq.sorted.mkString(", ")})")
     }
     SegSwap.writeTextAtomic(SegSwap.fsOf(spark, txnDir),
       manifest(txnDir).toString,
-      rows.map { case (k, p, e) => s"$k\t$p\t$e" }.mkString("\n"))
+      rows.map { case (k, p, e, t) => s"$k\t$p\t$e\t$t" }.mkString("\n"))
   }
 
   /** Roll back the crashed txn recorded under `txnDir`, if any.
@@ -99,7 +104,8 @@ object StoreTxn {
       case Some(text) =>
         val rows = text.split("\n").toSeq.filter(_.nonEmpty).map { line =>
           line.split("\t") match {
-            case Array(kind, path, epoch) => (kind, path, epoch.toLong)
+            case Array(kind, path, epoch, token) =>
+              (kind, path, epoch.toLong, token)
             case _ => sys.error(s"storetxn: malformed manifest line " +
               s"'$line' in $m")
           }
@@ -111,10 +117,12 @@ object StoreTxn {
         // currentEpoch counts a committed-but-uninstalled journal as
         // the next epoch, so "advanced" detection survives a crash at
         // any point of a participant's own commit
-        rows.reverse.foreach { case (kind, path, preEpoch) =>
+        rows.reverse.foreach { case (kind, path, preEpoch, token) =>
           if (SegSwap.currentEpoch(SegSwap.fsOf(spark, path), path)
               != preEpoch)
             kinds(kind)(spark, path, preEpoch)
+          if (token != "-")
+            SegSwap.releasePin(SegSwap.fsOf(spark, path), path, token)
         }
         fs.delete(m, false)
         true
@@ -135,21 +143,34 @@ object StoreTxn {
   def run[T](spark: SparkSession, txnDir: String,
       stores: Seq[(String, String)])(body: => T): T = {
     require(stores.nonEmpty, "storetxn: no participating stores")
+    stores.foreach { case (kind, _) =>
+      require(kinds.contains(kind),
+        s"storetxn: unknown store kind '$kind' (known: " +
+          s"${kinds.keys.toSeq.sorted.mkString(", ")})")
+    }
     recover(spark, txnDir) // self-heal a predecessor's crash
     val rows = stores.map { case (kind, path) =>
-      (kind, path, SegSwap.currentEpoch(SegSwap.fsOf(spark, path), path))
+      val sfs = SegSwap.fsOf(spark, path)
+      val pre = SegSwap.currentEpoch(sfs, path)
+      // pin the revert target: a body chaining > retention commits to
+      // one store must not GC its own compensation point (the pin's
+      // TTL bounds a dead coordinator's hold, like the writer lease)
+      (kind, path, pre, SegSwap.pinEpoch(sfs, path, pre))
     }
     writeManifest(spark, txnDir, rows)
     val result =
       try body
       catch {
         case e: Throwable =>
-          try recover(spark, txnDir)
+          try recover(spark, txnDir) // also releases the pins
           catch { case r: Throwable => e.addSuppressed(r) }
           throw e
       }
     val fs = SegSwap.fsOf(spark, txnDir)
     fs.delete(manifest(txnDir), false) // the commit point
+    rows.foreach { case (_, path, _, token) =>
+      SegSwap.releasePin(SegSwap.fsOf(spark, path), path, token)
+    }
     result
   }
 }

@@ -79,7 +79,7 @@ class StoreTxnSpec extends SparkSpec {
     // simulate the crash window: manifest landed, one store committed,
     // the coordinator died before the others (and before any cleanup)
     StoreTxn.writeManifest(spark, txn,
-      Seq(("tfidf", tp, 0L), ("lmcounts", lp, 0L)))
+      Seq(("tfidf", tp, 0L, "-"), ("lmcounts", lp, 0L, "-")))
     TfidfStore.continueAt(spark, tp, deltaDocs, noIds, "doc_id", "text")
     assert(tfidfRows(tp) != tf0)
 
@@ -105,7 +105,7 @@ class StoreTxnSpec extends SparkSpec {
     val tf0 = tfidfRows(tp)
     val lm0 = lmScores(lp)
     StoreTxn.writeManifest(spark, txn,
-      Seq(("tfidf", tp, 0L), ("lmcounts", lp, 0L)))
+      Seq(("tfidf", tp, 0L, "-"), ("lmcounts", lp, 0L, "-")))
     TfidfStore.continueAt(spark, tp, deltaDocs, noIds, "doc_id", "text")
     LmCountsStore.continueAt(spark, lp, deltaDocs, noIds, "doc_id", "text")
     // first recovery attempt died after reverting lmcounts (reverse
@@ -138,6 +138,41 @@ class StoreTxnSpec extends SparkSpec {
     assert(lmScores(lp) == lmScores(lc))
     assert(!StoreTxn.recover(spark, txn),
       "a committed txn leaves nothing to recover")
+  }
+
+  test("the txn's pins keep a long body's revert target alive past the horizon") {
+    val (tp, lp) = freshPair("long")
+    val txn = txnDirOf("long")
+    val tf0 = tfidfRows(tp)
+    // the body chains MORE commits to one store than its snapshot
+    // retention (default 2) — without run()'s pin on epoch 0, the
+    // third commit's GC would collect the revert target and the abort
+    // would fail past the horizon instead of compensating
+    val boom = intercept[RuntimeException] {
+      StoreTxn.run(spark, txn, Seq("tfidf" -> tp, "lmcounts" -> lp)) {
+        (1 to 3).foreach { i =>
+          TfidfStore.continueAt(spark, tp,
+            Seq((100L + i, s"chain doc c$i d$i")).toDF("doc_id", "text"),
+            noIds, "doc_id", "text")
+        }
+        assert(TfidfStore.currentEpoch(spark, tp) == 3L)
+        sys.error("failure after three chained commits")
+      }
+    }
+    assert(boom.getMessage.contains("after three chained commits"),
+      "the abort must compensate cleanly, not die past the horizon")
+    assert(boom.getSuppressed.isEmpty,
+      "no suppressed compensation failure expected")
+    assert(tfidfRows(tp) == tf0,
+      "all three chained commits must revert")
+    // the pins released with the abort: the next writer's GC is free
+    // to collect normally again
+    (1 to 3).foreach { i =>
+      TfidfStore.continueAt(spark, tp,
+        Seq((200L + i, s"post px$i")).toDF("doc_id", "text"),
+        noIds, "doc_id", "text")
+    }
+    intercept[RuntimeException] { TfidfStore.rollbackTo(spark, tp, 0L) }
   }
 
   test("unknown store kinds fail loudly at manifest time, before any commit") {
