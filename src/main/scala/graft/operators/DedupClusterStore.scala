@@ -47,13 +47,21 @@ object DedupClusterStore {
       "b" -> p.b, "idDdl" -> p.idDdl,
       "bandsDdl" -> p.ddl("bands"), "compsDdl" -> p.ddl("comps")))
 
-  private def readParams(spark: SparkSession, path: String): Params = {
-    val r = SegSwap.readParamsRow(spark, path,
-      Seq("maxHamming", "maxBucket", "b", "idDdl", "bandsDdl", "compsDdl"),
-      "dedupclusters")
+  private val ParamFields =
+    Seq("maxHamming", "maxBucket", "b", "idDdl", "bandsDdl", "compsDdl")
+
+  private def paramsOf(r: org.apache.spark.sql.Row): Params =
     Params(r.getInt(0), r.getInt(1), r.getInt(2), r.getString(3),
       Map("bands" -> r.getString(4), "comps" -> r.getString(5)))
-  }
+
+  private def readParams(spark: SparkSession, path: String): Params =
+    paramsOf(SegSwap.readParamsRow(spark, path, ParamFields,
+      "dedupclusters"))
+
+  private def readParamsAt(spark: SparkSession, path: String,
+      epoch: Long): Params =
+    paramsOf(SegSwap.readParamsRowAt(spark, path, ParamFields,
+      "dedupclusters", epoch))
 
   private def readTable(spark: SparkSession, path: String, p: Params,
       name: String): DataFrame =
@@ -112,6 +120,17 @@ object DedupClusterStore {
   def clusters(spark: SparkSession, path: String): DataFrame = {
     val p = readParams(spark, path)
     readTable(spark, path, p, "comps").drop("_b")
+  }
+
+  /** The component labels AS OF `epoch` ([[SegSwap.snapshotTable]] —
+    * readable for the retention horizon, or while a pin covers it):
+    * audit which docs a PAST clustering would have dropped, or diff a
+    * delta's label churn, without rolling anything back. */
+  def clustersAt(spark: SparkSession, path: String,
+      epoch: Long): DataFrame = {
+    val p = readParamsAt(spark, path, epoch)
+    SegSwap.snapshotTable(spark, path, "comps",
+      StructType.fromDDL(p.ddl("comps")), epoch).drop("_b")
   }
 
   /** Labels for a specific id set — pruned to those ids' buckets. */

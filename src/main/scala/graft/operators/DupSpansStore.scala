@@ -102,11 +102,11 @@ object DupSpansStore {
   private def writeParams(spark: SparkSession, path: String, p: Params): Unit =
     writeParamsTo(spark, s"$path/params", p)
 
-  private def readParams(spark: SparkSession, path: String): Params = {
-    val r = SegSwap.readParamsRow(spark, path,
-      Seq("w", "maxFrac", "b", "mode", "span", "idDdl", "withCut",
-        "spansDdl", "ntoksDdl", "dfreqDdl", "outDdl", "textDdl", "cutDdl"),
-      "dupspans")
+  private val ParamFields =
+    Seq("w", "maxFrac", "b", "mode", "span", "idDdl", "withCut",
+      "spansDdl", "ntoksDdl", "dfreqDdl", "outDdl", "textDdl", "cutDdl")
+
+  private def paramsOf(r: org.apache.spark.sql.Row): Params = {
     val cut = r.getBoolean(6)
     Params(r.getInt(0), r.getDouble(1), r.getInt(2), r.getString(3),
       r.getLong(4), r.getString(5), cut, Map(
@@ -115,6 +115,14 @@ object DupSpansStore {
         (if (cut) Map("text" -> r.getString(11), "cut" -> r.getString(12))
          else Map.empty))
   }
+
+  private def readParams(spark: SparkSession, path: String): Params =
+    paramsOf(SegSwap.readParamsRow(spark, path, ParamFields, "dupspans"))
+
+  private def readParamsAt(spark: SparkSession, path: String,
+      epoch: Long): Params =
+    paramsOf(SegSwap.readParamsRowAt(spark, path, ParamFields,
+      "dupspans", epoch))
 
   /** Journal-aware read ([[SegSwap.resolvedTable]]): non-destructive
     * under an uninstalled commit, a plain live read otherwise. */
@@ -256,6 +264,19 @@ object DupSpansStore {
     require(p.withCut,
       s"dupspans: store at $path was initialized without cut maintenance")
     readTable(spark, path, p, "cut").drop("_b")
+  }
+
+  /** The cut output AS OF `epoch` ([[SegSwap.snapshotTable]] —
+    * readable for the retention horizon, or while a pin covers it):
+    * the exact training text a PAST corpus state shipped, without
+    * rolling the store back. Only on stores initialized
+    * `withCut = true` at that epoch. */
+  def cutsAt(spark: SparkSession, path: String, epoch: Long): DataFrame = {
+    val p = readParamsAt(spark, path, epoch)
+    require(p.withCut,
+      s"dupspans: store at $path had no cut maintenance at epoch $epoch")
+    SegSwap.snapshotTable(spark, path, "cut",
+      StructType.fromDDL(p.ddl("cut")), epoch).drop("_b")
   }
 
   /** Roll the store forward over a ±document delta (upsert contract:

@@ -60,14 +60,21 @@ object LmCountsStore {
   private def writeParams(spark: SparkSession, path: String, p: Params): Unit =
     writeParamsTo(spark, s"$path/params", p)
 
-  private def readParams(spark: SparkSession, path: String): Params = {
-    val r = SegSwap.readParamsRow(spark, path,
-      Seq("b", "mode", "span", "idDdl",
-        "unidocDdl", "bidocDdl", "uniDdl", "biDdl"), "lmcounts")
+  private val ParamFields = Seq("b", "mode", "span", "idDdl",
+    "unidocDdl", "bidocDdl", "uniDdl", "biDdl")
+
+  private def paramsOf(r: org.apache.spark.sql.Row): Params =
     Params(r.getInt(0), r.getString(1), r.getLong(2), r.getString(3),
       Map("unidoc" -> r.getString(4), "bidoc" -> r.getString(5),
         "uni" -> r.getString(6), "bi" -> r.getString(7)))
-  }
+
+  private def readParams(spark: SparkSession, path: String): Params =
+    paramsOf(SegSwap.readParamsRow(spark, path, ParamFields, "lmcounts"))
+
+  private def readParamsAt(spark: SparkSession, path: String,
+      epoch: Long): Params =
+    paramsOf(SegSwap.readParamsRowAt(spark, path, ParamFields,
+      "lmcounts", epoch))
 
   /** Journal-aware read ([[SegSwap.resolvedTable]]): non-destructive
     * under an uninstalled commit, a plain live read otherwise. */
@@ -248,6 +255,28 @@ object LmCountsStore {
       readTable(spark, path, p, "uni")
         .select(col("w").as("_a"), col("cw").as("_cw")),
       readTable(spark, path, p, "bi")
+        .select(col("a").as("_a"), col("b").as("_b"),
+          col("cab").as("_cab")),
+      score, idCol, textCol, k, maxNll)
+  }
+
+  /** Score any corpus against the model AS OF `epoch` — MODEL
+    * VERSIONING on the quality filter: reproduce yesterday's keep/drop
+    * decisions exactly, or A/B a delta's effect on a fixed audit set,
+    * without rolling the store back. Counts AND params resolve at the
+    * epoch ([[SegSwap.snapshotTable]] / [[SegSwap.readParamsRowAt]]);
+    * readable for the retention horizon, or while a pin covers it. */
+  def scoreAgainstAt(spark: SparkSession, path: String, score: DataFrame,
+      idCol: String, textCol: String, epoch: Long, k: Double = 0.5,
+      maxNll: Double = 3.5): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val p = readParamsAt(spark, path, epoch)
+    Pipeline.lmScoreFromCounts(
+      SegSwap.snapshotTable(spark, path, "uni",
+        StructType.fromDDL(p.ddl("uni")), epoch)
+        .select(col("w").as("_a"), col("cw").as("_cw")),
+      SegSwap.snapshotTable(spark, path, "bi",
+        StructType.fromDDL(p.ddl("bi")), epoch)
         .select(col("a").as("_a"), col("b").as("_b"),
           col("cab").as("_cab")),
       score, idCol, textCol, k, maxNll)

@@ -75,9 +75,28 @@ object DriveMain {
       Seq.empty[Long].toDF("doc_id"), "doc_id", "text")
     require(DedupClusterStore.currentEpoch(spark, cp) == 1L)
     require(clusters(cp).size > c0.size, "delta docs join the clustering")
+    require(DedupClusterStore.clustersAt(spark, cp, 0L)
+      .as[(Long, Long)].collect().toMap == c0,
+      "the as-of read must equal the pre-delta clustering")
     DedupClusterStore.rollbackTo(spark, cp, 0L)
     require(clusters(cp) == c0, "rollback restores the pre-delta clustering")
     println(s"dedup-cluster store drive OK: ${c0.size} base assignments")
+
+    // --- LmCountsStore: score against yesterday's model ---
+    val lp = java.nio.file.Files.createTempDirectory("drive_lm").toString
+    import graft.operators.LmCountsStore
+    LmCountsStore.init(spark, lp, base, "doc_id", "text", nBuckets = 16)
+    val audit = docs.limit(50)
+    def lmset(f: => org.apache.spark.sql.DataFrame) =
+      f.as[(Long, Long, Double, Int)].collect().toSet
+    val s0 = lmset(LmCountsStore.scoreAgainst(spark, lp, audit,
+      "doc_id", "text"))
+    LmCountsStore.continueAt(spark, lp, delta,
+      Seq.empty[Long].toDF("doc_id"), "doc_id", "text")
+    require(lmset(LmCountsStore.scoreAgainstAt(spark, lp, audit,
+      "doc_id", "text", epoch = 0L)) == s0,
+      "the epoch-0 model must reproduce pre-delta scores exactly")
+    println(s"lm model-versioning drive OK: ${s0.size} audit scores")
 
     // --- KeyedUpsertStore: rollback reverts fence with rows ---
     val up = java.nio.file.Files.createTempDirectory("drive_ups").toString

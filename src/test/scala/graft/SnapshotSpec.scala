@@ -321,6 +321,47 @@ class SnapshotSpec extends SparkSpec {
       "post-rollback continuations must equal a never-poisoned store's")
   }
 
+  test("as-of derived reads reproduce the pre-delta outputs across the family") {
+    import graft.operators.{DedupClusterStore, LmCountsStore}
+    val base = ((1L to 6L).map(i => (i, "the cat sat on the mat")) ++
+      (7L to 12L).map(i => (i, s"pad p$i q$i r$i"))).toDF("doc_id", "text")
+    val delta = Seq((20L, "mat the on sat cat the"),
+      (21L, "the cat sat on the mat")).toDF("doc_id", "text")
+    val none = Seq.empty[Long].toDF("doc_id")
+    val audit = Seq((900L, "the cat sat on the mat")).toDF("doc_id", "text")
+
+    // model versioning: scoreAgainstAt(0) must reproduce the pre-delta
+    // scores exactly while the live model is post-delta
+    val lm = java.nio.file.Files
+      .createTempDirectory("graft_snap_lmat").toString
+    LmCountsStore.init(spark, lm, base, "doc_id", "text", nBuckets = 8)
+    def sc(f: => org.apache.spark.sql.DataFrame) =
+      f.as[(Long, Long, Double, Int)].collect().toSet
+    val pre = sc(LmCountsStore.scoreAgainst(spark, lm, audit,
+      "doc_id", "text"))
+    LmCountsStore.continueAt(spark, lm, delta, none, "doc_id", "text")
+    val post = sc(LmCountsStore.scoreAgainst(spark, lm, audit,
+      "doc_id", "text"))
+    assert(post != pre, "the delta must move the audit scores")
+    assert(sc(LmCountsStore.scoreAgainstAt(spark, lm, audit,
+      "doc_id", "text", epoch = 0L)) == pre,
+      "scoring against the epoch-0 model must reproduce pre-delta scores")
+    assert(sc(LmCountsStore.scoreAgainstAt(spark, lm, audit,
+      "doc_id", "text", epoch = 1L)) == post)
+
+    // label audit: clustersAt(0) is the pre-delta clustering
+    val cl = java.nio.file.Files
+      .createTempDirectory("graft_snap_clat").toString
+    DedupClusterStore.init(spark, cl, base, "doc_id", "text", nBuckets = 8)
+    def labels(f: => org.apache.spark.sql.DataFrame) =
+      f.as[(Long, Long)].collect().toSet
+    val l0 = labels(DedupClusterStore.clusters(spark, cl))
+    DedupClusterStore.continueAt(spark, cl, delta, none, "doc_id", "text")
+    assert(labels(DedupClusterStore.clusters(spark, cl)) != l0)
+    assert(labels(DedupClusterStore.clustersAt(spark, cl, 0L)) == l0,
+      "the as-of clustering must equal the pre-delta labels exactly")
+  }
+
   test("KeyedUpsertStore rollback reverts the batch fence WITH the rows") {
     import graft.operators.KeyedUpsertStore
     val p = java.nio.file.Files
