@@ -141,7 +141,14 @@ object StoreTxn {
     * (never a corpus scan); and the no-failure path adds zero data I/O
     * on top of the body's own continuations. */
   def run[T](spark: SparkSession, txnDir: String,
-      stores: Seq[(String, String)])(body: => T): T = {
+      stores: Seq[(String, String)])(body: => T): T =
+   // the COORDINATOR lease: one txn at a time per dir, mechanically —
+   // without it a second concurrent run()'s entry-recover would read
+   // the first's manifest and revert its IN-FLIGHT work (the same
+   // failure the per-store writer lease prevents one level down); a
+   // crashed coordinator's lease expires via TTL and its successor's
+   // entry-recover compensates
+   SegSwap.withWriterLease(spark, txnDir) { _ =>
     require(stores.nonEmpty, "storetxn: no participating stores")
     stores.foreach { case (kind, _) =>
       require(kinds.contains(kind),
@@ -172,5 +179,5 @@ object StoreTxn {
       SegSwap.releasePin(SegSwap.fsOf(spark, path), path, token)
     }
     result
-  }
+   }
 }

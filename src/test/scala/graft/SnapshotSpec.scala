@@ -360,6 +360,27 @@ class SnapshotSpec extends SparkSpec {
     assert(labels(DedupClusterStore.clusters(spark, cl)) != l0)
     assert(labels(DedupClusterStore.clustersAt(spark, cl, 0L)) == l0,
       "the as-of clustering must equal the pre-delta labels exactly")
+
+    // shipped-text audit: cutsAt(0) is the exact pre-delta cut output
+    import graft.operators.DupSpansStore
+    val ds = java.nio.file.Files
+      .createTempDirectory("graft_snap_dsat").toString
+    val spanBase = ((1L to 4L).map(i =>
+        (i, "alpha beta gamma delta epsilon zeta eta theta")) ++
+      (5L to 8L).map(i => (i, s"solo s$i t$i u$i v$i w$i x$i y$i z$i")))
+      .toDF("doc_id", "text")
+    DupSpansStore.init(spark, ds, spanBase, "doc_id", "text",
+      w = 4, nBuckets = 8, withCut = true)
+    def cutset(f: => org.apache.spark.sql.DataFrame) =
+      f.selectExpr("doc_id", "clean").as[(Long, String)].collect().toSet
+    val c0 = cutset(DupSpansStore.cuts(spark, ds))
+    DupSpansStore.continueAt(spark, ds,
+      Seq((20L, "solo s5 t5 u5 v5 w5 x5 y5 z5")).toDF("doc_id", "text"),
+      none, "doc_id", "text")
+    assert(cutset(DupSpansStore.cuts(spark, ds)) != c0,
+      "the duplicate-making delta must change some cut text")
+    assert(cutset(DupSpansStore.cutsAt(spark, ds, 0L)) == c0,
+      "the as-of cut output must equal the pre-delta shipped text")
   }
 
   test("KeyedUpsertStore rollback reverts the batch fence WITH the rows") {

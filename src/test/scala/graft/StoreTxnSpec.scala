@@ -175,6 +175,24 @@ class StoreTxnSpec extends SparkSpec {
     intercept[RuntimeException] { TfidfStore.rollbackTo(spark, tp, 0L) }
   }
 
+  test("a second concurrent coordinator on the same txn dir fails loudly") {
+    val (tp, lp) = freshPair("lease")
+    val txn = txnDirOf("lease")
+    // first coordinator is mid-txn: its lease is on the dir
+    val fs = SegSwap.fsOf(spark, txn)
+    val held = SegSwap.acquireLease(fs, txn)
+    val e = intercept[IllegalStateException] {
+      StoreTxn.run(spark, txn, Seq("tfidf" -> tp, "lmcounts" -> lp)) {
+        fail("the body must never run under a contended lease")
+      }
+    }
+    assert(e.getMessage.contains("another writer holds the lease"),
+      "the second coordinator must fail at entry, not revert in-flight work")
+    SegSwap.releaseLease(fs, txn, held)
+    // released: the dir is usable again
+    StoreTxn.run(spark, txn, Seq("tfidf" -> tp, "lmcounts" -> lp)) { () }
+  }
+
   test("unknown store kinds fail loudly at manifest time, before any commit") {
     val txn = txnDirOf("kind")
     val e = intercept[IllegalArgumentException] {
