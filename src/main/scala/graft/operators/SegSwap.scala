@@ -58,6 +58,7 @@ private[graft] object SegSwap {
   private val Pins = "seg_pins"
   private val EpochFile = "seg_epoch"
   private val RetainFile = "seg_retain"
+  private val FloorFile = "seg_floor"
   // bucket ids may be negative (range bucketing of negative ids);
   // state "dir" swaps a whole un-bucketed directory (bucket field
   // ignored — params migration during a rebucket)
@@ -105,6 +106,7 @@ private[graft] object SegSwap {
     fs.delete(new HPath(s"$path/$Snapshots"), true)
     fs.delete(new HPath(s"$path/$EpochFile"), false)
     fs.delete(new HPath(s"$path/$RetainFile"), false)
+    fs.delete(new HPath(s"$path/$FloorFile"), false)
   }
 
   // ---- small atomic text-file helpers (lease, epoch, manifests) ---------
@@ -385,6 +387,16 @@ private[graft] object SegSwap {
       java.util.UUID.randomUUID().toString.take(8)
     writeTextAtomic(fs, s"$path/$Pins/$token",
       s"$epoch ${System.currentTimeMillis() + ttlMs}")
+    // floor re-check AFTER the pin file lands (the truncation twin of
+    // pin-then-verify): a pin racing truncateHistory's floor write
+    // self-withdraws here, so no pin below the floor ever survives
+    val floor = historyFloorOf(fs, path)
+    if (epoch < floor) {
+      fs.delete(new HPath(s"$path/$Pins/$token"), false)
+      sys.error(s"segswap: epoch $epoch of $path is below the history " +
+        s"floor ($floor) — history was truncated (deletion scrub); " +
+        "epochs below it are not reconstructible")
+    }
     val horizon = currentEpoch(fs, path) - retentionOf(fs, path)
     if (epoch < horizon &&
         !pinnedFloor(fs, path, excluding = Some(token)).exists(_ <= epoch)) {
@@ -417,6 +429,10 @@ private[graft] object SegSwap {
       case Some(p) => math.min(cut0, p)
       case None => cut0
     }
+    gcRetiredAt(fs, path, cut)
+  }
+
+  private def gcRetiredAt(fs: FileSystem, path: String, cut: Long): Unit = {
     retiredEpochs(fs, path).filter(_ <= cut).foreach { e =>
       fs.delete(new HPath(s"$path/$Retired/e=$e"), true)
     }
@@ -442,6 +458,44 @@ private[graft] object SegSwap {
       }
     }
   }
+
+  /** Oldest epoch whose as-of view is still reconstructible. 0 (every
+    * epoch since init) unless [[truncateHistory]] deliberately scrubbed
+    * history — deletion propagation must make purged rows GONE from
+    * disk, and the retired/snapshot layer retains exactly the
+    * pre-deletion bucket files a plain continuation would hide. */
+  def historyFloorOf(fs: FileSystem, path: String): Long =
+    readText(fs, new HPath(s"$path/$FloorFile"))
+      .map(_.trim.toLong).getOrElse(0L)
+
+  /** DESTROY the store's time-travel history: every retired epoch is
+    * deleted (not renamed) and the floor is raised to the current
+    * epoch, so snapshot reads, rollbacks, and pins below it fail
+    * loudly instead of silently reading live content for a
+    * since-replaced bucket. This is the scrub half of deletion
+    * propagation ([[Forget]]): a removal continuation takes purged
+    * rows out of the LIVE view, but their bytes survive in
+    * `seg_retired/` until the horizon passes — a right-to-be-forgotten
+    * sweep must collapse that history at the delete, not K commits
+    * later. Refuses while a reader pin is live (the pin IS the claim
+    * those files stay readable); a pin racing the floor write
+    * self-withdraws via [[pinEpoch]]'s post-write floor re-check.
+    * History restarts above the floor: commits after the truncation
+    * retire and time-travel normally. */
+  def truncateHistory(spark: SparkSession, path: String): Unit =
+    withWriterLease(spark, path) { _ =>
+      recover(spark, path) // install any pending swap; live dirs = truth
+      val fs = fsOf(spark, path)
+      val now = installedEpoch(fs, path)
+      val prior = historyFloorOf(fs, path)
+      writeTextAtomic(fs, s"$path/$FloorFile", now.toString)
+      pinnedFloor(fs, path).filter(_ < now).foreach { p =>
+        writeTextAtomic(fs, s"$path/$FloorFile", prior.toString)
+        sys.error(s"segswap: cannot truncate history of $path — a " +
+          s"reader pin holds epoch $p; wait for its release or TTL")
+      }
+      gcRetiredAt(fs, path, now)
+    }
 
   // ---- shared params codec ----------------------------------------------
 
@@ -773,6 +827,13 @@ private[graft] object SegSwap {
     require(epoch <= now,
       s"segswap: snapshot epoch $epoch of $path/$name is in the future " +
         s"(current epoch $now)")
+    // the floor outranks pins: truncation refused while pins were live,
+    // so nothing below it is readable under ANY claim
+    val floor = historyFloorOf(fs, path)
+    require(epoch >= floor,
+      s"segswap: snapshot epoch $epoch of $path/$name is below the " +
+        s"history floor ($floor) — history was truncated (deletion " +
+        "scrub), its retired files are gone")
     val horizon = now - retentionOf(fs, path)
     require(epoch >= horizon ||
         pinnedFloor(fs, path).exists(_ <= epoch),
@@ -837,6 +898,14 @@ private[graft] object SegSwap {
       require(epoch <= now,
         s"segswap: cannot roll $path back to future epoch $epoch " +
           s"(current $now)")
+      // explicit floor check (snapshotTable would also catch it, but
+      // only for tables with changed buckets — a post-truncation
+      // rollback must fail loudly, never half-noop)
+      val floor = historyFloorOf(fs, path)
+      require(epoch >= floor,
+        s"segswap: cannot roll $path back to epoch $epoch — it is " +
+          s"below the history floor ($floor); history was truncated " +
+          "(deletion scrub) and the pre-floor content no longer exists")
       if (epoch < now) { // rolling back to `now` is a no-op, not a commit
       val later = retiredEpochs(fs, path).filter(_ > epoch)
       val touched = tables.map { case (name, schema) =>

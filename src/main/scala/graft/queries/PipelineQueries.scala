@@ -706,6 +706,44 @@ object PipelineQueries {
                 round(tf.tf * ln(n.n::DOUBLE / dfq.df), 6) AS tfidf
               FROM tf JOIN dfq USING (token) CROSS JOIN n""")),
 
+    // DELETION PROPAGATION ([[graft.operators.Forget]]): purge a doc
+    // cohort from a two-store family as ONE atomic sweep, then scrub
+    // the stores' time-travel history so the purged bytes are gone
+    // from disk (ForgetSpec audits that file-by-file; here the oracle
+    // recomputes TF-IDF from scratch WITHOUT the purged docs — any
+    // residue in tf bags, df, or N hash-mismatches).
+    Q("q_forget_sweep",
+      (s, dir) => {
+        val docs = Q.t(s, dir, "documents")
+        val tp = java.nio.file.Files
+          .createTempDirectory("graft_forget_tfidf").toString
+        val lp = java.nio.file.Files
+          .createTempDirectory("graft_forget_lm").toString
+        val txn = java.nio.file.Files
+          .createTempDirectory("graft_forget_txn").toString
+        graft.operators.TfidfStore.init(s, tp, docs, "doc_id", "text",
+          nBuckets = 16)
+        graft.operators.LmCountsStore.init(s, lp, docs, "doc_id", "text",
+          nBuckets = 16)
+        graft.operators.Forget.sweep(s, txn,
+          docs.filter(col("doc_id") % 10 === 2).select("doc_id"),
+          "doc_id", "text", Seq("tfidf" -> tp, "lmcounts" -> lp))
+        graft.operators.TfidfStore.tfidf(s, tp)
+          .select(col("doc_id"), col("token"), col("tf"), col("df"),
+            round(col("tfidf"), 6).as("tfidf"))
+      },
+      Some(s"""WITH toks AS (SELECT doc_id,
+                list_filter(regexp_split_to_array(text, ' +'), x -> x <> '') AS toks
+                FROM documents WHERE doc_id % 10 <> 2),
+              tf AS (SELECT doc_id, t AS token, count(*) AS tf
+                FROM (SELECT doc_id, unnest(toks) AS t FROM toks)
+                GROUP BY 1, 2),
+              dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+              n AS (SELECT count(*) AS n FROM documents WHERE doc_id % 10 <> 2)
+              SELECT tf.doc_id, tf.token, tf.tf, dfq.df,
+                round(tf.tf * ln(n.n::DOUBLE / dfq.df), 6) AS tfidf
+              FROM tf JOIN dfq USING (token) CROSS JOIN n""")),
+
     // Word-trigram Jaccard near-dup pairs on a doc_id%5 slice. The
     // df<=128 candidate cap is part of the operator contract (kills the
     // quadratic hot-shingle self-join) and is mirrored here.
