@@ -443,6 +443,32 @@ object ScaleBench {
           "redo_hash" -> trd)
       }
 
+      run("forget", 5000L * m) {
+        // deletion propagation at scale: the sweep is ordinary removal
+        // continuations under one txn (cost = the purged cohort's
+        // touched buckets per store + O(#stores) manifest/pin
+        // bookkeeping), and the scrub is pure metadata (deleting the
+        // sweep's own retired buckets + the floor write). For a
+        // fixed-FRACTION purge both must scale like the continuations
+        // they are made of — ~linear in the purged bytes, never in
+        // history depth.
+        val tp = s"$dir/forget_tfidf"; val lp = s"$dir/forget_lm"
+        deleteRec(new java.io.File(tp)); deleteRec(new java.io.File(lp))
+        val (_, tb) = timed {
+          operators.TfidfStore.init(spark, tp, docs, "doc_id", "text")
+          operators.LmCountsStore.init(spark, lp, docs, "doc_id", "text")
+        }
+        val purge = docs.filter(col("doc_id") % 100 === 55).select("doc_id")
+        val stores = Seq("tfidf" -> tp, "lmcounts" -> lp)
+        val (_, ts) = timed(operators.Forget.sweep(spark,
+          s"$dir/forget_txn", purge, "doc_id", "text", stores,
+          scrubHistory = false))
+        val (_, tg) = timed(stores.foreach { case (_, p) =>
+          operators.Forget.scrub(spark, p) })
+        val (_, trd) = timed(consume(operators.TfidfStore.tfidf(spark, tp)))
+        Seq("init" -> tb, "sweep1pct" -> ts, "scrub" -> tg, "read" -> trd)
+      }
+
       run("lm_score", 5000L * m) {
         // bigram-count joins are the heaviest text-stat shape (corpus
         // bigram table ~ corpus token count): cost must stay ~linear

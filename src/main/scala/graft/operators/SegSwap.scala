@@ -459,6 +459,24 @@ private[graft] object SegSwap {
     }
   }
 
+  /** Retired epochs in (`epoch`, current] that replaced ≥90% of some
+    * table's buckets as of `epoch` — the signature of a lifecycle
+    * commit (rebucket/compact/respan; a genuinely store-wide delta
+    * matches too, and earns the same advice). A [[rollbackTo]] across
+    * one of these restages the whole store, not just the poisoned
+    * delta's buckets. O(#retired × #tables) text-manifest reads. */
+  private[graft] def wholeStoreCommitsSince(fs: FileSystem, path: String,
+      epoch: Long, tables: Seq[String]): Seq[Long] = {
+    val atE = tables.map(n => n -> bucketsAt(fs, path, n, epoch)).toMap
+    retiredEpochs(fs, path).filter(_ > epoch).filter { f =>
+      tables.exists { n =>
+        val base = atE(n)
+        base.size >= 4 && retiredBucketsOf(fs, path, f, n)
+          .intersect(base).size >= math.ceil(base.size * 0.9)
+      }
+    }
+  }
+
   /** Oldest epoch whose as-of view is still reconstructible. 0 (every
     * epoch since init) unless [[truncateHistory]] deliberately scrubbed
     * history — deletion propagation must make purged rows GONE from
@@ -908,6 +926,21 @@ private[graft] object SegSwap {
           "(deletion scrub) and the pre-floor content no longer exists")
       if (epoch < now) { // rolling back to `now` is a no-op, not a commit
       val later = retiredEpochs(fs, path).filter(_ > epoch)
+      // "roll back FIRST, respan after" (measured in the round-10
+      // seg_timetravel probe): a lifecycle commit (rebucket/compact/
+      // respan) between the target and head replaced EVERY bucket, so
+      // this revert's pruning degenerates from delta-proportional to
+      // corpus-wide. Still correct — but name the commit to blame, so
+      // an operator with a poisoned shard learns to revert before the
+      // next lifecycle op, not after.
+      val whole = wholeStoreCommitsSince(fs, path, epoch, tables.map(_._1))
+      if (whole.nonEmpty)
+        System.err.println(s"[segswap] rollback of $path to epoch " +
+          s"$epoch is CORPUS-WIDE: commit${if (whole.size > 1) "s" else ""} " +
+          s"${whole.mkString(", ")} (a rebucket/compact/respan, or a " +
+          "store-wide delta) replaced ~every bucket since the target: " +
+          "roll back BEFORE lifecycle ops to keep reverts " +
+          "delta-proportional")
       val touched = tables.map { case (name, schema) =>
         val atE = bucketsAt(fs, path, name, epoch)
         val replacedSince =

@@ -716,6 +716,35 @@ class LifecycleSpec extends SparkSpec {
     assert(rows(DupSpansStore.scores(spark, store)) == batch(corpus))
   }
 
+  test("rollback across a lifecycle op is flagged corpus-wide — and exact") {
+    import graft.operators.{SegSwap, TfidfStore}
+    val tp = java.nio.file.Files
+      .createTempDirectory("graft_lc_rbwhole").toString
+    val docs = (1L to 24L).map(i => (i, s"alpha a$i beta b$i gamma g$i"))
+      .toDF("doc_id", "text")
+    TfidfStore.init(spark, tp, docs, "doc_id", "text", nBuckets = 8)
+    def rows() = TfidfStore.tfidf(spark, tp)
+      .selectExpr("doc_id", "token", "tf", "df")
+      .collect().map(_.toString).toSet
+    val pre = rows()
+    // a small poison delta, then the lifecycle op the advice is about
+    TfidfStore.continueAt(spark, tp,
+      Seq((100L, "poison p q r")).toDF("doc_id", "text"),
+      Seq.empty[Long].toDF("doc_id"), "doc_id", "text")
+    val fs = SegSwap.fsOf(spark, tp)
+    assert(SegSwap.wholeStoreCommitsSince(fs, tp, 0L, Seq("tf", "dfreq"))
+      .isEmpty, "a small delta must not look like a lifecycle commit")
+    SegSwap.setRetention(fs, tp, 4) // keep epoch 0 reachable past compact
+    TfidfStore.compact(spark, tp)
+    val whole = SegSwap.wholeStoreCommitsSince(fs, tp, 0L, Seq("tf", "dfreq"))
+    assert(whole == Seq(TfidfStore.currentEpoch(spark, tp)),
+      s"the compact commit must be flagged as whole-store (got $whole)")
+    // the revert across it: corpus-wide (the advisory's claim) but exact
+    TfidfStore.rollbackTo(spark, tp, 0L)
+    assert(rows() == pre,
+      "the rollback across the lifecycle op must still be exact")
+  }
+
   test("teraValidate compares strings in UTF-8 order (supplementary plane)") {
     // U+E000 (3-byte UTF-8) sorts BELOW U+1F600 (4-byte, surrogate pair
     // in UTF-16) under Spark/DuckDB binary order; Java's UTF-16
