@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** Multimodal column plumbing: media as opaque `binary` columns with a
@@ -85,4 +85,120 @@ object Multimodal {
           greatest((col("meta.n_bytes") / stride).cast("int"), lit(1)))),
         i => getbit(col("media"), (i * stride).cast("long") % (col("meta.n_bytes") * 8)))
         .as("samples"))
+
+  // ---- GRAW: a REAL decodable raw-media format ---------------------------
+  //
+  // The env has no codec libraries, but "no libjpeg" does not excuse a
+  // fake decoder for UNCOMPRESSED media: GRAW is a trivial raw format
+  // (the PPM/WAV-class shape) this module encodes AND decodes with
+  // real byte arithmetic — magic "GRW1" (4 bytes), width (2 bytes BE),
+  // height (2 bytes BE), channels (1 byte), then w*h*c interleaved
+  // row-major samples, one byte each. Both directions run as
+  // codegen'd builtins (substring/hex/conv over BinaryType), never a
+  // UDF: byte i is conv(hex(substring(media, i+1, 1)), 16, 10) and a
+  // byte is emitted as unhex(two hex chars). A wrong header layout,
+  // endianness, or off-by-one CANNOT cancel out between the paths —
+  // q_multimodal_decode's oracle recomputes the expected statistics
+  // from the pixel FORMULA alone (pure integer SQL in DuckDB, no
+  // bytes), so only a correct byte round-trip matches it.
+
+  /** byte `i` (0-based) of a binary column, as an int in 0..255. */
+  private def byteAt(bin: Column, i: Column): Column =
+    conv(hex(substring(bin, (i + 1).cast("int"), lit(1))), 16, 10)
+      .cast("int")
+
+  /** int 0..255 → one binary byte. */
+  private def asByte(v: Column): Column = unhex(lpad(hex(v), 2, "0"))
+
+  /** int 0..65535 → two big-endian binary bytes. */
+  private def asBe16(v: Column): Column = unhex(lpad(hex(v), 4, "0"))
+
+  /** Encode (id, pixels: array<int>) rows as GRAW blobs. `pixels` is
+    * interleaved row-major w*h*c samples in 0..255 (caller-checked by
+    * the format itself: a sample outside the byte range makes unhex
+    * yield a >1-byte cell and the blob's length self-invalidates). */
+  def packRaw(df: DataFrame, idCol: String, pixelsCol: String,
+      width: Int, height: Int, channels: Int): DataFrame = {
+    require(width > 0 && width <= 0xffff && height > 0 && height <= 0xffff &&
+      channels > 0 && channels <= 255, s"graw: bad dims ${width}x${height}x$channels")
+    val header = concat(
+      encode(lit("GRW1"), "UTF-8"),
+      asBe16(lit(width)), asBe16(lit(height)), asByte(lit(channels)))
+    val body = array_join(transform(col(pixelsCol),
+      p => lpad(hex(p), 2, "0")), "")
+    df.select(
+      col(idCol).as("id"),
+      concat(header, unhex(body)).as("media"),
+      struct(lit("graw").as("kind"),
+        lit(4 + 2 + 2 + 1 + width * height * channels).as("n_bytes"),
+        lit(width).as("width"), lit(height).as("height"),
+        lit(channels).as("channels")).as("meta"))
+  }
+
+  /** Decode GRAW blobs — header parse + per-channel mean over the
+    * sample bytes, all real byte math in codegen'd builtins. Fails
+    * loudly (not silently-null) on a bad magic or a length that
+    * disagrees with the header: corrupt media must surface at the
+    * decode, not as skewed statistics downstream. */
+  def rawStats(packed: DataFrame): DataFrame = {
+    val media = col("media")
+    val ok = substring(media, 1, 4) === encode(lit("GRW1"), "UTF-8")
+    val w = (byteAt(media, lit(4)) * 256 + byteAt(media, lit(5))).as("width")
+    val h = (byteAt(media, lit(6)) * 256 + byteAt(media, lit(7))).as("height")
+    val c = byteAt(media, lit(8)).as("channels")
+    val parsed = packed.select(col("id"), media,
+      when(ok, w).otherwise(raise_error(concat(lit("graw: bad magic in id="),
+        col("id").cast("string")))).as("width"), h, c)
+      .withColumn("_n", col("width") * col("height") * col("channels"))
+      .withColumn("_len_ok",
+        when(octet_length(media) === col("_n") + 9, lit(true))
+          .otherwise(raise_error(concat(
+            lit("graw: length/header mismatch in id="),
+            col("id").cast("string")))))
+    parsed.select(col("id"), col("width"), col("height"), col("channels"),
+      transform(sequence(lit(0), col("channels") - 1), ch =>
+        aggregate(
+          sequence(lit(0L), (col("width") * col("height")).cast("long") - 1),
+          lit(0L),
+          (acc, px) => acc + byteAt(media,
+            lit(9) + px * col("channels") + ch).cast("long"),
+          s => s.cast("double") / (col("width") * col("height"))))
+        .as("channel_means"))
+  }
+
+  /** The same decode as a plain JVM function — the per-partition codec
+    * body for [[decodePartitioned]]-style harnesses; spec-enforced
+    * byte-identical to [[rawStats]]. Returns (width, height, channels,
+    * per-channel means). */
+  def rawBytesToStats(media: Array[Byte]): (Int, Int, Int, Array[Double]) = {
+    require(media.length >= 9 && media(0) == 'G' && media(1) == 'R' &&
+      media(2) == 'W' && media(3) == '1', "graw: bad magic")
+    def u(i: Int) = media(i) & 0xff
+    val w = u(4) * 256 + u(5); val h = u(6) * 256 + u(7); val c = u(8)
+    require(media.length == 9 + w * h * c, "graw: length/header mismatch")
+    val sums = new Array[Long](c)
+    var i = 0
+    while (i < w * h * c) { sums(i % c) += u(9 + i); i += 1 }
+    (w, h, c, sums.map(_.toDouble / (w * h)))
+  }
+
+  /** Frame extraction without a full decode — the video-frame-sampling
+    * shape on a REAL format: row `r`'s samples are bytes
+    * [9 + r*w*c, 9 + (r+1)*w*c), sliced straight out of the blob
+    * (substring never touches other rows' bytes). Every `strideRows`-th
+    * row, as (id, row, samples: array<int>). */
+  def rawRowSample(packed: DataFrame, strideRows: Int): DataFrame = {
+    val media = col("media")
+    val w = byteAt(media, lit(4)) * 256 + byteAt(media, lit(5))
+    val h = byteAt(media, lit(6)) * 256 + byteAt(media, lit(7))
+    val c = byteAt(media, lit(8))
+    packed.select(col("id"), w.as("_w"), h.as("_h"), c.as("_c"), media)
+      .select(col("id"),
+        explode(sequence(lit(0), col("_h") - 1, lit(strideRows))).as("row"),
+        col("_w"), col("_c"), col("media"))
+      .select(col("id"), col("row"),
+        transform(sequence(lit(0), col("_w") * col("_c") - 1), j =>
+          byteAt(col("media"), lit(9) + col("row") * col("_w") * col("_c") + j))
+          .as("samples"))
+  }
 }

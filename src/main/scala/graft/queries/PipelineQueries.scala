@@ -1890,6 +1890,39 @@ object PipelineQueries {
               substring(text, 1, 8) AS head
               FROM documents""")),
 
+    // GRAW multimodal decode: REAL byte round-trip — pack deterministic
+    // 8x8x3 raw images (pixel p of channel ch = (doc_id*131 +
+    // (p*3+ch)*7 + 13) % 256) into the GRAW header+samples format,
+    // then decode header dims and per-channel means back out of the
+    // BYTES (codegen'd substring/hex/conv, no UDF). The oracle never
+    // touches bytes: it recomputes the means from the pixel FORMULA,
+    // so an endianness, header-layout, or interleave mistake cannot
+    // cancel between the pack and decode paths.
+    Q("q_multimodal_decode",
+      (s, dir) => {
+        val px = Q.t(s, dir, "documents").filter(col("doc_id") % 5 === 0)
+          .select(col("doc_id"),
+            transform(sequence(lit(0), lit(8 * 8 * 3 - 1)),
+              i => pmod(col("doc_id") * 131 + i * 7 + 13, lit(256))
+                .cast("int")).as("pixels"))
+        Multimodal.rawStats(
+            Multimodal.packRaw(px, "doc_id", "pixels", 8, 8, 3))
+          .select(col("id").as("doc_id"), col("width"), col("height"),
+            col("channels"),
+            round(element_at(col("channel_means"), 1), 6).as("mean_c0"),
+            round(element_at(col("channel_means"), 2), 6).as("mean_c1"),
+            round(element_at(col("channel_means"), 3), 6).as("mean_c2"))
+      },
+      Some("""SELECT doc_id, 8::INTEGER AS width, 8::INTEGER AS height,
+                3::INTEGER AS channels,
+                round(list_avg([(doc_id*131 + (p*3+0)*7 + 13) % 256
+                  for p in generate_series(0, 63)]), 6) AS mean_c0,
+                round(list_avg([(doc_id*131 + (p*3+1)*7 + 13) % 256
+                  for p in generate_series(0, 63)]), 6) AS mean_c1,
+                round(list_avg([(doc_id*131 + (p*3+2)*7 + 13) % 256
+                  for p in generate_series(0, 63)]), 6) AS mean_c2
+              FROM documents WHERE doc_id % 5 = 0""")),
+
     // Sequence packing: fixed-token-budget packs in (lang, shard, id)
     // order — boundary-crossing rule over a sharded running sum.
     Q("q_seq_pack",

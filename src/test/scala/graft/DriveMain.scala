@@ -114,6 +114,37 @@ object DriveMain {
       KeyedUpsertStore.lastBatch(spark, up) == -1L,
       "rollback must revert rows and the batch fence together")
     println(s"keyed-upsert store drive OK: $r0 base rows restored")
+
+    // --- GRAW multimodal: pack real bytes, decode them back ---
+    import org.apache.spark.sql.functions._
+    import graft.operators.Multimodal
+    val px = docs.limit(64).select(col("doc_id"),
+      transform(sequence(lit(0), lit(8 * 8 * 3 - 1)),
+        i => pmod(col("doc_id") * 131 + i * 7 + 13, lit(256)).cast("int"))
+        .as("pixels"))
+    val packed = Multimodal.packRaw(px, "doc_id", "pixels", 8, 8, 3)
+    val stats = Multimodal.rawStats(packed)
+      .selectExpr("id", "width", "height", "channels", "channel_means")
+      .as[(Long, Int, Int, Int, Array[Double])].collect()
+    require(stats.length == 64 && stats.forall { case (_, w, h, c, ms) =>
+      w == 8 && h == 8 && c == 3 && ms.length == 3 }, "graw header parse")
+    // oracle by formula: mean over pixels of channel ch
+    stats.foreach { case (id, _, _, _, ms) =>
+      for (ch <- 0 until 3) {
+        val exp = (0 until 64).map(p =>
+          ((id * 131 + (p * 3 + ch) * 7 + 13) % 256).toDouble).sum / 64
+        require(math.abs(ms(ch) - exp) < 1e-9,
+          s"graw mean mismatch id=$id ch=$ch got=${ms(ch)} exp=$exp")
+      }
+    }
+    // JVM twin equals the columnar decode
+    val one = packed.filter("id = " + stats.head._1)
+      .select("media").as[Array[Byte]].head()
+    val (jw, jh, jc, jm) = Multimodal.rawBytesToStats(one)
+    require(jw == 8 && jh == 8 && jc == 3 &&
+      jm.zip(stats.head._5).forall { case (a, b) => math.abs(a - b) < 1e-9 },
+      "graw JVM twin mismatch")
+    println(s"graw drive OK: ${stats.length} blobs decoded, means match formula")
     spark.stop()
   }
 }

@@ -377,6 +377,62 @@ class OperatorsSpec extends SparkSpec {
     assert(batched == columnar)
   }
 
+  test("graw pack/decode round-trip: handwritten bytes, both decode paths") {
+    import org.apache.spark.sql.functions._
+    // 2x2x2 image with hand-picked samples: channel 0 = {10,20,30,40},
+    // channel 1 = {50,60,70,255} (interleaved row-major)
+    val pix = Seq(10, 50, 20, 60, 30, 70, 40, 255)
+    val df = Seq((7L, pix)).toDF("doc_id", "pixels")
+    val packed = Multimodal.packRaw(df, "doc_id", "pixels", 2, 2, 2)
+    val blob = packed.select("media").as[Array[Byte]].head()
+    // byte-exact layout: magic, BE dims, channels, samples
+    assert(blob.length == 9 + 8)
+    assert(new String(blob.take(4), "UTF-8") == "GRW1")
+    assert((blob(4) & 0xff, blob(5) & 0xff) == (0, 2))
+    assert((blob(6) & 0xff, blob(7) & 0xff) == (0, 2))
+    assert((blob(8) & 0xff) == 2)
+    assert(blob.drop(9).map(_ & 0xff).toSeq == pix)
+    val r = Multimodal.rawStats(packed)
+      .selectExpr("width", "height", "channels", "channel_means").head()
+    assert((r.getInt(0), r.getInt(1), r.getInt(2)) == (2, 2, 2))
+    assert(r.getSeq[Double](3) == Seq(25.0, (50 + 60 + 70 + 255) / 4.0))
+    // the JVM twin sees the same bytes the same way
+    val (w, h, c, ms) = Multimodal.rawBytesToStats(blob)
+    assert((w, h, c) == (2, 2, 2) && ms.toSeq == r.getSeq[Double](3))
+    // row sampling slices exactly row r's samples
+    val rows = Multimodal.rawRowSample(packed, strideRows = 1)
+      .orderBy("row").select("row", "samples")
+      .as[(Int, Seq[Int])].collect().toSeq
+    assert(rows == Seq((0, Seq(10, 50, 20, 60)), (1, Seq(30, 70, 40, 255))))
+  }
+
+  test("graw decode fails loudly on bad magic and on header/length mismatch") {
+    import org.apache.spark.sql.functions._
+    val good = Multimodal.packRaw(
+      Seq((1L, Seq(1, 2, 3, 4))).toDF("doc_id", "pixels"), "doc_id",
+      "pixels", 2, 2, 1)
+    // corrupt the magic
+    val badMagic = good.select(col("id"),
+      concat(encode(lit("XXXX"), "UTF-8"),
+        expr("substring(media, 5, octet_length(media) - 4)")).as("media"))
+    val e1 = intercept[Exception] {
+      Multimodal.rawStats(badMagic).collect()
+    }
+    assert(e1.getMessage.contains("bad magic") ||
+      Option(e1.getCause).exists(_.getMessage.contains("bad magic")))
+    // truncate a sample byte: header says 4 samples, body has 3
+    val short = good.select(col("id"),
+      expr("substring(media, 1, octet_length(media) - 1)").as("media"))
+    val e2 = intercept[Exception] {
+      Multimodal.rawStats(short).collect()
+    }
+    assert(e2.getMessage.contains("length/header mismatch") ||
+      Option(e2.getCause).exists(_.getMessage.contains("length/header mismatch")))
+    intercept[IllegalArgumentException] {
+      Multimodal.rawBytesToStats("XXXX12345".getBytes("UTF-8"))
+    }
+  }
+
   test("decontaminate drops exactly the docs sharing an eval shingle") {
     val eval = Seq((900L, "the quick brown fox leaps")).toDF("doc_id", "text")
     val corpus = Seq(
