@@ -717,29 +717,29 @@ object PipelineQueries {
         val docs = Q.t(s, dir, "documents")
         val tp = java.nio.file.Files
           .createTempDirectory("graft_forget_tfidf").toString
-        val lp = java.nio.file.Files
-          .createTempDirectory("graft_forget_lm").toString
+        val ep = java.nio.file.Files
+          .createTempDirectory("graft_forget_line").toString
         val txn = java.nio.file.Files
           .createTempDirectory("graft_forget_txn").toString
         graft.operators.TfidfStore.init(s, tp, docs, "doc_id", "text",
           nBuckets = 16)
-        graft.operators.LmCountsStore.init(s, lp, docs, "doc_id", "text",
-          nBuckets = 16)
+        graft.operators.LineDedupStore.init(s, ep, docs, "doc_id", "text",
+          maxDocs = 64L, sep = " ", nBuckets = 16)
         graft.operators.Forget.sweep(s, txn,
-          docs.filter(col("doc_id") % 10 === 2).select("doc_id"),
-          "doc_id", "text", Seq("tfidf" -> tp, "lmcounts" -> lp))
+          docs.filter(col("doc_id") % 100 === 2).select("doc_id"),
+          "doc_id", "text", Seq("tfidf" -> tp, "linededup" -> ep))
         graft.operators.TfidfStore.tfidf(s, tp)
           .select(col("doc_id"), col("token"), col("tf"), col("df"),
             round(col("tfidf"), 6).as("tfidf"))
       },
       Some(s"""WITH toks AS (SELECT doc_id,
                 list_filter(regexp_split_to_array(text, ' +'), x -> x <> '') AS toks
-                FROM documents WHERE doc_id % 10 <> 2),
+                FROM documents WHERE doc_id % 100 <> 2),
               tf AS (SELECT doc_id, t AS token, count(*) AS tf
                 FROM (SELECT doc_id, unnest(toks) AS t FROM toks)
                 GROUP BY 1, 2),
               dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
-              n AS (SELECT count(*) AS n FROM documents WHERE doc_id % 10 <> 2)
+              n AS (SELECT count(*) AS n FROM documents WHERE doc_id % 100 <> 2)
               SELECT tf.doc_id, tf.token, tf.tf, dfq.df,
                 round(tf.tf * ln(n.n::DOUBLE / dfq.df), 6) AS tfidf
               FROM tf JOIN dfq USING (token) CROSS JOIN n""")),

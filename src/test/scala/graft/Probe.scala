@@ -79,6 +79,30 @@ object Probe {
         timed("result count")(res.count())
         timed("result count again")(res.count())
 
+      case "forget-stages" =>
+        import graft.operators.{Forget, LineDedupStore, LmCountsStore, TfidfStore}
+        val docs = spark.read.parquet(s"$dir/documents.parquet")
+          .selectExpr("doc_id", "text")
+        val tp = java.nio.file.Files.createTempDirectory("pf_tfidf").toString
+        val ep = java.nio.file.Files.createTempDirectory("pf_line").toString
+        val lp = java.nio.file.Files.createTempDirectory("pf_lm").toString
+        val txn = java.nio.file.Files.createTempDirectory("pf_txn").toString
+        timed("tfidf init")(TfidfStore.init(spark, tp, docs, "doc_id",
+          "text", nBuckets = 16))
+        timed("linededup init")(LineDedupStore.init(spark, ep, docs,
+          "doc_id", "text", maxDocs = 64L, sep = " ", nBuckets = 16))
+        timed("lm init")(LmCountsStore.init(spark, lp, docs, "doc_id",
+          "text", nBuckets = 16))
+        val purge = docs.filter(col("doc_id") % 100 === 2).select("doc_id")
+        timed("sweep tfidf-only")(Forget.sweep(spark, txn, purge,
+          "doc_id", "text", Seq("tfidf" -> tp), scrubHistory = false))
+        timed("sweep line-only")(Forget.sweep(spark, txn, purge,
+          "doc_id", "text", Seq("linededup" -> ep), scrubHistory = false))
+        timed("sweep lm-only")(Forget.sweep(spark, txn, purge,
+          "doc_id", "text", Seq("lmcounts" -> lp), scrubHistory = false))
+        timed("scrub all")(Seq(tp, ep, lp).foreach(Forget.scrub(spark, _)))
+        timed("tfidf read")(TfidfStore.tfidf(spark, tp).count())
+
       case other => println(s"unknown probe mode: $other")
     }
     spark.stop()
