@@ -99,6 +99,18 @@ object LmCountsStore {
       dirTables = Seq("params"))
   }
 
+  /** Publish the model AS OF `epoch` to `dst` as a fresh standalone
+    * LmCountsStore — [[SegSwap.exportSnapshot]] with this store's
+    * table set. The release step for model versioning: yesterday's
+    * frozen quality model goes to a serving path, this store keeps
+    * taking corpus deltas. */
+  def exportAt(spark: SparkSession, path: String, epoch: Long,
+      dst: String): Unit = {
+    val p = readParams(spark, path)
+    SegSwap.exportSnapshot(spark, path, epoch, dst,
+      p.ddl.keys.toSeq, dirTables = Seq("params"))
+  }
+
   /** Per-doc contribution tables for a corpus (shared by init and the
     * continuation's arrival side — one definition, no drift). */
   private def uniDocOf(docs: DataFrame, idCol: String, textCol: String,

@@ -477,6 +477,63 @@ private[graft] object SegSwap {
     }
   }
 
+  /** PUBLISH a consistent as-of view of the store: copy `tables`'
+    * bucket files exactly as of `epoch` (and each of `dirTables`' dirs,
+    * e.g. `params`) into `dst`, which becomes a FRESH STANDALONE store
+    * — readable, continuable, epoch 0, carrying none of the source's
+    * history. This is the model-versioning publish step: freeze
+    * yesterday's LM/TF-IDF state to a serving path while the source
+    * keeps taking continuations.
+    *
+    * Reader-side: the source is never mutated, and the whole copy is
+    * GC-fenced by a reader pin (which also rejects epochs below the
+    * history floor or past the unpinned retention horizon — the same
+    * loud guards as any snapshot read). Only INSTALLED epochs export:
+    * a committed-but-uninstalled journal's bucket manifests don't
+    * exist yet, so callers racing a writer re-run after the next
+    * install (or after `recover`). File-level copy: no decode, no
+    * shuffle, O(store bytes at epoch) sequential I/O. */
+  def exportSnapshot(spark: SparkSession, src: String, epoch: Long,
+      dst: String, tables: Seq[String], dirTables: Seq[String]): Unit = {
+    val fs = fsOf(spark, src)
+    val installed = installedEpoch(fs, src)
+    require(epoch <= installed,
+      s"segswap: cannot export epoch $epoch of $src — only installed " +
+        s"epochs (<= $installed) are exportable; recover() or wait for " +
+        "the pending journal's roll-forward first")
+    val dfs = fsOf(spark, dst)
+    require(!dfs.exists(new HPath(dst)) ||
+        dfs.listStatus(new HPath(dst)).isEmpty,
+      s"segswap: export destination $dst is not empty")
+    val token = pinEpoch(fs, src, epoch)
+    try {
+      val conf = spark.sparkContext.hadoopConfiguration
+      def copy(sp: String, dp: String): Unit =
+        require(org.apache.hadoop.fs.FileUtil.copy(fs, new HPath(sp),
+          dfs, new HPath(dp), false, conf),
+          s"segswap: export copy $sp -> $dp failed")
+      tables.foreach { name =>
+        // same bucket→source resolution as snapshotTable, at file level
+        var remaining = bucketsAt(fs, src, name, epoch)
+        retiredEpochs(fs, src).filter(_ > epoch).foreach { f =>
+          val here = remaining.intersect(retiredBucketsOf(fs, src, f, name))
+          here.foreach(b => copy(s"$src/$Retired/e=$f/$name/_b=$b",
+            s"$dst/$name/_b=$b"))
+          remaining --= here
+        }
+        remaining.foreach { b =>
+          require(fs.exists(new HPath(s"$src/$name/_b=$b")),
+            s"segswap: export of epoch $epoch of $src/$name is " +
+              s"unreadable — bucket $b is neither live nor retained")
+          copy(s"$src/$name/_b=$b", s"$dst/$name/_b=$b")
+        }
+      }
+      dirTables.foreach { n =>
+        copy(snapshotDirPath(fs, src, n, epoch), s"$dst/$n")
+      }
+    } finally releasePin(fs, src, token)
+  }
+
   /** Oldest epoch whose as-of view is still reconstructible. 0 (every
     * epoch since init) unless [[truncateHistory]] deliberately scrubbed
     * history — deletion propagation must make purged rows GONE from

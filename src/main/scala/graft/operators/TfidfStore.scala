@@ -84,6 +84,18 @@ object TfidfStore {
         (col("tf") * log(lit(p.n.toDouble) / col("df"))).as("tfidf"))
   }
 
+  /** Publish the store AS OF `epoch` to `dst` as a fresh standalone
+    * TfidfStore (readable, continuable, no inherited history) —
+    * [[SegSwap.exportSnapshot]] with this store's table set. The
+    * model-versioning release step: freeze a corpus-statistics epoch
+    * for a serving/reproducibility path while this store keeps moving. */
+  def exportAt(spark: SparkSession, path: String, epoch: Long,
+      dst: String): Unit = {
+    val p = readParams(spark, path)
+    SegSwap.exportSnapshot(spark, path, epoch, dst,
+      p.ddl.keys.toSeq, dirTables = Seq("params"))
+  }
+
   /** Roll every table of the store (and params) back to `epoch` as one
     * journaled revert — [[SegSwap.rollbackTo]] with this store's table
     * set (see [[DupSpansStore.rollbackTo]], the family exemplar, for

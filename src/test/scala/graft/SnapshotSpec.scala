@@ -383,6 +383,52 @@ class SnapshotSpec extends SparkSpec {
       "the as-of cut output must equal the pre-delta shipped text")
   }
 
+  test("exportAt publishes a standalone as-of store: exact, continuable, fenced") {
+    import graft.operators.{Forget, SegSwap, TfidfStore}
+    val src = java.nio.file.Files
+      .createTempDirectory("graft_snap_export_src").toString
+    val docs = (1L to 20L).map(i => (i, s"alpha a$i beta b$i gamma"))
+      .toDF("doc_id", "text")
+    TfidfStore.init(spark, src, docs, "doc_id", "text", nBuckets = 8)
+    def rows(f: => org.apache.spark.sql.DataFrame) =
+      f.selectExpr("doc_id", "token", "tf", "df", "round(tfidf, 9)")
+        .collect().map(_.toString).toSet
+    val at0 = rows(TfidfStore.tfidf(spark, src))
+    TfidfStore.continueAt(spark, src,
+      Seq((30L, "fresh delta words")).toDF("doc_id", "text"),
+      Seq(7L).toDF("doc_id"), "doc_id", "text")
+    val at1 = rows(TfidfStore.tfidf(spark, src))
+
+    // publish epoch 0: the export equals the as-of read, file-for-file
+    val dst = java.nio.file.Files
+      .createTempDirectory("graft_snap_export_dst").toString
+    TfidfStore.exportAt(spark, src, 0L, dst)
+    assert(rows(TfidfStore.tfidf(spark, dst)) == at0,
+      "the exported store must read exactly the as-of content")
+    assert(TfidfStore.currentEpoch(spark, dst) == 0L,
+      "an export is a fresh store life")
+
+    // standalone: a continuation on the export never touches the source
+    TfidfStore.continueAt(spark, dst,
+      Seq((40L, "export side only")).toDF("doc_id", "text"),
+      Seq.empty[Long].toDF("doc_id"), "doc_id", "text")
+    assert(rows(TfidfStore.tfidf(spark, src)) == at1,
+      "continuing the export must leave the source untouched")
+    assert(TfidfStore.currentEpoch(spark, src) == 1L)
+
+    // guards: non-empty destination; scrubbed epoch
+    val e1 = intercept[Exception] { TfidfStore.exportAt(spark, src, 0L, dst) }
+    assert(e1.getMessage.contains("not empty"), e1.getMessage)
+    Forget.scrub(spark, src)
+    val d2 = java.nio.file.Files
+      .createTempDirectory("graft_snap_export_d2").toString
+    val e2 = intercept[Exception] { TfidfStore.exportAt(spark, src, 0L, d2) }
+    assert(e2.getMessage.contains("history floor"), e2.getMessage)
+    // the current (floor) epoch still exports
+    TfidfStore.exportAt(spark, src, 1L, d2)
+    assert(rows(TfidfStore.tfidf(spark, d2)) == at1)
+  }
+
   test("KeyedUpsertStore rollback reverts the batch fence WITH the rows") {
     import graft.operators.KeyedUpsertStore
     val p = java.nio.file.Files
