@@ -79,6 +79,16 @@ object DecontamStore {
       dirTables = Seq("params"))
   }
 
+  /** Publish the store AS OF `epoch` to `dst` as a fresh standalone
+    * store (see [[SegSwap.exportSnapshot]]; family contract on
+    * [[TfidfStore.exportAt]]). */
+  def exportAt(spark: SparkSession, path: String, epoch: Long,
+      dst: String): Unit = {
+    val p = readParams(spark, path)
+    SegSwap.exportSnapshot(spark, path, epoch, dst,
+      p.ddl.keys.toSeq, dirTables = Seq("params"))
+  }
+
   private def inBuckets(bs: Set[Int]): Column =
     if (bs.isEmpty) lit(false)
     else col("_b").isin(bs.toSeq.map(Integer.valueOf): _*)

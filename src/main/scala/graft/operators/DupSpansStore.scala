@@ -256,6 +256,16 @@ object DupSpansStore {
       dirTables = Seq("params"))
   }
 
+  /** Publish the store AS OF `epoch` to `dst` as a fresh standalone
+    * store (see [[SegSwap.exportSnapshot]]; family contract on
+    * [[TfidfStore.exportAt]]). */
+  def exportAt(spark: SparkSession, path: String, epoch: Long,
+      dst: String): Unit = {
+    val p = readParams(spark, path)
+    SegSwap.exportSnapshot(spark, path, epoch, dst,
+      p.docTables :+ "dfreq", dirTables = Seq("params"))
+  }
+
   /** The post-delta ExactSubstr CUT output (`doc_id, clean, n_kept,
     * n_removed` — [[Pipeline.cutDupSpans]]'s contract). Only on stores
     * initialized `withCut = true`. */

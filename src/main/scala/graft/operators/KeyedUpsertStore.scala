@@ -108,6 +108,14 @@ object KeyedUpsertStore {
       dirTables = Seq("params"))
   }
 
+  /** Publish the store AS OF `epoch` to `dst` as a fresh standalone
+    * store (see [[SegSwap.exportSnapshot]]; family contract on
+    * [[TfidfStore.exportAt]]). */
+  def exportAt(spark: SparkSession, path: String, epoch: Long,
+      dst: String): Unit =
+    SegSwap.exportSnapshot(spark, path, epoch, dst,
+      Seq("rows"), dirTables = Seq("params"))
+
   /** Apply batch `batchId` AT MOST ONCE: replace all rows of keys in
     * `added`, drop `removedKeys`, record the id — one journaled swap.
     * Returns false when the id was already applied (checkpoint

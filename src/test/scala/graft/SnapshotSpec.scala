@@ -429,6 +429,60 @@ class SnapshotSpec extends SparkSpec {
     assert(rows(TfidfStore.tfidf(spark, d2)) == at1)
   }
 
+  test("family sweep: exportAt publishes each store's pre-delta content") {
+    import graft.operators.{DedupClusterStore, KeyedUpsertStore,
+      LineDedupStore, SemanticDedupStore}
+    def dir(t: String) = java.nio.file.Files
+      .createTempDirectory(s"graft_snap_exp_$t").toString
+    val docs = ((1L to 4L).map(i => (i, "same shared body text x y z")) ++
+      (5L to 12L).map(i => (i, s"solo s$i t$i u$i v$i"))).toDF("doc_id", "text")
+    val delta = Seq((30L, "same shared body text x y z")).toDF("doc_id", "text")
+    val none = Seq.empty[Long].toDF("doc_id")
+    def set(f: => org.apache.spark.sql.DataFrame) =
+      f.collect().map(_.toString).toSet
+
+    val lp = dir("line"); val le = dir("line_exp")
+    LineDedupStore.init(spark, lp, docs, "doc_id", "text",
+      maxDocs = 3L, sep = " ", nBuckets = 8)
+    val l0 = set(LineDedupStore.cleaned(spark, lp))
+    LineDedupStore.continueAt(spark, lp, delta, none, "doc_id", "text")
+    assert(set(LineDedupStore.cleaned(spark, lp)) != l0,
+      "the delta must flip some line over maxDocs")
+    LineDedupStore.exportAt(spark, lp, 0L, le)
+    assert(set(LineDedupStore.cleaned(spark, le)) == l0)
+
+    val cp = dir("clus"); val ce = dir("clus_exp")
+    DedupClusterStore.init(spark, cp, docs, "doc_id", "text", nBuckets = 8)
+    val c0 = set(DedupClusterStore.clusters(spark, cp))
+    DedupClusterStore.continueAt(spark, cp, delta, none, "doc_id", "text")
+    DedupClusterStore.exportAt(spark, cp, 0L, ce)
+    assert(set(DedupClusterStore.clusters(spark, ce)) == c0)
+
+    val sp = dir("sem"); val se = dir("sem_exp")
+    val vecs = (1L to 12L).map(i => (i,
+      Array.tabulate(4)(d => ((i * 3 + d) % 7).toFloat))).toDF("id", "vec")
+    SemanticDedupStore.init(spark, sp, vecs, nlist = 2, tau = 0.95,
+      nBuckets = 4)
+    val s0 = set(SemanticDedupStore.keeps(spark, sp))
+    SemanticDedupStore.continueAt(spark, sp,
+      Seq((40L, Array(1f, 2f, 3f, 4f))).toDF("id", "vec"), none)
+    SemanticDedupStore.exportAt(spark, sp, 0L, se)
+    assert(set(SemanticDedupStore.keeps(spark, se)) == s0,
+      "the export must carry the cents dir so decisions resolve")
+
+    val up = dir("ups"); val ue = dir("ups_exp")
+    KeyedUpsertStore.init(spark, up,
+      docs.selectExpr("doc_id as k", "text as v"), "k", nBuckets = 8)
+    val u0 = set(KeyedUpsertStore.rows(spark, up))
+    KeyedUpsertStore.upsertBatch(spark, up,
+      delta.selectExpr("doc_id as k", "text as v"),
+      Seq.empty[Long].toDF("k"), batchId = 0L)
+    KeyedUpsertStore.exportAt(spark, up, 0L, ue)
+    assert(set(KeyedUpsertStore.rows(spark, ue)) == u0)
+    assert(KeyedUpsertStore.lastBatch(spark, ue) == -1L,
+      "the exported fence is the epoch-0 fence: no batch applied yet")
+  }
+
   test("KeyedUpsertStore rollback reverts the batch fence WITH the rows") {
     import graft.operators.KeyedUpsertStore
     val p = java.nio.file.Files
