@@ -1890,6 +1890,70 @@ object PipelineQueries {
               substring(text, 1, 8) AS head
               FROM documents""")),
 
+    // EPOCH EXPORT ([[graft.operators.TfidfStore.exportAt]]): publish
+    // the PRE-delta model to a standalone store while the source takes
+    // a continuation — the exported store must read exactly the
+    // pre-delta weights (oracle: TF-IDF recompute on the base cohort
+    // alone). A wrong bucket→source resolution in the file copy, or a
+    // post-delta file leaking into the export, hash-mismatches.
+    Q("q_export_model",
+      (s, dir) => {
+        val docs = Q.t(s, dir, "documents")
+        val base = docs.filter(col("doc_id") % 10 =!= 3)
+        val src = java.nio.file.Files
+          .createTempDirectory("graft_export_src").toString
+        val dst = java.nio.file.Files
+          .createTempDirectory("graft_export_dst_x").toString + "/pub"
+        graft.operators.TfidfStore.init(s, src, base, "doc_id", "text",
+          nBuckets = 16)
+        graft.operators.TfidfStore.continueAt(s, src,
+          docs.filter(col("doc_id") % 10 === 3),
+          base.filter(col("doc_id") % 10 === 7).select("doc_id"),
+          "doc_id", "text")
+        graft.operators.TfidfStore.exportAt(s, src, 0L, dst)
+        graft.operators.TfidfStore.tfidf(s, dst)
+          .select(col("doc_id"), col("token"), col("tf"), col("df"),
+            round(col("tfidf"), 6).as("tfidf"))
+      },
+      Some(s"""WITH toks AS (SELECT doc_id,
+                list_filter(regexp_split_to_array(text, ' +'), x -> x <> '') AS toks
+                FROM documents WHERE doc_id % 10 <> 3),
+              tf AS (SELECT doc_id, t AS token, count(*) AS tf
+                FROM (SELECT doc_id, unnest(toks) AS t FROM toks)
+                GROUP BY 1, 2),
+              dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+              n AS (SELECT count(*) AS n FROM documents WHERE doc_id % 10 <> 3)
+              SELECT tf.doc_id, tf.token, tf.tf, dfq.df,
+                round(tf.tf * ln(n.n::DOUBLE / dfq.df), 6) AS tfidf
+              FROM tf JOIN dfq USING (token) CROSS JOIN n""")),
+
+    // GRAW frame sampling: slice every row of each packed image
+    // straight out of the blob (no full decode) and checksum it —
+    // the video-frame-sampling shape. The oracle recomputes each
+    // row's sample sum from the pixel formula; a slicing off-by-one
+    // (row stride, header offset, interleave) shifts every sum.
+    Q("q_multimodal_frames",
+      (s, dir) => {
+        val px = Q.t(s, dir, "documents").filter(col("doc_id") % 5 === 0)
+          .select(col("doc_id"),
+            transform(sequence(lit(0), lit(4 * 4 * 3 - 1)),
+              i => pmod(col("doc_id") * 131 + i * 7 + 13, lit(256))
+                .cast("int")).as("pixels"))
+        graft.operators.Multimodal.rawRowSample(
+            graft.operators.Multimodal.packRaw(px, "doc_id", "pixels",
+              4, 4, 3), strideRows = 2)
+          .select(col("id").as("doc_id"), col("row"),
+            aggregate(col("samples"), lit(0L), (a, x) => a + x)
+              .as("sample_sum"),
+            size(col("samples")).as("n_samples"))
+      },
+      Some("""SELECT doc_id, r::INTEGER AS row,
+                list_sum([(doc_id*131 + (r*12 + j)*7 + 13) % 256
+                  for j in generate_series(0, 11)])::BIGINT AS sample_sum,
+                12::INTEGER AS n_samples
+              FROM documents, generate_series(0, 3, 2) AS t(r)
+              WHERE doc_id % 5 = 0""")),
+
     // GRAW multimodal decode: REAL byte round-trip — pack deterministic
     // 8x8x3 raw images (pixel p of channel ch = (doc_id*131 +
     // (p*3+ch)*7 + 13) % 256) into the GRAW header+samples format,
