@@ -27,4 +27,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 115 codegen'd gate queries in ONE JVM overflow the default 240 MB
+  // JIT code cache (generated WholeStageCodegen classes + their JIT
+  // output); once it fills, compilation stops and everything after
+  // runs interpreted — a uniform 1.4-2x bench slowdown measured when
+  // the gate count crossed ~110. Headroom, not a tuning flourish.
+  "-XX:ReservedCodeCacheSize=512m",
 )

@@ -152,6 +152,17 @@ final class SegmentedStateStore private[core] (
     joined.filter(differs)
   }
 
+  /** Publish the preserved state AS OF `epoch` to `dst` as a fresh
+    * standalone store (see [[SegSwap.exportSnapshot]]; the family
+    * contract) — checkpoint a converged engine state for another
+    * pipeline or a reproducibility archive while this store keeps
+    * taking continuations. The exported params' [[appliedBatch]] fence
+    * is the epoch's own (a stream maintainer resuming against the
+    * export replays exactly the batches after its cut). */
+  def exportAt(epoch: Long, dst: String): Unit =
+    SegSwap.exportSnapshot(spark, path, epoch, dst,
+      Seq("kvs", "out"), dirTables = Seq("params"))
+
   /** Roll the store back to `epoch` as a NEW journaled commit (a
     * revert, not a reset — the rolled-away epochs stay resolvable, and
     * the rollback can itself be rolled back, until GC): kvs, out, AND

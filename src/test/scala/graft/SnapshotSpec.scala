@@ -66,6 +66,15 @@ class SnapshotSpec extends SparkSpec {
     assert(at0 != at1 && at1 != ranks(st.preserved))
     // kvs travels too, and re-resolving twice is stable
     assert(st.snapshotAt(e1).kvs.count() == st.snapshotAt(e1).kvs.count())
+
+    // the engine state publishes like the rest of the family: the
+    // e1 export is a standalone store reading exactly the e1 view
+    val pub = java.nio.file.Files
+      .createTempDirectory("graft_snap_chain_pub").toString
+    st.exportAt(e1, pub)
+    val pubSt = SegmentedStateStore.openForRead(spark, pub)
+    assert(pubSt.currentEpoch == 0L && ranks(pubSt.preserved) == at1,
+      "the exported engine state must equal the as-of view, fresh life")
   }
 
   test("q_incr_pagerank_snapshot gate == q_incr_pagerank (the shared oracle)") {
