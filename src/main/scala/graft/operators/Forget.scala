@@ -52,7 +52,7 @@ object Forget {
     * store's own `continueAt` with an empty added side. */
   val kinds: Set[String] = Set(
     "tfidf", "lmcounts", "linededup", "dupspans", "dedupclusters",
-    "decontam", "semdedup")
+    "decontam", "semdedup", "ivf")
 
   private def purgeOne(spark: SparkSession, kind: String, path: String,
       ids: DataFrame, idCol: String, textCol: String): Unit = {
@@ -80,6 +80,10 @@ object Forget {
         val noneVecs = ids.limit(0).select(col(ids.columns.head).as("id"))
           .withColumn("vec", lit(null).cast("array<double>"))
         SemanticDedupStore.continueAt(spark, path, noneVecs, ids)
+      case "ivf" =>
+        val noneVecs = ids.limit(0).select(col(ids.columns.head).as("id"))
+          .withColumn("vec", lit(null).cast("array<double>"))
+        Similarity.updateIvfIndex(spark, path, noneVecs, ids)
       case other =>
         sys.error(s"forget: no purge recipe for store kind '$other' " +
           s"(known: ${kinds.toSeq.sorted.mkString(", ")})")

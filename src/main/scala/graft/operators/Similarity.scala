@@ -135,54 +135,82 @@ object Similarity {
       queries, k, nprobe, pruneScan = false)
   }
 
-  /** Build the IVF index ON DISK: inverted lists as Parquet partitioned
-    * by `cid` (one directory per list) plus the centroid table — the
-    * "lists built once, reused across query batches" shape. Because the
-    * lists are PARTITIONED by cid, a probe's list filter becomes
-    * partition pruning: a query batch physically reads only the
-    * ~nprobe/nlist of the corpus it probes, which is the entire point
-    * of an inverted-file index at 100 TB. */
+  /** Build the IVF index ON DISK — as a member of the [[SegSwap]]
+    * store family: inverted lists as Parquet partitioned by the bucket
+    * column `_b` (= the list id — one directory per list, so a probe's
+    * list filter is partition pruning and a query batch physically
+    * reads only the ~nprobe/nlist of the corpus it probes), the frozen
+    * centroid table as a plain dir, and a params completeness marker.
+    * Family membership is the point: updates commit through the SHARED
+    * journaled swap, so the index gets epochs, retirement, snapshot
+    * reads, [[ivfRollbackTo]], [[ivfExportAt]], [[StoreTxn]]
+    * participation, and [[Forget]] purges with zero bespoke crash
+    * machinery (this store's own journal — the round-7 original —
+    * is retired; its contract lives on in [[SegSwap]]). */
   def buildIvfIndex(vectors: DataFrame, path: String, nlist: Int = 256,
       centroids: Option[DataFrame] = None, centroidFoldLimit: Int = 64): Unit = {
-    graft.functions.GraftFunctions.register(vectors.sparkSession)
-    // a build overwrites live dirs — a writer by definition, so it
-    // holds the same epoch-fenced lease as updateIvfIndex
-    SegSwap.withWriterLease(vectors.sparkSession, path) { _ =>
-      val v = vectors.select(col("id").as("nid"),
-        col("vec").cast("array<double>").as("nvec"))
-      val cents = normalizedCentroids(v, centroids, nlist)
-      cents.write.mode("overwrite").parquet(s"$path/centroids")
-      assignToLists(v, cents, centroidFoldLimit)
-        .write.mode("overwrite").partitionBy("cid").parquet(s"$path/lists")
-    }
+    val spark = vectors.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    SegSwap.resetForInit(SegSwap.fsOf(spark, path), path)
+    val v = vectors.select(col("id").as("nid"),
+      col("vec").cast("array<double>").as("nvec"))
+    val cents = normalizedCentroids(v, centroids, nlist)
+    cents.write.mode("overwrite").parquet(s"$path/centroids")
+    assignToLists(v, cents, centroidFoldLimit)
+      .withColumn("_b", col("cid").cast("int"))
+      .repartition(col("_b"))
+      .write.mode("overwrite").partitionBy("_b").parquet(s"$path/lists")
+    SegSwap.writeParamsTo(spark, s"$path/params",
+      Seq("listsDdl" -> listsSchemaB.toDDL))
   }
 
   /** Probe a [[buildIvfIndex]] index: same results contract as
     * [[ivfTopK]] with the same centroids/nprobe, but the list scan
-    * carries a literal `cid IN (probed)` predicate, so Parquet
+    * carries a literal `_b IN (probed)` predicate, so Parquet
     * partition pruning skips every unprobed list's files (the probed
     * cid set is driver-collected — O(queries·nprobe), and queries are
-    * broadcast-sized by the ANN contract). */
+    * broadcast-sized by the ANN contract). Reads are journal-resolved
+    * ([[SegSwap.resolvedTable]]) — a committed-but-uninstalled update
+    * is visible without mutating anything, so probes never race a
+    * writer's staging. */
   def probeIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
       queries: DataFrame, k: Int, nprobe: Int = 8): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    // Finish any interrupted updateIvfIndex swap before trusting the dirs.
-    // READ-side recovery only rolls a journaled swap forward — it must NOT
-    // clean up an unjournaled staging dir, because a probe running
-    // concurrently with an in-flight update (reader + single writer, which
-    // the contract permits) would otherwise delete the update's freshly
-    // staged lists before its journal lands, and the update would then
-    // journal them as "empty" and roll forward to deleting the live dirs.
-    recoverIvfSwap(new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration), path,
-      cleanupOrphans = false)
     val cents = spark.read.parquet(s"$path/centroids")
-    // explicit schema pins the partition column to BIGINT (inference
-    // would narrow it to int — the IN-filter still prunes either way,
-    // asserted in the spec) and keeps a fully-drained index readable
-    val lists = spark.read.schema(listsSchema).parquet(s"$path/lists")
+    val lists = SegSwap.resolvedTable(spark, path, "lists", listsSchemaB)
     probeLists(lists, cents, queries, k, nprobe, pruneScan = true)
   }
+
+  /** The on-disk index's current commit epoch (0 = as-built). */
+  def ivfEpoch(spark: org.apache.spark.sql.SparkSession, path: String): Long =
+    SegSwap.currentEpoch(SegSwap.fsOf(spark, path), path)
+
+  /** Probe the index AS OF `epoch` — yesterday's ANN results under
+    * yesterday's lists (the quantizer is frozen, so centroids need no
+    * epoch): the family as-of read on the similarity surface. */
+  def probeIvfIndexAt(spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, k: Int, nprobe: Int, epoch: Long): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val cents = spark.read.parquet(s"$path/centroids")
+    val lists = SegSwap.snapshotTable(spark, path, "lists", listsSchemaB, epoch)
+    probeLists(lists, cents, queries, k, nprobe, pruneScan = true)
+  }
+
+  /** Roll the index back to `epoch` as one journaled revert — the
+    * family contract ([[SegSwap.rollbackTo]]): delta-proportional,
+    * history-preserving, redo-able, loud past the horizon. */
+  def ivfRollbackTo(spark: org.apache.spark.sql.SparkSession, path: String,
+      epoch: Long): Unit =
+    SegSwap.rollbackTo(spark, path, epoch,
+      Seq("lists" -> listsSchemaB), dirTables = Seq("params"))
+
+  /** Publish the index AS OF `epoch` to `dst` as a fresh standalone
+    * index (lists + frozen quantizer + params) — the family's
+    * model-versioning release step on the ANN surface. */
+  def ivfExportAt(spark: org.apache.spark.sql.SparkSession, path: String,
+      epoch: Long, dst: String): Unit =
+    SegSwap.exportSnapshot(spark, path, epoch, dst,
+      Seq("lists"), dirTables = Seq("params", "centroids"))
 
   /** Incrementally maintain an on-disk [[buildIvfIndex]] index over a
     * vector delta — the incremental thesis (F27–F31,
@@ -212,143 +240,55 @@ object Similarity {
     * An added id already present in the index REPLACES its old row (its
     * old list counts as touched via the same locate scan as a removal).
     *
-    * The swap is CRASH-SAFE (single concurrent writer): staged content
-    * is written first, then a journal records the touched lists and
-    * whether each has staged content, and only then are live dirs
-    * retired and staged dirs renamed into place. A crash in any window
-    * never destroys the only copy of a list — [[recoverIvfSwap]] (run
-    * automatically on the next update or probe) rolls an unjournaled
-    * crash back (live index untouched) and a journaled one forward
-    * (finishing the installs the journal promised).
-    */
+    * The swap is the FAMILY's ([[SegSwap.commit]]): staged content is
+    * written first, one atomically-renamed journal is the commit
+    * point, the replaced list dirs are RETIRED for the snapshot
+    * horizon (so the update is epoch'd, as-of-probeable,
+    * [[ivfRollbackTo]]-able, and [[StoreTxn]]/[[Forget]]-compatible),
+    * and an emptied list journals "empty" and rolls forward to a
+    * retire-without-replace. Writer-leased and epoch-fenced end to
+    * end. */
   def updateIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
       addedVecs: DataFrame, removedIds: DataFrame,
       centroidFoldLimit: Int = 64): Unit = {
     graft.functions.GraftFunctions.register(spark)
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // the family's epoch-fenced writer lease (SegSwap) guards this
-    // store's own journal too: a second concurrent updater fails at
-    // entry instead of racing recoverIvfSwap's staging cleanup, and a
-    // stalled-past-TTL updater is fenced before its journal rename
-    val lease = SegSwap.acquireLease(fs, path)
-    try {
-    recoverIvfSwap(fs, path)
-    val cents = spark.read.parquet(s"$path/centroids")
-    val added = addedVecs.select(col("id").as("nid"),
-      col("vec").cast("array<double>").as("nvec"))
-    val assigned = assignToLists(added, cents, centroidFoldLimit)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // explicit schema: a fully-drained index (no cid= dirs) must still
-    // read as an empty frame, not die in schema inference
-    val lists = spark.read.schema(listsSchema).parquet(s"$path/lists")
-    // replace semantics: an incoming id evicts its existing row
-    val gone = removedIds.select(col(removedIds.columns.head).as("_rid"))
-      .unionByName(added.select(col("nid").as("_rid")))
-    val locatedCids = lists.select("cid", "nid")
-      .join(gone, col("nid") === col("_rid"), "left_semi")
-      .select("cid").distinct()
-    // O(touched lists) driver rows — bounded by the delta, not the corpus
-    val touched = locatedCids.unionByName(assigned.select("cid")).distinct()
-      .collect().map(_.getLong(0))
-    if (touched.nonEmpty) {
-      val touchedLit = touched.map(java.lang.Long.valueOf).toIndexedSeq
-      val next = lists.filter(col("cid").isin(touchedLit: _*))
-        .join(gone, col("nid") === col("_rid"), "left_anti")
-        .unionByName(assigned)
-      next.write.mode("overwrite").partitionBy("cid")
-        .parquet(s"$path/$IvfStaging")
-      // journal AFTER staging succeeds: its existence promises every
-      // staged dir is complete. "cid staged|empty" per touched list —
-      // an emptied list has no staged dir and rolls forward to a delete.
-      val lines = touched.map { c =>
-        val staged = fs.exists(new org.apache.hadoop.fs.Path(
-          s"$path/$IvfStaging/cid=$c"))
-        s"$c ${if (staged) "staged" else "empty"}"
+    SegSwap.withWriterLease(spark, path) { lease =>
+      SegSwap.recover(spark, path) // install any pending swap first
+      val cents = spark.read.parquet(s"$path/centroids")
+      val added = addedVecs.select(col("id").as("nid"),
+        col("vec").cast("array<double>").as("nvec"))
+      val assigned = assignToLists(added, cents, centroidFoldLimit)
+        .withColumn("_b", col("cid").cast("int"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val lists = SegSwap.resolvedTable(spark, path, "lists", listsSchemaB)
+      // replace semantics: an incoming id evicts its existing row
+      val gone = removedIds.select(col(removedIds.columns.head).as("_rid"))
+        .unionByName(added.select(col("nid").as("_rid")))
+      val locatedB = lists.select("_b", "nid")
+        .join(gone, col("nid") === col("_rid"), "left_semi")
+        .select("_b").distinct()
+      // O(touched lists) driver rows — bounded by the delta, not the corpus
+      val touched = locatedB
+        .unionByName(assigned.select("_b")).distinct()
+        .collect().map(_.getInt(0)).toSet
+      if (touched.nonEmpty) {
+        val touchedLit = touched.toSeq.map(Integer.valueOf)
+        val next = lists.filter(col("_b").isin(touchedLit: _*))
+          .join(gone, col("nid") === col("_rid"), "left_anti")
+          .unionByName(assigned)
+        SegSwap.commit(spark, path, Seq(("lists", next, touched)),
+          fence = Some(lease))
+        StorePolicy.advise("ivf", touched.size,
+          SegSwap.liveBuckets(SegSwap.fsOf(spark, path), path, "lists").size)
       }
-      // The journal is the commit point, so its appearance must be atomic:
-      // write to a temp path, then rename into place. A crash mid-write
-      // leaves only the temp file (an unjournaled crash → clean rollback);
-      // a torn line can never masquerade as a committed journal. The
-      // fence runs immediately before the rename (the commit point).
-      SegSwap.checkFence(fs, path, lease)
-      val jTmp = new org.apache.hadoop.fs.Path(s"$path/$IvfJournal.tmp")
-      val jDst = new org.apache.hadoop.fs.Path(s"$path/$IvfJournal")
-      val out = fs.create(jTmp, true)
-      try out.write(lines.mkString("\n").getBytes("UTF-8")) finally out.close()
-      require(fs.rename(jTmp, jDst), s"ivf: could not commit swap journal $jDst")
-      recoverIvfSwap(fs, path) // the journaled roll-forward IS the swap
-    }
-    assigned.unpersist(blocking = false)
-    } finally SegSwap.releaseLease(fs, path, lease)
-  }
-
-  private val listsSchema = org.apache.spark.sql.types.StructType.fromDDL(
-    "nid BIGINT, nvec ARRAY<DOUBLE>, cid BIGINT")
-  private val IvfStaging = "lists_staging"
-  private val IvfRetired = "lists_retired"
-  private val IvfJournal = "lists_swap_journal"
-
-  private val IvfJournalLine = """^(\d+) (staged|empty)$""".r
-
-  /** Finish or undo an interrupted [[updateIvfIndex]] swap.
-    *
-    * With a journal present, roll FORWARD: for each journaled list,
-    * retire the live dir and install the staged one ("staged"), or
-    * delete the live dir ("empty"); every step is idempotent, so a
-    * crash DURING recovery just recovers again. The WHOLE journal is
-    * parsed strictly before the first destructive step — any
-    * unrecognized line aborts with the index untouched, so a corrupt
-    * journal can never route a list into the delete branch (the
-    * journal itself is committed by atomic rename, so this is
-    * defense in depth, not an expected path). Without a journal, any
-    * staging/retired leftovers predate the commit point: roll BACK by
-    * deleting them (the live index was never touched) — but ONLY when
-    * the caller is the single writer (`cleanupOrphans`); readers skip
-    * the cleanup so they can never race an in-flight update's staging.
-    * No-op on a clean index — two existence checks. */
-  private def recoverIvfSwap(fs: org.apache.hadoop.fs.FileSystem,
-      path: String, cleanupOrphans: Boolean = true): Unit = {
-    import org.apache.hadoop.fs.Path
-    val journal = new Path(s"$path/$IvfJournal")
-    if (fs.exists(journal)) {
-      val in = fs.open(journal)
-      val body = try {
-        val bs = new java.io.ByteArrayOutputStream()
-        org.apache.hadoop.io.IOUtils.copyBytes(in, bs, 65536, false)
-        bs.toString("UTF-8")
-      } finally in.close()
-      val entries = body.linesIterator.filter(_.nonEmpty).map {
-        case IvfJournalLine(c, kind) => (c, kind)
-        case bad => throw new IllegalStateException(
-          s"ivf: unrecognized journal line '$bad' in $journal — " +
-            "refusing to recover (nothing deleted); inspect the index manually")
-      }.toVector
-      fs.mkdirs(new Path(s"$path/$IvfRetired"))
-      entries.foreach { case (c, kind) =>
-        val live = new Path(s"$path/lists/cid=$c")
-        val staged = new Path(s"$path/$IvfStaging/cid=$c")
-        val retired = new Path(s"$path/$IvfRetired/cid=$c")
-        if (kind == "staged") {
-          // staged absent ⇒ this list's install already completed
-          if (fs.exists(staged)) {
-            if (fs.exists(live)) fs.rename(live, retired)
-            fs.rename(staged, live)
-          }
-        } else fs.delete(live, true)
-      }
-      fs.delete(new Path(s"$path/$IvfRetired"), true)
-      fs.delete(new Path(s"$path/$IvfStaging"), true)
-      fs.delete(journal, false)
-    } else if (cleanupOrphans) {
-      val staging = new Path(s"$path/$IvfStaging")
-      val retired = new Path(s"$path/$IvfRetired")
-      if (fs.exists(staging)) fs.delete(staging, true)
-      if (fs.exists(retired)) fs.delete(retired, true)
-      val jTmp = new Path(s"$path/$IvfJournal.tmp")
-      if (fs.exists(jTmp)) fs.delete(jTmp, false)
+      assigned.unpersist(blocking = false)
+      ()
     }
   }
+
+  private[operators] val listsSchemaB =
+    org.apache.spark.sql.types.StructType.fromDDL(
+      "nid BIGINT, nvec ARRAY<DOUBLE>, cid BIGINT, _b INT")
 
   private[operators] def normalizedCentroids(v: DataFrame, centroids: Option[DataFrame],
       nlist: Int): DataFrame = centroids
@@ -426,7 +366,14 @@ object Similarity {
       if (!pruneScan) lists
       else {
         val probedCids = probes.select("cid").distinct().collect().map(_.getLong(0))
-        lists.filter(col("cid").isin(probedCids.map(java.lang.Long.valueOf): _*))
+        // on-disk lists are partitioned by `_b` (= cid): the literal IN
+        // on the partition column is what prunes unprobed lists' FILES;
+        // in-memory frames (no _b) prune rows on cid alone
+        if (lists.columns.contains("_b"))
+          lists.filter(col("_b").isin(probedCids.map(c =>
+            Integer.valueOf(c.toInt)): _*))
+        else
+          lists.filter(col("cid").isin(probedCids.map(java.lang.Long.valueOf): _*))
       }
     // each vector lives in exactly one list, so no distinct is needed
     val scored = listSide.join(broadcast(probes), "cid")

@@ -69,7 +69,8 @@ object StoreTxn {
     "decontam" -> (DecontamStore.rollbackTo _),
     "tfidf" -> (TfidfStore.rollbackTo _),
     "semdedup" -> (SemanticDedupStore.rollbackTo _),
-    "keyedupsert" -> (KeyedUpsertStore.rollbackTo _))
+    "keyedupsert" -> (KeyedUpsertStore.rollbackTo _),
+    "ivf" -> (Similarity.ivfRollbackTo _))
 
   private def manifest(txnDir: String) = new HPath(s"$txnDir/txn_manifest")
 

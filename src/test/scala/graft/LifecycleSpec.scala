@@ -481,7 +481,7 @@ class LifecycleSpec extends SparkSpec {
     def centsDf = mk(baseCents.map(r =>
       r.getLong(0) -> r.getSeq[Double](1).toSeq).toSeq)
     def snapshot(cid: Long): Map[String, Long] =
-      Files.walk(Paths.get(s"$dir/lists/cid=$cid")).iterator().asScala
+      Files.walk(Paths.get(s"$dir/lists/_b=$cid")).iterator().asScala
         .filter(Files.isRegularFile(_))
         .map(p => p.toString -> Files.getLastModifiedTime(p).toMillis).toMap
     def probeKey(queries: org.apache.spark.sql.DataFrame) =
@@ -518,7 +518,7 @@ class LifecycleSpec extends SparkSpec {
     // frozen quantizer (including the removed seed id 2) still probes
     Similarity.updateIvfIndex(spark, dir, mk(Seq.empty),
       Seq(2L, 20L, 21L, 30L).toDF("id"))
-    assert(!Files.exists(Paths.get(s"$dir/lists/cid=2")), "emptied list dir not deleted")
+    assert(!Files.exists(Paths.get(s"$dir/lists/_b=2")), "emptied list dir not deleted")
     val corpus3 = corpus2.filter(!col("id").isin(2L, 20L, 21L, 30L))
     assert(probeKey(q) == rebuildKey(corpus3, q))
     assert(probeKey(q).nonEmpty)
@@ -534,99 +534,91 @@ class LifecycleSpec extends SparkSpec {
     assert(probeKey(q).nonEmpty)
   }
 
-  test("interrupted IVF swap: unjournaled leftovers roll back, a journal rolls forward") {
-    import java.nio.file.{Files, Paths}
+  test("IVF index is a family store: epochs, as-of probe, rollback, export") {
+    import graft.operators.SegSwap
     val mk = (rows: Seq[(Long, Seq[Double])]) => rows.toDF("id", "vec")
     val base = mk(Seq(1L -> Seq(1.0, 0.0), 2L -> Seq(0.0, 1.0),
       10L -> Seq(0.9, 0.1), 20L -> Seq(0.1, 0.9)))
-    val dir = java.nio.file.Files.createTempDirectory("ivf_crash").toString
+    val dir = java.nio.file.Files.createTempDirectory("ivf_family").toString
+    Similarity.buildIvfIndex(base, dir, nlist = 2)
+    val q = mk(Seq(100L -> Seq(0.7, 0.3), 200L -> Seq(0.3, 0.7)))
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "nid", "rk").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    def probeKey() = key(Similarity.probeIvfIndex(spark, dir, q, k = 3, nprobe = 2))
+    assert(Similarity.ivfEpoch(spark, dir) == 0L, "a fresh index is epoch 0")
+    val at0 = probeKey()
+
+    // an update is one journaled epoch; the as-of probe reproduces the
+    // pre-delta results while the live index has moved on
+    Similarity.updateIvfIndex(spark, dir,
+      mk(Seq(30L -> Seq(0.85, 0.15))), Seq(10L).toDF("id"))
+    assert(Similarity.ivfEpoch(spark, dir) == 1L)
+    val at1 = probeKey()
+    assert(at1 != at0, "the delta must move the top-k")
+    assert(key(Similarity.probeIvfIndexAt(spark, dir, q, k = 3, nprobe = 2,
+      epoch = 0L)) == at0, "the as-of probe must equal the pre-delta results")
+
+    // rollback is a journaled revert; redo restores the update
+    Similarity.ivfRollbackTo(spark, dir, 0L)
+    assert(probeKey() == at0, "rollback must restore the pre-delta index")
+    Similarity.ivfRollbackTo(spark, dir, 1L)
+    assert(probeKey() == at1, "redo must restore the post-delta index")
+
+    // export publishes a standalone index (lists + frozen quantizer)
+    val pub = java.nio.file.Files.createTempDirectory("ivf_family_pub").toString
+    Similarity.ivfExportAt(spark, dir, 2L, pub)
+    assert(key(Similarity.probeIvfIndex(spark, pub, q, k = 3, nprobe = 2))
+      == at0, "the export must probe exactly the as-of lists")
+    assert(Similarity.ivfEpoch(spark, pub) == 0L, "an export is a fresh life")
+  }
+
+  test("IVF index participates in StoreTxn and Forget") {
+    import graft.operators.{Forget, StoreTxn, TfidfStore}
+    val mk = (rows: Seq[(Long, Seq[Double])]) => rows.toDF("id", "vec")
+    val base = mk(Seq(1L -> Seq(1.0, 0.0), 2L -> Seq(0.0, 1.0),
+      10L -> Seq(0.9, 0.1), 11L -> Seq(0.8, 0.2), 20L -> Seq(0.1, 0.9)))
+    val dir = java.nio.file.Files.createTempDirectory("ivf_txn").toString
     Similarity.buildIvfIndex(base, dir, nlist = 2)
     val q = mk(Seq(100L -> Seq(0.7, 0.3), 200L -> Seq(0.3, 0.7)))
     def probeKey() =
       Similarity.probeIvfIndex(spark, dir, q, k = 3, nprobe = 2)
         .select("qid", "nid", "rk").collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
-    val intact = probeKey()
+    val before = probeKey()
 
-    // crash BEFORE the journal (mid-staging-write): a PROBE must leave
-    // the leftovers alone (a reader that cleaned staging could destroy a
-    // concurrent update's freshly staged lists before its journal lands)
-    // while still answering from the untouched live index; the next
-    // UPDATE — the single writer — rolls the junk back.
-    Files.createDirectories(Paths.get(s"$dir/lists_staging/cid=1"))
-    Files.write(Paths.get(s"$dir/lists_staging/cid=1/part-junk.parquet"),
-      Array[Byte](1, 2, 3))
-    assert(probeKey() == intact)
-    assert(Files.exists(Paths.get(s"$dir/lists_staging")),
-      "probe-side recovery deleted a writer's staging dir")
-    Similarity.updateIvfIndex(spark, dir, mk(Seq.empty),
-      spark.range(0).select(col("id")))
-    assert(!Files.exists(Paths.get(s"$dir/lists_staging")), "rollback left staging")
-    assert(probeKey() == intact)
-
-    // crash AFTER the journal, before any install: staged content for
-    // cid 1 (vector 10 replaced by 30) + an "empty" entry draining
-    // cid 2. The next probe must finish the swap exactly as the update
-    // would have.
-    mk(Seq(1L -> Seq(1.0, 0.0), 30L -> Seq(0.85, 0.15)))
-      .select(col("id").as("nid"), col("vec").cast("array<double>").as("nvec"),
-        lit(1L).as("cid"))
-      .write.mode("overwrite").partitionBy("cid").parquet(s"$dir/lists_staging")
-    Files.write(Paths.get(s"$dir/lists_swap_journal"),
-      "1 staged\n2 empty".getBytes("UTF-8"))
-    val recovered = probeKey()
-    assert(!Files.exists(Paths.get(s"$dir/lists_swap_journal")), "journal not consumed")
-    assert(!Files.exists(Paths.get(s"$dir/lists/cid=2")), "journaled drain not applied")
-    val d2 = java.nio.file.Files.createTempDirectory("ivf_crash_ref").toString
-    val cents = spark.read.parquet(s"$dir/centroids")
-      .select(col("cid").as("id"), col("cvec").as("vec"))
-    Similarity.buildIvfIndex(mk(Seq(1L -> Seq(1.0, 0.0), 30L -> Seq(0.85, 0.15))),
-      d2, nlist = 2, centroids = Some(cents))
-    val want = Similarity.probeIvfIndex(spark, d2, q, k = 3, nprobe = 2)
-      .select("qid", "nid", "rk").collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
-    assert(recovered == want, s"recovered=$recovered want=$want")
-  }
-
-  test("corrupt IVF journal: recovery refuses and destroys nothing") {
-    import java.nio.file.{Files, Paths}
-    val mk = (rows: Seq[(Long, Seq[Double])]) => rows.toDF("id", "vec")
-    val base = mk(Seq(1L -> Seq(1.0, 0.0), 2L -> Seq(0.0, 1.0),
-      10L -> Seq(0.9, 0.1), 20L -> Seq(0.1, 0.9)))
-    val dir = java.nio.file.Files.createTempDirectory("ivf_torn").toString
-    Similarity.buildIvfIndex(base, dir, nlist = 2)
-    val q = mk(Seq(100L -> Seq(0.7, 0.3)))
-    // a torn token ("stag") must NOT be read as "empty" and delete the
-    // live list — the journal itself commits by atomic rename, so this
-    // can only arise from corruption, and corruption must abort loudly
-    for (bad <- Seq("1 stag", "1", "1 staged extra", "x empty")) {
-      Files.write(Paths.get(s"$dir/lists_swap_journal"), bad.getBytes("UTF-8"))
-      val e = intercept[IllegalStateException] {
-        Similarity.probeIvfIndex(spark, dir, q, k = 3, nprobe = 2)
+    // a txn that advances the index then fails compensates it exactly
+    val tp = java.nio.file.Files.createTempDirectory("ivf_txn_tf").toString
+    TfidfStore.init(spark, tp,
+      Seq((1L, "alpha beta")).toDF("doc_id", "text"), "doc_id", "text",
+      nBuckets = 4)
+    val txn = java.nio.file.Files.createTempDirectory("ivf_txn_dir").toString
+    intercept[RuntimeException] {
+      StoreTxn.run(spark, txn, Seq("ivf" -> dir, "tfidf" -> tp)) {
+        Similarity.updateIvfIndex(spark, dir,
+          mk(Seq(30L -> Seq(0.86, 0.14))), Seq.empty[Long].toDF("id"))
+        sys.error("injected mid-txn failure")
       }
-      assert(e.getMessage.contains("refusing to recover"), e.getMessage)
-      assert(Files.exists(Paths.get(s"$dir/lists/cid=1")) &&
-        Files.exists(Paths.get(s"$dir/lists/cid=2")),
-        s"corrupt journal '$bad' destroyed a live list")
-      assert(Files.exists(Paths.get(s"$dir/lists_swap_journal")),
-        "corrupt journal consumed despite abort")
     }
-    // operator repair: removing the corrupt journal restores service
-    Files.delete(Paths.get(s"$dir/lists_swap_journal"))
-    assert(Similarity.probeIvfIndex(spark, dir, q, k = 3, nprobe = 2)
-      .count() > 0)
-    // an interrupted journal WRITE leaves only the .tmp file — readers
-    // and writers both treat the swap as uncommitted (clean rollback),
-    // and the writer clears the orphan
-    Files.write(Paths.get(s"$dir/lists_swap_journal.tmp"),
-      "1 stag".getBytes("UTF-8"))
-    assert(Similarity.probeIvfIndex(spark, dir, q, k = 3, nprobe = 2)
-      .count() > 0)
-    Similarity.updateIvfIndex(spark, dir, mk(Seq.empty),
-      spark.range(0).select(col("id")))
-    assert(!Files.exists(Paths.get(s"$dir/lists_swap_journal.tmp")),
-      "writer-side recovery left the orphaned journal temp file")
+    assert(probeKey() == before,
+      "compensation must revert the advanced index")
+
+    // a forget sweep purges vector ids and scrubs the index history
+    Forget.sweep(spark, txn, Seq(10L, 11L).toDF("id"), "id", "vec",
+      Seq("ivf" -> dir))
+    val purged = probeKey()
+    assert(!purged.exists(t => t._2 == 10L || t._2 == 11L),
+      "purged vectors must leave the top-k")
+    val fs = graft.operators.SegSwap.fsOf(spark, dir)
+    assert(graft.operators.SegSwap.historyFloorOf(fs, dir) ==
+      Similarity.ivfEpoch(spark, dir), "the sweep must scrub index history")
+    val e = intercept[Exception] {
+      Similarity.probeIvfIndexAt(spark, dir, q, k = 3, nprobe = 2,
+        epoch = 0L).count()
+    }
+    assert(e.getMessage.contains("history floor"), e.getMessage)
   }
+
 
   test("store lifecycle policy: swaps self-compact, sprawl auto-respans, advisor flags past-crossover deltas") {
     import graft.operators.{DupSpansStore, Pipeline, StorePolicy}
