@@ -114,9 +114,11 @@ object Multimodal {
   private def asBe16(v: Column): Column = unhex(lpad(hex(v), 4, "0"))
 
   /** Encode (id, pixels: array<int>) rows as GRAW blobs. `pixels` is
-    * interleaved row-major w*h*c samples in 0..255 (caller-checked by
-    * the format itself: a sample outside the byte range makes unhex
-    * yield a >1-byte cell and the blob's length self-invalidates). */
+    * interleaved row-major w*h*c samples in 0..255; an out-of-range
+    * sample fails LOUDLY at encode time (lpad would silently TRUNCATE
+    * a 3-hex-char value to its top byte — 300 would pack as 18 with a
+    * length-consistent blob, the exact silent-statistics-skew the
+    * format exists to prevent). */
   def packRaw(df: DataFrame, idCol: String, pixelsCol: String,
       width: Int, height: Int, channels: Int): DataFrame = {
     require(width > 0 && width <= 0xffff && height > 0 && height <= 0xffff &&
@@ -125,7 +127,9 @@ object Multimodal {
       encode(lit("GRW1"), "UTF-8"),
       asBe16(lit(width)), asBe16(lit(height)), asByte(lit(channels)))
     val body = array_join(transform(col(pixelsCol),
-      p => lpad(hex(p), 2, "0")), "")
+      p => when(p.between(0, 255), lpad(hex(p), 2, "0"))
+        .otherwise(raise_error(concat(lit("graw: sample out of byte "),
+          lit("range: "), p.cast("string"))))), "")
     df.select(
       col(idCol).as("id"),
       concat(header, unhex(body)).as("media"),

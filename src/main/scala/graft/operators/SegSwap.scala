@@ -505,6 +505,7 @@ private[graft] object SegSwap {
     require(!dfs.exists(new HPath(dst)) ||
         dfs.listStatus(new HPath(dst)).isEmpty,
       s"segswap: export destination $dst is not empty")
+    val startInstalled = installed
     val token = pinEpoch(fs, src, epoch)
     try {
       val conf = spark.sparkContext.hadoopConfiguration
@@ -513,23 +514,28 @@ private[graft] object SegSwap {
           dfs, new HPath(dp), false, conf),
           s"segswap: export copy $sp -> $dp failed")
       tables.foreach { name =>
-        // same bucket→source resolution as snapshotTable, at file level
-        var remaining = bucketsAt(fs, src, name, epoch)
-        retiredEpochs(fs, src).filter(_ > epoch).foreach { f =>
-          val here = remaining.intersect(retiredBucketsOf(fs, src, f, name))
-          here.foreach(b => copy(s"$src/$Retired/e=$f/$name/_b=$b",
-            s"$dst/$name/_b=$b"))
-          remaining --= here
+        bucketSources(fs, src, name, epoch).foreach { case (base, bs) =>
+          bs.foreach(b => copy(s"$base/_b=$b", s"$dst/$name/_b=$b"))
         }
-        remaining.foreach { b =>
-          require(fs.exists(new HPath(s"$src/$name/_b=$b")),
-            s"segswap: export of epoch $epoch of $src/$name is " +
-              s"unreadable — bucket $b is neither live nor retained")
-          copy(s"$src/$name/_b=$b", s"$dst/$name/_b=$b")
-        }
+        // a legitimately-empty table still needs its dir: the export's
+        // readers (resolvedTable) treat a missing dir as an error, an
+        // empty one as an empty frame — same as the source
+        dfs.mkdirs(new HPath(s"$dst/$name"))
       }
       dirTables.foreach { n =>
         copy(snapshotDirPath(fs, src, n, epoch), s"$dst/$n")
+      }
+      // the pin fences GC, not INSTALLS: a commit rolling forward during
+      // the copy renames live files this export resolved, and a
+      // file-level copy that hits the fresh file reads post-epoch
+      // content with no error signal (snapshotTable re-resolves; a copy
+      // cannot). Any such install advances the installed epoch, so
+      // verify it, and refuse a mixed-epoch export rather than publish.
+      if (installedEpoch(fs, src) != startInstalled) {
+        dfs.delete(new HPath(dst), true)
+        sys.error(s"segswap: export of epoch $epoch of $src raced a " +
+          "writer install — the copied files may mix epochs; the " +
+          "partial export was deleted, retry")
       }
     } finally releasePin(fs, src, token)
   }
@@ -563,11 +569,20 @@ private[graft] object SegSwap {
       val fs = fsOf(spark, path)
       val now = installedEpoch(fs, path)
       val prior = historyFloorOf(fs, path)
-      writeTextAtomic(fs, s"$path/$FloorFile", now.toString)
-      pinnedFloor(fs, path).filter(_ < now).foreach { p =>
-        writeTextAtomic(fs, s"$path/$FloorFile", prior.toString)
+      def failPinned(p: Long): Nothing =
         sys.error(s"segswap: cannot truncate history of $path — a " +
           s"reader pin holds epoch $p; wait for its release or TTL")
+      // pre-check BEFORE the floor lands: an already-pinned long read
+      // must never even transiently see "below the history floor" from
+      // a truncation that is about to abort on its pin
+      pinnedFloor(fs, path).filter(_ < now).foreach(failPinned)
+      writeTextAtomic(fs, s"$path/$FloorFile", now.toString)
+      // re-check AFTER (the pin-then-verify twin): a pin that landed in
+      // the window aborts the truncation; one that lands later
+      // self-withdraws against the floor in pinEpoch
+      pinnedFloor(fs, path).filter(_ < now).foreach { p =>
+        writeTextAtomic(fs, s"$path/$FloorFile", prior.toString)
+        failPinned(p)
       }
       gcRetiredAt(fs, path, now)
     }
@@ -918,20 +933,30 @@ private[graft] object SegSwap {
         "garbage-collected; raise retention via setRetention, or " +
         "pinEpoch before a long read, before the commits that should " +
         "stay readable")
-    val want = bucketsAt(fs, path, name, epoch)
-    if (want.isEmpty)
+    val groups = bucketSources(fs, path, name, epoch)
+    if (groups.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    // assign each bucket to the first retiring epoch after `epoch`,
-    // falling back to the live dir for buckets never since replaced
-    val laterRetired = retiredEpochs(fs, path).filter(_ > epoch)
-    val retiredSets: Seq[(Long, Set[Int])] = laterRetired.map { f =>
-      (f, retiredBucketsOf(fs, path, f, name))
-    }
-    var remaining = want
+    groups.map { case (base, bs) =>
+      spark.read.schema(schema).option("basePath", base)
+        .parquet(bs.toSeq.sorted.map(b => s"$base/_b=$b"): _*)
+    }.reduce(_ unionByName _)
+  }
+
+  /** Bucket→source-dir resolution of `table` AS OF `epoch`: each wanted
+    * bucket is served by the FIRST retiring commit after the epoch,
+    * falling back to the live dir for buckets never since replaced.
+    * ONE resolver shared by [[snapshotTable]] (lazy reads) and
+    * [[exportSnapshot]] (file copies), so the two views can never
+    * diverge. Fails loudly when a wanted bucket is neither live nor
+    * retained. */
+  private def bucketSources(fs: FileSystem, path: String, name: String,
+      epoch: Long): Seq[(String, Set[Int])] = {
+    var remaining = bucketsAt(fs, path, name, epoch)
+    if (remaining.isEmpty) return Nil
     val groups = scala.collection.mutable.ArrayBuffer.empty[(String, Set[Int])]
-    retiredSets.foreach { case (f, bs) =>
-      val here = remaining.intersect(bs)
+    retiredEpochs(fs, path).filter(_ > epoch).foreach { f =>
+      val here = remaining.intersect(retiredBucketsOf(fs, path, f, name))
       if (here.nonEmpty) {
         groups += ((s"$path/$Retired/e=$f/$name", here))
         remaining = remaining -- here
@@ -941,16 +966,13 @@ private[graft] object SegSwap {
       val missing = remaining.filterNot(b =>
         fs.exists(new HPath(s"$path/$name/_b=$b")))
       require(missing.isEmpty,
-        s"segswap: snapshot epoch $epoch of $path/$name is unreadable — " +
+        s"segswap: epoch $epoch of $path/$name is unreadable — " +
           s"buckets ${missing.toSeq.sorted.mkString(",")} are neither " +
           "live nor in any retained epoch (store predates the snapshot " +
           "layer, or retired files were removed outside GC)")
       groups += ((s"$path/$name", remaining))
     }
-    groups.map { case (base, bs) =>
-      spark.read.schema(schema).option("basePath", base)
-        .parquet(bs.toSeq.sorted.map(b => s"$base/_b=$b"): _*)
-    }.reduce(_ unionByName _)
+    groups.toSeq
   }
 
   /** ROLLBACK as a new commit: restore `tables` (and any `dirTables`

@@ -95,9 +95,18 @@ object StoreTxn {
   /** Roll back the crashed txn recorded under `txnDir`, if any.
     * Returns true when a manifest was found and compensated. Call at
     * coordinator startup (the batch twin of Structured Streaming's
-    * checkpoint recovery); [[run]] also calls it first, so back-to-back
-    * txns through the same dir self-heal. */
-  def recover(spark: SparkSession, txnDir: String): Boolean = {
+    * checkpoint recovery); [[run]] also recovers at entry, so
+    * back-to-back txns through the same dir self-heal. Takes the
+    * coordinator lease: an unfenced startup recovery against a LIVE
+    * coordinator's dir would read its manifest and revert its
+    * in-flight work (a dead coordinator's lease expires via TTL). */
+  def recover(spark: SparkSession, txnDir: String): Boolean =
+    SegSwap.withWriterLease(spark, txnDir) { _ =>
+      recoverLocked(spark, txnDir)
+    }
+
+  /** [[recover]] body, caller already under the coordinator lease. */
+  private def recoverLocked(spark: SparkSession, txnDir: String): Boolean = {
     val fs = SegSwap.fsOf(spark, txnDir)
     val m = manifest(txnDir)
     SegSwap.readText(fs, m) match {
@@ -149,14 +158,14 @@ object StoreTxn {
    // failure the per-store writer lease prevents one level down); a
    // crashed coordinator's lease expires via TTL and its successor's
    // entry-recover compensates
-   SegSwap.withWriterLease(spark, txnDir) { _ =>
+   SegSwap.withWriterLease(spark, txnDir) { lease =>
     require(stores.nonEmpty, "storetxn: no participating stores")
     stores.foreach { case (kind, _) =>
       require(kinds.contains(kind),
         s"storetxn: unknown store kind '$kind' (known: " +
           s"${kinds.keys.toSeq.sorted.mkString(", ")})")
     }
-    recover(spark, txnDir) // self-heal a predecessor's crash
+    recoverLocked(spark, txnDir) // self-heal a predecessor's crash
     val rows = stores.map { case (kind, path) =>
       val sfs = SegSwap.fsOf(spark, path)
       val pre = SegSwap.currentEpoch(sfs, path)
@@ -170,11 +179,16 @@ object StoreTxn {
       try body
       catch {
         case e: Throwable =>
-          try recover(spark, txnDir) // also releases the pins
+          try recoverLocked(spark, txnDir) // also releases the pins
           catch { case r: Throwable => e.addSuppressed(r) }
           throw e
       }
     val fs = SegSwap.fsOf(spark, txnDir)
+    // fence at the commit point (SegSwap.commit's rule, one level up):
+    // a coordinator stalled past its lease TTL was taken over — its
+    // manifest delete here would destroy the SUCCESSOR's compensation
+    // record, leaving the successor's failed txn uncompensatable
+    SegSwap.checkFence(fs, txnDir, lease)
     fs.delete(manifest(txnDir), false) // the commit point
     rows.foreach { case (_, path, _, token) =>
       SegSwap.releasePin(SegSwap.fsOf(spark, path), path, token)

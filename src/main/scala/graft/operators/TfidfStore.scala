@@ -186,6 +186,14 @@ object TfidfStore {
     val dfSub = intern.mat(tfOldT
       .join(rem, col("doc_id") === col("_rid"), "left_semi")
       .groupBy("token").agg(count(lit(1)).as("_minus")))
+    // N decrements by the removed ids actually PRESENT, not by the
+    // request size: tf/df bags are naturally absent-immune (nothing to
+    // evict), but a blind `- rem.count()` would silently skew every
+    // tfidf weight when a deletion list is re-sent (the Forget crash
+    // window's documented recovery is exactly "re-run the sweep")
+    val remPresent = tfOldT
+      .join(rem, col("doc_id") === col("_rid"), "left_semi")
+      .select("doc_id").distinct().count()
     relOld()
     val touched = intern.mat(
       dfAdd.select("token").unionByName(dfSub.select("token")).distinct())
@@ -205,7 +213,7 @@ object TfidfStore {
       .unionByName(mergedTouched.withColumn("_b",
         tokBucket(col("token"), B))))
 
-    val n2 = p.n + added.count() - rem.count()
+    val n2 = p.n + added.count() - remPresent
     val liveB = math.max(1,
       SegSwap.liveBuckets(SegSwap.fsOf(spark, path), path, "tf").size)
     SegSwap.commit(spark, path, Seq(

@@ -126,6 +126,14 @@ class ForgetSpec extends SparkSpec {
     }
     assert(readings(swept) == readings(fresh),
       "the scrub must not change any live reading")
+
+    // idempotence: the documented crash recovery is "re-run the sweep
+    // with the same ids" — a re-sent deletion list must change NOTHING
+    // (in particular TfidfStore's N must not decrement again, which
+    // would silently skew every tfidf weight)
+    Forget.sweep(spark, dir("txn1b"), purgeIds, "doc_id", "text", swept)
+    assert(readings(swept) == readings(fresh),
+      "re-running the sweep with the same ids must be a no-op")
   }
 
   test("post-scrub time travel below the floor fails loudly; " +
