@@ -46,13 +46,15 @@ object TfidfStore {
       p: Params): Unit =
     SegSwap.writeParamsTo(spark, dst, Seq(
       "b" -> p.b, "n" -> p.n, "idDdl" -> p.idDdl,
-      "tfDdl" -> p.ddl("tf"), "dfreqDdl" -> p.ddl("dfreq")))
+      "tfDdl" -> p.ddl("tf"), "dfreqDdl" -> p.ddl("dfreq"),
+      "docsDdl" -> p.ddl("docs")))
 
   private def readParams(spark: SparkSession, path: String): Params = {
     val r = SegSwap.readParamsRow(spark, path,
-      Seq("b", "n", "idDdl", "tfDdl", "dfreqDdl"), "tfidfstore")
+      Seq("b", "n", "idDdl", "tfDdl", "dfreqDdl", "docsDdl"), "tfidfstore")
     Params(r.getInt(0), r.getLong(1), r.getString(2),
-      Map("tf" -> r.getString(3), "dfreq" -> r.getString(4)))
+      Map("tf" -> r.getString(3), "dfreq" -> r.getString(4),
+        "docs" -> r.getString(5)))
   }
 
   private def readTable(spark: SparkSession, path: String, p: Params,
@@ -113,7 +115,13 @@ object TfidfStore {
     else col("_b").isin(bs.toSeq.map(Integer.valueOf): _*)
 
   /** Tokenize + count once, lay tf/dfreq out bucket-partitioned
-    * (params — carrying N, the completeness marker — last). */
+    * (params — carrying N, the completeness marker — last). The
+    * `docs` MEMBERSHIP table (one (doc_id) row per corpus document,
+    * doc-bucketed) exists because tf alone cannot witness membership:
+    * a token-less document counts in N but has no tf rows, and exact N
+    * maintenance — absent-immune removals (a re-sent deletion list
+    * must not decrement twice) AND empty-doc removals — needs a
+    * presence record for every id. */
   def init(spark: SparkSession, path: String, docs: DataFrame,
       idCol: String, textCol: String, nBuckets: Int = 32): Unit = {
     graft.functions.GraftFunctions.register(spark)
@@ -123,11 +131,14 @@ object TfidfStore {
       .withColumn("_b", docBucket(col("doc_id"), nBuckets)))
     val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
       .withColumn("_b", tokBucket(col("token"), nBuckets))
+    val members = docs.select(col(idCol).as("doc_id")).distinct()
+      .withColumn("_b", docBucket(col("doc_id"), nBuckets))
     var ddl = Map.empty[String, String]
-    Seq("tf" -> tf, "dfreq" -> dfreq).foreach { case (n, df) =>
-      ddl += n -> df.schema.toDDL
-      df.repartition(col("_b")).write.mode("overwrite")
-        .partitionBy("_b").parquet(s"$path/$n")
+    Seq("tf" -> tf, "dfreq" -> dfreq, "docs" -> members).foreach {
+      case (n, df) =>
+        ddl += n -> df.schema.toDDL
+        df.repartition(col("_b")).write.mode("overwrite")
+          .partitionBy("_b").parquet(s"$path/$n")
     }
     writeParamsTo(spark, s"$path/params", Params(nBuckets, docs.count(),
       docs.schema(idCol).dataType.sql, ddl))
@@ -169,10 +180,13 @@ object TfidfStore {
       .withColumn("_b", docBucket(col("doc_id"), B)))
 
     // tf rewrite: the delta ids' buckets; departing bags from ONE
-    // pruned scan feeding both the rewrite and the df decrement
+    // pruned scan feeding both the rewrite and the df decrement.
+    // Derived from the added IDS (not tfAdded): a token-less added doc
+    // has no tf rows but its membership row must still land in a
+    // journaled bucket.
     val td = rem.select(docBucket(col("_rid"), B).as("_b"))
-      .unionByName(tfAdded.select("_b")).distinct()
-      .collect().map(_.getInt(0)).toSet
+      .unionByName(added.select(docBucket(col(idCol), B).as("_b")))
+      .distinct().collect().map(_.getInt(0)).toSet
     val tfLive = readTable(spark, path, p, "tf")
     val (tfOldT, relOld) = IncrMat.matWithHandle(
       tfLive.filter(inBuckets(td)))
@@ -186,15 +200,22 @@ object TfidfStore {
     val dfSub = intern.mat(tfOldT
       .join(rem, col("doc_id") === col("_rid"), "left_semi")
       .groupBy("token").agg(count(lit(1)).as("_minus")))
+    relOld()
     // N decrements by the removed ids actually PRESENT, not by the
     // request size: tf/df bags are naturally absent-immune (nothing to
     // evict), but a blind `- rem.count()` would silently skew every
     // tfidf weight when a deletion list is re-sent (the Forget crash
-    // window's documented recovery is exactly "re-run the sweep")
-    val remPresent = tfOldT
-      .join(rem, col("doc_id") === col("_rid"), "left_semi")
-      .select("doc_id").distinct().count()
-    relOld()
+    // window's documented recovery is exactly "re-run the sweep").
+    // Presence comes from the MEMBERSHIP table, never tf — a token-less
+    // document counts in N yet has no tf rows.
+    val docsOldT = intern.mat(
+      readTable(spark, path, p, "docs").filter(inBuckets(td)))
+    val remPresent = docsOldT
+      .join(rem, col("doc_id") === col("_rid"), "left_semi").count()
+    val docsNextT = intern.mat(docsOldT
+      .join(rem, col("doc_id") === col("_rid"), "left_anti")
+      .unionByName(added.select(col(idCol).as("doc_id")).distinct()
+        .withColumn("_b", docBucket(col("doc_id"), B))))
     val touched = intern.mat(
       dfAdd.select("token").unionByName(dfSub.select("token")).distinct())
     val ts = touched.select(tokBucket(col("token"), B).as("_b"))
@@ -213,11 +234,13 @@ object TfidfStore {
       .unionByName(mergedTouched.withColumn("_b",
         tokBucket(col("token"), B))))
 
-    val n2 = p.n + added.count() - remPresent
+    val n2 = p.n +
+      added.select(col(idCol)).distinct().count() - remPresent
     val liveB = math.max(1,
       SegSwap.liveBuckets(SegSwap.fsOf(spark, path), path, "tf").size)
     SegSwap.commit(spark, path, Seq(
-      ("tf", tfNextT, td), ("dfreq", dfreqNextT, ts)),
+      ("tf", tfNextT, td), ("dfreq", dfreqNextT, ts),
+      ("docs", docsNextT, td)),
       dirSwaps = Seq("params" -> ((dst: String) =>
         writeParamsTo(spark, dst, p.copy(n = n2)))),
       fence = Some(lease))
@@ -238,7 +261,8 @@ object TfidfStore {
       val p2 = p.copy(b = nBuckets)
       val staged = Seq(
         ("tf", docBucket(col("doc_id"), nBuckets)),
-        ("dfreq", tokBucket(col("token"), nBuckets))).map { case (t, nb) =>
+        ("dfreq", tokBucket(col("token"), nBuckets)),
+        ("docs", docBucket(col("doc_id"), nBuckets))).map { case (t, nb) =>
         (t, readTable(spark, path, p, t).withColumn("_b", nb),
           SegSwap.liveBuckets(fs, path, t))
       }
