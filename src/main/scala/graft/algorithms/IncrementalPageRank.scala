@@ -106,27 +106,105 @@ object IncrementalPageRank {
         segStoreBatchId = batchId)
   }
 
-  def incremental(
-      updatedEdges: DataFrame,
-      preserved: PreservedState,
-      changedSources: DataFrame,
-      damping: Double,
-      iterations: Int,
-      filterThreshold: Double = 0.0,
-      numPartitions: Int = 32,
-      durableStatePath: Option[String] = None,
+  /** Lay the PREPARED static relation `(src, dst, deg)` out as a
+    * durable key-bucketed edge store ([[graft.operators.KeyedUpsertStore]])
+    * — degrees are computed ONCE here and then maintained incrementally
+    * by [[prepareBatch]] upserts, never re-derived corpus-wide
+    * (reference F34: static data distributed once,
+    * `JobClient.java:912-957`). */
+  def initEdgeStore(spark: SparkSession, path: String, edges: DataFrame,
+      nBuckets: Int = 32): Unit =
+    graft.operators.KeyedUpsertStore.init(spark, path,
+      PageRank.prepare(edges), "src", nBuckets)
+
+  /** The delta's sources' NEW static rows, derived from the batch
+    * ALONE: an upsert replaces a src's whole out-edge set, so its new
+    * degree is just the batch's distinct-dst count for that src —
+    * degree maintenance is fully delta-local, O(delta). Arithmetic
+    * matches [[PageRank.prepare]] (distinct first, then count). */
+  def prepareBatch(batch: DataFrame): DataFrame = {
+    val b = batch.select(col("src").cast("long"), col("dst").cast("long"))
+      .distinct()
+    val deg = b.groupBy("src").agg(count(lit(1)).as("deg"))
+    b.join(deg, "src")
+  }
+
+  /** The POST-batch static relation as a [[graft.core.StaticSource]]:
+    * the durable prepared-edge store (PRE-batch — the fixed apply
+    * order runs the rank continuation before the edge upsert) overlaid
+    * with the batch's replacement rows for its changed sources. Every
+    * pruned read stays partition-pruned on the store side and
+    * delta-sized on the overlay side. */
+  private final class OverlayStatic(
+      h: graft.operators.KeyedUpsertStore.ReadHandle,
+      chgKeys: DataFrame, patch: DataFrame) extends graft.core.StaticSource {
+    def nBuckets: Int = h.nBuckets
+    def bucketOf(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      h.bucketOf(c)
+    private val ck = broadcast(
+      chgKeys.select(col(chgKeys.columns.head).cast("long").as("_ck")).distinct())
+    def pruned(bs: Set[Int]): DataFrame = {
+      val inBs = h.bucketOf(col("src"))
+        .isin(bs.toSeq.map(Integer.valueOf): _*)
+      h.pruned(bs).join(ck, col("src") === col("_ck"), "left_anti")
+        .unionByName(patch.filter(inBs))
+    }
+    def all: DataFrame =
+      h.all.join(ck, col("src") === col("_ck"), "left_anti")
+        .unionByName(patch)
+  }
+
+  /** STORE-FED continuation — the O(delta) end-to-end shape: ranks in
+    * the segmented store at `rankStorePath`, the prepared static
+    * relation in the edge store at `edgeStorePath`, and the
+    * continuation touches only frontier buckets on BOTH sides (no
+    * per-run repartition+persist of the graph, no corpus-wide degree
+    * recompute — `batchStatic` carries the changed sources' new rows,
+    * built from the delta alone by [[prepareBatch]]).
+    *
+    * The edge store is read PRE-batch (the caller upserts it after —
+    * [[graft.streaming.StreamMaintain]]'s fixed order), overlaid with
+    * `batchStatic`, so the loop sees exactly the post-delta graph on
+    * first delivery AND on checkpoint replay. */
+  def incrementalFromStores(spark: SparkSession, rankStorePath: String,
+      edgeStorePath: String, batchStatic: DataFrame,
+      changedSources: DataFrame, damping: Double, iterations: Int,
+      filterThreshold: Double = 0.0, numPartitions: Int = 32,
       broadcastMaxRows: Long = 4L * 1000 * 1000,
-      segStore: Option[SegmentedStateStore] = None,
-      segStoreBatchId: Option[Long] = None): DataFrame = {
+      batchId: Option[Long] = None): DataFrame = {
+    val store = SegmentedStateStore.openForWrite(spark, rankStorePath)
+    if (batchId.exists(_ <= store.appliedBatch)) {
+      store.releaseLease()
+      val out = store.out.drop("_b")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      out.count()
+      out
+    } else {
+      val h = graft.operators.KeyedUpsertStore.open(spark, edgeStorePath)
+      val src = new OverlayStatic(h, changedSources, batchStatic)
+      val job = buildJob(src.all, store.preserved,
+        changedSources.select(col("src").cast("long")), damping,
+        iterations, filterThreshold, numPartitions, None, broadcastMaxRows,
+        Some(store), batchId, Some(src))
+      IncrementalJob.finish(job.run())
+    }
+  }
 
-    val static = PageRank.prepare(updatedEdges) // (src, dst, deg) with new degrees
-
-    val job = new IncrementalJob(
+  /** The PageRank instantiation of [[IncrementalJob]] — shared by the
+    * frame-fed and store-fed continuations (identical arithmetic in
+    * identical order; only the static/durability plumbing differs). */
+  private def buildJob(static: DataFrame, preserved: PreservedState,
+      frontier: DataFrame, damping: Double, iterations: Int,
+      filterThreshold: Double, numPartitions: Int,
+      durableStatePath: Option[String], broadcastMaxRows: Long,
+      segStore: Option[SegmentedStateStore], segStoreBatchId: Option[Long],
+      staticSource: Option[graft.core.StaticSource]): IncrementalJob =
+    new IncrementalJob(
       updatedStatic = static,
       skCol = "src",
       k2Col = "node",
       preserved = preserved,
-      initialFrontier = changedSources.select(col("src")),
+      initialFrontier = frontier,
       // name-based column refs only: the loop rewrites expression ids
       // (see IncrementalJob), so frame-qualified refs would dangle.
       // Join output names are disjoint (src,dst,deg) ⨯ (node,rank).
@@ -149,8 +227,26 @@ object IncrementalPageRank {
       durableStatePath = durableStatePath,
       broadcastMaxRows = broadcastMaxRows,
       segStore = segStore,
-      segStoreBatchId = segStoreBatchId)
+      segStoreBatchId = segStoreBatchId,
+      staticSource = staticSource)
 
+  def incremental(
+      updatedEdges: DataFrame,
+      preserved: PreservedState,
+      changedSources: DataFrame,
+      damping: Double,
+      iterations: Int,
+      filterThreshold: Double = 0.0,
+      numPartitions: Int = 32,
+      durableStatePath: Option[String] = None,
+      broadcastMaxRows: Long = 4L * 1000 * 1000,
+      segStore: Option[SegmentedStateStore] = None,
+      segStoreBatchId: Option[Long] = None): DataFrame = {
+
+    val static = PageRank.prepare(updatedEdges) // (src, dst, deg) with new degrees
+    val job = buildJob(static, preserved, changedSources.select(col("src")),
+      damping, iterations, filterThreshold, numPartitions,
+      durableStatePath, broadcastMaxRows, segStore, segStoreBatchId, None)
     IncrementalJob.finish(job.run())
   }
 }

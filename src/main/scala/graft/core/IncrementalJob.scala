@@ -139,6 +139,18 @@ final case class IncrResult(out: DataFrame, kvs: DataFrame, iterations: Int,
   *                      `preserved` and `durableStatePath` are ignored
   *                      (pass `segStore.get.preserved` for clarity) and
   *                      `stateBuckets` is the store's bucket count.
+  * @param staticSource  DURABLE BUCKETED STATIC mode ([[StaticSource]]):
+  *                      the static relation lives in a key-bucketed
+  *                      store prepared ONCE (reference F34/F35 — static
+  *                      distributed once, locally cached across jobs),
+  *                      and the loop reads it PRUNED to the frontier's
+  *                      buckets each iteration instead of
+  *                      repartition+persisting the whole relation per
+  *                      continuation. When set, `updatedStatic` is used
+  *                      only for its SparkSession (pass
+  *                      `staticSource.get.all` for clarity); the
+  *                      One2All/One2Mul all-sources projection still
+  *                      scans `all` (inherent to those cardinalities).
   */
 final class IncrementalJob(
     updatedStatic: DataFrame,
@@ -161,7 +173,8 @@ final class IncrementalJob(
     compactionInterval: Int = 4,
     durableStatePath: Option[String] = None,
     segStore: Option[SegmentedStateStore] = None,
-    segStoreBatchId: Option[Long] = None) {
+    segStoreBatchId: Option[Long] = None,
+    staticSource: Option[StaticSource] = None) {
 
   require(projectKind != ProjectKind.One2Mul || backProject.isDefined,
     "One2Mul needs backProject: moved k2 keys -> dependent sk keys")
@@ -259,8 +272,32 @@ final class IncrementalJob(
     }
 
   private def runLoop(n: Int): IncrResult = {
-    val static = updatedStatic.repartition(n, col(skCol))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // Static side: either a per-run repartition+persist of the caller's
+    // frame (one-shot continuations handing a fresh driver frame), or —
+    // in staticSource mode — NOTHING up front: the relation is already
+    // bucketed on disk and each iteration reads only the frontier's
+    // buckets (see staticFrontier below).
+    val staticCached: Option[DataFrame] =
+      if (staticSource.isDefined) None
+      else Some(updatedStatic.repartition(n, col(skCol))
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    /** The frontier's static rows. In staticSource mode: collect the
+      * frontier's bucket ids under the STORE's hash (O(frontier)
+      * driver ints, same pattern as the dynF pruning), read only those
+      * bucket dirs, then semi-join the frontier — the scan is
+      * partition-pruned to O(frontier buckets) regardless of corpus
+      * size. */
+    def staticFrontier(frontier: DataFrame, fk: DataFrame,
+        label: String): DataFrame = staticSource match {
+      case Some(ss) =>
+        val sb = frontier.select(ss.bucketOf(col(skCol)).as("_sb"))
+          .distinct().collect().map(_.getInt(0)).toSet
+        if (debugTiming) System.err.println(
+          s"[incr] $label static pruned read: ${sb.size}/${ss.nBuckets} buckets")
+        ss.pruned(sb).join(fk, col(skCol) === col("_fk")).drop("_fk")
+      case None =>
+        staticCached.get.join(fk, col(skCol) === col("_fk")).drop("_fk")
+    }
     // store mode: the bucket fn and count MUST be the store's (same
     // hash, same B, key dtype pinned) or touched-bucket bookkeeping
     // and the final commit would disagree with the files on disk
@@ -372,7 +409,8 @@ final class IncrementalJob(
     // end — the static side is fixed for the whole run.
     var allSourcesRelease: () => Unit = () => ()
     lazy val allSources: (DataFrame, Long) = timed("all-sources leaf") {
-      val (df, rows, rel) = materialize(static.select(col(skCol)).distinct())
+      val allStatic = staticSource.map(_.all).getOrElse(staticCached.get)
+      val (df, rows, rel) = materialize(allStatic.select(col(skCol)).distinct())
       allSourcesRelease = rel
       (df, rows)
     }
@@ -394,7 +432,7 @@ final class IncrementalJob(
       // fallback instead of an executor OOM.
       val fkRaw = frontier.withColumnRenamed(skCol, "_fk")
       val fk = if (frontierSize <= broadcastMaxRows) broadcast(fkRaw) else fkRaw
-      val staticF = static.join(fk, col(skCol) === col("_fk")).drop("_fk")
+      val staticF = staticFrontier(frontier, fk, s"iter $i")
       // dynamic values the mapper consumes: the frontier keys' own
       // values (One2One, k2-space == sk-space) or the whole out state
       // (One2All — e.g. every point needs every center, k broadcast-
@@ -607,7 +645,7 @@ final class IncrementalJob(
     if (frontierSize > 0) {
       val fkRaw = frontier.withColumnRenamed(skCol, "_fk")
       val fk = if (frontierSize <= broadcastMaxRows) broadcast(fkRaw) else fkRaw
-      val staticF = static.join(fk, col(skCol) === col("_fk")).drop("_fk")
+      val staticF = staticFrontier(frontier, fk, "exit")
       val dynF = projectKind match {
         case ProjectKind.One2One =>
           val outScan = if (segStore.isEmpty) scanAll(outSegs) else {
@@ -648,7 +686,7 @@ final class IncrementalJob(
       }
       relFa()
     }
-    static.unpersist(blocking = false)
+    staticCached.foreach(_.unpersist(blocking = false))
     // Remaining scratch (last two generations + the One2All/One2Mul
     // all-sources leaf) is not referenced by the returned frames — only
     // segment leaves are. Free it on the spot.

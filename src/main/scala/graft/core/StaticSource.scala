@@ -1,0 +1,38 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** A DURABLE BUCKETED static relation feeding [[IncrementalJob]] — the
+  * reference's "distribute static data ONCE" (F34,
+  * `incr-hadoop-0.1/src/mapred/.../JobClient.java:912-957`) plus its
+  * cross-job local static cache (F35, `MapTask.java:858-913`)
+  * re-expressed Spark-first: the prepared static relation lives as
+  * key-bucketed parquet, and each continuation reads ONLY the buckets
+  * its frontier hashes into (partition-pruned scans), instead of
+  * re-shuffling and re-caching the whole relation per run.
+  *
+  * At 100 TB this is the difference between O(delta) and O(corpus) per
+  * continuation: a stream maintainer applying a thousand-row delta
+  * against a billion-edge graph touches a handful of bucket dirs, not
+  * the graph.
+  *
+  * Contract: `pruned(bs)` must return exactly the rows whose
+  * source-key bucket (under `bucketOf`, the store's own hash over the
+  * store's pinned key dtype) is in `bs`, as a partition-pruned lazy
+  * read. `all` is the full relation — used only for the
+  * One2All/One2Mul all-sources projection, never on the One2One hot
+  * path.
+  */
+trait StaticSource {
+  def nBuckets: Int
+
+  /** The store's key-bucket expression over a source-key column
+    * (casts to the store's pinned key dtype before hashing). */
+  def bucketOf(c: Column): Column
+
+  /** Rows whose source key hashes into `bs` — a partition-pruned read. */
+  def pruned(bs: Set[Int]): DataFrame
+
+  /** The full relation. */
+  def all: DataFrame
+}

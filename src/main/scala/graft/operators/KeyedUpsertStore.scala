@@ -70,6 +70,37 @@ object KeyedUpsertStore {
       rows.schema(keyCol).dataType.sql, -1L, withB.schema.toDDL))
   }
 
+  /** Read-side handle exposing the store's BUCKET LAYOUT — the durable
+    * bucketed static side of an [[graft.core.IncrementalJob]]
+    * ([[graft.core.StaticSource]]): a continuation reads only the
+    * frontier's buckets as partition-pruned parquet scans (`_b IN …`),
+    * never the whole relation. Params are snapshotted at `open` —
+    * valid for the duration of one continuation (single fenced writer;
+    * the layout fields never change after init).
+    *
+    * Reference analog: the one-off static distribution + cross-job
+    * local static cache (F34 `JobClient.java:912-957`, F35
+    * `MapTask.java:858-913`) — here the "cache" is the bucketed
+    * parquet layout itself, shared by every continuation. */
+  final class ReadHandle private[KeyedUpsertStore] (
+      spark: SparkSession, path: String, p: Params)
+      extends graft.core.StaticSource {
+    def nBuckets: Int = p.b
+    def keyColumn: String = p.keyCol
+    def bucketOf(c: Column): Column = {
+      val t = StructType.fromDDL(s"x ${p.keyDdl}").head.dataType
+      keyBucket(c.cast(t), p.b)
+    }
+    private def table: DataFrame = SegSwap.resolvedTable(spark, path,
+      "rows", StructType.fromDDL(p.rowsDdl))
+    def pruned(bs: Set[Int]): DataFrame =
+      table.filter(inBuckets(bs)).drop("_b")
+    def all: DataFrame = table.drop("_b")
+  }
+
+  def open(spark: SparkSession, path: String): ReadHandle =
+    new ReadHandle(spark, path, readParams(spark, path))
+
   /** The current relation (journal-resolved; consume before the next
     * writer commit). */
   def rows(spark: SparkSession, path: String): DataFrame = {

@@ -22,7 +22,7 @@ class StreamingSpec extends SparkSpec {
       .createTempDirectory("graft_restart_edges").toString
     IncrementalPageRank.preserveTo(spark, rankStore, edges1, 0.8,
       iterations = 4, nBuckets = 16)
-    KeyedUpsertStore.init(spark, edgeStore, edges1, "src", nBuckets = 8)
+    IncrementalPageRank.initEdgeStore(spark, edgeStore, edges1, nBuckets = 8)
 
     val delta1 = Seq((3L, 11L), (3L, 17L), (8L, 21L)).toDF("src", "dst")
     val delta2 = Seq((14L, 5L), (3L, 29L)).toDF("src", "dst")
@@ -118,10 +118,17 @@ class StreamingSpec extends SparkSpec {
     for (k <- got.keySet)
       assert(math.abs(got(k) - want(k)) < 1e-12,
         s"node $k stream=${got(k)} batch=${want(k)}")
-    // and the durable edge table holds exactly the final graph
+    // and the durable edge table holds exactly the final graph, with
+    // its incrementally-maintained degrees matching a full re-prepare
     val gotEdges = KeyedUpsertStore.rows(spark, edgeStore)
-      .as[(Long, Long)].collect().toSet
+      .select("src", "dst").as[(Long, Long)].collect().toSet
     assert(gotEdges == e3.as[(Long, Long)].collect().toSet)
+    val gotPrepared = KeyedUpsertStore.rows(spark, edgeStore)
+      .select("src", "dst", "deg").as[(Long, Long, Long)].collect().toSet
+    val wantPrepared = graft.algorithms.PageRank.prepare(e3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(gotPrepared == wantPrepared,
+      "incrementally-maintained degrees diverged from a full prepare")
     e2.unpersist(blocking = false); e3.unpersist(blocking = false)
   }
 
