@@ -58,7 +58,13 @@ object Bench {
         "q_incr_pagerank_seg", "q_incr_dup_spans_seg",
         "q_incr_cut_dup_spans", "q_incr_pagerank_stream",
         "q_incr_line_dedup_seg", "q_incr_pagerank_snapshot",
-        "q_incr_pagerank_rollback", "q_incr_pagerank_diff").foreach { n =>
+        "q_incr_pagerank_rollback", "q_incr_pagerank_diff",
+        // store-path codegen the earlier list never touched: without
+        // these, rep 1 of each absorbs first-compile cost and inflates
+        // spread_pct (round-10 verdict minor #4)
+        "q_incr_tfidf_seg", "q_incr_semantic_dedup_seg",
+        "q_incr_decontaminate_seg", "q_incr_dedup_clusters_seg",
+        "q_store_txn", "q_forget_sweep", "q_export_model").foreach { n =>
         SparkEntry.queries.get(n).foreach { fn =>
           try fn(spark, warmDir).count() catch { case _: Throwable => () }
         }

@@ -89,7 +89,23 @@ object IncrementalPageRank {
       iterations: Int, filterThreshold: Double = 0.0,
       numPartitions: Int = 32,
       broadcastMaxRows: Long = 4L * 1000 * 1000,
-      batchId: Option[Long] = None): DataFrame = {
+      batchId: Option[Long] = None): DataFrame =
+    incrementalSegAdvised(spark, path, updatedEdges, changedSources,
+      damping, iterations, filterThreshold, numPartitions,
+      broadcastMaxRows, batchId)._1
+
+  /** [[incrementalSeg]] plus the continuation's programmatic
+    * continue-vs-rebuild advice ([[graft.operators.StorePolicy
+    * .ContinueAdvice]]; None for a replayed batch or an absorbed
+    * no-commit delta) — callers act on `rebuildRecommended` without
+    * re-parsing stderr (round-10 verdict #3). */
+  def incrementalSegAdvised(spark: SparkSession, path: String,
+      updatedEdges: DataFrame, changedSources: DataFrame, damping: Double,
+      iterations: Int, filterThreshold: Double = 0.0,
+      numPartitions: Int = 32,
+      broadcastMaxRows: Long = 4L * 1000 * 1000,
+      batchId: Option[Long] = None)
+      : (DataFrame, Option[graft.operators.StorePolicy.ContinueAdvice]) = {
     val store = SegmentedStateStore.openForWrite(spark, path)
     if (batchId.exists(_ <= store.appliedBatch)) {
       // replayed batch: nothing to do — hand back the current ranks
@@ -98,12 +114,15 @@ object IncrementalPageRank {
       val out = store.out.drop("_b")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       out.count()
-      out
-    } else
-      incremental(updatedEdges, store.preserved, changedSources, damping,
-        iterations, filterThreshold, numPartitions,
-        broadcastMaxRows = broadcastMaxRows, segStore = Some(store),
-        segStoreBatchId = batchId)
+      (out, None)
+    } else {
+      val job = buildJob(PageRank.prepare(updatedEdges), store.preserved,
+        changedSources.select(col("src")), damping, iterations,
+        filterThreshold, numPartitions, None, broadcastMaxRows,
+        Some(store), batchId, None)
+      val r = job.run()
+      (IncrementalJob.finish(r), r.advice)
+    }
   }
 
   /** Lay the PREPARED static relation `(src, dst, deg)` out as a

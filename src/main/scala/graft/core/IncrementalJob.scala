@@ -60,9 +60,17 @@ object PreservedState {
   * the standard copy-then-release dance for callers that only need
   * `out`. In durable mode release keeps the final segment Parquet dirs
   * on disk (they ARE the preserved artifact) and frees only block-cache
-  * leaves. */
+  * leaves.
+  *
+  * `advice` (store mode only): the continuation's continue-vs-rebuild
+  * economics ([[graft.operators.StorePolicy.ContinueAdvice]]) —
+  * `advice.exists(_.rebuildRecommended)` means this delta's footprint
+  * crossed the measured crossover and a re-init would likely be
+  * cheaper than continuations of this class. Programmatic twin of the
+  * stderr advisory (round-10 verdict #3). */
 final case class IncrResult(out: DataFrame, kvs: DataFrame, iterations: Int,
-    release: () => Unit)
+    release: () => Unit,
+    advice: Option[graft.operators.StorePolicy.ContinueAdvice] = None)
 
 /** Incremental (delta) recomputation over a preserved run — the
   * reference's F28-F31 (`runIncrementalMapper` `MapTask.java:1157-1287`,
@@ -704,23 +712,26 @@ final class IncrementalJob(
         // when touched), so the union of non-base segments IS the
         // replacement content — the untouched state is neither read
         // nor written.
-        if (cumTouchedKvs.nonEmpty || cumTouchedOut.nonEmpty) {
-          timed(s"segstore commit (${cumTouchedKvs.size}+" +
-            s"${cumTouchedOut.size}/$B buckets)")(
-            st.commit(
-              unionSegs(kvsSegs.filterNot(_.base)),
-              unionSegs(outSegs.filterNot(_.base)),
-              cumTouchedKvs, cumTouchedOut, segStoreBatchId))
-          // lifecycle advice (StorePolicy): surface the continue-vs-
-          // rebuild economics of this delta's footprint
-          graft.operators.StorePolicy.advise("segstate",
-            (cumTouchedKvs ++ cumTouchedOut).size, B)
-        }
+        val advice =
+          if (cumTouchedKvs.nonEmpty || cumTouchedOut.nonEmpty) {
+            timed(s"segstore commit (${cumTouchedKvs.size}+" +
+              s"${cumTouchedOut.size}/$B buckets)")(
+              st.commit(
+                unionSegs(kvsSegs.filterNot(_.base)),
+                unionSegs(outSegs.filterNot(_.base)),
+                cumTouchedKvs, cumTouchedOut, segStoreBatchId))
+            // lifecycle advice (StorePolicy): continue-vs-rebuild
+            // economics of this delta's footprint — on stderr AND on
+            // the result (programmatic consumers act on it without
+            // re-parsing logs)
+            Some(graft.operators.StorePolicy.advise("segstate",
+              (cumTouchedKvs ++ cumTouchedOut).size, B))
+          } else None
         // the returned frames read the INSTALLED store — the loop's
         // leaves are all releasable scratch now
         val segs = kvsSegs ++ outSegs
         IncrResult(st.out.drop("_b"), st.kvs.drop("_b"), i,
-          () => segs.foreach(_.release()))
+          () => segs.foreach(_.release()), advice)
       case None =>
         val finalKvs = kvsSegs
         val finalOut = outSegs

@@ -160,8 +160,9 @@ object DedupClusterStore {
     * fresh — [[IncrementalDedup.incrementalClusters]]'s contract).
     * Single concurrent writer; crash-safe via the shared journal. */
   def continueAt(spark: SparkSession, path: String, addedDocs0: DataFrame,
-      removedIds0: DataFrame, idCol: String, textCol: String): Unit =
-   SegSwap.withWriterLease(spark, path) { lease =>
+      removedIds0: DataFrame, idCol: String, textCol: String)
+      : StorePolicy.ContinueAdvice = {
+   val advice = SegSwap.withWriterLease(spark, path) { lease =>
     graft.functions.GraftFunctions.register(spark)
     SegSwap.recover(spark, path)
     val p = readParams(spark, path)
@@ -240,7 +241,13 @@ object DedupClusterStore {
       ("bands", bandsNextT, td), ("comps", compsNextT, ao)),
       fence = Some(lease))
     intern.releaseAll()
+    // continue-vs-rebuild economics, surfaced programmatically (the
+    // family contract: every continueAt returns its ContinueAdvice)
+    StorePolicy.advise("dedupclusters", (td ++ ao).size, math.max(1,
+      SegSwap.liveBuckets(SegSwap.fsOf(spark, path), path, "comps").size))
    }
+   advice
+  }
 
   /** Journaled RE-BUCKETING / COMPACTION — the shared store-lifecycle
     * ops (both tables doc-bucketed; params ride the journal's

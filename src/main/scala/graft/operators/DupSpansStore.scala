@@ -234,7 +234,10 @@ object DupSpansStore {
     * (same [[SegSwap.snapshotTable]] resolution from retired + live
     * buckets, same retention horizon and loud past-horizon failure). */
   def scoresAt(spark: SparkSession, path: String, epoch: Long): DataFrame = {
-    val p = readParams(spark, path)
+    // params AS OF the same epoch (not live) — the family's end-to-end
+    // as-of contract: data and the metadata that decodes it resolve
+    // from the same commit (symmetry with cutsAt / TfidfStore.tfidfAt)
+    val p = readParamsAt(spark, path, epoch)
     SegSwap.snapshotTable(spark, path, "out",
       StructType.fromDDL(p.ddl("out")), epoch).drop("_b")
   }

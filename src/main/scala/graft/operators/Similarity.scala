@@ -250,7 +250,7 @@ object Similarity {
     * end. */
   def updateIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
       addedVecs: DataFrame, removedIds: DataFrame,
-      centroidFoldLimit: Int = 64): Unit = {
+      centroidFoldLimit: Int = 64): Option[StorePolicy.ContinueAdvice] = {
     graft.functions.GraftFunctions.register(spark)
     SegSwap.withWriterLease(spark, path) { lease =>
       SegSwap.recover(spark, path) // install any pending swap first
@@ -271,18 +271,18 @@ object Similarity {
       val touched = locatedB
         .unionByName(assigned.select("_b")).distinct()
         .collect().map(_.getInt(0)).toSet
-      if (touched.nonEmpty) {
+      val advice = if (touched.isEmpty) None else {
         val touchedLit = touched.toSeq.map(Integer.valueOf)
         val next = lists.filter(col("_b").isin(touchedLit: _*))
           .join(gone, col("nid") === col("_rid"), "left_anti")
           .unionByName(assigned)
         SegSwap.commit(spark, path, Seq(("lists", next, touched)),
           fence = Some(lease))
-        StorePolicy.advise("ivf", touched.size,
-          SegSwap.liveBuckets(SegSwap.fsOf(spark, path), path, "lists").size)
+        Some(StorePolicy.advise("ivf", touched.size,
+          SegSwap.liveBuckets(SegSwap.fsOf(spark, path), path, "lists").size))
       }
       assigned.unpersist(blocking = false)
-      ()
+      advice
     }
   }
 

@@ -74,6 +74,55 @@ object StoreTxn {
 
   private def manifest(txnDir: String) = new HPath(s"$txnDir/txn_manifest")
 
+  // ---- per-store owner markers (cross-txn participant fencing) ----------
+  // The coordinator lease serializes txns through ONE txn dir; two
+  // concurrent run()s through DIFFERENT dirs sharing a participant
+  // store are a distinct hazard: if one crashes, its recovery would
+  // roll the shared store back to ITS recorded pre-epoch, silently
+  // reverting the other txn's committed continuation. The marker file
+  // (`<store>/txn_owner`, naming the owning txn dir) makes overlapping
+  // participants mutually exclusive across txn dirs: written at enroll
+  // (before the manifest), cleared at commit/recovery. Like the writer
+  // lease, the check-then-write is not Byzantine-proof across hosts —
+  // it deterministically catches accidental concurrent coordinators,
+  // which is the contract's failure mode.
+
+  private def markerOf(storePath: String) = new HPath(s"$storePath/txn_owner")
+
+  /** Claim `path` for the txn at `txnDir`, or fail loudly if another
+    * IN-FLIGHT txn (manifest present, or coordinator lease live) owns
+    * it. A marker whose owner has neither is debris from a coordinator
+    * that crashed before its manifest landed (nothing to compensate) —
+    * cleaned up and re-claimed. */
+  private def enroll(spark: SparkSession, txnDir: String,
+      path: String): Unit = {
+    val sfs = SegSwap.fsOf(spark, path)
+    val m = markerOf(path)
+    SegSwap.readText(sfs, m).map(_.trim).filter(_.nonEmpty) match {
+      case Some(owner) if owner != txnDir =>
+        val ofs = SegSwap.fsOf(spark, owner)
+        val ownerLive = SegSwap.readText(ofs, manifest(owner)).isDefined ||
+          SegSwap.leaseLive(ofs, owner)
+        if (ownerLive) throw new IllegalStateException(
+          s"storetxn: store $path is enrolled in the in-flight txn at " +
+            s"$owner — overlapping participants across concurrent txns " +
+            "are fenced (a crash of either would otherwise revert the " +
+            "other's committed work); wait for that txn, or if its " +
+            s"coordinator is known dead run StoreTxn.recover on $owner")
+        sfs.delete(m, false)
+      case _ => ()
+    }
+    SegSwap.writeTextAtomic(sfs, m.toString, txnDir)
+  }
+
+  /** Drop `path`'s marker IF this txn owns it (never a successor's). */
+  private def disenroll(spark: SparkSession, txnDir: String,
+      path: String): Unit = {
+    val sfs = SegSwap.fsOf(spark, path)
+    if (SegSwap.readText(sfs, markerOf(path)).map(_.trim).contains(txnDir))
+      sfs.delete(markerOf(path), false)
+  }
+
   /** Exposed for crash-simulation specs; [[run]] is the real writer.
     * A row's 4th field is the pre-txn epoch's PIN token ("-" = none):
     * [[run]] pins every participant's revert target before the body,
@@ -133,6 +182,7 @@ object StoreTxn {
             kinds(kind)(spark, path, preEpoch)
           if (token != "-")
             SegSwap.releasePin(SegSwap.fsOf(spark, path), path, token)
+          disenroll(spark, txnDir, path)
         }
         fs.delete(m, false)
         true
@@ -166,6 +216,12 @@ object StoreTxn {
           s"${kinds.keys.toSeq.sorted.mkString(", ")})")
     }
     recoverLocked(spark, txnDir) // self-heal a predecessor's crash
+    // claim every participant BEFORE the manifest lands: a concurrent
+    // txn through a different dir sharing any store fails loudly here
+    // instead of interleaving (markers of a coordinator that dies past
+    // this point but before its manifest are cleaned by the next
+    // enroll once our lease expires — nothing to compensate)
+    stores.foreach { case (_, path) => enroll(spark, txnDir, path) }
     val rows = stores.map { case (kind, path) =>
       val sfs = SegSwap.fsOf(spark, path)
       val pre = SegSwap.currentEpoch(sfs, path)
@@ -192,6 +248,7 @@ object StoreTxn {
     fs.delete(manifest(txnDir), false) // the commit point
     rows.foreach { case (_, path, _, token) =>
       SegSwap.releasePin(SegSwap.fsOf(spark, path), path, token)
+      disenroll(spark, txnDir, path)
     }
     result
    }

@@ -27,6 +27,35 @@ class LifecycleSpec extends SparkSpec {
       .filter { case (a, b) => a != b }.distinct
   }
 
+  test("seg continuation surfaces ContinueAdvice programmatically") {
+    // a delta whose footprint crosses the ~10% touched-bucket crossover
+    // carries rebuildRecommended on the RESULT (not only stderr); a
+    // frontier-local delta on a wide-bucket store does not
+    val chain = (100L to 160L).map(i => (i, i + 1)).toDF("src", "dst")
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_advice_store").toString
+    IncrementalPageRank.preserveTo(spark, store, chain, 0.8,
+      iterations = 2, nBuckets = 64)
+    // tiny delta, 1 round: touches O(1) of 64 buckets -> no rebuild flag
+    val e2 = chain.filter(col("src") =!= 100L)
+      .unionByName(Seq((100L, 150L)).toDF("src", "dst"))
+    val (_, a1) = IncrementalPageRank.incrementalSegAdvised(spark, store,
+      e2, Seq(100L).toDF("src"), 0.8, iterations = 1,
+      filterThreshold = 0.0)
+    assert(a1.isDefined, "a committing continuation must carry advice")
+    assert(!a1.get.rebuildRecommended,
+      s"frontier-local delta flagged rebuild: ${a1.get}")
+    assert(a1.get.totalBuckets == 64)
+    // corpus-wide delta: every source rewired -> footprint >= crossover
+    val chg = e2.select("src").distinct()
+    val e3 = e2.select(col("src"), (col("dst") + 1).as("dst"))
+    val (_, a2) = IncrementalPageRank.incrementalSegAdvised(spark, store,
+      e3, chg, 0.8, iterations = 2, filterThreshold = 0.0)
+    assert(a2.exists(_.rebuildRecommended),
+      s"corpus-wide delta must recommend rebuild, got $a2")
+    spark.catalog.clearCache()
+  }
+
   test("preserve + incremental + release leaves no cached RDDs behind") {
     // Baseline AFTER a cache clear: earlier suites may legitimately hold
     // session-lifetime caches; this spec owns everything it creates.

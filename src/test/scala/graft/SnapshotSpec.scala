@@ -77,23 +77,43 @@ class SnapshotSpec extends SparkSpec {
       "the exported engine state must equal the as-of view, fresh life")
   }
 
-  test("q_incr_pagerank_snapshot gate == q_incr_pagerank (the shared oracle)") {
-    // the gate reads the store AS OF the first continuation's epoch
-    // after a second continuation has moved the live state on — its
-    // rows must equal the single-delta gate's exactly (they share
-    // incrPagerankSql(4, 3) as the DuckDB oracle)
-    val direct = SparkEntry.queries("q_incr_pagerank")(spark, sf)
+  test("snapshot/rollback gates == the in-memory incremental on the same inputs") {
+    // the gates run the store-backed chain on the SLICED gate graph
+    // (2 base + 2 incremental iterations — see IterativeQueries'
+    // slimming note) and then time-travel back to the single-delta
+    // epoch; their rows must equal the PLAIN in-memory single-delta
+    // continuation on identical inputs — the store machinery, epoch
+    // retirement, and the journaled revert must all be
+    // result-invisible (they also share the sliced unrolled-SQL
+    // oracle driver-side)
+    val ncust = spark.read.parquet(s"$sf/customer.parquet").count()
+    val edges1 = spark.read.parquet(s"$sf/orders.parquet")
+      .filter(col("o_orderkey") % 5 === 0)
+      .select(col("o_custkey").as("src"),
+        (lit(1L) + (col("o_custkey") * 7 + col("o_orderkey") * 3)
+          % lit(ncust)).as("dst"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val preserved = IncrementalPageRank.preserve(edges1, 0.8, iterations = 2)
+    val chg1 = edges1.filter(col("src") % 10 === 3).select("src").distinct()
+    val delta1 = chg1.select(col("src"),
+      (lit(1L) + (col("src") * 11 + 5) % lit(ncust)).as("dst"))
+    val edges2 = edges1.filter(col("src") % 10 =!= 3).unionByName(delta1)
+    val direct = IncrementalPageRank.incremental(edges2, preserved, chg1,
+      0.8, iterations = 2, filterThreshold = 0.0)
+      .select(col("node"), round(col("rank"), 6).as("rank"))
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
     val viaSnapshot = SparkEntry.queries("q_incr_pagerank_snapshot")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
     assert(viaSnapshot == direct,
       s"snapshot gate diverged: ${viaSnapshot.toSet.diff(direct.toSet).take(5)}")
     // the rollback gate reverts the LIVE store to the same epoch — same
-    // oracle, entirely different mechanism (journaled install vs read)
+    // truth, entirely different mechanism (journaled install vs read)
     val viaRollback = SparkEntry.queries("q_incr_pagerank_rollback")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
     assert(viaRollback == direct,
       s"rollback gate diverged: ${viaRollback.toSet.diff(direct.toSet).take(5)}")
+    edges1.unpersist(blocking = false)
     spark.catalog.clearCache()
   }
 

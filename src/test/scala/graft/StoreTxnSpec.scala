@@ -193,6 +193,77 @@ class StoreTxnSpec extends SparkSpec {
     StoreTxn.run(spark, txn, Seq("tfidf" -> tp, "lmcounts" -> lp)) { () }
   }
 
+  test("overlapping participants across concurrent txn dirs are fenced") {
+    val (tp, lp) = freshPair("fence")
+    val dirA = txnDirOf("fenceA")
+    val dirB = txnDirOf("fenceB")
+    val tf0 = tfidfRows(tp)
+    StoreTxn.run(spark, dirA, Seq("tfidf" -> tp)) {
+      TfidfStore.continueAt(spark, tp, deltaDocs, noIds, "doc_id", "text")
+      // a SECOND coordinator through a DIFFERENT dir sharing tp: must
+      // refuse at enroll — if it ran and either side crashed, recovery
+      // would revert the other's committed continuation
+      val e = intercept[IllegalStateException] {
+        StoreTxn.run(spark, dirB, Seq("tfidf" -> tp, "lmcounts" -> lp)) {
+          sys.error("body must never run")
+        }
+      }
+      assert(e.getMessage.contains("enrolled in the in-flight txn"))
+    }
+    // after A commits, the same store enrolls into a different dir
+    StoreTxn.run(spark, dirB, Seq("tfidf" -> tp)) {
+      TfidfStore.continueAt(spark, tp,
+        Seq((40L, "after the fence lifted")).toDF("doc_id", "text"),
+        noIds, "doc_id", "text")
+    }
+    assert(tfidfRows(tp) != tf0)
+    // a STALE marker (owner crashed before its manifest landed, lease
+    // expired — nothing to compensate) is cleaned up and re-claimed
+    SegSwap.writeTextAtomic(SegSwap.fsOf(spark, tp), s"$tp/txn_owner",
+      txnDirOf("fenceDead"))
+    StoreTxn.run(spark, dirA, Seq("tfidf" -> tp)) { () }
+  }
+
+  test("compensation under a live concurrent reader pin keeps the pinned epoch readable") {
+    // the StoreTxn/pin matrix corner: txn 2 fails AFTER its first store
+    // committed, while a concurrent reader's PRE-txn-1 pin is live —
+    // the compensation rollback must revert exactly to txn 2's entry
+    // epoch and must not disturb (or GC) the reader's pinned epoch
+    val (tp, lp) = freshPair("pinmx")
+    val txn1 = txnDirOf("pinmxA")
+    val txn2 = txnDirOf("pinmxB")
+    val tf0 = tfidfRows(tp)
+    val sfs = SegSwap.fsOf(spark, tp)
+    val token = SegSwap.pinEpoch(sfs, tp, 0L) // concurrent reader, e0
+    try {
+      StoreTxn.run(spark, txn1, Seq("tfidf" -> tp)) {
+        TfidfStore.continueAt(spark, tp, deltaDocs, noIds, "doc_id", "text")
+      }
+      val tf1 = tfidfRows(tp)
+      assert(tf1 != tf0)
+      val delta2 = Seq((30L, "second wave tokens zz")).toDF("doc_id", "text")
+      val boom = intercept[RuntimeException] {
+        StoreTxn.run(spark, txn2, Seq("tfidf" -> tp, "lmcounts" -> lp)) {
+          TfidfStore.continueAt(spark, tp, delta2, noIds, "doc_id", "text")
+          assert(tfidfRows(tp) != tf1, "txn 2's first commit must land")
+          sys.error("fail after the first store committed")
+        }
+      }
+      assert(boom.getMessage.contains("fail after the first store"))
+      // compensated to txn 2's ENTRY state (post-txn-1), not further
+      assert(tfidfRows(tp) == tf1,
+        "compensation must revert to txn 2's entry epoch exactly")
+      // and the concurrent reader's pinned pre-txn-1 epoch still reads
+      // the exact original content (tfidfAt resolves data AND params
+      // as of e0 — N included)
+      val asOf0 = TfidfStore.tfidfAt(spark, tp, 0L)
+        .selectExpr("doc_id", "token", "tf", "df")
+        .as[(Long, String, Long, Long)].collect().toSet
+      assert(asOf0 == tf0,
+        "the reader's pinned epoch must survive the compensation")
+    } finally SegSwap.releasePin(sfs, tp, token)
+  }
+
   test("unknown store kinds fail loudly at manifest time, before any commit") {
     val txn = txnDirOf("kind")
     val e = intercept[IllegalArgumentException] {
