@@ -595,6 +595,78 @@ object ScaleBench {
           "snapRead" -> tSnap, "rollback0001pct" -> tRoll)
       }
 
+      run("stream_static", 15000L * m) {
+        // the round-11 O(delta) stream maintainer: rank store + durable
+        // PREPARED edge store, then FIXED-SIZE delta batches through
+        // StreamMaintain.pageRankBatch (the foreachBatch body — the
+        // unit a 24/7 stream pays per trigger). The batch reads both
+        // stores pruned to the frontier's buckets and upserts only the
+        // changed keys' buckets, so at fixed delta the per-batch cost
+        // must be ~FLAT in corpus size (exponent ~0) — where the
+        // round-10 shape (full edge read + full-graph localCheckpoint
+        // + corpus-wide degree recompute) scaled with the corpus.
+        val edges1 = edges0.persist(StorageLevel.MEMORY_AND_DISK)
+        val store = s"$dir/stream_rank"
+        val estore = s"$dir/stream_edges"
+        deleteRec(new java.io.File(store))
+        deleteRec(new java.io.File(estore))
+        val (_, tp) = timed {
+          algorithms.IncrementalPageRank.preserveTo(spark, store, edges1,
+            0.8, iterations = 4, nBuckets = 512)
+          algorithms.IncrementalPageRank.initEdgeStore(spark, estore,
+            edges1, nBuckets = 512)
+        }
+        // fixed-size deltas (50 sources rewired) regardless of corpus
+        // scale — batch 2 is the steady-state point (batch 1 may absorb
+        // store-path codegen)
+        val b1 = edges1.filter(col("src") < 50)
+          .select(col("src"), (col("dst") + 1).as("dst"))
+          .localCheckpoint(true)
+        val (_, tb1) = timed(streaming.StreamMaintain.pageRankBatch(
+          spark, store, estore, b1, 0L, 0.8, iterations = 3))
+        val b2 = edges1.filter(col("src") >= 50 && col("src") < 100)
+          .select(col("src"), (col("dst") + 2).as("dst"))
+          .localCheckpoint(true)
+        val (_, tb2) = timed(streaming.StreamMaintain.pageRankBatch(
+          spark, store, estore, b2, 1L, 0.8, iterations = 3))
+        edges1.unpersist()
+        Seq("init" -> tp, "batch1" -> tb1, "batch2" -> tb2)
+      }
+
+      run("seg_retention", 5000L * m) {
+        // snapshot-layer cost attribution (round-10 verdict #6): the
+        // SAME ±1% scattered continuation pair under retention 0 / 2 /
+        // 8. Every commit retires its touched buckets and, past the
+        // horizon, GCs its oldest retired epoch — both O(touched)
+        // metadata + renames — so the three times must be ~equal (the
+        // horizon bounds retained BYTES, not per-commit work). A ret8
+        // time growing past ret0's would falsify the "bookkeeping is
+        // O(touched)" claim and mark the snapshot layer as real
+        // per-commit data cost.
+        val n = 5000L * m
+        val fresh1 = genDocs(spark, n + n / 100).filter(col("doc_id") >= n)
+        val fresh2 = genDocs(spark, n + 2 * (n / 100))
+          .filter(col("doc_id") >= n + n / 100)
+        val rem = docs.filter(col("doc_id") % 100 === 55).select("doc_id")
+        def contPair(r: Int): Double = {
+          val store = s"$dir/seg_ret_$r"
+          deleteRec(new java.io.File(store))
+          operators.TfidfStore.init(spark, store, docs, "doc_id", "text")
+          operators.SegSwap.setRetention(
+            operators.SegSwap.fsOf(spark, store), store, r)
+          val (_, t1) = timed(operators.TfidfStore.continueAt(spark,
+            store, fresh1, rem, "doc_id", "text"))
+          // the second commit runs at a full horizon: for ret0 it GCs
+          // the first's retired buckets immediately — steady state
+          val (_, t2) = timed(operators.TfidfStore.continueAt(spark,
+            store, fresh2, spark.range(0).toDF("doc_id"),
+            "doc_id", "text"))
+          t1 + t2
+        }
+        Seq("ret0" -> contPair(0), "ret2" -> contPair(2),
+          "ret8" -> contPair(8))
+      }
+
       run("incr_pagerank", 15000L * m) {
         val edges1 = edges0
           .persist(StorageLevel.MEMORY_AND_DISK)

@@ -72,8 +72,8 @@ object Forget {
       case "dedupclusters" =>
         DedupClusterStore.continueAt(spark, path, none, ids, idCol, textCol)
       case "decontam" =>
-        // docs-side purge; the eval side is untouched (an eval-set
-        // deletion is a different operation with its own delta)
+        // docs-side purge; the eval side is untouched here — a
+        // benchmark-item retraction is [[sweepEval]]
         DecontamStore.continueAt(spark, path, none, ids,
           none, ids.limit(0), idCol, textCol, idCol, textCol)
       case "semdedup" =>
@@ -122,6 +122,40 @@ object Forget {
       }
       if (scrubHistory)
         stores.foreach { case (_, path) => scrub(spark, path) }
+    } finally ids.unpersist()
+  }
+
+  /** Purge benchmark/eval ITEMS from decontamination stores — the
+    * OTHER side of [[DecontamStore]]'s two-sided delta: a retracted
+    * benchmark (licensing takedown, contamination-list revision) must
+    * stop flagging docs AND have its own shingle bytes gone from disk.
+    *
+    * Contamination flags are DERIVED at read time (contaminatedIds
+    * probes the doc shingles against the eval table), so removing the
+    * items' `evalsh` rows flips every affected doc's flag with NO
+    * doc-side rewrite at all — the purge touches only the items' eval
+    * buckets. Atomicity and history-scrub contracts are [[sweep]]'s
+    * (one [[StoreTxn]], then [[scrub]] outside it). */
+  def sweepEval(spark: SparkSession, txnDir: String,
+      purgeEvalIds: DataFrame, evalIdCol: String, evalTextCol: String,
+      decontamPaths: Seq[String], scrubHistory: Boolean = true): Unit = {
+    val ids = purgeEvalIds.select(col(purgeEvalIds.columns.head))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val noneT = ids.limit(0)
+        .select(col(ids.columns.head).as(evalIdCol))
+        .withColumn(evalTextCol, lit(""))
+      StoreTxn.run(spark, txnDir, decontamPaths.map("decontam" -> _)) {
+        decontamPaths.foreach { path =>
+          DecontamStore.continueAt(spark, path,
+            noneT, ids.limit(0),  // docs side: empty delta
+            noneT, ids,           // eval side: the retraction
+            evalIdCol, evalTextCol, evalIdCol, evalTextCol)
+          ()
+        }
+      }
+      if (scrubHistory) decontamPaths.foreach(scrub(spark, _))
     } finally ids.unpersist()
   }
 }

@@ -171,6 +171,54 @@ class ForgetSpec extends SparkSpec {
       "rolling back TO the floor must restore its exact content")
   }
 
+  test("eval-item purge flips affected docs' flags and scrubs the item's bytes") {
+    import graft.operators.DecontamStore
+    // doc 3 is contaminated ONLY by eval item 101 (the sentinel
+    // passage); doc 5 by eval item 102 — retracting 101 must flip
+    // doc 3 to clean, leave doc 5 flagged, and leave no sentinel byte
+    // anywhere under the store after the scrub
+    val docs = Seq(
+      (1L, "plain corpus alpha beta gamma"),
+      (3L, s"contains the $Sentinel secret passage verbatim"),
+      (5L, "holdout question two riddle text here"),
+      (7L, "more ordinary filler words pad pad")).toDF("doc_id", "text")
+    val eval0 = Seq(
+      (101L, s"the $Sentinel secret passage verbatim appears"),
+      (102L, "holdout question two riddle text")).toDF("eid", "etext")
+    val p = dir("evalforget")
+    DecontamStore.init(spark, p, docs, "doc_id", "text",
+      eval0, "eid", "etext", w = 3, nBuckets = 8)
+    assert(DecontamStore.contaminatedIds(spark, p)
+      .as[Long].collect().toSet == Set(3L, 5L))
+    Forget.sweepEval(spark, dir("evalforget_txn"),
+      Seq(101L).toDF("eid"), "eid", "etext", Seq(p))
+    // flags: derived from the remaining eval set — doc 3 now clean,
+    // and the result equals a from-scratch build on eval minus 101
+    assert(DecontamStore.contaminatedIds(spark, p)
+      .as[Long].collect().toSet == Set(5L))
+    val rebuilt = dir("evalforget_rebuild")
+    DecontamStore.init(spark, rebuilt, docs, "doc_id", "text",
+      eval0.filter($"eid" =!= 101L), "eid", "etext", w = 3, nBuckets = 8)
+    assert(DecontamStore.contaminatedIds(spark, rebuilt)
+      .as[Long].collect().toSet ==
+      DecontamStore.contaminatedIds(spark, p).as[Long].collect().toSet)
+    // bytes: the retracted item's shingles are gone from every file —
+    // but ONLY from the eval side: doc 3 legitimately still carries
+    // the sentinel text in the corpus-side shingles
+    val evalTainted = parquetFiles(p).filter { f =>
+      val df = spark.read.parquet(f)
+      df.columns.contains("eid") && df.filter(
+        org.apache.spark.sql.functions.col("eid") === 101L ||
+          df.schema.fields.filter(_.dataType ==
+            org.apache.spark.sql.types.StringType).map(c =>
+            org.apache.spark.sql.functions.col(c.name).contains(Sentinel))
+            .foldLeft(org.apache.spark.sql.functions.lit(false))(_ || _))
+        .limit(1).count() > 0
+    }
+    assert(evalTainted.isEmpty,
+      s"retracted eval item's bytes survive in:\n  ${evalTainted.mkString("\n  ")}")
+  }
+
   test("a mid-family failure compensates: no store keeps the purge") {
     val stores = family("abort", corpus)
     val r0 = readings(stores)
