@@ -661,9 +661,16 @@ object PipelineQueries {
     // both stores for real. The oracle is the full post-delta TF-IDF
     // recompute: a wrong or partial rollback would poison the second
     // continuation's starting state (tf bags, df, N) and hash-mismatch.
+    // Gate weight: the three store-op gates (txn/forget/export) run on
+    // a doc_id%3 slice — the mechanisms under test (compensation,
+    // atomic sweep + scrub, pinned export) are size-independent, and
+    // the full-size TF-IDF load is already carried by
+    // q_tfidf / q_incr_tfidf / q_incr_tfidf_seg (round-10 driver-budget
+    // lesson, same as the pagerank time-travel quartet).
     Q("q_store_txn",
       (s, dir) => {
         val docs = Q.t(s, dir, "documents")
+          .filter(col("doc_id") % 3 === 0)
         val base = docs.filter(col("doc_id") % 10 =!= 3)
         val added = docs.filter(col("doc_id") % 10 === 3)
         val removed = base.filter(col("doc_id") % 10 === 7).select("doc_id")
@@ -696,12 +703,12 @@ object PipelineQueries {
       },
       Some(s"""WITH toks AS (SELECT doc_id,
                 list_filter(regexp_split_to_array(text, ' +'), x -> x <> '') AS toks
-                FROM documents WHERE doc_id % 10 <> 7),
+                FROM documents WHERE doc_id % 3 = 0 AND doc_id % 10 <> 7),
               tf AS (SELECT doc_id, t AS token, count(*) AS tf
                 FROM (SELECT doc_id, unnest(toks) AS t FROM toks)
                 GROUP BY 1, 2),
               dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
-              n AS (SELECT count(*) AS n FROM documents WHERE doc_id % 10 <> 7)
+              n AS (SELECT count(*) AS n FROM documents WHERE doc_id % 3 = 0 AND doc_id % 10 <> 7)
               SELECT tf.doc_id, tf.token, tf.tf, dfq.df,
                 round(tf.tf * ln(n.n::DOUBLE / dfq.df), 6) AS tfidf
               FROM tf JOIN dfq USING (token) CROSS JOIN n""")),
@@ -715,6 +722,7 @@ object PipelineQueries {
     Q("q_forget_sweep",
       (s, dir) => {
         val docs = Q.t(s, dir, "documents")
+          .filter(col("doc_id") % 3 === 0)
         val tp = java.nio.file.Files
           .createTempDirectory("graft_forget_tfidf").toString
         val ep = java.nio.file.Files
@@ -734,12 +742,13 @@ object PipelineQueries {
       },
       Some(s"""WITH toks AS (SELECT doc_id,
                 list_filter(regexp_split_to_array(text, ' +'), x -> x <> '') AS toks
-                FROM documents WHERE doc_id % 100 <> 2),
+                FROM documents WHERE doc_id % 3 = 0 AND doc_id % 100 <> 2),
               tf AS (SELECT doc_id, t AS token, count(*) AS tf
                 FROM (SELECT doc_id, unnest(toks) AS t FROM toks)
                 GROUP BY 1, 2),
               dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
-              n AS (SELECT count(*) AS n FROM documents WHERE doc_id % 100 <> 2)
+              n AS (SELECT count(*) AS n FROM documents
+                WHERE doc_id % 3 = 0 AND doc_id % 100 <> 2)
               SELECT tf.doc_id, tf.token, tf.tf, dfq.df,
                 round(tf.tf * ln(n.n::DOUBLE / dfq.df), 6) AS tfidf
               FROM tf JOIN dfq USING (token) CROSS JOIN n""")),
@@ -1899,6 +1908,7 @@ object PipelineQueries {
     Q("q_export_model",
       (s, dir) => {
         val docs = Q.t(s, dir, "documents")
+          .filter(col("doc_id") % 3 === 0)
         val base = docs.filter(col("doc_id") % 10 =!= 3)
         val src = java.nio.file.Files
           .createTempDirectory("graft_export_src").toString
@@ -1917,12 +1927,13 @@ object PipelineQueries {
       },
       Some(s"""WITH toks AS (SELECT doc_id,
                 list_filter(regexp_split_to_array(text, ' +'), x -> x <> '') AS toks
-                FROM documents WHERE doc_id % 10 <> 3),
+                FROM documents WHERE doc_id % 3 = 0 AND doc_id % 10 <> 3),
               tf AS (SELECT doc_id, t AS token, count(*) AS tf
                 FROM (SELECT doc_id, unnest(toks) AS t FROM toks)
                 GROUP BY 1, 2),
               dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
-              n AS (SELECT count(*) AS n FROM documents WHERE doc_id % 10 <> 3)
+              n AS (SELECT count(*) AS n FROM documents
+                WHERE doc_id % 3 = 0 AND doc_id % 10 <> 3)
               SELECT tf.doc_id, tf.token, tf.tf, dfq.df,
                 round(tf.tf * ln(n.n::DOUBLE / dfq.df), 6) AS tfidf
               FROM tf JOIN dfq USING (token) CROSS JOIN n""")),

@@ -27,6 +27,31 @@ class LifecycleSpec extends SparkSpec {
       .filter { case (a, b) => a != b }.distinct
   }
 
+  test("edge-store pruned reads are partition-pruned parquet scans") {
+    // the StaticSource contract is only O(delta) if the bucket filter
+    // actually reaches the scan as a PARTITION filter — a post-scan
+    // filter would read the whole relation and silently void the
+    // design (this is the .explain discipline, pinned as a spec)
+    val edges = (0L until 200L).map(i => (i, (i * 7 + 1) % 200))
+      .toDF("src", "dst")
+    val p = java.nio.file.Files
+      .createTempDirectory("graft_prune_probe").toString
+    IncrementalPageRank.initEdgeStore(spark, p, edges, nBuckets = 8)
+    val h = graft.operators.KeyedUpsertStore.open(spark, p)
+    val df = h.pruned(Set(1, 3))
+    val scan = df.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scan.isDefined, "expected a parquet file scan leaf")
+    assert(scan.get.partitionFilters.exists(_.toString.contains("_b")),
+      s"bucket filter did not reach the scan's partition filters: " +
+        s"${scan.get.partitionFilters}")
+    // and the pruned read returns exactly the requested buckets' rows
+    val want = graft.operators.KeyedUpsertStore.rows(spark, p)
+      .filter(h.bucketOf(col("src")).isin(1, 3)).count()
+    assert(df.count() == want && want > 0)
+  }
+
   test("seg continuation surfaces ContinueAdvice programmatically") {
     // a delta whose footprint crosses the ~10% touched-bucket crossover
     // carries rebuildRecommended on the RESULT (not only stderr); a

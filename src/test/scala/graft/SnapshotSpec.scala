@@ -27,6 +27,31 @@ class SnapshotSpec extends SparkSpec {
   private def ranks(st: graft.core.PreservedState): Map[Long, Double] =
     st.out.select("node", "rank").as[(Long, Double)].collect().toMap
 
+  test("writeTextAtomic overwrites in place and migrates legacy crc sidecars") {
+    import graft.operators.SegSwap
+    import org.apache.hadoop.fs.{Path => HPath}
+    val dir = java.nio.file.Files.createTempDirectory("graft_wta").toString
+    val fs = SegSwap.fsOf(spark, dir)
+    val marker = s"$dir/seg_epoch"
+    // plain write → read round-trip, then overwrite
+    SegSwap.writeTextAtomic(fs, marker, "1")
+    assert(SegSwap.readText(fs, new HPath(marker)).contains("1"))
+    SegSwap.writeTextAtomic(fs, marker, "2")
+    assert(SegSwap.readText(fs, new HPath(marker)).contains("2"))
+    // legacy store: the marker was written through the checksum layer
+    // (crc sidecar on disk); the nio overwrite must drop the sidecar so
+    // fs.open never verifies the NEW bytes against the STALE crc
+    val legacy = s"$dir/seg_floor"
+    val out = fs.create(new HPath(legacy), true)
+    out.write("7".getBytes("UTF-8")); out.close()
+    assert(new java.io.File(s"$dir/.seg_floor.crc").exists,
+      "precondition: the checksum layer writes a sidecar")
+    SegSwap.writeTextAtomic(fs, legacy, "8")
+    assert(!new java.io.File(s"$dir/.seg_floor.crc").exists,
+      "the stale sidecar must be dropped with the overwrite")
+    assert(SegSwap.readText(fs, new HPath(legacy)).contains("8"))
+  }
+
   test("snapshotAt reproduces each epoch exactly across chained continuations") {
     val edges1 = chainEdges
     val store = java.nio.file.Files
