@@ -610,7 +610,7 @@ object IterativeQueries {
         val store = java.nio.file.Files
           .createTempDirectory("graft_pr_snap_gate").toString
         IncrementalPageRank.preserveTo(s, store, edges1, 0.8,
-          iterations = 2, nBuckets = 16)
+          iterations = 2, nBuckets = 16, numPartitions = 8)
         val chg1 = edges1.filter(col("src") % 10 === 3)
           .select("src").distinct()
         val delta1 = chg1.select(col("src"),
@@ -618,7 +618,7 @@ object IterativeQueries {
         val edges2 = edges1.filter(col("src") % 10 =!= 3)
           .unionByName(delta1)
         IncrementalPageRank.incrementalSeg(s, store, edges2, chg1, 0.8,
-          iterations = 2, filterThreshold = 0.0).unpersist()
+          iterations = 2, filterThreshold = 0.0, numPartitions = 8).unpersist()
         val e1 = graft.core.SegmentedStateStore.openForRead(s, store)
           .currentEpoch
         val chg2 = edges2.filter(col("src") % 10 === 6)
@@ -628,7 +628,7 @@ object IterativeQueries {
         val edges3 = edges2.filter(col("src") % 10 =!= 6)
           .unionByName(delta2)
         IncrementalPageRank.incrementalSeg(s, store, edges3, chg2, 0.8,
-          iterations = 2, filterThreshold = 0.0).unpersist()
+          iterations = 2, filterThreshold = 0.0, numPartitions = 8).unpersist()
         graft.core.SegmentedStateStore.openForRead(s, store)
           .snapshotAt(e1).out
           .select(col("node"), round(col("rank"), 6).as("rank"))
@@ -650,7 +650,7 @@ object IterativeQueries {
         val store = java.nio.file.Files
           .createTempDirectory("graft_pr_rollback_gate").toString
         IncrementalPageRank.preserveTo(s, store, edges1, 0.8,
-          iterations = 2, nBuckets = 16)
+          iterations = 2, nBuckets = 16, numPartitions = 8)
         val chg1 = edges1.filter(col("src") % 10 === 3)
           .select("src").distinct()
         val delta1 = chg1.select(col("src"),
@@ -658,7 +658,7 @@ object IterativeQueries {
         val edges2 = edges1.filter(col("src") % 10 =!= 3)
           .unionByName(delta1)
         IncrementalPageRank.incrementalSeg(s, store, edges2, chg1, 0.8,
-          iterations = 2, filterThreshold = 0.0).unpersist()
+          iterations = 2, filterThreshold = 0.0, numPartitions = 8).unpersist()
         val e1 = graft.core.SegmentedStateStore.openForRead(s, store)
           .currentEpoch
         val chg2 = edges2.filter(col("src") % 10 === 6)
@@ -668,7 +668,7 @@ object IterativeQueries {
         val edges3 = edges2.filter(col("src") % 10 =!= 6)
           .unionByName(delta2)
         IncrementalPageRank.incrementalSeg(s, store, edges3, chg2, 0.8,
-          iterations = 2, filterThreshold = 0.0).unpersist()
+          iterations = 2, filterThreshold = 0.0, numPartitions = 8).unpersist()
         graft.core.SegmentedStateStore.openForRead(s, store)
           .rollbackTo(e1)
         graft.core.SegmentedStateStore.openForRead(s, store)
@@ -691,7 +691,7 @@ object IterativeQueries {
         val store = java.nio.file.Files
           .createTempDirectory("graft_pr_diff_gate").toString
         IncrementalPageRank.preserveTo(s, store, edges1, 0.8,
-          iterations = 2, nBuckets = 16)
+          iterations = 2, nBuckets = 16, numPartitions = 8)
         val chg1 = edges1.filter(col("src") % 10 === 3)
           .select("src").distinct()
         val delta1 = chg1.select(col("src"),
@@ -699,7 +699,7 @@ object IterativeQueries {
         val edges2 = edges1.filter(col("src") % 10 =!= 3)
           .unionByName(delta1)
         IncrementalPageRank.incrementalSeg(s, store, edges2, chg1, 0.8,
-          iterations = 2, filterThreshold = 0.0).unpersist()
+          iterations = 2, filterThreshold = 0.0, numPartitions = 8).unpersist()
         val e1 = graft.core.SegmentedStateStore.openForRead(s, store)
           .currentEpoch
         val chg2 = edges2.filter(col("src") % 10 === 6)
@@ -709,7 +709,7 @@ object IterativeQueries {
         val edges3 = edges2.filter(col("src") % 10 =!= 6)
           .unionByName(delta2)
         IncrementalPageRank.incrementalSeg(s, store, edges3, chg2, 0.8,
-          iterations = 2, filterThreshold = 0.0).unpersist()
+          iterations = 2, filterThreshold = 0.0, numPartitions = 8).unpersist()
         val st = graft.core.SegmentedStateStore.openForRead(s, store)
         st.diffOut(e1, st.currentEpoch)
           .select(col("node"),
@@ -743,7 +743,7 @@ object IterativeQueries {
         val edgeStore = java.nio.file.Files
           .createTempDirectory("graft_pr_stream_edges").toString
         IncrementalPageRank.preserveTo(s, store, edges1, 0.8,
-          iterations = 2, nBuckets = 16)
+          iterations = 2, nBuckets = 16, numPartitions = 8)
         IncrementalPageRank.initEdgeStore(s, edgeStore, edges1,
           nBuckets = 16)
         // delta 1 rewires src%10==3, delta 2 rewires src%10==6 of the
@@ -787,7 +787,8 @@ object IterativeQueries {
             (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
                 bid: Long) =>
               graft.streaming.StreamMaintain.pageRankBatch(s, store,
-                edgeStore, batch, bid, 0.8, iterations = 2)
+                edgeStore, batch, bid, 0.8, iterations = 2,
+                numPartitions = 8)
           }
           .trigger(Trigger.AvailableNow())
           .start()

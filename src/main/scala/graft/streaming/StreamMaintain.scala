@@ -56,7 +56,8 @@ object StreamMaintain {
     * `batchId` (Structured Streaming's foreachBatch id). */
   def pageRankBatch(spark: SparkSession, rankStore: String,
       edgeStore: String, batch: DataFrame, batchId: Long,
-      damping: Double, iterations: Int): Unit = {
+      damping: Double, iterations: Int,
+      numPartitions: Int = 32): Unit = {
     val timing = IncrementalJob.timingEnabled
     def phase[T](label: String)(f: => T): T =
       if (!timing) f else {
@@ -78,7 +79,8 @@ object StreamMaintain {
     phase(s"continuation (patch rows=${patch.count()})")(
       IncrementalPageRank.incrementalFromStores(spark, rankStore,
         edgeStore, patch, chg, damping, iterations,
-        filterThreshold = 0.0, batchId = Some(batchId))
+        filterThreshold = 0.0, numPartitions = numPartitions,
+        batchId = Some(batchId))
         .unpersist(blocking = false))
     // edge upsert second: replaces the changed keys' rows with the
     // patch — O(touched buckets)
