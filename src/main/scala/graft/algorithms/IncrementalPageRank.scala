@@ -156,12 +156,18 @@ object IncrementalPageRank {
     * delta-sized on the overlay side. */
   private final class OverlayStatic(
       h: graft.operators.KeyedUpsertStore.ReadHandle,
-      chgKeys: DataFrame, patch: DataFrame) extends graft.core.StaticSource {
+      chgKeys: DataFrame, chgRows: Long, patch: DataFrame,
+      broadcastMaxRows: Long) extends graft.core.StaticSource {
     def nBuckets: Int = h.nBuckets
     def bucketOf(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
       h.bucketOf(c)
-    private val ck = broadcast(
-      chgKeys.select(col(chgKeys.columns.head).cast("long").as("_ck")).distinct())
+    // the same broadcast discipline as the loop's own fk joins: a
+    // corpus-wide delta (the rebuildRecommended scenario) must fall
+    // back to a shuffle join, not OOM the driver
+    private val ckRaw =
+      chgKeys.select(col(chgKeys.columns.head).cast("long").as("_ck")).distinct()
+    private val ck =
+      if (chgRows <= broadcastMaxRows) broadcast(ckRaw) else ckRaw
     def pruned(bs: Set[Int]): DataFrame = {
       val inBs = h.bucketOf(col("src"))
         .isin(bs.toSeq.map(Integer.valueOf): _*)
@@ -190,22 +196,28 @@ object IncrementalPageRank {
       changedSources: DataFrame, damping: Double, iterations: Int,
       filterThreshold: Double = 0.0, numPartitions: Int = 32,
       broadcastMaxRows: Long = 4L * 1000 * 1000,
-      batchId: Option[Long] = None): DataFrame = {
+      batchId: Option[Long] = None)
+      : (DataFrame, Option[graft.operators.StorePolicy.ContinueAdvice]) = {
     val store = SegmentedStateStore.openForWrite(spark, rankStorePath)
     if (batchId.exists(_ <= store.appliedBatch)) {
       store.releaseLease()
       val out = store.out.drop("_b")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       out.count()
-      out
+      (out, None)
     } else {
       val h = graft.operators.KeyedUpsertStore.open(spark, edgeStorePath)
-      val src = new OverlayStatic(h, changedSources, batchStatic)
+      // one count decides the overlay's broadcast-vs-shuffle plan;
+      // callers hand a materialized delta, so this reads cached blocks
+      val chgRows = changedSources.count()
+      val src = new OverlayStatic(h, changedSources, chgRows, batchStatic,
+        broadcastMaxRows)
       val job = buildJob(src.all, store.preserved,
         changedSources.select(col("src").cast("long")), damping,
         iterations, filterThreshold, numPartitions, None, broadcastMaxRows,
         Some(store), batchId, Some(src))
-      IncrementalJob.finish(job.run())
+      val r = job.run()
+      (IncrementalJob.finish(r), r.advice)
     }
   }
 

@@ -152,15 +152,19 @@ private[graft] object SegSwap {
       if (dNio.getParent != null)
         java.nio.file.Files.createDirectories(dNio.getParent)
       java.nio.file.Files.write(tmpNio, text.getBytes("UTF-8"))
-      java.nio.file.Files.move(tmpNio, dNio,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      // drop legacy sidecars BEFORE the move: old bytes merely read
+      // unverified, whereas new-bytes-against-stale-crc would throw a
+      // ChecksumException in exactly the concurrent reader this path
+      // protects
       if (dNio.getParent != null) {
         java.nio.file.Files.deleteIfExists(
           dNio.getParent.resolve("." + dNio.getFileName + ".crc"))
         java.nio.file.Files.deleteIfExists(
           dNio.getParent.resolve("." + dNio.getFileName + ".tmp.crc"))
       }
+      java.nio.file.Files.move(tmpNio, dNio,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     } else {
       if (d.getParent != null) fs.mkdirs(d.getParent)
       val out = fs.create(tmp, true)

@@ -182,9 +182,18 @@ object StoreTxn {
             kinds(kind)(spark, path, preEpoch)
           if (token != "-")
             SegSwap.releasePin(SegSwap.fsOf(spark, path), path, token)
-          disenroll(spark, txnDir, path)
         }
+        // markers clear only AFTER the manifest delete (same order as
+        // the commit path): a marker dropped while the manifest
+        // survives would let a second txn claim the store, and a
+        // recovery RE-RUN against the surviving manifest would then
+        // revert that txn's committed work — the exact hazard the
+        // marker fences. A crash between the delete and the disenroll
+        // leaves only stale markers (no manifest, lease expires),
+        // cleaned by the next enroll.
         fs.delete(m, false)
+        rows.foreach { case (_, path, _, _) =>
+          disenroll(spark, txnDir, path) }
         true
     }
   }

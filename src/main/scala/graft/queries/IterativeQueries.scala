@@ -49,7 +49,7 @@ object IterativeQueries {
       1 + (o_custkey * 7 + o_orderkey * 3) % (SELECT count(*) FROM customer) AS dst
       FROM orders WHERE o_orderkey % 5 = 0"""
 
-  private def sparkEdgesSlice(s: org.apache.spark.sql.SparkSession, dir: String) = {
+  private[graft] def sparkEdgesSlice(s: org.apache.spark.sql.SparkSession, dir: String) = {
     val ncust = Q.t(s, dir, "customer").count()
     Q.t(s, dir, "orders").filter(col("o_orderkey") % 5 === 0)
       .select(col("o_custkey").as("src"),
@@ -789,6 +789,7 @@ object IterativeQueries {
               graft.streaming.StreamMaintain.pageRankBatch(s, store,
                 edgeStore, batch, bid, 0.8, iterations = 2,
                 numPartitions = 8)
+              () // foreachBatch wants Unit; the advice is for maintainers
           }
           .trigger(Trigger.AvailableNow())
           .start()

@@ -53,13 +53,18 @@ object StreamMaintain {
     * the out-edge sets of their `src` keys) to the rank store at
     * `rankStore` and the prepared-edge table at `edgeStore`
     * (inited by [[IncrementalPageRank.initEdgeStore]]). Idempotent per
-    * `batchId` (Structured Streaming's foreachBatch id). */
+    * `batchId` (Structured Streaming's foreachBatch id).
+    *
+    * Returns the continuation's [[graft.operators.StorePolicy
+    * .ContinueAdvice]] (None on a replayed batch) — a long-running
+    * maintainer watches `rebuildRecommended` for bucket-footprint
+    * creep without re-parsing stderr. */
   def pageRankBatch(spark: SparkSession, rankStore: String,
       edgeStore: String, batch: DataFrame, batchId: Long,
-      damping: Double, iterations: Int,
-      numPartitions: Int = 32): Unit = {
+      damping: Double, iterations: Int, numPartitions: Int = 32)
+      : Option[graft.operators.StorePolicy.ContinueAdvice] = {
     val timing = IncrementalJob.timingEnabled
-    def phase[T](label: String)(f: => T): T =
+    def phase[T](label: => String)(f: => T): T =
       if (!timing) f else {
         val t0 = System.nanoTime(); val r = f
         System.err.println(
@@ -75,19 +80,22 @@ object StreamMaintain {
     // rank continuation FIRST, against the PRE-batch edge store
     // overlaid with the patch (pruned bucket reads on both stores):
     // correct on first delivery AND on replay, because the edge upsert
-    // below runs after
-    phase(s"continuation (patch rows=${patch.count()})")(
-      IncrementalPageRank.incrementalFromStores(spark, rankStore,
-        edgeStore, patch, chg, damping, iterations,
+    // below runs after. The by-name label keeps the row count off the
+    // timing-disabled hot path.
+    val advice = phase(s"continuation (patch rows=${patch.count()})") {
+      val (out, a) = IncrementalPageRank.incrementalFromStores(spark,
+        rankStore, edgeStore, patch, chg, damping, iterations,
         filterThreshold = 0.0, numPartitions = numPartitions,
         batchId = Some(batchId))
-        .unpersist(blocking = false))
+      out.unpersist(blocking = false)
+      a
+    }
     // edge upsert second: replaces the changed keys' rows with the
     // patch — O(touched buckets)
     phase("edge upsert")(
       KeyedUpsertStore.upsertBatch(spark, edgeStore, patch,
         spark.range(0).toDF("src"), batchId))
     patch.unpersist(blocking = false)
-    ()
+    advice
   }
 }

@@ -112,12 +112,9 @@ class SnapshotSpec extends SparkSpec {
     // result-invisible (they also share the sliced unrolled-SQL
     // oracle driver-side)
     val ncust = spark.read.parquet(s"$sf/customer.parquet").count()
-    val edges1 = spark.read.parquet(s"$sf/orders.parquet")
-      .filter(col("o_orderkey") % 5 === 0)
-      .select(col("o_custkey").as("src"),
-        (lit(1L) + (col("o_custkey") * 7 + col("o_orderkey") * 3)
-          % lit(ncust)).as("dst"))
-      .distinct()
+    // the gates' own slice builder — ONE definition of the load-bearing
+    // slice formula (a retuned slice must not desync this spec)
+    val edges1 = graft.queries.IterativeQueries.sparkEdgesSlice(spark, sf)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val preserved = IncrementalPageRank.preserve(edges1, 0.8, iterations = 2)
     val chg1 = edges1.filter(col("src") % 10 === 3).select("src").distinct()

@@ -61,6 +61,7 @@ class StreamingSpec extends SparkSpec {
             sys.error("simulated crash at batch 2")
           StreamMaintain.pageRankBatch(spark, rankStore, edgeStore,
             batch, bid, 0.8, iterations = 3)
+          ()
       }
       .trigger(Trigger.AvailableNow())
       .start()
