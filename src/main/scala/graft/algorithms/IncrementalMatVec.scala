@@ -116,12 +116,63 @@ object IncrementalMatVec {
       numPartitions: Int = 32,
       durableStatePath: Option[String] = None,
       segStore: Option[graft.core.SegmentedStateStore] = None): DataFrame = {
-
     val static = updatedM.select(col("i").cast("long"), col("j").cast("long"),
       col("v").cast("double"))
-    val bKeyed = b.select(col("idx").cast("long"), col("bv").cast("double"))
+    val job = buildJob(static, b, preserved, changedColumns, iterations,
+      filterThreshold, numPartitions, durableStatePath, segStore, None)
+    IncrementalJob.finish(job.run())
+  }
 
-    val job = new IncrementalJob(
+  /** Lay the matrix out as a durable COLUMN-keyed cell store (the
+    * matvec twin of [[IncrementalPageRank.initEdgeStore]] — F34's
+    * one-off static distribution; no derived stats to maintain here,
+    * cells are the prepared form). */
+  def initCellStore(spark: org.apache.spark.sql.SparkSession, path: String,
+      m: DataFrame, nBuckets: Int = 32): Unit =
+    graft.operators.KeyedUpsertStore.init(spark, path,
+      m.select(col("i").cast("long"), col("j").cast("long"),
+        col("v").cast("double")),
+      "j", nBuckets)
+
+  /** STORE-FED continuation — the second [[graft.core.StaticSource]]
+    * instantiation (proving the durable-static abstraction isn't
+    * PageRank-shaped, the same way this file proves it for the
+    * incremental loop itself): state in the segmented store at
+    * `statePath`, cells in the column-keyed store at `cellStorePath`
+    * read PRUNED to the frontier's buckets, overlaid with
+    * `batchCells` (the changed columns' replacement cells, not yet
+    * upserted — the stream maintainer's fixed apply order). Returns
+    * the post-delta x plus the continuation's advice. */
+  def incrementalFromStores(spark: org.apache.spark.sql.SparkSession,
+      statePath: String, cellStorePath: String, batchCells: DataFrame,
+      changedColumns: DataFrame, b: DataFrame, iterations: Int,
+      filterThreshold: Double = 0.0, numPartitions: Int = 32,
+      broadcastMaxRows: Long = 4L * 1000 * 1000)
+      : (DataFrame, Option[graft.operators.StorePolicy.ContinueAdvice]) = {
+    val store = graft.core.SegmentedStateStore.openForWrite(spark, statePath)
+    val h = graft.operators.KeyedUpsertStore.open(spark, cellStorePath)
+    val patch = batchCells.select(col("i").cast("long"),
+      col("j").cast("long"), col("v").cast("double"))
+    val chgRows = changedColumns.count()
+    val src = new graft.core.StaticSource.Overlay(h, "j", changedColumns,
+      chgRows, patch, broadcastMaxRows)
+    val job = buildJob(src.all, b, store.preserved, changedColumns,
+      iterations, filterThreshold, numPartitions, None, Some(store),
+      Some(src))
+    val r = job.run()
+    (IncrementalJob.finish(r), r.advice)
+  }
+
+  /** The matvec instantiation of [[IncrementalJob]] — shared by the
+    * frame-fed and store-fed continuations. */
+  private def buildJob(static: DataFrame, b: DataFrame,
+      preserved: PreservedState, changedColumns: DataFrame,
+      iterations: Int, filterThreshold: Double, numPartitions: Int,
+      durableStatePath: Option[String],
+      segStore: Option[graft.core.SegmentedStateStore],
+      staticSource: Option[graft.core.StaticSource]): IncrementalJob = {
+    val bKeyed = b.select(col("idx").cast("long"), col("bv").cast("double"))
+    new IncrementalJob(
       updatedStatic = static,
       skCol = "j",
       k2Col = "idx",
@@ -145,9 +196,8 @@ object IncrementalMatVec {
       maxIterations = iterations,
       numPartitions = numPartitions,
       durableStatePath = durableStatePath,
-      segStore = segStore)
-
-    IncrementalJob.finish(job.run())
+      segStore = segStore,
+      staticSource = staticSource)
   }
 
   // ---- blocked (One2Mul) incremental variant ----------------------------

@@ -148,37 +148,6 @@ object IncrementalPageRank {
     b.join(deg, "src")
   }
 
-  /** The POST-batch static relation as a [[graft.core.StaticSource]]:
-    * the durable prepared-edge store (PRE-batch — the fixed apply
-    * order runs the rank continuation before the edge upsert) overlaid
-    * with the batch's replacement rows for its changed sources. Every
-    * pruned read stays partition-pruned on the store side and
-    * delta-sized on the overlay side. */
-  private final class OverlayStatic(
-      h: graft.operators.KeyedUpsertStore.ReadHandle,
-      chgKeys: DataFrame, chgRows: Long, patch: DataFrame,
-      broadcastMaxRows: Long) extends graft.core.StaticSource {
-    def nBuckets: Int = h.nBuckets
-    def bucketOf(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-      h.bucketOf(c)
-    // the same broadcast discipline as the loop's own fk joins: a
-    // corpus-wide delta (the rebuildRecommended scenario) must fall
-    // back to a shuffle join, not OOM the driver
-    private val ckRaw =
-      chgKeys.select(col(chgKeys.columns.head).cast("long").as("_ck")).distinct()
-    private val ck =
-      if (chgRows <= broadcastMaxRows) broadcast(ckRaw) else ckRaw
-    def pruned(bs: Set[Int]): DataFrame = {
-      val inBs = h.bucketOf(col("src"))
-        .isin(bs.toSeq.map(Integer.valueOf): _*)
-      h.pruned(bs).join(ck, col("src") === col("_ck"), "left_anti")
-        .unionByName(patch.filter(inBs))
-    }
-    def all: DataFrame =
-      h.all.join(ck, col("src") === col("_ck"), "left_anti")
-        .unionByName(patch)
-  }
-
   /** STORE-FED continuation — the O(delta) end-to-end shape: ranks in
     * the segmented store at `rankStorePath`, the prepared static
     * relation in the edge store at `edgeStorePath`, and the
@@ -210,8 +179,8 @@ object IncrementalPageRank {
       // one count decides the overlay's broadcast-vs-shuffle plan;
       // callers hand a materialized delta, so this reads cached blocks
       val chgRows = changedSources.count()
-      val src = new OverlayStatic(h, changedSources, chgRows, batchStatic,
-        broadcastMaxRows)
+      val src = new graft.core.StaticSource.Overlay(h, "src",
+        changedSources, chgRows, batchStatic, broadcastMaxRows)
       val job = buildJob(src.all, store.preserved,
         changedSources.select(col("src").cast("long")), damping,
         iterations, filterThreshold, numPartitions, None, broadcastMaxRows,

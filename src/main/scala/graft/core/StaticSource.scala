@@ -36,3 +36,42 @@ trait StaticSource {
   /** The full relation. */
   def all: DataFrame
 }
+
+object StaticSource {
+  import org.apache.spark.sql.functions.{broadcast, col}
+
+  /** A durable store OVERLAID with a not-yet-upserted batch: rows of
+    * the batch's keys come from `patch` instead of the store. This is
+    * how a stream maintainer's fixed apply order (derived continuation
+    * FIRST, input upsert second — [[graft.streaming.StreamMaintain]])
+    * shows the loop the exact POST-delta static relation on first
+    * delivery AND on checkpoint replay, while the store still holds
+    * the pre-batch rows. Algorithm-agnostic: `keyCol` names the
+    * source-key column (PageRank "src", matvec "j").
+    *
+    * Every pruned read stays partition-pruned on the store side and
+    * delta-sized on the overlay side; the changed-keys side follows
+    * the loop's own broadcast discipline (`chgRows` vs
+    * `broadcastMaxRows` — a corpus-wide delta falls back to a shuffle
+    * join instead of OOMing the driver). */
+  final class Overlay(h: StaticSource, keyCol: String,
+      chgKeys: DataFrame, chgRows: Long, patch: DataFrame,
+      broadcastMaxRows: Long) extends StaticSource {
+    def nBuckets: Int = h.nBuckets
+    def bucketOf(c: Column): Column = h.bucketOf(c)
+    private val kt = patch.schema(keyCol).dataType
+    private val ckRaw =
+      chgKeys.select(col(chgKeys.columns.head).cast(kt).as("_ck")).distinct()
+    private val ck =
+      if (chgRows <= broadcastMaxRows) broadcast(ckRaw) else ckRaw
+    def pruned(bs: Set[Int]): DataFrame = {
+      val inBs = h.bucketOf(col(keyCol))
+        .isin(bs.toSeq.map(Integer.valueOf): _*)
+      h.pruned(bs).join(ck, col(keyCol) === col("_ck"), "left_anti")
+        .unionByName(patch.filter(inBs))
+    }
+    def all: DataFrame =
+      h.all.join(ck, col(keyCol) === col("_ck"), "left_anti")
+        .unionByName(patch)
+  }
+}

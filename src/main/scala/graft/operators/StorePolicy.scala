@@ -67,6 +67,27 @@ object StorePolicy {
     a
   }
 
+  /** Mechanical twin of [[autoRespanIfSprawled]] for the continue-vs-
+    * rebuild economics: now that every continuation RETURNS its
+    * [[ContinueAdvice]], an operator wires the re-init recipe here and
+    * systematic footprint overshoot heals itself instead of scrolling
+    * by on stderr. Fires `rebuildFn` when (and only when) the advice
+    * recommends a rebuild; returns whether it ran. Like the respan
+    * trigger, call it AFTER the continuation released its writer lease
+    * (a rebuild takes its own). */
+  def autoRebuildIfRecommended(advice: Option[ContinueAdvice])(
+      rebuildFn: ContinueAdvice => Unit): Boolean =
+    advice.filter(_.rebuildRecommended) match {
+      case Some(a) =>
+        System.err.println(f"[${a.tag}] auto-rebuild: continuation " +
+          f"touched ${a.touchedBuckets}/${a.totalBuckets} buckets " +
+          f"(${a.touchedFraction * 100}%.1f%% >= crossover " +
+          f"${a.crossover * 100}%.0f%%) — running the re-init recipe")
+        rebuildFn(a)
+        true
+      case None => false
+    }
+
   /** Max parquet-file count over every live `_b=` dir of `tables` —
     * a DIAGNOSTIC invariant, not a trigger: the swap's dir-replacement
     * semantics pin this at 1 (spec- and probe-verified), so a higher

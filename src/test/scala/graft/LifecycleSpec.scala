@@ -52,6 +52,58 @@ class LifecycleSpec extends SparkSpec {
     assert(df.count() == want && want > 0)
   }
 
+  test("matvec store-fed continuation equals the in-memory twin (StaticSource is not PageRank-shaped)") {
+    import graft.algorithms.IncrementalMatVec
+    import graft.operators.KeyedUpsertStore
+    // deterministic sparse 40x40 damped row-normalized matrix
+    val cells = (for (i <- 0L until 40L; j <- Seq((i * 7 + 1) % 40, (i * 3 + 2) % 40, (i * 11 + 5) % 40)
+      if i != j) yield (i, j)).distinct
+      .map { case (i, j) => (i, j, 1.0 + (i * 13 + j * 7) % 5) }
+      .toDF("i", "j", "w")
+    val rs = cells.groupBy("i").agg(sum(abs(col("w"))).as("rs"))
+    val m1 = cells.join(rs, "i")
+      .select(col("i"), col("j"), (col("w") / col("rs") * 0.8).as("v"))
+      .localCheckpoint(true)
+    val b = IncrementalMatVec.universe(m1, 0.2).localCheckpoint(true)
+    val sp = java.nio.file.Files
+      .createTempDirectory("graft_mv_state").toString
+    val cp = java.nio.file.Files
+      .createTempDirectory("graft_mv_cells").toString
+    IncrementalMatVec.preserveTo(spark, sp, m1, b, iterations = 3,
+      nBuckets = 8)
+    IncrementalMatVec.initCellStore(spark, cp, m1, nBuckets = 8)
+    // delta REPLACES the changed columns' cells (halved weights)
+    val chg = m1.filter(col("j") % 10 === 3).select("j").distinct()
+      .localCheckpoint(true)
+    val patch = m1.filter(col("j") % 10 === 3)
+      .select(col("i"), col("j"), (col("v") * 0.5).as("v"))
+      .localCheckpoint(true)
+    val (out, advice) = IncrementalMatVec.incrementalFromStores(spark,
+      sp, cp, patch, chg, b, iterations = 2, filterThreshold = 0.0)
+    val got = out.as[(Long, Double)].collect().toMap
+    assert(advice.isDefined)
+    // in-memory twin on the same inputs
+    val m2 = m1.withColumn("v",
+      when(col("j") % 10 === 3, col("v") * 0.5).otherwise(col("v")))
+    val preserved = IncrementalMatVec.preserve(m1, b, iterations = 3)
+    val want = IncrementalMatVec.incremental(m2, b, preserved, chg,
+      iterations = 2, filterThreshold = 0.0)
+      .as[(Long, Double)].collect().toMap
+    assert(got.keySet == want.keySet)
+    for (k <- want.keySet)
+      assert(math.abs(got(k) - want(k)) < 1e-12,
+        s"idx $k store=${got(k)} mem=${want(k)}")
+    // the fixed apply order's second half: upsert the patch, then the
+    // cell store holds exactly the post-delta matrix
+    KeyedUpsertStore.upsertBatch(spark, cp, patch,
+      spark.range(0).toDF("j"), 0L)
+    val gotCells = KeyedUpsertStore.rows(spark, cp)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(gotCells == m2.as[(Long, Long, Double)].collect().toSet)
+    preserved.release()
+    spark.catalog.clearCache()
+  }
+
   test("seg continuation surfaces ContinueAdvice programmatically") {
     // a delta whose footprint crosses the ~10% touched-bucket crossover
     // carries rebuildRecommended on the RESULT (not only stderr); a
@@ -78,6 +130,13 @@ class LifecycleSpec extends SparkSpec {
       e3, chg, 0.8, iterations = 2, filterThreshold = 0.0)
     assert(a2.exists(_.rebuildRecommended),
       s"corpus-wide delta must recommend rebuild, got $a2")
+    // the mechanical hook: fires on the over-crossover advice only
+    var rebuilds = 0
+    assert(!graft.operators.StorePolicy
+      .autoRebuildIfRecommended(a1)(_ => rebuilds += 1))
+    assert(graft.operators.StorePolicy
+      .autoRebuildIfRecommended(a2)(_ => rebuilds += 1))
+    assert(rebuilds == 1)
     spark.catalog.clearCache()
   }
 
