@@ -119,7 +119,8 @@ object IncrementalMatVec {
     val static = updatedM.select(col("i").cast("long"), col("j").cast("long"),
       col("v").cast("double"))
     val job = buildJob(static, b, preserved, changedColumns, iterations,
-      filterThreshold, numPartitions, durableStatePath, segStore, None)
+      filterThreshold, numPartitions, durableStatePath, segStore, None,
+      None)
     IncrementalJob.finish(job.run())
   }
 
@@ -147,20 +148,31 @@ object IncrementalMatVec {
       statePath: String, cellStorePath: String, batchCells: DataFrame,
       changedColumns: DataFrame, b: DataFrame, iterations: Int,
       filterThreshold: Double = 0.0, numPartitions: Int = 32,
-      broadcastMaxRows: Long = 4L * 1000 * 1000)
+      broadcastMaxRows: Long = 4L * 1000 * 1000,
+      batchId: Option[Long] = None)
       : (DataFrame, Option[graft.operators.StorePolicy.ContinueAdvice]) = {
     val store = graft.core.SegmentedStateStore.openForWrite(spark, statePath)
-    val h = graft.operators.KeyedUpsertStore.open(spark, cellStorePath)
-    val patch = batchCells.select(col("i").cast("long"),
-      col("j").cast("long"), col("v").cast("double"))
-    val chgRows = changedColumns.count()
-    val src = new graft.core.StaticSource.Overlay(h, "j", changedColumns,
-      chgRows, patch, broadcastMaxRows)
-    val job = buildJob(src.all, b, store.preserved, changedColumns,
-      iterations, filterThreshold, numPartitions, None, Some(store),
-      Some(src))
-    val r = job.run()
-    (IncrementalJob.finish(r), r.advice)
+    if (batchId.exists(_ <= store.appliedBatch)) {
+      // replayed batch (checkpoint recovery): at-most-once per id, the
+      // same fence contract as the PageRank twin
+      store.releaseLease()
+      val out = store.out.drop("_b")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      out.count()
+      (out, None)
+    } else {
+      val h = graft.operators.KeyedUpsertStore.open(spark, cellStorePath)
+      val patch = batchCells.select(col("i").cast("long"),
+        col("j").cast("long"), col("v").cast("double"))
+      val chgRows = changedColumns.count()
+      val src = new graft.core.StaticSource.Overlay(h, "j", changedColumns,
+        chgRows, patch, broadcastMaxRows)
+      val job = buildJob(src.all, b, store.preserved, changedColumns,
+        iterations, filterThreshold, numPartitions, None, Some(store),
+        batchId, Some(src))
+      val r = job.run()
+      (IncrementalJob.finish(r), r.advice)
+    }
   }
 
   /** The matvec instantiation of [[IncrementalJob]] — shared by the
@@ -170,6 +182,7 @@ object IncrementalMatVec {
       iterations: Int, filterThreshold: Double, numPartitions: Int,
       durableStatePath: Option[String],
       segStore: Option[graft.core.SegmentedStateStore],
+      segStoreBatchId: Option[Long],
       staticSource: Option[graft.core.StaticSource]): IncrementalJob = {
     val bKeyed = b.select(col("idx").cast("long"), col("bv").cast("double"))
     new IncrementalJob(
@@ -197,6 +210,7 @@ object IncrementalMatVec {
       numPartitions = numPartitions,
       durableStatePath = durableStatePath,
       segStore = segStore,
+      segStoreBatchId = segStoreBatchId,
       staticSource = staticSource)
   }
 

@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.algorithms.IncrementalPageRank
+import graft.algorithms.{IncrementalMatVec, IncrementalPageRank}
 import graft.core.IncrementalJob
 import graft.operators.KeyedUpsertStore
 
@@ -95,6 +95,46 @@ object StreamMaintain {
     phase("edge upsert")(
       KeyedUpsertStore.upsertBatch(spark, edgeStore, patch,
         spark.range(0).toDF("src"), batchId))
+    patch.unpersist(blocking = false)
+    advice
+  }
+
+  /** The matvec twin of [[pageRankBatch]] — one micro-batch of cell
+    * deltas (`i, j, v` rows REPLACING the cell sets of their COLUMNS
+    * `j`) applied to the state store at `stateStore` and the
+    * column-keyed cell table at `cellStore` (inited by
+    * [[IncrementalMatVec.initCellStore]]). Same contract end to end:
+    * fixed apply order, per-store batch-id fences, pruned static
+    * reads, idempotent per `batchId`. `b` is the constant term over
+    * the (fixed) node universe. Proves the exactly-once maintenance
+    * shape is algorithm-agnostic, not PageRank-shaped. */
+  def matvecBatch(spark: SparkSession, stateStore: String,
+      cellStore: String, batch: DataFrame, batchId: Long, b: DataFrame,
+      iterations: Int, numPartitions: Int = 32)
+      : Option[graft.operators.StorePolicy.ContinueAdvice] = {
+    val timing = IncrementalJob.timingEnabled
+    def phase[T](label: => String)(f: => T): T =
+      if (!timing) f else {
+        val t0 = System.nanoTime(); val r = f
+        System.err.println(
+          f"[stream] mv batch $batchId $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        r
+      }
+    val patch = phase("prepare delta")(
+      batch.select(col("i").cast("long"), col("j").cast("long"),
+        col("v").cast("double")).distinct().localCheckpoint(true))
+    val chg = patch.select("j").distinct()
+    val advice = phase(s"continuation (patch rows=${patch.count()})") {
+      val (out, a) = IncrementalMatVec.incrementalFromStores(spark,
+        stateStore, cellStore, patch, chg, b, iterations,
+        filterThreshold = 0.0, numPartitions = numPartitions,
+        batchId = Some(batchId))
+      out.unpersist(blocking = false)
+      a
+    }
+    phase("cell upsert")(
+      KeyedUpsertStore.upsertBatch(spark, cellStore, patch,
+        spark.range(0).toDF("j"), batchId))
     patch.unpersist(blocking = false)
     advice
   }

@@ -133,6 +133,72 @@ class StreamingSpec extends SparkSpec {
     e2.unpersist(blocking = false); e3.unpersist(blocking = false)
   }
 
+  test("matvec stream maintenance: chained batches, duplicate delivery, batch-chain equality") {
+    import graft.algorithms.IncrementalMatVec
+    import graft.core.SegmentedStateStore
+    import graft.operators.KeyedUpsertStore
+    import graft.streaming.StreamMaintain
+    // deterministic sparse matrix, damped row-normalized
+    val cells = (for (i <- 0L until 30L;
+        j <- Seq((i * 7 + 1) % 30, (i * 3 + 2) % 30) if i != j)
+      yield (i, j, 1.0 + (i * 13 + j * 7) % 5)).distinct.toDF("i", "j", "w")
+    val rs = cells.groupBy("i").agg(sum(abs(col("w"))).as("rs"))
+    val m1 = cells.join(rs, "i")
+      .select(col("i"), col("j"), (col("w") / col("rs") * 0.8).as("v"))
+      .localCheckpoint(true)
+    val b = IncrementalMatVec.universe(m1, 0.2).localCheckpoint(true)
+    val sp = java.nio.file.Files
+      .createTempDirectory("graft_mvs_state").toString
+    val cp = java.nio.file.Files
+      .createTempDirectory("graft_mvs_cells").toString
+    IncrementalMatVec.preserveTo(spark, sp, m1, b, iterations = 3,
+      nBuckets = 8)
+    IncrementalMatVec.initCellStore(spark, cp, m1, nBuckets = 8)
+    // two COLUMN-replacement deltas; both touch column 3, so order is
+    // semantic (exactly the pageRankBatch chain shape)
+    def delta(of: org.apache.spark.sql.DataFrame, mod: Long, f: Double) =
+      of.filter(col("j") % 10 === mod)
+        .select(col("i"), col("j"), (col("v") * f).as("v"))
+        .localCheckpoint(true)
+    val d1 = delta(m1, 3L, 0.5)
+    StreamMaintain.matvecBatch(spark, sp, cp, d1, 0L, b, iterations = 2)
+    val m2 = m1.withColumn("v",
+      when(col("j") % 10 === 3, col("v") * 0.5).otherwise(col("v")))
+      .localCheckpoint(true)
+    val d2 = delta(m2, 3L, 0.5) // halve the same columns again
+    StreamMaintain.matvecBatch(spark, sp, cp, d2, 1L, b, iterations = 2)
+    def xs() = SegmentedStateStore.openForRead(spark, sp)
+      .preserved.out.as[(Long, Double)].collect().toMap
+    val got = xs()
+    // duplicate delivery: both fences skip, nothing changes
+    StreamMaintain.matvecBatch(spark, sp, cp, d2, 1L, b, iterations = 2)
+    assert(xs() == got, "replayed matvec batch mutated the state store")
+    assert(KeyedUpsertStore.lastBatch(spark, cp) == 1L)
+    // equality with the frame-fed batch chain on a second store with a
+    // DIFFERENT bucket count
+    val sp2 = java.nio.file.Files
+      .createTempDirectory("graft_mvs_state2").toString
+    IncrementalMatVec.preserveTo(spark, sp2, m1, b, iterations = 3,
+      nBuckets = 4)
+    val chg = d1.select("j").distinct()
+    IncrementalMatVec.incrementalSeg(spark, sp2, m2, b, chg,
+      iterations = 2, filterThreshold = 0.0)
+    val m3 = m2.withColumn("v",
+      when(col("j") % 10 === 3, col("v") * 0.5).otherwise(col("v")))
+    IncrementalMatVec.incrementalSeg(spark, sp2, m3, b, chg,
+      iterations = 2, filterThreshold = 0.0)
+    val want = SegmentedStateStore.openForRead(spark, sp2)
+      .preserved.out.as[(Long, Double)].collect().toMap
+    assert(got.keySet == want.keySet)
+    for (k <- got.keySet)
+      assert(math.abs(got(k) - want(k)) < 1e-12,
+        s"idx $k stream=${got(k)} batch=${want(k)}")
+    // and the cell store holds exactly the final matrix
+    assert(KeyedUpsertStore.rows(spark, cp)
+      .as[(Long, Long, Double)].collect().toSet ==
+      m3.as[(Long, Long, Double)].collect().toSet)
+  }
+
   test("windowed stats over a file stream match the batch computation") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val stream = EventStreams.readEventStream(spark, sf)
