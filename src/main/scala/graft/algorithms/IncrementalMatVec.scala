@@ -164,8 +164,10 @@ object IncrementalMatVec {
       val h = graft.operators.KeyedUpsertStore.open(spark, cellStorePath)
       val patch = batchCells.select(col("i").cast("long"),
         col("j").cast("long"), col("v").cast("double"))
-      val chgRows = changedColumns.count()
-      val src = new graft.core.StaticSource.Overlay(h, "j", changedColumns,
+      // named key column only — the overlay's single-column contract
+      val chgKeys = changedColumns.select(col("j"))
+      val chgRows = chgKeys.count()
+      val src = new graft.core.StaticSource.Overlay(h, "j", chgKeys,
         chgRows, patch, broadcastMaxRows)
       val job = buildJob(src.all, b, store.preserved, changedColumns,
         iterations, filterThreshold, numPartitions, None, Some(store),

@@ -176,11 +176,14 @@ object IncrementalPageRank {
       (out, None)
     } else {
       val h = graft.operators.KeyedUpsertStore.open(spark, edgeStorePath)
-      // one count decides the overlay's broadcast-vs-shuffle plan;
-      // callers hand a materialized delta, so this reads cached blocks
-      val chgRows = changedSources.count()
+      // the overlay gets exactly the named key column (its single-
+      // column contract); one count decides its broadcast-vs-shuffle
+      // plan — callers hand a materialized delta, so it reads cached
+      // blocks
+      val chgKeys = changedSources.select(col("src"))
+      val chgRows = chgKeys.count()
       val src = new graft.core.StaticSource.Overlay(h, "src",
-        changedSources, chgRows, batchStatic, broadcastMaxRows)
+        chgKeys, chgRows, batchStatic, broadcastMaxRows)
       val job = buildJob(src.all, store.preserved,
         changedSources.select(col("src").cast("long")), damping,
         iterations, filterThreshold, numPartitions, None, broadcastMaxRows,

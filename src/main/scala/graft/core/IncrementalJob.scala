@@ -289,23 +289,49 @@ final class IncrementalJob(
       if (staticSource.isDefined) None
       else Some(updatedStatic.repartition(n, col(skCol))
         .persist(StorageLevel.MEMORY_AND_DISK))
-    /** The frontier's static rows. In staticSource mode: collect the
-      * frontier's bucket ids under the STORE's hash (O(frontier)
-      * driver ints, same pattern as the dynF pruning), read only those
-      * bucket dirs, then semi-join the frontier — the scan is
-      * partition-pruned to O(frontier buckets) regardless of corpus
-      * size. */
-    def staticFrontier(frontier: DataFrame, fk: DataFrame,
-        label: String): DataFrame = staticSource match {
-      case Some(ss) =>
-        val sb = frontier.select(ss.bucketOf(col(skCol)).as("_sb"))
-          .distinct().collect().map(_.getInt(0)).toSet
-        if (debugTiming) System.err.println(
-          s"[incr] $label static pruned read: ${sb.size}/${ss.nBuckets} buckets")
-        ss.pruned(sb).join(fk, col(skCol) === col("_fk")).drop("_fk")
-      case None =>
-        staticCached.get.join(fk, col(skCol) === col("_fk")).drop("_fk")
+    // ---- frontier binding ----------------------------------------------
+    // EVERY (re)bind of the frontier handle goes through bindFrontier,
+    // which — in staticSource mode — derives the frontier's static-
+    // bucket set RIGHT THERE, over the just-materialized leaf (or a
+    // rename view of one; the collect returns ≤ B driver ints either
+    // way, served from cached blocks). staticFrontier then reads the
+    // stored set instead of collecting over whatever frame it is
+    // handed, so a future call path with an unmaterialized frontier
+    // cannot recompute the full frontier lineage once per iteration as
+    // a hidden extra job (round-11 advice #4): the collect is pinned to
+    // the binding site, where materialization just happened. Rebinding
+    // the SAME handle (One2All re-dirtying all sources every iteration)
+    // reuses the memoized set.
+    var frontier: DataFrame = null
+    var frontierSize: Long = 0L
+    var frontierStaticBs: Set[Int] = Set.empty
+    var frontierStaticBsFor: AnyRef = null
+    def bindFrontier(df: DataFrame, size: Long): Unit = {
+      frontier = df
+      frontierSize = size
+      staticSource.foreach { ss =>
+        if (size > 0 && !(df.asInstanceOf[AnyRef] eq frontierStaticBsFor)) {
+          frontierStaticBs = df.select(ss.bucketOf(col(skCol)).as("_sb"))
+            .distinct().collect().map(_.getInt(0)).toSet
+          frontierStaticBsFor = df
+        }
+      }
     }
+    /** The frontier's static rows. In staticSource mode the scan is
+      * partition-pruned to `frontierStaticBs` — the bucket set derived
+      * by [[bindFrontier]] AT THE MOMENT the frontier handle was
+      * (re)bound — regardless of corpus size. */
+    def staticFrontier(fk: DataFrame, label: String): DataFrame =
+      staticSource match {
+        case Some(ss) =>
+          if (debugTiming) System.err.println(
+            s"[incr] $label static pruned read: " +
+              s"${frontierStaticBs.size}/${ss.nBuckets} buckets")
+          ss.pruned(frontierStaticBs)
+            .join(fk, col(skCol) === col("_fk")).drop("_fk")
+        case None =>
+          staticCached.get.join(fk, col(skCol) === col("_fk")).drop("_fk")
+      }
     // store mode: the bucket fn and count MUST be the store's (same
     // hash, same B, key dtype pinned) or touched-bucket bookkeeping
     // and the final commit would disagree with the files on disk
@@ -408,8 +434,11 @@ final class IncrementalJob(
       scratchCur ::= m._3; (m._1, m._2)
     }
 
-    var (frontier, frontierSize) =
-      scratchLeaf(materialize(initialFrontier.select(col(skCol)).distinct()))
+    locally {
+      val (f0, s0) =
+        scratchLeaf(materialize(initialFrontier.select(col(skCol)).distinct()))
+      bindFrontier(f0, s0)
+    }
     var i = 0
 
     // One2All/One2Mul frontier projection target: every source key.
@@ -440,7 +469,7 @@ final class IncrementalJob(
       // fallback instead of an executor OOM.
       val fkRaw = frontier.withColumnRenamed(skCol, "_fk")
       val fk = if (frontierSize <= broadcastMaxRows) broadcast(fkRaw) else fkRaw
-      val staticF = staticFrontier(frontier, fk, s"iter $i")
+      val staticF = staticFrontier(fk, s"iter $i")
       // dynamic values the mapper consumes: the frontier keys' own
       // values (One2One, k2-space == sk-space) or the whole out state
       // (One2All — e.g. every point needs every center, k broadcast-
@@ -563,19 +592,16 @@ final class IncrementalJob(
         def projectFrontier(movedK2: DataFrame, movedCount: Long): Unit =
           projectKind match {
             case ProjectKind.One2All if movedCount > 0 =>
-              frontier = allSources._1
-              frontierSize = allSources._2
+              bindFrontier(allSources._1, allSources._2)
             case ProjectKind.One2Mul if movedCount > 0 =>
               val (f3, s3) = timed(s"iter $i backproject")(
                 scratchLeaf(materialize(
                   backProject.get(movedK2).select(col(skCol)).distinct())))
-              frontier = f3
-              frontierSize = s3
+              bindFrontier(f3, s3)
             case ProjectKind.One2All | ProjectKind.One2Mul =>
               frontierSize = 0 // nothing moved; frontier content unused
             case _ =>
-              frontier = movedK2.withColumnRenamed(k2Col, skCol)
-              frontierSize = movedCount
+              bindFrontier(movedK2.withColumnRenamed(k2Col, skCol), movedCount)
           }
         if (filterThreshold <= 0.0) {
           projectFrontier(affected.withColumnRenamed("_aff", k2Col), affectedSize)
@@ -653,7 +679,7 @@ final class IncrementalJob(
     if (frontierSize > 0) {
       val fkRaw = frontier.withColumnRenamed(skCol, "_fk")
       val fk = if (frontierSize <= broadcastMaxRows) broadcast(fkRaw) else fkRaw
-      val staticF = staticFrontier(frontier, fk, "exit")
+      val staticF = staticFrontier(fk, "exit")
       val dynF = projectKind match {
         case ProjectKind.One2One =>
           val outScan = if (segStore.isEmpty) scanAll(outSegs) else {

@@ -57,6 +57,16 @@ object StaticSource {
   final class Overlay(h: StaticSource, keyCol: String,
       chgKeys: DataFrame, chgRows: Long, patch: DataFrame,
       broadcastMaxRows: Long) extends StaticSource {
+    // single-column REQUIRED, not columns.head-picked (round-11
+    // advice): a caller handing a multi-column changed-keys frame
+    // (e.g. (deg, src)) would silently anti-join on the wrong column
+    // and produce DUPLICATED static rows (store row + patch row for
+    // the same key) with no error. The entry points select the named
+    // key column; this guard catches any future caller that doesn't.
+    require(chgKeys.columns.length == 1,
+      s"StaticSource.Overlay: changed-keys frame must carry exactly " +
+        s"the key column, got (${chgKeys.columns.mkString(", ")}) — " +
+        s"select the '$keyCol' column before constructing the overlay")
     def nBuckets: Int = h.nBuckets
     def bucketOf(c: Column): Column = h.bucketOf(c)
     private val kt = patch.schema(keyCol).dataType

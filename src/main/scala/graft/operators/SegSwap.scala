@@ -169,11 +169,27 @@ private[graft] object SegSwap {
       if (d.getParent != null) fs.mkdirs(d.getParent)
       val out = fs.create(tmp, true)
       try out.write(text.getBytes("UTF-8")) finally out.close()
-      try org.apache.hadoop.fs.FileContext.getFileContext(d.toUri, fs.getConf)
-        .rename(tmp, d, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-      catch { case _: UnsupportedOperationException | _: java.io.IOException =>
+      def fallbackRename(): Unit = {
         fs.delete(d, false)
         require(fs.rename(tmp, d), s"segswap: could not write $dst")
+      }
+      try org.apache.hadoop.fs.FileContext.getFileContext(d.toUri, fs.getConf)
+        .rename(tmp, d, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      catch {
+        case _: UnsupportedOperationException => fallbackRename()
+        case e: java.io.IOException =>
+          // the namenode rename may have SUCCEEDED with the client
+          // seeing a transient failure: blindly running delete(dst)+
+          // rename(tmp) then deletes the freshly-installed marker and
+          // the tmp rename fails (tmp already consumed), leaving the
+          // marker ABSENT — the spurious fresh-store read this writer
+          // exists to prevent. Verify before falling back: tmp consumed
+          // and dst present = the rename took effect, we are done; tmp
+          // still present = the rename verifiably did not install, the
+          // delete+rename path is safe; neither = unrecoverable here.
+          if (!fs.exists(tmp) && fs.exists(d)) ()
+          else if (fs.exists(tmp)) fallbackRename()
+          else throw e
       }
     }
   }

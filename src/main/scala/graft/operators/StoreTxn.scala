@@ -93,13 +93,21 @@ object StoreTxn {
     * IN-FLIGHT txn (manifest present, or coordinator lease live) owns
     * it. A marker whose owner has neither is debris from a coordinator
     * that crashed before its manifest landed (nothing to compensate) —
-    * cleaned up and re-claimed. */
+    * cleaned up and re-claimed.
+    *
+    * The claim itself is DECISIVE (round-11 advice): the marker is
+    * installed via an exclusive create (nio CREATE_NEW locally,
+    * `create(overwrite = false)` on remote FS), never an overwriting
+    * write — two coordinators racing the same absent (or just-cleaned)
+    * marker get exactly one winner at the create, instead of both
+    * observing no marker, both writing, and both proceeding with the
+    * cross-txn rollback hazard unfenced. */
   private def enroll(spark: SparkSession, txnDir: String,
       path: String): Unit = {
     val sfs = SegSwap.fsOf(spark, path)
     val m = markerOf(path)
-    SegSwap.readText(sfs, m).map(_.trim).filter(_.nonEmpty) match {
-      case Some(owner) if owner != txnDir =>
+    SegSwap.readText(sfs, m).map(_.trim) match {
+      case Some(owner) if owner.nonEmpty && owner != txnDir =>
         val ofs = SegSwap.fsOf(spark, owner)
         val ownerLive = SegSwap.readText(ofs, manifest(owner)).isDefined ||
           SegSwap.leaseLive(ofs, owner)
@@ -110,9 +118,34 @@ object StoreTxn {
             "other's committed work); wait for that txn, or if its " +
             s"coordinator is known dead run StoreTxn.recover on $owner")
         sfs.delete(m, false)
-      case _ => ()
+      case Some(_) =>
+        // our own stale claim (crash between manifest delete and
+        // disenroll), or a torn/empty marker (crash mid-create, owner
+        // never reached its manifest): debris either way — remove and
+        // re-claim through the exclusive create below
+        sfs.delete(m, false)
+      case None => ()
     }
-    SegSwap.writeTextAtomic(sfs, m.toString, txnDir)
+    try {
+      if (sfs.getUri.getScheme == null || sfs.getUri.getScheme == "file") {
+        val p = java.nio.file.Paths.get(m.toUri.getPath)
+        if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+        java.nio.file.Files.write(p, txnDir.getBytes("UTF-8"),
+          java.nio.file.StandardOpenOption.CREATE_NEW,
+          java.nio.file.StandardOpenOption.WRITE)
+      } else {
+        val out = sfs.create(m, false)
+        try out.write(txnDir.getBytes("UTF-8")) finally out.close()
+      }
+    } catch {
+      case e @ (_: java.nio.file.FileAlreadyExistsException |
+          _: java.io.IOException) =>
+        throw new IllegalStateException(
+          s"storetxn: store $path was claimed by a concurrent txn " +
+            s"coordinator in the enroll window (exclusive create of $m " +
+            "lost the race) — overlapping participants across " +
+            "concurrent txns are fenced; retry after that txn finishes", e)
+    }
   }
 
   /** Drop `path`'s marker IF this txn owns it (never a successor's). */

@@ -46,14 +46,52 @@ import graft.operators.KeyedUpsertStore
   * Spec-pinned (`StreamingSpec`): kill-between-batches + checkpoint
   * restart, and a forced duplicate delivery, both land on the exact
   * batch-chained reference state.
+  *
+  * CHANGE TYPES: a batch may carry an optional string column `op` —
+  * the Spark-side form of the reference's ± delta triples
+  * (`IFile.TrippleWriter`, `incr-hadoop-0.1/src/mapred/.../IFile
+  * .java:255-430`; deletions generated at `UpdatePageRankGraph
+  * .java:86-105` and consumed by the incremental mapper,
+  * `MapTask.java:1157-1287`). A row with `op = "D"` marks its KEY
+  * (PageRank `src`, matvec `j`) fully REMOVED: the key's whole
+  * out-edge/cell set is deleted from the input store and the key
+  * joins the frontier, so the mass it used to contribute is retracted
+  * from its old targets exactly like any replacement. Any other `op`
+  * value (or no `op` column at all — full back-compat) is an upsert
+  * row. A key carrying BOTH a removal marker and upsert rows in one
+  * batch resolves to the upsert rows: a removal is just the
+  * degenerate replacement with zero rows, so "replace with something"
+  * dominates "replace with nothing" and the batch algebra stays
+  * order-free within a batch.
   */
 object StreamMaintain {
 
-  /** Apply one micro-batch of edge deltas (`src, dst` rows REPLACING
-    * the out-edge sets of their `src` keys) to the rank store at
+  /** Split a batch into (upsert rows, removed keys): `op = "D"` rows
+    * mark `keyCol` removed; everything else is an upsert row. Both
+    * sides are eagerly pinned (the stream source frame must not be
+    * re-read per consumer). */
+  private def splitOps(batch: DataFrame, keyCol: String,
+      keyType: String): (DataFrame, DataFrame) =
+    if (!batch.columns.contains("op"))
+      (batch, batch.sparkSession.range(0)
+        .select(col("id").cast(keyType).as(keyCol)))
+    else {
+      val ups = batch.filter(coalesce(col("op") =!= "D", lit(true)))
+        .drop("op")
+      val removed = batch.filter(col("op") === "D")
+        .select(col(keyCol).cast(keyType)).distinct()
+        .localCheckpoint(true)
+      (ups, removed)
+    }
+
+  /** Apply one micro-batch of edge deltas to the rank store at
     * `rankStore` and the prepared-edge table at `edgeStore`
-    * (inited by [[IncrementalPageRank.initEdgeStore]]). Idempotent per
-    * `batchId` (Structured Streaming's foreachBatch id).
+    * (inited by [[IncrementalPageRank.initEdgeStore]]): `src, dst`
+    * rows REPLACE the out-edge sets of their `src` keys, and rows with
+    * `op = "D"` REMOVE their `src` entirely (the node becomes a sink —
+    * or disappears from the rank space once nothing links to it and a
+    * later delta dirties it). Idempotent per `batchId` (Structured
+    * Streaming's foreachBatch id).
     *
     * Returns the continuation's [[graft.operators.StorePolicy
     * .ContinueAdvice]] (None on a replayed batch) — a long-running
@@ -71,12 +109,18 @@ object StreamMaintain {
           f"[stream] batch $batchId $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
         r
       }
+    val (ups, removed) = splitOps(batch, "src", "long")
     // O(delta): the changed sources' NEW static rows (degrees included)
     // derive from the batch alone — an upsert replaces a src's whole
-    // out-edge set, so no corpus-wide degree recompute
+    // out-edge set, so no corpus-wide degree recompute. Removed srcs
+    // contribute NO patch rows: the overlay then shows the loop a
+    // post-delta graph where they simply have no out-edges — the same
+    // shape the frame-fed `incremental` already handles for removals.
     val patch = phase("prepare delta")(
-      IncrementalPageRank.prepareBatch(batch).localCheckpoint(true))
-    val chg = patch.select("src").distinct()
+      IncrementalPageRank.prepareBatch(ups).localCheckpoint(true))
+    // the frontier must include removed srcs: their old contributions
+    // are evicted by the MRBGraph merge only if they are in it
+    val chg = patch.select("src").unionByName(removed).distinct()
     // rank continuation FIRST, against the PRE-batch edge store
     // overlaid with the patch (pruned bucket reads on both stores):
     // correct on first delivery AND on replay, because the edge upsert
@@ -91,23 +135,25 @@ object StreamMaintain {
       a
     }
     // edge upsert second: replaces the changed keys' rows with the
-    // patch — O(touched buckets)
+    // patch and drops the removed srcs' rows — O(touched buckets)
     phase("edge upsert")(
       KeyedUpsertStore.upsertBatch(spark, edgeStore, patch,
-        spark.range(0).toDF("src"), batchId))
+        removed, batchId))
     patch.unpersist(blocking = false)
+    removed.unpersist(blocking = false)
     advice
   }
 
   /** The matvec twin of [[pageRankBatch]] — one micro-batch of cell
     * deltas (`i, j, v` rows REPLACING the cell sets of their COLUMNS
-    * `j`) applied to the state store at `stateStore` and the
-    * column-keyed cell table at `cellStore` (inited by
-    * [[IncrementalMatVec.initCellStore]]). Same contract end to end:
-    * fixed apply order, per-store batch-id fences, pruned static
-    * reads, idempotent per `batchId`. `b` is the constant term over
-    * the (fixed) node universe. Proves the exactly-once maintenance
-    * shape is algorithm-agnostic, not PageRank-shaped. */
+    * `j`; `op = "D"` rows REMOVING their column `j` entirely) applied
+    * to the state store at `stateStore` and the column-keyed cell
+    * table at `cellStore` (inited by [[IncrementalMatVec
+    * .initCellStore]]). Same contract end to end: fixed apply order,
+    * per-store batch-id fences, pruned static reads, idempotent per
+    * `batchId`. `b` is the constant term over the (fixed) node
+    * universe. Proves the exactly-once maintenance shape is
+    * algorithm-agnostic, not PageRank-shaped. */
   def matvecBatch(spark: SparkSession, stateStore: String,
       cellStore: String, batch: DataFrame, batchId: Long, b: DataFrame,
       iterations: Int, numPartitions: Int = 32)
@@ -120,10 +166,11 @@ object StreamMaintain {
           f"[stream] mv batch $batchId $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
         r
       }
+    val (ups, removed) = splitOps(batch, "j", "long")
     val patch = phase("prepare delta")(
-      batch.select(col("i").cast("long"), col("j").cast("long"),
+      ups.select(col("i").cast("long"), col("j").cast("long"),
         col("v").cast("double")).distinct().localCheckpoint(true))
-    val chg = patch.select("j").distinct()
+    val chg = patch.select("j").unionByName(removed).distinct()
     val advice = phase(s"continuation (patch rows=${patch.count()})") {
       val (out, a) = IncrementalMatVec.incrementalFromStores(spark,
         stateStore, cellStore, patch, chg, b, iterations,
@@ -134,8 +181,9 @@ object StreamMaintain {
     }
     phase("cell upsert")(
       KeyedUpsertStore.upsertBatch(spark, cellStore, patch,
-        spark.range(0).toDF("j"), batchId))
+        removed, batchId))
     patch.unpersist(blocking = false)
+    removed.unpersist(blocking = false)
     advice
   }
 }

@@ -133,6 +133,141 @@ class StreamingSpec extends SparkSpec {
     e2.unpersist(blocking = false); e3.unpersist(blocking = false)
   }
 
+  test("streamed deletions: a 'D' batch removes a source end to end, exactly-once") {
+    import graft.algorithms.IncrementalPageRank
+    import graft.core.SegmentedStateStore
+    import graft.operators.KeyedUpsertStore
+    import graft.streaming.StreamMaintain
+    val edges1 = ((0L until 40L).flatMap(i =>
+      Seq((i, (i * 7 + 1) % 40), (i, (i * 3 + 2) % 40)))
+      .filter { case (a, b) => a != b }).distinct.toDF("src", "dst")
+    val rankStore = java.nio.file.Files
+      .createTempDirectory("graft_sdel_rank").toString
+    val edgeStore = java.nio.file.Files
+      .createTempDirectory("graft_sdel_edges").toString
+    IncrementalPageRank.preserveTo(spark, rankStore, edges1, 0.8,
+      iterations = 4, nBuckets = 16)
+    IncrementalPageRank.initEdgeStore(spark, edgeStore, edges1, nBuckets = 8)
+
+    // batch 0: plain upserts (3 -> {11, 17}, 8 -> {21})
+    val delta1 = Seq((3L, 11L, "U"), (3L, 17L, "U"), (8L, 21L, "U"))
+      .toDF("src", "dst", "op")
+    StreamMaintain.pageRankBatch(spark, rankStore, edgeStore, delta1, 0L,
+      0.8, iterations = 3)
+    // batch 1: MIXED ops — srcs 3 and 5 fully REMOVED; src 8 carries
+    // both a D marker and an upsert row, which must resolve to the
+    // upsert rows (replace-with-something dominates replace-with-
+    // nothing — the documented within-batch algebra)
+    val delta2 = Seq((8L, 25L, "U"), (8L, 0L, "D"), (5L, 0L, "D"),
+      (3L, 0L, "D")).toDF("src", "dst", "op")
+    StreamMaintain.pageRankBatch(spark, rankStore, edgeStore, delta2, 1L,
+      0.8, iterations = 3)
+
+    def ranks() = SegmentedStateStore.openForRead(spark, rankStore)
+      .preserved.out.as[(Long, Double)].collect().toMap
+    val got = ranks()
+    // REPLAY of the deletion batch: both fences skip, nothing changes —
+    // a re-applied removal would otherwise re-propagate the retraction
+    StreamMaintain.pageRankBatch(spark, rankStore, edgeStore, delta2, 1L,
+      0.8, iterations = 3)
+    assert(ranks() == got, "replayed deletion batch mutated the rank store")
+    assert(KeyedUpsertStore.lastBatch(spark, edgeStore) == 1L)
+
+    // the durable edge table: removed srcs GONE, src 8 holds exactly
+    // its upsert row, and the incrementally-maintained degrees match a
+    // full re-prepare of the reference graph
+    val e2 = edges1.filter(!col("src").isin(3L, 8L))
+      .unionByName(delta1.drop("op"))
+    val e3 = e2.filter(!col("src").isin(3L, 5L, 8L))
+      .unionByName(Seq((8L, 25L)).toDF("src", "dst"))
+      .localCheckpoint(true)
+    val gotRows = KeyedUpsertStore.rows(spark, edgeStore)
+    assert(gotRows.filter(col("src").isin(3L, 5L)).count() == 0,
+      "removed srcs still present in the edge store")
+    assert(gotRows.select("src", "dst", "deg")
+      .as[(Long, Long, Long)].collect().toSet ==
+      graft.algorithms.PageRank.prepare(e3)
+        .as[(Long, Long, Long)].collect().toSet,
+      "edge store after deletion diverged from a full prepare")
+
+    // exactness: equals the frame-fed batch chain on a second store
+    // with a different bucket count
+    val store2 = java.nio.file.Files
+      .createTempDirectory("graft_sdel_rank2").toString
+    IncrementalPageRank.preserveTo(spark, store2, edges1, 0.8,
+      iterations = 4, nBuckets = 8)
+    IncrementalPageRank.incrementalSeg(spark, store2, e2,
+      Seq(3L, 8L).toDF("src"), 0.8, iterations = 3)
+      .unpersist(blocking = false)
+    IncrementalPageRank.incrementalSeg(spark, store2, e3,
+      Seq(3L, 5L, 8L).toDF("src"), 0.8, iterations = 3)
+      .unpersist(blocking = false)
+    val want = SegmentedStateStore.openForRead(spark, store2)
+      .preserved.out.as[(Long, Double)].collect().toMap
+    assert(got.keySet == want.keySet)
+    for (k <- got.keySet)
+      assert(math.abs(got(k) - want(k)) < 1e-12,
+        s"node $k stream=${got(k)} batch=${want(k)}")
+  }
+
+  test("streamed deletions, matvec twin: a 'D' batch removes a column exactly-once") {
+    import graft.algorithms.IncrementalMatVec
+    import graft.core.SegmentedStateStore
+    import graft.operators.KeyedUpsertStore
+    import graft.streaming.StreamMaintain
+    val cells = (for (i <- 0L until 30L;
+        j <- Seq((i * 7 + 1) % 30, (i * 3 + 2) % 30) if i != j)
+      yield (i, j, 1.0 + (i * 13 + j * 7) % 5)).distinct.toDF("i", "j", "w")
+    val rs = cells.groupBy("i").agg(sum(abs(col("w"))).as("rs"))
+    val m1 = cells.join(rs, "i")
+      .select(col("i"), col("j"), (col("w") / col("rs") * 0.8).as("v"))
+      .localCheckpoint(true)
+    val b = IncrementalMatVec.universe(m1, 0.2).localCheckpoint(true)
+    val sp = java.nio.file.Files
+      .createTempDirectory("graft_mvdel_state").toString
+    val cp = java.nio.file.Files
+      .createTempDirectory("graft_mvdel_cells").toString
+    IncrementalMatVec.preserveTo(spark, sp, m1, b, iterations = 3,
+      nBuckets = 8)
+    IncrementalMatVec.initCellStore(spark, cp, m1, nBuckets = 8)
+    // batch 0 halves column 3's cells; batch 1 DELETES columns 3 and 7
+    val d1 = m1.filter(col("j") === 3)
+      .select(col("i"), col("j"), (col("v") * 0.5).as("v"))
+      .withColumn("op", lit("U")).localCheckpoint(true)
+    StreamMaintain.matvecBatch(spark, sp, cp, d1, 0L, b, iterations = 2)
+    val d2 = Seq((0L, 3L, 0.0, "D"), (0L, 7L, 0.0, "D"))
+      .toDF("i", "j", "v", "op")
+    StreamMaintain.matvecBatch(spark, sp, cp, d2, 1L, b, iterations = 2)
+    def xs() = SegmentedStateStore.openForRead(spark, sp)
+      .preserved.out.as[(Long, Double)].collect().toMap
+    val got = xs()
+    StreamMaintain.matvecBatch(spark, sp, cp, d2, 1L, b, iterations = 2)
+    assert(xs() == got, "replayed deletion batch mutated the state store")
+    val m2 = m1.withColumn("v",
+      when(col("j") === 3, col("v") * 0.5).otherwise(col("v")))
+      .localCheckpoint(true)
+    val m3 = m2.filter(!col("j").isin(3L, 7L)).localCheckpoint(true)
+    assert(KeyedUpsertStore.rows(spark, cp)
+      .as[(Long, Long, Double)].collect().toSet ==
+      m3.as[(Long, Long, Double)].collect().toSet,
+      "cell store after column deletion diverged")
+    // batch-chain equality
+    val sp2 = java.nio.file.Files
+      .createTempDirectory("graft_mvdel_state2").toString
+    IncrementalMatVec.preserveTo(spark, sp2, m1, b, iterations = 3,
+      nBuckets = 4)
+    IncrementalMatVec.incrementalSeg(spark, sp2, m2, b,
+      Seq(3L).toDF("j"), iterations = 2, filterThreshold = 0.0)
+    IncrementalMatVec.incrementalSeg(spark, sp2, m3, b,
+      Seq(3L, 7L).toDF("j"), iterations = 2, filterThreshold = 0.0)
+    val want = SegmentedStateStore.openForRead(spark, sp2)
+      .preserved.out.as[(Long, Double)].collect().toMap
+    assert(got.keySet == want.keySet)
+    for (k <- got.keySet)
+      assert(math.abs(got(k) - want(k)) < 1e-12,
+        s"idx $k stream=${got(k)} batch=${want(k)}")
+  }
+
   test("matvec stream maintenance: chained batches, duplicate delivery, batch-chain equality") {
     import graft.algorithms.IncrementalMatVec
     import graft.core.SegmentedStateStore
