@@ -633,6 +633,40 @@ object ScaleBench {
         Seq("init" -> tp, "batch1" -> tb1, "batch2" -> tb2)
       }
 
+      run("upsert_rebucket", 15000L * m) {
+        // FROZEN-B erosion and its cure (round-11 verdict missing #2):
+        // the edge store inited at the 1x provisioning (B=64) no matter
+        // the corpus scale — the state a long-lived maintainer reaches
+        // once the corpus has outgrown its init-time bucket count. A
+        // fixed 50-source upsert then rewrites O(k) buckets of width
+        // O(corpus/B): cost grows ~linearly with m (the slow-burn
+        // delta-proportionality loss). KeyedUpsertStore.rebucket back
+        // to corpus-proportional B must restore the flat per-upsert
+        // cost — upsertRebucketed's exponent ~0 vs upsertFrozenB's ~1
+        // is the measured story.
+        val edges1 = edges0.persist(StorageLevel.MEMORY_AND_DISK)
+        val estore = s"$dir/rbk_edges"
+        deleteRec(new java.io.File(estore))
+        algorithms.IncrementalPageRank.initEdgeStore(spark, estore,
+          edges1, nBuckets = 64)
+        def delta(lo: Long) = algorithms.IncrementalPageRank.prepareBatch(
+          edges1.filter(col("src") >= lo && col("src") < lo + 50)
+            .select(col("src"), (col("dst") + 1).as("dst")))
+          .localCheckpoint(true)
+        val none = spark.range(0).toDF("src")
+        val d1 = delta(0)
+        val (_, tFrozen) = timed(operators.KeyedUpsertStore.upsertBatch(
+          spark, estore, d1, none, 0L))
+        val (_, tReb) = timed(operators.KeyedUpsertStore.rebucket(
+          spark, estore, 64 * m))
+        val d2 = delta(50)
+        val (_, tAfter) = timed(operators.KeyedUpsertStore.upsertBatch(
+          spark, estore, d2, none, 1L))
+        edges1.unpersist()
+        Seq("upsertFrozenB" -> tFrozen, "rebucket" -> tReb,
+          "upsertRebucketed" -> tAfter)
+      }
+
       run("seg_retention", 5000L * m) {
         // snapshot-layer cost attribution (round-10 verdict #6): the
         // SAME ±1% scattered continuation pair under retention 0 / 2 /
@@ -703,6 +737,40 @@ object ScaleBench {
         }
         m1.unpersist()
         Seq("preserve" -> tp, "incremental" -> ti)
+      }
+
+      run("stream_static_mv", 150000L * m) {
+        // the MATVEC twin of stream_static (round-11 verdict #5): the
+        // O(delta) stream-maintenance shape must be algorithm-agnostic
+        // in MEASUREMENT, not just in specs — fixed 50-column deltas
+        // through StreamMaintain.matvecBatch against the durable
+        // state + cell stores; per-batch cost must stay ~flat in
+        // corpus size (exponent ~0), like the PageRank probe.
+        val m1 = normMat().persist(StorageLevel.MEMORY_AND_DISK)
+        val bvec = algorithms.IncrementalMatVec.universe(m1, 0.2)
+          .localCheckpoint(true)
+        val sp = s"$dir/stream_mv_state"
+        val cp = s"$dir/stream_mv_cells"
+        deleteRec(new java.io.File(sp))
+        deleteRec(new java.io.File(cp))
+        val (_, tp) = timed {
+          algorithms.IncrementalMatVec.preserveTo(spark, sp, m1, bvec,
+            iterations = 4, nBuckets = 512)
+          algorithms.IncrementalMatVec.initCellStore(spark, cp, m1,
+            nBuckets = 512)
+        }
+        val b1 = m1.filter(col("j") < 50)
+          .select(col("i"), col("j"), (col("v") * 0.5).as("v"))
+          .localCheckpoint(true)
+        val (_, tb1) = timed(streaming.StreamMaintain.matvecBatch(
+          spark, sp, cp, b1, 0L, bvec, iterations = 3))
+        val b2 = m1.filter(col("j") >= 50 && col("j") < 100)
+          .select(col("i"), col("j"), (col("v") * 0.5).as("v"))
+          .localCheckpoint(true)
+        val (_, tb2) = timed(streaming.StreamMaintain.matvecBatch(
+          spark, sp, cp, b2, 1L, bvec, iterations = 3))
+        m1.unpersist()
+        Seq("init" -> tp, "batch1" -> tb1, "batch2" -> tb2)
       }
 
       run("incr_matvec_blocked", 150000L * m) {

@@ -306,4 +306,45 @@ object SegmentedStateStore {
     if (touched.nonEmpty) store.commit(store.kvs, store.out, touched, touched)
     else store.releaseLease()
   }
+
+  /** Journaled RE-BUCKETING of the preserved state — the lifecycle op
+    * that keeps CONTINUATION cost delta-proportional as the key space
+    * grows: B is frozen at [[init]], so under a long-lived maintainer
+    * each touched-bucket rewrite slowly widens with the corpus. One
+    * crash-safe swap re-hashes kvs AND out into `nBuckets` and
+    * installs the new params — including the preserved `appliedBatch`
+    * stream fence — atomically with the data (a crash can never leave
+    * readers deriving buckets with the wrong B, and a replayed
+    * micro-batch still skips after the migration). Run between
+    * continuations; the writer lease serializes it against them. Wire
+    * it to [[graft.operators.StorePolicy.autoRebuildIfRecommended]] as
+    * the rebuild recipe and systematic footprint overshoot heals
+    * itself. Streams the live views straight to staging — disk-
+    * bounded, like [[compact]]. */
+  def rebucket(spark: SparkSession, path: String, nBuckets: Int): Unit =
+    SegSwap.withWriterLease(spark, path) { lease =>
+      val fs = SegSwap.fsOf(spark, path)
+      SegSwap.recover(spark, path) // writer entry: live dirs are truth
+      val r = SegSwap.readParamsRow(spark, path,
+        Seq("k2Col", "k2Ddl", "kvsDdl", "outDdl", "appliedBatch"),
+        "segstate")
+      val (k2Col, k2Ddl, kvsDdl, outDdl, applied) = (r.getString(0),
+        r.getString(1), r.getString(2), r.getString(3), r.getLong(4))
+      // keys are pinned to k2Ddl since init — the cast is a no-op
+      // guard, kept so the new layout can never disagree with bucketOf
+      val k2Type = StructType.fromDDL(s"x $k2Ddl").head.dataType
+      val bucket =
+        pmod(xxhash64(col(k2Col).cast(k2Type)), lit(nBuckets.toLong))
+          .cast("int")
+      val staged = Seq("kvs" -> kvsDdl, "out" -> outDdl).map {
+        case (n, ddl) =>
+          (n, SegSwap.resolvedTable(spark, path, n, StructType.fromDDL(ddl))
+            .withColumn("_b", bucket), SegSwap.liveBuckets(fs, path, n))
+      }
+      SegSwap.commit(spark, path, staged,
+        dirSwaps = Seq("params" -> ((dst: String) =>
+          writeParams(spark, dst, k2Col, nBuckets, k2Ddl, kvsDdl, outDdl,
+            appliedBatch = applied))),
+        fence = Some(lease), augmentFromStaging = true)
+    }
 }

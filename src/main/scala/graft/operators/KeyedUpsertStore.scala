@@ -147,6 +147,44 @@ object KeyedUpsertStore {
     SegSwap.exportSnapshot(spark, path, epoch, dst,
       Seq("rows"), dirTables = Seq("params"))
 
+  /** Journaled RE-BUCKETING — the lifecycle op a LONG-LIVED stream
+    * maintainer needs: `nBuckets` is frozen at [[init]], but the
+    * corpus a 24/7 stream feeds grows without bound, so per-upsert
+    * bucket rewrites (O(bucket width) = O(corpus / B)) slowly lose
+    * their delta-proportionality. This widens (or shrinks) B in ONE
+    * crash-safe swap, same contract as the content-store family
+    * ([[DupSpansStore.rebucket]]): every row re-hashed into the new
+    * layout, old bucket dirs outside it journaled "empty", and the new
+    * params — INCLUDING the preserved `lastBatch` stream fence —
+    * installed atomically with the data through a `dir` journal line.
+    * Run it BETWEEN batches (the writer lease serializes it against
+    * upserts); the fence surviving the migration is what keeps the
+    * stream exactly-once across it (spec-pinned). The staging write
+    * streams the live table straight to `seg_staging` (disk-bounded,
+    * no whole-store materialization). Reference analog: re-running the
+    * F34 distribution job with a new partition count
+    * (`incr-hadoop-0.1/src/mapred/.../JobClient.java:912-957`). */
+  def rebucket(spark: SparkSession, path: String, nBuckets: Int): Unit =
+    SegSwap.withWriterLease(spark, path) { lease =>
+      val fs = SegSwap.fsOf(spark, path)
+      SegSwap.recover(spark, path) // writer entry: live dirs are truth
+      val p = readParams(spark, path)
+      // rows carry the pinned key dtype since init — hash as-is
+      val staged = SegSwap.resolvedTable(spark, path, "rows",
+          StructType.fromDDL(p.rowsDdl))
+        .withColumn("_b", keyBucket(col(p.keyCol), nBuckets))
+      SegSwap.commit(spark, path,
+        Seq(("rows", staged, SegSwap.liveBuckets(fs, path, "rows"))),
+        dirSwaps = Seq("params" -> ((dst: String) =>
+          writeParamsTo(spark, dst, p.copy(b = nBuckets)))),
+        fence = Some(lease), augmentFromStaging = true)
+    }
+
+  /** Journaled COMPACTION: rewrite every bucket under the current
+    * layout (content-invariant [[rebucket]] with the store's own B). */
+  def compact(spark: SparkSession, path: String): Unit =
+    rebucket(spark, path, readParams(spark, path).b)
+
   /** Apply batch `batchId` AT MOST ONCE: replace all rows of keys in
     * `added`, drop `removedKeys`, record the id — one journaled swap.
     * Returns false when the id was already applied (checkpoint

@@ -3,11 +3,11 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Scratch driver for manual verification runs (see .claude/skills/verify).
-  * Current drive (round 10): exercise the family-wide store time-travel
-  * API end-to-end on real sf0.001 documents — init a TfidfStore and a
-  * DedupClusterStore, run a continuation, read currentEpoch, roll back
-  * to epoch 0, and check the rolled-back scores equal the pre-shard
-  * ones while a redo (rollback forward) restores the post-shard view. */
+  * Round-10 drive: the family-wide store time-travel API end-to-end on
+  * real sf0.001 documents (epochs, rollback, redo, as-of reads).
+  * Round-12 drive (appended): stream maintenance with DELETION batches
+  * plus a MID-STREAM rebucket of both durable stores over the real
+  * testdata graph — the 24/7-maintainer lifecycle story end to end. */
 object DriveMain {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[8]")
@@ -114,6 +114,73 @@ object DriveMain {
       KeyedUpsertStore.lastBatch(spark, up) == -1L,
       "rollback must revert rows and the batch fence together")
     println(s"keyed-upsert store drive OK: $r0 base rows restored")
+
+    // --- Round 12: stream deletions + mid-stream rebucket over the
+    // real testdata graph ---
+    locally {
+      import graft.algorithms.{IncrementalPageRank, PageRank}
+      import graft.core.SegmentedStateStore
+      import graft.streaming.StreamMaintain
+      val ncust = spark.read.parquet(s"$dir/customer.parquet").count()
+      val edges1 = spark.read.parquet(s"$dir/orders.parquet")
+        .filter("o_orderkey % 5 = 0")
+        .selectExpr("o_custkey as src",
+          s"1 + (o_custkey * 7 + o_orderkey * 3) % $ncust as dst")
+        .distinct().localCheckpoint(true)
+      val rk = java.nio.file.Files.createTempDirectory("drive_srank").toString
+      val es = java.nio.file.Files.createTempDirectory("drive_sedge").toString
+      IncrementalPageRank.preserveTo(spark, rk, edges1, 0.8,
+        iterations = 2, nBuckets = 8, numPartitions = 8)
+      IncrementalPageRank.initEdgeStore(spark, es, edges1, nBuckets = 4)
+      // batch 0: rewire src%10==3 (upserts)
+      val chg1 = edges1.filter("src % 10 = 3").select("src").distinct()
+      val d1 = chg1.selectExpr("src",
+        s"1 + (src * 11 + 5) % $ncust as dst", "'U' as op")
+        .localCheckpoint(true)
+      StreamMaintain.pageRankBatch(spark, rk, es, d1, 0L, 0.8,
+        iterations = 2, numPartitions = 8)
+      // MID-STREAM lifecycle: widen both stores between batches
+      SegmentedStateStore.rebucket(spark, rk, 32)
+      graft.operators.KeyedUpsertStore.rebucket(spark, es, 16)
+      require(SegmentedStateStore.openForRead(spark, rk).appliedBatch == 0L &&
+        KeyedUpsertStore.lastBatch(spark, es) == 0L,
+        "rebucket must preserve the stream fences")
+      // batch 1: DELETE every src%10==6 source outright
+      val e2 = edges1.filter("src % 10 <> 3").unionByName(d1.drop("op"))
+        .localCheckpoint(true)
+      val d2 = e2.filter("src % 10 = 6").select("src").distinct()
+        .selectExpr("src", "cast(null as bigint) as dst", "'D' as op")
+        .localCheckpoint(true)
+      StreamMaintain.pageRankBatch(spark, rk, es, d2, 1L, 0.8,
+        iterations = 2, numPartitions = 8)
+      val e3 = e2.filter("src % 10 <> 6").localCheckpoint(true)
+      require(KeyedUpsertStore.rows(spark, es)
+        .selectExpr("src", "dst", "deg").as[(Long, Long, Long)]
+        .collect().toSet ==
+        PageRank.prepare(e3).as[(Long, Long, Long)].collect().toSet,
+        "post-deletion edge store must equal a full re-prepare")
+      // exactness vs the frame-fed chain (different bucket count)
+      val rk2 = java.nio.file.Files.createTempDirectory("drive_srank2").toString
+      IncrementalPageRank.preserveTo(spark, rk2, edges1, 0.8,
+        iterations = 2, nBuckets = 16, numPartitions = 8)
+      IncrementalPageRank.incrementalSeg(spark, rk2, e2, chg1, 0.8,
+        iterations = 2, numPartitions = 8).unpersist(blocking = false)
+      IncrementalPageRank.incrementalSeg(spark, rk2, e3,
+        d2.select("src"), 0.8, iterations = 2, numPartitions = 8)
+        .unpersist(blocking = false)
+      val got = SegmentedStateStore.openForRead(spark, rk)
+        .preserved.out.as[(Long, Double)].collect().toMap
+      val want = SegmentedStateStore.openForRead(spark, rk2)
+        .preserved.out.as[(Long, Double)].collect().toMap
+      require(got.keySet == want.keySet,
+        s"node sets diverge: ${got.size} vs ${want.size}")
+      got.keySet.foreach { k =>
+        require(math.abs(got(k) - want(k)) < 1e-12,
+          s"node $k stream=${got(k)} chain=${want(k)}")
+      }
+      println(s"stream deletion + mid-stream rebucket drive OK: " +
+        s"${got.size} ranks match the chain, edge store re-prepared clean")
+    }
 
     // --- GRAW multimodal: pack real bytes, decode them back ---
     import org.apache.spark.sql.functions._

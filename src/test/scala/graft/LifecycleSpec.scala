@@ -821,6 +821,123 @@ class LifecycleSpec extends SparkSpec {
     assert(rows(DupSpansStore.scores(spark, store)) == batch(corpus))
   }
 
+  test("rebucket mid-stream: fences survive, replay still skips, continuation lands on the chain") {
+    import graft.core.SegmentedStateStore
+    import graft.operators.{KeyedUpsertStore, StorePolicy}
+    import graft.streaming.StreamMaintain
+    val edges1 = ((0L until 40L).flatMap(i =>
+      Seq((i, (i * 7 + 1) % 40), (i, (i * 3 + 2) % 40)))
+      .filter { case (a, b) => a != b }).distinct.toDF("src", "dst")
+    val rankStore = java.nio.file.Files
+      .createTempDirectory("graft_rbk_rank").toString
+    val edgeStore = java.nio.file.Files
+      .createTempDirectory("graft_rbk_edges").toString
+    IncrementalPageRank.preserveTo(spark, rankStore, edges1, 0.8,
+      iterations = 4, nBuckets = 8)
+    IncrementalPageRank.initEdgeStore(spark, edgeStore, edges1, nBuckets = 4)
+
+    val delta1 = Seq((3L, 11L), (3L, 17L), (8L, 21L)).toDF("src", "dst")
+    val advice = StreamMaintain.pageRankBatch(spark, rankStore, edgeStore,
+      delta1, 0L, 0.8, iterations = 3)
+    // gate-scale deltas cross the measured ~10% crossover — exactly the
+    // systematic-overshoot signal the rebuild hook exists for
+    assert(advice.exists(_.rebuildRecommended),
+      s"expected past-crossover advice on the small store, got $advice")
+    // the advice plumbing fires the NEW rebucket recipes: widen both
+    // stores between batches (the writer lease serializes this against
+    // any concurrent batch)
+    val ran = StorePolicy.autoRebuildIfRecommended(advice) { _ =>
+      SegmentedStateStore.rebucket(spark, rankStore, 32)
+      KeyedUpsertStore.rebucket(spark, edgeStore, 16)
+    }
+    assert(ran, "the recommended rebuild hook did not fire")
+    assert(SegmentedStateStore.openForRead(spark, rankStore).nBuckets == 32)
+    assert(KeyedUpsertStore.open(spark, edgeStore).nBuckets == 16)
+    // the stream fences MIGRATED with the layout: a checkpoint-replayed
+    // batch 0 must still skip on both stores
+    assert(SegmentedStateStore.openForRead(spark, rankStore)
+      .appliedBatch == 0L)
+    assert(KeyedUpsertStore.lastBatch(spark, edgeStore) == 0L)
+    def ranks() = SegmentedStateStore.openForRead(spark, rankStore)
+      .preserved.out.as[(Long, Double)].collect().toMap
+    val afterRebucket = ranks()
+    StreamMaintain.pageRankBatch(spark, rankStore, edgeStore, delta1, 0L,
+      0.8, iterations = 3)
+    assert(ranks() == afterRebucket,
+      "replayed batch mutated a rebucketed store")
+    // the new layout's dirs are the new B's — and the old B's dirs with
+    // ids outside it are gone (journaled empty by the rebucket)
+    def liveDirs(root: String, table: String): Set[Int] = {
+      val s = java.nio.file.Files.list(
+        java.nio.file.Paths.get(root, table))
+      try s.toArray.map(_.toString.split("/").last)
+        .filter(_.startsWith("_b=")).map(_.stripPrefix("_b=").toInt).toSet
+      finally s.close()
+    }
+    assert(liveDirs(edgeStore, "rows").forall(b => b >= 0 && b < 16))
+    assert(liveDirs(rankStore, "out").forall(b => b >= 0 && b < 32))
+
+    // batch 1 AFTER the migration: the chain continues exactly
+    val delta2 = Seq((14L, 5L), (3L, 29L)).toDF("src", "dst")
+    StreamMaintain.pageRankBatch(spark, rankStore, edgeStore, delta2, 1L,
+      0.8, iterations = 3)
+    val got = ranks()
+    val e2 = edges1.join(delta1.select("src").distinct(), Seq("src"),
+      "left_anti").unionByName(delta1).localCheckpoint(true)
+    val e3 = e2.join(delta2.select("src").distinct(), Seq("src"),
+      "left_anti").unionByName(delta2).localCheckpoint(true)
+    val store2 = java.nio.file.Files
+      .createTempDirectory("graft_rbk_rank2").toString
+    IncrementalPageRank.preserveTo(spark, store2, edges1, 0.8,
+      iterations = 4, nBuckets = 8)
+    IncrementalPageRank.incrementalSeg(spark, store2, e2,
+      delta1.select("src").distinct(), 0.8, iterations = 3)
+      .unpersist(blocking = false)
+    IncrementalPageRank.incrementalSeg(spark, store2, e3,
+      delta2.select("src").distinct(), 0.8, iterations = 3)
+      .unpersist(blocking = false)
+    val want = SegmentedStateStore.openForRead(spark, store2)
+      .preserved.out.as[(Long, Double)].collect().toMap
+    assert(got.keySet == want.keySet)
+    for (k <- got.keySet)
+      assert(math.abs(got(k) - want(k)) < 1e-12,
+        s"node $k rebucketed-stream=${got(k)} batch=${want(k)}")
+    // and the migrated edge table equals a full re-prepare
+    assert(KeyedUpsertStore.rows(spark, edgeStore)
+      .select("src", "dst", "deg").as[(Long, Long, Long)].collect().toSet ==
+      PageRank.prepare(e3).as[(Long, Long, Long)].collect().toSet)
+    e2.unpersist(blocking = false); e3.unpersist(blocking = false)
+  }
+
+  test("rebucket is content-invariant, epoch-advancing, and time-travel keeps resolving") {
+    import graft.operators.KeyedUpsertStore
+    val p = java.nio.file.Files
+      .createTempDirectory("graft_rbk_inv").toString
+    val rows0 = (1L to 50L).map(i => (i, i * 3 % 17, i % 7 + 1))
+      .toDF("k", "v", "deg")
+    KeyedUpsertStore.init(spark, p, rows0, "k", nBuckets = 4)
+    KeyedUpsertStore.upsertBatch(spark, p,
+      Seq((5L, 99L, 1L)).toDF("k", "v", "deg"),
+      Seq(7L).toDF("k"), 0L)
+    val preEpoch = KeyedUpsertStore.currentEpoch(spark, p)
+    val before = KeyedUpsertStore.rows(spark, p)
+      .as[(Long, Long, Long)].collect().toSet
+    KeyedUpsertStore.rebucket(spark, p, 16)
+    assert(KeyedUpsertStore.currentEpoch(spark, p) == preEpoch + 1)
+    assert(KeyedUpsertStore.rows(spark, p)
+      .as[(Long, Long, Long)].collect().toSet == before,
+      "rebucket changed store content")
+    // the pre-rebucket epoch stays as-of readable (whole-store commits
+    // retire every bucket — the snapshot layer serves them like any
+    // other commit inside the horizon)
+    assert(KeyedUpsertStore.rowsAt(spark, p, preEpoch)
+      .as[(Long, Long, Long)].collect().toSet == before)
+    // compact under the current layout is a no-op on content too
+    KeyedUpsertStore.compact(spark, p)
+    assert(KeyedUpsertStore.rows(spark, p)
+      .as[(Long, Long, Long)].collect().toSet == before)
+  }
+
   test("rollback across a lifecycle op is flagged corpus-wide — and exact") {
     import graft.operators.{SegSwap, TfidfStore}
     val tp = java.nio.file.Files
