@@ -635,22 +635,24 @@ object ScaleBench {
 
       run("upsert_rebucket", 15000L * m) {
         // FROZEN-B erosion and its cure (round-11 verdict missing #2):
-        // the edge store inited at the 1x provisioning (B=64) no matter
+        // the edge store inited at the 1x provisioning (B=32) no matter
         // the corpus scale — the state a long-lived maintainer reaches
         // once the corpus has outgrown its init-time bucket count. A
-        // fixed 50-source upsert then rewrites O(k) buckets of width
-        // O(corpus/B): cost grows ~linearly with m (the slow-burn
-        // delta-proportionality loss). KeyedUpsertStore.rebucket back
-        // to corpus-proportional B must restore the flat per-upsert
-        // cost — upsertRebucketed's exponent ~0 vs upsertFrozenB's ~1
-        // is the measured story.
+        // FIXED 5-source upsert then rewrites ≤5 buckets of width
+        // O(corpus/B): data cost grows ~linearly with m (the slow-burn
+        // delta-proportionality loss; at small m the per-dir writer
+        // overhead hides it — the 100x point is where the widths
+        // dominate). KeyedUpsertStore.rebucket back to corpus-
+        // proportional B (32·m) must restore the near-flat per-upsert
+        // cost: upsertRebucketed's exponent staying well under
+        // upsertFrozenB's is the measured story.
         val edges1 = edges0.persist(StorageLevel.MEMORY_AND_DISK)
         val estore = s"$dir/rbk_edges"
         deleteRec(new java.io.File(estore))
         algorithms.IncrementalPageRank.initEdgeStore(spark, estore,
-          edges1, nBuckets = 64)
+          edges1, nBuckets = 32)
         def delta(lo: Long) = algorithms.IncrementalPageRank.prepareBatch(
-          edges1.filter(col("src") >= lo && col("src") < lo + 50)
+          edges1.filter(col("src") >= lo && col("src") < lo + 5)
             .select(col("src"), (col("dst") + 1).as("dst")))
           .localCheckpoint(true)
         val none = spark.range(0).toDF("src")
@@ -658,8 +660,8 @@ object ScaleBench {
         val (_, tFrozen) = timed(operators.KeyedUpsertStore.upsertBatch(
           spark, estore, d1, none, 0L))
         val (_, tReb) = timed(operators.KeyedUpsertStore.rebucket(
-          spark, estore, 64 * m))
-        val d2 = delta(50)
+          spark, estore, 32 * m))
+        val d2 = delta(5)
         val (_, tAfter) = timed(operators.KeyedUpsertStore.upsertBatch(
           spark, estore, d2, none, 1L))
         edges1.unpersist()

@@ -150,12 +150,94 @@ object IncrementalKMeans {
       numPartitions: Int = 32,
       durableStatePath: Option[String] = None,
       metric: String = "euclidean"): graft.core.IncrResult = {
-
     val pts = updatedPoints.select(col("id").cast("long"),
       col("vec").cast("array<double>"))
+    buildJob(pts, preserved, changedIds, iterations, filterThreshold,
+      numPartitions, durableStatePath, metric, None, None, None).run()
+  }
 
-    val job = new IncrementalJob(
-      updatedStatic = pts,
+  /** Run the base job and lay the centers out as a SEGMENTED durable
+    * store at `path` — the One2All member of the family's production
+    * form (PageRank ranks / matvec state already live this way): the
+    * preserved bag (point→center assignments, keyed by `cid`) and the
+    * centers become the store's kvs/out, and store-fed continuations
+    * rewrite only the buckets a delta touches under the journaled
+    * crash contract. */
+  def preserveToSeg(spark: SparkSession, path: String, points: DataFrame,
+      k: Int, iterations: Int, metric: String = "euclidean",
+      nBuckets: Int = 16): Unit = {
+    val st = preserve(points, k, iterations, metric)
+    graft.core.SegmentedStateStore.init(spark, path, st, "cid", nBuckets)
+    st.release()
+  }
+
+  /** Lay the point set out as a durable id-keyed store
+    * ([[graft.operators.KeyedUpsertStore]]) — the evolving INPUT side
+    * of a 24/7 KMeans maintainer (the kmeans twin of
+    * [[IncrementalPageRank.initEdgeStore]]). */
+  def initPointStore(spark: SparkSession, path: String, points: DataFrame,
+      nBuckets: Int = 32): Unit =
+    graft.operators.KeyedUpsertStore.init(spark, path,
+      points.select(col("id").cast("long"),
+        col("vec").cast("array<double>")),
+      "id", nBuckets)
+
+  /** STORE-FED continuation — centers in the segmented store at
+    * `centerStorePath`, points in the id-keyed store at
+    * `pointStorePath` read overlaid with `batchPoints` (the changed
+    * ids' replacement vectors, not yet upserted — the stream
+    * maintainer's fixed apply order), idempotent per `batchId`.
+    *
+    * One2All honesty: the first iteration re-assigns only the changed
+    * points (pruned bucket reads), but any center that MOVES re-dirties
+    * every point — the full-frontier iterations that follow are the
+    * One2All semantics itself, not a store inefficiency (each point's
+    * contribution depends on all centers). What the stores buy is the
+    * exactly-once fence plumbing and the delta-pruned first hop, same
+    * contract as the One2One twins. */
+  def incrementalFromStores(spark: SparkSession, centerStorePath: String,
+      pointStorePath: String, batchPoints: DataFrame,
+      changedIds: DataFrame, iterations: Int,
+      filterThreshold: Double = 0.0, numPartitions: Int = 32,
+      broadcastMaxRows: Long = 4L * 1000 * 1000,
+      batchId: Option[Long] = None, metric: String = "euclidean")
+      : (DataFrame, Option[graft.operators.StorePolicy.ContinueAdvice]) = {
+    val store =
+      graft.core.SegmentedStateStore.openForWrite(spark, centerStorePath)
+    if (batchId.exists(_ <= store.appliedBatch)) {
+      store.releaseLease()
+      val out = store.out.drop("_b")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      out.count()
+      (out, None)
+    } else {
+      val h = graft.operators.KeyedUpsertStore.open(spark, pointStorePath)
+      val patch = batchPoints.select(col("id").cast("long"),
+        col("vec").cast("array<double>"))
+      // named key column only — the overlay's single-column contract
+      val chgKeys = changedIds.select(col("id").cast("long"))
+      val chgRows = chgKeys.count()
+      val src = new graft.core.StaticSource.Overlay(h, "id", chgKeys,
+        chgRows, patch, broadcastMaxRows)
+      val job = buildJob(src.all, store.preserved, chgKeys, iterations,
+        filterThreshold, numPartitions, None, metric, Some(store),
+        batchId, Some(src))
+      val r = job.run()
+      (IncrementalJob.finish(r), r.advice)
+    }
+  }
+
+  /** The KMeans instantiation of [[IncrementalJob]] — shared by the
+    * frame-fed and store-fed continuations (identical assignment and
+    * recenter arithmetic; only the durability plumbing differs). */
+  private def buildJob(static: DataFrame, preserved: PreservedState,
+      changedIds: DataFrame, iterations: Int, filterThreshold: Double,
+      numPartitions: Int, durableStatePath: Option[String],
+      metric: String, segStore: Option[graft.core.SegmentedStateStore],
+      segStoreBatchId: Option[Long],
+      staticSource: Option[graft.core.StaticSource]): IncrementalJob =
+    new IncrementalJob(
+      updatedStatic = static,
       skCol = "id",
       k2Col = "cid",
       preserved = preserved,
@@ -186,8 +268,8 @@ object IncrementalKMeans {
       filterThreshold = filterThreshold,
       maxIterations = iterations,
       numPartitions = numPartitions,
-      durableStatePath = durableStatePath)
-
-    job.run()
-  }
+      durableStatePath = durableStatePath,
+      segStore = segStore,
+      segStoreBatchId = segStoreBatchId,
+      staticSource = staticSource)
 }

@@ -186,4 +186,57 @@ object StreamMaintain {
     removed.unpersist(blocking = false)
     advice
   }
+
+  /** The ONE2ALL member of the maintainer family — KMeans: one
+    * micro-batch of point deltas (`id, vec` rows REPLACING the vectors
+    * of their `id` keys; `op = "D"` rows REMOVING their point from the
+    * clustering) applied to the center store at `centerStore` (inited
+    * by [[graft.algorithms.IncrementalKMeans.preserveToSeg]]) and the
+    * point table at `pointStore`
+    * ([[graft.algorithms.IncrementalKMeans.initPointStore]]).
+    *
+    * Same exactly-once contract end to end: fixed apply order (center
+    * continuation against the PRE-batch point store overlaid with the
+    * batch, point upsert second), per-store batch-id fences, idempotent
+    * per `batchId`. The per-trigger cost shape differs BY SEMANTICS,
+    * not by plumbing: the first hop re-assigns only the batch's points
+    * (pruned bucket reads), but a center that moves re-dirties every
+    * point — One2All means each point's contribution depends on all
+    * centers, so the follow-up iterations are frontier-wide (each one
+    * a Lloyd step over the updated point set, the exact θ=0 contract).
+    * `iterations` therefore counts Lloyd steps per batch. */
+  def kmeansBatch(spark: SparkSession, centerStore: String,
+      pointStore: String, batch: DataFrame, batchId: Long,
+      iterations: Int, numPartitions: Int = 32,
+      metric: String = "euclidean")
+      : Option[graft.operators.StorePolicy.ContinueAdvice] = {
+    val timing = IncrementalJob.timingEnabled
+    def phase[T](label: => String)(f: => T): T =
+      if (!timing) f else {
+        val t0 = System.nanoTime(); val r = f
+        System.err.println(
+          f"[stream] km batch $batchId $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        r
+      }
+    val (ups, removed) = splitOps(batch, "id", "long")
+    val patch = phase("prepare delta")(
+      ups.select(col("id").cast("long"),
+        col("vec").cast("array<double>")).distinct().localCheckpoint(true))
+    val chg = patch.select("id").unionByName(removed).distinct()
+    val advice = phase(s"continuation (patch rows=${patch.count()})") {
+      val (out, a) = graft.algorithms.IncrementalKMeans
+        .incrementalFromStores(spark, centerStore, pointStore, patch,
+          chg, iterations, filterThreshold = 0.0,
+          numPartitions = numPartitions, batchId = Some(batchId),
+          metric = metric)
+      out.unpersist(blocking = false)
+      a
+    }
+    phase("point upsert")(
+      KeyedUpsertStore.upsertBatch(spark, pointStore, patch,
+        removed, batchId))
+    patch.unpersist(blocking = false)
+    removed.unpersist(blocking = false)
+    advice
+  }
 }

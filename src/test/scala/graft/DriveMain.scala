@@ -182,6 +182,50 @@ object DriveMain {
         s"${got.size} ranks match the chain, edge store re-prepared clean")
     }
 
+    // --- Round 12: the One2All maintainer (kmeansBatch) over the real
+    // embeddings table ---
+    locally {
+      import graft.algorithms.IncrementalKMeans
+      import graft.core.SegmentedStateStore
+      import graft.streaming.StreamMaintain
+      val pts = spark.read.parquet(s"$dir/embeddings.parquet")
+        .selectExpr("vec_id as id", "cast(embedding as array<double>) as vec")
+        .localCheckpoint(true)
+      val cs = java.nio.file.Files.createTempDirectory("drive_kmc").toString
+      val ps = java.nio.file.Files.createTempDirectory("drive_kmp").toString
+      IncrementalKMeans.preserveToSeg(spark, cs, pts, k = 4,
+        iterations = 3, nBuckets = 8)
+      IncrementalKMeans.initPointStore(spark, ps, pts, nBuckets = 8)
+      def cents() = SegmentedStateStore.openForRead(spark, cs)
+        .preserved.out.as[(Int, Seq[Double], Long)].collect()
+        .map(t => t._1 -> ((t._2, t._3))).toMap
+      val c0 = cents()
+      // batch 0: re-vector ids % 50 == 3; batch 1: DELETE ids % 50 == 7
+      val d1 = pts.filter("id % 50 = 3")
+        .selectExpr("id", "transform(vec, x -> x * 0.5 + 1.0) as vec",
+          "'U' as op").localCheckpoint(true)
+      StreamMaintain.kmeansBatch(spark, cs, ps, d1, 0L, iterations = 2)
+      val c1 = cents()
+      require(c1 != c0, "batch 0 must move at least one center")
+      val d2 = pts.filter("id % 50 = 7")
+        .selectExpr("id", "vec", "'D' as op").localCheckpoint(true)
+      StreamMaintain.kmeansBatch(spark, cs, ps, d2, 1L, iterations = 2)
+      val c2 = cents()
+      // replay of both batches: fences skip, centers unchanged
+      StreamMaintain.kmeansBatch(spark, cs, ps, d1, 0L, iterations = 2)
+      StreamMaintain.kmeansBatch(spark, cs, ps, d2, 1L, iterations = 2)
+      require(cents() == c2, "replayed kmeans batches mutated the centers")
+      // the point store holds exactly the post-deletion point set, and
+      // every surviving point is accounted for in the center counts
+      val stored = KeyedUpsertStore.rows(spark, ps).count()
+      val wantN = pts.filter("id % 50 <> 7").count()
+      require(stored == wantN, s"point store $stored != expected $wantN")
+      require(c2.values.map(_._2).sum == wantN,
+        s"center counts ${c2.values.map(_._2).sum} != surviving points $wantN")
+      println(s"kmeans stream maintainer drive OK: $wantN points, " +
+        s"${c2.size} centers, fences exact across replay")
+    }
+
     // --- GRAW multimodal: pack real bytes, decode them back ---
     import org.apache.spark.sql.functions._
     import graft.operators.Multimodal

@@ -334,6 +334,142 @@ class StreamingSpec extends SparkSpec {
       m3.as[(Long, Long, Double)].collect().toSet)
   }
 
+  test("kmeans stream maintenance (One2All): restart, duplicate, deletion, Lloyd-chain equality") {
+    import graft.algorithms.IncrementalKMeans
+    import graft.core.SegmentedStateStore
+    import graft.operators.KeyedUpsertStore
+    import graft.streaming.StreamMaintain
+    import org.apache.spark.sql.streaming.Trigger
+    // three well-separated planar clusters, 8 points each — separation
+    // keeps every cluster non-empty through the chain, so the
+    // empty-cluster rule never has to tie-break the reference
+    def vecOf(i: Long): Seq[Double] = {
+      val (bx, by) = (i % 3) match {
+        case 0 => (0.0, 0.0); case 1 => (10.0, 0.0); case _ => (0.0, 10.0)
+      }
+      Seq(bx + (i % 8) * 0.1, by + ((i * 7) % 5) * 0.1)
+    }
+    val pts1 = (0L until 24L).map(i => (i, vecOf(i))).toDF("id", "vec")
+    val centerStore = java.nio.file.Files
+      .createTempDirectory("graft_kms_centers").toString
+    val pointStore = java.nio.file.Files
+      .createTempDirectory("graft_kms_points").toString
+    IncrementalKMeans.preserveToSeg(spark, centerStore, pts1, k = 3,
+      iterations = 4, nBuckets = 8)
+    IncrementalKMeans.initPointStore(spark, pointStore, pts1, nBuckets = 8)
+    def centers(): Map[Int, (Seq[Double], Long)] =
+      SegmentedStateStore.openForRead(spark, centerStore).preserved.out
+        .as[(Int, Seq[Double], Long)].collect()
+        .map(t => t._1 -> ((t._2, t._3))).toMap
+    val c0 = centers() // base centers BEFORE any batch — the chain seed
+
+    // batch 0 moves two points across clusters; batch 1 DELETES point 5
+    // and moves point 3 again (mixed-op deletion on the One2All member)
+    val delta1 = Seq((3L, Seq(9.5, 0.5), "U"), (8L, Seq(0.4, 9.6), "U"))
+      .toDF("id", "vec", "op")
+    val delta2 = Seq((5L, Seq(0.0, 0.0), "D"), (3L, Seq(0.2, 9.9), "U"))
+      .toDF("id", "vec", "op")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_kms_deltas").toString
+    def parts(): Set[java.nio.file.Path] = {
+      val st = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      try st.toArray.map(_.asInstanceOf[java.nio.file.Path])
+        .filter(_.toString.endsWith(".parquet")).toSet
+      finally st.close()
+    }
+    delta1.coalesce(1).write.mode("append").parquet(dir)
+    val first = parts()
+    delta2.coalesce(1).write.mode("append").parquet(dir)
+    val second = parts() -- first
+    val t0 = System.currentTimeMillis()
+    first.foreach(p => java.nio.file.Files.setLastModifiedTime(p,
+      java.nio.file.attribute.FileTime.fromMillis(t0 - 120000)))
+    second.foreach(p => java.nio.file.Files.setLastModifiedTime(p,
+      java.nio.file.attribute.FileTime.fromMillis(t0)))
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_kms_ckpt").toString
+    var delivered = 0
+    def run(poisonSecond: Boolean) = spark.readStream.schema(delta1.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            bid: Long) =>
+          delivered += 1
+          if (poisonSecond && delivered >= 2)
+            sys.error("simulated crash at batch 2")
+          StreamMaintain.kmeansBatch(spark, centerStore, pointStore,
+            batch, bid, iterations = 2)
+          ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    // RUN 1 dies at batch 2 after batch 1 committed to the checkpoint
+    val q1 = run(poisonSecond = true)
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q1.awaitTermination()
+    }
+    assert(SegmentedStateStore.openForRead(spark, centerStore)
+      .appliedBatch == 0L)
+    assert(KeyedUpsertStore.lastBatch(spark, pointStore) == 0L)
+    // RUN 2 — restart from the checkpoint: only batch 2 delivers
+    delivered = 0
+    val q2 = run(poisonSecond = false)
+    assert(q2.awaitTermination(120000), "kmeans restart run did not finish")
+    assert(delivered == 1, s"restart must deliver only batch 2, saw $delivered")
+    val got = centers()
+    // DUPLICATE delivery: both fences skip
+    StreamMaintain.kmeansBatch(spark, centerStore, pointStore, delta2, 1L,
+      iterations = 2)
+    assert(centers() == got, "replayed kmeans batch mutated the center store")
+    assert(KeyedUpsertStore.lastBatch(spark, pointStore) == 1L)
+
+    // reference: the θ=0 contract says each incremental iteration IS a
+    // Lloyd step over the updated points from the current centers —
+    // chain 2 steps per batch, driver-side, from the store's own seed
+    def lloyd(points: Seq[(Long, Seq[Double])],
+        cs0: Map[Int, (Seq[Double], Long)],
+        steps: Int): Map[Int, (Seq[Double], Long)] = {
+      var cs = cs0
+      for (_ <- 1 to steps) {
+        val byC = points.groupBy { case (_, v) =>
+          cs.toSeq.map { case (cid, (cv, _)) =>
+            (v.zip(cv).map(t => (t._1 - t._2) * (t._1 - t._2)).sum, cid)
+          }.min._2 // min by (dist, cid): ties to the lowest center id
+        }
+        cs = cs.map { case (cid, (cv, n)) =>
+          byC.get(cid) match {
+            case Some(ps) =>
+              val mean = cv.indices.map(d => ps.map(_._2(d)).sum / ps.size)
+              cid -> ((mean, ps.size.toLong))
+            case None => cid -> ((cv, n))
+          }
+        }
+      }
+      cs
+    }
+    val pts2 = (0L until 24L).map(i => i -> (i match {
+      case 3L => Seq(9.5, 0.5); case 8L => Seq(0.4, 9.6); case _ => vecOf(i)
+    }))
+    val pts3 = pts2.filterNot(_._1 == 5L).map {
+      case (3L, _) => 3L -> Seq(0.2, 9.9); case p => p
+    }
+    val want = lloyd(pts3, lloyd(pts2, c0, 2), 2)
+    assert(got.keySet == want.keySet)
+    for (cid <- got.keySet) {
+      val (gv, gn) = got(cid); val (wv, wn) = want(cid)
+      assert(gn == wn, s"center $cid count stream=$gn lloyd=$wn")
+      gv.zip(wv).foreach { case (a, b) =>
+        assert(math.abs(a - b) < 1e-9,
+          s"center $cid stream=$gv lloyd=$wv")
+      }
+    }
+    // the durable point table holds exactly the post-deletion point set
+    assert(KeyedUpsertStore.rows(spark, pointStore)
+      .as[(Long, Seq[Double])].collect().toMap == pts3.toMap,
+      "point store diverged from the post-deletion point set")
+  }
+
   test("windowed stats over a file stream match the batch computation") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val stream = EventStreams.readEventStream(spark, sf)
