@@ -64,7 +64,11 @@ object Bench {
         // spread_pct (round-10 verdict minor #4)
         "q_incr_tfidf_seg", "q_incr_semantic_dedup_seg",
         "q_incr_decontaminate_seg", "q_incr_dedup_clusters_seg",
-        "q_store_txn", "q_forget_sweep", "q_export_model").foreach { n =>
+        "q_store_txn", "q_forget_sweep", "q_export_model",
+        // round-12 gates: the deletion stream twin and the eval-side
+        // forget share most codegen with their warmed siblings but not
+        // all of it
+        "q_incr_pagerank_stream_del", "q_forget_eval").foreach { n =>
         SparkEntry.queries.get(n).foreach { fn =>
           try fn(spark, warmDir).count() catch { case _: Throwable => () }
         }

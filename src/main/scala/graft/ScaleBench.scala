@@ -634,23 +634,28 @@ object ScaleBench {
       }
 
       run("upsert_rebucket", 15000L * m) {
-        // FROZEN-B erosion and its cure (round-11 verdict missing #2):
-        // the edge store inited at the 1x provisioning (B=32) no matter
-        // the corpus scale — the state a long-lived maintainer reaches
-        // once the corpus has outgrown its init-time bucket count. A
-        // FIXED 5-source upsert then rewrites ≤5 buckets of width
-        // O(corpus/B): data cost grows ~linearly with m (the slow-burn
-        // delta-proportionality loss; at small m the per-dir writer
-        // overhead hides it — the 100x point is where the widths
-        // dominate). KeyedUpsertStore.rebucket back to corpus-
-        // proportional B (32·m) must restore the near-flat per-upsert
-        // cost: upsertRebucketed's exponent staying well under
-        // upsertFrozenB's is the measured story.
+        // FROZEN-B erosion and its cure (round-11 verdict missing #2).
+        // Two regimes bound a store's bucket provisioning, and this
+        // probe pins the one a long-lived maintainer drifts into:
+        // per-upsert cost is O(touched buckets x width) DATA plus
+        // O(live dirs) METADATA. A B frozen at init (here 4 — the
+        // pathological end, so the widths dominate within probe-scale
+        // data) makes a FIXED 5-source upsert rewrite ~the whole
+        // corpus once the corpus outgrows B (data term ∝ m);
+        // KeyedUpsertStore.rebucket to a corpus-proportional B (4·m —
+        // constant width) must restore near-flat upsert cost. The
+        // inverse regime is real too and was measured by this probe's
+        // first draft: rebucketing a ~30 MB corpus to 3200 dirs made
+        // upserts SLOWER (7.99 s vs 1.54 s frozen at 100x) — dir-
+        // listing metadata swamps tiny widths, the round-9
+        // provisioning rule (O(task-sized) bytes per bucket) seen
+        // from the other side. Width the store by DATA, not by a
+        // fixed dir-count formula.
         val edges1 = edges0.persist(StorageLevel.MEMORY_AND_DISK)
         val estore = s"$dir/rbk_edges"
         deleteRec(new java.io.File(estore))
         algorithms.IncrementalPageRank.initEdgeStore(spark, estore,
-          edges1, nBuckets = 32)
+          edges1, nBuckets = 4)
         def delta(lo: Long) = algorithms.IncrementalPageRank.prepareBatch(
           edges1.filter(col("src") >= lo && col("src") < lo + 5)
             .select(col("src"), (col("dst") + 1).as("dst")))
@@ -660,7 +665,7 @@ object ScaleBench {
         val (_, tFrozen) = timed(operators.KeyedUpsertStore.upsertBatch(
           spark, estore, d1, none, 0L))
         val (_, tReb) = timed(operators.KeyedUpsertStore.rebucket(
-          spark, estore, 32 * m))
+          spark, estore, 4 * m))
         val d2 = delta(5)
         val (_, tAfter) = timed(operators.KeyedUpsertStore.upsertBatch(
           spark, estore, d2, none, 1L))

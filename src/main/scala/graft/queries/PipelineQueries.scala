@@ -753,6 +753,51 @@ object PipelineQueries {
                 round(tf.tf * ln(n.n::DOUBLE / dfq.df), 6) AS tfidf
               FROM tf JOIN dfq USING (token) CROSS JOIN n""")),
 
+    // EVAL-SIDE deletion propagation ([[graft.operators.Forget
+    // .sweepEval]], round-11 verdict #4 promoted from spec to gate): a
+    // retracted benchmark (licensing takedown, contamination-list
+    // revision) must stop flagging corpus docs AND have its shingle
+    // bytes scrubbed. Contamination is derived at read time, so
+    // purging the items' evalsh rows flips every affected doc with NO
+    // doc-side rewrite — the oracle recomputes the containment rule
+    // from scratch against the SURVIVING eval items only; any stale
+    // eval shingle still flagging a doc hash-mismatches.
+    Q("q_forget_eval",
+      (s, dir) => {
+        val docs = Q.t(s, dir, "documents")
+        val corpus = docs.filter(col("doc_id") % 3 === 0 &&
+          col("doc_id") % 97 =!= 0)
+        val evals = docs.filter(col("doc_id") % 97 === 0)
+        val store = java.nio.file.Files
+          .createTempDirectory("graft_forget_eval").toString
+        val txn = java.nio.file.Files
+          .createTempDirectory("graft_forget_eval_txn").toString
+        graft.operators.DecontamStore.init(s, store, corpus,
+          "doc_id", "text", evals, "doc_id", "text", w = 3, nBuckets = 16)
+        graft.operators.Forget.sweepEval(s, txn,
+          evals.filter(col("doc_id") % 194 === 0).select("doc_id"),
+          "doc_id", "text", Seq(store))
+        graft.operators.DecontamStore
+          .decontaminated(s, store, corpus, "doc_id")
+          .select(col("doc_id"), col("source"),
+            size(tokens(col("text"))).as("ntok"))
+      },
+      Some(s"""WITH $toksCte,
+              sh AS (SELECT doc_id, list_distinct(
+                [array_to_string(toks[i:i+2], ' ')
+                 for i in generate_series(1, len(toks) - 2)]) AS sh
+                FROM toks WHERE len(toks) >= 3),
+              ev AS (SELECT DISTINCT unnest(sh) AS s FROM sh
+                WHERE doc_id % 97 = 0 AND doc_id % 194 <> 0),
+              bad AS (SELECT DISTINCT doc_id FROM
+                (SELECT doc_id, unnest(sh) AS s FROM sh
+                 WHERE doc_id % 3 = 0 AND doc_id % 97 <> 0) x
+                 JOIN ev USING (s))
+              SELECT d.doc_id, d.source, CAST(len(t.toks) AS INT) AS ntok
+              FROM documents d JOIN toks t USING (doc_id)
+              WHERE d.doc_id % 3 = 0 AND d.doc_id % 97 <> 0
+                AND d.doc_id NOT IN (SELECT doc_id FROM bad)""")),
+
     // Word-trigram Jaccard near-dup pairs on a doc_id%5 slice. The
     // df<=128 candidate cap is part of the operator contract (kills the
     // quadratic hot-shingle self-join) and is mirrored here.
