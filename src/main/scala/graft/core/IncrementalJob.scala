@@ -198,21 +198,16 @@ final class IncrementalJob(
     // The loop re-joins frames derived from each other across iterations;
     // Spark's DetectAmbiguousSelfJoin false-positives on those (all our
     // joins use explicit per-frame column references or USING columns,
-    // so resolution is unambiguous). Disable for the loop, restore after.
-    // CONSTRAINT: this is a SESSION-wide conf mutation — correct for the
-    // single-threaded driver loops this engine runs, but a caller
-    // sharing the SparkSession with concurrent analyses would see the
-    // toggle for the loop's duration. Such callers should run the loop
-    // on `spark.newSession()` (confs are session-scoped; the shared
-    // SparkContext and its caches are unaffected).
-    val ambiguityKey = "spark.sql.analyzer.failAmbiguousSelfJoin"
-    val prevAmbiguity = spark.conf.getOption(ambiguityKey)
-    spark.conf.set(ambiguityKey, "false")
-    try runLoop(n) finally {
-      prevAmbiguity match {
-        case Some(v) => spark.conf.set(ambiguityKey, v)
-        case None    => spark.conf.unset(ambiguityKey)
-      }
+    // so resolution is unambiguous). Disable it for the loop via a
+    // THREAD-LOCAL conf override (GraftSqlShim.withConfOverrides):
+    // Datasets analyze eagerly at construction and analyzer rules read
+    // SQLConf.get, so every frame the loop builds sees the toggle while
+    // a concurrent caller sharing the SparkSession on another thread
+    // never does — the session-wide mutation (and its newSession()
+    // caveat) is gone (round-11 residual #4).
+    try org.apache.spark.sql.graft.GraftSqlShim.withConfOverrides(spark,
+      Map("spark.sql.analyzer.failAmbiguousSelfJoin" -> "false"))(runLoop(n))
+    finally {
       // store mode: the commit released the lease on success; this
       // covers the no-commit and exception paths (idempotent)
       segStore.foreach(_.releaseLease())

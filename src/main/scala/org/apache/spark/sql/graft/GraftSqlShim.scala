@@ -94,4 +94,27 @@ object GraftSqlShim {
       spark, Some(Statistics(BigInt(sizeInBytes), Some(BigInt(rows)))), None)
     (classic.Dataset.ofRows(spark, plan), rows, () => { rdd.unpersist(blocking = false); () })
   }
+
+  /** Run `f` with `overrides` applied to a THREAD-LOCAL clone of the
+    * session's SQLConf — nothing session-visible is mutated, so
+    * concurrent work sharing the SparkSession on other threads never
+    * sees the overrides.
+    *
+    * Why this is sound for analyzer toggles: Datasets analyze EAGERLY
+    * at construction (the `Dataset` constructor asserts analysis), and
+    * analyzer rules read their conf through `SQLConf.get`, which
+    * consults the thread-local override first
+    * (`SQLConf.withExistingConf`). A driver loop that builds all its
+    * frames inside `f` therefore gets the override for exactly the
+    * analysis passes it needs, on exactly this thread, for exactly the
+    * dynamic extent of `f` — optimizer/execution phases that run later
+    * (first action on a returned frame) use the session's normal conf,
+    * the same state the old set-then-restore pattern left behind. */
+  def withConfOverrides[T](spark: org.apache.spark.sql.SparkSession,
+      overrides: Map[String, String])(f: => T): T = {
+    val patched =
+      spark.asInstanceOf[classic.SparkSession].sessionState.conf.clone()
+    overrides.foreach { case (k, v) => patched.setConfString(k, v) }
+    org.apache.spark.sql.internal.SQLConf.withExistingConf(patched)(f)
+  }
 }

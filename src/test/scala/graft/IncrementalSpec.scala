@@ -47,6 +47,58 @@ class IncrementalSpec extends SparkSpec {
         s"node $nd incr=${incr(nd)} full=${full(nd)}")
   }
 
+  test("ambiguity toggle is THREAD-LOCAL: a concurrent analysis still fails ambiguous self-joins mid-loop") {
+    // the round-11 residual #4 pin: the loop's
+    // failAmbiguousSelfJoin=false must be invisible to other threads
+    // sharing the SparkSession — with the old session-wide mutation,
+    // an ambiguous join analyzed on another thread DURING the loop
+    // slipped through silently. Here a sibling thread hammers a
+    // genuinely ambiguous self-join for the loop's whole duration and
+    // every attempt must keep throwing.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val edges = Generators.graph(spark, 400)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    edges.count()
+    val amb = spark.range(10).toDF("k")
+    def ambiguousThrows(): Boolean =
+      try {
+        val b = amb.filter(col("k") > 1)
+        // canonical ambiguous self-join: the derived side shares the
+        // parent's expression ids, so a(k) could resolve either way —
+        // DetectAmbiguousSelfJoin rejects it (at analysis, i.e. at
+        // Dataset CONSTRUCTION — the .count() never runs)
+        amb.join(b, amb("k") > b("k")).count()
+        false
+      } catch { case _: org.apache.spark.sql.AnalysisException => true }
+    assert(ambiguousThrows(), "precondition: the probe join must be ambiguous")
+    val loop = Future {
+      val st = IncrementalPageRank.preserve(edges, 0.8, iterations = 3,
+        numPartitions = 4)
+      val (e2, chg, _) = Generators.graphDelta(edges, 10, 400)
+      val out = IncrementalPageRank.incremental(e2, st, chg.select("src"),
+        0.8, iterations = 3, numPartitions = 4)
+      val n = out.count()
+      out.unpersist(blocking = false); st.release()
+      n
+    }
+    var probes = 0
+    var leaked = false
+    while (!loop.isCompleted) {
+      if (!ambiguousThrows()) leaked = true
+      probes += 1
+    }
+    assert(Await.result(loop, 60.seconds) > 0)
+    assert(probes > 0, "the loop finished before any concurrent probe ran")
+    assert(!leaked,
+      s"a concurrent thread saw failAmbiguousSelfJoin disabled ($probes probes)")
+    // and the session's own conf is untouched after the loop
+    assert(!spark.conf.getOption("spark.sql.analyzer.failAmbiguousSelfJoin")
+      .contains("false"))
+    edges.unpersist(blocking = false)
+  }
+
   test("exit invariant: continuation kvs equals a re-derivation from the final out") {
     // The PreservedState consistency contract — every stored
     // contribution equals what its source would emit given the FINAL
