@@ -68,7 +68,10 @@ object Bench {
         // round-12 gates: the deletion stream twin and the eval-side
         // forget share most codegen with their warmed siblings but not
         // all of it
-        "q_incr_pagerank_stream_del", "q_forget_eval").foreach { n =>
+        "q_incr_pagerank_stream_del", "q_forget_eval",
+        // the stream-maintained ANN gate reuses q_incr_ann_ivf's plans
+        // plus the streaming machinery
+        "q_incr_ann_ivf_stream").foreach { n =>
         SparkEntry.queries.get(n).foreach { fn =>
           try fn(spark, warmDir).count() catch { case _: Throwable => () }
         }

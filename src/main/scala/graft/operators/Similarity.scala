@@ -160,9 +160,22 @@ object Similarity {
       .withColumn("_b", col("cid").cast("int"))
       .repartition(col("_b"))
       .write.mode("overwrite").partitionBy("_b").parquet(s"$path/lists")
-    SegSwap.writeParamsTo(spark, s"$path/params",
-      Seq("listsDdl" -> listsSchemaB.toDDL))
+    SegSwap.writeParamsTo(spark, s"$path/params", ivfParams(-1L))
   }
+
+  /** The IVF store's params row: the lists DDL plus the stream batch
+    * fence (−1 = never maintained by a stream). The fence rides the
+    * params DIR through the shared journaled swap — recorded
+    * atomically with the lists it fences, reverted by
+    * [[ivfRollbackTo]] with the rows (the [[KeyedUpsertStore]]
+    * contract on the similarity surface). */
+  private def ivfParams(lastBatch: Long): Seq[(String, Any)] =
+    Seq("listsDdl" -> listsSchemaB.toDDL, "lastBatch" -> lastBatch)
+
+  /** The index's stream fence: the last micro-batch id applied by a
+    * [[updateIvfIndex]] call that carried one (−1 = none yet). */
+  def ivfLastBatch(spark: org.apache.spark.sql.SparkSession, path: String): Long =
+    SegSwap.readParamsRow(spark, path, Seq("lastBatch"), "ivf").getLong(0)
 
   /** Probe a [[buildIvfIndex]] index: same results contract as
     * [[ivfTopK]] with the same centroids/nprobe, but the list scan
@@ -247,43 +260,76 @@ object Similarity {
     * [[ivfRollbackTo]]-able, and [[StoreTxn]]/[[Forget]]-compatible),
     * and an emptied list journals "empty" and rolls forward to a
     * retire-without-replace. Writer-leased and epoch-fenced end to
-    * end. */
+    * end.
+    *
+    * `batchId` (stream maintainers — [[graft.streaming.StreamMaintain
+    * .ivfBatch]]): apply AT MOST ONCE per micro-batch id. The fence is
+    * read inside the writer lease and recorded atomically with the
+    * swap (riding the params dir); a replayed batch returns None
+    * without touching a list. */
   def updateIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
       addedVecs: DataFrame, removedIds: DataFrame,
-      centroidFoldLimit: Int = 64): Option[StorePolicy.ContinueAdvice] = {
+      centroidFoldLimit: Int = 64,
+      batchId: Option[Long] = None): Option[StorePolicy.ContinueAdvice] = {
     graft.functions.GraftFunctions.register(spark)
     SegSwap.withWriterLease(spark, path) { lease =>
       SegSwap.recover(spark, path) // install any pending swap first
-      val cents = spark.read.parquet(s"$path/centroids")
-      val added = addedVecs.select(col("id").as("nid"),
-        col("vec").cast("array<double>").as("nvec"))
-      val assigned = assignToLists(added, cents, centroidFoldLimit)
-        .withColumn("_b", col("cid").cast("int"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val lists = SegSwap.resolvedTable(spark, path, "lists", listsSchemaB)
-      // replace semantics: an incoming id evicts its existing row
-      val gone = removedIds.select(col(removedIds.columns.head).as("_rid"))
-        .unionByName(added.select(col("nid").as("_rid")))
-      val locatedB = lists.select("_b", "nid")
-        .join(gone, col("nid") === col("_rid"), "left_semi")
-        .select("_b").distinct()
-      // O(touched lists) driver rows — bounded by the delta, not the corpus
-      val touched = locatedB
-        .unionByName(assigned.select("_b")).distinct()
-        .collect().map(_.getInt(0)).toSet
-      val advice = if (touched.isEmpty) None else {
-        val touchedLit = touched.toSeq.map(Integer.valueOf)
-        val next = lists.filter(col("_b").isin(touchedLit: _*))
-          .join(gone, col("nid") === col("_rid"), "left_anti")
-          .unionByName(assigned)
-        SegSwap.commit(spark, path, Seq(("lists", next, touched)),
-          fence = Some(lease))
-        Some(StorePolicy.advise("ivf", touched.size,
-          SegSwap.liveBuckets(SegSwap.fsOf(spark, path), path, "lists").size))
-      }
-      assigned.unpersist(blocking = false)
-      advice
+      // EXACTLY-ONCE under a stream maintainer: `batchId` is checked
+      // against the stored fence INSIDE the writer lease (no window
+      // between check and commit), applied at most once, and recorded
+      // through the same journaled swap as the lists it fences — a
+      // checkpoint-replayed micro-batch is skipped outright, never
+      // re-applied (re-applying an upsert is harmless here, but the
+      // skip keeps replay O(params read) instead of O(touched lists)).
+      if (batchId.exists(_ <= ivfLastBatch(spark, path))) None
+      else applyIvfDelta(spark, path, addedVecs, removedIds,
+        centroidFoldLimit, batchId, lease)
     }
+  }
+
+  private def applyIvfDelta(spark: org.apache.spark.sql.SparkSession,
+      path: String, addedVecs: DataFrame, removedIds: DataFrame,
+      centroidFoldLimit: Int, batchId: Option[Long], lease: Long)
+      : Option[StorePolicy.ContinueAdvice] = {
+    val cents = spark.read.parquet(s"$path/centroids")
+    val added = addedVecs.select(col("id").as("nid"),
+      col("vec").cast("array<double>").as("nvec"))
+    val assigned = assignToLists(added, cents, centroidFoldLimit)
+      .withColumn("_b", col("cid").cast("int"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val lists = SegSwap.resolvedTable(spark, path, "lists", listsSchemaB)
+    // replace semantics: an incoming id evicts its existing row
+    val gone = removedIds.select(col(removedIds.columns.head).as("_rid"))
+      .unionByName(added.select(col("nid").as("_rid")))
+    val locatedB = lists.select("_b", "nid")
+      .join(gone, col("nid") === col("_rid"), "left_semi")
+      .select("_b").distinct()
+    // O(touched lists) driver rows — bounded by the delta, not the corpus
+    val touched = locatedB
+      .unionByName(assigned.select("_b")).distinct()
+      .collect().map(_.getInt(0)).toSet
+    // the fence advances even on an effect-free batch (touched empty):
+    // "applied" means RECORDED, so a later replay of the same id is a
+    // params read, never a re-locate over the lists
+    val fenceSwap = batchId.toSeq.map(b => "params" -> ((dst: String) =>
+      SegSwap.writeParamsTo(spark, dst, ivfParams(b))))
+    val advice = if (touched.isEmpty) {
+      if (fenceSwap.nonEmpty)
+        SegSwap.commit(spark, path, Nil, dirSwaps = fenceSwap,
+          fence = Some(lease))
+      None
+    } else {
+      val touchedLit = touched.toSeq.map(Integer.valueOf)
+      val next = lists.filter(col("_b").isin(touchedLit: _*))
+        .join(gone, col("nid") === col("_rid"), "left_anti")
+        .unionByName(assigned)
+      SegSwap.commit(spark, path, Seq(("lists", next, touched)),
+        dirSwaps = fenceSwap, fence = Some(lease))
+      Some(StorePolicy.advise("ivf", touched.size,
+        SegSwap.liveBuckets(SegSwap.fsOf(spark, path), path, "lists").size))
+    }
+    assigned.unpersist(blocking = false)
+    advice
   }
 
   private[operators] val listsSchemaB =

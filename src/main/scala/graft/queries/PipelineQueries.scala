@@ -1779,6 +1779,75 @@ object PipelineQueries {
       },
       Some(ivfIncrOracleSql)),
 
+    // STREAM-MAINTAINED ANN (the content-store member of the round-12
+    // maintainer family): the same base index, but the delta arrives
+    // as a real StreamingQuery — micro-batch 1 ADDS the ≡3 ids,
+    // micro-batch 2 carries `op = "D"` markers REMOVING the ≡7 ids —
+    // applied by StreamMaintain.ivfBatch under a checkpointLocation,
+    // each batch fenced by its id riding the index's params through
+    // the journaled swap (exactly-once; replay = a params read). The
+    // final probe must equal the batch-driven q_incr_ann_ivf exactly:
+    // same post-delta corpus, same frozen base quantizer, same oracle.
+    Q("q_incr_ann_ivf_stream",
+      (s, dir) => {
+        import org.apache.spark.sql.streaming.Trigger
+        // vec cast to double ONCE at the source: the two delta files
+        // must share one parquet schema (the deletion batch's null vec
+        // is a double array; a float delta-1 file would poison the
+        // stream's declared schema)
+        val all = Q.t(s, dir, "embeddings")
+          .select(col("vec_id").as("id"),
+            col("embedding").cast("array<double>").as("vec"))
+        val base = all.filter(col("id") % 10 =!= 3)
+        val idx = java.nio.file.Files
+          .createTempDirectory("graft_ivf_stream_gate").toString
+        Similarity.buildIvfIndex(base, idx, nlist = 16)
+        val delta1 = all.filter(col("id") % 10 === 3)
+          .select(col("id"), col("vec"), lit("U").as("op"))
+        val delta2 = base.filter(col("id") % 10 === 7)
+          .select(col("id"),
+            lit(null).cast("array<double>").as("vec"), lit("D").as("op"))
+        val drop = java.nio.file.Files
+          .createTempDirectory("graft_ivf_stream_deltas").toString
+        def parts(): Set[java.nio.file.Path] = {
+          val st = java.nio.file.Files.list(java.nio.file.Paths.get(drop))
+          try st.toArray.map(_.asInstanceOf[java.nio.file.Path])
+            .filter(_.toString.endsWith(".parquet")).toSet
+          finally st.close()
+        }
+        delta1.coalesce(1).write.mode("append").parquet(drop)
+        val first = parts()
+        delta2.coalesce(1).write.mode("append").parquet(drop)
+        val second = parts() -- first
+        val t0 = System.currentTimeMillis()
+        first.foreach(p => java.nio.file.Files.setLastModifiedTime(p,
+          java.nio.file.attribute.FileTime.fromMillis(t0 - 120000)))
+        second.foreach(p => java.nio.file.Files.setLastModifiedTime(p,
+          java.nio.file.attribute.FileTime.fromMillis(t0)))
+        val ckpt = java.nio.file.Files
+          .createTempDirectory("graft_ivf_stream_ckpt").toString
+        val q = s.readStream.schema(delta1.schema)
+          .option("maxFilesPerTrigger", "1").parquet(drop)
+          .writeStream.option("checkpointLocation", ckpt)
+          .foreachBatch {
+            (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                bid: Long) =>
+              graft.streaming.StreamMaintain.ivfBatch(s, idx, batch, bid)
+              ()
+          }
+          .trigger(Trigger.AvailableNow())
+          .start()
+        if (!q.awaitTermination(180000)) {
+          q.stop()
+          sys.error("q_incr_ann_ivf_stream: stream did not finish in 180 s")
+        }
+        Similarity.probeIvfIndex(s, idx, all.filter(col("id") < 5),
+          k = 5, nprobe = 4)
+          .select(col("qid"), col("nid"), round(col("cosine"), 6).as("cosine"),
+            col("rk").cast("int").as("rk"))
+      },
+      Some(ivfIncrOracleSql)),
+
     // Embedding-cosine near-dup pairs within label blocks. Blocks over
     // 48 vectors go through axis-sign LSH sub-buckets (the 100 TB path;
     // sign tests are integer-exact on both engines) — mirrored here.

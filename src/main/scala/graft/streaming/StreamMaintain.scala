@@ -239,4 +239,46 @@ object StreamMaintain {
     removed.unpersist(blocking = false)
     advice
   }
+
+  /** The CONTENT-STORE member of the maintainer family — the on-disk
+    * IVF index ([[graft.operators.Similarity.buildIvfIndex]]): one
+    * micro-batch of vector deltas (`id, vec` rows REPLACING the
+    * vectors of their `id` keys; `op = "D"` rows REMOVING their vector
+    * from the index) applied under the FROZEN coarse quantizer.
+    *
+    * Simpler than the algorithm maintainers BY SHAPE, not by contract:
+    * the index is a single store (no derived/input split, so no apply
+    * order to fix), and the batch fence rides the index's own params
+    * through the same journaled swap as the lists it fences
+    * ([[graft.operators.Similarity.updateIvfIndex]]'s `batchId`) —
+    * exactly-once across crashes and checkpoint replays with one
+    * store-local check. Per-trigger cost is O(touched lists): the
+    * locate scan reads (cid, nid) columns only, the rewrite reads just
+    * the touched cid partitions, untouched list files keep their exact
+    * bytes. A 24/7 embedding pipeline keeps its ANN index current —
+    * with epochs, as-of probes, rollback, and Forget intact — without
+    * ever rebuilding it. */
+  def ivfBatch(spark: SparkSession, indexPath: String, batch: DataFrame,
+      batchId: Long, centroidFoldLimit: Int = 64)
+      : Option[graft.operators.StorePolicy.ContinueAdvice] = {
+    val timing = IncrementalJob.timingEnabled
+    def phase[T](label: => String)(f: => T): T =
+      if (!timing) f else {
+        val t0 = System.nanoTime(); val r = f
+        System.err.println(
+          f"[stream] ivf batch $batchId $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        r
+      }
+    val (ups, removed) = splitOps(batch, "id", "long")
+    val added = phase("pin delta")(
+      ups.select(col("id").cast("long"),
+        col("vec").cast("array<double>").as("vec")).distinct()
+        .localCheckpoint(true))
+    val advice = phase("index update")(
+      graft.operators.Similarity.updateIvfIndex(spark, indexPath,
+        added, removed, centroidFoldLimit, batchId = Some(batchId)))
+    added.unpersist(blocking = false)
+    removed.unpersist(blocking = false)
+    advice
+  }
 }

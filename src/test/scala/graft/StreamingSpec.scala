@@ -470,6 +470,108 @@ class StreamingSpec extends SparkSpec {
       "point store diverged from the post-deletion point set")
   }
 
+  test("ivf stream maintenance: restart, duplicate, deletion, frozen-quantizer equality") {
+    import graft.operators.Similarity
+    import graft.streaming.StreamMaintain
+    // deterministic vectors, none zero-norm
+    def v(i: Long) = Array.tabulate(8)(d => ((i * 7 + d * 3) % 11 - 5).toDouble)
+    val all = (0L until 40L).map(i => (i, v(i))).toDF("id", "vec")
+    val base = all.filter($"id" % 10 =!= 3)
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_ivf_stream_idx").toString
+    Similarity.buildIvfIndex(base, idx, nlist = 4)
+    assert(Similarity.ivfLastBatch(spark, idx) == -1L)
+
+    // batch 1 adds the ≡3 ids; batch 2 REMOVES the ≡7 ids via op="D"
+    val delta1 = all.filter($"id" % 10 === 3)
+      .select($"id", $"vec", lit("U").as("op"))
+    val delta2 = base.filter($"id" % 10 === 7)
+      .select($"id", lit(null).cast("array<double>").as("vec"),
+        lit("D").as("op"))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ivf_stream_d").toString
+    def parts(): Set[java.nio.file.Path] = {
+      val st = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      try st.toArray.map(_.asInstanceOf[java.nio.file.Path])
+        .filter(_.toString.endsWith(".parquet")).toSet
+      finally st.close()
+    }
+    delta1.coalesce(1).write.mode("append").parquet(dir)
+    val first = parts()
+    delta2.coalesce(1).write.mode("append").parquet(dir)
+    val second = parts() -- first
+    val t0 = System.currentTimeMillis()
+    first.foreach(p => java.nio.file.Files.setLastModifiedTime(p,
+      java.nio.file.attribute.FileTime.fromMillis(t0 - 120000)))
+    second.foreach(p => java.nio.file.Files.setLastModifiedTime(p,
+      java.nio.file.attribute.FileTime.fromMillis(t0)))
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_ivf_stream_ck").toString
+
+    var delivered = 0
+    def run(poisonSecond: Boolean) = spark.readStream.schema(delta1.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            bid: Long) =>
+          delivered += 1
+          if (poisonSecond && delivered >= 2)
+            sys.error("simulated crash at batch 2")
+          StreamMaintain.ivfBatch(spark, idx, batch, bid)
+          ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+    // run 1 dies at batch 2, after batch 1 committed to the checkpoint
+    val q1 = run(poisonSecond = true)
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q1.awaitTermination()
+    }
+    assert(Similarity.ivfLastBatch(spark, idx) == 0L)
+
+    // restart: batch 1 not redelivered, batch 2 (the deletion) applies
+    delivered = 0
+    val q2 = run(poisonSecond = false)
+    assert(q2.awaitTermination(120000), "restart run did not finish")
+    assert(delivered == 1, s"restart must deliver only batch 2, saw $delivered")
+    assert(Similarity.ivfLastBatch(spark, idx) == 1L)
+
+    val queries = all.filter($"id" < 3)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select($"qid", $"nid", round($"cosine", 9).as("c"), $"rk")
+        .as[(Long, Long, Double, Int)].collect().toSet
+    val got = key(Similarity.probeIvfIndex(spark, idx, queries,
+      k = 3, nprobe = 2))
+
+    // duplicate delivery: the fence skips without touching a list
+    assert(StreamMaintain.ivfBatch(spark, idx, delta2, 1L).isEmpty)
+    assert(Similarity.ivfLastBatch(spark, idx) == 1L)
+    assert(key(Similarity.probeIvfIndex(spark, idx, queries,
+      k = 3, nprobe = 2)) == got, "replayed batch mutated the index")
+
+    // frozen-quantizer equality: equals a from-scratch build over the
+    // post-delta corpus under the BASE centroids
+    val cents = spark.read.parquet(s"$idx/centroids")
+      .select($"cid".as("id"), $"cvec".as("vec"))
+    val corpus2 = all.filter($"id" % 10 =!= 7)
+    val ref = java.nio.file.Files
+      .createTempDirectory("graft_ivf_stream_ref").toString
+    Similarity.buildIvfIndex(corpus2, ref, nlist = 4,
+      centroids = Some(cents))
+    val want = key(Similarity.probeIvfIndex(spark, ref, queries,
+      k = 3, nprobe = 2))
+    assert(got == want,
+      s"stream-maintained != rebuilt;\nonly-got=${got -- want}\nonly-want=${want -- got}")
+    // the removed ids are really gone from the lists
+    val live = graft.operators.SegSwap.resolvedTable(spark, idx, "lists",
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "nid BIGINT, nvec ARRAY<DOUBLE>, cid BIGINT, _b INT"))
+      .select("nid").as[Long].collect().toSet
+    assert(live == corpus2.select("id").as[Long].collect().toSet)
+  }
+
   test("windowed stats over a file stream match the batch computation") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val stream = EventStreams.readEventStream(spark, sf)
