@@ -297,10 +297,32 @@ object Similarity {
     val assigned = assignToLists(added, cents, centroidFoldLimit)
       .withColumn("_b", col("cid").cast("int"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val lists = SegSwap.resolvedTable(spark, path, "lists", listsSchemaB)
     // replace semantics: an incoming id evicts its existing row
     val gone = removedIds.select(col(removedIds.columns.head).as("_rid"))
       .unionByName(added.select(col("nid").as("_rid")))
+    val advice = applyListsDelta(spark, path, assigned, gone,
+      listsSchemaB, ivfParams, batchId, lease, "ivf")
+    assigned.unpersist(blocking = false)
+    advice
+  }
+
+  /** The ONE touched-list swap shared by every on-disk ANN store
+    * variant (raw IVF here, IVF-PQ in [[Pq]]): `assigned` is the
+    * delta's new list rows (any schema with `nid` and the `_b` list
+    * column), `gone` the single-column `_rid` frame of evicted ids.
+    * Locates removals over (\_b, nid) columns only, rewrites just the
+    * touched cid partitions, records the optional stream fence (via
+    * `paramsFor`) atomically with the swap — the fence advances even
+    * on an effect-free batch ("applied" means RECORDED, so a later
+    * replay is a params read, never a list locate). */
+  private[operators] def applyListsDelta(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      assigned: DataFrame, gone: DataFrame,
+      schema: org.apache.spark.sql.types.StructType,
+      paramsFor: Long => Seq[(String, Any)], batchId: Option[Long],
+      lease: Long, adviseKind: String)
+      : Option[StorePolicy.ContinueAdvice] = {
+    val lists = SegSwap.resolvedTable(spark, path, "lists", schema)
     val locatedB = lists.select("_b", "nid")
       .join(gone, col("nid") === col("_rid"), "left_semi")
       .select("_b").distinct()
@@ -308,12 +330,9 @@ object Similarity {
     val touched = locatedB
       .unionByName(assigned.select("_b")).distinct()
       .collect().map(_.getInt(0)).toSet
-    // the fence advances even on an effect-free batch (touched empty):
-    // "applied" means RECORDED, so a later replay of the same id is a
-    // params read, never a re-locate over the lists
     val fenceSwap = batchId.toSeq.map(b => "params" -> ((dst: String) =>
-      SegSwap.writeParamsTo(spark, dst, ivfParams(b))))
-    val advice = if (touched.isEmpty) {
+      SegSwap.writeParamsTo(spark, dst, paramsFor(b))))
+    if (touched.isEmpty) {
       if (fenceSwap.nonEmpty)
         SegSwap.commit(spark, path, Nil, dirSwaps = fenceSwap,
           fence = Some(lease))
@@ -325,11 +344,9 @@ object Similarity {
         .unionByName(assigned)
       SegSwap.commit(spark, path, Seq(("lists", next, touched)),
         dirSwaps = fenceSwap, fence = Some(lease))
-      Some(StorePolicy.advise("ivf", touched.size,
+      Some(StorePolicy.advise(adviseKind, touched.size,
         SegSwap.liveBuckets(SegSwap.fsOf(spark, path), path, "lists").size))
     }
-    assigned.unpersist(blocking = false)
-    advice
   }
 
   private[operators] val listsSchemaB =

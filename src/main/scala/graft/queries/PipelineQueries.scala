@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions._
-import graft.operators.{Dedup, Multimodal, Pipeline, Similarity}
+import graft.operators.{Dedup, Multimodal, Pipeline, Pq, Similarity}
 
 /** Training-data-pipeline surface: dedup (exact / MinHash-LSH / SimHash /
   * n-gram Jaccard), similarity search, text analysis, multimodal
@@ -191,6 +191,91 @@ object PipelineQueries {
   }
 
   private lazy val ivfTrainedOracleSql = ivfTrainedOracleSqlFor(1)
+
+  /** Shared product-quantization oracle CTEs (mirrors
+    * [[graft.operators.Pq]] bit-for-bit: pinned lowest-id codebook
+    * init, L2 assignment expanded as dot(s,s) − 2·dot(s,c) + dot(c,c),
+    * every reduction an index-order fold): m=8 subspaces of 8 dims
+    * over the 64-dim embeddings, ksub=16 entries per subspace, ADC
+    * top-`rerank` candidates for queries id<5, exact cosine rerank.
+    * `poolCte`/`poolJoin` optionally restrict each query's candidate
+    * pool (the IVF-PQ probe: members of the query's probed lists). */
+  private def pqOracleSqlFor(rerank: Int, k: Int,
+      poolCte: String = "", poolJoin: String = ""): String =
+    s"""WITH $vecCte,
+        seeds AS (SELECT id, vec,
+          CAST(row_number() OVER (ORDER BY id) AS INT) - 1 AS code
+          FROM (SELECT id, vec FROM v ORDER BY id LIMIT 16)),
+        cb0 AS (SELECT s, code, vec[s*8+1 : s*8+8] AS cvec
+          FROM seeds, generate_series(0, 7) g(s)),
+        cb AS (SELECT s, code, cvec, ${dotSql("cvec", "cvec")} AS cnorm2
+          FROM cb0),
+        subs AS (SELECT id, s, vec[s*8+1 : s*8+8] AS sub
+          FROM v, generate_series(0, 7) g(s)),
+        asg AS (SELECT id, s, code, cnorm2 FROM (
+          SELECT sub.id, sub.s, cb.code, cb.cnorm2,
+            row_number() OVER (PARTITION BY sub.id, sub.s ORDER BY
+              ${dotSql("sub.sub", "sub.sub")}
+                - 2 * ${dotSql("sub.sub", "cb.cvec")} + cb.cnorm2,
+              cb.code) AS rn
+          FROM subs sub JOIN cb USING (s)) WHERE rn = 1),
+        enc AS (SELECT id, list(code ORDER BY s) AS codes,
+          list_reduce(list(cnorm2 ORDER BY s), (a, b) -> a + b) AS rnorm2
+          FROM asg GROUP BY id),
+        q AS (SELECT id AS qid, vec AS qvec FROM v WHERE id < 5),
+        lut AS (SELECT q.qid, cb.s, cb.code,
+          ${dotSql("q.qvec[cb.s*8+1 : cb.s*8+8]", "cb.cvec")} AS dotv
+          FROM q CROSS JOIN cb),
+        qn AS (SELECT qid, sqrt(${dotSql("qvec", "qvec")}) AS qnorm FROM q),
+        ec AS (SELECT id, i - 1 AS s, codes[i] AS code
+          FROM enc, generate_series(1, 8) g(i)),
+        adcsum AS (SELECT l.qid, ec.id AS nid,
+          list_reduce(list(l.dotv ORDER BY l.s), (a, b) -> a + b) AS sumdot
+          FROM ec JOIN lut l ON ec.s = l.s AND ec.code = l.code
+          GROUP BY 1, 2),$poolCte
+        adc AS (SELECT a.qid, a.nid,
+          a.sumdot / (qn.qnorm * sqrt(e.rnorm2)) AS adc
+          FROM adcsum a JOIN qn USING (qid) JOIN enc e ON e.id = a.nid
+          $poolJoin
+          WHERE a.qid <> a.nid),
+        cands AS (SELECT qid, nid FROM (SELECT qid, nid,
+          row_number() OVER (PARTITION BY qid ORDER BY adc DESC, nid) AS rk
+          FROM adc) WHERE rk <= $rerank),
+        rescored AS (SELECT c.qid, c.nid,
+          ${dotSql("qv.vec", "nv.vec")} /
+            (sqrt(${dotSql("qv.vec", "qv.vec")}) *
+             sqrt(${dotSql("nv.vec", "nv.vec")})) AS cosine
+          FROM cands c JOIN v qv ON qv.id = c.qid JOIN v nv ON nv.id = c.nid)
+        SELECT qid, nid, round(cosine, 6) AS cosine, CAST(rk AS INT) AS rk
+        FROM (SELECT qid, nid, cosine, row_number() OVER
+          (PARTITION BY qid ORDER BY cosine DESC, nid) AS rk FROM rescored)
+        WHERE rk <= $k"""
+
+  private lazy val pqOracleSql = pqOracleSqlFor(rerank = 10, k = 5)
+
+  /** IVF-PQ probe oracle: the PQ CTEs with each query's ADC pool
+    * restricted to the members of its 4 probed coarse lists (16
+    * lowest-id centroids — the q_ann_ivf quantizer, frozen). */
+  private lazy val ivfPqOracleSql = pqOracleSqlFor(rerank = 10, k = 5,
+    poolCte = s"""
+        cents AS (SELECT id AS ccid, vec AS ccvec FROM v ORDER BY id LIMIT 16),
+        ivfassign AS (SELECT nid, ccid FROM (
+          SELECT v.id AS nid, c.ccid,
+            row_number() OVER (PARTITION BY v.id ORDER BY
+              ${dotSql("v.vec", "c.ccvec")} /
+                (sqrt(${dotSql("v.vec", "v.vec")}) *
+                 sqrt(${dotSql("c.ccvec", "c.ccvec")})) DESC, c.ccid) AS rk
+          FROM v CROSS JOIN cents c) WHERE rk = 1),
+        probes AS (SELECT qid, ccid FROM (
+          SELECT q.qid, c.ccid,
+            row_number() OVER (PARTITION BY q.qid ORDER BY
+              ${dotSql("q.qvec", "c.ccvec")} /
+                (sqrt(${dotSql("q.qvec", "q.qvec")}) *
+                 sqrt(${dotSql("c.ccvec", "c.ccvec")})) DESC, c.ccid) AS rk
+          FROM q CROSS JOIN cents c) WHERE rk <= 4),
+        pool AS (SELECT p.qid, a.nid
+          FROM probes p JOIN ivfassign a USING (ccid)),""",
+    poolJoin = "JOIN pool ON pool.qid = a.qid AND pool.nid = a.nid")
 
   /** `q_repetition`/`q_repetition3` oracle: per-doc n-gram repetition
     * stats mirroring [[graft.operators.Pipeline.repetitionStats]] —
@@ -1778,6 +1863,47 @@ object PipelineQueries {
             col("rk").cast("int").as("rk"))
       },
       Some(ivfIncrOracleSql)),
+
+    // PRODUCT QUANTIZATION (Jégou et al. 2011) — the compressed ANN
+    // form: 64-dim vectors become 8 codebook codes + one cached
+    // reconstruction norm (512 B → ~40 B on the scan side), scored by
+    // ADC (per-query lookup tables, m adds per stored vector instead
+    // of a d-length dot), then the top-10 candidates re-rank by exact
+    // cosine from the raw vectors. The oracle mirrors the pinned
+    // lowest-id codebook init, the L2-expansion assignment, and every
+    // index-order fold bit-for-bit.
+    Q("q_ann_pq",
+      (s, dir) => {
+        val vecs = Q.t(s, dir, "embeddings")
+          .select(col("vec_id").as("id"), col("embedding").as("vec"))
+        Pq.pqTopK(vecs, vecs.filter(col("id") < 5), k = 5, m = 8,
+          ksub = 16, rerank = 10)
+          .select(col("qid"), col("nid"), round(col("cosine"), 6).as("cosine"),
+            col("rk").cast("int").as("rk"))
+      },
+      Some(pqOracleSql)),
+
+    // The ON-DISK IVF-PQ index: coarse quantizer prunes to 4 of 16
+    // lists per query (partition pruning skips unprobed FILES), ADC
+    // scores the probed lists reading the CODE columns only (parquet
+    // column pruning keeps the heavy raw-vector column unread), and
+    // the exact rerank touches raw vectors for just the |q|·10
+    // candidates — the full FAISS IVFPQ+refine shape, declaratively.
+    // Oracle: the PQ CTEs with each query's candidate pool restricted
+    // to its probed lists' members.
+    Q("q_ann_ivfpq",
+      (s, dir) => {
+        val vecs = Q.t(s, dir, "embeddings")
+          .select(col("vec_id").as("id"), col("embedding").as("vec"))
+        val idx = java.nio.file.Files
+          .createTempDirectory("graft_ivfpq_gate").toString
+        Pq.buildIvfPqIndex(vecs, idx, nlist = 16, m = 8, ksub = 16)
+        Pq.probeIvfPqIndex(s, idx, vecs.filter(col("id") < 5),
+          k = 5, nprobe = 4, rerank = 10)
+          .select(col("qid"), col("nid"), round(col("cosine"), 6).as("cosine"),
+            col("rk").cast("int").as("rk"))
+      },
+      Some(ivfPqOracleSql)),
 
     // STREAM-MAINTAINED ANN (the content-store member of the round-12
     // maintainer family): the same base index, but the delta arrives

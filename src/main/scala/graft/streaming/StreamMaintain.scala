@@ -281,4 +281,32 @@ object StreamMaintain {
     removed.unpersist(blocking = false)
     advice
   }
+
+  /** [[ivfBatch]] for the product-quantized index
+    * ([[graft.operators.Pq.buildIvfPqIndex]]) — identical contract;
+    * added vectors additionally ENCODE under the index's frozen
+    * codebooks before the touched-list swap. */
+  def ivfPqBatch(spark: SparkSession, indexPath: String, batch: DataFrame,
+      batchId: Long, centroidFoldLimit: Int = 64)
+      : Option[graft.operators.StorePolicy.ContinueAdvice] = {
+    val timing = IncrementalJob.timingEnabled
+    def phase[T](label: => String)(f: => T): T =
+      if (!timing) f else {
+        val t0 = System.nanoTime(); val r = f
+        System.err.println(
+          f"[stream] ivfpq batch $batchId $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        r
+      }
+    val (ups, removed) = splitOps(batch, "id", "long")
+    val added = phase("pin delta")(
+      ups.select(col("id").cast("long"),
+        col("vec").cast("array<double>").as("vec")).distinct()
+        .localCheckpoint(true))
+    val advice = phase("index update")(
+      graft.operators.Pq.updateIvfPqIndex(spark, indexPath,
+        added, removed, centroidFoldLimit, batchId = Some(batchId)))
+    added.unpersist(blocking = false)
+    removed.unpersist(blocking = false)
+    advice
+  }
 }

@@ -1,0 +1,212 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Pq, Similarity}
+
+/** Product quantization: reconstruction-exactness, rerank-equivalence,
+  * trained-codebook mirroring, and the encode contract. */
+class PqSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def v(i: Long, d: Int = 8) =
+    Array.tabulate(d)(x => ((i * 7 + x * 3) % 11 - 5).toDouble)
+
+  private def key(df: org.apache.spark.sql.DataFrame) =
+    df.select($"qid", $"nid", round($"cosine", 9).as("c"), $"rk")
+      .as[(Long, Long, Double, Int)].collect().toSet
+
+  test("exact reconstruction (ksub == corpus): ADC ranking equals brute force") {
+    // every subvector is IN its codebook, so x̂ == x and the ADC score
+    // IS the exact cosine — any rerank depth ≥ k reproduces brute force
+    val vecs = (0L until 12L).map(i => (i, v(i))).toDF("id", "vec")
+    val queries = vecs.filter($"id" < 3)
+    val got = key(Pq.pqTopK(vecs, queries, k = 4, m = 2, ksub = 12,
+      rerank = 4))
+    val want = key(Similarity.bruteForceTopK(vecs, queries, k = 4))
+    assert(got == want, s"only-got=${got -- want}\nonly-want=${want -- got}")
+  }
+
+  test("rerank >= corpus equals brute force under ANY codebook quality") {
+    // even a 2-entry codebook (terrible recall) must reproduce brute
+    // force when the candidate set is the whole corpus — the rerank is
+    // exact and the ADC stage only ORDERS candidates
+    val vecs = (0L until 20L).map(i => (i, v(i))).toDF("id", "vec")
+    val queries = vecs.filter($"id" < 2)
+    val got = key(Pq.pqTopK(vecs, queries, k = 5, m = 4, ksub = 2,
+      rerank = 20))
+    val want = key(Similarity.bruteForceTopK(vecs, queries, k = 5))
+    assert(got == want)
+  }
+
+  test("encode: codes index the codebook, rnorm2 is the chosen entries' norm sum") {
+    val vecs = (0L until 10L).map(i => (i, v(i))).toDF("id", "vec")
+    val cb = Pq.trainCodebooks(vecs, m = 2, ksub = 4).collect()
+      .map(r => ((r.getInt(0), r.getInt(1)),
+        (r.getSeq[Double](2).toArray, r.getDouble(3)))).toMap
+    assert(cb.size == 8) // m * ksub
+    val enc = Pq.encode(vecs, Pq.trainCodebooks(vecs, m = 2, ksub = 4), m = 2)
+      .as[(Long, Array[Int], Double)].collect()
+    assert(enc.length == 10)
+    val raw = vecs.as[(Long, Array[Double])].collect().toMap
+    for ((id, codes, rnorm2) <- enc) {
+      assert(codes.length == 2)
+      // each code is the argmin-L2 entry for that subvector, tie lowest
+      val x = raw(id)
+      for (s <- 0 until 2) {
+        val sub = x.slice(s * 4, s * 4 + 4)
+        val best = (0 until 4).minBy { c =>
+          val cv = cb((s, c))._1
+          (sub.zip(cv).map { case (a, b) => (a - b) * (a - b) }.sum, c)
+        }
+        assert(codes(s) == best, s"id=$id s=$s")
+      }
+      val want = (0 until 2).map(s => cb((s, codes(s)))._2).sum
+      assert(math.abs(rnorm2 - want) < 1e-12)
+    }
+  }
+
+  test("trained codebooks match a driver-side Lloyd reference (rounded contract)") {
+    def round6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val n = 30; val d = 8; val m = 2; val ksub = 3; val dsub = d / m
+    val data = (0L until n.toLong).map(i => (i, v(i, d)))
+    val vecs = data.toDF("id", "vec")
+    // driver reference: same pinned init, same L2 expansion, same
+    // per-round 6-digit rounding, empty entry keeps previous (rounded)
+    var ref = Array.tabulate(m, ksub)((s, c) =>
+      data(c)._2.slice(s * dsub, s * dsub + dsub))
+    for (_ <- 1 to 2) {
+      val sums = Array.fill(m, ksub)(Array.fill(dsub)(0.0))
+      val counts = Array.fill(m, ksub)(0)
+      for ((_, x) <- data; s <- 0 until m) {
+        val sub = x.slice(s * dsub, s * dsub + dsub)
+        def dot(a: Array[Double], b: Array[Double]) =
+          a.indices.foldLeft(0.0)((acc, i) => acc + a(i) * b(i))
+        val best = (0 until ksub).minBy { c =>
+          (dot(sub, sub) - 2.0 * dot(sub, ref(s)(c)) +
+            dot(ref(s)(c), ref(s)(c)), c)
+        }
+        counts(s)(best) += 1
+        for (i <- 0 until dsub) sums(s)(best)(i) += sub(i)
+      }
+      ref = Array.tabulate(m, ksub)((s, c) =>
+        if (counts(s)(c) == 0) ref(s)(c).map(round6)
+        else sums(s)(c).map(x => round6(x / counts(s)(c))))
+    }
+    val got = Pq.trainCodebooks(vecs, m, ksub, rounds = 2).collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Double](2).toArray))
+      .toMap
+    for (s <- 0 until m; c <- 0 until ksub)
+      assert(got((s, c)).sameElements(ref(s)(c)),
+        s"s=$s c=$c got=${got((s, c)).mkString(",")} want=${ref(s)(c).mkString(",")}")
+  }
+
+  test("on-disk IVF-PQ: full probe + full rerank equals brute force; pruning and column pruning hold") {
+    val vecs = (0L until 40L).map(i => (i, v(i, 16))).toDF("id", "vec")
+    val queries = vecs.filter($"id" < 3)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_idx").toString
+    graft.operators.Pq.buildIvfPqIndex(vecs, dir, nlist = 4, m = 4,
+      ksub = 40)
+    // ksub == corpus → exact reconstruction; nprobe == nlist probes
+    // every list; rerank ≥ corpus → brute-force equality end to end
+    val got = key(graft.operators.Pq.probeIvfPqIndex(spark, dir, queries,
+      k = 5, nprobe = 4, rerank = 40))
+    val want = key(Similarity.bruteForceTopK(vecs, queries, k = 5))
+    assert(got == want, s"only-got=${got -- want}\nonly-want=${want -- got}")
+
+    // plan shape: a pruned probe's ADC scan must read codes, not nvec,
+    // and carry the _b partition filter
+    val probe = graft.operators.Pq.probeIvfPqIndex(spark, dir, queries,
+      k = 3, nprobe = 1, rerank = 5)
+    val plan = probe.queryExecution.executedPlan.toString
+    val scans = plan.split("\n").filter(_.contains("FileScan"))
+    assert(scans.exists(s => s.contains("codes") && !s.contains("nvec")),
+      s"no codes-only scan found:\n$plan")
+    assert(plan.contains("_b"), "no partition filter on _b in the probe plan")
+  }
+
+  test("incremental IVF-PQ equals a rebuild under both frozen quantizers") {
+    val all = (0L until 40L).map(i => (i, v(i, 16))).toDF("id", "vec")
+    val base = all.filter($"id" % 10 =!= 3)
+    val queries = all.filter($"id" < 3)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_incr").toString
+    graft.operators.Pq.buildIvfPqIndex(base, dir, nlist = 4, m = 4, ksub = 8)
+    val e0 = graft.operators.SegSwap.currentEpoch(
+      graft.operators.SegSwap.fsOf(spark, dir), dir)
+    val pre = key(graft.operators.Pq.probeIvfPqIndex(spark, dir, queries,
+      k = 3, nprobe = 2, rerank = 8))
+    // delta: +≡3 ids, −≡7 ids
+    graft.operators.Pq.updateIvfPqIndex(spark, dir,
+      all.filter($"id" % 10 === 3),
+      base.filter($"id" % 10 === 7).select("id"))
+    val got = key(graft.operators.Pq.probeIvfPqIndex(spark, dir, queries,
+      k = 3, nprobe = 2, rerank = 8))
+    // reference: from-scratch build over the post-delta corpus with the
+    // SAME frozen centroids and codebooks
+    val cents = spark.read.parquet(s"$dir/centroids")
+      .select($"cid".as("id"), $"cvec".as("vec"))
+    val cb = spark.read.parquet(s"$dir/codebooks")
+    val ref = java.nio.file.Files.createTempDirectory("ivfpq_ref").toString
+    graft.operators.Pq.buildIvfPqIndex(all.filter($"id" % 10 =!= 7), ref,
+      nlist = 4, m = 4, ksub = 8, centroids = Some(cents),
+      codebooks = Some(cb))
+    val want = key(graft.operators.Pq.probeIvfPqIndex(spark, ref, queries,
+      k = 3, nprobe = 2, rerank = 8))
+    assert(got == want, s"only-got=${got -- want}\nonly-want=${want -- got}")
+    // time travel: the as-of probe reproduces the pre-delta answers,
+    // and rollback restores them as the current answers
+    assert(key(graft.operators.Pq.probeIvfPqIndexAt(spark, dir, queries,
+      k = 3, nprobe = 2, rerank = 8, epoch = e0)) == pre)
+    graft.operators.Pq.ivfPqRollbackTo(spark, dir, e0)
+    assert(key(graft.operators.Pq.probeIvfPqIndex(spark, dir, queries,
+      k = 3, nprobe = 2, rerank = 8)) == pre)
+  }
+
+  test("ivfPqBatch: stream fence skips a replayed batch; deletion batch applies once") {
+    import graft.streaming.StreamMaintain
+    val all = (0L until 30L).map(i => (i, v(i, 16))).toDF("id", "vec")
+    val base = all.filter($"id" % 10 =!= 3)
+    val queries = all.filter($"id" < 3)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_stream").toString
+    graft.operators.Pq.buildIvfPqIndex(base, dir, nlist = 4, m = 4, ksub = 8)
+    val b1 = all.filter($"id" % 10 === 3)
+      .select($"id", $"vec", lit("U").as("op"))
+    val b2 = base.filter($"id" % 10 === 7)
+      .select($"id", lit(null).cast("array<double>").as("vec"),
+        lit("D").as("op"))
+    assert(StreamMaintain.ivfPqBatch(spark, dir, b1, 0L).nonEmpty)
+    assert(StreamMaintain.ivfPqBatch(spark, dir, b2, 1L).nonEmpty)
+    val got = key(graft.operators.Pq.probeIvfPqIndex(spark, dir, queries,
+      k = 3, nprobe = 2, rerank = 8))
+    // duplicate deliveries of BOTH batches: fences skip, nothing moves
+    assert(StreamMaintain.ivfPqBatch(spark, dir, b1, 0L).isEmpty)
+    assert(StreamMaintain.ivfPqBatch(spark, dir, b2, 1L).isEmpty)
+    assert(key(graft.operators.Pq.probeIvfPqIndex(spark, dir, queries,
+      k = 3, nprobe = 2, rerank = 8)) == got)
+    // the removed ids are gone; the added ids are present
+    val live = graft.operators.SegSwap.resolvedTable(spark, dir, "lists",
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "nid BIGINT, nvec ARRAY<DOUBLE>, codes ARRAY<INT>, " +
+          "rnorm2 DOUBLE, cid BIGINT, _b INT"))
+      .select("nid").as[Long].collect().toSet
+    assert(live == all.filter($"id" % 10 =!= 7)
+      .select("id").as[Long].collect().toSet)
+  }
+
+  test("zero-norm vectors neither crash nor displace real neighbors") {
+    val vecs = ((0L until 10L).map(i => (i, v(i))) :+
+      (10L, Array.fill(8)(0.0))).toDF("id", "vec")
+    val queries = vecs.filter($"id" === 0L)
+    val got = Pq.pqTopK(vecs, queries, k = 10, m = 2, ksub = 4, rerank = 11)
+      .as[(Long, Long, Option[Double], Int)].collect()
+    // the zero vector's exact cosine is NULL (try_divide), which sorts
+    // LAST under the descending rank window: it never displaces a real
+    // neighbor — here k=10 over 10 non-self candidates, so it closes
+    // the list with a NULL score
+    assert(got.length == 10)
+    assert(got.maxBy(_._4)._2 == 10L)
+    assert(got.maxBy(_._4)._3.isEmpty)
+    assert(got.filter(_._2 != 10L).forall(_._3.nonEmpty))
+  }
+}
