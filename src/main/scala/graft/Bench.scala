@@ -69,9 +69,9 @@ object Bench {
         // forget share most codegen with their warmed siblings but not
         // all of it
         "q_incr_pagerank_stream_del", "q_forget_eval",
-        // the stream-maintained ANN gate reuses q_incr_ann_ivf's plans
-        // plus the streaming machinery
-        "q_incr_ann_ivf_stream").foreach { n =>
+        // the stream-maintained ANN and dedup gates reuse their batch
+        // siblings' plans plus the streaming machinery
+        "q_incr_ann_ivf_stream", "q_incr_dedup_stream").foreach { n =>
         SparkEntry.queries.get(n).foreach { fn =>
           try fn(spark, warmDir).count() catch { case _: Throwable => () }
         }

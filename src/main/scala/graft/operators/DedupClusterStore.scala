@@ -35,7 +35,7 @@ object DedupClusterStore {
     pmod(xxhash64(c), lit(b.toLong)).cast("int")
 
   private case class Params(maxHamming: Int, maxBucket: Int, b: Int,
-      idDdl: String, ddl: Map[String, String])
+      idDdl: String, ddl: Map[String, String], lastBatch: Long = -1L)
 
   // params plumbing via the family-shared codec ([[SegSwap.writeParamsTo]]
   // / [[SegSwap.readParamsRow]]: journal-aware, NAME-based, loud on an
@@ -45,14 +45,17 @@ object DedupClusterStore {
     SegSwap.writeParamsTo(spark, dst, Seq(
       "maxHamming" -> p.maxHamming, "maxBucket" -> p.maxBucket,
       "b" -> p.b, "idDdl" -> p.idDdl,
-      "bandsDdl" -> p.ddl("bands"), "compsDdl" -> p.ddl("comps")))
+      "bandsDdl" -> p.ddl("bands"), "compsDdl" -> p.ddl("comps"),
+      "lastBatch" -> p.lastBatch))
 
   private val ParamFields =
-    Seq("maxHamming", "maxBucket", "b", "idDdl", "bandsDdl", "compsDdl")
+    Seq("maxHamming", "maxBucket", "b", "idDdl", "bandsDdl", "compsDdl",
+      "lastBatch")
 
   private def paramsOf(r: org.apache.spark.sql.Row): Params =
     Params(r.getInt(0), r.getInt(1), r.getInt(2), r.getString(3),
-      Map("bands" -> r.getString(4), "comps" -> r.getString(5)))
+      Map("bands" -> r.getString(4), "comps" -> r.getString(5)),
+      r.getLong(6))
 
   private def readParams(spark: SparkSession, path: String): Params =
     paramsOf(SegSwap.readParamsRow(spark, path, ParamFields,
@@ -71,6 +74,10 @@ object DedupClusterStore {
   /** The store's current commit epoch (0 = as-inited). */
   def currentEpoch(spark: SparkSession, path: String): Long =
     SegSwap.currentEpoch(SegSwap.fsOf(spark, path), path)
+
+  /** The stream batch fence (−1 = never maintained by a stream). */
+  def lastBatch(spark: SparkSession, path: String): Long =
+    readParams(spark, path).lastBatch
 
   /** Roll every table of the store (and params) back to `epoch` as one
     * journaled revert — [[SegSwap.rollbackTo]] with this store's table
@@ -161,11 +168,41 @@ object DedupClusterStore {
     * Single concurrent writer; crash-safe via the shared journal. */
   def continueAt(spark: SparkSession, path: String, addedDocs0: DataFrame,
       removedIds0: DataFrame, idCol: String, textCol: String)
-      : StorePolicy.ContinueAdvice = {
+      : StorePolicy.ContinueAdvice =
+    continueImpl(spark, path, addedDocs0, removedIds0, idCol, textCol,
+      batchId = None).get
+
+  /** [[continueAt]] fenced by a stream micro-batch id — applied AT
+    * MOST ONCE per `batchId` (None on a replayed batch), the fence
+    * recorded in params atomically with the continuation's swap and
+    * reverted with the rows by [[rollbackTo]]: the
+    * [[graft.streaming.StreamMaintain]] exactly-once contract on the
+    * dedup surface. */
+  def continueBatch(spark: SparkSession, path: String,
+      addedDocs0: DataFrame, removedIds0: DataFrame, idCol: String,
+      textCol: String, batchId: Long): Option[StorePolicy.ContinueAdvice] =
+    continueImpl(spark, path, addedDocs0, removedIds0, idCol, textCol,
+      Some(batchId))
+
+  private def continueImpl(spark: SparkSession, path: String,
+      addedDocs0: DataFrame, removedIds0: DataFrame, idCol: String,
+      textCol: String, batchId: Option[Long])
+      : Option[StorePolicy.ContinueAdvice] = {
    val advice = SegSwap.withWriterLease(spark, path) { lease =>
     graft.functions.GraftFunctions.register(spark)
     SegSwap.recover(spark, path)
     val p = readParams(spark, path)
+    if (batchId.exists(_ <= p.lastBatch)) None
+    else continueBody(spark, path, addedDocs0, removedIds0, idCol,
+      textCol, batchId, p, lease)
+   }
+   advice
+  }
+
+  private def continueBody(spark: SparkSession, path: String,
+      addedDocs0: DataFrame, removedIds0: DataFrame, idCol: String,
+      textCol: String, batchId: Option[Long], p: Params, lease: Long)
+      : Option[StorePolicy.ContinueAdvice] = {
     val addedDocs = SegSwap.castToPinned(addedDocs0, idCol, p.idDdl,
       "continueAt addedDocs")
     val removedIds = SegSwap.castToPinned(removedIds0,
@@ -237,16 +274,19 @@ object DedupClusterStore {
       .unionByName(newComps.withColumn("_b", docBucket(col("id"), B))))
     newComps.unpersist(blocking = false)
 
+    // the stream fence (when present) rides params through the SAME
+    // journaled swap as the tables it fences — recorded atomically,
+    // reverted with the rows by rollbackTo
     SegSwap.commit(spark, path, Seq(
       ("bands", bandsNextT, td), ("comps", compsNextT, ao)),
+      dirSwaps = batchId.toSeq.map(b => "params" -> ((dst: String) =>
+        writeParamsTo(spark, dst, p.copy(lastBatch = b)))),
       fence = Some(lease))
     intern.releaseAll()
     // continue-vs-rebuild economics, surfaced programmatically (the
     // family contract: every continueAt returns its ContinueAdvice)
-    StorePolicy.advise("dedupclusters", (td ++ ao).size, math.max(1,
-      SegSwap.liveBuckets(SegSwap.fsOf(spark, path), path, "comps").size))
-   }
-   advice
+    Some(StorePolicy.advise("dedupclusters", (td ++ ao).size, math.max(1,
+      SegSwap.liveBuckets(SegSwap.fsOf(spark, path), path, "comps").size)))
   }
 
   /** Journaled RE-BUCKETING / COMPACTION — the shared store-lifecycle

@@ -609,6 +609,75 @@ object PipelineQueries {
                 UNION SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u)
               SELECT u AS id, min(v) AS comp FROM reach GROUP BY 1""")),
 
+    // STREAM-MAINTAINED dedup clusters (the dedup member of the
+    // round-12 maintainer family): the same base store, but the delta
+    // arrives as a real StreamingQuery — micro-batch 1 ADDS the ≡3
+    // docs, micro-batch 2 REMOVES the ≡7 docs via op="D" markers —
+    // applied by StreamMaintain.dedupBatch under a checkpointLocation,
+    // each batch fenced by its id riding the store's params through
+    // the continuation's own journaled swap (exactly-once). Two exact
+    // continuations land on the same final corpus as the one-shot
+    // batch gate, so the recursive-closure oracle is shared verbatim.
+    Q("q_incr_dedup_stream",
+      (s, dir) => {
+        import org.apache.spark.sql.streaming.Trigger
+        val docs = Q.t(s, dir, "documents")
+        val base = docs.filter(col("doc_id") % 10 =!= 3)
+        val store = java.nio.file.Files
+          .createTempDirectory("graft_dedup_stream_gate").toString
+        graft.operators.DedupClusterStore.init(s, store, base,
+          "doc_id", "text", maxHamming = 3, nBuckets = 16)
+        val delta1 = docs.filter(col("doc_id") % 10 === 3)
+          .select(col("doc_id"), col("text"), lit("U").as("op"))
+        val delta2 = base.filter(col("doc_id") % 10 === 7)
+          .select(col("doc_id"), lit(null).cast("string").as("text"),
+            lit("D").as("op"))
+        val drop = java.nio.file.Files
+          .createTempDirectory("graft_dedup_stream_deltas").toString
+        def parts(): Set[java.nio.file.Path] = {
+          val st = java.nio.file.Files.list(java.nio.file.Paths.get(drop))
+          try st.toArray.map(_.asInstanceOf[java.nio.file.Path])
+            .filter(_.toString.endsWith(".parquet")).toSet
+          finally st.close()
+        }
+        delta1.coalesce(1).write.mode("append").parquet(drop)
+        val first = parts()
+        delta2.coalesce(1).write.mode("append").parquet(drop)
+        val second = parts() -- first
+        val t0 = System.currentTimeMillis()
+        first.foreach(p => java.nio.file.Files.setLastModifiedTime(p,
+          java.nio.file.attribute.FileTime.fromMillis(t0 - 120000)))
+        second.foreach(p => java.nio.file.Files.setLastModifiedTime(p,
+          java.nio.file.attribute.FileTime.fromMillis(t0)))
+        val ckpt = java.nio.file.Files
+          .createTempDirectory("graft_dedup_stream_ckpt").toString
+        val q = s.readStream.schema(delta1.schema)
+          .option("maxFilesPerTrigger", "1").parquet(drop)
+          .writeStream.option("checkpointLocation", ckpt)
+          .foreachBatch {
+            (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                bid: Long) =>
+              graft.streaming.StreamMaintain.dedupBatch(s, store, batch, bid)
+              ()
+          }
+          .trigger(Trigger.AvailableNow())
+          .start()
+        if (!q.awaitTermination(180000)) {
+          q.stop()
+          sys.error("q_incr_dedup_stream: stream did not finish in 180 s")
+        }
+        graft.operators.DedupClusterStore.clusters(s, store)
+          .select(col("id"), col("comp"))
+      },
+      Some(s"""WITH RECURSIVE ${simhashPairCtesWhere(" WHERE doc_id % 10 <> 7")},
+              prs AS (SELECT a, b FROM cands
+                WHERE bit_count(xor(ha1, hb1)) + bit_count(xor(ha2, hb2)) <= 3),
+              edges AS (SELECT a AS u, b AS v FROM prs
+                UNION SELECT b, a FROM prs),
+              reach AS (SELECT u, u AS v FROM (SELECT DISTINCT u FROM edges) t
+                UNION SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u)
+              SELECT u AS id, min(v) AS comp FROM reach GROUP BY 1""")),
+
     // REPEATED multi-delta continuation — the reference's operational
     // mode (`IncrPageRank.java:267` re-enters on the previous run's
     // preserve files): two deltas chained through continueClusters with

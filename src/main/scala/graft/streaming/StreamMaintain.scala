@@ -309,4 +309,41 @@ object StreamMaintain {
     removed.unpersist(blocking = false)
     advice
   }
+
+  /** The DEDUP member of the maintainer family — the segmented SimHash
+    * cluster store ([[graft.operators.DedupClusterStore]]): one
+    * micro-batch of document deltas (`id, text` rows REPLACING the
+    * documents of their `id` keys; `op = "D"` rows REMOVING their
+    * document from the clustering) applied through the store's
+    * affected-component continuation — band only the delta, re-converge
+    * only the components the delta touches, rewrite only their buckets.
+    *
+    * Same contract as [[ivfBatch]]: a single store, the batch fence
+    * riding its params through the continuation's own journaled swap,
+    * exactly-once across checkpoint restarts and duplicate deliveries.
+    * A 24/7 crawl-ingest pipeline keeps its near-dup clusters current —
+    * with epochs, as-of label reads, and rollback intact — without
+    * ever re-banding the corpus. */
+  def dedupBatch(spark: SparkSession, storePath: String, batch: DataFrame,
+      batchId: Long, idCol: String = "doc_id", textCol: String = "text")
+      : Option[graft.operators.StorePolicy.ContinueAdvice] = {
+    val timing = IncrementalJob.timingEnabled
+    def phase[T](label: => String)(f: => T): T =
+      if (!timing) f else {
+        val t0 = System.nanoTime(); val r = f
+        System.err.println(
+          f"[stream] dedup batch $batchId $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        r
+      }
+    val (ups, removed) = splitOps(batch, idCol, "long")
+    val added = phase("pin delta")(
+      ups.select(col(idCol).cast("long"), col(textCol)).distinct()
+        .localCheckpoint(true))
+    val advice = phase("cluster continuation")(
+      graft.operators.DedupClusterStore.continueBatch(spark, storePath,
+        added, removed, idCol, textCol, batchId))
+    added.unpersist(blocking = false)
+    removed.unpersist(blocking = false)
+    advice
+  }
 }

@@ -572,6 +572,100 @@ class StreamingSpec extends SparkSpec {
     assert(live == corpus2.select("id").as[Long].collect().toSet)
   }
 
+  test("dedup stream maintenance: restart, duplicate, deletion + replace, full-recompute equality") {
+    import graft.operators.{Dedup, DedupClusterStore}
+    import graft.streaming.StreamMaintain
+    // near-dup groups of 3 over disjoint token sets (the segmented-store
+    // spec's corpus shape)
+    def doc(i: Long) = {
+      val g = i / 3; val v = i % 3
+      (i, (0 until 8).map(k => s"tok${g}x$k").mkString(" ") + s" v$v$g")
+    }
+    val base = (0L until 60L).map(doc).toDF("doc_id", "text")
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_dedup_stream").toString
+    DedupClusterStore.init(spark, store, base, "doc_id", "text",
+      maxHamming = 3, nBuckets = 16)
+    assert(DedupClusterStore.lastBatch(spark, store) == -1L)
+
+    // batch 1: +100 joins group 2's cluster AND doc 10 is REPLACED with
+    // group 4's exact text (an upsert that moves a doc across clusters);
+    // batch 2: docs 7 and 8 are REMOVED via op="D"
+    val g2text = (0 until 8).map(k => s"tok2x$k").mkString(" ") + " v02"
+    val g4text = (0 until 8).map(k => s"tok4x$k").mkString(" ") + " v04"
+    val delta1 = Seq((100L, g2text, "U"), (10L, g4text, "U"))
+      .toDF("doc_id", "text", "op")
+    val delta2 = Seq((7L, null: String, "D"), (8L, null: String, "D"))
+      .toDF("doc_id", "text", "op")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_dedup_stream_d").toString
+    def parts(): Set[java.nio.file.Path] = {
+      val st = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      try st.toArray.map(_.asInstanceOf[java.nio.file.Path])
+        .filter(_.toString.endsWith(".parquet")).toSet
+      finally st.close()
+    }
+    delta1.coalesce(1).write.mode("append").parquet(dir)
+    val first = parts()
+    delta2.coalesce(1).write.mode("append").parquet(dir)
+    val second = parts() -- first
+    val t0 = System.currentTimeMillis()
+    first.foreach(p => java.nio.file.Files.setLastModifiedTime(p,
+      java.nio.file.attribute.FileTime.fromMillis(t0 - 120000)))
+    second.foreach(p => java.nio.file.Files.setLastModifiedTime(p,
+      java.nio.file.attribute.FileTime.fromMillis(t0)))
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_dedup_stream_ck").toString
+
+    var delivered = 0
+    def run(poisonSecond: Boolean) = spark.readStream.schema(delta1.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            bid: Long) =>
+          delivered += 1
+          if (poisonSecond && delivered >= 2)
+            sys.error("simulated crash at batch 2")
+          StreamMaintain.dedupBatch(spark, store, batch, bid)
+          ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+    val q1 = run(poisonSecond = true)
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q1.awaitTermination()
+    }
+    assert(DedupClusterStore.lastBatch(spark, store) == 0L)
+    delivered = 0
+    val q2 = run(poisonSecond = false)
+    assert(q2.awaitTermination(120000), "restart run did not finish")
+    assert(delivered == 1, s"restart must deliver only batch 2, saw $delivered")
+    assert(DedupClusterStore.lastBatch(spark, store) == 1L)
+
+    def labels() = DedupClusterStore.clusters(spark, store)
+      .as[(Long, Long)].collect().toMap
+    val got = labels()
+    // duplicate delivery: the fence skips, nothing moves
+    assert(StreamMaintain.dedupBatch(spark, store, delta2, 1L).isEmpty)
+    assert(labels() == got, "replayed batch mutated the cluster store")
+
+    // exactness: equals a full recompute over the post-delta corpus
+    val corpus2 = base.filter(!$"doc_id".isin(7L, 8L, 10L))
+      .unionByName(Seq((100L, g2text), (10L, g4text)).toDF("doc_id", "text"))
+    val full = Dedup.connectedComponents(
+      Dedup.simhashNearDups(corpus2, "doc_id", "text", maxHamming = 3))
+    val want = full.as[(Long, Long)].collect().toMap
+    full.unpersist()
+    assert(got == want,
+      s"stream-maintained != full recompute; got=${got.size} want=${want.size} " +
+        s"diff=${(got.toSet -- want.toSet).take(5)} / ${(want.toSet -- got.toSet).take(5)}")
+    // the replaced doc 10 now clusters with doc 12 (whose exact text
+    // it took); its old group-3 mates no longer claim it
+    assert(got(10L) == got(12L))
+  }
+
   test("windowed stats over a file stream match the batch computation") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val stream = EventStreams.readEventStream(spark, sf)
