@@ -526,6 +526,64 @@ object ScaleBench {
         Seq("build" -> tb, "probe" -> tq)
       }
 
+      run("ann_pq", 2000L * m) {
+        // the COMPRESSED index at the same corpus/probe shape as
+        // ann_ivf_disk: the probe's ADC pass reads code columns only
+        // (m ints + 1 double vs 64 doubles per row — the 100 TB claim),
+        // raw vectors touched for |q|·rerank candidate rows alone.
+        // Comparable phases: build (quantize + encode + lay out) and
+        // probe (coarse prune → ADC → exact rerank).
+        val v = vecs.select(col("id"), col("vec"))
+        val idx = s"$dir/ivfpq_idx"
+        deleteRec(new java.io.File(idx))
+        val (_, tb) = timed(operators.Pq.buildIvfPqIndex(v, idx,
+          nlist = 16, m = 8, ksub = 16))
+        val (_, tq) = timed(consume(operators.Pq.probeIvfPqIndex(
+          spark, idx, v.filter(col("id") < 5), k = 5, nprobe = 4,
+          rerank = 32)))
+        // list bytes on disk: the compression the scan side actually
+        // sees (codes+norm+colocated raw vs raw-only lists)
+        def du(p: String): Long = {
+          def sz(f: java.io.File): Long =
+            if (f.isDirectory)
+              Option(f.listFiles).toSeq.flatten.map(sz).sum
+            else f.length
+          sz(new java.io.File(p))
+        }
+        Seq("build" -> tb, "probe" -> tq,
+          "lists_mb" -> du(s"$idx/lists").toDouble / (1 << 20))
+      }
+
+      run("stream_ivf", 2000L * m) {
+        // the 24/7 ANN maintainer at FIXED delta across the corpus
+        // decade: per-batch cost must track the touched lists, not the
+        // corpus (StreamMaintain.ivfBatch → updateIvfIndex fenced
+        // path: locate over (cid, nid) columns, rewrite touched cid
+        // partitions only). Batch 1 upserts 50 vectors; batch 2
+        // removes 20 of them via op="D".
+        val v = vecs.select(col("id"), col("vec"))
+        val idx = s"$dir/ivf_stream_idx"
+        deleteRec(new java.io.File(idx))
+        // nlist scales with the corpus (the SemDeDup k=O(√n) rule) so
+        // per-list width stays ~constant and "touched lists" means the
+        // same fraction of work at every multiplier
+        val nlist = 16 * math.max(1, math.sqrt(m.toDouble).toInt)
+        val (_, tb) = timed(operators.Similarity.buildIvfIndex(v, idx,
+          nlist = nlist))
+        val up = v.filter(col("id") % 40L === 7L).limit(50)
+          .select(col("id"), col("vec"), lit("U").as("op"))
+          .localCheckpoint(true)
+        val (_, t1) = timed(streaming.StreamMaintain.ivfBatch(spark, idx,
+          up, 0L))
+        val del = up.limit(20)
+          .select(col("id"), lit(null).cast("array<double>").as("vec"),
+            lit("D").as("op")).localCheckpoint(true)
+        val (_, t2) = timed(streaming.StreamMaintain.ivfBatch(spark, idx,
+          del, 1L))
+        up.unpersist(blocking = false); del.unpersist(blocking = false)
+        Seq("build" -> tb, "upsert_batch" -> t1, "delete_batch" -> t2)
+      }
+
       run("seg_pagerank", 15000L * m) {
         // the SEGMENTED generic preserved state (SegmentedStateStore +
         // IncrementalJob store mode) — the crossover table: one durable
