@@ -52,7 +52,7 @@ object Forget {
     * store's own `continueAt` with an empty added side. */
   val kinds: Set[String] = Set(
     "tfidf", "lmcounts", "linededup", "dupspans", "dedupclusters",
-    "decontam", "semdedup", "ivf")
+    "decontam", "semdedup", "ivf", "ivfpq")
 
   private def purgeOne(spark: SparkSession, kind: String, path: String,
       ids: DataFrame, idCol: String, textCol: String): Unit = {
@@ -84,6 +84,13 @@ object Forget {
         val noneVecs = ids.limit(0).select(col(ids.columns.head).as("id"))
           .withColumn("vec", lit(null).cast("array<double>"))
         Similarity.updateIvfIndex(spark, path, noneVecs, ids)
+      case "ivfpq" =>
+        // the PQ index holds BOTH representations (codes + colocated
+        // raw vector) in one lists table: one removal continuation
+        // purges them together
+        val noneVecs = ids.limit(0).select(col(ids.columns.head).as("id"))
+          .withColumn("vec", lit(null).cast("array<double>"))
+        Pq.updateIvfPqIndex(spark, path, noneVecs, ids)
       case other =>
         sys.error(s"forget: no purge recipe for store kind '$other' " +
           s"(known: ${kinds.toSeq.sorted.mkString(", ")})")

@@ -395,9 +395,15 @@ object Pq {
       .select(col("qid"), col("nid"),
         Similarity.cosine(col("qvec"), col("nvec")).as("cosine"))
     val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("nid").asc)
+    // the library cache-release contract ([[Similarity.embeddingNearDups]]):
+    // the (|q|·k-row) result comes back EAGER and persisted with the
+    // candidate cache released — returning it lazy would re-run the ADC
+    // stage after its input cache is gone
     val out = scored.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .select("qid", "nid", "cosine", "rk")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
     cands.unpersist(blocking = false)
     out
   }

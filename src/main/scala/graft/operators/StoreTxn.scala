@@ -70,7 +70,8 @@ object StoreTxn {
     "tfidf" -> (TfidfStore.rollbackTo _),
     "semdedup" -> (SemanticDedupStore.rollbackTo _),
     "keyedupsert" -> (KeyedUpsertStore.rollbackTo _),
-    "ivf" -> (Similarity.ivfRollbackTo _))
+    "ivf" -> (Similarity.ivfRollbackTo _),
+    "ivfpq" -> (Pq.ivfPqRollbackTo _))
 
   private def manifest(txnDir: String) = new HPath(s"$txnDir/txn_manifest")
 

@@ -115,15 +115,22 @@ class PqSpec extends SparkSpec {
     val want = key(Similarity.bruteForceTopK(vecs, queries, k = 5))
     assert(got == want, s"only-got=${got -- want}\nonly-want=${want -- got}")
 
-    // plan shape: a pruned probe's ADC scan must read codes, not nvec,
-    // and carry the _b partition filter
-    val probe = graft.operators.Pq.probeIvfPqIndex(spark, dir, queries,
-      k = 3, nprobe = 1, rerank = 5)
-    val plan = probe.queryExecution.executedPlan.toString
-    val scans = plan.split("\n").filter(_.contains("FileScan"))
-    assert(scans.exists(s => s.contains("codes") && !s.contains("nvec")),
-      s"no codes-only scan found:\n$plan")
-    assert(plan.contains("_b"), "no partition filter on _b in the probe plan")
+    // plan shape of the ADC read the probe performs (probePq returns
+    // its result eager, so the assertion reconstructs the exact scan
+    // expression): the codes projection over the pruned lists must
+    // read the code columns — NOT the heavy nvec — and carry the _b
+    // partition filter down to the parquet scan
+    val lists = graft.operators.SegSwap.resolvedTable(spark, dir, "lists",
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "nid BIGINT, nvec ARRAY<DOUBLE>, codes ARRAY<INT>, " +
+          "rnorm2 DOUBLE, cid BIGINT, _b INT"))
+    val adcRead = lists.filter($"_b".isin(0, 1))
+      .select("cid", "nid", "codes", "rnorm2")
+    val plan = adcRead.queryExecution.executedPlan.toString
+    assert(plan.contains("codes") && !plan.contains("nvec"),
+      s"ADC read must not touch nvec:\n$plan")
+    assert(plan.contains("PartitionFilters") && plan.contains("_b"),
+      s"no partition filter on _b in the ADC read plan:\n$plan")
   }
 
   test("incremental IVF-PQ equals a rebuild under both frozen quantizers") {
@@ -192,6 +199,51 @@ class PqSpec extends SparkSpec {
       .select("nid").as[Long].collect().toSet
     assert(live == all.filter($"id" % 10 =!= 7)
       .select("id").as[Long].collect().toSet)
+  }
+
+  test("ivfpq participates in Forget: purge drops the vector; scrub removes its bytes") {
+    import graft.operators.{Forget, Pq}
+    val all = (0L until 24L).map(i => (i, v(i, 16))).toDF("id", "vec")
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_forget").toString
+    Pq.buildIvfPqIndex(all, dir, nlist = 4, m = 4, ksub = 8)
+    val txn = java.nio.file.Files.createTempDirectory("ivfpq_forget_txn")
+      .toString
+    Forget.sweep(spark, txn, Seq(7L, 9L).toDF("id"), "id", "vec",
+      Seq("ivfpq" -> dir), scrubHistory = false)
+    // live view forgets: equals a rebuild without the purged ids under
+    // the SAME frozen quantizers
+    val queries = all.filter($"id" < 2)
+    val cents = spark.read.parquet(s"$dir/centroids")
+      .select($"cid".as("id"), $"cvec".as("vec"))
+    val cb = spark.read.parquet(s"$dir/codebooks")
+    val ref = java.nio.file.Files.createTempDirectory("ivfpq_forget_ref")
+      .toString
+    Pq.buildIvfPqIndex(all.filter(!$"id".isin(7L, 9L)), ref, nlist = 4,
+      m = 4, ksub = 8, centroids = Some(cents), codebooks = Some(cb))
+    assert(key(Pq.probeIvfPqIndex(spark, dir, queries, k = 3, nprobe = 2,
+      rerank = 8)) ==
+      key(Pq.probeIvfPqIndex(spark, ref, queries, k = 3, nprobe = 2,
+        rerank = 8)))
+    // without the scrub, retired history still holds the purged nids;
+    // after it, no parquet file under the store does
+    def tainted(): Seq[String] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      def walk(d: java.io.File): Unit =
+        Option(d.listFiles()).map(_.toSeq).getOrElse(Nil).foreach { f =>
+          if (f.isDirectory) walk(f)
+          else if (f.getName.endsWith(".parquet")) {
+            val df = spark.read.parquet(f.getAbsolutePath)
+            if (df.columns.contains("nid") &&
+              df.filter($"nid".isin(7L, 9L)).limit(1).count() > 0)
+              out += f.getAbsolutePath
+          }
+        }
+      walk(new java.io.File(dir))
+      out.toSeq
+    }
+    assert(tainted().nonEmpty, "history must hold purged bytes pre-scrub")
+    Forget.scrub(spark, dir)
+    assert(tainted().isEmpty, s"post-scrub residue in:\n${tainted()}")
   }
 
   test("zero-norm vectors neither crash nor displace real neighbors") {
