@@ -120,6 +120,11 @@ object GraftFunctions {
     call_function("graft_shingles", toks,
       org.apache.spark.sql.functions.lit(w))
 
+  /** PQ ADC lookup-sum: Σ_s lut(s)(codes(s)), index-order fold
+    * (codegen'd — the ANN scan's per-row hot expression). */
+  def pq_adc(codes: Column, lut: Column): Column =
+    call_function("graft_pq_adc", codes, lut)
+
   /** Register graft's native functions on the session (idempotent — a
     * session that already has them is left untouched, so per-query
     * registration calls don't spam "replaced function" log warnings). */
@@ -142,6 +147,8 @@ object GraftFunctions {
     r.createOrReplaceTempFunction(
       "graft_shingles", exprs => WordShingles(exprs(0), foldableLong(exprs(1)).toInt),
       "built-in")
+    r.createOrReplaceTempFunction(
+      "graft_pq_adc", exprs => PqAdcSum(exprs(0), exprs(1)), "built-in")
   }
 
   private def foldableLong(e: Expression): Long = e.eval() match {

@@ -195,13 +195,17 @@ object Pq {
 
   /** The ADC score column over an encoded row joined with its query's
     * lut: cosine(q, x̂) = (Σ_s lut[s][codes[s]]) / (|q|·|x̂|), the sum
-    * an s-ordered fold (zip_with + aggregate — index order, the oracle
-    * mirror). try_divide: a zero reconstruction or zero query scores
-    * NULL, which sorts last under the descending rank window. */
+    * the native codegen'd [[graft.functions.PqAdcSum]] (an s-ordered
+    * index fold — bit-identical to the zip_with+aggregate HOF
+    * formulation and the oracle's list_reduce, but it stays inside
+    * whole-stage codegen: this is the ONE expression the ADC scan
+    * runs per stored vector, and the interpreted HOF chain made the
+    * probe CPU-bound at the 100× ScaleBench point). try_divide: a
+    * zero reconstruction or zero query scores NULL, which sorts last
+    * under the descending rank window. */
   private def adcScore: Column =
     try_divide(
-      aggregate(zip_with(col("codes"), col("lut"),
-        (c, l) => element_at(l, c + 1)), lit(0.0), (a, x) => a + x),
+      graft.functions.GraftFunctions.pq_adc(col("codes"), col("lut")),
       col("qnorm") * sqrt(col("rnorm2")))
 
   /** ADC top-`r` candidates per query over an encoded corpus:
@@ -271,9 +275,9 @@ object Pq {
       "nid BIGINT, nvec ARRAY<DOUBLE>, codes ARRAY<INT>, rnorm2 DOUBLE, " +
         "cid BIGINT, _b INT")
 
-  private def pqParams(m: Int)(lastBatch: Long): Seq[(String, Any)] =
+  private def pqParams(m: Int, locB: Int)(lastBatch: Long): Seq[(String, Any)] =
     Seq("listsDdl" -> listsSchemaPqB.toDDL, "m" -> m,
-      "lastBatch" -> lastBatch)
+      "lastBatch" -> lastBatch, "locB" -> locB)
 
   /** Build the IVF-PQ index on disk — the same store layout contract
     * as [[Similarity.buildIvfIndex]] (cid-partitioned lists, frozen
@@ -286,7 +290,7 @@ object Pq {
       m: Int = 8, ksub: Int = 16, pqRounds: Int = 0,
       centroids: Option[DataFrame] = None,
       codebooks: Option[DataFrame] = None,
-      centroidFoldLimit: Int = 64): Unit = {
+      centroidFoldLimit: Int = 64, locBuckets: Int = 64): Unit = {
     val spark = vectors.sparkSession
     graft.functions.GraftFunctions.register(spark)
     SegSwap.resetForInit(SegSwap.fsOf(spark, path), path)
@@ -300,13 +304,20 @@ object Pq {
     cb.write.mode("overwrite").parquet(s"$path/codebooks")
     val enc = encode(
       v.select(col("nid").as("id"), col("nvec").as("vec")), cb, m)
-    Similarity.assignToLists(v, cents, centroidFoldLimit)
+    val assigned = Similarity.assignToLists(v, cents, centroidFoldLimit)
       .join(enc.withColumnRenamed("id", "nid"), "nid")
       .withColumn("_b", col("cid").cast("int"))
       .select("nid", "nvec", "codes", "rnorm2", "cid", "_b")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    assigned
       .repartition(col("_b"))
       .write.mode("overwrite").partitionBy("_b").parquet(s"$path/lists")
-    SegSwap.writeParamsTo(spark, s"$path/params", pqParams(m)(-1L))
+    assigned.select(col("nid"), col("cid"))
+      .withColumn("_b", Similarity.locBucket(col("nid"), locBuckets))
+      .repartition(col("_b"))
+      .write.mode("overwrite").partitionBy("_b").parquet(s"$path/loc")
+    assigned.unpersist(blocking = false)
+    SegSwap.writeParamsTo(spark, s"$path/params", pqParams(m, locBuckets)(-1L))
   }
 
   private def readM(spark: SparkSession, path: String): Int =
@@ -341,13 +352,14 @@ object Pq {
   /** Roll the index back to `epoch` — the family contract verbatim. */
   def ivfPqRollbackTo(spark: SparkSession, path: String, epoch: Long): Unit =
     SegSwap.rollbackTo(spark, path, epoch,
-      Seq("lists" -> listsSchemaPqB), dirTables = Seq("params"))
+      Seq("lists" -> listsSchemaPqB, "loc" -> Similarity.locSchemaB),
+      dirTables = Seq("params"))
 
   /** Publish the index AS OF `epoch` to `dst` as a standalone index
     * (lists + both frozen quantizers + params). */
   def ivfPqExportAt(spark: SparkSession, path: String, epoch: Long,
       dst: String): Unit =
-    SegSwap.exportSnapshot(spark, path, epoch, dst, Seq("lists"),
+    SegSwap.exportSnapshot(spark, path, epoch, dst, Seq("lists", "loc"),
       dirTables = Seq("params", "centroids", "codebooks"))
 
   private def probePq(spark: SparkSession, queries: DataFrame, k: Int,
@@ -441,8 +453,11 @@ object Pq {
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val gone = removedIds.select(col(removedIds.columns.head).as("_rid"))
           .unionByName(added.select(col("nid").as("_rid")))
+        val locB = SegSwap.readParamsRow(spark, path, Seq("locB"),
+          "ivfpq").getInt(0)
         val advice = Similarity.applyListsDelta(spark, path, assigned,
-          gone, listsSchemaPqB, pqParams(m), batchId, lease, "ivfpq")
+          gone, listsSchemaPqB, locB, pqParams(m, locB), batchId, lease,
+          "ivfpq")
         assigned.unpersist(blocking = false)
         advice
       }

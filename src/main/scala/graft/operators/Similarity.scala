@@ -148,7 +148,8 @@ object Similarity {
     * machinery (this store's own journal — the round-7 original —
     * is retired; its contract lives on in [[SegSwap]]). */
   def buildIvfIndex(vectors: DataFrame, path: String, nlist: Int = 256,
-      centroids: Option[DataFrame] = None, centroidFoldLimit: Int = 64): Unit = {
+      centroids: Option[DataFrame] = None, centroidFoldLimit: Int = 64,
+      locBuckets: Int = 64): Unit = {
     val spark = vectors.sparkSession
     graft.functions.GraftFunctions.register(spark)
     SegSwap.resetForInit(SegSwap.fsOf(spark, path), path)
@@ -156,21 +157,51 @@ object Similarity {
       col("vec").cast("array<double>").as("nvec"))
     val cents = normalizedCentroids(v, centroids, nlist)
     cents.write.mode("overwrite").parquet(s"$path/centroids")
-    assignToLists(v, cents, centroidFoldLimit)
+    val assigned = assignToLists(v, cents, centroidFoldLimit)
       .withColumn("_b", col("cid").cast("int"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    assigned
       .repartition(col("_b"))
       .write.mode("overwrite").partitionBy("_b").parquet(s"$path/lists")
-    SegSwap.writeParamsTo(spark, s"$path/params", ivfParams(-1L))
+    writeLoc(assigned, s"$path/loc", locBuckets)
+    assigned.unpersist(blocking = false)
+    SegSwap.writeParamsTo(spark, s"$path/params", ivfParams(-1L, locBuckets))
   }
 
-  /** The IVF store's params row: the lists DDL plus the stream batch
-    * fence (−1 = never maintained by a stream). The fence rides the
-    * params DIR through the shared journaled swap — recorded
-    * atomically with the lists it fences, reverted by
-    * [[ivfRollbackTo]] with the rows (the [[KeyedUpsertStore]]
-    * contract on the similarity surface). */
-  private def ivfParams(lastBatch: Long): Seq[(String, Any)] =
-    Seq("listsDdl" -> listsSchemaB.toDDL, "lastBatch" -> lastBatch)
+  /** The LOCATOR table both on-disk ANN stores carry beside their
+    * lists: (nid, cid) bucketed by nid-hash, committed through the
+    * same journaled swap. It answers the ONE question the lists'
+    * cid-partitioning cannot: "which list holds id X?" — so an update
+    * locates its removals/replacements with a partition-pruned read of
+    * the delta ids' buckets instead of a corpus-wide (cid, nid) column
+    * scan. At gate scale the column scan was invisible; at corpus
+    * scale it is ~16 bytes × corpus per micro-batch, which is exactly
+    * the per-trigger O(corpus) term the 24/7 maintainers exist to
+    * avoid (the ScaleBench `stream_ivf` delete leg measured it growing
+    * at exp ~0.5 before this table). */
+  private[operators] val locSchemaB =
+    org.apache.spark.sql.types.StructType.fromDDL(
+      "nid BIGINT, cid BIGINT, _b INT")
+
+  private[operators] def locBucket(c: org.apache.spark.sql.Column,
+      b: Int): org.apache.spark.sql.Column =
+    pmod(xxhash64(c), lit(b.toLong)).cast("int")
+
+  private def writeLoc(assigned: DataFrame, dst: String, b: Int): Unit =
+    assigned.select(col("nid"), col("cid"))
+      .withColumn("_b", locBucket(col("nid"), b))
+      .repartition(col("_b"))
+      .write.mode("overwrite").partitionBy("_b").parquet(dst)
+
+  /** The IVF store's params row: the lists DDL, the locator bucket
+    * count, and the stream batch fence (−1 = never maintained by a
+    * stream). The fence rides the params DIR through the shared
+    * journaled swap — recorded atomically with the lists it fences,
+    * reverted by [[ivfRollbackTo]] with the rows (the
+    * [[KeyedUpsertStore]] contract on the similarity surface). */
+  private def ivfParams(lastBatch: Long, locB: Int): Seq[(String, Any)] =
+    Seq("listsDdl" -> listsSchemaB.toDDL, "lastBatch" -> lastBatch,
+      "locB" -> locB)
 
   /** The index's stream fence: the last micro-batch id applied by a
     * [[updateIvfIndex]] call that carried one (−1 = none yet). */
@@ -215,7 +246,8 @@ object Similarity {
   def ivfRollbackTo(spark: org.apache.spark.sql.SparkSession, path: String,
       epoch: Long): Unit =
     SegSwap.rollbackTo(spark, path, epoch,
-      Seq("lists" -> listsSchemaB), dirTables = Seq("params"))
+      Seq("lists" -> listsSchemaB, "loc" -> locSchemaB),
+      dirTables = Seq("params"))
 
   /** Publish the index AS OF `epoch` to `dst` as a fresh standalone
     * index (lists + frozen quantizer + params) — the family's
@@ -223,7 +255,7 @@ object Similarity {
   def ivfExportAt(spark: org.apache.spark.sql.SparkSession, path: String,
       epoch: Long, dst: String): Unit =
     SegSwap.exportSnapshot(spark, path, epoch, dst,
-      Seq("lists"), dirTables = Seq("params", "centroids"))
+      Seq("lists", "loc"), dirTables = Seq("params", "centroids"))
 
   /** Incrementally maintain an on-disk [[buildIvfIndex]] index over a
     * vector delta — the incremental thesis (F27–F31,
@@ -300,32 +332,48 @@ object Similarity {
     // replace semantics: an incoming id evicts its existing row
     val gone = removedIds.select(col(removedIds.columns.head).as("_rid"))
       .unionByName(added.select(col("nid").as("_rid")))
+    val locB = SegSwap.readParamsRow(spark, path, Seq("locB"), "ivf")
+      .getInt(0)
     val advice = applyListsDelta(spark, path, assigned, gone,
-      listsSchemaB, ivfParams, batchId, lease, "ivf")
+      listsSchemaB, locB, ivfParams(_, locB), batchId, lease, "ivf")
     assigned.unpersist(blocking = false)
     advice
   }
 
   /** The ONE touched-list swap shared by every on-disk ANN store
     * variant (raw IVF here, IVF-PQ in [[Pq]]): `assigned` is the
-    * delta's new list rows (any schema with `nid` and the `_b` list
-    * column), `gone` the single-column `_rid` frame of evicted ids.
-    * Locates removals over (\_b, nid) columns only, rewrites just the
-    * touched cid partitions, records the optional stream fence (via
-    * `paramsFor`) atomically with the swap — the fence advances even
-    * on an effect-free batch ("applied" means RECORDED, so a later
-    * replay is a params read, never a list locate). */
+    * delta's new list rows (any schema with `nid`, `cid` and the `_b`
+    * list column), `gone` the single-column `_rid` frame of evicted
+    * ids. Removals are located through the LOCATOR table — a
+    * partition-pruned read of the delta ids' nid-hash buckets (O(delta
+    * buckets), never a corpus scan) — then just the touched cid
+    * partitions rewrite, the locator's touched buckets rewrite with
+    * them, and the optional stream fence (via `paramsFor`) records
+    * atomically with the swap — the fence advances even on an
+    * effect-free batch ("applied" means RECORDED, so a later replay is
+    * a params read, never a locate). */
   private[operators] def applyListsDelta(
       spark: org.apache.spark.sql.SparkSession, path: String,
       assigned: DataFrame, gone: DataFrame,
-      schema: org.apache.spark.sql.types.StructType,
+      schema: org.apache.spark.sql.types.StructType, locB: Int,
       paramsFor: Long => Seq[(String, Any)], batchId: Option[Long],
       lease: Long, adviseKind: String)
       : Option[StorePolicy.ContinueAdvice] = {
     val lists = SegSwap.resolvedTable(spark, path, "lists", schema)
-    val locatedB = lists.select("_b", "nid")
+    val loc = SegSwap.resolvedTable(spark, path, "loc", locSchemaB)
+    // the delta ids' locator buckets: O(delta) driver ints
+    val goneB = gone
+      .select(locBucket(col("_rid"), locB).as("_b")).distinct()
+      .collect().map(_.getInt(0)).toSet
+    def inB(bs: Set[Int]) =
+      if (bs.isEmpty) lit(false)
+      else col("_b").isin(bs.toSeq.map(Integer.valueOf): _*)
+    val locPruned = loc.filter(inB(goneB))
+    // which lists hold the evicted ids — a pruned locator read, not a
+    // corpus-wide (cid, nid) column scan
+    val locatedB = locPruned
       .join(gone, col("nid") === col("_rid"), "left_semi")
-      .select("_b").distinct()
+      .select(col("cid").cast("int").as("_b")).distinct()
     // O(touched lists) driver rows — bounded by the delta, not the corpus
     val touched = locatedB
       .unionByName(assigned.select("_b")).distinct()
@@ -342,7 +390,15 @@ object Similarity {
       val next = lists.filter(col("_b").isin(touchedLit: _*))
         .join(gone, col("nid") === col("_rid"), "left_anti")
         .unionByName(assigned)
-      SegSwap.commit(spark, path, Seq(("lists", next, touched)),
+      // locator roll-forward: the delta ids' buckets rewrite minus the
+      // evicted ids plus the new assignments (assigned ids ⊆ gone, so
+      // their buckets ⊆ goneB — one touched set covers both row flows)
+      val locNext = locPruned
+        .join(gone, col("nid") === col("_rid"), "left_anti")
+        .unionByName(assigned.select(col("nid"), col("cid"))
+          .withColumn("_b", locBucket(col("nid"), locB)))
+      SegSwap.commit(spark, path,
+        Seq(("lists", next, touched), ("loc", locNext, goneB)),
         dirSwaps = fenceSwap, fence = Some(lease))
       Some(StorePolicy.advise(adviseKind, touched.size,
         SegSwap.liveBuckets(SegSwap.fsOf(spark, path), path, "lists").size))

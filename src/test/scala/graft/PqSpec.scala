@@ -161,6 +161,25 @@ class PqSpec extends SparkSpec {
     val want = key(graft.operators.Pq.probeIvfPqIndex(spark, ref, queries,
       k = 3, nprobe = 2, rerank = 8))
     assert(got == want, s"only-got=${got -- want}\nonly-want=${want -- got}")
+    // the LOCATOR table stays consistent with the lists through the
+    // update (committed atomically together), and its locate read is
+    // partition-pruned on the delta ids' nid-hash buckets
+    def table(name: String, ddl: String) =
+      graft.operators.SegSwap.resolvedTable(spark, dir, name,
+        org.apache.spark.sql.types.StructType.fromDDL(ddl))
+    val listsPairs = table("lists",
+      "nid BIGINT, nvec ARRAY<DOUBLE>, codes ARRAY<INT>, rnorm2 DOUBLE, " +
+        "cid BIGINT, _b INT")
+      .select("nid", "cid").as[(Long, Long)].collect().toSet
+    val locPairs = table("loc", "nid BIGINT, cid BIGINT, _b INT")
+      .select("nid", "cid").as[(Long, Long)].collect().toSet
+    assert(locPairs == listsPairs, "locator diverged from the lists")
+    val locRead = table("loc", "nid BIGINT, cid BIGINT, _b INT")
+      .filter($"_b".isin(0, 1))
+    val locPlan = locRead.queryExecution.executedPlan.toString
+    assert(locPlan.contains("PartitionFilters") && locPlan.contains("_b"),
+      s"locate read is not partition-pruned:\n$locPlan")
+
     // time travel: the as-of probe reproduces the pre-delta answers,
     // and rollback restores them as the current answers
     assert(key(graft.operators.Pq.probeIvfPqIndexAt(spark, dir, queries,
@@ -168,6 +187,10 @@ class PqSpec extends SparkSpec {
     graft.operators.Pq.ivfPqRollbackTo(spark, dir, e0)
     assert(key(graft.operators.Pq.probeIvfPqIndex(spark, dir, queries,
       k = 3, nprobe = 2, rerank = 8)) == pre)
+    // rollback reverts the locator WITH the lists
+    assert(table("loc", "nid BIGINT, cid BIGINT, _b INT")
+      .select("nid").as[Long].collect().toSet ==
+      base.select("id").as[Long].collect().toSet)
   }
 
   test("ivfPqBatch: stream fence skips a replayed batch; deletion batch applies once") {
@@ -244,6 +267,62 @@ class PqSpec extends SparkSpec {
     assert(tainted().nonEmpty, "history must hold purged bytes pre-scrub")
     Forget.scrub(spark, dir)
     assert(tainted().isEmpty, s"post-scrub residue in:\n${tainted()}")
+  }
+
+  test("recall on clustered embeddings: ADC+rerank recovers most true neighbors") {
+    // deterministic 64-dim vectors in 16 hash-centered clusters (the
+    // ScaleBench embedding generator's shape): PQ at m=8/ksub=16 with
+    // rerank=32 must recover a large fraction of the true top-5 — the
+    // approximation has to be USEFUL, not merely oracle-consistent
+    def vec(i: Long) = Array.tabulate(64) { d =>
+      def h(x: Long) = {
+        var z = x * 0x9E3779B97F4A7C15L
+        z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+        (z ^ (z >>> 31)).toDouble / Long.MaxValue
+      }
+      h((i % 16) * 64 + d) + 0.2 * h(i * 64 + d + 7)
+    }
+    val vecs = (0L until 400L).map(i => (i, vec(i))).toDF("id", "vec")
+    val queries = vecs.filter($"id" < 8)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select($"qid", $"nid").as[(Long, Long)].collect().toSet
+    val truth = pairs(Similarity.bruteForceTopK(vecs, queries, k = 5))
+    val got = pairs(Pq.pqTopK(vecs, queries, k = 5, m = 8, ksub = 16,
+      rerank = 32))
+    val recall = (truth & got).size.toDouble / truth.size
+    assert(recall >= 0.8, f"recall@5 = $recall%.2f < 0.8 " +
+      s"(hit ${(truth & got).size}/${truth.size})")
+  }
+
+  test("native graft_pq_adc matches the HOF lookup-sum bit-for-bit; edge cases null") {
+    graft.functions.GraftFunctions.register(spark)
+    // random-ish codes/luts derived from the embedding data
+    val df = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select($"vec_id".as("id"),
+        $"embedding".cast("array<double>").as("v"))
+      .select($"id",
+        transform(sequence(lit(0), lit(7)),
+          s => pmod(xxhash64($"id" * 8 + s), lit(4L)).cast("int")).as("codes"),
+        transform(sequence(lit(0), lit(7)),
+          s => slice($"v", s * 4 + 1, lit(4))).as("lut"))
+    val both = df.select(
+      graft.functions.GraftFunctions.pq_adc($"codes", $"lut").as("native"),
+      aggregate(zip_with($"codes", $"lut", (c, l) => element_at(l, c + 1)),
+        lit(0.0), (a, x) => a + x).as("hof"))
+    assert(both.filter($"native" =!= $"hof").count() == 0)
+    assert(both.filter($"native".isNull).count() == 0)
+    // length mismatch, null input, out-of-range code → null
+    val edge = spark.sql(
+      """SELECT
+        |  graft_pq_adc(array(0, 1), array(array(1.0d, 2.0d))) AS mismatch,
+        |  graft_pq_adc(CAST(null AS ARRAY<INT>),
+        |    array(array(1.0d))) AS nullin,
+        |  graft_pq_adc(array(5), array(array(1.0d, 2.0d))) AS oob,
+        |  graft_pq_adc(array(1, 0),
+        |    array(array(1.0d, 2.0d), array(3.0d, 4.0d))) AS ok
+        |""".stripMargin).collect()(0)
+    assert(edge.isNullAt(0) && edge.isNullAt(1) && edge.isNullAt(2))
+    assert(edge.getDouble(3) == 2.0 + 3.0)
   }
 
   test("zero-norm vectors neither crash nor displace real neighbors") {
