@@ -214,9 +214,10 @@ object Pq {
   def adcTopK(encoded: DataFrame, codebooks: DataFrame, queries: DataFrame,
       r: Int, m: Int): DataFrame = {
     graft.functions.GraftFunctions.register(encoded.sparkSession)
-    val dsub = dimOf(
-      queries.select(col("id"), col("vec").cast("array<double>").as("vec")),
-      m) / m
+    // dsub from the CODEBOOK (driver-small, never empty), so an empty
+    // query frame yields an empty result instead of failing a
+    // first-row dim peek — the encode() precedent
+    val dsub = codebooks.select(size(col("cvec")).as("d")).head().getInt(0)
     val luts = queryLuts(queries, codebooks, m, dsub)
     val scored = encoded.crossJoin(broadcast(luts))
       .filter(col("qid") =!= col("id"))
@@ -294,9 +295,14 @@ object Pq {
     val spark = vectors.sparkSession
     graft.functions.GraftFunctions.register(spark)
     SegSwap.resetForInit(SegSwap.fsOf(spark, path), path)
-    val v = vectors.select(col("id").as("nid"),
+    val v = vectors.select(col("id").cast("long").as("nid"),
       col("vec").cast("array<double>").as("nvec"))
+    // both quantizer frames may be lazy reads of THIS index's own dirs
+    // (the frozen-quantizer rebuild-in-place shape): pin the
+    // driver-small frames before the overwrite writes target the paths
+    // they read
     val cents = Similarity.normalizedCentroids(v, centroids, nlist)
+      .localCheckpoint(true)
     cents.write.mode("overwrite").parquet(s"$path/centroids")
     val cb = codebooks.getOrElse(trainCodebooks(
       v.select(col("nid").as("id"), col("nvec").as("vec")), m, ksub,
@@ -368,8 +374,9 @@ object Pq {
     graft.functions.GraftFunctions.register(spark)
     val q = queries.select(col("id").as("qid"),
       col("vec").cast("array<double>").as("qvec"))
-    val dsub = dimOf(q.select(col("qid").as("id"),
-      col("qvec").as("vec")), m) / m
+    // dsub from the codebook — an empty query frame must probe to an
+    // empty result, not fail a first-row dim peek
+    val dsub = cb.select(size(col("cvec")).as("d")).head().getInt(0)
     // coarse probe: nprobe nearest centroids per query (the
     // Similarity.probeLists probe window, same tie-breaking)
     val pw = Window.partitionBy("qid").orderBy(col("c").desc, col("cid").asc)
@@ -435,13 +442,16 @@ object Pq {
     graft.functions.GraftFunctions.register(spark)
     SegSwap.withWriterLease(spark, path) { lease =>
       SegSwap.recover(spark, path)
-      if (batchId.exists(_ <= SegSwap.readParamsRow(spark, path,
-        Seq("lastBatch"), "ivfpq").getLong(0))) None
+      // one params read serves fence + m + locB (per-trigger hot path)
+      val pr = SegSwap.readParamsRow(spark, path,
+        Seq("lastBatch", "m", "locB"), "ivfpq")
+      if (batchId.exists(_ <= pr.getLong(0))) None
       else {
-        val m = readM(spark, path)
+        val m = pr.getInt(1)
+        val locB = pr.getInt(2)
         val cents = spark.read.parquet(s"$path/centroids")
         val cb = spark.read.parquet(s"$path/codebooks")
-        val added = addedVecs.select(col("id").as("nid"),
+        val added = addedVecs.select(col("id").cast("long").as("nid"),
           col("vec").cast("array<double>").as("nvec"))
         val enc = encode(added.select(col("nid").as("id"),
           col("nvec").as("vec")), cb, m)
@@ -451,10 +461,9 @@ object Pq {
           .withColumn("_b", col("cid").cast("int"))
           .select("nid", "nvec", "codes", "rnorm2", "cid", "_b")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val gone = removedIds.select(col(removedIds.columns.head).as("_rid"))
+        val gone = removedIds
+          .select(col(removedIds.columns.head).cast("long").as("_rid"))
           .unionByName(added.select(col("nid").as("_rid")))
-        val locB = SegSwap.readParamsRow(spark, path, Seq("locB"),
-          "ivfpq").getInt(0)
         val advice = Similarity.applyListsDelta(spark, path, assigned,
           gone, listsSchemaPqB, locB, pqParams(m, locB), batchId, lease,
           "ivfpq")

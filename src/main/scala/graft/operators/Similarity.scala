@@ -153,9 +153,13 @@ object Similarity {
     val spark = vectors.sparkSession
     graft.functions.GraftFunctions.register(spark)
     SegSwap.resetForInit(SegSwap.fsOf(spark, path), path)
-    val v = vectors.select(col("id").as("nid"),
+    val v = vectors.select(col("id").cast("long").as("nid"),
       col("vec").cast("array<double>").as("nvec"))
+    // centroids may be a lazy read of THIS index's centroid dir (the
+    // frozen-quantizer rebuild-in-place shape): pin the driver-small
+    // frame before the overwrite write targets the path it reads
     val cents = normalizedCentroids(v, centroids, nlist)
+      .localCheckpoint(true)
     cents.write.mode("overwrite").parquet(s"$path/centroids")
     val assigned = assignToLists(v, cents, centroidFoldLimit)
       .withColumn("_b", col("cid").cast("int"))
@@ -183,9 +187,15 @@ object Similarity {
     org.apache.spark.sql.types.StructType.fromDDL(
       "nid BIGINT, cid BIGINT, _b INT")
 
+  /** xxhash64 is TYPE-sensitive (hash(7: int) != hash(7L)), so the
+    * bucket hash pins its input to the store's BIGINT nid type first —
+    * the family's pin-before-hash rule ([[SegSwap.castToPinned]] in
+    * the content stores): a removal frame handed in with int ids must
+    * land in the same buckets the long-keyed build wrote, or the
+    * locate silently misses and a Forget purge no-ops. */
   private[operators] def locBucket(c: org.apache.spark.sql.Column,
       b: Int): org.apache.spark.sql.Column =
-    pmod(xxhash64(c), lit(b.toLong)).cast("int")
+    pmod(xxhash64(c.cast("long")), lit(b.toLong)).cast("int")
 
   private def writeLoc(assigned: DataFrame, dst: String, b: Int): Unit =
     assigned.select(col("nid"), col("cid"))
@@ -313,27 +323,30 @@ object Similarity {
       // checkpoint-replayed micro-batch is skipped outright, never
       // re-applied (re-applying an upsert is harmless here, but the
       // skip keeps replay O(params read) instead of O(touched lists)).
-      if (batchId.exists(_ <= ivfLastBatch(spark, path))) None
+      // one params read serves fence + locB (per-trigger hot path:
+      // each readParamsRow is a full driver job against the tiny file)
+      val pr = SegSwap.readParamsRow(spark, path,
+        Seq("lastBatch", "locB"), "ivf")
+      if (batchId.exists(_ <= pr.getLong(0))) None
       else applyIvfDelta(spark, path, addedVecs, removedIds,
-        centroidFoldLimit, batchId, lease)
+        centroidFoldLimit, batchId, lease, pr.getInt(1))
     }
   }
 
   private def applyIvfDelta(spark: org.apache.spark.sql.SparkSession,
       path: String, addedVecs: DataFrame, removedIds: DataFrame,
-      centroidFoldLimit: Int, batchId: Option[Long], lease: Long)
-      : Option[StorePolicy.ContinueAdvice] = {
+      centroidFoldLimit: Int, batchId: Option[Long], lease: Long,
+      locB: Int): Option[StorePolicy.ContinueAdvice] = {
     val cents = spark.read.parquet(s"$path/centroids")
-    val added = addedVecs.select(col("id").as("nid"),
+    val added = addedVecs.select(col("id").cast("long").as("nid"),
       col("vec").cast("array<double>").as("nvec"))
     val assigned = assignToLists(added, cents, centroidFoldLimit)
       .withColumn("_b", col("cid").cast("int"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // replace semantics: an incoming id evicts its existing row
-    val gone = removedIds.select(col(removedIds.columns.head).as("_rid"))
+    val gone = removedIds
+      .select(col(removedIds.columns.head).cast("long").as("_rid"))
       .unionByName(added.select(col("nid").as("_rid")))
-    val locB = SegSwap.readParamsRow(spark, path, Seq("locB"), "ivf")
-      .getInt(0)
     val advice = applyListsDelta(spark, path, assigned, gone,
       listsSchemaB, locB, ivfParams(_, locB), batchId, lease, "ivf")
     assigned.unpersist(blocking = false)

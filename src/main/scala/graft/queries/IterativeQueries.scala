@@ -749,7 +749,6 @@ object IterativeQueries {
     // continuations must equal the batch-driven chain exactly.
     Q("q_incr_pagerank_stream",
       (s, dir) => {
-        import org.apache.spark.sql.streaming.Trigger
         val edges1 = sparkEdgesSlice(s, dir)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val ncust = Q.t(s, dir, "customer").count()
@@ -775,42 +774,13 @@ object IterativeQueries {
           .select("src").distinct()
         val delta2 = chg2.select(col("src"),
           (lit(1L) + (col("src") * 13 + 7) % lit(ncust)).as("dst"))
-        val drop = java.nio.file.Files
-          .createTempDirectory("graft_pr_stream_deltas").toString
-        def parts(): Set[java.nio.file.Path] = {
-          val st = java.nio.file.Files.list(java.nio.file.Paths.get(drop))
-          try st.toArray.map(_.asInstanceOf[java.nio.file.Path])
-            .filter(_.toString.endsWith(".parquet")).toSet
-          finally st.close()
-        }
-        delta1.coalesce(1).write.mode("append").parquet(drop)
-        val first = parts()
-        delta2.coalesce(1).write.mode("append").parquet(drop)
-        val second = parts() -- first
-        val t0 = System.currentTimeMillis()
-        first.foreach(p => java.nio.file.Files.setLastModifiedTime(p,
-          java.nio.file.attribute.FileTime.fromMillis(t0 - 120000)))
-        second.foreach(p => java.nio.file.Files.setLastModifiedTime(p,
-          java.nio.file.attribute.FileTime.fromMillis(t0)))
-        val ckpt = java.nio.file.Files
-          .createTempDirectory("graft_pr_stream_ckpt").toString
-
-        val q = s.readStream.schema(delta1.schema)
-          .option("maxFilesPerTrigger", "1").parquet(drop)
-          .writeStream.option("checkpointLocation", ckpt)
-          .foreachBatch {
-            (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-                bid: Long) =>
-              graft.streaming.StreamMaintain.pageRankBatch(s, store,
-                edgeStore, batch, bid, 0.8, iterations = 2,
-                numPartitions = 8)
-              () // foreachBatch wants Unit; the advice is for maintainers
-          }
-          .trigger(Trigger.AvailableNow())
-          .start()
-        if (!q.awaitTermination(180000)) {
-          q.stop()
-          sys.error("q_incr_pagerank_stream: stream did not finish in 180 s")
+        val drop = graft.streaming.DeltaFiles.stage(Seq(delta1, delta2))
+        graft.streaming.DeltaFiles.runToEnd(s, delta1.schema, drop) {
+          (batch, bid) =>
+            graft.streaming.StreamMaintain.pageRankBatch(s, store,
+              edgeStore, batch, bid, 0.8, iterations = 2,
+              numPartitions = 8)
+            ()
         }
         val out = graft.core.SegmentedStateStore.openForRead(s, store)
           .preserved.out
@@ -833,7 +803,6 @@ object IterativeQueries {
     // fences. Oracle: the deletion-variant two-delta chain unroll.
     Q("q_incr_pagerank_stream_del",
       (s, dir) => {
-        import org.apache.spark.sql.streaming.Trigger
         val edges1 = sparkEdgesSlice(s, dir)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val ncust = Q.t(s, dir, "customer").count()
@@ -858,41 +827,13 @@ object IterativeQueries {
           .select("src").distinct()
           .select(col("src"), lit(null).cast("long").as("dst"),
             lit("D").as("op"))
-        val drop = java.nio.file.Files
-          .createTempDirectory("graft_pr_sdel_deltas").toString
-        def parts(): Set[java.nio.file.Path] = {
-          val st = java.nio.file.Files.list(java.nio.file.Paths.get(drop))
-          try st.toArray.map(_.asInstanceOf[java.nio.file.Path])
-            .filter(_.toString.endsWith(".parquet")).toSet
-          finally st.close()
-        }
-        delta1.coalesce(1).write.mode("append").parquet(drop)
-        val first = parts()
-        delta2.coalesce(1).write.mode("append").parquet(drop)
-        val second = parts() -- first
-        val t0 = System.currentTimeMillis()
-        first.foreach(p => java.nio.file.Files.setLastModifiedTime(p,
-          java.nio.file.attribute.FileTime.fromMillis(t0 - 120000)))
-        second.foreach(p => java.nio.file.Files.setLastModifiedTime(p,
-          java.nio.file.attribute.FileTime.fromMillis(t0)))
-        val ckpt = java.nio.file.Files
-          .createTempDirectory("graft_pr_sdel_ckpt").toString
-        val q = s.readStream.schema(delta1.schema)
-          .option("maxFilesPerTrigger", "1").parquet(drop)
-          .writeStream.option("checkpointLocation", ckpt)
-          .foreachBatch {
-            (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-                bid: Long) =>
-              graft.streaming.StreamMaintain.pageRankBatch(s, store,
-                edgeStore, batch, bid, 0.8, iterations = 2,
-                numPartitions = 8)
-              ()
-          }
-          .trigger(Trigger.AvailableNow())
-          .start()
-        if (!q.awaitTermination(180000)) {
-          q.stop()
-          sys.error("q_incr_pagerank_stream_del: stream did not finish in 180 s")
+        val drop = graft.streaming.DeltaFiles.stage(Seq(delta1, delta2))
+        graft.streaming.DeltaFiles.runToEnd(s, delta1.schema, drop) {
+          (batch, bid) =>
+            graft.streaming.StreamMaintain.pageRankBatch(s, store,
+              edgeStore, batch, bid, 0.8, iterations = 2,
+              numPartitions = 8)
+            ()
         }
         val out = graft.core.SegmentedStateStore.openForRead(s, store)
           .preserved.out

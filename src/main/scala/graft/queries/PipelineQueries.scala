@@ -620,7 +620,6 @@ object PipelineQueries {
     // batch gate, so the recursive-closure oracle is shared verbatim.
     Q("q_incr_dedup_stream",
       (s, dir) => {
-        import org.apache.spark.sql.streaming.Trigger
         val docs = Q.t(s, dir, "documents")
         val base = docs.filter(col("doc_id") % 10 =!= 3)
         val store = java.nio.file.Files
@@ -632,39 +631,11 @@ object PipelineQueries {
         val delta2 = base.filter(col("doc_id") % 10 === 7)
           .select(col("doc_id"), lit(null).cast("string").as("text"),
             lit("D").as("op"))
-        val drop = java.nio.file.Files
-          .createTempDirectory("graft_dedup_stream_deltas").toString
-        def parts(): Set[java.nio.file.Path] = {
-          val st = java.nio.file.Files.list(java.nio.file.Paths.get(drop))
-          try st.toArray.map(_.asInstanceOf[java.nio.file.Path])
-            .filter(_.toString.endsWith(".parquet")).toSet
-          finally st.close()
-        }
-        delta1.coalesce(1).write.mode("append").parquet(drop)
-        val first = parts()
-        delta2.coalesce(1).write.mode("append").parquet(drop)
-        val second = parts() -- first
-        val t0 = System.currentTimeMillis()
-        first.foreach(p => java.nio.file.Files.setLastModifiedTime(p,
-          java.nio.file.attribute.FileTime.fromMillis(t0 - 120000)))
-        second.foreach(p => java.nio.file.Files.setLastModifiedTime(p,
-          java.nio.file.attribute.FileTime.fromMillis(t0)))
-        val ckpt = java.nio.file.Files
-          .createTempDirectory("graft_dedup_stream_ckpt").toString
-        val q = s.readStream.schema(delta1.schema)
-          .option("maxFilesPerTrigger", "1").parquet(drop)
-          .writeStream.option("checkpointLocation", ckpt)
-          .foreachBatch {
-            (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-                bid: Long) =>
-              graft.streaming.StreamMaintain.dedupBatch(s, store, batch, bid)
-              ()
-          }
-          .trigger(Trigger.AvailableNow())
-          .start()
-        if (!q.awaitTermination(180000)) {
-          q.stop()
-          sys.error("q_incr_dedup_stream: stream did not finish in 180 s")
+        val drop = graft.streaming.DeltaFiles.stage(Seq(delta1, delta2))
+        graft.streaming.DeltaFiles.runToEnd(s, delta1.schema, drop) {
+          (batch, bid) =>
+            graft.streaming.StreamMaintain.dedupBatch(s, store, batch, bid)
+            ()
         }
         graft.operators.DedupClusterStore.clusters(s, store)
           .select(col("id"), col("comp"))
@@ -1985,7 +1956,6 @@ object PipelineQueries {
     // same post-delta corpus, same frozen base quantizer, same oracle.
     Q("q_incr_ann_ivf_stream",
       (s, dir) => {
-        import org.apache.spark.sql.streaming.Trigger
         // vec cast to double ONCE at the source: the two delta files
         // must share one parquet schema (the deletion batch's null vec
         // is a double array; a float delta-1 file would poison the
@@ -2002,39 +1972,11 @@ object PipelineQueries {
         val delta2 = base.filter(col("id") % 10 === 7)
           .select(col("id"),
             lit(null).cast("array<double>").as("vec"), lit("D").as("op"))
-        val drop = java.nio.file.Files
-          .createTempDirectory("graft_ivf_stream_deltas").toString
-        def parts(): Set[java.nio.file.Path] = {
-          val st = java.nio.file.Files.list(java.nio.file.Paths.get(drop))
-          try st.toArray.map(_.asInstanceOf[java.nio.file.Path])
-            .filter(_.toString.endsWith(".parquet")).toSet
-          finally st.close()
-        }
-        delta1.coalesce(1).write.mode("append").parquet(drop)
-        val first = parts()
-        delta2.coalesce(1).write.mode("append").parquet(drop)
-        val second = parts() -- first
-        val t0 = System.currentTimeMillis()
-        first.foreach(p => java.nio.file.Files.setLastModifiedTime(p,
-          java.nio.file.attribute.FileTime.fromMillis(t0 - 120000)))
-        second.foreach(p => java.nio.file.Files.setLastModifiedTime(p,
-          java.nio.file.attribute.FileTime.fromMillis(t0)))
-        val ckpt = java.nio.file.Files
-          .createTempDirectory("graft_ivf_stream_ckpt").toString
-        val q = s.readStream.schema(delta1.schema)
-          .option("maxFilesPerTrigger", "1").parquet(drop)
-          .writeStream.option("checkpointLocation", ckpt)
-          .foreachBatch {
-            (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-                bid: Long) =>
-              graft.streaming.StreamMaintain.ivfBatch(s, idx, batch, bid)
-              ()
-          }
-          .trigger(Trigger.AvailableNow())
-          .start()
-        if (!q.awaitTermination(180000)) {
-          q.stop()
-          sys.error("q_incr_ann_ivf_stream: stream did not finish in 180 s")
+        val drop = graft.streaming.DeltaFiles.stage(Seq(delta1, delta2))
+        graft.streaming.DeltaFiles.runToEnd(s, delta1.schema, drop) {
+          (batch, bid) =>
+            graft.streaming.StreamMaintain.ivfBatch(s, idx, batch, bid)
+            ()
         }
         Similarity.probeIvfIndex(s, idx, all.filter(col("id") < 5),
           k = 5, nprobe = 4)

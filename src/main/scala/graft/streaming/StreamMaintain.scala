@@ -66,6 +66,18 @@ import graft.operators.KeyedUpsertStore
   */
 object StreamMaintain {
 
+  /** One timing wrapper for every maintainer: label is BY NAME so any
+    * row count embedded in it (e.g. `patch.count()`) stays off the
+    * timing-disabled hot path. */
+  private def phase[T](prefix: String, batchId: Long)(label: => String)(
+      f: => T): T =
+    if (!IncrementalJob.timingEnabled) f else {
+      val t0 = System.nanoTime(); val r = f
+      System.err.println(
+        f"[stream] $prefix batch $batchId $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+
   /** Split a batch into (upsert rows, removed keys): `op = "D"` rows
     * mark `keyCol` removed; everything else is an upsert row. Both
     * sides are eagerly pinned (the stream source frame must not be
@@ -101,14 +113,8 @@ object StreamMaintain {
       edgeStore: String, batch: DataFrame, batchId: Long,
       damping: Double, iterations: Int, numPartitions: Int = 32)
       : Option[graft.operators.StorePolicy.ContinueAdvice] = {
-    val timing = IncrementalJob.timingEnabled
     def phase[T](label: => String)(f: => T): T =
-      if (!timing) f else {
-        val t0 = System.nanoTime(); val r = f
-        System.err.println(
-          f"[stream] batch $batchId $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
-        r
-      }
+      StreamMaintain.phase("pr", batchId)(label)(f)
     val (ups, removed) = splitOps(batch, "src", "long")
     // O(delta): the changed sources' NEW static rows (degrees included)
     // derive from the batch alone — an upsert replaces a src's whole
@@ -158,14 +164,8 @@ object StreamMaintain {
       cellStore: String, batch: DataFrame, batchId: Long, b: DataFrame,
       iterations: Int, numPartitions: Int = 32)
       : Option[graft.operators.StorePolicy.ContinueAdvice] = {
-    val timing = IncrementalJob.timingEnabled
     def phase[T](label: => String)(f: => T): T =
-      if (!timing) f else {
-        val t0 = System.nanoTime(); val r = f
-        System.err.println(
-          f"[stream] mv batch $batchId $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
-        r
-      }
+      StreamMaintain.phase("mv", batchId)(label)(f)
     val (ups, removed) = splitOps(batch, "j", "long")
     val patch = phase("prepare delta")(
       ups.select(col("i").cast("long"), col("j").cast("long"),
@@ -210,14 +210,8 @@ object StreamMaintain {
       iterations: Int, numPartitions: Int = 32,
       metric: String = "euclidean")
       : Option[graft.operators.StorePolicy.ContinueAdvice] = {
-    val timing = IncrementalJob.timingEnabled
     def phase[T](label: => String)(f: => T): T =
-      if (!timing) f else {
-        val t0 = System.nanoTime(); val r = f
-        System.err.println(
-          f"[stream] km batch $batchId $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
-        r
-      }
+      StreamMaintain.phase("km", batchId)(label)(f)
     val (ups, removed) = splitOps(batch, "id", "long")
     val patch = phase("prepare delta")(
       ups.select(col("id").cast("long"),
@@ -261,14 +255,8 @@ object StreamMaintain {
   def ivfBatch(spark: SparkSession, indexPath: String, batch: DataFrame,
       batchId: Long, centroidFoldLimit: Int = 64)
       : Option[graft.operators.StorePolicy.ContinueAdvice] = {
-    val timing = IncrementalJob.timingEnabled
     def phase[T](label: => String)(f: => T): T =
-      if (!timing) f else {
-        val t0 = System.nanoTime(); val r = f
-        System.err.println(
-          f"[stream] ivf batch $batchId $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
-        r
-      }
+      StreamMaintain.phase("ivf", batchId)(label)(f)
     val (ups, removed) = splitOps(batch, "id", "long")
     val added = phase("pin delta")(
       ups.select(col("id").cast("long"),
@@ -289,14 +277,8 @@ object StreamMaintain {
   def ivfPqBatch(spark: SparkSession, indexPath: String, batch: DataFrame,
       batchId: Long, centroidFoldLimit: Int = 64)
       : Option[graft.operators.StorePolicy.ContinueAdvice] = {
-    val timing = IncrementalJob.timingEnabled
     def phase[T](label: => String)(f: => T): T =
-      if (!timing) f else {
-        val t0 = System.nanoTime(); val r = f
-        System.err.println(
-          f"[stream] ivfpq batch $batchId $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
-        r
-      }
+      StreamMaintain.phase("ivfpq", batchId)(label)(f)
     val (ups, removed) = splitOps(batch, "id", "long")
     val added = phase("pin delta")(
       ups.select(col("id").cast("long"),
@@ -327,14 +309,8 @@ object StreamMaintain {
   def dedupBatch(spark: SparkSession, storePath: String, batch: DataFrame,
       batchId: Long, idCol: String = "doc_id", textCol: String = "text")
       : Option[graft.operators.StorePolicy.ContinueAdvice] = {
-    val timing = IncrementalJob.timingEnabled
     def phase[T](label: => String)(f: => T): T =
-      if (!timing) f else {
-        val t0 = System.nanoTime(); val r = f
-        System.err.println(
-          f"[stream] dedup batch $batchId $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
-        r
-      }
+      StreamMaintain.phase("dedup", batchId)(label)(f)
     val (ups, removed) = splitOps(batch, idCol, "long")
     val added = phase("pin delta")(
       ups.select(col(idCol).cast("long"), col(textCol)).distinct()

@@ -26,23 +26,7 @@ class StreamingSpec extends SparkSpec {
 
     val delta1 = Seq((3L, 11L), (3L, 17L), (8L, 21L)).toDF("src", "dst")
     val delta2 = Seq((14L, 5L), (3L, 29L)).toDF("src", "dst")
-    val dir = java.nio.file.Files
-      .createTempDirectory("graft_restart_deltas").toString
-    def parts(): Set[java.nio.file.Path] = {
-      val st = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
-      try st.toArray.map(_.asInstanceOf[java.nio.file.Path])
-        .filter(_.toString.endsWith(".parquet")).toSet
-      finally st.close()
-    }
-    delta1.coalesce(1).write.mode("append").parquet(dir)
-    val first = parts()
-    delta2.coalesce(1).write.mode("append").parquet(dir)
-    val second = parts() -- first
-    val t0 = System.currentTimeMillis()
-    first.foreach(p => java.nio.file.Files.setLastModifiedTime(p,
-      java.nio.file.attribute.FileTime.fromMillis(t0 - 120000)))
-    second.foreach(p => java.nio.file.Files.setLastModifiedTime(p,
-      java.nio.file.attribute.FileTime.fromMillis(t0)))
+    val dir = graft.streaming.DeltaFiles.stage(Seq(delta1, delta2))
     val ckpt = java.nio.file.Files
       .createTempDirectory("graft_restart_ckpt").toString
 
@@ -369,23 +353,7 @@ class StreamingSpec extends SparkSpec {
       .toDF("id", "vec", "op")
     val delta2 = Seq((5L, Seq(0.0, 0.0), "D"), (3L, Seq(0.2, 9.9), "U"))
       .toDF("id", "vec", "op")
-    val dir = java.nio.file.Files
-      .createTempDirectory("graft_kms_deltas").toString
-    def parts(): Set[java.nio.file.Path] = {
-      val st = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
-      try st.toArray.map(_.asInstanceOf[java.nio.file.Path])
-        .filter(_.toString.endsWith(".parquet")).toSet
-      finally st.close()
-    }
-    delta1.coalesce(1).write.mode("append").parquet(dir)
-    val first = parts()
-    delta2.coalesce(1).write.mode("append").parquet(dir)
-    val second = parts() -- first
-    val t0 = System.currentTimeMillis()
-    first.foreach(p => java.nio.file.Files.setLastModifiedTime(p,
-      java.nio.file.attribute.FileTime.fromMillis(t0 - 120000)))
-    second.foreach(p => java.nio.file.Files.setLastModifiedTime(p,
-      java.nio.file.attribute.FileTime.fromMillis(t0)))
+    val dir = graft.streaming.DeltaFiles.stage(Seq(delta1, delta2))
     val ckpt = java.nio.file.Files
       .createTempDirectory("graft_kms_ckpt").toString
     var delivered = 0
@@ -488,23 +456,7 @@ class StreamingSpec extends SparkSpec {
     val delta2 = base.filter($"id" % 10 === 7)
       .select($"id", lit(null).cast("array<double>").as("vec"),
         lit("D").as("op"))
-    val dir = java.nio.file.Files
-      .createTempDirectory("graft_ivf_stream_d").toString
-    def parts(): Set[java.nio.file.Path] = {
-      val st = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
-      try st.toArray.map(_.asInstanceOf[java.nio.file.Path])
-        .filter(_.toString.endsWith(".parquet")).toSet
-      finally st.close()
-    }
-    delta1.coalesce(1).write.mode("append").parquet(dir)
-    val first = parts()
-    delta2.coalesce(1).write.mode("append").parquet(dir)
-    val second = parts() -- first
-    val t0 = System.currentTimeMillis()
-    first.foreach(p => java.nio.file.Files.setLastModifiedTime(p,
-      java.nio.file.attribute.FileTime.fromMillis(t0 - 120000)))
-    second.foreach(p => java.nio.file.Files.setLastModifiedTime(p,
-      java.nio.file.attribute.FileTime.fromMillis(t0)))
+    val dir = graft.streaming.DeltaFiles.stage(Seq(delta1, delta2))
     val ckpt = java.nio.file.Files
       .createTempDirectory("graft_ivf_stream_ck").toString
 
@@ -597,23 +549,7 @@ class StreamingSpec extends SparkSpec {
       .toDF("doc_id", "text", "op")
     val delta2 = Seq((7L, null: String, "D"), (8L, null: String, "D"))
       .toDF("doc_id", "text", "op")
-    val dir = java.nio.file.Files
-      .createTempDirectory("graft_dedup_stream_d").toString
-    def parts(): Set[java.nio.file.Path] = {
-      val st = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
-      try st.toArray.map(_.asInstanceOf[java.nio.file.Path])
-        .filter(_.toString.endsWith(".parquet")).toSet
-      finally st.close()
-    }
-    delta1.coalesce(1).write.mode("append").parquet(dir)
-    val first = parts()
-    delta2.coalesce(1).write.mode("append").parquet(dir)
-    val second = parts() -- first
-    val t0 = System.currentTimeMillis()
-    first.foreach(p => java.nio.file.Files.setLastModifiedTime(p,
-      java.nio.file.attribute.FileTime.fromMillis(t0 - 120000)))
-    second.foreach(p => java.nio.file.Files.setLastModifiedTime(p,
-      java.nio.file.attribute.FileTime.fromMillis(t0)))
+    val dir = graft.streaming.DeltaFiles.stage(Seq(delta1, delta2))
     val ckpt = java.nio.file.Files
       .createTempDirectory("graft_dedup_stream_ck").toString
 
