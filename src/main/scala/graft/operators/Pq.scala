@@ -355,6 +355,15 @@ object Pq {
       spark.read.parquet(s"$path/codebooks"),
       SegSwap.snapshotTable(spark, path, "lists", listsSchemaPqB, epoch))
 
+  /** [[Similarity.rebucketLoc]] for the PQ index: migrate the locator
+    * bucket count in one journaled swap, fence preserved. */
+  def ivfPqRebucketLoc(spark: SparkSession, path: String,
+      newLocB: Int): Unit = {
+    val m = readM(spark, path)
+    Similarity.rebucketLoc(spark, path, newLocB, "ivfpq",
+      (fence, b) => pqParams(m, b)(fence))
+  }
+
   /** Roll the index back to `epoch` — the family contract verbatim. */
   def ivfPqRollbackTo(spark: SparkSession, path: String, epoch: Long): Unit =
     SegSwap.rollbackTo(spark, path, epoch,

@@ -203,6 +203,44 @@ object Similarity {
       .repartition(col("_b"))
       .write.mode("overwrite").partitionBy("_b").parquet(dst)
 
+  /** Journaled locator RE-BUCKETING — the family lifecycle op on the
+    * ANN stores' one hash-bucketed table: `locB` freezes at build, so
+    * under a long-lived maintainer the corpus outgrows it and per-batch
+    * locator rewrites erode toward O(corpus/locB) (the round's
+    * `upsert_rebucket` erosion, on the locator). This migrates B in
+    * one crash-safe swap — the new `locB` installs atomically with the
+    * re-hashed rows THROUGH THE SAME JOURNAL (a crash cannot leave
+    * readers deriving buckets with the wrong B) and the stream batch
+    * fence carries forward, so a rebucket BETWEEN micro-batches
+    * preserves replay-skip semantics. The LISTS need no analog: their
+    * partitioning is the coarse quantizer, and re-granulating that is
+    * a retrain (= rebuild) by the frozen-quantizer contract.
+    * `paramsFor(lastBatch, newLocB)` writes the store's params row —
+    * kind-specific, supplied by the public wrappers. */
+  private[operators] def rebucketLoc(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      newLocB: Int, what: String,
+      paramsFor: (Long, Int) => Seq[(String, Any)]): Unit =
+    SegSwap.withWriterLease(spark, path) { lease =>
+      SegSwap.recover(spark, path)
+      val fs = SegSwap.fsOf(spark, path)
+      val fence = SegSwap.readParamsRow(spark, path,
+        Seq("lastBatch"), what).getLong(0)
+      val staged = SegSwap.resolvedTable(spark, path, "loc", locSchemaB)
+        .drop("_b").withColumn("_b", locBucket(col("nid"), newLocB))
+      SegSwap.commit(spark, path,
+        Seq(("loc", staged, SegSwap.liveBuckets(fs, path, "loc"))),
+        dirSwaps = Seq("params" -> ((dst: String) =>
+          SegSwap.writeParamsTo(spark, dst, paramsFor(fence, newLocB)))),
+        fence = Some(lease), augmentFromStaging = true)
+    }
+
+  /** [[rebucketLoc]] for the raw IVF index. */
+  def ivfRebucketLoc(spark: org.apache.spark.sql.SparkSession,
+      path: String, newLocB: Int): Unit =
+    rebucketLoc(spark, path, newLocB, "ivf",
+      (fence, b) => ivfParams(fence, b))
+
   /** The IVF store's params row: the lists DDL, the locator bucket
     * count, and the stream batch fence (−1 = never maintained by a
     * stream). The fence rides the params DIR through the shared

@@ -206,6 +206,12 @@ class PqSpec extends SparkSpec {
       .select($"id", lit(null).cast("array<double>").as("vec"),
         lit("D").as("op"))
     assert(StreamMaintain.ivfPqBatch(spark, dir, b1, 0L).nonEmpty)
+    // MID-STREAM locator rebucket: the new locB installs atomically
+    // with the re-hashed rows, and the batch fence survives — batch 0
+    // stays replay-skipped, batch 1 still applies
+    graft.operators.Pq.ivfPqRebucketLoc(spark, dir, newLocB = 8)
+    assert(StreamMaintain.ivfPqBatch(spark, dir, b1, 0L).isEmpty,
+      "fence lost across the locator rebucket")
     assert(StreamMaintain.ivfPqBatch(spark, dir, b2, 1L).nonEmpty)
     val got = key(graft.operators.Pq.probeIvfPqIndex(spark, dir, queries,
       k = 3, nprobe = 2, rerank = 8))

@@ -502,6 +502,13 @@ class StreamingSpec extends SparkSpec {
     assert(Similarity.ivfLastBatch(spark, idx) == 1L)
     assert(key(Similarity.probeIvfIndex(spark, idx, queries,
       k = 3, nprobe = 2)) == got, "replayed batch mutated the index")
+    // locator rebucket between batches: fence and results survive
+    Similarity.ivfRebucketLoc(spark, idx, newLocB = 8)
+    assert(Similarity.ivfLastBatch(spark, idx) == 1L,
+      "fence lost across the locator rebucket")
+    assert(StreamMaintain.ivfBatch(spark, idx, delta2, 1L).isEmpty)
+    assert(key(Similarity.probeIvfIndex(spark, idx, queries,
+      k = 3, nprobe = 2)) == got)
 
     // frozen-quantizer equality: equals a from-scratch build over the
     // post-delta corpus under the BASE centroids
