@@ -69,9 +69,10 @@ object Bench {
         // forget share most codegen with their warmed siblings but not
         // all of it
         "q_incr_pagerank_stream_del", "q_forget_eval",
-        // the stream-maintained ANN and dedup gates reuse their batch
-        // siblings' plans plus the streaming machinery
-        "q_incr_ann_ivf_stream", "q_incr_dedup_stream").foreach { n =>
+        // the stream-maintained ANN/dedup/pipeline gates reuse their
+        // batch siblings' plans plus the streaming machinery
+        "q_incr_ann_ivf_stream", "q_incr_dedup_stream",
+        "q_incr_tfidf_stream").foreach { n =>
         SparkEntry.queries.get(n).foreach { fn =>
           try fn(spark, warmDir).count() catch { case _: Throwable => () }
         }

@@ -78,7 +78,7 @@ object DupSpansStore {
     * [[Similarity.probeIvfIndex]] lesson). */
   private case class Params(w: Int, maxFrac: Double, b: Int,
       mode: String, span: Long, idDdl: String, withCut: Boolean,
-      ddl: Map[String, String]) {
+      ddl: Map[String, String], lastBatch: Long = -1L) {
     /** Doc-bucketed tables present in this store (dfreq is span-
       * bucketed and handled separately). */
     def docTables: Seq[String] =
@@ -97,14 +97,16 @@ object DupSpansStore {
       "spansDdl" -> p.ddl("spans"), "ntoksDdl" -> p.ddl("ntoks"),
       "dfreqDdl" -> p.ddl("dfreq"), "outDdl" -> p.ddl("out"),
       "textDdl" -> p.ddl.getOrElse("text", ""),
-      "cutDdl" -> p.ddl.getOrElse("cut", "")))
+      "cutDdl" -> p.ddl.getOrElse("cut", ""),
+      "lastBatch" -> p.lastBatch))
 
   private def writeParams(spark: SparkSession, path: String, p: Params): Unit =
     writeParamsTo(spark, s"$path/params", p)
 
   private val ParamFields =
     Seq("w", "maxFrac", "b", "mode", "span", "idDdl", "withCut",
-      "spansDdl", "ntoksDdl", "dfreqDdl", "outDdl", "textDdl", "cutDdl")
+      "spansDdl", "ntoksDdl", "dfreqDdl", "outDdl", "textDdl", "cutDdl",
+      "lastBatch")
 
   private def paramsOf(r: org.apache.spark.sql.Row): Params = {
     val cut = r.getBoolean(6)
@@ -113,7 +115,7 @@ object DupSpansStore {
         "spans" -> r.getString(7), "ntoks" -> r.getString(8),
         "dfreq" -> r.getString(9), "out" -> r.getString(10)) ++
         (if (cut) Map("text" -> r.getString(11), "cut" -> r.getString(12))
-         else Map.empty))
+         else Map.empty), r.getLong(13))
   }
 
   private def readParams(spark: SparkSession, path: String): Params =
@@ -313,11 +315,39 @@ object DupSpansStore {
     * replaced with one fresh file), so nothing auto-triggers there. */
   def continueAt(spark: SparkSession, path: String, addedDocs0: DataFrame,
       removedIds0: DataFrame, idCol: String, textCol: String,
-      autoRespanFactor: Int = 4): StorePolicy.ContinueAdvice = {
+      autoRespanFactor: Int = 4): StorePolicy.ContinueAdvice =
+    continueImpl(spark, path, addedDocs0, removedIds0, idCol, textCol,
+      autoRespanFactor, batchId = None).get
+
+  /** The stream batch fence (−1 = never maintained by a stream). */
+  def lastBatch(spark: SparkSession, path: String): Long =
+    readParams(spark, path).lastBatch
+
+  /** [[continueAt]] fenced by a stream micro-batch id. The fence is a
+    * COST optimization here, not a correctness requirement — this
+    * continuation is replay-idempotent by the upsert contract (the
+    * class doc's note stands) — but with it a checkpoint-replayed
+    * micro-batch costs a params read instead of a full affected-set
+    * recompute, and the maintainer surface stays uniform across the
+    * family. Recorded atomically with the swap; reverted with the rows
+    * by [[rollbackTo]]. */
+  def continueBatch(spark: SparkSession, path: String,
+      addedDocs0: DataFrame, removedIds0: DataFrame, idCol: String,
+      textCol: String, batchId: Long,
+      autoRespanFactor: Int = 4): Option[StorePolicy.ContinueAdvice] =
+    continueImpl(spark, path, addedDocs0, removedIds0, idCol, textCol,
+      autoRespanFactor, Some(batchId))
+
+  private def continueImpl(spark: SparkSession, path: String,
+      addedDocs0: DataFrame, removedIds0: DataFrame, idCol: String,
+      textCol: String, autoRespanFactor: Int,
+      batchId: Option[Long]): Option[StorePolicy.ContinueAdvice] = {
    val advice = SegSwap.withWriterLease(spark, path) { lease =>
     graft.functions.GraftFunctions.register(spark)
     SegSwap.recover(spark, path)
     val p = readParams(spark, path)
+    if (batchId.exists(_ <= p.lastBatch)) None
+    else {
     val B = p.b
     val intern = new IncrMat.Tracker
 
@@ -477,11 +507,14 @@ object DupSpansStore {
     SegSwap.commit(spark, path, Seq(
       ("spans", spansNextT, td), ("ntoks", ntoksNextT, td),
       ("dfreq", dfreqNextT, ts), ("out", outNextT, ao)) ++ cutTables,
+      dirSwaps = batchId.toSeq.map(b => "params" -> ((dst: String) =>
+        writeParamsTo(spark, dst, p.copy(lastBatch = b)))),
       fence = Some(lease))
     intern.releaseAll()
-    StorePolicy.advise("dupspans", (td ++ ao).size, liveDocBuckets)
+    Some(StorePolicy.advise("dupspans", (td ++ ao).size, liveDocBuckets))
+    }
    }
-   locally {
+   if (advice.isDefined) locally {
      val p = readParams(spark, path)
      if (p.mode == "range")
        StorePolicy.autoRespanIfSprawled(spark, path, "out", p.b,

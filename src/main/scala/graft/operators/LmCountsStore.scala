@@ -45,7 +45,7 @@ object LmCountsStore {
     pmod(xxhash64(cs: _*), lit(b.toLong)).cast("int")
 
   private case class Params(b: Int, mode: String, span: Long,
-      idDdl: String, ddl: Map[String, String])
+      idDdl: String, ddl: Map[String, String], lastBatch: Long = -1L)
 
   // params plumbing via the family-shared codec ([[SegSwap.writeParamsTo]]
   // / [[SegSwap.readParamsRow]]: journal-aware, NAME-based, loud on an
@@ -55,18 +55,19 @@ object LmCountsStore {
     SegSwap.writeParamsTo(spark, dst, Seq(
       "b" -> p.b, "mode" -> p.mode, "span" -> p.span, "idDdl" -> p.idDdl,
       "unidocDdl" -> p.ddl("unidoc"), "bidocDdl" -> p.ddl("bidoc"),
-      "uniDdl" -> p.ddl("uni"), "biDdl" -> p.ddl("bi")))
+      "uniDdl" -> p.ddl("uni"), "biDdl" -> p.ddl("bi"),
+      "lastBatch" -> p.lastBatch))
 
   private def writeParams(spark: SparkSession, path: String, p: Params): Unit =
     writeParamsTo(spark, s"$path/params", p)
 
   private val ParamFields = Seq("b", "mode", "span", "idDdl",
-    "unidocDdl", "bidocDdl", "uniDdl", "biDdl")
+    "unidocDdl", "bidocDdl", "uniDdl", "biDdl", "lastBatch")
 
   private def paramsOf(r: org.apache.spark.sql.Row): Params =
     Params(r.getInt(0), r.getString(1), r.getLong(2), r.getString(3),
       Map("unidoc" -> r.getString(4), "bidoc" -> r.getString(5),
-        "uni" -> r.getString(6), "bi" -> r.getString(7)))
+        "uni" -> r.getString(6), "bi" -> r.getString(7)), r.getLong(8))
 
   private def readParams(spark: SparkSession, path: String): Params =
     paramsOf(SegSwap.readParamsRow(spark, path, ParamFields, "lmcounts"))
@@ -175,11 +176,35 @@ object LmCountsStore {
     * `autoRespanFactor ×` the provisioned budget (0 disables). */
   def continueAt(spark: SparkSession, path: String, addedDocs0: DataFrame,
       removedIds0: DataFrame, idCol: String, textCol: String,
-      autoRespanFactor: Int = 4): StorePolicy.ContinueAdvice = {
+      autoRespanFactor: Int = 4): StorePolicy.ContinueAdvice =
+    continueImpl(spark, path, addedDocs0, removedIds0, idCol, textCol,
+      autoRespanFactor, batchId = None).get
+
+  /** The stream batch fence (−1 = never maintained by a stream). */
+  def lastBatch(spark: SparkSession, path: String): Long =
+    readParams(spark, path).lastBatch
+
+  /** [[continueAt]] fenced by a stream micro-batch id — applied AT
+    * MOST ONCE per `batchId` (None on a replayed batch), the fence
+    * recorded in params atomically with the swap and reverted with the
+    * rows by [[rollbackTo]]. */
+  def continueBatch(spark: SparkSession, path: String,
+      addedDocs0: DataFrame, removedIds0: DataFrame, idCol: String,
+      textCol: String, batchId: Long,
+      autoRespanFactor: Int = 4): Option[StorePolicy.ContinueAdvice] =
+    continueImpl(spark, path, addedDocs0, removedIds0, idCol, textCol,
+      autoRespanFactor, Some(batchId))
+
+  private def continueImpl(spark: SparkSession, path: String,
+      addedDocs0: DataFrame, removedIds0: DataFrame, idCol: String,
+      textCol: String, autoRespanFactor: Int,
+      batchId: Option[Long]): Option[StorePolicy.ContinueAdvice] = {
    val advice = SegSwap.withWriterLease(spark, path) { lease =>
     graft.functions.GraftFunctions.register(spark)
     SegSwap.recover(spark, path)
     val p = readParams(spark, path)
+    if (batchId.exists(_ <= p.lastBatch)) None
+    else {
     // pin the delta's id dtype to the init corpus's before bucketing
     val addedDocs = SegSwap.castToPinned(addedDocs0, idCol, p.idDdl,
       "continueAt addedDocs")
@@ -237,11 +262,14 @@ object LmCountsStore {
     SegSwap.commit(spark, path,
       roll("unidoc", "uni", Seq("w"), addUni) ++
         roll("bidoc", "bi", Seq("a", "b"), addBi),
+      dirSwaps = batchId.toSeq.map(b => "params" -> ((dst: String) =>
+        writeParamsTo(spark, dst, p.copy(lastBatch = b)))),
       fence = Some(lease))
     intern.releaseAll()
-    StorePolicy.advise("lmcounts", td.size, liveB)
+    Some(StorePolicy.advise("lmcounts", td.size, liveB))
+    }
    }
-   locally {
+   if (advice.isDefined) locally {
      val p = readParams(spark, path)
      if (p.mode == "range")
        StorePolicy.autoRespanIfSprawled(spark, path, "unidoc", p.b,

@@ -40,21 +40,22 @@ object TfidfStore {
     pmod(xxhash64(c), lit(b.toLong)).cast("int")
 
   private case class Params(b: Int, n: Long, idDdl: String,
-      ddl: Map[String, String])
+      ddl: Map[String, String], lastBatch: Long = -1L)
 
   private def writeParamsTo(spark: SparkSession, dst: String,
       p: Params): Unit =
     SegSwap.writeParamsTo(spark, dst, Seq(
       "b" -> p.b, "n" -> p.n, "idDdl" -> p.idDdl,
       "tfDdl" -> p.ddl("tf"), "dfreqDdl" -> p.ddl("dfreq"),
-      "docsDdl" -> p.ddl("docs")))
+      "docsDdl" -> p.ddl("docs"), "lastBatch" -> p.lastBatch))
 
   private def readParams(spark: SparkSession, path: String): Params = {
     val r = SegSwap.readParamsRow(spark, path,
-      Seq("b", "n", "idDdl", "tfDdl", "dfreqDdl", "docsDdl"), "tfidfstore")
+      Seq("b", "n", "idDdl", "tfDdl", "dfreqDdl", "docsDdl", "lastBatch"),
+      "tfidfstore")
     Params(r.getInt(0), r.getLong(1), r.getString(2),
       Map("tf" -> r.getString(3), "dfreq" -> r.getString(4),
-        "docs" -> r.getString(5)))
+        "docs" -> r.getString(5)), r.getLong(6))
   }
 
   private def readTable(spark: SparkSession, path: String, p: Params,
@@ -163,11 +164,45 @@ object TfidfStore {
     * the params dir-swap through the same journal. */
   def continueAt(spark: SparkSession, path: String, addedDocs: DataFrame,
       removedIds: DataFrame, idCol: String, textCol: String)
-      : StorePolicy.ContinueAdvice = {
+      : StorePolicy.ContinueAdvice =
+    continueImpl(spark, path, addedDocs, removedIds, idCol, textCol,
+      batchId = None).get
+
+  /** The stream batch fence (−1 = never maintained by a stream). */
+  def lastBatch(spark: SparkSession, path: String): Long =
+    readParams(spark, path).lastBatch
+
+  /** [[continueAt]] fenced by a stream micro-batch id — applied AT
+    * MOST ONCE per `batchId` (None on a replayed batch), the fence
+    * riding the params dir-swap the continuation already commits (N
+    * lives there), reverted with the rows by [[rollbackTo]]: the
+    * [[graft.streaming.StreamMaintain]] exactly-once contract on the
+    * corpus-statistics surface. */
+  def continueBatch(spark: SparkSession, path: String,
+      addedDocs: DataFrame, removedIds: DataFrame, idCol: String,
+      textCol: String, batchId: Long): Option[StorePolicy.ContinueAdvice] =
+    continueImpl(spark, path, addedDocs, removedIds, idCol, textCol,
+      Some(batchId))
+
+  private def continueImpl(spark: SparkSession, path: String,
+      addedDocs: DataFrame, removedIds: DataFrame, idCol: String,
+      textCol: String, batchId: Option[Long])
+      : Option[StorePolicy.ContinueAdvice] = {
    val advice = SegSwap.withWriterLease(spark, path) { lease =>
     graft.functions.GraftFunctions.register(spark)
     SegSwap.recover(spark, path)
     val p = readParams(spark, path)
+    if (batchId.exists(_ <= p.lastBatch)) None
+    else continueBody(spark, path, addedDocs, removedIds, idCol,
+      textCol, batchId, p, lease)
+   }
+   advice
+  }
+
+  private def continueBody(spark: SparkSession, path: String,
+      addedDocs: DataFrame, removedIds: DataFrame, idCol: String,
+      textCol: String, batchId: Option[Long], p: Params, lease: Long)
+      : Option[StorePolicy.ContinueAdvice] = {
     val B = p.b
     val intern = new IncrMat.Tracker
     // duplicate-immune removal set (N must not decrement twice)
@@ -242,12 +277,11 @@ object TfidfStore {
       ("tf", tfNextT, td), ("dfreq", dfreqNextT, ts),
       ("docs", docsNextT, td)),
       dirSwaps = Seq("params" -> ((dst: String) =>
-        writeParamsTo(spark, dst, p.copy(n = n2)))),
+        writeParamsTo(spark, dst, p.copy(n = n2,
+          lastBatch = batchId.getOrElse(p.lastBatch))))),
       fence = Some(lease))
     intern.releaseAll()
-    StorePolicy.advise("tfidfstore", td.size, liveB)
-   }
-   advice
+    Some(StorePolicy.advise("tfidfstore", td.size, liveB))
   }
 
   /** Journaled RE-BUCKETING / COMPACTION — lazy staged frames streamed

@@ -322,4 +322,65 @@ object StreamMaintain {
     removed.unpersist(blocking = false)
     advice
   }
+
+  /** The WHOLE-PIPELINE maintainer: one 24/7 document stream keeps
+    * every text-delta derived store current — TF-IDF weights, the LM
+    * quality model, ExactSubstr dup spans/cuts, SimHash near-dup
+    * clusters — from a single micro-batch of ±document deltas
+    * (`id, text` upserts; `op = "D"` removals).
+    *
+    * Exactly-once WITHOUT a cross-store transaction: each store's
+    * continuation is fenced by the micro-batch id riding its OWN
+    * params through its own journaled swap, and — unlike the
+    * rank-loop maintainers — these stores' contents depend only on
+    * the current corpus, never on each other or on apply history, so
+    * the apply ORDER across stores is free and a crash mid-family
+    * simply completes the un-applied suffix on replay (each store
+    * applies at most once; the already-applied prefix skips on its
+    * fence). This is [[graft.operators.Forget.sweep]]'s store-kind
+    * dispatch pattern on the arrival side, without needing its
+    * atomicity: a partially-applied batch is not an inconsistent
+    * STATE, just a pipeline a few stores behind, healed by the replay.
+    *
+    * `stores`: (kind, path) pairs; kinds `tfidf`, `lmcounts`,
+    * `dupspans`, `dedupclusters` (the text-delta family — the vector
+    * stores have [[ivfBatch]]/[[ivfPqBatch]]/the algorithm
+    * maintainers). Returns per-kind advice for the stores that applied
+    * (fenced-out replays are absent). */
+  def corpusBatch(spark: SparkSession, stores: Seq[(String, String)],
+      batch: DataFrame, batchId: Long, idCol: String = "doc_id",
+      textCol: String = "text")
+      : Map[String, graft.operators.StorePolicy.ContinueAdvice] = {
+    def phase[T](label: => String)(f: => T): T =
+      StreamMaintain.phase("corpus", batchId)(label)(f)
+    val known = Set("tfidf", "lmcounts", "dupspans", "dedupclusters")
+    stores.foreach { case (kind, _) =>
+      require(known.contains(kind),
+        s"corpusBatch: no maintainer for store kind '$kind' " +
+          s"(known: ${known.toSeq.sorted.mkString(", ")})")
+    }
+    val (ups, removed) = splitOps(batch, idCol, "long")
+    val added = phase("pin delta")(
+      ups.select(col(idCol).cast("long"), col(textCol)).distinct()
+        .localCheckpoint(true))
+    val advice = stores.flatMap { case (kind, path) =>
+      phase(s"$kind continuation") {
+        val a = kind match {
+          case "tfidf" => graft.operators.TfidfStore.continueBatch(
+            spark, path, added, removed, idCol, textCol, batchId)
+          case "lmcounts" => graft.operators.LmCountsStore.continueBatch(
+            spark, path, added, removed, idCol, textCol, batchId)
+          case "dupspans" => graft.operators.DupSpansStore.continueBatch(
+            spark, path, added, removed, idCol, textCol, batchId)
+          case "dedupclusters" =>
+            graft.operators.DedupClusterStore.continueBatch(
+              spark, path, added, removed, idCol, textCol, batchId)
+        }
+        a.map(kind -> _)
+      }
+    }.toMap
+    added.unpersist(blocking = false)
+    removed.unpersist(blocking = false)
+    advice
+  }
 }

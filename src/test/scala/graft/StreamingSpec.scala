@@ -609,6 +609,100 @@ class StreamingSpec extends SparkSpec {
     assert(got(10L) == got(12L))
   }
 
+  test("corpusBatch: one document stream maintains tfidf + lm + dupspans + clusters, " +
+      "mid-family crash heals on replay") {
+    import graft.operators.{DedupClusterStore, DupSpansStore,
+      LmCountsStore, TfidfStore}
+    import graft.streaming.StreamMaintain
+    def doc(i: Long) = {
+      val g = i / 3; val v = i % 3
+      (i, (0 until 8).map(k => s"tok${g}x$k").mkString(" ") + s" v$v$g")
+    }
+    val base = (0L until 45L).map(doc).toDF("doc_id", "text")
+    def mkStores(tag: String, corpus: org.apache.spark.sql.DataFrame) = {
+      def dir(n: String) = java.nio.file.Files
+        .createTempDirectory(s"graft_corpus_${tag}_$n").toString
+      val (tp, lp, sp, cp) = (dir("tf"), dir("lm"), dir("sp"), dir("cl"))
+      TfidfStore.init(spark, tp, corpus, "doc_id", "text", nBuckets = 8)
+      LmCountsStore.init(spark, lp, corpus, "doc_id", "text", nBuckets = 8)
+      DupSpansStore.init(spark, sp, corpus, "doc_id", "text",
+        w = 4, nBuckets = 8, withCut = true)
+      DedupClusterStore.init(spark, cp, corpus, "doc_id", "text",
+        maxHamming = 3, nBuckets = 8)
+      Seq("tfidf" -> tp, "lmcounts" -> lp, "dupspans" -> sp,
+        "dedupclusters" -> cp)
+    }
+    val stores = mkStores("live", base)
+
+    val g2text = (0 until 8).map(k => s"tok2x$k").mkString(" ") + " v02"
+    val delta1 = Seq((100L, g2text, "U"), (101L, "fresh words here", "U"))
+      .toDF("doc_id", "text", "op")
+    val delta2 = Seq((7L, null: String, "D"), (100L, null: String, "D"))
+      .toDF("doc_id", "text", "op")
+    val dropDir = graft.streaming.DeltaFiles.stage(Seq(delta1, delta2))
+
+    // MID-FAMILY CRASH simulation before the stream ever runs: batch 0
+    // lands on only the first two stores (the coordinator died between
+    // store applies). No rollback needed — each store is just at most
+    // one batch behind, not inconsistent.
+    StreamMaintain.corpusBatch(spark, stores.take(2),
+      delta1, 0L, "doc_id", "text")
+    assert(TfidfStore.lastBatch(spark, stores(0)._2) == 0L)
+    assert(DupSpansStore.lastBatch(spark, stores(2)._2) == -1L)
+
+    // the real stream now delivers batch 0 to ALL stores: the applied
+    // prefix skips on its fence (advice absent), the suffix completes
+    var batch0Advice: Set[String] = Set.empty
+    graft.streaming.DeltaFiles.runToEnd(spark, delta1.schema, dropDir) {
+      (batch, bid) =>
+        val a = StreamMaintain.corpusBatch(spark, stores, batch, bid,
+          "doc_id", "text")
+        if (bid == 0L) batch0Advice = a.keySet
+        ()
+    }
+    assert(batch0Advice == Set("dupspans", "dedupclusters"),
+      s"applied prefix must fence out, got $batch0Advice")
+    stores.foreach { case (_, p2) =>
+      assert(graft.operators.SegSwap.readParamsRow(spark, p2,
+        Seq("lastBatch"), "spec").getLong(0) == 1L)
+    }
+
+    // full replay of both batches: every store fences, nothing moves
+    val pre = readingsOf(stores)
+    assert(StreamMaintain.corpusBatch(spark, stores, delta1, 0L).isEmpty)
+    assert(StreamMaintain.corpusBatch(spark, stores, delta2, 1L).isEmpty)
+    assert(readingsOf(stores) == pre, "replay mutated a store")
+
+    // exactness: every store equals a twin built fresh on the final
+    // corpus (base − 7 + 101; 100 was added then removed)
+    val finalCorpus = base.filter($"doc_id" =!= 7L)
+      .unionByName(Seq((101L, "fresh words here")).toDF("doc_id", "text"))
+    val fresh = mkStores("fresh", finalCorpus)
+    assert(readingsOf(stores) == readingsOf(fresh),
+      "stream-maintained family diverged from built-fresh twins")
+  }
+
+  /** Content fingerprint of each store kind (the ForgetSpec pattern). */
+  private def readingsOf(stores: Seq[(String, String)]): Map[String, Set[String]] = {
+    import graft.operators.{DedupClusterStore, DupSpansStore,
+      LmCountsStore, TfidfStore}
+    val probe = Seq((900L, "tok2x0 tok2x1 fresh words"))
+      .toDF("doc_id", "text")
+    stores.map { case (kind, p) =>
+      val df = kind match {
+        case "tfidf" => TfidfStore.tfidf(spark, p)
+          .selectExpr("doc_id", "token", "tf", "df")
+        case "lmcounts" => LmCountsStore.scoreAgainst(spark, p, probe,
+          "doc_id", "text").selectExpr("doc_id", "nb", "avg_nll", "keep")
+        case "dupspans" => DupSpansStore.cuts(spark, p)
+          .selectExpr("doc_id", "clean")
+        case "dedupclusters" => DedupClusterStore.clusters(spark, p)
+          .selectExpr("id", "comp")
+      }
+      kind -> df.collect().map(_.toString).toSet
+    }.toMap
+  }
+
   test("windowed stats over a file stream match the batch computation") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val stream = EventStreams.readEventStream(spark, sf)
