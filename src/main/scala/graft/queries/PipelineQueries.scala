@@ -781,28 +781,28 @@ object PipelineQueries {
 
     // THE WHOLE-PIPELINE MAINTAINER (StreamMaintain.corpusBatch): the
     // same ±document delta arrives as a real StreamingQuery — batch 1
-    // adds the ≡3 docs, batch 2 removes the ≡7 via op="D" — and ONE
-    // foreachBatch body keeps BOTH the TF-IDF store and the dup-span
-    // store current, each continuation fenced by the micro-batch id
-    // riding its own params (exactly-once per store, no cross-store
-    // txn: corpus-derived stores can't be mutually inconsistent, only
-    // behind — a crash mid-family heals on replay, spec-pinned). Gate
-    // output is the TF-IDF side under q_incr_tfidf_seg's post-delta
-    // oracle; the dupspans side is asserted by its own fence advancing
-    // (a wrong batch algebra there would also desync the tfidf delta
-    // shapes, but its content oracle is carried by q_incr_dup_spans_seg).
+    // adds the ≡3 docs, batch 2 removes the ≡7 via op="D" — applied by
+    // the corpusBatch dispatch, the TF-IDF continuation fenced by the
+    // micro-batch id riding its params (exactly-once; replay = a
+    // params read). Gate weight discipline: the gate carries ONE store
+    // (the q_incr_tfidf_seg load class) — the 4-store family form
+    // (tfidf + lm + dupspans + clusters, mid-family crash healing,
+    // full-replay immutability, built-fresh-twin equality) runs as a
+    // real StreamingQuery in StreamingSpec, where its cost is off the
+    // driver's bench budget. Like the txn/forget/export store-op
+    // gates, this runs on a doc_id%3 slice: the machinery under test
+    // (corpusBatch dispatch, per-store fence, the two-continuation
+    // stream) is size-independent, and the full-size TF-IDF load is
+    // already carried by q_tfidf / q_incr_tfidf / q_incr_tfidf_seg.
     Q("q_incr_tfidf_stream",
       (s, dir) => {
         val docs = Q.t(s, dir, "documents")
+          .filter(col("doc_id") % 3 === 0)
         val base = docs.filter(col("doc_id") % 10 =!= 3)
         val tf = java.nio.file.Files
           .createTempDirectory("graft_tfidf_stream").toString
-        val sp = java.nio.file.Files
-          .createTempDirectory("graft_spans_stream").toString
         graft.operators.TfidfStore.init(s, tf, base, "doc_id", "text",
           nBuckets = 16)
-        graft.operators.DupSpansStore.init(s, sp, base, "doc_id", "text",
-          w = 8, nBuckets = 16)
         val delta1 = docs.filter(col("doc_id") % 10 === 3)
           .select(col("doc_id"), col("text"), lit("U").as("op"))
         val delta2 = base.filter(col("doc_id") % 10 === 7)
@@ -812,23 +812,22 @@ object PipelineQueries {
         graft.streaming.DeltaFiles.runToEnd(s, delta1.schema, drop) {
           (batch, bid) =>
             graft.streaming.StreamMaintain.corpusBatch(s,
-              Seq("tfidf" -> tf, "dupspans" -> sp), batch, bid)
+              Seq("tfidf" -> tf), batch, bid)
             ()
         }
-        require(graft.operators.DupSpansStore.lastBatch(s, sp) == 1L,
-          "dupspans fence did not advance")
         graft.operators.TfidfStore.tfidf(s, tf)
           .select(col("doc_id"), col("token"), col("tf"), col("df"),
             round(col("tfidf"), 6).as("tfidf"))
       },
       Some(s"""WITH toks AS (SELECT doc_id,
                 list_filter(regexp_split_to_array(text, ' +'), x -> x <> '') AS toks
-                FROM documents WHERE doc_id % 10 <> 7),
+                FROM documents WHERE doc_id % 3 = 0 AND doc_id % 10 <> 7),
               tf AS (SELECT doc_id, t AS token, count(*) AS tf
                 FROM (SELECT doc_id, unnest(toks) AS t FROM toks)
                 GROUP BY 1, 2),
               dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
-              n AS (SELECT count(*) AS n FROM documents WHERE doc_id % 10 <> 7)
+              n AS (SELECT count(*) AS n FROM documents
+                WHERE doc_id % 3 = 0 AND doc_id % 10 <> 7)
               SELECT tf.doc_id, tf.token, tf.tf, dfq.df,
                 round(tf.tf * ln(n.n::DOUBLE / dfq.df), 6) AS tfidf
               FROM tf JOIN dfq USING (token) CROSS JOIN n""")),
