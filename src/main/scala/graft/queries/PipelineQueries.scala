@@ -617,10 +617,15 @@ object PipelineQueries {
     // each batch fenced by its id riding the store's params through
     // the continuation's own journaled swap (exactly-once). Two exact
     // continuations land on the same final corpus as the one-shot
-    // batch gate, so the recursive-closure oracle is shared verbatim.
+    // batch gate, so the recursive-closure oracle is shared modulo the
+    // slice. Gate weight: runs on a doc_id%3 slice (the store-op gate
+    // discipline) — the stream machinery and fence under test are
+    // size-independent, and the full-size cluster load is carried by
+    // q_incr_dedup_clusters_seg.
     Q("q_incr_dedup_stream",
       (s, dir) => {
         val docs = Q.t(s, dir, "documents")
+          .filter(col("doc_id") % 3 === 0)
         val base = docs.filter(col("doc_id") % 10 =!= 3)
         val store = java.nio.file.Files
           .createTempDirectory("graft_dedup_stream_gate").toString
@@ -640,7 +645,8 @@ object PipelineQueries {
         graft.operators.DedupClusterStore.clusters(s, store)
           .select(col("id"), col("comp"))
       },
-      Some(s"""WITH RECURSIVE ${simhashPairCtesWhere(" WHERE doc_id % 10 <> 7")},
+      Some(s"""WITH RECURSIVE ${simhashPairCtesWhere(
+                " WHERE doc_id % 3 = 0 AND doc_id % 10 <> 7")},
               prs AS (SELECT a, b FROM cands
                 WHERE bit_count(xor(ha1, hb1)) + bit_count(xor(ha2, hb2)) <= 3),
               edges AS (SELECT a AS u, b AS v FROM prs
