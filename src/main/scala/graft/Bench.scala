@@ -72,7 +72,12 @@ object Bench {
         // the stream-maintained ANN/dedup/pipeline gates reuse their
         // batch siblings' plans plus the streaming machinery
         "q_incr_ann_ivf_stream", "q_incr_dedup_stream",
-        "q_incr_tfidf_stream").foreach { n =>
+        "q_incr_tfidf_stream",
+        // round-13 gates: the One2All/IVF-PQ maintainers and the
+        // two-store corpusBatch dispatch carry stream+store codegen
+        // their batch siblings don't
+        "q_incr_kmeans_stream", "q_incr_ann_ivfpq_stream",
+        "q_incr_corpus_stream").foreach { n =>
         SparkEntry.queries.get(n).foreach { fn =>
           try fn(spark, warmDir).count() catch { case _: Throwable => () }
         }
@@ -89,7 +94,14 @@ object Bench {
     // Every rep is followed by the same clearCache+GC hygiene, so rep 2+
     // measures the plan, not rep 1's leftover cache.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt.max(1)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // builder-side spot checks: run only the comma-named queries (the
+    // driver never sets this, so the official bench is unaffected)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty[String])
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .map { case (name, fn) =>
       val gc0 = gcMs
       val cg0 = codegenCount
       var residWorst = (0, 0L)
@@ -152,10 +164,12 @@ object Bench {
     // line once the query map outgrew the capture window (BENCH_r08's
     // parsed: null) — ALSO write the whole line to a file the driver
     // (or a human) can read intact, before printing it.
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("bench_result.json"), line + "\n")
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] could not write bench_result.json: $e") }
+    // a filtered spot-check run must not clobber the full-run artifact
+    if (only.isEmpty)
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("bench_result.json"), line + "\n")
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] could not write bench_result.json: $e") }
     println(line)
     spark.stop()
   }

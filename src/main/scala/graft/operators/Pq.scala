@@ -291,7 +291,7 @@ object Pq {
       m: Int = 8, ksub: Int = 16, pqRounds: Int = 0,
       centroids: Option[DataFrame] = None,
       codebooks: Option[DataFrame] = None,
-      centroidFoldLimit: Int = 64, locBuckets: Int = 64): Unit = {
+      centroidFoldLimit: Int = 64, locBuckets: Int = 0): Unit = {
     val spark = vectors.sparkSession
     graft.functions.GraftFunctions.register(spark)
     SegSwap.resetForInit(SegSwap.fsOf(spark, path), path)
@@ -315,15 +315,18 @@ object Pq {
       .withColumn("_b", col("cid").cast("int"))
       .select("nid", "nvec", "codes", "rnorm2", "cid", "_b")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // locBuckets = 0 → size by the build corpus ([[Similarity.autoLocB]])
+    val locB =
+      if (locBuckets > 0) locBuckets else Similarity.autoLocB(assigned.count())
     assigned
       .repartition(col("_b"))
       .write.mode("overwrite").partitionBy("_b").parquet(s"$path/lists")
     assigned.select(col("nid"), col("cid"))
-      .withColumn("_b", Similarity.locBucket(col("nid"), locBuckets))
+      .withColumn("_b", Similarity.locBucket(col("nid"), locB))
       .repartition(col("_b"))
       .write.mode("overwrite").partitionBy("_b").parquet(s"$path/loc")
     assigned.unpersist(blocking = false)
-    SegSwap.writeParamsTo(spark, s"$path/params", pqParams(m, locBuckets)(-1L))
+    SegSwap.writeParamsTo(spark, s"$path/params", pqParams(m, locB)(-1L))
   }
 
   private def readM(spark: SparkSession, path: String): Int =

@@ -149,7 +149,7 @@ object Similarity {
     * is retired; its contract lives on in [[SegSwap]]). */
   def buildIvfIndex(vectors: DataFrame, path: String, nlist: Int = 256,
       centroids: Option[DataFrame] = None, centroidFoldLimit: Int = 64,
-      locBuckets: Int = 64): Unit = {
+      locBuckets: Int = 0): Unit = {
     val spark = vectors.sparkSession
     graft.functions.GraftFunctions.register(spark)
     SegSwap.resetForInit(SegSwap.fsOf(spark, path), path)
@@ -164,12 +164,15 @@ object Similarity {
     val assigned = assignToLists(v, cents, centroidFoldLimit)
       .withColumn("_b", col("cid").cast("int"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // locBuckets = 0 → size by the build corpus (the count reads the
+    // frame the two writes below materialize anyway)
+    val locB = if (locBuckets > 0) locBuckets else autoLocB(assigned.count())
     assigned
       .repartition(col("_b"))
       .write.mode("overwrite").partitionBy("_b").parquet(s"$path/lists")
-    writeLoc(assigned, s"$path/loc", locBuckets)
+    writeLoc(assigned, s"$path/loc", locB)
     assigned.unpersist(blocking = false)
-    SegSwap.writeParamsTo(spark, s"$path/params", ivfParams(-1L, locBuckets))
+    SegSwap.writeParamsTo(spark, s"$path/params", ivfParams(-1L, locB))
   }
 
   /** The LOCATOR table both on-disk ANN stores carry beside their
@@ -186,6 +189,20 @@ object Similarity {
   private[operators] val locSchemaB =
     org.apache.spark.sql.types.StructType.fromDDL(
       "nid BIGINT, cid BIGINT, _b INT")
+
+  /** Locator bucket count sized by DATA, not by a fixed dir count —
+    * the two-sided provisioning rule the `upsert_rebucket` probe
+    * measured: a loc row is 16 B, so a ~1M-row bucket is ~16 MB of
+    * parquet — far under any executor budget, while per-commit DIR
+    * overhead (journal entry + file create per touched bucket) is the
+    * dominant cost at small corpora (a fixed 64 cost the gate-scale
+    * IVF update a measured ~+2 s per commit on a 2 000-row corpus).
+    * max(4, ceil(rows/1e6)) capped at 65536: gate corpora get 4 dirs,
+    * a 10^10-row corpus gets 10 000 × 16 MB buckets. A long-lived
+    * maintainer whose corpus outgrows the build-time sizing migrates
+    * with [[ivfRebucketLoc]] — sizing is a default, not a cage. */
+  private[operators] def autoLocB(rows: Long): Int =
+    math.min(65536L, math.max(4L, (rows + 999999L) / 1000000L)).toInt
 
   /** xxhash64 is TYPE-sensitive (hash(7: int) != hash(7L)), so the
     * bucket hash pins its input to the store's BIGINT nid type first —

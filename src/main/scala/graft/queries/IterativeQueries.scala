@@ -406,6 +406,93 @@ object IterativeQueries {
          SELECT cid, count(*) AS n FROM a$last GROUP BY 1) m ON c.cid = m.cid"""
   }
 
+  /** TWO-batch chained incremental KMeans oracle — the
+    * q_incr_kmeans_stream gate's truth, the One2All member of the
+    * stream-maintainer family unrolled: `baseIters` Lloyd rounds on the
+    * base points (c_custkey ≡ 0 mod 3 slice — the store-op gate
+    * discipline; a mod-3 slice intersects both mod-10 delta cohorts,
+    * where the txn gates' mod-4 would zero them), then per batch the
+    * [[incrKmeansSql]] continuation shape: round 1 recenters ONLY the
+    * centers the delta touched (a changed point's old or new
+    * assignment under the entry centers — for a REMOVED point just the
+    * old one, a removal being the degenerate replacement with no new
+    * contribution), later rounds are plain Lloyd steps over the
+    * updated points (One2All: a moved center re-dirties everything).
+    * Batch 1 shrinks id%10==3 points by 0.5; batch 2 REMOVES the
+    * id%10==6 points outright (`op = "D"` — the deletion leg the
+    * pagerank stream twin pins on the One2One side). θ=0 exact
+    * unroll; the batch-2 entry state is batch 1's exit state (the
+    * store's refreshed kvs/out — the PreservedState exit invariant). */
+  private def incrKmeansStreamSql(baseIters: Int, incrIters: Int,
+      k: Int): String = {
+    def assign(i: Int, ptsCte: String) =
+      s"""a$i AS (SELECT id, x, y, cid FROM (
+         SELECT p.id, p.x, p.y, c.cid,
+           row_number() OVER (PARTITION BY p.id ORDER BY
+             (p.x - c.cx) * (p.x - c.cx) + (p.y - c.cy) * (p.y - c.cy), c.cid) AS rn
+         FROM $ptsCte p CROSS JOIN c${i - 1} c) WHERE rn = 1)"""
+    def recenter(i: Int) =
+      s"""c$i AS (SELECT c.cid, coalesce(m.mx, c.cx) AS cx, coalesce(m.my, c.cy) AS cy
+         FROM c${i - 1} c LEFT JOIN (
+           SELECT cid, avg(x) AS mx, avg(y) AS my FROM a$i GROUP BY 1) m
+         ON c.cid = m.cid)"""
+    // the touched-centers-only first round of a continuation: centers
+    // in `aff` take the merged-bag mean (= the group mean of the full
+    // re-assignment under the entry centers — the MRBGraph argument in
+    // [[incrKmeansSql]]'s doc), the rest keep their entry positions
+    def firstRound(i: Int, aff: String) =
+      s"""c$i AS (SELECT c.cid,
+         CASE WHEN c.cid IN (SELECT cid FROM $aff)
+           THEN coalesce(m.mx, c.cx) ELSE c.cx END AS cx,
+         CASE WHEN c.cid IN (SELECT cid FROM $aff)
+           THEN coalesce(m.my, c.cy) ELSE c.cy END AS cy
+         FROM c${i - 1} c LEFT JOIN (
+           SELECT cid, avg(x) AS mx, avg(y) AS my FROM a$i GROUP BY 1) m
+         ON c.cid = m.cid)"""
+    // old assignment of a changed cohort under the entry centers c$at
+    // (the preserved kvs rows the continuation evicts)
+    def oldAssign(name: String, cohort: String, at: Int) =
+      s"""$name AS (SELECT id, cid FROM (
+         SELECT p.id, c.cid,
+           row_number() OVER (PARTITION BY p.id ORDER BY
+             (p.x - c.cx) * (p.x - c.cx) + (p.y - c.cy) * (p.y - c.cy), c.cid) AS rn
+         FROM ($cohort) p CROSS JOIN c$at c) WHERE rn = 1)"""
+    val base = (1 to baseIters)
+      .map(i => assign(i, "pts") + ",\n" + recenter(i)).mkString(",\n")
+    val b1 = baseIters + 1
+    val l1 = baseIters + incrIters
+    val b2 = l1 + 1
+    val l2 = l1 + incrIters
+    val cont1 = (b1 + 1 to l1)
+      .map(i => assign(i, "pts2") + ",\n" + recenter(i)).mkString(",\n")
+    val cont2 = (b2 + 1 to l2)
+      .map(i => assign(i, "pts3") + ",\n" + recenter(i)).mkString(",\n")
+    s"""WITH pts AS (SELECT c_custkey AS id, c_acctbal / 1000.0 AS x,
+         CAST(c_nationkey AS DOUBLE) AS y FROM customer
+         WHERE c_custkey % 3 = 0),
+       c0 AS (SELECT CAST(row_number() OVER (ORDER BY id) AS INT) - 1 AS cid,
+         x AS cx, y AS cy FROM (SELECT id, x, y FROM pts ORDER BY id LIMIT $k)),
+       $base,
+       pts2 AS (SELECT id, CASE WHEN id % 10 = 3 THEN x * 0.5 ELSE x END AS x,
+         CASE WHEN id % 10 = 3 THEN y * 0.5 ELSE y END AS y FROM pts),
+       ${oldAssign("pa", "SELECT * FROM pts WHERE id % 10 = 3", baseIters)},
+       ${assign(b1, "pts2")},
+       aff1 AS (SELECT DISTINCT cid FROM a$b1 WHERE id % 10 = 3
+         UNION SELECT DISTINCT cid FROM pa),
+       ${firstRound(b1, "aff1")},
+       $cont1,
+       pts3 AS (SELECT * FROM pts2 WHERE id % 10 <> 6),
+       ${oldAssign("pb", "SELECT * FROM pts2 WHERE id % 10 = 6", l1)},
+       aff2 AS (SELECT DISTINCT cid FROM pb),
+       ${assign(b2, "pts3")},
+       ${firstRound(b2, "aff2")},
+       $cont2
+       SELECT c.cid, round(c.cx, 6) AS cx, round(c.cy, 6) AS cy,
+         coalesce(m.n, 0) AS n
+       FROM c$l2 c LEFT JOIN (
+         SELECT cid, count(*) AS n FROM a$l2 GROUP BY 1) m ON c.cid = m.cid"""
+  }
+
   // ---- queries ----------------------------------------------------------
 
   val all: Seq[Q] = Seq(
@@ -842,6 +929,65 @@ object IterativeQueries {
         out.count()
         out
       },
-      Some(incrPagerankStreamDelSql(2, 2, edgesSliceSql)))
+      Some(incrPagerankStreamDelSql(2, 2, edgesSliceSql))),
+
+    // THE ONE2ALL STREAM MAINTAINER (round-12 verdict #2): the same
+    // real-StreamingQuery maintenance pipeline on the family's One2All
+    // member — KMeans centers in a durable SegmentedStateStore, the
+    // evolving point set in a KeyedUpsertStore, two point-delta files
+    // as micro-batches applied by StreamMaintain.kmeansBatch (center
+    // continuation against the PRE-batch point store overlaid with the
+    // batch, point upsert second, per-store batch-id fences — the
+    // exactly-once contract of the One2One twins, on the join type
+    // where a moved center re-dirties every point). Batch 2 carries
+    // pure `op = "D"` removals — the reference's "−" delta triples on
+    // the kmeans workload (genKMUpdate's point deltas, consumed by the
+    // ONE2ALL join path, `MapTask.java:794-799`; global center cycle
+    // `JobTracker.java:5604-5656`). Gate weight: c_custkey%3 slice,
+    // 2 base + 2 incremental Lloyd rounds per batch — the machinery
+    // under test (stream fences, overlay reads, removal algebra) is
+    // size-independent and the full-size KMeans load is carried by
+    // q_kmeans / q_incr_kmeans. Oracle: the two-batch chained unroll.
+    Q("q_incr_kmeans_stream",
+      (s, dir) => {
+        val pts = Q.t(s, dir, "customer")
+          .filter(col("c_custkey") % 3 === 0)
+          .select(col("c_custkey").as("id"),
+            array(col("c_acctbal") / 1000.0,
+              col("c_nationkey").cast("double")).as("vec"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val centerStore = java.nio.file.Files
+          .createTempDirectory("graft_km_stream_centers").toString
+        val pointStore = java.nio.file.Files
+          .createTempDirectory("graft_km_stream_points").toString
+        IncrementalKMeans.preserveToSeg(s, centerStore, pts, k = 4,
+          iterations = 2, nBuckets = 16)
+        IncrementalKMeans.initPointStore(s, pointStore, pts, nBuckets = 16)
+        // batch 1 shrinks the ≡3 points toward the origin (the
+        // q_incr_kmeans delta); batch 2 REMOVES the ≡6 points outright
+        val delta1 = pts.filter(col("id") % 10 === 3)
+          .select(col("id"),
+            transform(col("vec"), x => x * 0.5).as("vec"),
+            lit("U").as("op"))
+        val delta2 = pts.filter(col("id") % 10 === 6)
+          .select(col("id"),
+            lit(null).cast("array<double>").as("vec"), lit("D").as("op"))
+        val drop = graft.streaming.DeltaFiles.stage(Seq(delta1, delta2))
+        graft.streaming.DeltaFiles.runToEnd(s, delta1.schema, drop) {
+          (batch, bid) =>
+            graft.streaming.StreamMaintain.kmeansBatch(s, centerStore,
+              pointStore, batch, bid, iterations = 2, numPartitions = 8)
+            ()
+        }
+        val out = graft.core.SegmentedStateStore.openForRead(s, centerStore)
+          .preserved.out
+          .select(col("cid"), round(col("cvec")(0), 6).as("cx"),
+            round(col("cvec")(1), 6).as("cy"), col("n"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        out.count()
+        pts.unpersist(blocking = false)
+        out
+      },
+      Some(incrKmeansStreamSql(2, 2, 4)))
   )
 }

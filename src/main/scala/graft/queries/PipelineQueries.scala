@@ -199,19 +199,26 @@ object PipelineQueries {
     * over the 64-dim embeddings, ksub=16 entries per subspace, ADC
     * top-`rerank` candidates for queries id<5, exact cosine rerank.
     * `poolCte`/`poolJoin` optionally restrict each query's candidate
-    * pool (the IVF-PQ probe: members of the query's probed lists). */
+    * pool (the IVF-PQ probe: members of the query's probed lists).
+    * `baseWhere` picks the TRAIN cohort (codebooks — and, via `vb` in
+    * the pool CTE, the coarse centroids — freeze on it); `corpusWhere`
+    * picks the ENCODED corpus (the incremental twins encode a
+    * post-delta corpus under base-frozen quantizers). */
   private def pqOracleSqlFor(rerank: Int, k: Int,
-      poolCte: String = "", poolJoin: String = ""): String =
+      poolCte: String = "", poolJoin: String = "",
+      baseWhere: String = "TRUE", corpusWhere: String = "TRUE"): String =
     s"""WITH $vecCte,
+        vb AS (SELECT id, vec FROM v WHERE $baseWhere),
+        vc AS (SELECT id, vec FROM v WHERE $corpusWhere),
         seeds AS (SELECT id, vec,
           CAST(row_number() OVER (ORDER BY id) AS INT) - 1 AS code
-          FROM (SELECT id, vec FROM v ORDER BY id LIMIT 16)),
+          FROM (SELECT id, vec FROM vb ORDER BY id LIMIT 16)),
         cb0 AS (SELECT s, code, vec[s*8+1 : s*8+8] AS cvec
           FROM seeds, generate_series(0, 7) g(s)),
         cb AS (SELECT s, code, cvec, ${dotSql("cvec", "cvec")} AS cnorm2
           FROM cb0),
         subs AS (SELECT id, s, vec[s*8+1 : s*8+8] AS sub
-          FROM v, generate_series(0, 7) g(s)),
+          FROM vc, generate_series(0, 7) g(s)),
         asg AS (SELECT id, s, code, cnorm2 FROM (
           SELECT sub.id, sub.s, cb.code, cb.cnorm2,
             row_number() OVER (PARTITION BY sub.id, sub.s ORDER BY
@@ -222,7 +229,7 @@ object PipelineQueries {
         enc AS (SELECT id, list(code ORDER BY s) AS codes,
           list_reduce(list(cnorm2 ORDER BY s), (a, b) -> a + b) AS rnorm2
           FROM asg GROUP BY id),
-        q AS (SELECT id AS qid, vec AS qvec FROM v WHERE id < 5),
+        q AS (SELECT id AS qid, vec AS qvec FROM vc WHERE id < 5),
         lut AS (SELECT q.qid, cb.s, cb.code,
           ${dotSql("q.qvec[cb.s*8+1 : cb.s*8+8]", "cb.cvec")} AS dotv
           FROM q CROSS JOIN cb),
@@ -234,7 +241,7 @@ object PipelineQueries {
           FROM ec JOIN lut l ON ec.s = l.s AND ec.code = l.code
           GROUP BY 1, 2),$poolCte
         adc AS (SELECT a.qid, a.nid,
-          a.sumdot / (qn.qnorm * sqrt(e.rnorm2)) AS adc
+          a.sumdot / NULLIF(qn.qnorm * sqrt(e.rnorm2), 0) AS adc
           FROM adcsum a JOIN qn USING (qid) JOIN enc e ON e.id = a.nid
           $poolJoin
           WHERE a.qid <> a.nid),
@@ -245,7 +252,7 @@ object PipelineQueries {
           ${dotSql("qv.vec", "nv.vec")} /
             (sqrt(${dotSql("qv.vec", "qv.vec")}) *
              sqrt(${dotSql("nv.vec", "nv.vec")})) AS cosine
-          FROM cands c JOIN v qv ON qv.id = c.qid JOIN v nv ON nv.id = c.nid)
+          FROM cands c JOIN vc qv ON qv.id = c.qid JOIN vc nv ON nv.id = c.nid)
         SELECT qid, nid, round(cosine, 6) AS cosine, CAST(rk AS INT) AS rk
         FROM (SELECT qid, nid, cosine, row_number() OVER
           (PARTITION BY qid ORDER BY cosine DESC, nid) AS rk FROM rescored)
@@ -253,19 +260,19 @@ object PipelineQueries {
 
   private lazy val pqOracleSql = pqOracleSqlFor(rerank = 10, k = 5)
 
-  /** IVF-PQ probe oracle: the PQ CTEs with each query's ADC pool
-    * restricted to the members of its 4 probed coarse lists (16
-    * lowest-id centroids — the q_ann_ivf quantizer, frozen). */
-  private lazy val ivfPqOracleSql = pqOracleSqlFor(rerank = 10, k = 5,
-    poolCte = s"""
-        cents AS (SELECT id AS ccid, vec AS ccvec FROM v ORDER BY id LIMIT 16),
+  /** IVF-PQ pool CTEs: each query's ADC pool restricted to the members
+    * of its 4 probed coarse lists (16 lowest-id centroids of the TRAIN
+    * cohort `vb` — the q_ann_ivf quantizer, frozen; assignment runs
+    * over the encoded corpus `vc`). */
+  private val ivfPqPoolCte = s"""
+        cents AS (SELECT id AS ccid, vec AS ccvec FROM vb ORDER BY id LIMIT 16),
         ivfassign AS (SELECT nid, ccid FROM (
           SELECT v.id AS nid, c.ccid,
             row_number() OVER (PARTITION BY v.id ORDER BY
               ${dotSql("v.vec", "c.ccvec")} /
                 (sqrt(${dotSql("v.vec", "v.vec")}) *
                  sqrt(${dotSql("c.ccvec", "c.ccvec")})) DESC, c.ccid) AS rk
-          FROM v CROSS JOIN cents c) WHERE rk = 1),
+          FROM vc v CROSS JOIN cents c) WHERE rk = 1),
         probes AS (SELECT qid, ccid FROM (
           SELECT q.qid, c.ccid,
             row_number() OVER (PARTITION BY q.qid ORDER BY
@@ -274,8 +281,21 @@ object PipelineQueries {
                  sqrt(${dotSql("c.ccvec", "c.ccvec")})) DESC, c.ccid) AS rk
           FROM q CROSS JOIN cents c) WHERE rk <= 4),
         pool AS (SELECT p.qid, a.nid
-          FROM probes p JOIN ivfassign a USING (ccid)),""",
-    poolJoin = "JOIN pool ON pool.qid = a.qid AND pool.nid = a.nid")
+          FROM probes p JOIN ivfassign a USING (ccid)),"""
+
+  private val ivfPqPoolJoin =
+    "JOIN pool ON pool.qid = a.qid AND pool.nid = a.nid"
+
+  private lazy val ivfPqOracleSql = pqOracleSqlFor(rerank = 10, k = 5,
+    poolCte = ivfPqPoolCte, poolJoin = ivfPqPoolJoin)
+
+  /** The stream-maintained IVF-PQ twin's truth: quantizers (coarse
+    * centroids + codebooks) frozen on the base cohort (≢3 mod 10),
+    * corpus post-delta (+≡3, −≡7) — [[ivfPqOracleSql]] with the
+    * q_incr_ann_ivf cohort split. */
+  private lazy val ivfPqIncrOracleSql = pqOracleSqlFor(rerank = 10, k = 5,
+    poolCte = ivfPqPoolCte, poolJoin = ivfPqPoolJoin,
+    baseWhere = "id % 10 <> 3", corpusWhere = "id % 10 <> 7")
 
   /** `q_repetition`/`q_repetition3` oracle: per-doc n-gram repetition
     * stats mirroring [[graft.operators.Pipeline.repetitionStats]] —
@@ -837,6 +857,103 @@ object PipelineQueries {
               SELECT tf.doc_id, tf.token, tf.tf, dfq.df,
                 round(tf.tf * ln(n.n::DOUBLE / dfq.df), 6) AS tfidf
               FROM tf JOIN dfq USING (token) CROSS JOIN n""")),
+
+    // TWO stores behind ONE stream (round-12 verdict #4): the same
+    // ±document micro-batches dispatched by corpusBatch to BOTH a
+    // TF-IDF store and an LM-counts store — each continuation fenced
+    // by the micro-batch id riding its OWN params (the
+    // no-cross-store-txn argument: corpus-derived stores can't be
+    // mutually inconsistent, only behind, and the replayed batch heals
+    // the un-applied suffix — StreamingSpec crashes mid-family to pin
+    // that; this gate puts the multi-store dispatch under the driver's
+    // DuckDB oracle). Output: the TF-IDF rows AND a fixed audit
+    // cohort scored against the updated LM counts, as one tagged
+    // union — a wrong fence on EITHER store hash-mismatches. Gate
+    // weight: doc_id%6 slice (intersects all three mod-10 cohorts —
+    // ≡3 mod 30 added, ≡27 removed, ≡21 audited), the machinery under
+    // test being size-independent.
+    Q("q_incr_corpus_stream",
+      (s, dir) => {
+        val docs = Q.t(s, dir, "documents")
+          .filter(col("doc_id") % 6 === 3)
+        val base = docs.filter(col("doc_id") % 10 =!= 3)
+        val tf = java.nio.file.Files
+          .createTempDirectory("graft_corpus_tfidf").toString
+        val lm = java.nio.file.Files
+          .createTempDirectory("graft_corpus_lm").toString
+        graft.operators.TfidfStore.init(s, tf, base, "doc_id", "text",
+          nBuckets = 16)
+        graft.operators.LmCountsStore.init(s, lm, base, "doc_id", "text",
+          nBuckets = 16)
+        val delta1 = docs.filter(col("doc_id") % 10 === 3)
+          .select(col("doc_id"), col("text"), lit("U").as("op"))
+        val delta2 = base.filter(col("doc_id") % 10 === 7)
+          .select(col("doc_id"), lit(null).cast("string").as("text"),
+            lit("D").as("op"))
+        val drop = graft.streaming.DeltaFiles.stage(Seq(delta1, delta2))
+        graft.streaming.DeltaFiles.runToEnd(s, delta1.schema, drop) {
+          (batch, bid) =>
+            graft.streaming.StreamMaintain.corpusBatch(s,
+              Seq("tfidf" -> tf, "lmcounts" -> lm), batch, bid)
+            ()
+        }
+        val tfRows = graft.operators.TfidfStore.tfidf(s, tf)
+          .select(lit("tfidf").as("part"), col("doc_id"), col("token"),
+            col("tf").cast("double").as("v1"),
+            col("df").cast("double").as("v2"),
+            round(col("tfidf"), 6).as("v3"))
+        val lmRows = graft.operators.LmCountsStore.scoreAgainst(s, lm,
+          docs.filter(col("doc_id") % 10 === 1), "doc_id", "text",
+          k = 0.5, maxNll = 3.43)
+          .select(lit("lm").as("part"), col("doc_id"),
+            lit("").as("token"), col("nb").cast("double").as("v1"),
+            col("avg_nll").cast("double").as("v2"),
+            col("keep").cast("double").as("v3"))
+        tfRows.unionByName(lmRows)
+      },
+      Some("""WITH d AS (SELECT doc_id, text FROM documents
+                WHERE doc_id % 6 = 3),
+              cur AS (SELECT doc_id, text FROM d WHERE doc_id % 10 <> 7),
+              toks AS (SELECT doc_id, list_filter(
+                regexp_split_to_array(text, ' +'), x -> x <> '') AS toks
+                FROM cur),
+              tf AS (SELECT doc_id, t AS token, count(*) AS tf
+                FROM (SELECT doc_id, unnest(toks) AS t FROM toks)
+                GROUP BY 1, 2),
+              dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+              n AS (SELECT count(*) AS n FROM cur),
+              tfidf_rows AS (SELECT 'tfidf' AS part, tf.doc_id, tf.token,
+                tf.tf::DOUBLE AS v1, dfq.df::DOUBLE AS v2,
+                round(tf.tf * ln(n.n::DOUBLE / dfq.df), 6) AS v3
+                FROM tf JOIN dfq USING (token) CROSS JOIN n),
+              tsc AS (SELECT doc_id, list_filter(
+                regexp_split_to_array(text, ' +'), x -> x <> '') AS toks
+                FROM d WHERE doc_id % 10 = 1),
+              u AS (SELECT w, count(*) AS cw FROM
+                (SELECT unnest(toks) AS w FROM toks) GROUP BY 1),
+              v AS (SELECT count(*)::DOUBLE AS V FROM u),
+              bgt AS (SELECT doc_id, unnest([{'a': toks[i], 'b': toks[i+1]}
+                for i in generate_series(1, len(toks) - 1)]) AS e FROM toks),
+              bgc AS (SELECT e.a AS a, e.b AS b, count(*) AS cab
+                FROM bgt GROUP BY 1, 2),
+              bgs AS (SELECT doc_id, e.a AS a, e.b AS b FROM
+                (SELECT doc_id, unnest([{'a': toks[i], 'b': toks[i+1]}
+                  for i in generate_series(1, len(toks) - 1)]) AS e
+                  FROM tsc)),
+              bgd AS (SELECT doc_id, a, b, count(*) AS nn
+                FROM bgs GROUP BY 1, 2, 3),
+              sc AS (SELECT d.doc_id, sum(d.nn) AS nb,
+                sum(d.nn * ln((COALESCE(c.cab, 0) + 0.5) /
+                  (COALESCE(u.cw, 0) + 0.5 * (SELECT V FROM v)))) AS s
+                FROM bgd d LEFT JOIN bgc c ON d.a = c.a AND d.b = c.b
+                LEFT JOIN u ON u.w = d.a GROUP BY 1),
+              lm_rows AS (SELECT 'lm' AS part, t.doc_id, '' AS token,
+                COALESCE(sc.nb, 0)::DOUBLE AS v1,
+                round(COALESCE(-sc.s / sc.nb, 0.0), 6) AS v2,
+                CAST(CASE WHEN round(COALESCE(-sc.s / sc.nb, 0.0), 6) <= 3.43
+                  THEN 1 ELSE 0 END AS DOUBLE) AS v3
+                FROM tsc t LEFT JOIN sc USING (doc_id))
+              SELECT * FROM tfidf_rows UNION ALL SELECT * FROM lm_rows""")),
 
     // CROSS-STORE ATOMIC continuation ([[graft.operators.StoreTxn]]):
     // a two-store pipeline txn (TF-IDF + LM counts) FAILS mid-body
@@ -2043,6 +2160,45 @@ object PipelineQueries {
             col("rk").cast("int").as("rk"))
       },
       Some(ivfIncrOracleSql)),
+
+    // STREAM-MAINTAINED IVF-PQ (round-12 verdict #3): the compressed
+    // index under the same two-micro-batch ± stream — batch 1 ADDS the
+    // ≡3 ids (encoded under the BASE-frozen codebooks at apply time),
+    // batch 2 REMOVES the ≡7 ids via op="D" — applied by
+    // StreamMaintain.ivfPqBatch, each batch fenced by its id riding
+    // the index's params through the journaled swap (PqSpec pins the
+    // replay/fence semantics; this gate puts the end-to-end
+    // StreamingQuery under the driver's DuckDB oracle). The final
+    // probe must equal a from-scratch IVF-PQ build over the post-delta
+    // corpus with the same frozen quantizers: coarse centroids AND
+    // codebooks from the base cohort, ADC pool restricted to the
+    // probed lists, exact rerank.
+    Q("q_incr_ann_ivfpq_stream",
+      (s, dir) => {
+        val all = Q.t(s, dir, "embeddings")
+          .select(col("vec_id").as("id"),
+            col("embedding").cast("array<double>").as("vec"))
+        val base = all.filter(col("id") % 10 =!= 3)
+        val idx = java.nio.file.Files
+          .createTempDirectory("graft_ivfpq_stream_gate").toString
+        Pq.buildIvfPqIndex(base, idx, nlist = 16, m = 8, ksub = 16)
+        val delta1 = all.filter(col("id") % 10 === 3)
+          .select(col("id"), col("vec"), lit("U").as("op"))
+        val delta2 = base.filter(col("id") % 10 === 7)
+          .select(col("id"),
+            lit(null).cast("array<double>").as("vec"), lit("D").as("op"))
+        val drop = graft.streaming.DeltaFiles.stage(Seq(delta1, delta2))
+        graft.streaming.DeltaFiles.runToEnd(s, delta1.schema, drop) {
+          (batch, bid) =>
+            graft.streaming.StreamMaintain.ivfPqBatch(s, idx, batch, bid)
+            ()
+        }
+        Pq.probeIvfPqIndex(s, idx, all.filter(col("id") < 5),
+          k = 5, nprobe = 4, rerank = 10)
+          .select(col("qid"), col("nid"), round(col("cosine"), 6).as("cosine"),
+            col("rk").cast("int").as("rk"))
+      },
+      Some(ivfPqIncrOracleSql)),
 
     // Embedding-cosine near-dup pairs within label blocks. Blocks over
     // 48 vectors go through axis-sign LSH sub-buckets (the 100 TB path;

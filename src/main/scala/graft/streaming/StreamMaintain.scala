@@ -79,9 +79,11 @@ object StreamMaintain {
     }
 
   /** Split a batch into (upsert rows, removed keys): `op = "D"` rows
-    * mark `keyCol` removed; everything else is an upsert row. Both
-    * sides are eagerly pinned (the stream source frame must not be
-    * re-read per consumer). */
+    * mark `keyCol` removed; everything else is an upsert row. Only the
+    * removed side is pinned here (it feeds two consumers — the frontier
+    * union and the store upsert); the upsert side stays lazy and each
+    * maintainer pins its own projected/deduped form of it exactly once
+    * (the `patch`/`added` localCheckpoint below). */
   private def splitOps(batch: DataFrame, keyCol: String,
       keyType: String): (DataFrame, DataFrame) =
     if (!batch.columns.contains("op"))
@@ -95,6 +97,24 @@ object StreamMaintain {
         .localCheckpoint(true)
       (ups, removed)
     }
+
+  /** Resolve CONFLICTING upserts for one key inside one micro-batch
+    * deterministically: keep the row whose value columns sort HIGHEST
+    * (arrays compare lexicographically). A batch is a SET of rows — it
+    * carries no arrival order to make "last wins" meaningful — so
+    * without this, two different values for the same key would BOTH
+    * survive a plain distinct() and both insert, leaving duplicate key
+    * rows durably in the store. Max-wins is arbitrary but stable:
+    * every replay of the batch resolves identically, which is what the
+    * exactly-once fences require. (Key-REPLACES-set maintainers —
+    * PageRank edges, matvec cells keyed by (i,j) — are not affected:
+    * their multi-row-per-key batches are legitimate sets.) */
+  private def dedupByKey(ups: DataFrame, keyCols: Seq[String],
+      valCols: Seq[String]): DataFrame = {
+    val aggs = valCols.map(c => max(col(c)).as(c))
+    ups.groupBy(keyCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+      .select((keyCols ++ valCols).map(col): _*)
+  }
 
   /** Apply one micro-batch of edge deltas to the rank store at
     * `rankStore` and the prepared-edge table at `edgeStore`
@@ -168,8 +188,9 @@ object StreamMaintain {
       StreamMaintain.phase("mv", batchId)(label)(f)
     val (ups, removed) = splitOps(batch, "j", "long")
     val patch = phase("prepare delta")(
-      ups.select(col("i").cast("long"), col("j").cast("long"),
-        col("v").cast("double")).distinct().localCheckpoint(true))
+      dedupByKey(ups.select(col("i").cast("long"), col("j").cast("long"),
+        col("v").cast("double")), Seq("i", "j"), Seq("v"))
+        .localCheckpoint(true))
     val chg = patch.select("j").unionByName(removed).distinct()
     val advice = phase(s"continuation (patch rows=${patch.count()})") {
       val (out, a) = IncrementalMatVec.incrementalFromStores(spark,
@@ -214,8 +235,9 @@ object StreamMaintain {
       StreamMaintain.phase("km", batchId)(label)(f)
     val (ups, removed) = splitOps(batch, "id", "long")
     val patch = phase("prepare delta")(
-      ups.select(col("id").cast("long"),
-        col("vec").cast("array<double>")).distinct().localCheckpoint(true))
+      dedupByKey(ups.select(col("id").cast("long"),
+        col("vec").cast("array<double>")), Seq("id"), Seq("vec"))
+        .localCheckpoint(true))
     val chg = patch.select("id").unionByName(removed).distinct()
     val advice = phase(s"continuation (patch rows=${patch.count()})") {
       val (out, a) = graft.algorithms.IncrementalKMeans
@@ -259,8 +281,8 @@ object StreamMaintain {
       StreamMaintain.phase("ivf", batchId)(label)(f)
     val (ups, removed) = splitOps(batch, "id", "long")
     val added = phase("pin delta")(
-      ups.select(col("id").cast("long"),
-        col("vec").cast("array<double>").as("vec")).distinct()
+      dedupByKey(ups.select(col("id").cast("long"),
+        col("vec").cast("array<double>").as("vec")), Seq("id"), Seq("vec"))
         .localCheckpoint(true))
     val advice = phase("index update")(
       graft.operators.Similarity.updateIvfIndex(spark, indexPath,
@@ -281,8 +303,8 @@ object StreamMaintain {
       StreamMaintain.phase("ivfpq", batchId)(label)(f)
     val (ups, removed) = splitOps(batch, "id", "long")
     val added = phase("pin delta")(
-      ups.select(col("id").cast("long"),
-        col("vec").cast("array<double>").as("vec")).distinct()
+      dedupByKey(ups.select(col("id").cast("long"),
+        col("vec").cast("array<double>").as("vec")), Seq("id"), Seq("vec"))
         .localCheckpoint(true))
     val advice = phase("index update")(
       graft.operators.Pq.updateIvfPqIndex(spark, indexPath,
@@ -313,7 +335,8 @@ object StreamMaintain {
       StreamMaintain.phase("dedup", batchId)(label)(f)
     val (ups, removed) = splitOps(batch, idCol, "long")
     val added = phase("pin delta")(
-      ups.select(col(idCol).cast("long"), col(textCol)).distinct()
+      dedupByKey(ups.select(col(idCol).cast("long"), col(textCol)),
+        Seq(idCol), Seq(textCol))
         .localCheckpoint(true))
     val advice = phase("cluster continuation")(
       graft.operators.DedupClusterStore.continueBatch(spark, storePath,
@@ -361,7 +384,8 @@ object StreamMaintain {
     }
     val (ups, removed) = splitOps(batch, idCol, "long")
     val added = phase("pin delta")(
-      ups.select(col(idCol).cast("long"), col(textCol)).distinct()
+      dedupByKey(ups.select(col(idCol).cast("long"), col(textCol)),
+        Seq(idCol), Seq(textCol))
         .localCheckpoint(true))
     val advice = stores.flatMap { case (kind, path) =>
       phase(s"$kind continuation") {
