@@ -960,9 +960,11 @@ object IterativeQueries {
           .createTempDirectory("graft_km_stream_centers").toString
         val pointStore = java.nio.file.Files
           .createTempDirectory("graft_km_stream_points").toString
+        // width by DATA: the center store keys on cid (k = 4 rows —
+        // 4 buckets, not 16) and the point table is gate-thin (8)
         IncrementalKMeans.preserveToSeg(s, centerStore, pts, k = 4,
-          iterations = 2, nBuckets = 16)
-        IncrementalKMeans.initPointStore(s, pointStore, pts, nBuckets = 16)
+          iterations = 2, nBuckets = 4)
+        IncrementalKMeans.initPointStore(s, pointStore, pts, nBuckets = 8)
         // batch 1 shrinks the ≡3 points toward the origin (the
         // q_incr_kmeans delta); batch 2 REMOVES the ≡6 points outright
         val delta1 = pts.filter(col("id") % 10 === 3)

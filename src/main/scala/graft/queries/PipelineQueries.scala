@@ -881,10 +881,13 @@ object PipelineQueries {
           .createTempDirectory("graft_corpus_tfidf").toString
         val lm = java.nio.file.Files
           .createTempDirectory("graft_corpus_lm").toString
+        // width by DATA: the %6 slice is ~1/6 of an already store-op-
+        // sliced corpus — 8 buckets per store keeps the per-commit dir
+        // overhead proportional to the gate, not the default
         graft.operators.TfidfStore.init(s, tf, base, "doc_id", "text",
-          nBuckets = 16)
+          nBuckets = 8)
         graft.operators.LmCountsStore.init(s, lm, base, "doc_id", "text",
-          nBuckets = 16)
+          nBuckets = 8)
         val delta1 = docs.filter(col("doc_id") % 10 === 3)
           .select(col("doc_id"), col("text"), lit("U").as("op"))
         val delta2 = base.filter(col("doc_id") % 10 === 7)
