@@ -168,6 +168,31 @@ object Pq {
           lit(0.0), (a, x) => a + x).as("rnorm2"))
   }
 
+  /** Encode + reconstruct: (id, codes ARRAY<INT> ordered by subspace,
+    * rhat ARRAY<DOUBLE> = the concatenation of the chosen codebook
+    * entries — the reconstruction of the INPUT vector). The residual
+    * path needs the actual reconstruction (its cached norm is
+    * |c + r̂|², which does not decompose into the entries' norms the
+    * way [[encode]]'s |r̂|² does), so the chosen entries are fetched
+    * by a broadcast join against the m·ksub codebook and concatenated
+    * in subspace order. */
+  private def encodeRecon(vectors: DataFrame, codebooks: DataFrame,
+      m: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(vectors.sparkSession)
+    val v = vectors.select(col("id"),
+      col("vec").cast("array<double>").as("vec"))
+    val dsub = codebooks.select(size(col("cvec")).as("d")).head().getInt(0)
+    assignSubs(subvectors(v, m, dsub), codebooks)
+      .join(broadcast(codebooks.select(col("s"), col("code"), col("cvec"))),
+        Seq("s", "code"))
+      .groupBy("id")
+      .agg(sort_array(collect_list(
+        struct(col("s"), col("code"), col("cvec")))).as("e"))
+      .select(col("id"),
+        transform(col("e"), x => x("code").cast("int")).as("codes"),
+        flatten(transform(col("e"), x => x("cvec"))).as("rhat"))
+  }
+
   /** Per-query ADC lookup tables: (qid, lut ARRAY<ARRAY<DOUBLE>>
     * indexed [s][code], qnorm). m·ksub small dots per query —
     * broadcast-sized by the ANN query contract. */
@@ -206,6 +231,17 @@ object Pq {
   private def adcScore: Column =
     try_divide(
       graft.functions.GraftFunctions.pq_adc(col("codes"), col("lut")),
+      col("qnorm") * sqrt(col("rnorm2")))
+
+  /** The residual (IVFADC) ADC score: the stored codes quantize
+    * x − c(x), so dot(q, x̂) = dot(q, c) (the probe frame's `qcdot`,
+    * per (query, probed list)) + the LUT sum over the residual
+    * codebooks, and `rnorm2` caches |c + r̂|². Same m-lookup scan
+    * cost; same NULL-sorts-last zero guard. */
+  private def adcScoreRes: Column =
+    try_divide(
+      col("qcdot") +
+        graft.functions.GraftFunctions.pq_adc(col("codes"), col("lut")),
       col("qnorm") * sqrt(col("rnorm2")))
 
   /** ADC top-`r` candidates per query over an encoded corpus:
@@ -276,9 +312,11 @@ object Pq {
       "nid BIGINT, nvec ARRAY<DOUBLE>, codes ARRAY<INT>, rnorm2 DOUBLE, " +
         "cid BIGINT, _b INT")
 
-  private def pqParams(m: Int, locB: Int)(lastBatch: Long): Seq[(String, Any)] =
+  private def pqParams(m: Int, locB: Int, residual: Boolean)(
+      lastBatch: Long): Seq[(String, Any)] =
     Seq("listsDdl" -> listsSchemaPqB.toDDL, "m" -> m,
-      "lastBatch" -> lastBatch, "locB" -> locB)
+      "lastBatch" -> lastBatch, "locB" -> locB,
+      "residual" -> (if (residual) 1 else 0))
 
   /** Build the IVF-PQ index on disk — the same store layout contract
     * as [[Similarity.buildIvfIndex]] (cid-partitioned lists, frozen
@@ -286,12 +324,26 @@ object Pq {
     * vector payload product-quantized. The coarse quantizer AND the
     * codebooks freeze at build time: both are part of the index
     * identity (retraining either is a rebuild, not an update), which
-    * is what makes increments and stream maintenance exact. */
+    * is what makes increments and stream maintenance exact.
+    *
+    * `residual = true` is the paper's actual IVFADC form (Jégou et
+    * al., TPAMI 2011 §IV.A): each vector encodes its RESIDUAL against
+    * its coarse centroid, `x − c(x)` — residuals concentrate near the
+    * origin regardless of which list a vector landed in, so the same
+    * code budget quantizes a much tighter distribution and ADC recall
+    * at a fixed rerank rises (spec-measured). The codebooks then train
+    * on (and freeze over) the residual distribution, the cached norm
+    * becomes |c + r̂|² (the full reconstruction — it no longer
+    * decomposes into entry norms), and the probe adds one
+    * query×probed-centroid dot per (query, list): cosine(q, x̂) =
+    * (dot(q, c) + Σ_s lut[s][codes_s]) / (|q|·|x̂|). Scan cost per
+    * stored vector is unchanged — m lookups + m adds. */
   def buildIvfPqIndex(vectors: DataFrame, path: String, nlist: Int = 256,
       m: Int = 8, ksub: Int = 16, pqRounds: Int = 0,
       centroids: Option[DataFrame] = None,
       codebooks: Option[DataFrame] = None,
-      centroidFoldLimit: Int = 64, locBuckets: Int = 0): Unit = {
+      centroidFoldLimit: Int = 64, locBuckets: Int = 0,
+      residual: Boolean = false): Unit = {
     val spark = vectors.sparkSession
     graft.functions.GraftFunctions.register(spark)
     SegSwap.resetForInit(SegSwap.fsOf(spark, path), path)
@@ -304,20 +356,52 @@ object Pq {
     val cents = Similarity.normalizedCentroids(v, centroids, nlist)
       .localCheckpoint(true)
     cents.write.mode("overwrite").parquet(s"$path/centroids")
-    val cb = codebooks.getOrElse(trainCodebooks(
-      v.select(col("nid").as("id"), col("nvec").as("vec")), m, ksub,
-      pqRounds)).localCheckpoint(true)
-    cb.write.mode("overwrite").parquet(s"$path/codebooks")
-    val enc = encode(
-      v.select(col("nid").as("id"), col("nvec").as("vec")), cb, m)
-    val assigned = Similarity.assignToLists(v, cents, centroidFoldLimit)
-      .join(enc.withColumnRenamed("id", "nid"), "nid")
-      .withColumn("_b", col("cid").cast("int"))
-      .select("nid", "nvec", "codes", "rnorm2", "cid", "_b")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // locBuckets = 0 → size by the build corpus ([[Similarity.autoLocB]])
-    val locB =
-      if (locBuckets > 0) locBuckets else Similarity.autoLocB(assigned.count())
+    val assigned0 = Similarity.assignToLists(v, cents, centroidFoldLimit)
+    var releaseRes: () => Unit = () => ()
+    val assigned = (if (!residual) {
+      val cb = codebooks.getOrElse(trainCodebooks(
+        v.select(col("nid").as("id"), col("nvec").as("vec")), m, ksub,
+        pqRounds)).localCheckpoint(true)
+      cb.write.mode("overwrite").parquet(s"$path/codebooks")
+      val enc = encode(
+        v.select(col("nid").as("id"), col("nvec").as("vec")), cb, m)
+      assigned0.join(enc.withColumnRenamed("id", "nid"), "nid")
+        .withColumn("_b", col("cid").cast("int"))
+        .select("nid", "nvec", "codes", "rnorm2", "cid", "_b")
+    } else {
+      // IVFADC: assignment first, then everything downstream runs on
+      // the residual x − c(x). zip_with's element order mirrors the
+      // oracle's list comprehension exactly (same subtraction, same
+      // index order)
+      val withRes = assigned0
+        .join(broadcast(cents), "cid")
+        .select(col("cid"), col("cvec"), col("nid"), col("nvec"),
+          zip_with(col("nvec"), col("cvec"), (x, c) => x - c).as("rvec"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val cb = codebooks.getOrElse(trainCodebooks(
+        withRes.select(col("nid").as("id"), col("rvec").as("vec")), m,
+        ksub, pqRounds)).localCheckpoint(true)
+      cb.write.mode("overwrite").parquet(s"$path/codebooks")
+      val encR = encodeRecon(
+        withRes.select(col("nid").as("id"), col("rvec").as("vec")), cb, m)
+      val out = withRes
+        .join(encR.withColumnRenamed("id", "nid"), "nid")
+        .withColumn("_xhat",
+          zip_with(col("cvec"), col("rhat"), (c, r) => c + r))
+        .withColumn("_b", col("cid").cast("int"))
+        .select(col("nid"), col("nvec"), col("codes"),
+          dot(col("_xhat"), col("_xhat")).as("rnorm2"), col("cid"),
+          col("_b"))
+      // released only after `assigned` materializes below — the big
+      // encode+join consumer reads the cached residuals, not a redo
+      releaseRes = () => { withRes.unpersist(blocking = false); () }
+      out
+    }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // locBuckets = 0 → size by the build corpus ([[Similarity.autoLocB]]);
+    // the count also pins `assigned` before its upstream caches release
+    val rows = assigned.count()
+    val locB = if (locBuckets > 0) locBuckets else Similarity.autoLocB(rows)
+    releaseRes()
     assigned
       .repartition(col("_b"))
       .write.mode("overwrite").partitionBy("_b").parquet(s"$path/lists")
@@ -326,11 +410,15 @@ object Pq {
       .repartition(col("_b"))
       .write.mode("overwrite").partitionBy("_b").parquet(s"$path/loc")
     assigned.unpersist(blocking = false)
-    SegSwap.writeParamsTo(spark, s"$path/params", pqParams(m, locB)(-1L))
+    SegSwap.writeParamsTo(spark, s"$path/params",
+      pqParams(m, locB, residual)(-1L))
   }
 
-  private def readM(spark: SparkSession, path: String): Int =
-    SegSwap.readParamsRow(spark, path, Seq("m"), "ivfpq").getInt(0)
+  /** (m, residual) from the index's params — one read serves both. */
+  private def readMRes(spark: SparkSession, path: String): (Int, Boolean) = {
+    val r = SegSwap.readParamsRow(spark, path, Seq("m", "residual"), "ivfpq")
+    (r.getInt(0), r.getInt(1) == 1)
+  }
 
   /** Probe a [[buildIvfPqIndex]] index: coarse-probe the `nprobe`
     * nearest lists per query (partition pruning skips every unprobed
@@ -341,30 +429,36 @@ object Pq {
     * driver ids by the ANN query contract). Journal-resolved reads,
     * as the family requires. */
   def probeIvfPqIndex(spark: SparkSession, path: String, queries: DataFrame,
-      k: Int, nprobe: Int = 8, rerank: Int = 32): DataFrame =
-    probePq(spark, queries, k, nprobe, rerank, readM(spark, path),
+      k: Int, nprobe: Int = 8, rerank: Int = 32): DataFrame = {
+    val (m, res) = readMRes(spark, path)
+    probePq(spark, queries, k, nprobe, rerank, m,
       spark.read.parquet(s"$path/centroids"),
       spark.read.parquet(s"$path/codebooks"),
-      SegSwap.resolvedTable(spark, path, "lists", listsSchemaPqB))
+      SegSwap.resolvedTable(spark, path, "lists", listsSchemaPqB),
+      residual = res)
+  }
 
   /** Probe AS OF `epoch` — yesterday's ANN answers under yesterday's
     * lists; both quantizers are frozen so only the lists need the
     * epoch ([[Similarity.probeIvfIndexAt]]'s contract). */
   def probeIvfPqIndexAt(spark: SparkSession, path: String,
       queries: DataFrame, k: Int, nprobe: Int, rerank: Int,
-      epoch: Long): DataFrame =
-    probePq(spark, queries, k, nprobe, rerank, readM(spark, path),
+      epoch: Long): DataFrame = {
+    val (m, res) = readMRes(spark, path)
+    probePq(spark, queries, k, nprobe, rerank, m,
       spark.read.parquet(s"$path/centroids"),
       spark.read.parquet(s"$path/codebooks"),
-      SegSwap.snapshotTable(spark, path, "lists", listsSchemaPqB, epoch))
+      SegSwap.snapshotTable(spark, path, "lists", listsSchemaPqB, epoch),
+      residual = res)
+  }
 
   /** [[Similarity.rebucketLoc]] for the PQ index: migrate the locator
     * bucket count in one journaled swap, fence preserved. */
   def ivfPqRebucketLoc(spark: SparkSession, path: String,
       newLocB: Int): Unit = {
-    val m = readM(spark, path)
+    val (m, res) = readMRes(spark, path)
     Similarity.rebucketLoc(spark, path, newLocB, "ivfpq",
-      (fence, b) => pqParams(m, b)(fence))
+      (fence, b) => pqParams(m, b, res)(fence))
   }
 
   /** Roll the index back to `epoch` — the family contract verbatim. */
@@ -382,7 +476,7 @@ object Pq {
 
   private def probePq(spark: SparkSession, queries: DataFrame, k: Int,
       nprobe: Int, rerank: Int, m: Int, cents: DataFrame, cb: DataFrame,
-      lists: DataFrame): DataFrame = {
+      lists: DataFrame, residual: Boolean = false): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val q = queries.select(col("id").as("qid"),
       col("vec").cast("array<double>").as("qvec"))
@@ -390,13 +484,18 @@ object Pq {
     // empty result, not fail a first-row dim peek
     val dsub = cb.select(size(col("cvec")).as("d")).head().getInt(0)
     // coarse probe: nprobe nearest centroids per query (the
-    // Similarity.probeLists probe window, same tie-breaking)
+    // Similarity.probeLists probe window, same tie-breaking). The
+    // residual form also carries dot(q, centroid) per probed list —
+    // the query-dependent half of dot(q, x̂) = dot(q, c) + dot(q, r̂),
+    // |q|·nprobe extra doubles riding a frame that exists anyway.
     val pw = Window.partitionBy("qid").orderBy(col("c").desc, col("cid").asc)
     val probes = q.crossJoin(broadcast(cents))
       .select(col("qid"), col("cid"),
-        Similarity.cosine(col("qvec"), col("cvec")).as("c"))
+        Similarity.cosine(col("qvec"), col("cvec")).as("c"),
+        graft.functions.GraftFunctions.dot_product(
+          col("qvec"), col("cvec")).as("qcdot"))
       .withColumn("rk", row_number().over(pw)).filter(col("rk") <= nprobe)
-      .select(col("cid"), col("qid"))
+      .select(col("cid"), col("qid"), col("qcdot"))
     val probedCids = probes.select("cid").distinct().collect()
       .map(_.getLong(0))
     // the literal IN on the partition column prunes unprobed lists' FILES
@@ -405,11 +504,12 @@ object Pq {
     // ADC over the probed lists: column pruning keeps nvec unread here
     val probesL = probes.join(queryLuts(q.select(col("qid").as("id"),
       col("qvec").as("vec")), cb, m, dsub), "qid")
+    val adcCol = if (residual) adcScoreRes else adcScore
     val cands = {
       val scored = pruned.select("cid", "nid", "codes", "rnorm2")
         .join(broadcast(probesL), "cid")
         .filter(col("qid") =!= col("nid"))
-        .select(col("qid"), col("nid"), adcScore.as("adc"))
+        .select(col("qid"), col("nid"), adcCol.as("adc"))
       val w = Window.partitionBy("qid").orderBy(col("adc").desc, col("nid").asc)
       scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= rerank)
         .select("qid", "nid")
@@ -454,31 +554,52 @@ object Pq {
     graft.functions.GraftFunctions.register(spark)
     SegSwap.withWriterLease(spark, path) { lease =>
       SegSwap.recover(spark, path)
-      // one params read serves fence + m + locB (per-trigger hot path)
+      // one params read serves fence + m + locB + residual (per-trigger
+      // hot path)
       val pr = SegSwap.readParamsRow(spark, path,
-        Seq("lastBatch", "m", "locB"), "ivfpq")
+        Seq("lastBatch", "m", "locB", "residual"), "ivfpq")
       if (batchId.exists(_ <= pr.getLong(0))) None
       else {
         val m = pr.getInt(1)
         val locB = pr.getInt(2)
+        val residual = pr.getInt(3) == 1
         val cents = spark.read.parquet(s"$path/centroids")
         val cb = spark.read.parquet(s"$path/codebooks")
         val added = addedVecs.select(col("id").cast("long").as("nid"),
           col("vec").cast("array<double>").as("nvec"))
-        val enc = encode(added.select(col("nid").as("id"),
-          col("nvec").as("vec")), cb, m)
-        val assigned = Similarity
+        val assigned0 = Similarity
           .assignToLists(added, cents, centroidFoldLimit)
-          .join(enc.withColumnRenamed("id", "nid"), "nid")
-          .withColumn("_b", col("cid").cast("int"))
-          .select("nid", "nvec", "codes", "rnorm2", "cid", "_b")
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val assigned = (if (!residual) {
+          val enc = encode(added.select(col("nid").as("id"),
+            col("nvec").as("vec")), cb, m)
+          assigned0.join(enc.withColumnRenamed("id", "nid"), "nid")
+            .withColumn("_b", col("cid").cast("int"))
+            .select("nid", "nvec", "codes", "rnorm2", "cid", "_b")
+        } else {
+          // encode the RESIDUAL under the frozen codebooks — the build's
+          // arithmetic verbatim, O(delta) rows
+          val withRes = assigned0
+            .join(broadcast(cents), "cid")
+            .select(col("cid"), col("cvec"), col("nid"), col("nvec"),
+              zip_with(col("nvec"), col("cvec"), (x, c) => x - c).as("rvec"))
+          val encR = encodeRecon(
+            withRes.select(col("nid").as("id"), col("rvec").as("vec")),
+            cb, m)
+          withRes
+            .join(encR.withColumnRenamed("id", "nid"), "nid")
+            .withColumn("_xhat",
+              zip_with(col("cvec"), col("rhat"), (c, r) => c + r))
+            .withColumn("_b", col("cid").cast("int"))
+            .select(col("nid"), col("nvec"), col("codes"),
+              dot(col("_xhat"), col("_xhat")).as("rnorm2"), col("cid"),
+              col("_b"))
+        }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val gone = removedIds
           .select(col(removedIds.columns.head).cast("long").as("_rid"))
           .unionByName(added.select(col("nid").as("_rid")))
         val advice = Similarity.applyListsDelta(spark, path, assigned,
-          gone, listsSchemaPqB, locB, pqParams(m, locB), batchId, lease,
-          "ivfpq")
+          gone, listsSchemaPqB, locB, pqParams(m, locB, residual),
+          batchId, lease, "ivfpq")
         assigned.unpersist(blocking = false)
         advice
       }

@@ -297,6 +297,95 @@ object PipelineQueries {
     poolCte = ivfPqPoolCte, poolJoin = ivfPqPoolJoin,
     baseWhere = "id % 10 <> 3", corpusWhere = "id % 10 <> 7")
 
+  /** The RESIDUAL (IVFADC) oracle — [[graft.operators.Pq]] with
+    * `residual = true` unrolled: coarse-assign first (raw vectors, the
+    * q_ann_ivf quantizer), codebooks pinned-init from the 16 lowest-id
+    * RESIDUALS, per-subspace L2 assignment over residual subvectors,
+    * the cached norm |c + r̂|² from the full reconstruction, and the
+    * ADC score (dot(q,c) + Σ lut) / (|q|·|x̂|) with the pool
+    * restricted to each query's 4 probed lists. Exact rerank as ever.
+    * Every float reduction is the same index-order fold on both
+    * engines; the residual subtraction and the reconstruction addition
+    * are elementwise in the same index order. */
+  private lazy val ivfPqResOracleSql: String =
+    s"""WITH $vecCte,
+        cents AS (SELECT id AS ccid, vec AS ccvec FROM v ORDER BY id LIMIT 16),
+        ivfassign AS (SELECT nid, ccid FROM (
+          SELECT v.id AS nid, c.ccid,
+            row_number() OVER (PARTITION BY v.id ORDER BY
+              ${dotSql("v.vec", "c.ccvec")} /
+                (sqrt(${dotSql("v.vec", "v.vec")}) *
+                 sqrt(${dotSql("c.ccvec", "c.ccvec")})) DESC, c.ccid) AS rk
+          FROM v CROSS JOIN cents c) WHERE rk = 1),
+        res AS (SELECT a.nid AS id,
+          [v.vec[i] - c.ccvec[i] for i in generate_series(1, len(v.vec))] AS rvec
+          FROM ivfassign a JOIN v ON v.id = a.nid JOIN cents c USING (ccid)),
+        seeds AS (SELECT id, rvec,
+          CAST(row_number() OVER (ORDER BY id) AS INT) - 1 AS code
+          FROM (SELECT id, rvec FROM res ORDER BY id LIMIT 16)),
+        cb0 AS (SELECT s, code, rvec[s*8+1 : s*8+8] AS cvec
+          FROM seeds, generate_series(0, 7) g(s)),
+        cb AS (SELECT s, code, cvec, ${dotSql("cvec", "cvec")} AS cnorm2
+          FROM cb0),
+        subs AS (SELECT id, s, rvec[s*8+1 : s*8+8] AS sub
+          FROM res, generate_series(0, 7) g(s)),
+        asg AS (SELECT id, s, code, cvec FROM (
+          SELECT sub.id, sub.s, cb.code, cb.cvec,
+            row_number() OVER (PARTITION BY sub.id, sub.s ORDER BY
+              ${dotSql("sub.sub", "sub.sub")}
+                - 2 * ${dotSql("sub.sub", "cb.cvec")} + cb.cnorm2,
+              cb.code) AS rn
+          FROM subs sub JOIN cb USING (s)) WHERE rn = 1),
+        encv AS (SELECT id, list(code ORDER BY s) AS codes,
+          flatten(list(cvec ORDER BY s)) AS rhat FROM asg GROUP BY id),
+        xhat AS (SELECT e.id,
+          [c.ccvec[i] + e.rhat[i] for i in generate_series(1, len(e.rhat))] AS xh
+          FROM encv e JOIN ivfassign a ON a.nid = e.id
+          JOIN cents c USING (ccid)),
+        enc AS (SELECT x.id, e.codes, ${dotSql("x.xh", "x.xh")} AS rnorm2
+          FROM xhat x JOIN encv e USING (id)),
+        q AS (SELECT id AS qid, vec AS qvec FROM v WHERE id < 5),
+        lut AS (SELECT q.qid, cb.s, cb.code,
+          ${dotSql("q.qvec[cb.s*8+1 : cb.s*8+8]", "cb.cvec")} AS dotv
+          FROM q CROSS JOIN cb),
+        qn AS (SELECT qid, sqrt(${dotSql("qvec", "qvec")}) AS qnorm FROM q),
+        probes AS (SELECT qid, ccid FROM (
+          SELECT q.qid, c.ccid,
+            row_number() OVER (PARTITION BY q.qid ORDER BY
+              ${dotSql("q.qvec", "c.ccvec")} /
+                (sqrt(${dotSql("q.qvec", "q.qvec")}) *
+                 sqrt(${dotSql("c.ccvec", "c.ccvec")})) DESC, c.ccid) AS rk
+          FROM q CROSS JOIN cents c) WHERE rk <= 4),
+        qc AS (SELECT p.qid, p.ccid, ${dotSql("q.qvec", "c.ccvec")} AS qcdot
+          FROM probes p JOIN q USING (qid) JOIN cents c USING (ccid)),
+        pool AS (SELECT p.qid, a.nid
+          FROM probes p JOIN ivfassign a USING (ccid)),
+        ec AS (SELECT id, i - 1 AS s, codes[i] AS code
+          FROM enc, generate_series(1, 8) g(i)),
+        adcsum AS (SELECT l.qid, ec.id AS nid,
+          list_reduce(list(l.dotv ORDER BY l.s), (a, b) -> a + b) AS sumdot
+          FROM ec JOIN lut l ON ec.s = l.s AND ec.code = l.code
+          GROUP BY 1, 2),
+        adc AS (SELECT a.qid, a.nid,
+          (qc.qcdot + a.sumdot) / NULLIF(qn.qnorm * sqrt(e.rnorm2), 0) AS adc
+          FROM adcsum a JOIN qn USING (qid) JOIN enc e ON e.id = a.nid
+          JOIN ivfassign ia ON ia.nid = a.nid
+          JOIN qc ON qc.qid = a.qid AND qc.ccid = ia.ccid
+          JOIN pool ON pool.qid = a.qid AND pool.nid = a.nid
+          WHERE a.qid <> a.nid),
+        cands AS (SELECT qid, nid FROM (SELECT qid, nid,
+          row_number() OVER (PARTITION BY qid ORDER BY adc DESC, nid) AS rk
+          FROM adc) WHERE rk <= 10),
+        rescored AS (SELECT c.qid, c.nid,
+          ${dotSql("qv.vec", "nv.vec")} /
+            (sqrt(${dotSql("qv.vec", "qv.vec")}) *
+             sqrt(${dotSql("nv.vec", "nv.vec")})) AS cosine
+          FROM cands c JOIN v qv ON qv.id = c.qid JOIN v nv ON nv.id = c.nid)
+        SELECT qid, nid, round(cosine, 6) AS cosine, CAST(rk AS INT) AS rk
+        FROM (SELECT qid, nid, cosine, row_number() OVER
+          (PARTITION BY qid ORDER BY cosine DESC, nid) AS rk FROM rescored)
+        WHERE rk <= 5"""
+
   /** `q_repetition`/`q_repetition3` oracle: per-doc n-gram repetition
     * stats mirroring [[graft.operators.Pipeline.repetitionStats]] —
     * DuckDB's slice is 1-based inclusive, so an n-gram starting at i
@@ -2123,6 +2212,29 @@ object PipelineQueries {
             col("rk").cast("int").as("rk"))
       },
       Some(ivfPqOracleSql)),
+
+    // RESIDUAL encoding — the paper's actual IVFADC form (Jégou et al.
+    // 2011 §IV.A): codes quantize x − c(x) under codebooks trained on
+    // the residual distribution, the cached norm is the full
+    // reconstruction's |c + r̂|², and the ADC score adds the
+    // per-(query, probed list) dot(q, c) term. Same index layout, same
+    // scan cost, better recall at the same code budget (PqSpec measures
+    // residual ≥ raw at a fixed rerank on clustered data); this gate
+    // pins the arithmetic end to end against the unrolled oracle.
+    Q("q_ann_ivfpq_res",
+      (s, dir) => {
+        val vecs = Q.t(s, dir, "embeddings")
+          .select(col("vec_id").as("id"), col("embedding").as("vec"))
+        val idx = java.nio.file.Files
+          .createTempDirectory("graft_ivfpqres_gate").toString
+        Pq.buildIvfPqIndex(vecs, idx, nlist = 16, m = 8, ksub = 16,
+          residual = true)
+        Pq.probeIvfPqIndex(s, idx, vecs.filter(col("id") < 5),
+          k = 5, nprobe = 4, rerank = 10)
+          .select(col("qid"), col("nid"), round(col("cosine"), 6).as("cosine"),
+            col("rk").cast("int").as("rk"))
+      },
+      Some(ivfPqResOracleSql)),
 
     // STREAM-MAINTAINED ANN (the content-store member of the round-12
     // maintainer family): the same base index, but the delta arrives

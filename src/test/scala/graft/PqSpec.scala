@@ -346,4 +346,94 @@ class PqSpec extends SparkSpec {
     assert(got.maxBy(_._4)._3.isEmpty)
     assert(got.filter(_._2 != 10L).forall(_._3.nonEmpty))
   }
+
+  // ---- residual (IVFADC) encoding ----------------------------------------
+
+  /** Clustered corpus: 4 well-separated cluster anchors, points =
+    * anchor + deterministic jitter of VARYING magnitude (so a query's
+    * true neighbor ranking is decided by jitter scale, not noise ties)
+    * — the regime the residual transform exists for (residuals
+    * concentrate near the origin, so the same code budget quantizes a
+    * much tighter distribution). */
+  private def clustered(n: Long, d: Int): Seq[(Long, Array[Double])] = {
+    def anchor(c: Int) =
+      Array.tabulate(d)(x => (((c * 31 + x * 17) % 19) - 9) * 5.0)
+    def jitter(i: Long) = {
+      val scale = 0.1 + (i % 7).toDouble * 0.35
+      Array.tabulate(d)(x => (((i * 13 + x * 7) % 11) - 5) * 0.1 * scale)
+    }
+    (0L until n).map { i =>
+      val a = anchor((i % 4).toInt); val j = jitter(i)
+      (i, Array.tabulate(d)(x => a(x) + j(x)))
+    }
+  }
+
+  test("residual (IVFADC) recall at fixed rerank >= raw encoding on clustered data") {
+    val data = clustered(64, 16)
+    val vecs = data.toDF("id", "vec")
+    val queries = vecs.filter($"id" < 4) // one query per cluster
+    val want = Similarity.bruteForceTopK(vecs, queries, k = 5)
+      .select($"qid", $"nid").as[(Long, Long)].collect().toSet
+    def recall(residual: Boolean): Double = {
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"ivfpq_rec_$residual").toString
+      // nprobe == nlist (every list probed) and rerank > k: recall is
+      // "did the true top-5 survive into the ADC top-10 candidate
+      // pool" — exactly the quantization quality the residual
+      // transform buys, isolated from coarse pruning and from exact
+      // rerank (identical in both). Both indexes get the same Lloyd
+      // budget.
+      Pq.buildIvfPqIndex(vecs, dir, nlist = 4, m = 4, ksub = 8,
+        pqRounds = 2, residual = residual)
+      val got = Pq.probeIvfPqIndex(spark, dir, queries, k = 5,
+        nprobe = 4, rerank = 10)
+        .select($"qid", $"nid").as[(Long, Long)].collect().toSet
+      (got intersect want).size.toDouble / want.size
+    }
+    val raw = recall(residual = false)
+    val res = recall(residual = true)
+    info(f"recall@5 (rerank=10): raw=$raw%.3f residual=$res%.3f")
+    assert(res >= raw,
+      f"residual encoding must not lose recall vs raw: $res%.3f < $raw%.3f")
+  }
+
+  test("residual index: update equals rebuild, fence skips replay, rollback restores") {
+    val all = clustered(40, 16).toDF("id", "vec")
+    val base = all.filter($"id" % 10 =!= 3)
+    val queries = all.filter($"id" < 3)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpqres_incr").toString
+    Pq.buildIvfPqIndex(base, dir, nlist = 4, m = 4, ksub = 8,
+      residual = true)
+    val e0 = graft.operators.SegSwap.currentEpoch(
+      graft.operators.SegSwap.fsOf(spark, dir), dir)
+    val pre = key(Pq.probeIvfPqIndex(spark, dir, queries,
+      k = 3, nprobe = 2, rerank = 8))
+    Pq.updateIvfPqIndex(spark, dir, all.filter($"id" % 10 === 3),
+      base.filter($"id" % 10 === 7).select("id"), batchId = Some(0L))
+    // replayed batch: the fence skips (and the residual flag survives
+    // the params rewrite the update committed)
+    assert(Pq.updateIvfPqIndex(spark, dir, all.filter($"id" % 10 === 3),
+      base.filter($"id" % 10 === 7).select("id"),
+      batchId = Some(0L)).isEmpty)
+    val got = key(Pq.probeIvfPqIndex(spark, dir, queries,
+      k = 3, nprobe = 2, rerank = 8))
+    // rebuild from scratch over the post-delta corpus under the SAME
+    // frozen coarse centroids and residual codebooks
+    val cents = spark.read.parquet(s"$dir/centroids")
+      .select($"cid".as("id"), $"cvec".as("vec"))
+    val cb = spark.read.parquet(s"$dir/codebooks")
+    val ref = java.nio.file.Files.createTempDirectory("ivfpqres_ref").toString
+    Pq.buildIvfPqIndex(all.filter($"id" % 10 =!= 7), ref,
+      nlist = 4, m = 4, ksub = 8, centroids = Some(cents),
+      codebooks = Some(cb), residual = true)
+    val want = key(Pq.probeIvfPqIndex(spark, ref, queries,
+      k = 3, nprobe = 2, rerank = 8))
+    assert(got == want, s"only-got=${got -- want}\nonly-want=${want -- got}")
+    // time travel keeps working on the residual layout
+    assert(key(Pq.probeIvfPqIndexAt(spark, dir, queries,
+      k = 3, nprobe = 2, rerank = 8, epoch = e0)) == pre)
+    Pq.ivfPqRollbackTo(spark, dir, e0)
+    assert(key(Pq.probeIvfPqIndex(spark, dir, queries,
+      k = 3, nprobe = 2, rerank = 8)) == pre)
+  }
 }
