@@ -77,7 +77,7 @@ object Bench {
         // two-store corpusBatch dispatch carry stream+store codegen
         // their batch siblings don't
         "q_incr_kmeans_stream", "q_incr_ann_ivfpq_stream",
-        "q_incr_corpus_stream").foreach { n =>
+        "q_incr_corpus_stream", "q_incr_matvec_stream").foreach { n =>
         SparkEntry.queries.get(n).foreach { fn =>
           try fn(spark, warmDir).count() catch { case _: Throwable => () }
         }

@@ -290,6 +290,63 @@ object IterativeQueries {
        SELECT idx, round(x, 6) AS x FROM p$incrIters"""
   }
 
+  /** TWO-batch chained incremental matvec oracle — the
+    * q_incr_matvec_stream gate's truth ([[incrMatvecSql]]'s
+    * continuation shape chained, exactly as [[incrPagerankStreamSql]]
+    * chains the pagerank one): `baseIters` full Jacobi rounds, then
+    * per batch `incrIters` frontier-propagated rounds. Batch 1 halves
+    * the cells of columns j%10==3 (the q_incr_matvec delta); batch 2
+    * REMOVES columns j%10==6 outright (`op = "D"` — round 1's affected
+    * rows are exactly the rows whose stored contributions from the
+    * removed columns are evicted; no fresh contributions replace
+    * them). The node universe is fixed (b covers it), θ=0 exact. */
+  private def incrMatvecStreamSql(baseIters: Int, incrIters: Int): String = {
+    def rounds(tag: String, start: String, mNew: String, mPrev: String,
+        chg: String): String =
+      (1 to incrIters).map { k =>
+        val prev = if (k == 1) start else s"p$tag${k - 1}"
+        val affected =
+          if (k == 1)
+            s"""a$tag$k AS (SELECT DISTINCT i AS idx FROM $mNew JOIN $chg USING (j)
+               UNION SELECT DISTINCT i AS idx FROM $mPrev JOIN $chg USING (j))"""
+          else
+            s"""a$tag$k AS (SELECT DISTINCT e.i AS idx
+               FROM $mNew e JOIN a$tag${k - 1} f ON e.j = f.idx)"""
+        s"""$affected,
+           s$tag$k AS (SELECT a.idx, 0.2 + coalesce(c.s, 0.0) AS x
+             FROM a$tag$k a LEFT JOIN (
+               SELECT e.i AS idx, sum(e.v * p.x) AS s
+               FROM $mNew e JOIN $prev p ON e.j = p.idx GROUP BY 1) c
+             ON a.idx = c.idx),
+           p$tag$k AS (SELECT r.idx, r.x FROM $prev r
+             WHERE r.idx NOT IN (SELECT idx FROM a$tag$k)
+             UNION ALL SELECT idx, x FROM s$tag$k)"""
+      }.mkString(",\n")
+    val base = (1 to baseIters).map { k =>
+      s"""x$k AS (SELECT n.idx, 0.2 + coalesce(c.s, 0.0) AS x
+         FROM nodes n LEFT JOIN (
+           SELECT m.i AS idx, sum(m.v * x.x) AS s
+           FROM m JOIN x${k - 1} x ON m.j = x.idx GROUP BY 1) c
+         ON n.idx = c.idx)"""
+    }.mkString(",\n")
+    s"""WITH m0 AS (SELECT event_id % 40 AS i, user_id % 40 AS j,
+         max(value) AS w FROM events GROUP BY 1, 2),
+       rs AS (SELECT i, sum(abs(w)) AS rs FROM m0 GROUP BY 1),
+       m AS (SELECT m0.i, m0.j, m0.w / rs.rs * 0.8 AS v
+         FROM m0 JOIN rs ON m0.i = rs.i),
+       nodes AS (SELECT i AS idx FROM m UNION SELECT j FROM m),
+       x0 AS (SELECT idx, CAST(0.2 AS DOUBLE) AS x FROM nodes),
+       $base,
+       chg1 AS (SELECT DISTINCT j FROM m WHERE j % 10 = 3),
+       m2 AS (SELECT i, j, CASE WHEN j % 10 = 3 THEN v * 0.5 ELSE v END AS v
+         FROM m),
+       ${rounds("x", s"x$baseIters", "m2", "m", "chg1")},
+       chg2 AS (SELECT DISTINCT j FROM m2 WHERE j % 10 = 6),
+       m3 AS (SELECT i, j, v FROM m2 WHERE j % 10 <> 6),
+       ${rounds("y", s"px$incrIters", "m3", "m2", "chg2")}
+       SELECT idx, round(x, 6) AS x FROM py$incrIters"""
+  }
+
   /** Incremental BLOCKED matvec oracle — the One2Mul continuation
     * ([[graft.algorithms.IncrementalMatVec.incrementalBlocked]])
     * unrolled. Identical arithmetic to [[incrMatvecSql]]; what changes
@@ -990,6 +1047,61 @@ object IterativeQueries {
         pts.unpersist(blocking = false)
         out
       },
-      Some(incrKmeansStreamSql(2, 2, 4)))
+      Some(incrKmeansStreamSql(2, 2, 4))),
+
+    // The MATVEC stream maintainer under the driver's oracle — the
+    // last family member that was spec+probe-only (StreamingSpec
+    // replay/restart, ScaleBench `stream_static_mv`): the damped
+    // Jacobi state in a durable SegmentedStateStore, the matrix in a
+    // column-keyed KeyedUpsertStore, two cell-delta micro-batches
+    // applied by StreamMaintain.matvecBatch. Batch 1 REPLACES the
+    // ≡3-mod-10 columns' cell sets with halved values (a replacement
+    // batch carries the column's ENTIRE new cell set — the upsert
+    // algebra's contract); batch 2 REMOVES the ≡6 columns outright
+    // (`op = "D"`). The node universe is fixed: b spans the base
+    // matrix's indices, removed columns keep their x rows (they still
+    // receive mass as rows). Oracle: the two-batch chained Jacobi
+    // unroll with the deletion-variant second continuation.
+    Q("q_incr_matvec_stream",
+      (s, dir) => {
+        val w = Q.events(s, dir)
+          .groupBy((col("event_id") % 40).as("i"), (col("user_id") % 40).as("j"))
+          .agg(max("value").as("w"))
+        val rs = w.groupBy("i").agg(sum(abs(col("w"))).as("rs"))
+        val m1 = w.join(rs, "i")
+          .select(col("i"), col("j"), (col("w") / col("rs") * 0.8).as("v"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val b = IncrementalMatVec.universe(m1, 0.2)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val stateStore = java.nio.file.Files
+          .createTempDirectory("graft_mv_stream_state").toString
+        val cellStore = java.nio.file.Files
+          .createTempDirectory("graft_mv_stream_cells").toString
+        IncrementalMatVec.preserveTo(s, stateStore, m1, b, iterations = 2,
+          numPartitions = 8, nBuckets = 8)
+        IncrementalMatVec.initCellStore(s, cellStore, m1, nBuckets = 8)
+        val delta1 = m1.filter(col("j") % 10 === 3)
+          .select(col("i").cast("long"), col("j").cast("long"),
+            (col("v") * 0.5).as("v"), lit("U").as("op"))
+        val delta2 = m1.filter(col("j") % 10 === 6).select("j").distinct()
+          .select(lit(null).cast("long").as("i"), col("j").cast("long"),
+            lit(null).cast("double").as("v"), lit("D").as("op"))
+        val drop = graft.streaming.DeltaFiles.stage(Seq(delta1, delta2))
+        graft.streaming.DeltaFiles.runToEnd(s, delta1.schema, drop) {
+          (batch, bid) =>
+            graft.streaming.StreamMaintain.matvecBatch(s, stateStore,
+              cellStore, batch, bid, b, iterations = 2, numPartitions = 8)
+            ()
+        }
+        val out = graft.core.SegmentedStateStore.openForRead(s, stateStore)
+          .preserved.out
+          .select(col("idx"), round(col("x"), 6).as("x"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        out.count()
+        m1.unpersist(blocking = false)
+        b.unpersist(blocking = false)
+        out
+      },
+      Some(incrMatvecStreamSql(2, 2)))
   )
 }
