@@ -550,7 +550,19 @@ object ScaleBench {
             else f.length
           sz(new java.io.File(p))
         }
+        // the RESIDUAL (IVFADC) form at the same shape: per-vector scan
+        // cost must match raw (same m lookups + m adds; the qcdot term
+        // rides the |q|·nprobe probe frame), build pays the extra
+        // centroid join + reconstruction norm
+        val idxR = s"$dir/ivfpq_res_idx"
+        deleteRec(new java.io.File(idxR))
+        val (_, tbr) = timed(operators.Pq.buildIvfPqIndex(v, idxR,
+          nlist = 16, m = 8, ksub = 16, residual = true))
+        val (_, tqr) = timed(consume(operators.Pq.probeIvfPqIndex(
+          spark, idxR, v.filter(col("id") < 5), k = 5, nprobe = 4,
+          rerank = 32)))
         Seq("build" -> tb, "probe" -> tq,
+          "build_res" -> tbr, "probe_res" -> tqr,
           "lists_mb" -> du(s"$idx/lists").toDouble / (1 << 20))
       }
 
@@ -582,6 +594,44 @@ object ScaleBench {
           del, 1L))
         up.unpersist(blocking = false); del.unpersist(blocking = false)
         Seq("build" -> tb, "upsert_batch" -> t1, "delete_batch" -> t2)
+      }
+
+      run("stream_kmeans", 2000L * m) {
+        // the ONE2ALL maintainer at fixed delta: the first hop is
+        // delta-pruned, but any center that moves re-dirties every
+        // point — the follow-up iterations are full Lloyd steps BY
+        // SEMANTICS (each point's assignment depends on all centers),
+        // so the per-batch bound is O(corpus·k), not O(delta). The
+        // probe pins that the store machinery adds nothing beyond that
+        // semantic bound (exp ~<= 1 on the batch legs, where the
+        // One2One twins hold ~0) and that the point-store upsert stays
+        // delta-shaped.
+        val pts = vecs.select(col("id"),
+          col("vec").cast("array<double>").as("vec"))
+        val centerStore = s"$dir/km_stream_centers"
+        val pointStore = s"$dir/km_stream_points"
+        deleteRec(new java.io.File(centerStore))
+        deleteRec(new java.io.File(pointStore))
+        val (_, tp) = timed {
+          algorithms.IncrementalKMeans.preserveToSeg(spark, centerStore,
+            pts, k = 8, iterations = 2, nBuckets = 8)
+          algorithms.IncrementalKMeans.initPointStore(spark, pointStore,
+            pts, nBuckets = 32)
+        }
+        val up = pts.filter(col("id") % 40L === 7L).limit(50)
+          .select(col("id"),
+            transform(col("vec"), x => x * 0.5).as("vec"),
+            lit("U").as("op"))
+          .localCheckpoint(true)
+        val (_, t1) = timed(streaming.StreamMaintain.kmeansBatch(spark,
+          centerStore, pointStore, up, 0L, iterations = 2))
+        val del = up.limit(20)
+          .select(col("id"), lit(null).cast("array<double>").as("vec"),
+            lit("D").as("op")).localCheckpoint(true)
+        val (_, t2) = timed(streaming.StreamMaintain.kmeansBatch(spark,
+          centerStore, pointStore, del, 1L, iterations = 2))
+        up.unpersist(blocking = false); del.unpersist(blocking = false)
+        Seq("init" -> tp, "upsert_batch" -> t1, "delete_batch" -> t2)
       }
 
       run("seg_pagerank", 15000L * m) {
