@@ -454,7 +454,7 @@ class LifecycleSpec extends SparkSpec {
     // The library cache contract for Pipeline cleans: the returned
     // frame is the ONLY cache left behind (its own unpersist frees
     // everything) — a caller composing many cleans accumulates nothing.
-    spark.catalog.clearCache()
+    drainStorage() // incl. RDD-level localCheckpoint blocks from earlier suites
     val before = spark.sparkContext.getPersistentRDDs.keySet
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val c1 = graft.operators.Pipeline.cleanCorpus(
@@ -482,7 +482,7 @@ class LifecycleSpec extends SparkSpec {
   }
 
   test("continuation states release every cache — clusters, clean, tfidf, decontam") {
-    spark.catalog.clearCache()
+    drainStorage() // incl. RDD-level localCheckpoint blocks from earlier suites
     val before = spark.sparkContext.getPersistentRDDs.keySet
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val base = docs.filter(col("doc_id") % 10 =!= 3)

@@ -349,6 +349,11 @@ class PqSpec extends SparkSpec {
 
   // ---- residual (IVFADC) encoding ----------------------------------------
 
+  // Index builds localCheckpoint their driver-small quantizer frames —
+  // RDD-level blocks the shared session carries until a lucky GC; these
+  // tests drain them on exit ([[SparkSpec.drainStorage]]) so the
+  // absolute storage-emptiness assertions downstream stay deterministic.
+
   /** Clustered corpus: 4 well-separated cluster anchors, points =
     * anchor + deterministic jitter of VARYING magnitude (so a query's
     * true neighbor ranking is decided by jitter scale, not noise ties)
@@ -395,6 +400,7 @@ class PqSpec extends SparkSpec {
     info(f"recall@5 (rerank=10): raw=$raw%.3f residual=$res%.3f")
     assert(res >= raw,
       f"residual encoding must not lose recall vs raw: $res%.3f < $raw%.3f")
+    drainStorage()
   }
 
   test("residual index: update equals rebuild, fence skips replay, rollback restores") {
@@ -435,5 +441,6 @@ class PqSpec extends SparkSpec {
     Pq.ivfPqRollbackTo(spark, dir, e0)
     assert(key(Pq.probeIvfPqIndex(spark, dir, queries,
       k = 3, nprobe = 2, rerank = 8)) == pre)
+    drainStorage()
   }
 }

@@ -27,4 +27,18 @@ abstract class SparkSpec extends AnyFunSuite {
     s
   }
   val sf = "/root/testdata/sf0.001"
+
+  /** Deterministically empty the shared session's block store: catalog
+    * caches AND raw RDD-level blocks (localCheckpoints — index builds
+    * and delta pins create these; `clearCache` cannot see them and the
+    * ContextCleaner reclaims them only when a GC happens to run, which
+    * made absolute storage-emptiness assertions flaky as the suite
+    * grew). Tests that create such blocks call this on exit; tests
+    * that ASSERT emptiness call it on entry so they measure only the
+    * operators under test. */
+  def drainStorage(): Unit = {
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
+  }
 }
