@@ -99,6 +99,13 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
       .getOrElse(Set.empty[String])
+    // fail fast on a typo'd name: an empty filtered run otherwise pays
+    // full init + warmup and prints a zero-query result line that is
+    // indistinguishable from success
+    val unknown = only -- SparkEntry.queries.keySet
+    require(unknown.isEmpty,
+      s"SPARK_GRAFT_BENCH_ONLY names not in SparkEntry.queries: " +
+        unknown.toSeq.sorted.mkString(", "))
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only(name) }
       .map { case (name, fn) =>

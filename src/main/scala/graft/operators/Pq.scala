@@ -414,9 +414,17 @@ object Pq {
       pqParams(m, locB, residual)(-1L))
   }
 
+  /** The `residual` key's schema-evolution default: an index written
+    * before the flag existed IS a raw (non-residual) index — reading 0
+    * is correct, not a guess, so a pre-existing durable store stays
+    * probeable/updatable across the upgrade instead of demanding a
+    * re-init. */
+  private val residualDefault = Map[String, Any]("residual" -> 0)
+
   /** (m, residual) from the index's params — one read serves both. */
   private def readMRes(spark: SparkSession, path: String): (Int, Boolean) = {
-    val r = SegSwap.readParamsRow(spark, path, Seq("m", "residual"), "ivfpq")
+    val r = SegSwap.readParamsRow(spark, path, Seq("m", "residual"),
+      "ivfpq", residualDefault)
     (r.getInt(0), r.getInt(1) == 1)
   }
 
@@ -484,18 +492,22 @@ object Pq {
     // empty result, not fail a first-row dim peek
     val dsub = cb.select(size(col("cvec")).as("d")).head().getInt(0)
     // coarse probe: nprobe nearest centroids per query (the
-    // Similarity.probeLists probe window, same tie-breaking). The
-    // residual form also carries dot(q, centroid) per probed list —
-    // the query-dependent half of dot(q, x̂) = dot(q, c) + dot(q, r̂),
-    // |q|·nprobe extra doubles riding a frame that exists anyway.
+    // Similarity.probeLists probe window, same tie-breaking). ONLY the
+    // residual form carries dot(q, centroid) per probed list — the
+    // query-dependent half of dot(q, x̂) = dot(q, c) + dot(q, r̂),
+    // |q|·nprobe extra doubles riding a frame that exists anyway; the
+    // raw form skips the column (a dead |q|×nlist dot pass otherwise).
     val pw = Window.partitionBy("qid").orderBy(col("c").desc, col("cid").asc)
+    val probeCols = Seq(col("qid"), col("cid"),
+      Similarity.cosine(col("qvec"), col("cvec")).as("c")) ++
+      (if (residual) Seq(graft.functions.GraftFunctions.dot_product(
+        col("qvec"), col("cvec")).as("qcdot")) else Nil)
+    val keepCols = Seq(col("cid"), col("qid")) ++
+      (if (residual) Seq(col("qcdot")) else Nil)
     val probes = q.crossJoin(broadcast(cents))
-      .select(col("qid"), col("cid"),
-        Similarity.cosine(col("qvec"), col("cvec")).as("c"),
-        graft.functions.GraftFunctions.dot_product(
-          col("qvec"), col("cvec")).as("qcdot"))
+      .select(probeCols: _*)
       .withColumn("rk", row_number().over(pw)).filter(col("rk") <= nprobe)
-      .select(col("cid"), col("qid"), col("qcdot"))
+      .select(keepCols: _*)
     val probedCids = probes.select("cid").distinct().collect()
       .map(_.getLong(0))
     // the literal IN on the partition column prunes unprobed lists' FILES
@@ -557,7 +569,8 @@ object Pq {
       // one params read serves fence + m + locB + residual (per-trigger
       // hot path)
       val pr = SegSwap.readParamsRow(spark, path,
-        Seq("lastBatch", "m", "locB", "residual"), "ivfpq")
+        Seq("lastBatch", "m", "locB", "residual"), "ivfpq",
+        residualDefault)
       if (batchId.exists(_ <= pr.getLong(0))) None
       else {
         val m = pr.getInt(1)

@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.hadoop.fs.{FileSystem, Path => HPath}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.types.StructType
 
 /** The journaled touched-bucket swap shared by every segmented durable
@@ -701,11 +701,18 @@ private[graft] object SegSwap {
     * without mutating anything) and NAME-based (a store written by an
     * older params layout fails with a clear column-not-found telling
     * the operator to re-init, never a positional ClassCastException
-    * deep in a getter). Returns the single row in `want` order. */
+    * deep in a getter). Returns the single row in `want` order.
+    * `defaults` is the params-schema-EVOLUTION escape hatch: a key a
+    * NEWER build added (e.g. the IVF-PQ `residual` flag) reads its
+    * default from a store an older build wrote, instead of forcing a
+    * re-init of a perfectly readable durable store — only keys with
+    * no default keep the fail-loudly contract. */
   private[graft] def readParamsRow(spark: SparkSession, path: String,
-      want: Seq[String], what: String): org.apache.spark.sql.Row =
+      want: Seq[String], what: String,
+      defaults: Map[String, Any] = Map.empty): org.apache.spark.sql.Row =
     paramsRowFrom(spark, path,
-      resolvedDirPath(fsOf(spark, path), path, "params"), want, what)
+      resolvedDirPath(fsOf(spark, path), path, "params"), want, what,
+      defaults)
 
   /** [[readParamsRow]] AS OF an epoch — params metadata (N, bucket
     * mode, fences) resolved from the same commit the snapshot data
@@ -718,14 +725,18 @@ private[graft] object SegSwap {
       snapshotDirPath(fsOf(spark, path), path, "params", epoch), want, what)
 
   private def paramsRowFrom(spark: SparkSession, path: String, dir: String,
-      want: Seq[String], what: String): org.apache.spark.sql.Row = {
+      want: Seq[String], what: String,
+      defaults: Map[String, Any] = Map.empty): org.apache.spark.sql.Row = {
     val df = spark.read.parquet(dir)
     val missing = want.filterNot(df.columns.contains)
-    require(missing.isEmpty,
+    val undefaulted = missing.filterNot(defaults.contains)
+    require(undefaulted.isEmpty,
       s"$what: store at $path has an incompatible params layout " +
-        s"(missing ${missing.mkString(",")}) — written by an older " +
+        s"(missing ${undefaulted.mkString(",")}) — written by an older " +
         "build; re-init the store")
-    df.select(want.map(col): _*).collect()(0)
+    df.select(want.map(w =>
+      if (df.columns.contains(w)) col(w) else lit(defaults(w)).as(w)): _*)
+      .collect()(0)
   }
 
   /** Stage, journal, and install `touched` = (table, replacement rows

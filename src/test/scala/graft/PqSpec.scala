@@ -443,4 +443,35 @@ class PqSpec extends SparkSpec {
       k = 3, nprobe = 2, rerank = 8)) == pre)
     drainStorage()
   }
+
+  test("params schema evolution: a pre-residual index reads with residual defaulted to raw") {
+    val all = (0L until 20L).map(i => (i, v(i, 16))).toDF("id", "vec")
+    val queries = all.filter($"id" < 3)
+    val dir = java.nio.file.Files
+      .createTempDirectory("ivfpq_oldparams").toString
+    Pq.buildIvfPqIndex(all, dir, nlist = 4, m = 4, ksub = 8)
+    val want = key(Pq.probeIvfPqIndex(spark, dir, queries,
+      k = 3, nprobe = 2, rerank = 8))
+    // rewrite the params in the PRE-residual layout (what an index
+    // built before the flag existed carries on disk)
+    val old = spark.read.parquet(s"$dir/params")
+      .select("listsDdl", "m", "lastBatch", "locB").collect()(0)
+    graft.operators.SegSwap.writeParamsTo(spark, s"$dir/params", Seq(
+      "listsDdl" -> old.getString(0), "m" -> old.getInt(1),
+      "lastBatch" -> old.getLong(2), "locB" -> old.getInt(3)))
+    // probe, as-of machinery, and a fenced update must all still work:
+    // absent key == raw encoding, not a forced re-init
+    assert(key(Pq.probeIvfPqIndex(spark, dir, queries,
+      k = 3, nprobe = 2, rerank = 8)) == want)
+    assert(Pq.updateIvfPqIndex(spark, dir,
+      all.filter($"id" === 7L).select(($"id" + 100L).as("id"), $"vec"),
+      spark.range(0).select($"id"), batchId = Some(0L)).nonEmpty)
+    val live = graft.operators.SegSwap.resolvedTable(spark, dir, "lists",
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "nid BIGINT, nvec ARRAY<DOUBLE>, codes ARRAY<INT>, " +
+          "rnorm2 DOUBLE, cid BIGINT, _b INT"))
+      .select("nid").as[Long].collect().toSet
+    assert(live == (0L until 20L).toSet + 107L)
+    drainStorage()
+  }
 }

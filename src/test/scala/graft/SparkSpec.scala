@@ -35,7 +35,16 @@ abstract class SparkSpec extends AnyFunSuite {
     * made absolute storage-emptiness assertions flaky as the suite
     * grew). Tests that create such blocks call this on exit; tests
     * that ASSERT emptiness call it on entry so they measure only the
-    * operators under test. */
+    * operators under test.
+    *
+    * CAUTION: localCheckpoint blocks are the ONLY copy of their data
+    * (lineage is truncated), so call this only when no live frame in
+    * scope still depends on checkpointed/persisted state — a call
+    * mid-test, while e.g. a PreservedState or a staged store
+    * replacement frame is still unreleased, turns into a
+    * "Checkpoint block not found" crash at the next action, far from
+    * the cause. Entry/exit of a test (every current call site) is the
+    * safe position. */
   def drainStorage(): Unit = {
     spark.catalog.clearCache()
     spark.sparkContext.getPersistentRDDs.values
