@@ -401,7 +401,6 @@ object Pq {
     // the count also pins `assigned` before its upstream caches release
     val rows = assigned.count()
     val locB = if (locBuckets > 0) locBuckets else Similarity.autoLocB(rows)
-    releaseRes()
     assigned
       .repartition(col("_b"))
       .write.mode("overwrite").partitionBy("_b").parquet(s"$path/lists")
@@ -409,6 +408,11 @@ object Pq {
       .withColumn("_b", Similarity.locBucket(col("nid"), locB))
       .repartition(col("_b"))
       .write.mode("overwrite").partitionBy("_b").parquet(s"$path/loc")
+    // released only after BOTH writes that consume `assigned`: if an
+    // evicted MEMORY_AND_DISK partition of `assigned` recomputes during
+    // the lists/loc writes, it must read the cached residuals, not redo
+    // the full residual encode+join chain
+    releaseRes()
     assigned.unpersist(blocking = false)
     SegSwap.writeParamsTo(spark, s"$path/params",
       pqParams(m, locB, residual)(-1L))
@@ -452,7 +456,12 @@ object Pq {
   def probeIvfPqIndexAt(spark: SparkSession, path: String,
       queries: DataFrame, k: Int, nprobe: Int, rerank: Int,
       epoch: Long): DataFrame = {
-    val (m, res) = readMRes(spark, path)
+    // m/residual resolved from the SAME commit as the snapshot lists —
+    // both are build-frozen today, but the as-of contract is that every
+    // param a derived read depends on comes from the requested epoch
+    val r = SegSwap.readParamsRowAt(spark, path, Seq("m", "residual"),
+      "ivfpq", epoch, residualDefault)
+    val (m, res) = (r.getInt(0), r.getInt(1) == 1)
     probePq(spark, queries, k, nprobe, rerank, m,
       spark.read.parquet(s"$path/centroids"),
       spark.read.parquet(s"$path/codebooks"),

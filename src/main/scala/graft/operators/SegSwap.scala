@@ -719,10 +719,11 @@ private[graft] object SegSwap {
     * tables come from, so an as-of derived read is consistent end to
     * end. */
   private[graft] def readParamsRowAt(spark: SparkSession, path: String,
-      want: Seq[String], what: String,
-      epoch: Long): org.apache.spark.sql.Row =
+      want: Seq[String], what: String, epoch: Long,
+      defaults: Map[String, Any] = Map.empty): org.apache.spark.sql.Row =
     paramsRowFrom(spark, path,
-      snapshotDirPath(fsOf(spark, path), path, "params", epoch), want, what)
+      snapshotDirPath(fsOf(spark, path), path, "params", epoch), want, what,
+      defaults)
 
   private def paramsRowFrom(spark: SparkSession, path: String, dir: String,
       want: Seq[String], what: String,
