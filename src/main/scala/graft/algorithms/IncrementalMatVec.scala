@@ -328,14 +328,97 @@ object IncrementalMatVec {
       segStore: Option[graft.core.SegmentedStateStore] = None): DataFrame = {
 
     val static = tiles(updatedM, blockSize)
-    val bKeyed = b.select(col("idx").cast("long"), col("bv").cast("double"))
     // (jb → tid) dependency relation for backProject: one tiny leaf,
     // computed once, released after the run (re-deriving it from the
     // cell table would pay the blocking groupBy every iteration).
     val (tileIdx, _, releaseIdx) = org.apache.spark.sql.graft.GraftSqlShim
       .checkpointedLeafWithHandle(static.select(col("jb").as("_tjb"), col("tid")))
 
-    val job = new IncrementalJob(
+    val job = buildBlockedJob(static, b, preserved, changedTiles, blockSize,
+      backProjectFn = moved => moved
+        .select((col("idx") / blockSize).cast("long").as("_mjb")).distinct()
+        .join(tileIdx, col("_mjb") === col("_tjb"))
+        .select(col("tid")),
+      iterations = iterations, filterThreshold = filterThreshold,
+      numPartitions = numPartitions, durableStatePath = durableStatePath,
+      segStore = segStore, segStoreBatchId = None, staticSource = None)
+
+    val out = IncrementalJob.finish(job.run())
+    releaseIdx()
+    out
+  }
+
+  /** STORE-FED BLOCKED continuation — the ONE2MUL member of the
+    * stream-maintainer family ([[graft.streaming.StreamMaintain
+    * .blockedMatvecBatch]]): state in the segmented store at
+    * `statePath`, the matrix in a [[graft.operators.TiledMatrixStore]]
+    * at `tileStorePath` whose tile-keyed and block-keyed views are read
+    * pruned and OVERLAID with the batch's surgery (`delta` —
+    * [[graft.operators.TiledMatrixStore.prepareDelta]]'s output, not
+    * yet applied: the fixed apply order). The initial frontier is the
+    * delta's touched tiles; `backProject` discovers re-dirtied tiles
+    * through the store's jb-keyed tile index (pruned reads), so no
+    * iteration ever scans the tiling corpus-wide. */
+  def incrementalBlockedFromStores(spark: org.apache.spark.sql.SparkSession,
+      statePath: String, tileStorePath: String,
+      delta: graft.operators.TiledMatrixStore.Delta, b: DataFrame,
+      iterations: Int, filterThreshold: Double = 0.0,
+      numPartitions: Int = 32, broadcastMaxRows: Long = 4L * 1000 * 1000,
+      batchId: Option[Long] = None)
+      : (DataFrame, Option[graft.operators.StorePolicy.ContinueAdvice]) = {
+    val store = graft.core.SegmentedStateStore.openForWrite(spark, statePath)
+    if (batchId.exists(_ <= store.appliedBatch)) {
+      // replayed batch (checkpoint recovery): at-most-once per id
+      store.releaseLease()
+      val out = store.out.drop("_b")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      out.count()
+      (out, None)
+    } else {
+      val th = graft.operators.TiledMatrixStore.open(spark, tileStorePath)
+      val blockSize = th.blockSize
+      val touchedRows = delta.touched.count()
+      val tileSrc = new graft.core.StaticSource.Overlay(th.tilesSource,
+        "tid", delta.touched, touchedRows, delta.newBags, broadcastMaxRows)
+      val idxSrc = new graft.core.StaticSource.Overlay(th.idxSource,
+        "jb", delta.chgJbs, delta.chgJbs.count(), delta.newIdx,
+        broadcastMaxRows)
+      // moved frames arrive as materialized leaves (the loop binds
+      // frontiers through scratch leaves), so the per-iteration bucket
+      // collect here is a tiny job over cached blocks — the same
+      // discipline as the loop's own frontier-bucket collects
+      val backProj: DataFrame => DataFrame = moved => {
+        val jbs = moved
+          .select((col("idx") / blockSize).cast("long").as("_mjb"))
+          .distinct()
+        val bs = jbs.select(idxSrc.bucketOf(col("_mjb")).as("_sb"))
+          .distinct().collect().map(_.getInt(0)).toSet
+        idxSrc.pruned(bs)
+          .join(jbs, col("jb") === col("_mjb"), "left_semi")
+          .select(col("tid"))
+      }
+      val job = buildBlockedJob(tileSrc.all, b, store.preserved,
+        delta.touched, blockSize, backProj, iterations, filterThreshold,
+        numPartitions, durableStatePath = None, segStore = Some(store),
+        segStoreBatchId = batchId, staticSource = Some(tileSrc))
+      val r = job.run()
+      (IncrementalJob.finish(r), r.advice)
+    }
+  }
+
+  /** The blocked (One2Mul) instantiation of [[IncrementalJob]] — shared
+    * by the frame-fed and store-fed continuations; only the static
+    * residence and the backProject discovery differ. */
+  private def buildBlockedJob(static: DataFrame, b: DataFrame,
+      preserved: PreservedState, changedTiles: DataFrame, blockSize: Int,
+      backProjectFn: DataFrame => DataFrame, iterations: Int,
+      filterThreshold: Double, numPartitions: Int,
+      durableStatePath: Option[String],
+      segStore: Option[graft.core.SegmentedStateStore],
+      segStoreBatchId: Option[Long],
+      staticSource: Option[graft.core.StaticSource]): IncrementalJob = {
+    val bKeyed = b.select(col("idx").cast("long"), col("bv").cast("double"))
+    new IncrementalJob(
       updatedStatic = static,
       skCol = "tid",
       k2Col = "idx",
@@ -374,18 +457,13 @@ object IncrementalMatVec {
       outToDyn = identity,
       distance = (o, n) => abs(o("x") - n("x")),
       projectKind = ProjectKind.One2Mul,
-      backProject = Some(moved => moved
-        .select((col("idx") / blockSize).cast("long").as("_mjb")).distinct()
-        .join(tileIdx, col("_mjb") === col("_tjb"))
-        .select(col("tid"))),
+      backProject = Some(backProjectFn),
       filterThreshold = filterThreshold,
       maxIterations = iterations,
       numPartitions = numPartitions,
       durableStatePath = durableStatePath,
-      segStore = segStore)
-
-    val out = IncrementalJob.finish(job.run())
-    releaseIdx()
-    out
+      segStore = segStore,
+      segStoreBatchId = segStoreBatchId,
+      staticSource = staticSource)
   }
 }

@@ -347,6 +347,72 @@ object IterativeQueries {
        SELECT idx, round(x, 6) AS x FROM py$incrIters"""
   }
 
+  /** TWO-batch chained incremental BLOCKED matvec oracle — the
+    * q_incr_matvec_blocked_stream gate's truth: the One2Mul
+    * continuation shape ([[incrMatvecBlockedSql]]'s tile-granular
+    * change propagation) chained exactly as [[incrMatvecStreamSql]]
+    * chains the scalar one. Round 1 of each continuation dirties the
+    * TOUCHED TILES (tiles holding the changed columns' old cells ∪
+    * tiles holding the replacement cells — for a pure removal batch
+    * the second arm is empty), so its affected rows are all rows with
+    * cells in those tiles, in the PRE- or POST-batch matrix; rounds
+    * ≥ 2 propagate through BLOCK sparsity. The k≥2 rounds need only
+    * the post-batch arm: every cell that differs between the pre- and
+    * post-batch matrices lives in a touched tile, and touched tiles
+    * were all refreshed in round 1. */
+  private def incrMatvecBlockedStreamSql(baseIters: Int, incrIters: Int,
+      b: Int): String = {
+    def rounds(tag: String, start: String, mNew: String, mPrev: String,
+        tchg: String): String =
+      (1 to incrIters).map { k =>
+        val prev = if (k == 1) start else s"p$tag${k - 1}"
+        val affected =
+          if (k == 1)
+            s"""a$tag$k AS (SELECT DISTINCT e.i AS idx FROM $mNew e
+               JOIN $tchg t ON e.i // $b = t.ib AND e.j // $b = t.jb
+               UNION SELECT DISTINCT e.i AS idx FROM $mPrev e
+               JOIN $tchg t ON e.i // $b = t.ib AND e.j // $b = t.jb)"""
+          else
+            s"""a$tag$k AS (SELECT DISTINCT i AS idx FROM $mNew
+               WHERE j // $b IN (SELECT DISTINCT idx // $b FROM a$tag${k - 1}))"""
+        s"""$affected,
+           s$tag$k AS (SELECT a.idx, 0.2 + coalesce(c.s, 0.0) AS x
+             FROM a$tag$k a LEFT JOIN (
+               SELECT e.i AS idx, sum(e.v * p.x) AS s
+               FROM $mNew e JOIN $prev p ON e.j = p.idx GROUP BY 1) c
+             ON a.idx = c.idx),
+           p$tag$k AS (SELECT r.idx, r.x FROM $prev r
+             WHERE r.idx NOT IN (SELECT idx FROM a$tag$k)
+             UNION ALL SELECT idx, x FROM s$tag$k)"""
+      }.mkString(",\n")
+    val base = (1 to baseIters).map { k =>
+      s"""x$k AS (SELECT n.idx, 0.2 + coalesce(c.s, 0.0) AS x
+         FROM nodes n LEFT JOIN (
+           SELECT m.i AS idx, sum(m.v * x.x) AS s
+           FROM m JOIN x${k - 1} x ON m.j = x.idx GROUP BY 1) c
+         ON n.idx = c.idx)"""
+    }.mkString(",\n")
+    s"""WITH m0 AS (SELECT event_id % 40 AS i, user_id % 40 AS j,
+         max(value) AS w FROM events GROUP BY 1, 2),
+       rs AS (SELECT i, sum(abs(w)) AS rs FROM m0 GROUP BY 1),
+       m AS (SELECT m0.i, m0.j, m0.w / rs.rs * 0.8 AS v
+         FROM m0 JOIN rs ON m0.i = rs.i),
+       nodes AS (SELECT i AS idx FROM m UNION SELECT j FROM m),
+       x0 AS (SELECT idx, CAST(0.2 AS DOUBLE) AS x FROM nodes),
+       $base,
+       m2 AS (SELECT i, j, CASE WHEN j % 10 = 3 THEN v * 0.5 ELSE v END AS v
+         FROM m),
+       tchg1 AS (SELECT DISTINCT i // $b AS ib, j // $b AS jb FROM m
+           WHERE j % 10 = 3
+         UNION SELECT DISTINCT i // $b, j // $b FROM m2 WHERE j % 10 = 3),
+       ${rounds("x", s"x$baseIters", "m2", "m", "tchg1")},
+       m3 AS (SELECT i, j, v FROM m2 WHERE j % 10 <> 6),
+       tchg2 AS (SELECT DISTINCT i // $b AS ib, j // $b AS jb FROM m2
+         WHERE j % 10 = 6),
+       ${rounds("y", s"px$incrIters", "m3", "m2", "tchg2")}
+       SELECT idx, round(x, 6) AS x FROM py$incrIters"""
+  }
+
   /** Incremental BLOCKED matvec oracle — the One2Mul continuation
     * ([[graft.algorithms.IncrementalMatVec.incrementalBlocked]])
     * unrolled. Identical arithmetic to [[incrMatvecSql]]; what changes
@@ -1102,6 +1168,60 @@ object IterativeQueries {
         b.unpersist(blocking = false)
         out
       },
-      Some(incrMatvecStreamSql(2, 2)))
+      Some(incrMatvecStreamSql(2, 2))),
+
+    // The ONE2MUL stream maintainer — round 13's deliberately-deferred
+    // member, closed by the MAINTAINED TILING
+    // (graft.operators.TiledMatrixStore): producers keep the scalar
+    // maintainer's COLUMN-delta contract (batch 1 replaces the
+    // ≡3-mod-10 columns' cell sets with halved values, batch 2 removes
+    // the ≡6 columns with `op = "D"`), while the continuation prunes
+    // by TILE — the store holds the matrix column-keyed (delta
+    // locates), tile-keyed (the loop's compressed static), and
+    // block-indexed (backProject discovers re-dirtied tiles), all
+    // maintained in one journaled commit per batch. Oracle: the
+    // two-batch chained unroll at tile granularity.
+    Q("q_incr_matvec_blocked_stream",
+      (s, dir) => {
+        val w = Q.events(s, dir)
+          .groupBy((col("event_id") % 40).as("i"), (col("user_id") % 40).as("j"))
+          .agg(max("value").as("w"))
+        val rs = w.groupBy("i").agg(sum(abs(col("w"))).as("rs"))
+        val m1 = w.join(rs, "i")
+          .select(col("i"), col("j"), (col("w") / col("rs") * 0.8).as("v"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val b = IncrementalMatVec.universe(m1, 0.2)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val stateStore = java.nio.file.Files
+          .createTempDirectory("graft_bmv_stream_state").toString
+        val tileStore = java.nio.file.Files
+          .createTempDirectory("graft_bmv_stream_tiles").toString
+        IncrementalMatVec.preserveBlockedTo(s, stateStore, m1, b,
+          blockSize = 8, iterations = 2, numPartitions = 8, nBuckets = 8)
+        graft.operators.TiledMatrixStore.init(s, tileStore, m1,
+          blockSize = 8, cellBuckets = 8, tileBuckets = 8, idxBuckets = 4)
+        val delta1 = m1.filter(col("j") % 10 === 3)
+          .select(col("i").cast("long"), col("j").cast("long"),
+            (col("v") * 0.5).as("v"), lit("U").as("op"))
+        val delta2 = m1.filter(col("j") % 10 === 6).select("j").distinct()
+          .select(lit(null).cast("long").as("i"), col("j").cast("long"),
+            lit(null).cast("double").as("v"), lit("D").as("op"))
+        val drop = graft.streaming.DeltaFiles.stage(Seq(delta1, delta2))
+        graft.streaming.DeltaFiles.runToEnd(s, delta1.schema, drop) {
+          (batch, bid) =>
+            graft.streaming.StreamMaintain.blockedMatvecBatch(s, stateStore,
+              tileStore, batch, bid, b, iterations = 2, numPartitions = 8)
+            ()
+        }
+        val out = graft.core.SegmentedStateStore.openForRead(s, stateStore)
+          .preserved.out
+          .select(col("idx"), round(col("x"), 6).as("x"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        out.count()
+        m1.unpersist(blocking = false)
+        b.unpersist(blocking = false)
+        out
+      },
+      Some(incrMatvecBlockedStreamSql(2, 2, 8)))
   )
 }

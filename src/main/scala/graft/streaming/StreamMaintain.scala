@@ -208,6 +208,60 @@ object StreamMaintain {
     advice
   }
 
+  /** The ONE2MUL member of the maintainer family — BLOCKED matvec over
+    * a [[graft.operators.TiledMatrixStore]] (the maintained tiling,
+    * round 13's deliberately-deferred member): one micro-batch of cell
+    * deltas in the SCALAR maintainer's contract (`i, j, v` rows
+    * REPLACING the cell sets of their COLUMNS `j`; `op = "D"` rows
+    * REMOVING their column entirely — producers never ship whole-tile
+    * replacements for cells they did not change) applied to the
+    * Jacobi state at `stateStore` and the tiling at `tileStore`.
+    *
+    * The batch's tile surgery ([[graft.operators.TiledMatrixStore
+    * .prepareDelta]]) is computed ONCE against the pre-batch store and
+    * consumed twice: the continuation reads the tiling through overlays
+    * of it (tile bags by tid, the tile index by jb — both
+    * bucket-pruned), then [[graft.operators.TiledMatrixStore
+    * .applyDelta]] installs all three keyings and the fence in one
+    * journaled swap. Same exactly-once contract end to end: fixed
+    * apply order (state first, tiling second), per-store batch-id
+    * fences, idempotent per `batchId` — and the surgery itself is
+    * replay-idempotent by algebra, so a crash between the two applies
+    * heals on redelivery. `b` is the constant term over the (fixed)
+    * node universe. Completes the projector-cardinality matrix for the
+    * 24/7 family: One2One (pagerank/matvec), One2All (kmeans), One2Mul
+    * (this). */
+  def blockedMatvecBatch(spark: SparkSession, stateStore: String,
+      tileStore: String, batch: DataFrame, batchId: Long, b: DataFrame,
+      iterations: Int, numPartitions: Int = 32)
+      : Option[graft.operators.StorePolicy.ContinueAdvice] = {
+    def phase[T](label: => String)(f: => T): T =
+      StreamMaintain.phase("bmv", batchId)(label)(f)
+    val (ups, removed) = splitOps(batch, "j", "long")
+    val patch = phase("prepare delta")(
+      dedupByKey(ups.select(col("i").cast("long"), col("j").cast("long"),
+        col("v").cast("double")), Seq("i", "j"), Seq("v"))
+        .localCheckpoint(true))
+    val delta = phase(s"tile surgery (patch rows=${patch.count()})")(
+      graft.operators.TiledMatrixStore.prepareDelta(spark, tileStore,
+        patch, removed))
+    val advice = phase("continuation") {
+      val (out, a) = IncrementalMatVec.incrementalBlockedFromStores(spark,
+        stateStore, tileStore, delta, b, iterations,
+        filterThreshold = 0.0, numPartitions = numPartitions,
+        batchId = Some(batchId))
+      out.unpersist(blocking = false)
+      a
+    }
+    phase("tiling upsert")(
+      graft.operators.TiledMatrixStore.applyDelta(spark, tileStore,
+        patch, delta, batchId))
+    delta.release()
+    patch.unpersist(blocking = false)
+    removed.unpersist(blocking = false)
+    advice
+  }
+
   /** The ONE2ALL member of the maintainer family — KMeans: one
     * micro-batch of point deltas (`id, vec` rows REPLACING the vectors
     * of their `id` keys; `op = "D"` rows REMOVING their point from the

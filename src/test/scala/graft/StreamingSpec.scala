@@ -994,6 +994,95 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("blocked matvec stream maintenance: maintained tiling, deletions, replay, batch-chain equality") {
+    import graft.algorithms.IncrementalMatVec
+    import graft.core.SegmentedStateStore
+    import graft.operators.TiledMatrixStore
+    import graft.streaming.StreamMaintain
+    val cells = (for (i <- 0L until 30L;
+        j <- Seq((i * 7 + 1) % 30, (i * 3 + 2) % 30) if i != j)
+      yield (i, j, 1.0 + (i * 13 + j * 7) % 5)).distinct.toDF("i", "j", "w")
+    val rs = cells.groupBy("i").agg(sum(abs(col("w"))).as("rs"))
+    val m1 = cells.join(rs, "i")
+      .select(col("i"), col("j"), (col("w") / col("rs") * 0.8).as("v"))
+      .localCheckpoint(true)
+    val b = IncrementalMatVec.universe(m1, 0.2).localCheckpoint(true)
+    val sp = java.nio.file.Files
+      .createTempDirectory("graft_bmv_state").toString
+    val tp = java.nio.file.Files
+      .createTempDirectory("graft_bmv_tiles").toString
+    IncrementalMatVec.preserveBlockedTo(spark, sp, m1, b, blockSize = 8,
+      iterations = 3, nBuckets = 8)
+    TiledMatrixStore.init(spark, tp, m1, blockSize = 8, cellBuckets = 8,
+      tileBuckets = 8, idxBuckets = 4)
+    // batch 0 halves the ≡3-mod-10 columns (a replacement batch carries
+    // the column's ENTIRE new cell set); batch 1 DELETES the ≡6 columns
+    val d1 = m1.filter(col("j") % 10 === 3)
+      .select(col("i"), col("j"), (col("v") * 0.5).as("v"))
+      .withColumn("op", lit("U")).localCheckpoint(true)
+    StreamMaintain.blockedMatvecBatch(spark, sp, tp, d1, 0L, b,
+      iterations = 2)
+    val m2 = m1.withColumn("v",
+      when(col("j") % 10 === 3, col("v") * 0.5).otherwise(col("v")))
+      .localCheckpoint(true)
+    val d2 = m2.filter(col("j") % 10 === 6).select("j").distinct()
+      .select(lit(null).cast("long").as("i"), col("j"),
+        lit(null).cast("double").as("v"), lit("D").as("op"))
+      .localCheckpoint(true)
+    StreamMaintain.blockedMatvecBatch(spark, sp, tp, d2, 1L, b,
+      iterations = 2)
+    val m3 = m2.filter(col("j") % 10 =!= 6).localCheckpoint(true)
+    def xs(p: String) = SegmentedStateStore.openForRead(spark, p)
+      .preserved.out.as[(Long, Double)].collect().toMap
+    val got = xs(sp)
+    // duplicate delivery: both stores' fences skip, nothing changes
+    StreamMaintain.blockedMatvecBatch(spark, sp, tp, d2, 1L, b,
+      iterations = 2)
+    assert(xs(sp) == got, "replayed blocked batch mutated the state store")
+    // update-equals-rebuild on all three keyings of the tiling
+    val tq = java.nio.file.Files
+      .createTempDirectory("graft_bmv_tiles2").toString
+    TiledMatrixStore.init(spark, tq, m3, blockSize = 8, cellBuckets = 8,
+      tileBuckets = 8, idxBuckets = 4)
+    val hGot = TiledMatrixStore.open(spark, tp)
+    val hWant = TiledMatrixStore.open(spark, tq)
+    assert(hGot.cells.as[(Long, Long, Double)].collect().toSet ==
+      hWant.cells.as[(Long, Long, Double)].collect().toSet,
+      "maintained cells diverged from a fresh tiling")
+    def bags(h: TiledMatrixStore.Handle) = h.tilesSource.all
+      .select(col("tid"), col("jb"), explode(col("cells")).as("c"))
+      .select(col("tid"), col("jb"), col("c.i"), col("c.j"), col("c.v"))
+      .as[(Long, Long, Long, Long, Double)].collect().toSet
+    assert(bags(hGot) == bags(hWant),
+      "maintained tile bags diverged from a fresh tiling")
+    assert(hGot.idxSource.all.as[(Long, Long)].collect().toSet ==
+      hWant.idxSource.all.as[(Long, Long)].collect().toSet,
+      "maintained tile index diverged from a fresh tiling")
+    // equality with the frame-fed BLOCKED batch chain on a second
+    // store (same tile granularity — the blocked affected set is
+    // tile-wide, so the scalar maintainer is NOT the comparator here)
+    val sp2 = java.nio.file.Files
+      .createTempDirectory("graft_bmv_state2").toString
+    IncrementalMatVec.preserveBlockedTo(spark, sp2, m1, b, blockSize = 8,
+      iterations = 3, nBuckets = 4)
+    def tilesOf(m: org.apache.spark.sql.DataFrame, pred: org.apache.spark.sql.Column) =
+      m.filter(pred)
+        .select(IncrementalMatVec.tileId(col("i"), col("j"), 8).as("tid"))
+        .distinct()
+    IncrementalMatVec.incrementalBlockedSeg(spark, sp2, m2, b,
+      tilesOf(m1, col("j") % 10 === 3)
+        .union(tilesOf(m2, col("j") % 10 === 3)).distinct(),
+      blockSize = 8, iterations = 2, filterThreshold = 0.0)
+    IncrementalMatVec.incrementalBlockedSeg(spark, sp2, m3, b,
+      tilesOf(m2, col("j") % 10 === 6),
+      blockSize = 8, iterations = 2, filterThreshold = 0.0)
+    val want = xs(sp2)
+    assert(got.keySet == want.keySet)
+    for (k <- got.keySet)
+      assert(math.abs(got(k) - want(k)) < 1e-12,
+        s"idx $k stream=${got(k)} batch=${want(k)}")
+  }
+
   test("stateful running totals accumulate across batches") {
     import EventStreams.{UserEvent, UserRunning}
     val events = graft.queries.Q.eventsUs(spark, sf)
