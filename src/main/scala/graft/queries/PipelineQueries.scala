@@ -307,9 +307,23 @@ object PipelineQueries {
     * Every float reduction is the same index-order fold on both
     * engines; the residual subtraction and the reconstruction addition
     * are elementwise in the same index order. */
-  private lazy val ivfPqResOracleSql: String =
+  private lazy val ivfPqResOracleSql: String = ivfPqResOracleSqlFor()
+
+  /** `baseWhere` picks the TRAIN cohort (coarse centroids AND residual
+    * codebooks freeze on it — including any of its ids a later delta
+    * removes); `corpusWhere` the ENCODED corpus. The single-cohort
+    * q_ann_ivfpq_res gate is the TRUE/TRUE instance; the streamed twin
+    * freezes on ≢3 and encodes the post-delta (+≡3, −≡7) corpus —
+    * [[ivfPqIncrOracleSql]]'s split on the residual layout. The
+    * assignment CTE runs over ALL of v (a superset of both cohorts;
+    * per-id assignment is cohort-independent), so base residuals and
+    * corpus residuals share it. */
+  private def ivfPqResOracleSqlFor(baseWhere: String = "TRUE",
+      corpusWhere: String = "TRUE"): String =
     s"""WITH $vecCte,
-        cents AS (SELECT id AS ccid, vec AS ccvec FROM v ORDER BY id LIMIT 16),
+        vb AS (SELECT id, vec FROM v WHERE $baseWhere),
+        vc AS (SELECT id, vec FROM v WHERE $corpusWhere),
+        cents AS (SELECT id AS ccid, vec AS ccvec FROM vb ORDER BY id LIMIT 16),
         ivfassign AS (SELECT nid, ccid FROM (
           SELECT v.id AS nid, c.ccid,
             row_number() OVER (PARTITION BY v.id ORDER BY
@@ -317,12 +331,15 @@ object PipelineQueries {
                 (sqrt(${dotSql("v.vec", "v.vec")}) *
                  sqrt(${dotSql("c.ccvec", "c.ccvec")})) DESC, c.ccid) AS rk
           FROM v CROSS JOIN cents c) WHERE rk = 1),
+        resb AS (SELECT a.nid AS id,
+          [vb.vec[i] - c.ccvec[i] for i in generate_series(1, len(vb.vec))] AS rvec
+          FROM ivfassign a JOIN vb ON vb.id = a.nid JOIN cents c USING (ccid)),
         res AS (SELECT a.nid AS id,
-          [v.vec[i] - c.ccvec[i] for i in generate_series(1, len(v.vec))] AS rvec
-          FROM ivfassign a JOIN v ON v.id = a.nid JOIN cents c USING (ccid)),
+          [vc.vec[i] - c.ccvec[i] for i in generate_series(1, len(vc.vec))] AS rvec
+          FROM ivfassign a JOIN vc ON vc.id = a.nid JOIN cents c USING (ccid)),
         seeds AS (SELECT id, rvec,
           CAST(row_number() OVER (ORDER BY id) AS INT) - 1 AS code
-          FROM (SELECT id, rvec FROM res ORDER BY id LIMIT 16)),
+          FROM (SELECT id, rvec FROM resb ORDER BY id LIMIT 16)),
         cb0 AS (SELECT s, code, rvec[s*8+1 : s*8+8] AS cvec
           FROM seeds, generate_series(0, 7) g(s)),
         cb AS (SELECT s, code, cvec, ${dotSql("cvec", "cvec")} AS cnorm2
@@ -344,7 +361,7 @@ object PipelineQueries {
           JOIN cents c USING (ccid)),
         enc AS (SELECT x.id, e.codes, ${dotSql("x.xh", "x.xh")} AS rnorm2
           FROM xhat x JOIN encv e USING (id)),
-        q AS (SELECT id AS qid, vec AS qvec FROM v WHERE id < 5),
+        q AS (SELECT id AS qid, vec AS qvec FROM vc WHERE id < 5),
         lut AS (SELECT q.qid, cb.s, cb.code,
           ${dotSql("q.qvec[cb.s*8+1 : cb.s*8+8]", "cb.cvec")} AS dotv
           FROM q CROSS JOIN cb),
@@ -380,7 +397,7 @@ object PipelineQueries {
           ${dotSql("qv.vec", "nv.vec")} /
             (sqrt(${dotSql("qv.vec", "qv.vec")}) *
              sqrt(${dotSql("nv.vec", "nv.vec")})) AS cosine
-          FROM cands c JOIN v qv ON qv.id = c.qid JOIN v nv ON nv.id = c.nid)
+          FROM cands c JOIN vc qv ON qv.id = c.qid JOIN vc nv ON nv.id = c.nid)
         SELECT qid, nid, round(cosine, 6) AS cosine, CAST(rk AS INT) AS rk
         FROM (SELECT qid, nid, cosine, row_number() OVER
           (PARTITION BY qid ORDER BY cosine DESC, nid) AS rk FROM rescored)
@@ -2314,6 +2331,46 @@ object PipelineQueries {
             col("rk").cast("int").as("rk"))
       },
       Some(ivfPqIncrOracleSql)),
+
+    // STREAM-MAINTAINED RESIDUAL IVF-PQ (round-13 verdict #3): the
+    // PRODUCTION layout — residual encoding is the one a deployment
+    // would pick (recall 1.000 vs 0.900 at rerank=10, PqSpec) — under
+    // the same two-micro-batch ± stream as the raw twin above. Batch
+    // adds encode their residuals x − c(x) under the BASE-frozen
+    // coarse quantizer and residual codebooks (Pq.updateIvfPqIndex's
+    // residual branch), removals locate through the jointly-committed
+    // locator; each batch's fence rides the params dir. The probe must
+    // equal a from-scratch residual build over the post-delta corpus
+    // with the same frozen quantizers — the residual oracle with the
+    // incremental cohort split.
+    Q("q_incr_ann_ivfpq_res_stream",
+      (s, dir) => {
+        val all = Q.t(s, dir, "embeddings")
+          .select(col("vec_id").as("id"),
+            col("embedding").cast("array<double>").as("vec"))
+        val base = all.filter(col("id") % 10 =!= 3)
+        val idx = java.nio.file.Files
+          .createTempDirectory("graft_ivfpqres_stream_gate").toString
+        Pq.buildIvfPqIndex(base, idx, nlist = 16, m = 8, ksub = 16,
+          residual = true)
+        val delta1 = all.filter(col("id") % 10 === 3)
+          .select(col("id"), col("vec"), lit("U").as("op"))
+        val delta2 = base.filter(col("id") % 10 === 7)
+          .select(col("id"),
+            lit(null).cast("array<double>").as("vec"), lit("D").as("op"))
+        val drop = graft.streaming.DeltaFiles.stage(Seq(delta1, delta2))
+        graft.streaming.DeltaFiles.runToEnd(s, delta1.schema, drop) {
+          (batch, bid) =>
+            graft.streaming.StreamMaintain.ivfPqBatch(s, idx, batch, bid)
+            ()
+        }
+        Pq.probeIvfPqIndex(s, idx, all.filter(col("id") < 5),
+          k = 5, nprobe = 4, rerank = 10)
+          .select(col("qid"), col("nid"), round(col("cosine"), 6).as("cosine"),
+            col("rk").cast("int").as("rk"))
+      },
+      Some(ivfPqResOracleSqlFor(baseWhere = "id % 10 <> 3",
+        corpusWhere = "id % 10 <> 7"))),
 
     // Embedding-cosine near-dup pairs within label blocks. Blocks over
     // 48 vectors go through axis-sign LSH sub-buckets (the 100 TB path;
