@@ -75,10 +75,74 @@ object ScaleBench {
     f.delete(); ()
   }
 
+  /** Run each multiplier in its own child JVM (same java binary, same
+    * JVM args, same classpath — sequential, so peak memory is one
+    * run's), echo every probe line through, and pair them into
+    * exponents matched by (probe, phase). */
+  private def isolated(scratch: String, mults: Array[Int]): Unit = {
+    import scala.jdk.CollectionConverters._
+    val javaBin = s"${System.getProperty("java.home")}/bin/java"
+    val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.asScala.toSeq
+    val cp = System.getProperty("java.class.path")
+    val lineRe = """\{"scale":(\d+),"probe":"([^"]+)","rows":\d+,(.*)\}""".r
+    val phaseRe = """"([A-Za-z0-9_]+)":([0-9.]+)""".r
+    val acc = scala.collection.mutable.LinkedHashMap
+      .empty[(Int, String), Seq[(String, Double)]]
+    for (m <- mults) {
+      val cmd = Seq(javaBin) ++ jvmArgs ++
+        Seq("-cp", cp, "graft.ScaleBench", scratch, m.toString)
+      val pb = new ProcessBuilder(cmd.asJava)
+      pb.environment().remove("SCALE_ISOLATE")
+      pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+      val proc = pb.start()
+      val br = new java.io.BufferedReader(
+        new java.io.InputStreamReader(proc.getInputStream))
+      var line = br.readLine()
+      while (line != null) {
+        println(line); Console.out.flush()
+        line match {
+          case lineRe(ms, probe, rest) =>
+            acc((ms.toInt, probe)) = phaseRe.findAllMatchIn(rest)
+              .map(g => g.group(1) -> g.group(2).toDouble).toSeq
+          case _ => ()
+        }
+        line = br.readLine()
+      }
+      val ec = proc.waitFor()
+      require(ec == 0, s"isolated ScaleBench x$m exited with $ec")
+    }
+    val mn = mults.min
+    for { m <- mults.sorted.toSeq if m != mn
+          ((mm, probe), ph) <- acc if mm == m
+          (p, s) <- ph
+          s0 <- acc.get((mn, probe)).flatMap(_.toMap.get(p)) } {
+      val ratio = m.toDouble / mn
+      val x = s / math.max(s0, 0.01)
+      val exp = math.log(x) / math.log(ratio)
+      println(f"""{"probe":"$probe","phase":"$p","rows_x":$ratio%.0f,""" +
+        f""""time_x":$x%.2f,"exponent":$exp%.2f,"isolated":true}""")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val scratch = args.headOption.getOrElse("/tmp/graft_scale")
     val mults = args.drop(1).map(_.toInt) match {
       case Array() => Array(1, 10); case ms => ms
+    }
+    // SCALE_ISOLATE=1: per-multiplier FRESH-JVM mode — the mechanical
+    // form of the single-point protocol (round-13 verdict #6). An
+    // in-process multi-multiplier run warms at mults.min and carries
+    // JVM state (code cache, GC history, page cache shape) from each
+    // corpus into the next: measured 20x inflation on the 100x build
+    // phases inside a 1/10/100 composition vs the same code run
+    // single-point (r13 PERF_NOTES). Isolation re-execs this main once
+    // per multiplier (each child warms at ITS OWN scale) and pairs the
+    // streamed probe lines into exponents, so cross-round exponent
+    // claims cite isolation points by construction.
+    if (sys.env.get("SCALE_ISOLATE").contains("1") && mults.length > 1) {
+      isolated(scratch, mults)
+      return
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     System.setProperty("graft.timing", "1")
@@ -910,6 +974,44 @@ object ScaleBench {
         }
         m1.unpersist()
         Seq("preserve" -> tp, "incremental" -> ti)
+      }
+
+      run("stream_blocked_mv", 150000L * m) {
+        // the ONE2MUL maintainer's measurement (round-13 verdict #2's
+        // "done" criterion): fixed 50-column deltas through
+        // StreamMaintain.blockedMatvecBatch against the maintained
+        // tiling — the tile index (jb-pruned backProject discovery)
+        // and tid-pruned bag reads must keep per-batch cost ~flat in
+        // corpus size, like the scalar stream_static_mv twin; a
+        // corpus-wide re-tiling anywhere in the batch path would show
+        // as exponent ~1 here
+        val m1 = normMat().persist(StorageLevel.MEMORY_AND_DISK)
+        val bvec = algorithms.IncrementalMatVec.universe(m1, 0.2)
+          .localCheckpoint(true)
+        val blockSize = algorithms.IncrementalMatVec
+          .tileSizeFor(dim = 4000L * m, nnz = 150000L * m)
+        val sp = s"$dir/stream_bmv_state"
+        val ts = s"$dir/stream_bmv_tiles"
+        deleteRec(new java.io.File(sp))
+        deleteRec(new java.io.File(ts))
+        val (_, tp) = timed {
+          algorithms.IncrementalMatVec.preserveBlockedTo(spark, sp, m1,
+            bvec, blockSize, iterations = 4, nBuckets = 512)
+          operators.TiledMatrixStore.init(spark, ts, m1, blockSize,
+            cellBuckets = 512, tileBuckets = 512, idxBuckets = 16)
+        }
+        val b1 = m1.filter(col("j") < 50)
+          .select(col("i"), col("j"), (col("v") * 0.5).as("v"))
+          .localCheckpoint(true)
+        val (_, tb1) = timed(streaming.StreamMaintain.blockedMatvecBatch(
+          spark, sp, ts, b1, 0L, bvec, iterations = 3))
+        val b2 = m1.filter(col("j") >= 50 && col("j") < 100)
+          .select(col("i"), col("j"), (col("v") * 0.5).as("v"))
+          .localCheckpoint(true)
+        val (_, tb2) = timed(streaming.StreamMaintain.blockedMatvecBatch(
+          spark, sp, ts, b2, 1L, bvec, iterations = 3))
+        m1.unpersist()
+        Seq("init" -> tp, "batch1" -> tb1, "batch2" -> tb2)
       }
 
       out.toSeq
