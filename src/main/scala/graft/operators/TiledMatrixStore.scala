@@ -159,6 +159,65 @@ object TiledMatrixStore {
   def open(spark: SparkSession, path: String): Handle =
     new Handle(spark, path, readParams(spark, path))
 
+  /** The last applied batch id (−1 = none). */
+  def lastBatch(spark: SparkSession, path: String): Long =
+    readParams(spark, path).lastBatch
+
+  /** The store's current commit epoch (0 = as-inited). */
+  def currentEpoch(spark: SparkSession, path: String): Long =
+    SegSwap.currentEpoch(SegSwap.fsOf(spark, path), path)
+
+  /** Roll all three keyings AND the batch fence back to `epoch` as one
+    * journaled revert — the family contract ([[KeyedUpsertStore
+    * .rollbackTo]]): the fence reverting WITH the rows is what makes a
+    * rolled-back stream restartable. */
+  def rollbackTo(spark: SparkSession, path: String, epoch: Long): Unit =
+    SegSwap.rollbackTo(spark, path, epoch,
+      Seq("cells" -> cellsSchema, "tiles" -> tilesSchema,
+        "tidx" -> tidxSchema),
+      dirTables = Seq("params"))
+
+  /** Publish the store AS OF `epoch` to `dst` as a fresh standalone
+    * store ([[SegSwap.exportSnapshot]]). */
+  def exportAt(spark: SparkSession, path: String, epoch: Long,
+      dst: String): Unit =
+    SegSwap.exportSnapshot(spark, path, epoch, dst,
+      Seq("cells", "tiles", "tidx"), dirTables = Seq("params"))
+
+  /** Journaled RE-BUCKETING of any subset of the three keyings (pass 0
+    * to keep a table's current count) — the lifecycle op a 24/7
+    * maintainer needs as the corpus outgrows the init-time counts.
+    * One crash-safe swap; the `lastBatch` stream fence survives the
+    * migration ([[KeyedUpsertStore.rebucket]]'s contract). */
+  def rebucket(spark: SparkSession, path: String, cellBuckets: Int = 0,
+      tileBuckets: Int = 0, idxBuckets: Int = 0): Unit =
+    SegSwap.withWriterLease(spark, path) { lease =>
+      val fs = SegSwap.fsOf(spark, path)
+      SegSwap.recover(spark, path) // writer entry: live dirs are truth
+      val p = readParams(spark, path)
+      val nbc = if (cellBuckets > 0) cellBuckets else p.bc
+      val nbt = if (tileBuckets > 0) tileBuckets else p.bt
+      val nbi = if (idxBuckets > 0) idxBuckets else p.bi
+      def staged(name: String, schema: StructType, key: String,
+          b: Int): (String, DataFrame, Set[Int]) =
+        (name, SegSwap.resolvedTable(spark, path, name, schema)
+          .drop("_b").withColumn("_b", keyBucket(col(key), b)),
+          SegSwap.liveBuckets(fs, path, name))
+      SegSwap.commit(spark, path,
+        Seq(staged("cells", cellsSchema, "j", nbc),
+          staged("tiles", tilesSchema, "tid", nbt),
+          staged("tidx", tidxSchema, "jb", nbi)),
+        dirSwaps = Seq("params" -> ((dst: String) =>
+          writeParamsTo(spark, dst, p.copy(bc = nbc, bt = nbt, bi = nbi)))),
+        fence = Some(lease), augmentFromStaging = true)
+    }
+
+  /** Journaled COMPACTION: rewrite every bucket under the current
+    * layout (content-invariant [[rebucket]] with the store's own
+    * counts). */
+  def compact(spark: SparkSession, path: String): Unit =
+    rebucket(spark, path)
+
   /** One micro-batch's SURGERY, computed once (materialized leaves) and
     * consumed twice — by the state continuation's overlays (the fixed
     * apply order shows the loop the post-delta tiling while the store

@@ -2339,6 +2339,78 @@ object PipelineQueries {
       },
       Some(ivfPqResOracleSql)),
 
+    // DRIVER-VISIBLE RECALL (round-13 verdict #7): recall@5 of the raw
+    // and residual IVF-PQ probes against exact brute-force top-5, per
+    // query — the approximation-usefulness measure as a deterministic
+    // gate row on the driver's own table. Both engines compute their
+    // own probe AND exact sets (each already hash-verified by its own
+    // gate), so the recall fractions match exactly. NOTE the layout
+    // ranking is DATA-DEPENDENT — which is why it is measured, not
+    // assumed: on this table the pinned-init raw quantizer is already
+    // prototype-matched (ids 0-15 seed one entry per hash cluster) and
+    // wins (0.44 vs 0.28 mean at rerank=10); PqSpec pins residual ≥
+    // raw in the strongly-separated trained regime the IVFADC
+    // transform exists for (anchors 50x the jitter, pqRounds=2:
+    // 1.000 vs 0.900). A deployment picks the layout by running THIS
+    // measurement on its own corpus.
+    Q("q_ann_recall",
+      (s, dir) => {
+        val vecs = Q.t(s, dir, "embeddings")
+          .select(col("vec_id").as("id"), col("embedding").as("vec"))
+        val queries = vecs.filter(col("id") < 5)
+        val bf = Similarity.bruteForceTopK(vecs, queries, k = 5)
+          .select(col("qid"), col("nid"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val rawIdx = java.nio.file.Files
+          .createTempDirectory("graft_recall_raw").toString
+        val resIdx = java.nio.file.Files
+          .createTempDirectory("graft_recall_res").toString
+        Pq.buildIvfPqIndex(vecs, rawIdx, nlist = 16, m = 8, ksub = 16)
+        Pq.buildIvfPqIndex(vecs, resIdx, nlist = 16, m = 8, ksub = 16,
+          residual = true)
+        def recallOf(idx: String, layout: String) = {
+          val probe = Pq.probeIvfPqIndex(s, idx, queries, k = 5,
+            nprobe = 4, rerank = 10).select(col("qid"), col("nid"))
+          val hits = probe.join(bf, Seq("qid", "nid"), "left_semi")
+            .groupBy("qid").agg(count(lit(1)).as("h"))
+          queries.select(col("id").as("qid"))
+            .join(hits, Seq("qid"), "left")
+            .select(col("qid"), lit(layout).as("layout"),
+              round(coalesce(col("h"), lit(0L)) / 5.0, 6).as("recall"))
+        }
+        val out = recallOf(rawIdx, "raw")
+          .unionByName(recallOf(resIdx, "residual"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        out.count()
+        bf.unpersist(blocking = false)
+        out
+      },
+      Some(s"""WITH $vecCte,
+              q AS (SELECT id AS qid FROM v WHERE id < 5),
+              bf AS (SELECT qid, nid FROM (
+                SELECT qid, nid, row_number() OVER
+                  (PARTITION BY qid ORDER BY cosine DESC, nid) AS rk
+                FROM (SELECT qq.id AS qid, v.id AS nid,
+                  ${dotSql("qq.vec", "v.vec")} /
+                    (sqrt(${dotSql("qq.vec", "qq.vec")}) *
+                     sqrt(${dotSql("v.vec", "v.vec")})) AS cosine
+                  FROM (SELECT id, vec FROM v WHERE id < 5) qq
+                  CROSS JOIN v WHERE qq.id <> v.id))
+                WHERE rk <= 5),
+              raw5 AS (SELECT qid, nid FROM ($ivfPqOracleSql) t),
+              res5 AS (SELECT qid, nid FROM (${ivfPqResOracleSqlFor()}) t),
+              rawh AS (SELECT r.qid, count(*) AS h FROM raw5 r
+                JOIN bf USING (qid, nid) GROUP BY 1),
+              resh AS (SELECT r.qid, count(*) AS h FROM res5 r
+                JOIN bf USING (qid, nid) GROUP BY 1)
+              SELECT q.qid, 'raw' AS layout,
+                round(COALESCE(rawh.h, 0) / 5.0, 6) AS recall
+              FROM q LEFT JOIN rawh USING (qid)
+              UNION ALL
+              SELECT q.qid, 'residual' AS layout,
+                round(COALESCE(resh.h, 0) / 5.0, 6) AS recall
+              FROM q LEFT JOIN resh USING (qid)""")),
+
     // STREAM-MAINTAINED ANN (the content-store member of the round-12
     // maintainer family): the same base index, but the delta arrives
     // as a real StreamingQuery — micro-batch 1 ADDS the ≡3 ids,

@@ -938,6 +938,53 @@ class LifecycleSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSet == before)
   }
 
+  test("maintained tiling: rebucket and rollback keep all three keyings and the fence coherent") {
+    import graft.operators.TiledMatrixStore
+    val p = java.nio.file.Files
+      .createTempDirectory("graft_tiled_lc").toString
+    val m1 = (for (i <- 0L until 20L; j <- Seq((i * 7 + 1) % 20, (i * 3 + 2) % 20)
+      if i != j) yield (i, j, 1.0 + (i * 13 + j * 7) % 5))
+      .distinct.toDF("i", "j", "v")
+    TiledMatrixStore.init(spark, p, m1, blockSize = 8, cellBuckets = 4,
+      tileBuckets = 4, idxBuckets = 2)
+    // keep the as-inited epoch reachable across delta+rebucket+compact
+    graft.operators.SegSwap.setRetention(
+      graft.operators.SegSwap.fsOf(spark, p), p, 8)
+    val patch = m1.filter(col("j") === 3)
+      .select(col("i"), col("j"), (col("v") * 0.5).as("v"))
+      .localCheckpoint(true)
+    val delta = TiledMatrixStore.prepareDelta(spark, p, patch,
+      Seq(7L).toDF("j"))
+    TiledMatrixStore.applyDelta(spark, p, patch, delta, 0L)
+    delta.release()
+    def snap() = {
+      val h = TiledMatrixStore.open(spark, p)
+      (h.cells.as[(Long, Long, Double)].collect().toSet,
+        h.tilesSource.all
+          .select(col("tid"), col("jb"), explode(col("cells")).as("c"))
+          .select(col("tid"), col("jb"), col("c.i"), col("c.j"), col("c.v"))
+          .as[(Long, Long, Long, Long, Double)].collect().toSet,
+        h.idxSource.all.as[(Long, Long)].collect().toSet)
+    }
+    val post = snap()
+    // rebucket every keying: content-invariant, fence survives
+    TiledMatrixStore.rebucket(spark, p, cellBuckets = 8, tileBuckets = 8,
+      idxBuckets = 4)
+    assert(snap() == post, "rebucket changed store content")
+    assert(TiledMatrixStore.lastBatch(spark, p) == 0L,
+      "rebucket dropped the stream fence")
+    // compact under the migrated layout is a content no-op too
+    TiledMatrixStore.compact(spark, p)
+    assert(snap() == post)
+    // rollback to the as-inited epoch reverts rows AND fence — batches
+    // after the revert point must re-apply, not skip
+    TiledMatrixStore.rollbackTo(spark, p, 0L)
+    assert(TiledMatrixStore.lastBatch(spark, p) == -1L,
+      "rollback left the fence ahead of the rows")
+    assert(snap()._1 == m1.as[(Long, Long, Double)].collect().toSet,
+      "rollback did not restore the pre-batch cells")
+  }
+
   test("rollback across a lifecycle op is flagged corpus-wide — and exact") {
     import graft.operators.{SegSwap, TfidfStore}
     val tp = java.nio.file.Files
