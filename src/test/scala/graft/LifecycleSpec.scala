@@ -967,6 +967,15 @@ class LifecycleSpec extends SparkSpec {
         h.idxSource.all.as[(Long, Long)].collect().toSet)
     }
     val post = snap()
+    // the pruned reads of both loop-facing keyings must reach the scan
+    // as PARTITION filters (only the frontier's bucket dirs are read)
+    for (src <- Seq(TiledMatrixStore.open(spark, p).tilesSource,
+        TiledMatrixStore.open(spark, p).idxSource)) {
+      val plan = src.pruned(Set(0, 1)).queryExecution.executedPlan.toString
+      val pf = plan.linesIterator.filter(_.contains("PartitionFilters:")).toList
+      assert(pf.nonEmpty && pf.exists(l => !l.contains("PartitionFilters: []")),
+        s"tiling pruned read carries no partition filter:\n${pf.mkString("\n")}")
+    }
     // rebucket every keying: content-invariant, fence survives
     TiledMatrixStore.rebucket(spark, p, cellBuckets = 8, tileBuckets = 8,
       idxBuckets = 4)
