@@ -106,7 +106,13 @@ object Bench {
         // two-store corpusBatch dispatch carry stream+store codegen
         // their batch siblings don't
         "q_incr_kmeans_stream", "q_incr_ann_ivfpq_stream",
-        "q_incr_corpus_stream", "q_incr_matvec_stream")
+        "q_incr_corpus_stream", "q_incr_matvec_stream",
+        // round-14 gates: the maintained-tiling One2Mul maintainer, the
+        // residual stream twin, the dupspans+dedupclusters dispatch
+        // pair, and the two-index recall measurement each carry codegen
+        // their siblings don't
+        "q_incr_matvec_blocked_stream", "q_incr_ann_ivfpq_res_stream",
+        "q_incr_corpus_stream2", "q_ann_recall")
         // a filtered spot-check run warms only what it will measure —
         // the full warmup list costs ~a minute it gains nothing from
         .filter(n => only.isEmpty || only(n))
