@@ -115,13 +115,20 @@ object ScaleBench {
     val mn = mults.min
     for { m <- mults.sorted.toSeq if m != mn
           ((mm, probe), ph) <- acc if mm == m
-          (p, s) <- ph
-          s0 <- acc.get((mn, probe)).flatMap(_.toMap.get(p)) } {
-      val ratio = m.toDouble / mn
-      val x = s / math.max(s0, 0.01)
-      val exp = math.log(x) / math.log(ratio)
-      println(f"""{"probe":"$probe","phase":"$p","rows_x":$ratio%.0f,""" +
-        f""""time_x":$x%.2f,"exponent":$exp%.2f,"isolated":true}""")
+          (p, s) <- ph } {
+      acc.get((mn, probe)).flatMap(_.toMap.get(p)) match {
+        case Some(s0) =>
+          val ratio = m.toDouble / mn
+          val x = s / math.max(s0, 0.01)
+          val exp = math.log(x) / math.log(ratio)
+          println(f"""{"probe":"$probe","phase":"$p","rows_x":$ratio%.0f,""" +
+            f""""time_x":$x%.2f,"exponent":$exp%.2f,"isolated":true}""")
+        case None =>
+          // a silently-missing exponent is indistinguishable from
+          // "nothing to report" — say which pair had no baseline
+          System.err.println(
+            s"[scale] isolated: no x$mn baseline for $probe.$p — exponent skipped")
+      }
     }
   }
 
@@ -215,7 +222,15 @@ object ScaleBench {
           println(s"""{"scale":$m,"probe":"$name","rows":$rows,$phJson}""")
           Console.out.flush()
         }
-        spark.catalog.clearCache(); System.gc()
+        // same hygiene as Bench.drainStorage: clearCache cannot see
+        // RDD-level localCheckpoint blocks (delta pins, store staging
+        // leaves) — leaked ones evict later probes' working sets and
+        // corrupt the very exponents this harness exists to measure.
+        // Safe between probes: each probe is self-contained.
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = true))
+        System.gc()
         val r = resid()
         if (r != 0) System.err.println(s"[scale] RESIDUAL after $name: $r blocks")
       }

@@ -55,12 +55,14 @@ object TiledMatrixStore {
   private val tidxSchema = StructType.fromDDL(
     "jb BIGINT, tid BIGINT, _b INT")
 
-  /** Tile id packing — MUST match
+  /** Tile id packing — DELEGATES to
     * [[graft.algorithms.IncrementalMatVec.tileId]] (the preserved kvs'
-    * provenance key is computed there; the store's frontier tids here):
-    * `tid = ib·1000 + jb`. */
+    * provenance key is computed there; the store's frontier tids here —
+    * one definition, no desync channel: a packing change that reached
+    * only one side would make the frontier-to-kvs tid join silently
+    * match nothing). */
   private def tidOf(i: Column, j: Column, blockSize: Int): Column =
-    (i / blockSize).cast("long") * 1000L + (j / blockSize).cast("long")
+    graft.algorithms.IncrementalMatVec.tileId(i, j, blockSize)
 
   private def jbOf(j: Column, blockSize: Int): Column =
     (j / blockSize).cast("long")
@@ -101,14 +103,17 @@ object TiledMatrixStore {
     cells.withColumn("_b", keyBucket(col("j"), cellBuckets))
       .repartition(col("_b")).write.mode("overwrite")
       .partitionBy("_b").parquet(s"$path/cells")
-    val tiles = cells
+    cells
       .groupBy(tidOf(col("i"), col("j"), blockSize).as("tid"),
         jbOf(col("j"), blockSize).as("jb"))
       .agg(collect_list(struct(col("i"), col("j"), col("v"))).as("cells"))
-    tiles.withColumn("_b", keyBucket(col("tid"), tileBuckets))
+      .withColumn("_b", keyBucket(col("tid"), tileBuckets))
       .repartition(col("_b")).write.mode("overwrite")
       .partitionBy("_b").parquet(s"$path/tiles")
-    tiles.select(col("jb"), col("tid"))
+    // the index projects the JUST-WRITTEN tiles (two thin columns,
+    // column-pruned) — re-deriving it from `cells` would re-run the
+    // blocking groupBy as a second full corpus scan+shuffle
+    spark.read.parquet(s"$path/tiles").select(col("jb"), col("tid"))
       .withColumn("_b", keyBucket(col("jb"), idxBuckets))
       .repartition(col("_b")).write.mode("overwrite")
       .partitionBy("_b").parquet(s"$path/tidx")
@@ -245,6 +250,14 @@ object TiledMatrixStore {
     * sets (i, j, v); `removedCols` the columns deleted outright. */
   def prepareDelta(spark: SparkSession, path: String, patch: DataFrame,
       removedCols: DataFrame): Delta = {
+    // single-column REQUIRED (the StaticSource.Overlay guard, round-11
+    // advice): a caller handing the raw D rows (i, j, v, op) would
+    // silently bind the all-NULL `i` as the removal key — deletions
+    // become a no-op while the fence still advances
+    require(removedCols.columns.length == 1,
+      "TiledMatrixStore.prepareDelta: removedCols must carry exactly " +
+        s"the column key, got (${removedCols.columns.mkString(", ")}) — " +
+        "select the 'j' column before calling")
     val h = open(spark, path)
     val p = h.params
     val bs = p.blockSize

@@ -237,6 +237,13 @@ object StreamMaintain {
       : Option[graft.operators.StorePolicy.ContinueAdvice] = {
     def phase[T](label: => String)(f: => T): T =
       StreamMaintain.phase("bmv", batchId)(label)(f)
+    // replay fast-path: the tiling applies LAST, so its fence covering
+    // this id means the whole batch (state included) already landed —
+    // one params read instead of the full surgery (pruned store reads,
+    // three bucket collects, three localCheckpoints) that both fenced
+    // consumers would then discard anyway
+    if (batchId <= graft.operators.TiledMatrixStore.lastBatch(spark,
+        tileStore)) return None
     val (ups, removed) = splitOps(batch, "j", "long")
     val patch = phase("prepare delta")(
       dedupByKey(ups.select(col("i").cast("long"), col("j").cast("long"),
