@@ -1083,6 +1083,80 @@ class StreamingSpec extends SparkSpec {
         s"idx $k stream=${got(k)} batch=${want(k)}")
   }
 
+  test("blocked matvec: crash between state apply and tiling apply heals on redelivery") {
+    // the 3-table store's crash window: the state continuation lands,
+    // the process dies BEFORE applyDelta. On redelivery the tiling
+    // fence is still behind (it applies LAST), so the surgery
+    // recomputes against the pre-batch bags while the STATE fence
+    // skips its side — the fixed apply order must leave the pair
+    // exactly equal to an uninterrupted chain
+    import graft.algorithms.IncrementalMatVec
+    import graft.core.SegmentedStateStore
+    import graft.operators.TiledMatrixStore
+    import graft.streaming.StreamMaintain
+    val cells = (for (i <- 0L until 24L;
+        j <- Seq((i * 5 + 1) % 24, (i * 3 + 2) % 24) if i != j)
+      yield (i, j, 1.0 + (i * 11 + j * 3) % 4)).distinct.toDF("i", "j", "w")
+    val rs = cells.groupBy("i").agg(sum(abs(col("w"))).as("rs"))
+    val m1 = cells.join(rs, "i")
+      .select(col("i"), col("j"), (col("w") / col("rs") * 0.8).as("v"))
+      .localCheckpoint(true)
+    val b = IncrementalMatVec.universe(m1, 0.2).localCheckpoint(true)
+    def build(tag: String) = {
+      val sp = java.nio.file.Files
+        .createTempDirectory(s"graft_bmvcrash_${tag}_s").toString
+      val tp = java.nio.file.Files
+        .createTempDirectory(s"graft_bmvcrash_${tag}_t").toString
+      IncrementalMatVec.preserveBlockedTo(spark, sp, m1, b, blockSize = 8,
+        iterations = 3, nBuckets = 4)
+      TiledMatrixStore.init(spark, tp, m1, blockSize = 8, cellBuckets = 4,
+        tileBuckets = 4, idxBuckets = 2)
+      (sp, tp)
+    }
+    val d1 = m1.filter(col("j") % 10 === 3)
+      .select(col("i"), col("j"), (col("v") * 0.5).as("v"))
+      .withColumn("op", lit("U")).localCheckpoint(true)
+    // reference chain: both batches applied cleanly
+    val (sp0, tp0) = build("ref")
+    StreamMaintain.blockedMatvecBatch(spark, sp0, tp0, d1, 0L, b,
+      iterations = 2)
+    // crashed chain: batch 0's STATE applies, then we "crash" before
+    // the tiling apply — exactly the fixed-apply-order window
+    val (sp1, tp1) = build("crash")
+    locally {
+      val patch = d1.drop("op")
+        .select(col("i").cast("long"), col("j").cast("long"),
+          col("v").cast("double")).localCheckpoint(true)
+      val delta = TiledMatrixStore.prepareDelta(spark, tp1, patch,
+        spark.range(0).select(col("id").as("j")))
+      val (out, _) = IncrementalMatVec.incrementalBlockedFromStores(spark,
+        sp1, tp1, delta, b, iterations = 2, filterThreshold = 0.0,
+        batchId = Some(0L))
+      out.unpersist(blocking = false)
+      delta.release() // crash here: applyDelta never runs
+      patch.unpersist(blocking = false)
+    }
+    assert(TiledMatrixStore.lastBatch(spark, tp1) == -1L,
+      "tiling must not have applied before the crash")
+    // redelivery of the SAME batch: state fence skips, tiling applies
+    StreamMaintain.blockedMatvecBatch(spark, sp1, tp1, d1, 0L, b,
+      iterations = 2)
+    assert(TiledMatrixStore.lastBatch(spark, tp1) == 0L)
+    def xs(p: String) = SegmentedStateStore.openForRead(spark, p)
+      .preserved.out.as[(Long, Double)].collect().toMap
+    val got = xs(sp1); val want = xs(sp0)
+    assert(got.keySet == want.keySet)
+    for (k <- got.keySet)
+      assert(math.abs(got(k) - want(k)) < 1e-12,
+        s"idx $k healed=${got(k)} clean=${want(k)}")
+    def bags(tp: String) = TiledMatrixStore.open(spark, tp).tilesSource.all
+      .select(col("tid"), explode(col("cells")).as("c"))
+      .select(col("tid"), col("c.i"), col("c.j"), col("c.v"))
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(bags(tp1) == bags(tp0),
+      "healed tiling diverged from the clean chain")
+  }
+
   test("stateful running totals accumulate across batches") {
     import EventStreams.{UserEvent, UserRunning}
     val events = graft.queries.Q.eventsUs(spark, sf)
