@@ -7,13 +7,16 @@ import org.apache.spark.sql.functions._
   * typed metadata struct, plus the decode/feature-extract scaffolding a
   * training-data pipeline needs.
   *
-  * Real codec libraries are not available in this environment, so the
-  * decode step is a clearly-marked deterministic stand-in
-  * ([[stubDecodeFeatures]]); everything around it — schema, batch
-  * shape, partition-parallel execution — is real and tested. On a
-  * cluster the stub body is the only thing to swap for an actual
-  * decoder (e.g. a JNI image library or `mapInPandas` + PIL on the
-  * Python side).
+  * Two media classes have REAL codecs here: uncompressed raw (GRAW —
+  * header+samples byte math in codegen'd builtins, below) and
+  * DEFLATE-compressed PNG (the pure-JDK ImageIO codec, below) — both
+  * gated against formula-only oracles a wrong round-trip cannot match.
+  * Only codecs needing NATIVE libraries absent from this environment
+  * (libjpeg-class lossy formats, audio/video) keep the clearly-marked
+  * deterministic stand-in ([[stubDecodeFeatures]]); everything around
+  * it — schema, batch shape, partition-parallel execution — is real
+  * and tested, and a cluster deployment swaps only the stub body
+  * (e.g. a JNI decoder or `mapInPandas` + PIL on the Python side).
   */
 object Multimodal {
 
@@ -184,6 +187,116 @@ object Multimodal {
     var i = 0
     while (i < w * h * c) { sums(i % c) += u(9 + i); i += 1 }
     (w, h, c, sums.map(_.toDouble / (w * h)))
+  }
+
+  // ---- PNG: a REAL COMPRESSED codec (pure-JDK ImageIO) -------------------
+  //
+  // The environment's "no codec libraries" constraint is about NATIVE
+  // libs (libjpeg etc.); the JDK itself ships a pure-Java PNG codec
+  // (java.desktop's ImageIO), so the COMPRESSED-media class gets a real
+  // encoder+decoder after all: DEFLATE-compressed filtered scanlines in,
+  // pixels out. PNG being LOSSLESS is what makes it driver-oracle-able —
+  // decoded samples equal the inputs exactly, so the gate's oracle
+  // recomputes the expected statistics from the pixel FORMULA alone and
+  // only a correct compress→decompress round-trip can match it (the
+  // GRAW contract, now with an actual entropy coder in the loop). Both
+  // directions run in the [[decodePartitioned]] batch shape: a
+  // partition-iterator of rows through a plain JVM function, nothing at
+  // the driver. Lossy codecs (JPEG) stay out of the ORACLE surface by
+  // construction — their decode differs from the inputs by
+  // implementation-defined error, so they can never hash-match a
+  // formula — but the plumbing here is codec-agnostic.
+
+  /** Encode interleaved row-major w*h*3 RGB samples (0..255) as a PNG
+    * blob. Out-of-range samples fail LOUDLY (a silent & 0xff would skew
+    * statistics downstream — the packRaw rule). */
+  def pngEncode(pixels: Array[Int], width: Int, height: Int): Array[Byte] = {
+    require(pixels.length == width * height * 3,
+      s"png: ${pixels.length} samples for ${width}x${height}x3")
+    val img = new java.awt.image.BufferedImage(width, height,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var p = 0
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val r = pixels(p); val g = pixels(p + 1); val b = pixels(p + 2)
+        require(((r | g | b) & ~0xff) == 0,
+          s"png: sample out of byte range at ($x,$y): $r,$g,$b")
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        p += 3; x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    require(javax.imageio.ImageIO.write(img, "png", bos),
+      "png: no JDK PNG writer available")
+    bos.toByteArray
+  }
+
+  /** Decode a PNG blob back to interleaved row-major RGB samples —
+    * the full inverse of [[pngEncode]] (lossless round-trip is
+    * spec-pinned sample-exact). Fails loudly on an undecodable blob. */
+  def pngDecode(media: Array[Byte]): (Int, Int, Array[Int]) = {
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(media))
+    require(img != null, "png: undecodable blob")
+    val w = img.getWidth; val h = img.getHeight
+    val out = new Array[Int](w * h * 3)
+    var p = 0
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        out(p) = (rgb >> 16) & 0xff
+        out(p + 1) = (rgb >> 8) & 0xff
+        out(p + 2) = rgb & 0xff
+        p += 3; x += 1
+      }
+      y += 1
+    }
+    (w, h, out)
+  }
+
+  /** Pack (id, pixels: array<int>) rows as PNG blobs with the typed
+    * meta struct — [[packRaw]]'s contract on the compressed codec.
+    * Runs partition-parallel through the [[decodePartitioned]] batch
+    * shape (ImageIO is stateless, so there is no per-partition codec
+    * context to initialize). */
+  def packPng(df: DataFrame, idCol: String, pixelsCol: String,
+      width: Int, height: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(pixelsCol).cast("array<int>"))
+      .as[(Long, Array[Int])]
+      .mapPartitions(_.map { case (id, px) =>
+        (id, pngEncode(px, width, height)) })
+      .toDF("id", "media")
+      .select(col("id"), col("media"),
+        struct(lit("png").as("kind"),
+          octet_length(col("media")).as("n_bytes"),
+          lit(width).as("width"), lit(height).as("height"),
+          lit(3).as("channels")).as("meta"))
+  }
+
+  /** Decode PNG blobs to header dims + per-channel means — the
+    * [[rawStats]] output contract through the real compressed codec.
+    * The mean arithmetic matches rawStats exactly (integer sample sums
+    * over w*h, divided once), so the two formats share one oracle. */
+  def pngStats(packed: DataFrame): DataFrame = {
+    val spark = packed.sparkSession
+    import spark.implicits._
+    packed.select(col("id").cast("long"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, media) =>
+        val (w, h, px) = pngDecode(media)
+        val sums = new Array[Long](3)
+        var i = 0
+        while (i < px.length) { sums(i % 3) += px(i); i += 1 }
+        (id, w, h, 3, sums.map(_.toDouble / (w * h)))
+      })
+      .toDF("id", "width", "height", "channels", "channel_means")
   }
 
   /** Frame extraction without a full decode — the video-frame-sampling

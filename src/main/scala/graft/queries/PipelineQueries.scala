@@ -2794,6 +2794,38 @@ object PipelineQueries {
                   for p in generate_series(0, 63)]), 6) AS mean_c2
               FROM documents WHERE doc_id % 5 = 0""")),
 
+    // PNG multimodal decode — the COMPRESSED-codec class, real (round-13
+    // "what's missing" #4, un-carried: the JDK's own pure-Java PNG codec
+    // needs no native library): the same deterministic 8x8x3 pixels as
+    // q_multimodal_decode, packed through DEFLATE-compressed PNG and
+    // decoded back to per-channel means. PNG is lossless, so the oracle
+    // is the pixel FORMULA — the encoded bytes never reach the compare,
+    // and only a correct compress->decompress round-trip can match.
+    Q("q_multimodal_png",
+      (s, dir) => {
+        val px = Q.t(s, dir, "documents").filter(col("doc_id") % 5 === 0)
+          .select(col("doc_id"),
+            transform(sequence(lit(0), lit(8 * 8 * 3 - 1)),
+              i => pmod(col("doc_id") * 131 + i * 7 + 13, lit(256))
+                .cast("int")).as("pixels"))
+        Multimodal.pngStats(
+            Multimodal.packPng(px, "doc_id", "pixels", 8, 8))
+          .select(col("id").as("doc_id"), col("width"), col("height"),
+            col("channels"),
+            round(element_at(col("channel_means"), 1), 6).as("mean_c0"),
+            round(element_at(col("channel_means"), 2), 6).as("mean_c1"),
+            round(element_at(col("channel_means"), 3), 6).as("mean_c2"))
+      },
+      Some("""SELECT doc_id, 8::INTEGER AS width, 8::INTEGER AS height,
+                3::INTEGER AS channels,
+                round(list_avg([(doc_id*131 + (p*3+0)*7 + 13) % 256
+                  for p in generate_series(0, 63)]), 6) AS mean_c0,
+                round(list_avg([(doc_id*131 + (p*3+1)*7 + 13) % 256
+                  for p in generate_series(0, 63)]), 6) AS mean_c1,
+                round(list_avg([(doc_id*131 + (p*3+2)*7 + 13) % 256
+                  for p in generate_series(0, 63)]), 6) AS mean_c2
+              FROM documents WHERE doc_id % 5 = 0""")),
+
     // Sequence packing: fixed-token-budget packs in (lang, shard, id)
     // order — boundary-crossing rule over a sharded running sum.
     Q("q_seq_pack",

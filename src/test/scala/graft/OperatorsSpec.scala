@@ -406,6 +406,45 @@ class OperatorsSpec extends SparkSpec {
     assert(rows == Seq((0, Seq(10, 50, 20, 60)), (1, Seq(30, 70, 40, 255))))
   }
 
+  test("png pack/decode: lossless round-trip, real compression, loud failure") {
+    import org.apache.spark.sql.functions._
+    // ramp pixels compress well under PNG's scanline filters — the
+    // size assert below checks the DEFLATE coder actually engaged
+    val w = 16; val h = 16
+    val pix = Array.tabulate(w * h * 3)(i => (i * 7 + 13) % 256)
+    val df = Seq((7L, pix.toSeq)).toDF("doc_id", "pixels")
+    val packed = Multimodal.packPng(df, "doc_id", "pixels", w, h)
+    val blob = packed.select("media").as[Array[Byte]].head()
+    // the PNG signature, then real compression vs the raw sample count
+    assert((blob(0) & 0xff) == 0x89 &&
+      new String(blob.slice(1, 4), "UTF-8") == "PNG")
+    assert(blob.length < w * h * 3,
+      s"png blob ${blob.length} B not smaller than raw ${w * h * 3} B")
+    // LOSSLESS: the decode returns the exact input samples
+    val (dw, dh, dpx) = Multimodal.pngDecode(blob)
+    assert((dw, dh) == (w, h) && dpx.toSeq == pix.toSeq)
+    // and the stats path agrees with the GRAW decode of the same pixels
+    val s = Multimodal.pngStats(packed)
+      .selectExpr("width", "height", "channels", "channel_means").head()
+    val viaRaw = Multimodal.rawStats(
+        Multimodal.packRaw(df, "doc_id", "pixels", w, h, 3))
+      .selectExpr("channel_means").head().getSeq[Double](0)
+    assert((s.getInt(0), s.getInt(1), s.getInt(2)) == (w, h, 3))
+    assert(s.getSeq[Double](3) == viaRaw)
+    // undecodable blobs fail loudly, never as silent nulls
+    intercept[Exception] {
+      Multimodal.pngDecode("not a png".getBytes("UTF-8"))
+    }
+    val bad = packed.select(col("id"),
+      expr("substring(media, 1, 20)").as("media"))
+    intercept[Exception] { Multimodal.pngStats(bad).collect() }
+    // out-of-range samples fail at ENCODE time
+    intercept[Exception] {
+      Multimodal.packPng(Seq((1L, Seq(0, 1, 300))).toDF("doc_id", "pixels"),
+        "doc_id", "pixels", 1, 1).collect()
+    }
+  }
+
   test("graw decode fails loudly on bad magic and on header/length mismatch") {
     import org.apache.spark.sql.functions._
     val good = Multimodal.packRaw(
