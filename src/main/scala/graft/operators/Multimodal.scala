@@ -7,16 +7,21 @@ import org.apache.spark.sql.functions._
   * typed metadata struct, plus the decode/feature-extract scaffolding a
   * training-data pipeline needs.
   *
-  * Two media classes have REAL codecs here: uncompressed raw (GRAW —
-  * header+samples byte math in codegen'd builtins, below) and
-  * DEFLATE-compressed PNG (the pure-JDK ImageIO codec, below) — both
-  * gated against formula-only oracles a wrong round-trip cannot match.
-  * Only codecs needing NATIVE libraries absent from this environment
-  * (libjpeg-class lossy formats, audio/video) keep the clearly-marked
-  * deterministic stand-in ([[stubDecodeFeatures]]); everything around
-  * it — schema, batch shape, partition-parallel execution — is real
-  * and tested, and a cluster deployment swaps only the stub body
-  * (e.g. a JNI decoder or `mapInPandas` + PIL on the Python side).
+  * Four media formats have REAL codecs here: uncompressed raw images
+  * (GRAW — header+samples byte math in codegen'd builtins), PCM16
+  * audio (WAV — canonical RIFF blobs, little-endian signed byte math),
+  * DEFLATE-compressed PNG, and lossy JPEG (both through the JDK's own
+  * ImageIO codec — no external library). The lossless three are gated
+  * against formula-only oracles a wrong round-trip cannot match; lossy
+  * JPEG can never sit under a formula oracle (implementation-defined
+  * decode error) and is spec-pinned instead (bounded error, real
+  * compression, loud failure). Only codecs genuinely needing external
+  * native libraries (video containers, modern lossy audio) keep the
+  * clearly-marked deterministic stand-in ([[stubDecodeFeatures]]);
+  * everything around it — schema, batch shape, partition-parallel
+  * execution — is real and tested, and a cluster deployment swaps only
+  * the stub body (e.g. a JNI decoder or `mapInPandas` + PIL on the
+  * Python side).
   */
 object Multimodal {
 
@@ -189,6 +194,141 @@ object Multimodal {
     (w, h, c, sums.map(_.toDouble / (w * h)))
   }
 
+  // ---- WAV: the AUDIO modality on a real-world format ---------------------
+  //
+  // Canonical 44-byte RIFF/WAVE PCM header + interleaved signed 16-bit
+  // little-endian samples — the GRAW discipline (codegen'd byte math,
+  // no UDF, loud failure) on the format audio pipelines actually ship.
+  // Little-endian 16-bit SIGNED samples are the part a wrong
+  // implementation gets silently wrong (sign fold-back, byte order);
+  // the gate's oracle recomputes channel means from the sample FORMULA,
+  // so neither mistake can cancel between pack and decode.
+
+  /** int 0..2^32−1 → four little-endian bytes (shift+mask, never `/`:
+    * Spark's `/` is DOUBLE division, and lpad(hex(x), 2) would
+    * silently truncate an unmasked value). */
+  private def asLe32(v: Column): Column = {
+    val x = v.cast("long")
+    concat(asByte(x.bitwiseAND(lit(255L))),
+      asByte(shiftright(x, 8).bitwiseAND(lit(255L))),
+      asByte(shiftright(x, 16).bitwiseAND(lit(255L))),
+      asByte(shiftright(x, 24).bitwiseAND(lit(255L))))
+  }
+
+  /** int 0..65535 → two little-endian bytes. */
+  private def asLe16(v: Column): Column = {
+    val x = v.cast("long")
+    concat(asByte(x.bitwiseAND(lit(255L))),
+      asByte(shiftright(x, 8).bitwiseAND(lit(255L))))
+  }
+
+  /** little-endian unsigned 16-bit at byte offset `i` (0-based). */
+  private def leU16(bin: Column, i: Column): Column =
+    byteAt(bin, i) + byteAt(bin, i + 1) * 256
+
+  /** Encode (id, samples: array<int>) rows as PCM16 WAV blobs.
+    * `samples` is interleaved signed 16-bit (−32768..32767), `channels`
+    * per frame; out-of-range samples fail LOUDLY at encode time. */
+  def packWav(df: DataFrame, idCol: String, samplesCol: String,
+      channels: Int, sampleRate: Int): DataFrame = {
+    require(channels > 0 && channels <= 8 && sampleRate > 0,
+      s"wav: bad shape ${channels}ch @$sampleRate")
+    val n = size(col(samplesCol))
+    val dataBytes = n * 2
+    val header = concat(
+      encode(lit("RIFF"), "UTF-8"), asLe32(lit(36) + dataBytes),
+      encode(lit("WAVE"), "UTF-8"),
+      encode(lit("fmt "), "UTF-8"), asLe32(lit(16)),
+      asLe16(lit(1)), // PCM
+      asLe16(lit(channels)), asLe32(lit(sampleRate)),
+      asLe32(lit(sampleRate * channels * 2)), // byte rate
+      asLe16(lit(channels * 2)), asLe16(lit(16)), // block align, bits
+      encode(lit("data"), "UTF-8"), asLe32(dataBytes))
+    // signed → unsigned fold (pmod), then two LE hex chars per byte
+    val body = array_join(transform(col(samplesCol),
+      s => when(s.between(-32768, 32767), {
+        val u = pmod(s.cast("long"), lit(65536L))
+        concat(lpad(hex(u.bitwiseAND(lit(255L))), 2, "0"),
+          lpad(hex(shiftright(u, 8)), 2, "0"))
+      }).otherwise(raise_error(concat(
+        lit("wav: sample out of PCM16 range: "), s.cast("string"))))), "")
+    df.select(
+      col(idCol).as("id"),
+      concat(header, unhex(body)).as("media"),
+      struct(lit("wav").as("kind"), (lit(44) + dataBytes).as("n_bytes"),
+        lit(channels).as("channels"), lit(sampleRate).as("sample_rate"),
+        (n / channels).as("n_frames")).as("meta"))
+  }
+
+  /** Decode PCM16 WAV blobs — header parse + per-channel sample means,
+    * all codegen'd byte math. Fails loudly on a bad magic, a
+    * non-PCM16 format, or a data length that disagrees with the
+    * header. */
+  def wavStats(packed: DataFrame): DataFrame = {
+    val media = col("media")
+    val magicOk = substring(media, 1, 4) === encode(lit("RIFF"), "UTF-8") &&
+      substring(media, 9, 4) === encode(lit("WAVE"), "UTF-8") &&
+      substring(media, 37, 4) === encode(lit("data"), "UTF-8")
+    val fmtOk = leU16(media, lit(20)) === 1 && leU16(media, lit(34)) === 16
+    val parsed = packed.select(col("id"), media,
+      when(magicOk, leU16(media, lit(22)))
+        .otherwise(raise_error(concat(lit("wav: bad header in id="),
+          col("id").cast("string")))).as("channels"),
+      when(fmtOk,
+        leU16(media, lit(24)) + leU16(media, lit(26)) * lit(65536L))
+        .otherwise(raise_error(concat(lit("wav: not PCM16 in id="),
+          col("id").cast("string")))).as("sample_rate"),
+      (leU16(media, lit(40)) + leU16(media, lit(42)) * lit(65536L))
+        .as("_data_bytes"))
+      .withColumn("_len_ok",
+        when(octet_length(media) === col("_data_bytes") + 44, lit(true))
+          .otherwise(raise_error(concat(
+            lit("wav: length/header mismatch in id="),
+            col("id").cast("string")))))
+      .withColumn("n_frames",
+        (col("_data_bytes") / 2 / col("channels")).cast("long"))
+    // sample k (0-based over the interleave): LE u16 at 44 + 2k,
+    // folded back to signed
+    def sampleAt(k: Column): Column = {
+      val u = leU16(media, lit(44) + k * 2)
+      when(u < 32768, u).otherwise(u - 65536)
+    }
+    parsed.select(col("id"), col("channels"), col("sample_rate"),
+      col("n_frames"),
+      transform(sequence(lit(0), col("channels") - 1), ch =>
+        aggregate(
+          sequence(lit(0L), col("n_frames") - 1),
+          lit(0L),
+          (acc, f) => acc + sampleAt(f * col("channels") + ch).cast("long"),
+          s => s.cast("double") / col("n_frames")))
+        .as("channel_means"))
+  }
+
+  /** The same decode as a plain JVM function ([[rawBytesToStats]]'s
+    * contract on WAV): (channels, sampleRate, nFrames, means). */
+  def wavBytesToStats(media: Array[Byte]): (Int, Int, Long, Array[Double]) = {
+    def u8(i: Int) = media(i) & 0xff
+    def u16(i: Int) = u8(i) + u8(i + 1) * 256
+    require(media.length >= 44 &&
+      new String(media, 0, 4, "UTF-8") == "RIFF" &&
+      new String(media, 8, 4, "UTF-8") == "WAVE" &&
+      new String(media, 36, 4, "UTF-8") == "data", "wav: bad header")
+    require(u16(20) == 1 && u16(34) == 16, "wav: not PCM16")
+    val c = u16(22)
+    val rate = u16(24) + u16(26) * 65536
+    val dataBytes = u16(40) + u16(42) * 65536
+    require(media.length == 44 + dataBytes, "wav: length/header mismatch")
+    val frames = dataBytes / 2 / c
+    val sums = new Array[Long](c)
+    var k = 0
+    while (k < frames.toLong * c) {
+      val u = u16(44 + 2 * k)
+      sums(k % c) += (if (u < 32768) u else u - 65536)
+      k += 1
+    }
+    (c, rate, frames.toLong, sums.map(_.toDouble / frames))
+  }
+
   // ---- PNG: a REAL COMPRESSED codec (pure-JDK ImageIO) -------------------
   //
   // The environment's "no codec libraries" constraint is about NATIVE
@@ -234,13 +374,13 @@ object Multimodal {
     bos.toByteArray
   }
 
-  /** Decode a PNG blob back to interleaved row-major RGB samples —
-    * the full inverse of [[pngEncode]] (lossless round-trip is
-    * spec-pinned sample-exact). Fails loudly on an undecodable blob. */
-  def pngDecode(media: Array[Byte]): (Int, Int, Array[Int]) = {
+  /** ImageIO decode (format sniffed from the bytes) → interleaved
+    * row-major RGB samples. Fails loudly on an undecodable blob. */
+  private def decodeImage(media: Array[Byte],
+      what: String): (Int, Int, Array[Int]) = {
     val img = javax.imageio.ImageIO.read(
       new java.io.ByteArrayInputStream(media))
-    require(img != null, "png: undecodable blob")
+    require(img != null, s"$what: undecodable blob")
     val w = img.getWidth; val h = img.getHeight
     val out = new Array[Int](w * h * 3)
     var p = 0
@@ -258,6 +398,48 @@ object Multimodal {
     }
     (w, h, out)
   }
+
+  /** Decode a PNG blob back to interleaved row-major RGB samples —
+    * the full inverse of [[pngEncode]] (lossless round-trip is
+    * spec-pinned sample-exact). */
+  def pngDecode(media: Array[Byte]): (Int, Int, Array[Int]) =
+    decodeImage(media, "png")
+
+  /** LOSSY JPEG through the same JDK codec — the media class that can
+    * NEVER sit under a formula oracle (the decode differs from the
+    * inputs by implementation-defined error, so it cannot hash-match
+    * anything recomputed), which is why it is SPEC-pinned instead:
+    * dims exact, per-sample round-trip error bounded, compression
+    * real, failure loud. Deployments that need it get the same
+    * partition-batch plumbing as PNG; the driver-oracle surface keeps
+    * lossless formats only, by construction. */
+  def jpegEncode(pixels: Array[Int], width: Int, height: Int): Array[Byte] = {
+    require(pixels.length == width * height * 3,
+      s"jpeg: ${pixels.length} samples for ${width}x${height}x3")
+    val img = new java.awt.image.BufferedImage(width, height,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var p = 0
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val r = pixels(p); val g = pixels(p + 1); val b = pixels(p + 2)
+        require(((r | g | b) & ~0xff) == 0,
+          s"jpeg: sample out of byte range at ($x,$y): $r,$g,$b")
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        p += 3; x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    require(javax.imageio.ImageIO.write(img, "jpg", bos),
+      "jpeg: no JDK JPEG writer available")
+    bos.toByteArray
+  }
+
+  /** Decode a JPEG blob to interleaved row-major RGB samples. */
+  def jpegDecode(media: Array[Byte]): (Int, Int, Array[Int]) =
+    decodeImage(media, "jpeg")
 
   /** Pack (id, pixels: array<int>) rows as PNG blobs with the typed
     * meta struct — [[packRaw]]'s contract on the compressed codec.

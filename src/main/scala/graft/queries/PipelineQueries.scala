@@ -2826,6 +2826,35 @@ object PipelineQueries {
                   for p in generate_series(0, 63)]), 6) AS mean_c2
               FROM documents WHERE doc_id % 5 = 0""")),
 
+    // WAV multimodal decode — the AUDIO modality on a real-world format:
+    // deterministic signed PCM16 stereo samples packed as canonical
+    // RIFF/WAVE blobs (codegen'd little-endian byte math, no UDF),
+    // decoded back to header fields + per-channel means. The oracle is
+    // the sample FORMULA — a byte-order or sign-fold mistake cannot
+    // cancel between the pack and decode paths.
+    Q("q_multimodal_wav",
+      (s, dir) => {
+        val smp = Q.t(s, dir, "documents").filter(col("doc_id") % 5 === 0)
+          .select(col("doc_id"),
+            transform(sequence(lit(0), lit(2 * 16 - 1)),
+              i => (pmod(col("doc_id") * 37 + i * 11, lit(20001)) - 10000)
+                .cast("int")).as("samples"))
+        Multimodal.wavStats(Multimodal.packWav(smp, "doc_id", "samples",
+            channels = 2, sampleRate = 16000))
+          .select(col("id").as("doc_id"), col("channels"),
+            col("sample_rate").cast("long").as("sample_rate"),
+            col("n_frames"),
+            round(element_at(col("channel_means"), 1), 6).as("mean_c0"),
+            round(element_at(col("channel_means"), 2), 6).as("mean_c1"))
+      },
+      Some("""SELECT doc_id, 2::INTEGER AS channels,
+                16000::BIGINT AS sample_rate, 16::BIGINT AS n_frames,
+                round(list_avg([(doc_id*37 + (f*2+0)*11) % 20001 - 10000
+                  for f in generate_series(0, 15)]), 6) AS mean_c0,
+                round(list_avg([(doc_id*37 + (f*2+1)*11) % 20001 - 10000
+                  for f in generate_series(0, 15)]), 6) AS mean_c1
+              FROM documents WHERE doc_id % 5 = 0""")),
+
     // Sequence packing: fixed-token-budget packs in (lang, shard, id)
     // order — boundary-crossing rule over a sharded running sum.
     Q("q_seq_pack",

@@ -445,6 +445,71 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("jpeg (lossy): dims exact, bounded round-trip error, real compression, loud failure") {
+    // a SMOOTH image (low-frequency gradient): JPEG's DCT quantization
+    // error on smooth content is small and its compression large —
+    // both bounds below would fail on a codec wired up wrong
+    val w = 32; val h = 32
+    val pix = Array.tabulate(w * h * 3) { p =>
+      val x = (p / 3) % w; val y = (p / 3) / w
+      ((x * 3 + y * 2) + (p % 3) * 20) % 256
+    }
+    val blob = Multimodal.jpegEncode(pix, w, h)
+    assert((blob(0) & 0xff) == 0xff && (blob(1) & 0xff) == 0xd8, // SOI
+      "not a JPEG stream")
+    assert(blob.length < w * h * 3,
+      s"jpeg blob ${blob.length} B not smaller than raw ${w * h * 3} B")
+    val (dw, dh, dpx) = Multimodal.jpegDecode(blob)
+    assert((dw, dh) == (w, h))
+    val mae = pix.zip(dpx).map { case (a, b) => math.abs(a - b) }.sum.toDouble / pix.length
+    assert(mae < 8.0, f"jpeg round-trip MAE $mae%.1f too high for smooth content")
+    intercept[Exception] { Multimodal.jpegDecode("garbage".getBytes("UTF-8")) }
+  }
+
+  test("wav pack/decode: byte-exact header, signed LE16 round-trip, both decode paths") {
+    import org.apache.spark.sql.functions._
+    // stereo, 3 frames, samples covering sign extremes — the LE16
+    // signed fold is exactly what a wrong codec gets silently wrong
+    val smp = Seq(0, -1, 1000, -1000, 32767, -32768)
+    val df = Seq((3L, smp)).toDF("doc_id", "samples")
+    val packed = Multimodal.packWav(df, "doc_id", "samples",
+      channels = 2, sampleRate = 16000)
+    val blob = packed.select("media").as[Array[Byte]].head()
+    assert(blob.length == 44 + 12)
+    assert(new String(blob.take(4), "UTF-8") == "RIFF")
+    assert(new String(blob.slice(8, 12), "UTF-8") == "WAVE")
+    assert(new String(blob.slice(36, 40), "UTF-8") == "data")
+    // hand-checked LE16: 0→00 00, −1→ff ff, 32767→ff 7f, −32768→00 80
+    assert((blob(44) & 0xff, blob(45) & 0xff) == (0x00, 0x00))
+    assert((blob(46) & 0xff, blob(47) & 0xff) == (0xff, 0xff))
+    assert((blob(52) & 0xff, blob(53) & 0xff) == (0xff, 0x7f))
+    assert((blob(54) & 0xff, blob(55) & 0xff) == (0x00, 0x80))
+    val r = Multimodal.wavStats(packed)
+      .selectExpr("channels", "CAST(sample_rate AS BIGINT)",
+        "CAST(n_frames AS BIGINT)", "channel_means").head()
+    assert((r.getInt(0), r.getLong(1), r.getLong(2)) == (2, 16000L, 3L))
+    val want = Seq((0 + 1000 + 32767) / 3.0, (-1 - 1000 - 32768) / 3.0)
+    assert(r.getSeq[Double](3) == want)
+    // the JVM twin sees the same bytes the same way
+    val (c, rate, fr, ms) = Multimodal.wavBytesToStats(blob)
+    assert((c, rate, fr) == (2, 16000, 3L) && ms.toSeq == want)
+    // loud failures: bad magic, truncation, out-of-PCM16 sample
+    val badMagic = packed.select(col("id"),
+      concat(encode(lit("XXXX"), "UTF-8"),
+        expr("substring(media, 5, octet_length(media) - 4)")).as("media"))
+    intercept[Exception] { Multimodal.wavStats(badMagic).collect() }
+    val short = packed.select(col("id"),
+      expr("substring(media, 1, octet_length(media) - 1)").as("media"))
+    intercept[Exception] { Multimodal.wavStats(short).collect() }
+    intercept[IllegalArgumentException] {
+      Multimodal.wavBytesToStats("RIFFxxxxWAVE".getBytes("UTF-8"))
+    }
+    intercept[Exception] {
+      Multimodal.packWav(Seq((1L, Seq(40000))).toDF("doc_id", "samples"),
+        "doc_id", "samples", 1, 8000).collect()
+    }
+  }
+
   test("graw decode fails loudly on bad magic and on header/length mismatch") {
     import org.apache.spark.sql.functions._
     val good = Multimodal.packRaw(
