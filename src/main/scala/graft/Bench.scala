@@ -112,7 +112,8 @@ object Bench {
         // pair, and the two-index recall measurement each carry codegen
         // their siblings don't
         "q_incr_matvec_blocked_stream", "q_incr_ann_ivfpq_res_stream",
-        "q_incr_corpus_stream2", "q_ann_recall")
+        "q_incr_corpus_stream2", "q_ann_recall",
+        "q_multimodal_png", "q_multimodal_wav")
         // a filtered spot-check run warms only what it will measure —
         // the full warmup list costs ~a minute it gains nothing from
         .filter(n => only.isEmpty || only(n))

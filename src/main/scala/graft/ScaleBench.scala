@@ -991,6 +991,30 @@ object ScaleBench {
         Seq("preserve" -> tp, "incremental" -> ti)
       }
 
+      run("multimodal", 5000L * m) {
+        // the codec paths are embarrassingly parallel mapPartitions /
+        // codegen'd byte math — this pins their decode throughput to
+        // exponent ~1 (linear in media count) with zero driver
+        // involvement, per format class: raw byte math (GRAW), real
+        // DEFLATE (PNG), signed-LE16 audio (WAV)
+        val px = docs.select(col("doc_id"),
+          transform(sequence(lit(0), lit(8 * 8 * 3 - 1)),
+            i => pmod(col("doc_id") * 131 + i * 7 + 13, lit(256))
+              .cast("int")).as("pixels"))
+        val smp = docs.select(col("doc_id"),
+          transform(sequence(lit(0), lit(2 * 64 - 1)),
+            i => (pmod(col("doc_id") * 37 + i * 11, lit(20001)) - 10000)
+              .cast("int")).as("samples"))
+        val (_, tg) = timed(consume(operators.Multimodal.rawStats(
+          operators.Multimodal.packRaw(px, "doc_id", "pixels", 8, 8, 3))))
+        val (_, tp) = timed(consume(operators.Multimodal.pngStats(
+          operators.Multimodal.packPng(px, "doc_id", "pixels", 8, 8))))
+        val (_, tw) = timed(consume(operators.Multimodal.wavStats(
+          operators.Multimodal.packWav(smp, "doc_id", "samples",
+            channels = 2, sampleRate = 16000))))
+        Seq("graw" -> tg, "png" -> tp, "wav" -> tw)
+      }
+
       run("stream_blocked_mv", 150000L * m) {
         // the ONE2MUL maintainer's measurement (round-13 verdict #2's
         // "done" criterion): fixed 50-column deltas through
