@@ -206,7 +206,47 @@ object PipelineQueries {
     * post-delta corpus under base-frozen quantizers). */
   private def pqOracleSqlFor(rerank: Int, k: Int,
       poolCte: String = "", poolJoin: String = "",
-      baseWhere: String = "TRUE", corpusWhere: String = "TRUE"): String =
+      baseWhere: String = "TRUE", corpusWhere: String = "TRUE",
+      trainRounds: Int = 0): String = {
+    // per-subspace Lloyd rounds mirroring [[graft.operators.Pq
+    // .trainCodebooks]] bit-for-bit: assign the TRAIN cohort's
+    // subvectors under the previous round's entries (L2 expanded, ties
+    // to the lowest code), per-(s, code, pos) mean rounded to 6
+    // digits, an entry that attracts nothing keeps its previous value
+    // ROUNDED — the 6-digit inter-round rounding is what keeps both
+    // engines' sub-ulp mean-summation differences from compounding
+    // (the ivfTrainedOracleSqlFor contract on the PQ layer)
+    val roundCtes = (1 to trainRounds).map { r =>
+      val prev = if (r == 1) "cbr0" else s"cbr${r - 1}"
+      s"""asgt$r AS (SELECT id, s, code FROM (
+            SELECT b.id, b.s, c.code,
+              row_number() OVER (PARTITION BY b.id, b.s ORDER BY
+                ${dotSql("b.sub", "b.sub")}
+                  - 2 * ${dotSql("b.sub", "c.cvec")} + c.cnorm2,
+                c.code) AS rn
+            FROM subsb b JOIN $prev c USING (s)) WHERE rn = 1),
+          mt$r AS (SELECT a.s, a.code, g.p AS pos,
+            round(avg(b.sub[g.p]), 6) AS mx
+            FROM asgt$r a JOIN subsb b USING (id, s),
+              generate_series(1, 8) g(p) GROUP BY 1, 2, 3),
+          mv$r AS (SELECT s, code, list(mx ORDER BY pos) AS mvec
+            FROM mt$r GROUP BY 1, 2),
+          cbv$r AS (SELECT c.s, c.code,
+            COALESCE(mv$r.mvec, [round(x, 6) for x in c.cvec]) AS cvec
+            FROM $prev c LEFT JOIN mv$r USING (s, code)),
+          cbr$r AS (SELECT s, code, cvec, ${dotSql("cvec", "cvec")} AS cnorm2
+            FROM cbv$r)"""
+    }.mkString(",\n        ")
+    val trainCtes = if (trainRounds == 0) "" else s"""
+        subsb AS (SELECT id, s, vec[s*8+1 : s*8+8] AS sub
+          FROM vb, generate_series(0, 7) g(s)),
+        cbr0 AS (SELECT s, code, cvec, ${dotSql("cvec", "cvec")} AS cnorm2
+          FROM cb0),
+        $roundCtes,"""
+    val cbFinal = if (trainRounds == 0)
+      s"""cb AS (SELECT s, code, cvec, ${dotSql("cvec", "cvec")} AS cnorm2
+          FROM cb0),"""
+    else s"""cb AS (SELECT s, code, cvec, cnorm2 FROM cbr$trainRounds),"""
     s"""WITH $vecCte,
         vb AS (SELECT id, vec FROM v WHERE $baseWhere),
         vc AS (SELECT id, vec FROM v WHERE $corpusWhere),
@@ -214,9 +254,8 @@ object PipelineQueries {
           CAST(row_number() OVER (ORDER BY id) AS INT) - 1 AS code
           FROM (SELECT id, vec FROM vb ORDER BY id LIMIT 16)),
         cb0 AS (SELECT s, code, vec[s*8+1 : s*8+8] AS cvec
-          FROM seeds, generate_series(0, 7) g(s)),
-        cb AS (SELECT s, code, cvec, ${dotSql("cvec", "cvec")} AS cnorm2
-          FROM cb0),
+          FROM seeds, generate_series(0, 7) g(s)),$trainCtes
+        $cbFinal
         subs AS (SELECT id, s, vec[s*8+1 : s*8+8] AS sub
           FROM vc, generate_series(0, 7) g(s)),
         asg AS (SELECT id, s, code, cnorm2 FROM (
@@ -257,6 +296,7 @@ object PipelineQueries {
         FROM (SELECT qid, nid, cosine, row_number() OVER
           (PARTITION BY qid ORDER BY cosine DESC, nid) AS rk FROM rescored)
         WHERE rk <= $k"""
+  }
 
   private lazy val pqOracleSql = pqOracleSqlFor(rerank = 10, k = 5)
 
@@ -2293,6 +2333,24 @@ object PipelineQueries {
             col("rk").cast("int").as("rk"))
       },
       Some(pqOracleSql)),
+
+    // TRAINED codebooks under the driver oracle — the production PQ
+    // path (a deployment always Lloyd-trains its codebooks; until now
+    // the trained path was pinned only against a driver-side Lloyd
+    // reference in PqSpec). One per-subspace Lloyd round unrolled in
+    // SQL with the trained-quantizer contract: entries round to 6
+    // digits every round on BOTH engines, empty entries keep their
+    // previous (rounded) value, assignment ties to the lowest code.
+    Q("q_ann_pq_trained",
+      (s, dir) => {
+        val vecs = Q.t(s, dir, "embeddings")
+          .select(col("vec_id").as("id"), col("embedding").as("vec"))
+        Pq.pqTopK(vecs, vecs.filter(col("id") < 5), k = 5, m = 8,
+          ksub = 16, rerank = 10, rounds = 1)
+          .select(col("qid"), col("nid"), round(col("cosine"), 6).as("cosine"),
+            col("rk").cast("int").as("rk"))
+      },
+      Some(pqOracleSqlFor(rerank = 10, k = 5, trainRounds = 1))),
 
     // The ON-DISK IVF-PQ index: coarse quantizer prunes to 4 of 16
     // lists per query (partition pruning skips unprobed FILES), ADC
