@@ -113,7 +113,7 @@ object Bench {
         // their siblings don't
         "q_incr_matvec_blocked_stream", "q_incr_ann_ivfpq_res_stream",
         "q_incr_corpus_stream2", "q_ann_recall",
-        "q_multimodal_png", "q_multimodal_wav")
+        "q_multimodal_png", "q_multimodal_wav", "q_ann_pq_trained")
         // a filtered spot-check run warms only what it will measure —
         // the full warmup list costs ~a minute it gains nothing from
         .filter(n => only.isEmpty || only(n))
