@@ -113,7 +113,10 @@ object Bench {
         // their siblings don't
         "q_incr_matvec_blocked_stream", "q_incr_ann_ivfpq_res_stream",
         "q_incr_corpus_stream2", "q_ann_recall",
-        "q_multimodal_png", "q_multimodal_wav", "q_ann_pq_trained")
+        "q_multimodal_png", "q_multimodal_wav", "q_ann_pq_trained",
+        // round-15 gate: the θ>0 continuation's distance-filter loop
+        // carries codegen the θ=0 pagerank gates never compile
+        "q_incr_pagerank_theta")
         // a filtered spot-check run warms only what it will measure —
         // the full warmup list costs ~a minute it gains nothing from
         .filter(n => only.isEmpty || only(n))
@@ -125,6 +128,34 @@ object Bench {
       drainStorage()
     }
 
+    // ---- ambient-load canary (round-14 verdict #2) ----------------------
+    // Two rounds in a row the driver artifact's only blemish was slot
+    // contention (r13: 3 gates, r14: 10) — same code, quiet re-runs all
+    // in band, but adjudication needed a human re-run. The canary makes
+    // the artifact SELF-adjudicating: a fixed single-threaded CPU-bound
+    // loop (~0.5-1 s of pure register work, no allocation, no I/O)
+    // timed at run start / middle / end. On an idle slot it is ~stable
+    // across rounds (same JIT, same work); on a loaded slot it inflates
+    // by roughly the contention factor the queries saw. COMPARISON RULE
+    // (PERF_NOTES): before flagging a cross-round regression, divide
+    // each round's query times by (canary_round / canary_reference);
+    // a cluster of inflated gates under an equally-inflated canary is
+    // ambient load, not code.
+    def canaryRun(): Double = {
+      val t0 = System.nanoTime()
+      var x = 0x9E3779B97F4A7C15L
+      var i = 0
+      while (i < (1 << 28)) {
+        x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1
+      }
+      val dt = (System.nanoTime() - t0) / 1e9
+      if (x == 42L) System.err.println("[bench] canary fixed point (unreachable)")
+      dt
+    }
+    canaryRun() // untimed JIT warm pass — the measured calls run compiled
+    val canaryStart = canaryRun()
+    var canaryMid = -1.0
+
     // Best-of-N per query: single-shot timings on a shared machine carry
     // double-digit contention noise (round-6 judge pair: 87.4 vs 97.7 s
     // on identical code), which masks real regressions. The best of N
@@ -133,9 +164,10 @@ object Bench {
     // Every rep is followed by the same clearCache+GC hygiene, so rep 2+
     // measures the plan, not rep 1's leftover cache.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt.max(1)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    val toRun = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only(name) }
-      .map { case (name, fn) =>
+    val results = toRun.zipWithIndex.map { case ((name, fn), qi) =>
+      if (qi == toRun.size / 2) canaryMid = canaryRun()
       val gc0 = gcMs
       val cg0 = codegenCount
       var residWorst = (0, 0L)
@@ -172,37 +204,51 @@ object Bench {
         s"(${times.map(t => f"${t._1}%.2f").mkString("/")}) " +
         s"gc=${diag("gc_ms")}ms codegen=${diag("codegen")} " +
         s"resid=${diag("resid_blocks")}blk/${diag("resid_mb")}MB")
-      (name, dt, ok, diag)
+      (name, dt, ok, diag, times.map(_._1))
     }
     // Per-query times rounded to 10 ms and the diag map exiled to
     // stderr: the driver captures stdout's ONE JSON line, and the
     // previous inline-diag line grew to ~10 KB with the query count —
     // the last two rounds' driver-side captures came back truncated/
     // unparsable. Contract fields only, ~2 KB at 78 queries.
-    val qs = results.map { case (k, v, ok, _) =>
+    val canaryEnd = canaryRun()
+    val qs = results.map { case (k, v, ok, _, _) =>
       "\"" + k + "\":" + (if (ok) f"$v%.2f" else "-1")
     }.mkString("{", ",", "}")
-    val diags = results.map { case (k, _, _, d) =>
+    val diags = results.map { case (k, _, _, d, _) =>
       "\"" + k + "\":{" +
         d.map { case (dk, dv) => "\"" + dk + "\":" + dv }.mkString(",") + "}"
     }.mkString("{", ",", "}")
     System.err.println(s"""[bench] diag: {"reps":$reps,"diag":$diags}""")
+    // every rep's raw time per query (not just the best): lets a reader
+    // distinguish "slow plan" (both reps slow) from "one contended rep"
+    // without re-running — goes to the FILE artifact only, the stdout
+    // contract line stays small (driver tail-capture truncation, r08)
+    val repTimes = results.map { case (k, _, _, _, ts) =>
+      "\"" + k + "\":[" + ts.map(t => f"$t%.2f").mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    val canaryJson = f"""{"start":$canaryStart%.3f,"mid":${
+      if (canaryMid >= 0) f"$canaryMid%.3f" else "-1"},"end":$canaryEnd%.3f}"""
+    System.err.println(s"[bench] canary: $canaryJson")
     // A crashed query's time-to-failure must not pollute the total; its
     // -1 marker plus the "failed" list make the breakage visible instead.
-    val total = results.collect { case (_, v, true, _) => v }.sum
-    val failed = results.collect { case (k, _, false, _) => "\"" + k + "\"" }
+    val total = results.collect { case (_, v, true, _, _) => v }.sum
+    val failed = results.collect { case (k, _, false, _, _) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":${f"$total%.2f"},"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${f"$total%.2f"},"unit":"sec","queries":$qs,"failed":$failed,"canary":$canaryJson,"sf":"$sfDir"}"""
     // The driver's tail capture of stdout truncated the head of this
     // line once the query map outgrew the capture window (BENCH_r08's
     // parsed: null) — ALSO write the whole line to a file the driver
-    // (or a human) can read intact, before printing it.
+    // (or a human) can read intact, before printing it. The file form
+    // additionally carries the per-rep times.
     // a filtered spot-check run must not clobber the full-run artifact
-    if (only.isEmpty)
+    if (only.isEmpty) {
+      val fileLine = line.dropRight(1) + s""","rep_times":$repTimes}"""
       try java.nio.file.Files.writeString(
-        java.nio.file.Paths.get("bench_result.json"), line + "\n")
+        java.nio.file.Paths.get("bench_result.json"), fileLine + "\n")
       catch { case e: Throwable =>
         System.err.println(s"[bench] could not write bench_result.json: $e") }
+    }
     println(line)
     spark.stop()
   }

@@ -1049,8 +1049,71 @@ object ScaleBench {
           .localCheckpoint(true)
         val (_, tb2) = timed(streaming.StreamMaintain.blockedMatvecBatch(
           spark, sp, ts, b2, 1L, bvec, iterations = 3))
+        // the θ>0 PAIR (round-14 verdict #1b): the same fixed-delta
+        // batch shape under the F30 frontier cap. θ=0's per-batch
+        // exponent honestly reports the SEMANTIC bound — the moved
+        // indices reach ~every column block by round 2, so rounds 2-3
+        // are corpus-wide regardless of plumbing. θ>0 caps the
+        // frontier to the ≥θ movers (the production lever,
+        // `ReduceTask.java:3414-3427`): sub-θ second-hop movement
+        // stops propagating and the batch cost must go ~FLAT in corpus
+        // size (exponent → ~0 at 100x) — the measured form of the
+        // bounded-error contract the θ specs pin at toy scale.
+        val theta = 1e-3
+        val b3 = m1.filter(col("j") >= 100 && col("j") < 150)
+          .select(col("i"), col("j"), (col("v") * 0.5).as("v"))
+          .localCheckpoint(true)
+        val (_, tb3) = timed(streaming.StreamMaintain.blockedMatvecBatch(
+          spark, sp, ts, b3, 2L, bvec, iterations = 3,
+          filterThreshold = theta))
+        val b4 = m1.filter(col("j") >= 150 && col("j") < 200)
+          .select(col("i"), col("j"), (col("v") * 0.5).as("v"))
+          .localCheckpoint(true)
+        val (_, tb4) = timed(streaming.StreamMaintain.blockedMatvecBatch(
+          spark, sp, ts, b4, 3L, bvec, iterations = 3,
+          filterThreshold = theta))
         m1.unpersist()
-        Seq("init" -> tp, "batch1" -> tb1, "batch2" -> tb2)
+        Seq("init" -> tp, "batch1" -> tb1, "batch2" -> tb2,
+          "batch3_theta" -> tb3, "batch4_theta" -> tb4)
+      }
+
+      run("ann_recall_sweep", 2000L * m) {
+        // the deployment-lever table (round-14 verdict #6): recall@5
+        // AND probe cost across nprobe × rerank for BOTH PQ layouts —
+        // the operating-point sweep q_ann_recall measures one point of
+        // (np=4, rr=10). Phases are a mixed namespace: r_* values are
+        // recall fractions (NOT seconds — meaningless as scaling
+        // exponents; run this probe single-point via
+        // SCALE_PROBES=ann_recall_sweep), t_* are probe seconds.
+        val v = vecs.select(col("id"), col("vec"))
+        val queries = v.filter(col("id") < 8)
+        val nq = queries.count().toDouble
+        val bf = operators.Similarity.bruteForceTopK(v, queries, k = 5)
+          .select(col("qid"), col("nid"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        bf.count()
+        val rawIdx = s"$dir/recall_sweep_raw"
+        val resIdx = s"$dir/recall_sweep_res"
+        deleteRec(new java.io.File(rawIdx))
+        deleteRec(new java.io.File(resIdx))
+        operators.Pq.buildIvfPqIndex(v, rawIdx, nlist = 16, m = 8,
+          ksub = 16)
+        operators.Pq.buildIvfPqIndex(v, resIdx, nlist = 16, m = 8,
+          ksub = 16, residual = true)
+        val pts = for {
+          (layout, idx) <- Seq("raw" -> rawIdx, "res" -> resIdx)
+          np <- Seq(1, 2, 4, 8); rr <- Seq(10, 25)
+        } yield {
+          val (hits, t) = timed(
+            operators.Pq.probeIvfPqIndex(spark, idx, queries, k = 5,
+              nprobe = np, rerank = rr)
+              .select(col("qid"), col("nid"))
+              .join(bf, Seq("qid", "nid"), "left_semi").count())
+          Seq(s"r_${layout}_np${np}_rr$rr" -> hits / (5.0 * nq),
+            s"t_${layout}_np${np}_rr$rr" -> t)
+        }
+        bf.unpersist(blocking = false)
+        pts.flatten
       }
 
       out.toSeq

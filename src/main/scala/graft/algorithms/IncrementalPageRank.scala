@@ -233,6 +233,29 @@ object IncrementalPageRank {
       segStoreBatchId = segStoreBatchId,
       staticSource = staticSource)
 
+  /** [[incremental]] plus the loop's per-round non-converged-key
+    * counter ([[graft.core.IncrResult.frontierSizes]] — the reference's
+    * `ReduceTask.java:3493-3494` counter; One2One, so each entry is
+    * exactly the count of nodes whose rank moved ≥ `filterThreshold`
+    * that round). The θ>0 driver gate pins BOTH the final ranks and
+    * this counter, so the F30 filter's firing pattern is
+    * oracle-verified, not just its end state. */
+  def incrementalWithFrontier(
+      updatedEdges: DataFrame,
+      preserved: PreservedState,
+      changedSources: DataFrame,
+      damping: Double,
+      iterations: Int,
+      filterThreshold: Double,
+      numPartitions: Int = 32): (DataFrame, Seq[Long]) = {
+    val static = PageRank.prepare(updatedEdges)
+    val job = buildJob(static, preserved, changedSources.select(col("src")),
+      damping, iterations, filterThreshold, numPartitions,
+      None, 4L * 1000 * 1000, None, None, None)
+    val r = job.run()
+    (IncrementalJob.finish(r), r.frontierSizes)
+  }
+
   def incremental(
       updatedEdges: DataFrame,
       preserved: PreservedState,

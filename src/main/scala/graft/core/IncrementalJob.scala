@@ -53,7 +53,14 @@ object PreservedState {
 }
 
 /** Result of an incremental run: the final per-key outputs, the merged
-  * contribution store, the number of loop iterations executed, and a
+  * contribution store, the number of loop iterations executed,
+  * `frontierSizes` — the frontier size in SOURCE-key space recorded
+  * after EACH executed iteration's F30 filter + projection (the
+  * reference's per-round non-converged-items counter,
+  * `ReduceTask.java:3493-3494`: under One2One, where sk-space ==
+  * k2-space, this IS the count of keys whose output moved ≥ θ — the
+  * keys the filter let propagate; 0 marks the round that absorbed the
+  * change; One2All/One2Mul record the projected source count) — and a
   * `release` thunk freeing the loop's remaining segment leaves. The
   * `out`/`kvs` frames are lazy views over those leaves — consume (or
   * copy) them BEFORE calling `release`; [[IncrementalJob.finish]] does
@@ -70,7 +77,8 @@ object PreservedState {
   * stderr advisory (round-10 verdict #3). */
 final case class IncrResult(out: DataFrame, kvs: DataFrame, iterations: Int,
     release: () => Unit,
-    advice: Option[graft.operators.StorePolicy.ContinueAdvice] = None)
+    advice: Option[graft.operators.StorePolicy.ContinueAdvice] = None,
+    frontierSizes: Seq[Long] = Nil)
 
 /** Incremental (delta) recomputation over a preserved run — the
   * reference's F28-F31 (`runIncrementalMapper` `MapTask.java:1157-1287`,
@@ -435,6 +443,9 @@ final class IncrementalJob(
       bindFrontier(f0, s0)
     }
     var i = 0
+    // per-iteration post-filter frontier sizes (the reference's
+    // non-converged counter) — driver-side longs, one per round
+    val fSizes = scala.collection.mutable.ListBuffer.empty[Long]
 
     // One2All/One2Mul frontier projection target: every source key.
     // Computed at most once (first use), reused, and released at loop
@@ -648,6 +659,7 @@ final class IncrementalJob(
           sinceCompact = 0
         }
       }
+      fSizes += frontierSize
       // generation rotate: iteration i-1's scratch leaves saw their last
       // read in this iteration's joins — free them now.
       scratchPrev.foreach(_.apply())
@@ -752,7 +764,7 @@ final class IncrementalJob(
         // leaves are all releasable scratch now
         val segs = kvsSegs ++ outSegs
         IncrResult(st.out.drop("_b"), st.kvs.drop("_b"), i,
-          () => segs.foreach(_.release()), advice)
+          () => segs.foreach(_.release()), advice, fSizes.toList)
       case None =>
         val finalKvs = kvsSegs
         val finalOut = outSegs
@@ -762,7 +774,8 @@ final class IncrementalJob(
         // they are intentionally not invoked here.
         val release: () => Unit = () =>
           if (durableStatePath.isEmpty) (finalKvs ++ finalOut).foreach(_.release())
-        IncrResult(scanAll(finalOut), scanAll(finalKvs), i, release)
+        IncrResult(scanAll(finalOut), scanAll(finalKvs), i, release,
+          frontierSizes = fSizes.toList)
     }
   }
 }

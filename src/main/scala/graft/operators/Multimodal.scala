@@ -271,7 +271,10 @@ object Multimodal {
       substring(media, 37, 4) === encode(lit("data"), "UTF-8")
     val fmtOk = leU16(media, lit(20)) === 1 && leU16(media, lit(34)) === 16
     val parsed = packed.select(col("id"), media,
-      when(magicOk, leU16(media, lit(22)))
+      // a 0-channel header can never come from packWav (its require
+      // pins channels >= 1) — fail loudly on the corrupt blob instead
+      // of dividing by zero into garbage means (round-14 ADVICE)
+      when(magicOk && leU16(media, lit(22)) >= 1, leU16(media, lit(22)))
         .otherwise(raise_error(concat(lit("wav: bad header in id="),
           col("id").cast("string")))).as("channels"),
       when(fmtOk,
@@ -295,12 +298,18 @@ object Multimodal {
     }
     parsed.select(col("id"), col("channels"), col("sample_rate"),
       col("n_frames"),
-      transform(sequence(lit(0), col("channels") - 1), ch =>
-        aggregate(
-          sequence(lit(0L), col("n_frames") - 1),
-          lit(0L),
-          (acc, f) => acc + sampleAt(f * col("channels") + ch).cast("long"),
-          s => s.cast("double") / col("n_frames")))
+      // packWav accepts an empty samples array, so a zero-frame WAV is
+      // a VALID degenerate file: its means are the empty array. The
+      // guard also keeps sequence(0, n_frames-1) from evaluating as the
+      // descending [0,-1] (negative-offset header reads + 0-division —
+      // round-14 ADVICE); CaseWhen only evaluates the taken branch.
+      when(col("n_frames") === 0, array().cast("array<double>"))
+        .otherwise(transform(sequence(lit(0), col("channels") - 1), ch =>
+          aggregate(
+            sequence(lit(0L), col("n_frames") - 1),
+            lit(0L),
+            (acc, f) => acc + sampleAt(f * col("channels") + ch).cast("long"),
+            s => s.cast("double") / col("n_frames"))))
         .as("channel_means"))
   }
 
@@ -315,10 +324,12 @@ object Multimodal {
       new String(media, 36, 4, "UTF-8") == "data", "wav: bad header")
     require(u16(20) == 1 && u16(34) == 16, "wav: not PCM16")
     val c = u16(22)
+    require(c >= 1, "wav: bad header (zero channels)")
     val rate = u16(24) + u16(26) * 65536
     val dataBytes = u16(40) + u16(42) * 65536
     require(media.length == 44 + dataBytes, "wav: length/header mismatch")
     val frames = dataBytes / 2 / c
+    if (frames == 0) return (c, rate, 0L, Array.empty[Double])
     val sums = new Array[Long](c)
     var k = 0
     while (k < frames.toLong * c) {

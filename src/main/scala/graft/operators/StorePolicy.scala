@@ -88,6 +88,32 @@ object StorePolicy {
       case None => false
     }
 
+  /** K-CONSECUTIVE-ADVISORIES trigger — the maintainer-loop form of
+    * [[autoRebuildIfRecommended]] (round-14 verdict #4: advice was
+    * emitted every commit but nothing ACTED on it). A single
+    * over-crossover batch is often just a big delta; K in a row is the
+    * systematic-footprint signal worth paying a maintenance op for.
+    * Driver-side state, deliberately: the streak is a HEURISTIC
+    * throttle, not a correctness fence — a restart resetting it only
+    * delays the (content-invariant) maintenance op, never corrupts
+    * anything, so it stays out of the store's durable params.
+    *
+    * `record` returns true exactly when the advisory is the k-th
+    * consecutive rebuild-recommended one (then resets, so a stuck
+    * footprint re-fires every k batches, not every batch). A batch
+    * with no advice (replayed, or absorbed-empty) resets the streak —
+    * it carries no footprint evidence. */
+  final class AdviceStreak(k: Int) {
+    require(k >= 1, s"storepolicy: AdviceStreak needs k >= 1, got $k")
+    private var n = 0
+    def record(advice: Option[ContinueAdvice]): Boolean = {
+      n = if (advice.exists(_.rebuildRecommended)) n + 1 else 0
+      if (n >= k) { n = 0; true } else false
+    }
+    /** Current consecutive-advisory count (spec observability). */
+    def streak: Int = n
+  }
+
   /** Max parquet-file count over every live `_b=` dir of `tables` —
     * a DIAGNOSTIC invariant, not a trigger: the swap's dir-replacement
     * semantics pin this at 1 (spec- and probe-verified), so a higher

@@ -71,7 +71,8 @@ object StoreTxn {
     "semdedup" -> (SemanticDedupStore.rollbackTo _),
     "keyedupsert" -> (KeyedUpsertStore.rollbackTo _),
     "ivf" -> (Similarity.ivfRollbackTo _),
-    "ivfpq" -> (Pq.ivfPqRollbackTo _))
+    "ivfpq" -> (Pq.ivfPqRollbackTo _),
+    "tiledmat" -> (TiledMatrixStore.rollbackTo _))
 
   private def manifest(txnDir: String) = new HPath(s"$txnDir/txn_manifest")
 

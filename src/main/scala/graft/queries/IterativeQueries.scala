@@ -155,6 +155,73 @@ object IterativeQueries {
        SELECT node, round(rank, 6) AS rank FROM p$incrIters"""
   }
 
+  /** The θ>0 gate's threshold — ONE literal string shared by the Spark
+    * side (`ThetaPR.toDouble`) and the DuckDB oracle (inlined verbatim),
+    * so both engines compare against bit-identical doubles. The value
+    * sits in a MEASURED empty band of the per-round |Δrank|
+    * distribution of this exact chain (slice graph, base 2 + incr 3,
+    * all three sf dirs): every true movement is ≥ 4.9×θ away
+    * (sf0.1 round 3's 4.88e-5 is the closest; sf0.01's closest is
+    * 45×θ) and everything below θ is an exact-zero re-reduce
+    * (≤ 5.6e-17 — re-summation noise), so the ≥θ classification is
+    * deterministic across engines despite float sums: a value would
+    * have to move by ~4×10⁴ ULPs of the distances involved to flip. */
+  private val ThetaPR = "0.00001"
+
+  /** θ>0 CHANGE-PROPAGATION oracle (F30, the reference's
+    * `setFilterThreshold` lever, `JobConf.java:423-428`, filter at
+    * `ReduceTask.java:3414-3427`): the [[incrPagerankSql]] chain with
+    * each round's NEXT frontier capped to the keys whose rank moved
+    * ≥ θ — `f$i` joins the round's re-reduced values against the
+    * PRE-round state (INNER join: a brand-new key has no old value and
+    * never propagates, exactly the Spark loop's old⨝new distance
+    * join) — plus one `'frontier'` row per round pinning the
+    * non-converged-key counter (`ReduceTask.java:3493-3494`). Sub-θ
+    * keys still get their UPDATED values (the filter gates
+    * propagation, not the write), so `p$i` stays the θ=0 shape. */
+  private def incrPagerankThetaSql(baseIters: Int, incrIters: Int,
+      edgesCte: String = edgesSql): String = {
+    val incr = (1 to incrIters).map { i =>
+      val prev = if (i == 1) s"r$baseIters" else s"p${i - 1}"
+      val affected =
+        if (i == 1)
+          """a1 AS (SELECT DISTINCT dst AS node FROM e2 JOIN chg USING (src)
+             UNION SELECT DISTINCT dst AS node FROM edges JOIN chg USING (src))"""
+        else
+          s"""a$i AS (SELECT DISTINCT e.dst AS node
+             FROM e2 e JOIN f${i - 1} f ON e.src = f.node)"""
+      s"""$affected,
+         s$i AS (SELECT a.node, (1.0 - 0.8) + coalesce(c.s, 0.0) AS rank
+           FROM a$i a LEFT JOIN (
+             SELECT e.dst AS node, sum(r.rank / d.d * 0.8) AS s
+             FROM e2 e JOIN $prev r ON e.src = r.node
+             JOIN deg2 d ON e.src = d.src
+             GROUP BY 1) c ON a.node = c.node),
+         p$i AS (SELECT r.node, r.rank FROM $prev r
+           WHERE r.node NOT IN (SELECT node FROM a$i)
+           UNION ALL SELECT node, rank FROM s$i),
+         f$i AS (SELECT s.node FROM s$i s JOIN $prev r ON s.node = r.node
+           WHERE abs(s.rank - r.rank) >= $ThetaPR)"""
+    }.mkString(",\n")
+    val counters = (1 to incrIters).map { i =>
+      s"""SELECT 'frontier' AS kind, CAST($i AS BIGINT) AS node,
+         CAST((SELECT count(*) FROM f$i) AS DOUBLE) AS rank"""
+    }.mkString("\n UNION ALL ")
+    s"""WITH edges AS ($edgesCte),
+       deg AS (SELECT src, count(*) AS d FROM edges GROUP BY 1),
+       nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+       r0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS rank FROM nodes),
+       ${pagerankCtes(baseIters)},
+       chg AS (SELECT DISTINCT src FROM edges WHERE src % 10 = 3),
+       e2 AS (SELECT src, dst FROM edges WHERE src % 10 <> 3
+         UNION SELECT src, 1 + (src * 11 + 5) % (SELECT count(*) FROM customer) AS dst
+         FROM chg),
+       deg2 AS (SELECT src, count(*) AS d FROM e2 GROUP BY 1),
+       $incr
+       SELECT 'rank' AS kind, node, round(rank, 6) AS rank FROM p$incrIters
+       UNION ALL $counters"""
+  }
+
   /** TWO-delta chained incremental PageRank oracle — the
     * q_incr_pagerank_stream gate's truth: `baseIters` full iterations
     * on the base graph, then `incrIters` frontier-propagated rounds
@@ -810,6 +877,46 @@ object IterativeQueries {
           .select(col("node"), round(col("rank"), 6).as("rank"))
       },
       Some(incrPagerankSql(4, 3))),
+
+    // θ>0 CHANGE-PROPAGATION under the driver oracle (round-14 verdict
+    // #1 — the LAST F-row whose semantics the driver had never seen;
+    // F30, reference `ReduceTask.java:3414-3427`): the q_incr_pagerank
+    // continuation on the 1/5 slice with filterThreshold = ThetaPR.
+    // θ sits in a measured empty band of the movement distribution
+    // (see [[ThetaPR]]), so the ≥θ classification — float comparisons
+    // DECIDING CONTROL FLOW, the thing every other gate avoids — is
+    // deterministic across engines, the filter provably FIRES (at
+    // sf0.01 round 2 drops an exact-zero re-reduce; at sf0.1 rounds
+    // 2-3 each drop one), and the final ranks still hash-match the
+    // unrolled oracle. The output pins BOTH the end state ('rank'
+    // rows) and the per-round non-converged-key counter ('frontier'
+    // rows — the reference's `ReduceTask.java:3493-3494` count), so
+    // the filter's firing PATTERN is oracle-verified, not just its
+    // converged result.
+    Q("q_incr_pagerank_theta",
+      (s, dir) => {
+        import s.implicits._
+        val edges1 = sparkEdgesSlice(s, dir)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val ncust = Q.t(s, dir, "customer").count()
+        val preserved = IncrementalPageRank.preserve(edges1, 0.8,
+          iterations = 2)
+        val chg = edges1.filter(col("src") % 10 === 3).select("src").distinct()
+        val added = chg.select(col("src"),
+          (lit(1L) + (col("src") * 11 + 5) % lit(ncust)).as("dst"))
+        val edges2 = edges1.filter(col("src") % 10 =!= 3).unionByName(added)
+        val (out, frontiers) = IncrementalPageRank.incrementalWithFrontier(
+          edges2, preserved, chg, 0.8, iterations = 3,
+          filterThreshold = ThetaPR.toDouble)
+        val ranks = out.select(lit("rank").as("kind"), col("node"),
+          round(col("rank"), 6).as("rank"))
+        val counters = frontiers.zipWithIndex
+          .map { case (n, i) => ((i + 1).toLong, n.toDouble) }
+          .toDF("node", "rank")
+          .select(lit("frontier").as("kind"), col("node"), col("rank"))
+        ranks.unionByName(counters)
+      },
+      Some(incrPagerankThetaSql(2, 3, edgesSliceSql))),
 
     // TIME-TRAVEL gate for the snapshot layer ([[graft.operators
     // .SegSwap.snapshotTable]]): run TWO chained continuations against

@@ -1203,8 +1203,20 @@ object PipelineQueries {
     // the full-size TF-IDF load is already carried by
     // q_tfidf / q_incr_tfidf / q_incr_tfidf_seg (round-10 driver-budget
     // lesson, same as the pagerank time-travel quartet).
+    // Round-15 extension (round-14 verdict #3): a THIRD participant —
+    // the maintained tiling ([[graft.operators.TiledMatrixStore]],
+    // StoreTxn kind "tiledmat") — advances in the FAILING txn too
+    // (applyDelta commits all three keyings + the batch fence before
+    // the injected error), so compensation must revert rows AND fence
+    // in one journaled op; the second txn then re-applies the same
+    // batchId for real (a fence that survived the rollback would make
+    // it silently skip — the output's 'c:' cell rows would still hold
+    // base values and hash-mismatch the post-delta oracle). The
+    // state+tiling pair thus stops relying on fixed apply order alone:
+    // a cross-store snapshot/rollback is ONE atomic op.
     Q("q_store_txn",
       (s, dir) => {
+        import s.implicits._
         val docs = Q.t(s, dir, "documents")
           .filter(col("doc_id") % 3 === 0)
         val base = docs.filter(col("doc_id") % 10 =!= 3)
@@ -1214,28 +1226,54 @@ object PipelineQueries {
           .createTempDirectory("graft_txn_tfidf").toString
         val lp = java.nio.file.Files
           .createTempDirectory("graft_txn_lm").toString
+        val tm = java.nio.file.Files
+          .createTempDirectory("graft_txn_tiled").toString
         val txn = java.nio.file.Files
           .createTempDirectory("graft_txn_dir").toString
         graft.operators.TfidfStore.init(s, tp, base, "doc_id", "text",
           nBuckets = 16)
         graft.operators.LmCountsStore.init(s, lp, base, "doc_id", "text",
           nBuckets = 16)
-        val parts = Seq("tfidf" -> tp, "lmcounts" -> lp)
+        val mat = Q.t(s, dir, "events")
+          .groupBy((col("event_id") % 40).as("i"),
+            (col("user_id") % 40).as("j"))
+          .agg(max(col("value")).as("v"))
+        graft.operators.TiledMatrixStore.init(s, tm, mat, blockSize = 8,
+          cellBuckets = 8, tileBuckets = 8, idxBuckets = 2)
+        val patch = mat.filter(col("j") % 10 === 3)
+          .select(col("i"), col("j"), (col("v") * 0.5).as("v"))
+          .localCheckpoint(true)
+        val removedCols = Seq(7L).toDF("j")
+        def tiledApply(): Unit = {
+          val d = graft.operators.TiledMatrixStore.prepareDelta(s, tm,
+            patch, removedCols)
+          graft.operators.TiledMatrixStore.applyDelta(s, tm, patch, d, 0L)
+          d.release()
+        }
+        val parts = Seq("tfidf" -> tp, "lmcounts" -> lp, "tiledmat" -> tm)
         try graft.operators.StoreTxn.run(s, txn, parts) {
+          tiledApply()
           graft.operators.TfidfStore.continueAt(s, tp, added, removed,
             "doc_id", "text")
           sys.error("injected mid-pipeline failure")
         } catch { case e: RuntimeException
             if e.getMessage.contains("injected") => () }
         graft.operators.StoreTxn.run(s, txn, parts) {
+          tiledApply()
           graft.operators.TfidfStore.continueAt(s, tp, added, removed,
             "doc_id", "text")
           graft.operators.LmCountsStore.continueAt(s, lp, added, removed,
             "doc_id", "text")
         }
+        val cells = graft.operators.TiledMatrixStore.open(s, tm).cells
+          .select(col("i").as("doc_id"),
+            concat(lit("c:"), col("j").cast("string")).as("token"),
+            lit(0L).as("tf"), lit(0L).as("df"),
+            round(col("v"), 6).as("tfidf"))
         graft.operators.TfidfStore.tfidf(s, tp)
           .select(col("doc_id"), col("token"), col("tf"), col("df"),
             round(col("tfidf"), 6).as("tfidf"))
+          .unionByName(cells)
       },
       Some(s"""WITH toks AS (SELECT doc_id,
                 list_filter(regexp_split_to_array(text, ' +'), x -> x <> '') AS toks
@@ -1247,7 +1285,14 @@ object PipelineQueries {
               n AS (SELECT count(*) AS n FROM documents WHERE doc_id % 3 = 0 AND doc_id % 10 <> 7)
               SELECT tf.doc_id, tf.token, tf.tf, dfq.df,
                 round(tf.tf * ln(n.n::DOUBLE / dfq.df), 6) AS tfidf
-              FROM tf JOIN dfq USING (token) CROSS JOIN n""")),
+              FROM tf JOIN dfq USING (token) CROSS JOIN n
+              UNION ALL
+              SELECT i AS doc_id, 'c:' || CAST(j AS VARCHAR) AS token,
+                CAST(0 AS BIGINT) AS tf, CAST(0 AS BIGINT) AS df,
+                round(CASE WHEN j % 10 = 3 THEN v * 0.5 ELSE v END, 6) AS tfidf
+              FROM (SELECT event_id % 40 AS i, user_id % 40 AS j,
+                max(value) AS v FROM events GROUP BY 1, 2)
+              WHERE j <> 7""")),
 
     // DELETION PROPAGATION ([[graft.operators.Forget]]): purge a doc
     // cohort from a two-store family as ONE atomic sweep, then scrub

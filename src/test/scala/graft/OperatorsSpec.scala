@@ -508,6 +508,30 @@ class OperatorsSpec extends SparkSpec {
       Multimodal.packWav(Seq((1L, Seq(40000))).toDF("doc_id", "samples"),
         "doc_id", "samples", 1, 8000).collect()
     }
+    // DEGENERATE cases (round-14 ADVICE): a zero-frame WAV is a VALID
+    // encode (packWav accepts an empty samples array) and must decode
+    // to n_frames=0 with EMPTY means — not negative-offset header
+    // reads through sequence(0,-1) and a 0/0 — on both decode paths
+    val empty = Multimodal.packWav(
+      Seq((9L, Seq.empty[Int])).toDF("doc_id", "samples"),
+      "doc_id", "samples", channels = 2, sampleRate = 8000)
+    val er = Multimodal.wavStats(empty)
+      .selectExpr("CAST(n_frames AS BIGINT)", "channel_means").head()
+    assert(er.getLong(0) == 0L && er.getSeq[Double](1).isEmpty)
+    val eb = empty.select("media").as[Array[Byte]].head()
+    val (_, _, efr, ems) = Multimodal.wavBytesToStats(eb)
+    assert(efr == 0L && ems.isEmpty)
+    // a zero-CHANNEL header can only be a corrupt blob (packWav pins
+    // channels >= 1): loud failure, both paths
+    val zeroCh = packed.select(col("id"),
+      concat(expr("substring(media, 1, 22)"),
+        unhex(lit("0000")),
+        expr("substring(media, 25, octet_length(media) - 24)")).as("media"))
+    intercept[Exception] { Multimodal.wavStats(zeroCh).collect() }
+    locally {
+      val bad = blob.clone(); bad(22) = 0; bad(23) = 0
+      intercept[IllegalArgumentException] { Multimodal.wavBytesToStats(bad) }
+    }
   }
 
   test("graw decode fails loudly on bad magic and on header/length mismatch") {

@@ -72,6 +72,54 @@ class StoreTxnSpec extends SparkSpec {
       "the follow-up txn must commit both stores")
   }
 
+  test("tiledmat participant: abort reverts all three keyings AND the batch fence") {
+    // round-14 verdict #3: TiledMatrixStore joins the txn family. The
+    // critical invariant is the FENCE reverting with the rows — if the
+    // rollback restored cells but left lastBatch advanced, the re-run
+    // of the same batch id after the abort would silently skip and the
+    // "re-applied" store would still hold pre-delta content.
+    import graft.operators.TiledMatrixStore
+    import org.apache.spark.sql.functions._
+    val m1 = (for (i <- 0L until 16L; j <- Seq((i * 5 + 1) % 16, (i * 3 + 2) % 16)
+      if i != j) yield (i, j, 1.0 + (i * 7 + j * 3) % 4))
+      .distinct.toDF("i", "j", "v")
+    val tm = java.nio.file.Files
+      .createTempDirectory("graft_txn_tiled_spec").toString
+    TiledMatrixStore.init(spark, tm, m1, blockSize = 8, cellBuckets = 4,
+      tileBuckets = 4, idxBuckets = 2)
+    val patch = m1.filter(col("j") % 10 === 3)
+      .select(col("i"), col("j"), (col("v") * 0.5).as("v"))
+      .localCheckpoint(true)
+    def applyBatch(): Unit = {
+      val d = TiledMatrixStore.prepareDelta(spark, tm, patch,
+        Seq(7L).toDF("j"))
+      TiledMatrixStore.applyDelta(spark, tm, patch, d, 0L)
+      d.release()
+    }
+    def cells() = TiledMatrixStore.open(spark, tm).cells
+      .as[(Long, Long, Double)].collect().toSet
+    val pre = cells()
+    val txn = txnDirOf("tiled")
+    intercept[RuntimeException] {
+      StoreTxn.run(spark, txn, Seq("tiledmat" -> tm)) {
+        applyBatch()
+        assert(cells() != pre, "the tiled apply must land before the crash")
+        sys.error("mid-pipeline failure after the tiled apply")
+      }
+    }
+    assert(cells() == pre, "abort must revert the tiled store's cells")
+    assert(TiledMatrixStore.lastBatch(spark, tm) == -1L,
+      "abort must revert the batch fence WITH the rows")
+    // the same batch id re-applies for real in the follow-up txn
+    StoreTxn.run(spark, txn, Seq("tiledmat" -> tm))(applyBatch())
+    assert(TiledMatrixStore.lastBatch(spark, tm) == 0L)
+    val want = m1.filter(col("j") =!= 7)
+      .select(col("i"), col("j"),
+        when(col("j") % 10 === 3, col("v") * 0.5).otherwise(col("v")))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(cells() == want, "the re-applied batch must produce the post-delta cells")
+  }
+
   test("a fresh coordinator recovers a crashed txn from the manifest alone") {
     val (tp, lp) = freshPair("crash")
     val txn = txnDirOf("crash")

@@ -1083,6 +1083,81 @@ class StreamingSpec extends SparkSpec {
         s"idx $k stream=${got(k)} batch=${want(k)}")
   }
 
+  test("blocked matvec maintenance policy: K consecutive advisories run a journaled compact, chain stays exact") {
+    // round-14 verdict #4: StorePolicy advice was emitted on every
+    // commit but nothing ACTED on it. Here the tiling is provisioned
+    // tiny (4 tile buckets), so every batch's footprint is over the
+    // 10% crossover and AdviceStreak(2) must fire EXACTLY once in a
+    // 3-batch chain (after batch 1; the streak resets on firing) —
+    // running TiledMatrixStore.compact inside the maintainer loop,
+    // fence-safe. The compact is content-invariant, so the maintained
+    // pair must stay bit-equal to an identical chain run WITHOUT the
+    // policy, and the stream fence must keep advancing across it.
+    import graft.algorithms.IncrementalMatVec
+    import graft.core.SegmentedStateStore
+    import graft.operators.{StorePolicy, TiledMatrixStore}
+    import graft.streaming.StreamMaintain
+    val cells = (for (i <- 0L until 24L;
+        j <- Seq((i * 5 + 1) % 24, (i * 3 + 2) % 24) if i != j)
+      yield (i, j, 1.0 + (i * 11 + j * 3) % 4)).distinct.toDF("i", "j", "w")
+    val rs = cells.groupBy("i").agg(sum(abs(col("w"))).as("rs"))
+    val m1 = cells.join(rs, "i")
+      .select(col("i"), col("j"), (col("w") / col("rs") * 0.8).as("v"))
+      .localCheckpoint(true)
+    val b = IncrementalMatVec.universe(m1, 0.2).localCheckpoint(true)
+    def build(tag: String) = {
+      val sp = java.nio.file.Files
+        .createTempDirectory(s"graft_bmvpol_${tag}_s").toString
+      val tp = java.nio.file.Files
+        .createTempDirectory(s"graft_bmvpol_${tag}_t").toString
+      IncrementalMatVec.preserveBlockedTo(spark, sp, m1, b, blockSize = 8,
+        iterations = 3, nBuckets = 4)
+      TiledMatrixStore.init(spark, tp, m1, blockSize = 8, cellBuckets = 4,
+        tileBuckets = 4, idxBuckets = 2)
+      (sp, tp)
+    }
+    def batchOf(lo: Long, hi: Long) = m1
+      .filter(col("j") % 10 >= lo && col("j") % 10 < hi)
+      .select(col("i"), col("j"), (col("v") * 0.5).as("v"))
+      .withColumn("op", lit("U")).localCheckpoint(true)
+    val batches = Seq(batchOf(3, 4), batchOf(6, 7), batchOf(8, 9))
+    val (spP, tpP) = build("pol")
+    val (spN, tpN) = build("nopol")
+    val streak = new StorePolicy.AdviceStreak(2)
+    batches.zipWithIndex.foreach { case (d, i) =>
+      StreamMaintain.blockedMatvecBatch(spark, spP, tpP, d, i.toLong, b,
+        iterations = 2, maintenance = Some(streak))
+      StreamMaintain.blockedMatvecBatch(spark, spN, tpN, d, i.toLong, b,
+        iterations = 2)
+    }
+    // one extra epoch on the policy store: 3 applyDelta commits + ONE
+    // compact (fired after batch 1, streak reset, not re-fired at 3)
+    assert(TiledMatrixStore.currentEpoch(spark, tpP) ==
+      TiledMatrixStore.currentEpoch(spark, tpN) + 1,
+      "the policy must have run exactly one compact")
+    assert(streak.streak == 1, "streak must have reset when it fired")
+    // the fence survived the mid-chain compact and kept advancing
+    assert(TiledMatrixStore.lastBatch(spark, tpP) == 2L)
+    // content equality across state and all three keyings
+    def xs(p: String) = SegmentedStateStore.openForRead(spark, p)
+      .preserved.out.as[(Long, Double)].collect().toMap
+    val got = xs(spP); val want = xs(spN)
+    assert(got.keySet == want.keySet)
+    for (k <- got.keySet)
+      assert(math.abs(got(k) - want(k)) < 1e-12,
+        s"idx $k policy=${got(k)} plain=${want(k)}")
+    def bags(tp: String) = TiledMatrixStore.open(spark, tp).tilesSource.all
+      .select(col("tid"), explode(col("cells")).as("c"))
+      .select(col("tid"), col("c.i"), col("c.j"), col("c.v"))
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(bags(tpP) == bags(tpN),
+      "policy compact changed the tiling's content")
+    assert(TiledMatrixStore.open(spark, tpP).cells
+      .as[(Long, Long, Double)].collect().toSet ==
+      TiledMatrixStore.open(spark, tpN).cells
+        .as[(Long, Long, Double)].collect().toSet)
+  }
+
   test("blocked matvec: crash between state apply and tiling apply heals on redelivery") {
     // the 3-table store's crash window: the state continuation lands,
     // the process dies BEFORE applyDelta. On redelivery the tiling
