@@ -35,6 +35,22 @@ object Bench {
     import scala.jdk.CollectionConverters._
     def gcMs: Long =
       ManagementFactory.getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
+    // jobs/tasks: Spark-job and task counts per query (stderr diag only)
+    // — a query whose seconds are mostly FIXED per-job/per-task overhead
+    // (tiny data, many driver-loop actions) shows up as a high
+    // jobs-to-seconds ratio, pointing at loop structure rather than plan
+    // shape. Listener-bus counts are async; treat as ±a few.
+    val jobCounter = new java.util.concurrent.atomic.AtomicLong
+    val taskCounter = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobCounter.incrementAndGet()
+        override def onTaskEnd(
+            t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          taskCounter.incrementAndGet()
+      })
     def codegenCount: Long =
       try org.apache.spark.metrics.source.CodegenMetrics.METRIC_COMPILATION_TIME.getCount
       catch { case _: Throwable => -1L }
@@ -170,6 +186,8 @@ object Bench {
       if (qi == toRun.size / 2) canaryMid = canaryRun()
       val gc0 = gcMs
       val cg0 = codegenCount
+      val jb0 = jobCounter.get()
+      val tk0 = taskCounter.get()
       var residWorst = (0, 0L)
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
@@ -199,11 +217,14 @@ object Bench {
         "spread_pct" -> (if (dt > 0)
           ((times.map(_._1).max - dt) / dt * 100).round else 0L),
         "resid_blocks" -> residWorst._1.toLong,
-        "resid_mb" -> residWorst._2 / (1024 * 1024))
+        "resid_mb" -> residWorst._2 / (1024 * 1024),
+        "jobs" -> (jobCounter.get() - jb0),
+        "tasks" -> (taskCounter.get() - tk0))
       System.err.println(s"[bench] $name ${f"$dt%.2f"}s " +
         s"(${times.map(t => f"${t._1}%.2f").mkString("/")}) " +
         s"gc=${diag("gc_ms")}ms codegen=${diag("codegen")} " +
-        s"resid=${diag("resid_blocks")}blk/${diag("resid_mb")}MB")
+        s"resid=${diag("resid_blocks")}blk/${diag("resid_mb")}MB " +
+        s"jobs=${diag("jobs")} tasks=${diag("tasks")}")
       (name, dt, ok, diag, times.map(_._1))
     }
     // Per-query times rounded to 10 ms and the diag map exiled to
