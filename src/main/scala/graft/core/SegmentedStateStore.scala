@@ -228,21 +228,26 @@ object SegmentedStateStore {
     val k2Ddl = state.out.schema(k2Col).dataType.sql
     val bucket = pmod(xxhash64(col(k2Col)), lit(nBuckets.toLong)).cast("int")
     var ddl = Map.empty[String, String]
-    Seq("kvs" -> state.kvs, "out" -> state.out).foreach { case (n, df0) =>
-      // BOTH tables' key columns cast to the pinned dtype (derived
-      // from out) before hashing: a preserve whose kvs carries a
-      // different k2 dtype than out (e.g. int vs long) would otherwise
-      // place kvs rows in buckets inconsistent with bucketOf, and
-      // continuations would silently strand or miss them — the exact
-      // dtype-drift class castToPinned defends against elsewhere
-      val df = SegSwap.castToPinned(df0, k2Col, k2Ddl, s"segstate init $n")
-      val withB = df.withColumn("_b", bucket)
-      ddl += n -> withB.schema.toDDL
-      // repartition on the bucket key first: each bucket is one task's
-      // contiguous write (the tasks-x-buckets small-file lesson)
-      withB.repartition(col("_b")).write.mode("overwrite")
-        .partitionBy("_b").parquet(s"$path/$n")
+    val writes = Seq("kvs" -> state.kvs, "out" -> state.out).map {
+      case (n, df0) =>
+        // BOTH tables' key columns cast to the pinned dtype (derived
+        // from out) before hashing: a preserve whose kvs carries a
+        // different k2 dtype than out (e.g. int vs long) would otherwise
+        // place kvs rows in buckets inconsistent with bucketOf, and
+        // continuations would silently strand or miss them — the exact
+        // dtype-drift class castToPinned defends against elsewhere
+        val df = SegSwap.castToPinned(df0, k2Col, k2Ddl, s"segstate init $n")
+        val withB = df.withColumn("_b", bucket)
+        ddl += n -> withB.schema.toDDL
+        // repartition on the bucket key first: each bucket is one task's
+        // contiguous write (the tasks-x-buckets small-file lesson)
+        val staged = withB.repartition(col("_b"))
+        () => staged.write.mode("overwrite")
+          .partitionBy("_b").parquet(s"$path/$n")
     }
+    // the two table writes are independent (distinct dirs; params — the
+    // completeness marker — still lands after both): overlap them
+    graft.util.Par.foreach(writes)
     writeParams(spark, s"$path/params", k2Col, nBuckets, k2Ddl,
       ddl("kvs"), ddl("out"), appliedBatch = -1L)
   }

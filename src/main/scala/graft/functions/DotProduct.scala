@@ -127,8 +127,11 @@ object GraftFunctions {
 
   /** Register graft's native functions on the session (idempotent — a
     * session that already has them is left untouched, so per-query
-    * registration calls don't spam "replaced function" log warnings). */
-  def register(spark: SparkSession): Unit = {
+    * registration calls don't spam "replaced function" log warnings).
+    * `synchronized`: overlapped store operations (graft.util.Par) may
+    * race their first-use registration; the registry mutation must be
+    * one writer at a time. */
+  def register(spark: SparkSession): Unit = synchronized {
     val r = spark.sessionState.functionRegistry
     if (r.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("graft_shingles")))
       return

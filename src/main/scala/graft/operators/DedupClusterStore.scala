@@ -123,11 +123,15 @@ object DedupClusterStore {
       Dedup.pairsFromBands(bands.drop("_b"), maxHamming, maxBucket))
     val compsB = comps.withColumn("_b", docBucket(col("id"), nBuckets))
     var ddl = Map.empty[String, String]
-    Seq("bands" -> bands, "comps" -> compsB).foreach { case (n, df) =>
-      ddl += n -> df.schema.toDDL
-      df.repartition(col("_b")).write.mode("overwrite")
-        .partitionBy("_b").parquet(s"$path/$n")
-    }
+    // bands is a leaf and comps is already converged/cached —
+    // independent writes to distinct dirs, overlapped (§2.6)
+    graft.util.Par.foreach(
+      Seq("bands" -> bands, "comps" -> compsB).map { case (n, df) =>
+        ddl += n -> df.schema.toDDL
+        val staged = df.repartition(col("_b"))
+        () => staged.write.mode("overwrite")
+          .partitionBy("_b").parquet(s"$path/$n")
+      })
     writeParamsTo(spark, s"$path/params", p0.copy(ddl = ddl))
     comps.unpersist(blocking = false)
     intern.releaseAll()

@@ -195,10 +195,13 @@ object DupSpansStore {
     val tables = Seq("spans" -> spans, "ntoks" -> ntoks,
         "dfreq" -> dfreq, "out" -> out) ++
       (if (withCut) Seq("text" -> textT, "cut" -> cutT.get) else Nil)
-    tables.foreach { case (n, df) =>
-      df.repartition(col("_b")).write.mode("overwrite")
+    // every table derives from materialized leaves (or the source) —
+    // independent writes to distinct dirs, overlapped (§2.6)
+    graft.util.Par.foreach(tables.map { case (n, df) =>
+      val staged = df.repartition(col("_b"))
+      () => staged.write.mode("overwrite")
         .partitionBy("_b").parquet(s"$path/$n")
-    }
+    })
     // params last: their presence marks a complete init
     writeParams(spark, path, p0.copy(
       ddl = tables.map { case (n, df) => n -> df.schema.toDDL }.toMap))

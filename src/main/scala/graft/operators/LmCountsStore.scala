@@ -156,11 +156,15 @@ object LmCountsStore {
     val bi = intern.mat(bidoc.groupBy("a", "b")
       .agg(sum(col("n")).as("cab"))
       .withColumn("_b", tokBucket(nBuckets, col("a"), col("b"))))
-    Seq("unidoc" -> unidoc, "bidoc" -> bidoc, "uni" -> uni,
-        "bi" -> bi).foreach { case (n, df) =>
-      df.repartition(col("_b")).write.mode("overwrite")
-        .partitionBy("_b").parquet(s"$path/$n")
-    }
+    // all four tables are materialized leaves: independent writes to
+    // distinct dirs — overlap them (guide §2.6)
+    graft.util.Par.foreach(
+      Seq("unidoc" -> unidoc, "bidoc" -> bidoc, "uni" -> uni,
+          "bi" -> bi).map { case (n, df) =>
+        val staged = df.repartition(col("_b"))
+        () => staged.write.mode("overwrite")
+          .partitionBy("_b").parquet(s"$path/$n")
+      })
     writeParams(spark, path, p0.copy(ddl = Map(
       "unidoc" -> unidoc.schema.toDDL, "bidoc" -> bidoc.schema.toDDL,
       "uni" -> uni.schema.toDDL, "bi" -> bi.schema.toDDL)))

@@ -671,30 +671,74 @@ private[graft] object SegSwap {
 
   // ---- shared params codec ----------------------------------------------
 
-  /** ONE params writer for the store family: a single Row of
-    * (name → scalar) fields as a parquet table, written whole. Scalars
-    * only (Int/Long/Double/Boolean/String) — params are configuration,
-    * not data. */
+  /** ONE params writer for the store family: a single (name → scalar)
+    * record as ONE atomically-renamed text file inside the params dir.
+    * Scalars only (Int/Long/Double/Boolean/String) — params are
+    * configuration, not data.
+    *
+    * Why text and not a parquet table (the pre-r15 format): params are
+    * read on EVERY store open / fence check / as-of resolve, and a
+    * `spark.read.parquet(...).collect()` is a full Spark job (listing,
+    * footer decode, plan, schedule — measured 30-80 ms each on warm
+    * local data). The driver-side text read is free of all of that, and
+    * the heavy store/stream gates pay it dozens of times per run
+    * (optimization guide §1.2: per-task work AFTER algorithm shape —
+    * here the "task" was a whole scheduled job for one tiny row). The
+    * write side drops a Spark write job (parquet committer, task
+    * launch) per init/commit the same way. Values are URL-encoded so
+    * DDL strings survive any separator; doubles round-trip via
+    * `java.lang.Double.toString/parseDouble` (shortest-exact). The
+    * atomic tmp+rename is [[writeTextAtomic]]'s — a torn write can
+    * never masquerade as params, same contract the parquet form's
+    * _SUCCESS-less dir never actually had. [[paramsRowFrom]] keeps a
+    * parquet-read fallback so a store written by an older build stays
+    * readable (same spirit as the `defaults` schema-evolution hatch). */
+  private val ParamsKvFile = "kv.txt"
+
   private[graft] def writeParamsTo(spark: SparkSession, dst: String,
       fields: Seq[(String, Any)]): Unit = {
-    import org.apache.spark.sql.types._
-    val schema = StructType(fields.map { case (n, v) =>
-      StructField(n, v match {
-        case _: Int => IntegerType
-        case _: Long => LongType
-        case _: Double => DoubleType
-        case _: Boolean => BooleanType
-        case _: String => StringType
+    def enc(s: String): String = java.net.URLEncoder.encode(s, "UTF-8")
+    val lines = fields.map { case (n, v) =>
+      val (t, s) = v match {
+        case x: Int => ("i", x.toString)
+        case x: Long => ("l", x.toString)
+        case x: Double => ("d", x.toString)
+        case x: Boolean => ("z", x.toString)
+        case x: String => ("s", enc(x))
         case other => throw new IllegalArgumentException(
           s"segswap: unsupported params field '$n' of " +
             s"${if (other == null) "null" else other.getClass.getName}")
-      }, nullable = false)
-    })
-    spark.createDataFrame(
-      java.util.Collections.singletonList(
-        org.apache.spark.sql.Row.fromSeq(fields.map(_._2))), schema)
-      .write.mode("overwrite").parquet(dst)
+      }
+      s"${enc(n)} $t $s"
+    }
+    writeTextAtomic(fsOf(spark, dst), s"$dst/$ParamsKvFile",
+      lines.mkString("\n"))
   }
+
+  /** The params record at `dir` as (name → typed value), or None when
+    * no kv file exists (pre-r15 parquet-format store). */
+  private def readParamsKv(fs: FileSystem,
+      dir: String): Option[Map[String, Any]] =
+    readText(fs, new HPath(s"$dir/$ParamsKvFile")).map { text =>
+      def dec(s: String): String = java.net.URLDecoder.decode(s, "UTF-8")
+      text.linesIterator.filter(_.nonEmpty).map { line =>
+        line.split(" ", 3) match {
+          case Array(n, t, v) =>
+            val value: Any = t match {
+              case "i" => v.toInt
+              case "l" => v.toLong
+              case "d" => v.toDouble
+              case "z" => v.toBoolean
+              case "s" => dec(v)
+              case other => throw new IllegalStateException(
+                s"segswap: corrupt params line type '$other' in $dir")
+            }
+            dec(n) -> value
+          case _ => throw new IllegalStateException(
+            s"segswap: corrupt params line '$line' in $dir")
+        }
+      }.toMap
+    }
 
   /** ONE params reader: journal-aware ([[resolvedDirPath]] — a
     * committed-but-uninstalled rebucket's NEW params are visible
@@ -727,18 +771,29 @@ private[graft] object SegSwap {
 
   private def paramsRowFrom(spark: SparkSession, path: String, dir: String,
       want: Seq[String], what: String,
-      defaults: Map[String, Any] = Map.empty): org.apache.spark.sql.Row = {
-    val df = spark.read.parquet(dir)
-    val missing = want.filterNot(df.columns.contains)
-    val undefaulted = missing.filterNot(defaults.contains)
-    require(undefaulted.isEmpty,
-      s"$what: store at $path has an incompatible params layout " +
-        s"(missing ${undefaulted.mkString(",")}) — written by an older " +
-        "build; re-init the store")
-    df.select(want.map(w =>
-      if (df.columns.contains(w)) col(w) else lit(defaults(w)).as(w)): _*)
-      .collect()(0)
-  }
+      defaults: Map[String, Any] = Map.empty): org.apache.spark.sql.Row =
+    readParamsKv(fsOf(spark, path), dir) match {
+      case Some(kv) =>
+        val undefaulted =
+          want.filterNot(kv.contains).filterNot(defaults.contains)
+        require(undefaulted.isEmpty,
+          s"$what: store at $path has an incompatible params layout " +
+            s"(missing ${undefaulted.mkString(",")}) — written by an " +
+            "older build; re-init the store")
+        org.apache.spark.sql.Row.fromSeq(
+          want.map(w => kv.getOrElse(w, defaults(w))))
+      case None => // pre-r15 store: params as a parquet table
+        val df = spark.read.parquet(dir)
+        val missing = want.filterNot(df.columns.contains)
+        val undefaulted = missing.filterNot(defaults.contains)
+        require(undefaulted.isEmpty,
+          s"$what: store at $path has an incompatible params layout " +
+            s"(missing ${undefaulted.mkString(",")}) — written by an " +
+            "older build; re-init the store")
+        df.select(want.map(w =>
+          if (df.columns.contains(w)) col(w) else lit(defaults(w)).as(w)): _*)
+          .collect()(0)
+    }
 
   /** Stage, journal, and install `touched` = (table, replacement rows
     * for the touched buckets, touched bucket set). Replacement-frame
@@ -779,15 +834,20 @@ private[graft] object SegSwap {
       dirSwaps.isEmpty) return
     val fs = fsOf(spark, path)
     fs.delete(new HPath(s"$path/$Staging"), true)
-    touched.foreach { case (n, df, bs) =>
-      // repartition on the bucket key first: without it every shuffle
-      // task opens a writer per bucket it sees (tasks × buckets small
-      // files); with it each bucket is one contiguous file — the
-      // file-count hygiene a large store needs
-      if (bs.nonEmpty || augmentFromStaging)
-        df.repartition(col("_b")).write.mode("overwrite")
+    // repartition on the bucket key first: without it every shuffle
+    // task opens a writer per bucket it sees (tasks × buckets small
+    // files); with it each bucket is one contiguous file — the
+    // file-count hygiene a large store needs. The per-table staging
+    // writes are INDEPENDENT (distinct dirs, the journal lands after
+    // all of them), so they overlap through graft.util.Par (guide
+    // §2.6); frames are constructed here on the caller thread so any
+    // thread-local analyzer conf still applies.
+    graft.util.Par.foreach(touched.collect {
+      case (n, df, bs) if bs.nonEmpty || augmentFromStaging =>
+        val staged = df.repartition(col("_b"))
+        () => staged.write.mode("overwrite")
           .partitionBy("_b").parquet(s"$path/$Staging/$n")
-    }
+    })
     // whole-dir swaps (e.g. the params table during a rebucket — its
     // new bucket count must install ATOMICALLY with the re-bucketed
     // data or a crash would leave readers deriving buckets with the

@@ -135,12 +135,16 @@ object TfidfStore {
     val members = docs.select(col(idCol).as("doc_id")).distinct()
       .withColumn("_b", docBucket(col("doc_id"), nBuckets))
     var ddl = Map.empty[String, String]
-    Seq("tf" -> tf, "dfreq" -> dfreq, "docs" -> members).foreach {
-      case (n, df) =>
-        ddl += n -> df.schema.toDDL
-        df.repartition(col("_b")).write.mode("overwrite")
-          .partitionBy("_b").parquet(s"$path/$n")
-    }
+    // tf is a materialized leaf, so the three writes are independent
+    // scans over cached blocks / the docs source — overlap them (§2.6)
+    graft.util.Par.foreach(
+      Seq("tf" -> tf, "dfreq" -> dfreq, "docs" -> members).map {
+        case (n, df) =>
+          ddl += n -> df.schema.toDDL
+          val staged = df.repartition(col("_b"))
+          () => staged.write.mode("overwrite")
+            .partitionBy("_b").parquet(s"$path/$n")
+      })
     writeParamsTo(spark, s"$path/params", Params(nBuckets, docs.count(),
       docs.schema(idCol).dataType.sql, ddl))
     intern.releaseAll()

@@ -100,16 +100,22 @@ object TiledMatrixStore {
     SegSwap.resetForInit(SegSwap.fsOf(spark, path), path)
     val cells = m.select(col("i").cast("long"), col("j").cast("long"),
       col("v").cast("double"))
-    cells.withColumn("_b", keyBucket(col("j"), cellBuckets))
-      .repartition(col("_b")).write.mode("overwrite")
-      .partitionBy("_b").parquet(s"$path/cells")
-    cells
+    val stagedCells = cells.withColumn("_b", keyBucket(col("j"), cellBuckets))
+      .repartition(col("_b"))
+    val stagedTiles = cells
       .groupBy(tidOf(col("i"), col("j"), blockSize).as("tid"),
         jbOf(col("j"), blockSize).as("jb"))
       .agg(collect_list(struct(col("i"), col("j"), col("v"))).as("cells"))
       .withColumn("_b", keyBucket(col("tid"), tileBuckets))
-      .repartition(col("_b")).write.mode("overwrite")
-      .partitionBy("_b").parquet(s"$path/tiles")
+      .repartition(col("_b"))
+    // cells and tiles derive independently from the source — overlap
+    // their writes (§2.6); tidx projects the just-written tiles, so it
+    // stays after
+    graft.util.Par.foreach(Seq(
+      () => stagedCells.write.mode("overwrite")
+        .partitionBy("_b").parquet(s"$path/cells"),
+      () => stagedTiles.write.mode("overwrite")
+        .partitionBy("_b").parquet(s"$path/tiles")))
     // the index projects the JUST-WRITTEN tiles (two thin columns,
     // column-pruned) — re-deriving it from `cells` would re-run the
     // blocking groupBy as a second full corpus scan+shuffle

@@ -1230,16 +1230,21 @@ object PipelineQueries {
           .createTempDirectory("graft_txn_tiled").toString
         val txn = java.nio.file.Files
           .createTempDirectory("graft_txn_dir").toString
-        graft.operators.TfidfStore.init(s, tp, base, "doc_id", "text",
-          nBuckets = 16)
-        graft.operators.LmCountsStore.init(s, lp, base, "doc_id", "text",
-          nBuckets = 16)
         val mat = Q.t(s, dir, "events")
           .groupBy((col("event_id") % 40).as("i"),
             (col("user_id") % 40).as("j"))
           .agg(max(col("value")).as("v"))
-        graft.operators.TiledMatrixStore.init(s, tm, mat, blockSize = 8,
-          cellBuckets = 8, tileBuckets = 8, idxBuckets = 2)
+        // three independent store inits (distinct paths/sources) —
+        // overlap them (guide §2.6)
+        graft.functions.GraftFunctions.register(s)
+        graft.util.Par.foreach(Seq(
+          () => graft.operators.TfidfStore.init(s, tp, base, "doc_id",
+            "text", nBuckets = 16),
+          () => graft.operators.LmCountsStore.init(s, lp, base, "doc_id",
+            "text", nBuckets = 16),
+          () => graft.operators.TiledMatrixStore.init(s, tm, mat,
+            blockSize = 8, cellBuckets = 8, tileBuckets = 8,
+            idxBuckets = 2)))
         val patch = mat.filter(col("j") % 10 === 3)
           .select(col("i"), col("j"), (col("v") * 0.5).as("v"))
           .localCheckpoint(true)
@@ -2468,9 +2473,13 @@ object PipelineQueries {
           .createTempDirectory("graft_recall_raw").toString
         val resIdx = java.nio.file.Files
           .createTempDirectory("graft_recall_res").toString
-        Pq.buildIvfPqIndex(vecs, rawIdx, nlist = 16, m = 8, ksub = 16)
-        Pq.buildIvfPqIndex(vecs, resIdx, nlist = 16, m = 8, ksub = 16,
-          residual = true)
+        // the two layouts' builds are independent (distinct dirs, both
+        // reading the same source) — overlap them (guide §2.6)
+        graft.util.Par.foreach(Seq(
+          () => Pq.buildIvfPqIndex(vecs, rawIdx, nlist = 16, m = 8,
+            ksub = 16),
+          () => Pq.buildIvfPqIndex(vecs, resIdx, nlist = 16, m = 8,
+            ksub = 16, residual = true)))
         def recallOf(idx: String, layout: String) = {
           val probe = Pq.probeIvfPqIndex(s, idx, queries, k = 5,
             nprobe = 4, rerank = 10).select(col("qid"), col("nid"))

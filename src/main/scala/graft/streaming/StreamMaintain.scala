@@ -463,8 +463,18 @@ object StreamMaintain {
       dedupByKey(ups.select(col(idCol).cast("long"), col(textCol)),
         Seq(idCol), Seq(textCol))
         .localCheckpoint(true))
-    val advice = stores.flatMap { case (kind, path) =>
-      phase(s"$kind continuation") {
+    // register the native functions ONCE on this thread before the
+    // parallel dispatch (each continuation would otherwise race the
+    // same createOrReplaceTempFunction calls)
+    graft.functions.GraftFunctions.register(spark)
+    // the stores' continuations are documented ORDER-FREE (contents
+    // depend only on the current corpus, each fenced by its own
+    // batch id) — which also means they are safe to OVERLAP: each one
+    // reads only the shared pinned delta (cached blocks) and writes
+    // only its own store path (guide §2.6; measured: the two-store
+    // corpus gates spend most of their wall on serial driver actions)
+    val advice = graft.util.Par.run(stores.map { case (kind, path) =>
+      () => phase(s"$kind continuation") {
         val a = kind match {
           case "tfidf" => graft.operators.TfidfStore.continueBatch(
             spark, path, added, removed, idCol, textCol, batchId)
@@ -478,7 +488,7 @@ object StreamMaintain {
         }
         a.map(kind -> _)
       }
-    }.toMap
+    }).flatten.toMap
     added.unpersist(blocking = false)
     removed.unpersist(blocking = false)
     advice

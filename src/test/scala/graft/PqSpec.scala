@@ -454,8 +454,8 @@ class PqSpec extends SparkSpec {
       k = 3, nprobe = 2, rerank = 8))
     // rewrite the params in the PRE-residual layout (what an index
     // built before the flag existed carries on disk)
-    val old = spark.read.parquet(s"$dir/params")
-      .select("listsDdl", "m", "lastBatch", "locB").collect()(0)
+    val old = graft.operators.SegSwap.readParamsRow(spark, dir,
+      Seq("listsDdl", "m", "lastBatch", "locB"), "spec")
     graft.operators.SegSwap.writeParamsTo(spark, s"$dir/params", Seq(
       "listsDdl" -> old.getString(0), "m" -> old.getInt(1),
       "lastBatch" -> old.getLong(2), "locB" -> old.getInt(3)))
