@@ -40,7 +40,9 @@ object IncrementalMatVec {
     val static = m.select(col("i").cast("long"), col("j").cast("long"),
       col("v").cast("double"))
     val base = b.select(col("idx").cast("long"), col("bv").cast("double"))
-      .repartition(numPartitions, col("idx"))
+      .repartition(
+        graft.core.Adaptive.partitionsFor(static, numPartitions),
+        col("idx"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val init = base.select(col("idx"), col("bv").as("x"))
 

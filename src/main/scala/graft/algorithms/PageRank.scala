@@ -79,9 +79,12 @@ object PageRank {
       .distinct().persist(StorageLevel.MEMORY_AND_DISK)
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
     val static = e.join(deg, "src")
+    // node base sized by the edge relation, numPartitions as ceiling
+    // (guide §2 — see graft.core.Adaptive)
+    val nAdapt = graft.core.Adaptive.partitionsFor(e, numPartitions)
     val base = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
-      .distinct().repartition(numPartitions, col("node"))
+      .distinct().repartition(nAdapt, col("node"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val init = base.withColumn("rank", lit(1.0))
 

@@ -282,7 +282,15 @@ final class IncrementalJob(
         org.apache.spark.sql.graft.GraftSqlShim.checkpointedLeafWithHandle(df)
     }
 
-  private def runLoop(n: Int): IncrResult = {
+  private def runLoop(nCap: Int): IncrResult = {
+    // the caller's numPartitions is the parallelism CEILING; the
+    // static relation's own size picks the working partition count
+    // (guide §2 — the fixed constant was 32 near-empty tasks per
+    // exchange at gate scale and far too few at 100 TB). All loop
+    // repartitions share this one n, so dirty segments stay
+    // key-co-located across iterations as before.
+    val n = Adaptive.partitionsFor(
+      staticSource.map(_.all).getOrElse(updatedStatic), nCap)
     // Static side: either a per-run repartition+persist of the caller's
     // frame (one-shot continuations handing a fresh driver frame), or —
     // in staticSource mode — NOTHING up front: the relation is already

@@ -79,7 +79,12 @@ final class IterativeJob(
     config: IterConfig = IterConfig()) {
 
   def run(): IterResult = {
-    val n = config.numPartitions
+    // config.numPartitions is the parallelism CEILING; the static
+    // relation's size picks the real count at AQE's advisory
+    // granularity (guide §2 — scale-adaptive partitioning). Both sides
+    // share the one adaptive n, so the per-iteration join still reuses
+    // the partitioning.
+    val n = Adaptive.partitionsFor(static, config.numPartitions)
     // F13 + F35: co-partition the static side by the projected dynamic key
     // once, cache it for every iteration. ONE2ALL static needs no shuffle —
     // the dynamic side is broadcast instead.
